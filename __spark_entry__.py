@@ -1,38 +1,709 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus
+the large-scale pipeline surface) to a (spark, sf_dir) -> DataFrame
+callable; ``oracle_sql()`` carries the DuckDB-equivalent ANSI SQL.
+Column names and rounding are aligned on both sides because the
+driver hash-compares values after sorting columns by name.
+
+Graphouse-shaped operators run against the ``events`` table through
+the mapping: metric path ~ 'events.<event_type>.u<user_id>', version
+column ~ event_id (arrival order), value ~ value, ts ~ epoch seconds.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+SEC_JAN1 = 1704067200  # 2024-01-01T00:00:00Z — events table spans January 2024
+HOUR = 3600
+DAY = 86400
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts as epoch seconds (ts_sec) — shared base.
+
+    events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long
+    nanos (nanosAsLong), so seconds = ts div 1e9.
+    """
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        return ev.withColumn("ts_sec", F.expr("ts div 1000000000"))
+    return ev.withColumn("ts_sec", F.col("ts").cast("long"))
+
+
+def _paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct dotted metric paths derived from events (C9/C12 substrate)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.concat(F.lit("events."), F.col("event_type"), F.lit(".u"), F.col("user_id")).alias("path")
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# graphouse core operators (SURVEY §2) over the events table
+# --------------------------------------------------------------------------
+
+def q_gh_lww_dedup(spark, sf_dir):
+    """A1: last-writer-wins dedup via max_by (argMax) per group."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.max_by("value", "event_id").alias("last_value"),
+        F.max("event_id").alias("updated"),
+    )
+
+
+def q_gh_dedup_rank(spark, sf_dir):
+    """W4: the window-rank formulation of A1 (row_number desc = 1)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("value").alias("last_value"), F.col("event_id").alias("updated"))
+    )
+
+
+def q_gh_bucket_agg(spark, sf_dir):
+    """A2/W1: epoch-aligned tumbling buckets (300 s), avg per event_type."""
+    ev = _events_sec(spark, sf_dir)
+    bucket = (F.col("ts_sec") - F.col("ts_sec") % 300).alias("ts")
+    return ev.groupBy("event_type", bucket).agg(
+        F.round(F.avg("value"), 6).alias("avg_value"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_gh_two_level_agg(spark, sf_dir):
+    """A6: inner LWW dedup feeding an outer bucket aggregation."""
+    ev = _events_sec(spark, sf_dir)
+    bucket = (F.col("ts_sec") - F.col("ts_sec") % HOUR).alias("ts")
+    deduped = ev.groupBy("user_id", "event_type", bucket).agg(
+        F.max_by("value", "event_id").alias("value")
+    )
+    return deduped.groupBy("event_type", "ts").agg(
+        F.round(F.avg("value"), 6).alias("avg_value"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_gh_gap_fill(spark, sf_dir):
+    """W3: hourly grid x event_type, left join, missing buckets -> null."""
+    ev = _events_sec(spark, sf_dir)
+    start, end = SEC_JAN1, SEC_JAN1 + 31 * DAY  # [Jan 1, Feb 1)
+    counts = ev.groupBy(
+        "event_type", (F.col("ts_sec") - F.col("ts_sec") % HOUR).alias("ts")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.lit(start).cast("long"), F.lit(end - HOUR).cast("long"), F.lit(HOUR).cast("long"))
+            ).alias("ts"),
+        )
+    )
+    return grid.join(counts, ["event_type", "ts"], "left").select("event_type", "ts", "n")
+
+
+def q_gh_autohide(spark, sf_dir):
+    """A4/X5: sparse-and-stale groups (count+max HAVING)."""
+    ev = _events_sec(spark, sf_dir)
+    cutoff = SEC_JAN1 + 24 * DAY  # 2024-01-25
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("ts_sec").alias("last_ts"))
+        .filter((F.col("cnt") < 10) & (F.col("last_ts") < cutoff))
+    )
+
+
+def q_gh_status_argmax(spark, sf_dir):
+    """A3: argMax(status, updated) — latest event_type per user."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", "event_id").alias("last_status"),
+        F.max("event_id").alias("updated"),
+    )
+
+
+def q_gh_path_levels(spark, sf_dir):
+    """C9: dotted-path arithmetic (level / parent / last level) as expressions."""
+    paths = _paths(spark, sf_dir)
+    return paths.select(
+        "path",
+        (F.length("path") - F.length(F.regexp_replace("path", r"\.", "")) + 1).cast("int").alias("level"),
+        F.regexp_replace("path", "[^.]+$", "").alias("parent"),
+        F.regexp_extract("path", r"([^.]+)$", 1).alias("last_level"),
+    )
+
+
+def q_gh_glob_filter(spark, sf_dir):
+    """C12/X1: glob search compiled to one JVM-side regex filter."""
+    from graphouse_spark.globs import glob_to_regex
+
+    regex = glob_to_regex("events.{click,view}.u1?")
+    return _paths(spark, sf_dir).filter(F.col("path").rlike(regex)).select("path")
+
+
+def q_gh_lex_range(spark, sf_dir):
+    """F6: lexicographic string-range scan (PK-order range in the reference)."""
+    return (
+        _paths(spark, sf_dir)
+        .filter(F.col("path").between("events.click.", "events.error.zzzz"))
+        .select("path")
+    )
+
+
+def q_gh_validate(spark, sf_dir):
+    """S3: name validation as a JVM-side predicate over candidate paths."""
+    from graphouse_spark.paths import MetricValidator
+
+    v = MetricValidator()
+    # derive some invalid candidates deterministically: double dots for error events
+    cand = _t(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_type") == "error",
+            F.concat(F.lit("events.."), F.col("event_type")),
+        )
+        .otherwise(F.concat(F.lit("events."), F.col("event_type"), F.lit(".u"), F.col("user_id")))
+        .alias("path")
+    ).distinct()
+    return cand.select("path", v.valid_condition(F.col("path")).alias("is_valid"))
+
+
+def q_gh_json_props(spark, sf_dir):
+    """JSON scalar extraction (extended surface): props->k stats per type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# relational coverage (joins / windows / sets / grouping) — TPC-H-ish
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, (orders["o_custkey"] == cust["c_custkey"]) & (cust["c_nationkey"] == supp["s_nationkey"]))
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+def q_join_semi(spark, sf_dir):
+    """J1: left-semi join (IN-subquery shape)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_join_anti(spark, sf_dir):
+    """Anti-join: customers with no orders in 2001."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """§2.7 extension: INTERSECT/EXCEPT over nation keys."""
+    cust_n = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    supp_n = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = cust_n.intersect(supp_n).withColumn("side", F.lit("both"))
+    cust_only = cust_n.exceptAll(supp_n).withColumn("side", F.lit("customer_only"))
+    return both.unionByName(cust_only)
+
+
+def q_window_rank(spark, sf_dir):
+    """O3-ish: priority pick per group — top-2 orders per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_collect_sorted(spark, sf_dir):
+    """A5: groupArray -> deterministic sorted collect per group."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_list(F.col("c_custkey"))), ",").alias("custkeys"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_cube_agg(spark, sf_dir):
+    """grouping-sets coverage (beyond reference): CUBE over flag/status."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("sum_qty")
+    )
+
+
+# --------------------------------------------------------------------------
+# pipeline operators: dedup / text / similarity over documents & embeddings
+# --------------------------------------------------------------------------
+
+def q_doc_exact_dedup(spark, sf_dir):
+    from graphouse_spark.functions.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_token_stats(spark, sf_dir):
+    from graphouse_spark.functions.text import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_quality(spark, sf_dir):
+    from graphouse_spark.functions.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_ngram_jaccard(spark, sf_dir):
+    from graphouse_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), shingle_n=2, threshold=0.1)
+
+
+def q_doc_minhash_neardup(spark, sf_dir):
+    """MinHash+LSH near-dup (no SQL oracle: engine-specific hash function)."""
+    from graphouse_spark.functions.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_doc_simhash(spark, sf_dir):
+    """SimHash fingerprints (no SQL oracle: engine-specific hash function)."""
+    from graphouse_spark.functions.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_emb_cosine_topk(spark, sf_dir):
+    from graphouse_spark.functions.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=3)
+
+
+def q_emb_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (no SQL oracle: approximate, hash-dependent)."""
+    from graphouse_spark.functions.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_cosine_topk(emb, queries, dim=64, k=3, n_planes=6)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column plumbing: synthetic assets -> mapInPandas features.
+
+    No SQL oracle (Arrow-batched Python stage); driver records the
+    rows-only check.
+    """
+    from graphouse_spark.functions.multimodal import extract_features, synthetic_assets
+
+    assets = synthetic_assets(spark, _t(spark, sf_dir, "documents"))
+    return extract_features(assets)
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the /metricData read path end-to-end on sf0.001.
+
+    events -> graphouse ``data`` mapping -> LWW dedup -> daily bucket
+    avg -> gap-filled series for every events.* metric path in January
+    2024 (the reference's §3.1 pipeline, Spark-first).
+    """
+    from graphouse_spark.plans.metricdata import metric_series
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _events_sec(spark, sf_dir)
+    data = ev.select(
+        F.concat(F.lit("events."), F.col("event_type")).alias("metric"),
+        F.col("value"),
+        F.col("ts_sec").alias("timestamp"),
+        F.to_date(F.from_unixtime("ts_sec")).alias("date"),
+        F.col("event_id").alias("updated"),
+    )
+    metric_names = [r["metric"] for r in data.select("metric").distinct().collect()]
+    return metric_series(
+        spark, data, sorted(metric_names), SEC_JAN1, SEC_JAN1 + 31 * DAY, DAY, "avg"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "gh_lww_dedup": q_gh_lww_dedup,
+        "gh_dedup_rank": q_gh_dedup_rank,
+        "gh_bucket_agg": q_gh_bucket_agg,
+        "gh_two_level_agg": q_gh_two_level_agg,
+        "gh_gap_fill": q_gh_gap_fill,
+        "gh_autohide": q_gh_autohide,
+        "gh_status_argmax": q_gh_status_argmax,
+        "gh_path_levels": q_gh_path_levels,
+        "gh_glob_filter": q_gh_glob_filter,
+        "gh_lex_range": q_gh_lex_range,
+        "gh_validate": q_gh_validate,
+        "gh_json_props": q_gh_json_props,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "join_semi": q_join_semi,
+        "join_anti": q_join_anti,
+        "set_ops": q_set_ops,
+        "window_rank": q_window_rank,
+        "collect_sorted": q_collect_sorted,
+        "cube_agg": q_cube_agg,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_minhash_neardup": q_doc_minhash_neardup,
+        "doc_simhash": q_doc_simhash,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_lsh_topk": q_emb_lsh_topk,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ts_sec = "CAST(floor(epoch(ts)) AS BIGINT)"
+    return {
+        "gh_lww_dedup": """
+            SELECT user_id, event_type,
+                   arg_max(value, event_id) AS last_value,
+                   max(event_id) AS updated
+            FROM events GROUP BY user_id, event_type
+        """,
+        "gh_dedup_rank": """
+            SELECT user_id, event_type, value AS last_value, event_id AS updated
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+        """,
+        "gh_bucket_agg": f"""
+            SELECT event_type,
+                   {ts_sec} - {ts_sec} % 300 AS ts,
+                   round(avg(value), 6) AS avg_value,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "gh_two_level_agg": f"""
+            WITH deduped AS (
+                SELECT user_id, event_type,
+                       {ts_sec} - {ts_sec} % 3600 AS ts,
+                       arg_max(value, event_id) AS value
+                FROM events GROUP BY 1, 2, 3
+            )
+            SELECT event_type, ts, round(avg(value), 6) AS avg_value, count(*) AS n
+            FROM deduped GROUP BY 1, 2
+        """,
+        "gh_gap_fill": f"""
+            WITH grid AS (
+                SELECT et.event_type, g.ts
+                FROM (SELECT DISTINCT event_type FROM events) et
+                CROSS JOIN (
+                    SELECT unnest(generate_series(1704067200, 1704067200 + 31*86400 - 3600, 3600)) AS ts
+                ) g
+            ),
+            counts AS (
+                SELECT event_type,
+                       {ts_sec} - {ts_sec} % 3600 AS ts,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT grid.event_type, grid.ts, counts.n AS n
+            FROM grid LEFT JOIN counts USING (event_type, ts)
+        """,
+        "gh_autohide": f"""
+            SELECT user_id, event_type, count(*) AS cnt, max({ts_sec}) AS last_ts
+            FROM events GROUP BY user_id, event_type
+            HAVING count(*) < 10 AND max({ts_sec}) < 1704067200 + 24*86400
+        """,
+        "gh_status_argmax": """
+            SELECT user_id,
+                   arg_max(event_type, event_id) AS last_status,
+                   max(event_id) AS updated
+            FROM events GROUP BY user_id
+        """,
+        "gh_path_levels": """
+            WITH paths AS (
+                SELECT DISTINCT 'events.' || event_type || '.u' || user_id AS path FROM events
+            )
+            SELECT path,
+                   CAST(length(path) - length(replace(path, '.', '')) + 1 AS INTEGER) AS level,
+                   regexp_replace(path, '[^.]+$', '') AS parent,
+                   regexp_extract(path, '([^.]+)$', 1) AS last_level
+            FROM paths
+        """,
+        "gh_glob_filter": r"""
+            WITH paths AS (
+                SELECT DISTINCT 'events.' || event_type || '.u' || user_id AS path FROM events
+            )
+            SELECT path FROM paths
+            WHERE regexp_matches(path, '^events\.(?:click|view)\.u1[^.]$')
+        """,
+        "gh_lex_range": """
+            WITH paths AS (
+                SELECT DISTINCT 'events.' || event_type || '.u' || user_id AS path FROM events
+            )
+            SELECT path FROM paths
+            WHERE path BETWEEN 'events.click.' AND 'events.error.zzzz'
+        """,
+        "gh_validate": r"""
+            WITH cand AS (
+                SELECT DISTINCT CASE WHEN event_type = 'error'
+                    THEN 'events..' || event_type
+                    ELSE 'events.' || event_type || '.u' || user_id END AS path
+                FROM events
+            )
+            SELECT path,
+                   (length(path) >= 5 AND length(path) <= 500
+                    AND path NOT LIKE '.%' AND path NOT LIKE '%..%'
+                    AND length(path) - length(replace(path, '.', '')) BETWEEN 2 AND 20
+                    AND regexp_matches(path, '^[-_0-9a-zA-Z\.]*$')
+                    AND path NOT LIKE '%.') AS is_valid
+            FROM cand
+        """,
+        "gh_json_props": """
+            SELECT event_type,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+                   min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "join_semi": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "join_anti": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01'
+            )
+        """,
+        "set_ops": """
+            SELECT nationkey, 'both' AS side FROM (
+                SELECT DISTINCT c_nationkey AS nationkey FROM customer
+                INTERSECT
+                SELECT DISTINCT s_nationkey FROM supplier
+            )
+            UNION ALL
+            SELECT nationkey, 'customer_only' AS side FROM (
+                SELECT DISTINCT c_nationkey AS nationkey FROM customer
+                EXCEPT
+                SELECT DISTINCT s_nationkey FROM supplier
+            )
+        """,
+        "window_rank": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+            FROM orders
+            QUALIFY rn <= 2
+        """,
+        "collect_sorted": """
+            SELECT c_nationkey,
+                   string_agg(c_custkey, ',' ORDER BY c_custkey) AS custkeys,
+                   count(*) AS n
+            FROM customer GROUP BY c_nationkey
+        """,
+        "cube_agg": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "doc_exact_dedup": """
+            SELECT md5(text) AS md5, min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "doc_token_stats": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS INTEGER) AS n_chars,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')) AS INTEGER) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+                   CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), t -> t != ''))) AS INTEGER) AS n_distinct_tokens,
+                   CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS n_digits,
+                   CAST(len(regexp_extract_all(text, '[^\w\s]')) AS INTEGER) AS n_punct
+            FROM documents
+        """,
+        "doc_quality": r"""
+            WITH toks AS (
+                SELECT doc_id, length(text) AS n_chars,
+                       list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS tokens,
+                       len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                       len(regexp_extract_all(text, '[0-9]')) AS n_digits
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n_chars AS INTEGER) AS n_chars,
+                   CAST(len(tokens) AS INTEGER) AS n_tokens,
+                   round(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS punct_ratio,
+                   round(n_digits / CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS digit_ratio,
+                   round(len(list_intersect(tokens, ['the','a','of','and','to','in','is','that','it','for']))
+                         / CAST(greatest(len(tokens), 1) AS DOUBLE), 6) AS stopword_ratio,
+                   round(len(list_distinct(tokens)) / CAST(greatest(len(tokens), 1) AS DOUBLE), 6) AS distinct_ratio
+            FROM toks
+        """,
+        "doc_ngram_jaccard": r"""
+            WITH toks AS (
+                SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS tokens
+                FROM documents
+            ),
+            shingled AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN len(tokens) <= 1 THEN [array_to_string(tokens, ' ')]
+                            ELSE [array_to_string(tokens[i:i+1], ' ') FOR i IN range(1, len(tokens))]
+                       END) AS shingles
+                FROM toks
+            ),
+            exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM exploded GROUP BY 1),
+            common AS (
+                SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_common
+                FROM exploded l JOIN exploded r USING (shingle)
+                WHERE l.doc_id < r.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.1
+        """,
+        "emb_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_dot_product(q.qvec, e.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos_raw
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id != q.query_id
+            )
+            SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INTEGER) AS rank
+            FROM scored
+            QUALIFY rank <= 3
+        """,
+    }
+
+
+if __name__ == "__main__":
+    from graphouse_spark.session import get_spark
+
+    s = get_spark()
+    df = entry(s)
+    df.show(20, truncate=False)
+    print("rows:", df.count())

@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": "..."}
+
+Each query runs once after a warm-up pass of the input scans (the JVM
+and file cache warm exactly like a long-lived cluster would be); the
+timed number is the end-to-end action (collect/count) including
+shuffle + aggregation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from graphouse_spark.session import get_spark
+
+#: benchmark set: the flagship read path + the heaviest operators
+BENCH_QUERIES = [
+    "gh_bucket_agg",
+    "gh_two_level_agg",
+    "gh_gap_fill",
+    "gh_lww_dedup",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "window_rank",
+    "doc_exact_dedup",
+    "doc_token_stats",
+    "doc_minhash_neardup",
+    "emb_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("graphouse-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry_mod.queries()
+
+    # warm-up: touch every input file once (OS page cache + JVM JIT)
+    for t in ["events", "lineitem", "orders", "customer", "supplier",
+              "nation", "region", "documents", "embeddings"]:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""Document deduplication at pipeline scale.
+
+Four tiers, cheapest first (all shuffle-key on content hashes so the
+plan scales linearly with corpus size, never with pair count):
+
+- exact:        md5 hash-groupBy (one shuffle).
+- near (minhash+LSH): shingle -> 64 minhashes -> bands -> bucket join;
+  only in-bucket candidate pairs are verified. Classic MMDS recipe;
+  pair cost ~ number of true-ish candidates, not n^2.
+- near (simhash): 64-bit sign-sum of token hashes; Hamming-adjacent
+  buckets collide. One pass, no joins, good as a blocking key.
+- n-gram Jaccard: exact verification on shingle sets, via a shingle
+  equi-join (only pairs sharing a shingle are ever materialized).
+
+Everything is built-in expressions (xxhash64 / md5 / array ops) — no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one row per distinct content hash.
+
+    Returns (md5, keep_id = min doc id, n_copies).
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("md5"), F.col(id_col))
+        .groupBy("md5")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    k = F.size(toks) - (n - 1)
+    grams = F.when(k <= 0, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
+    """(id, signature: array<long>) — min over shingles of seeded xxhash64."""
+    shingles = word_shingles(F.col(text_col), shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return docs.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    Explodes each signature into ``bands`` bucket keys and self-joins
+    on (band, bucket) — the join key is a hash, so skew only occurs
+    when there genuinely are many near-identical docs (AQE's skew-join
+    splitting handles that).
+    """
+    assert bands * rows_per_band <= 1024
+    buckets = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("bucket"),
+            ),
+        )
+    )
+    exploded = signatures.select(F.col(id_col), buckets.alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                            threshold: float = 0.7, num_hashes: int = 64,
+                            bands: int = 16, shingle_n: int = 3) -> DataFrame:
+    """End-to-end MinHash LSH: candidates verified by signature similarity.
+
+    Returns (id_a, id_b, est_jaccard) for pairs whose estimated
+    Jaccard (fraction of equal minhashes) >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
+
+    shingle equi-join -> count common -> |A|+|B|-common denominator.
+    Returns (id_a, id_b, jaccard) above threshold; jaccard rounded to
+    6 decimals for engine portability.
+    """
+    with_sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
+    )
+    sizes = with_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    l, r = with_sh.alias("l"), with_sh.alias("r")
+    common = (
+        l.join(r, "shingle")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash from token xxhash64s, entirely in expressions.
+
+    bit_j(sim) = 1 iff sum over tokens of sign(bit_j(hash(token))) > 0.
+    """
+    toks = F.array_distinct(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def vote(mask: int):
+        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        # bit 63 is the long sign bit: its mask is the negative literal
+        mask = (1 << j) if j < 63 else -(1 << 63)
+        bit_sum = F.aggregate(hashes, F.lit(0), vote(mask))
+        sim = sim.bitwiseOR(F.when(bit_sum > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long")))
+    return docs.select(F.col(id_col), sim.alias("simhash"))

@@ -1,0 +1,128 @@
+"""Multimodal column plumbing: binary payloads + typed metadata.
+
+Images/audio/video ride as opaque ``binary`` columns next to a typed
+metadata struct. The Spark-side machinery — schema, Arrow batching via
+``mapInPandas``, partition sizing — is real and tested; the actual
+codec step is STUBBED (no image/audio libs in this container): decode
+functions produce deterministic fake features derived from the bytes,
+and raise ``NotImplementedError`` when a real codec is requested.
+
+At scale the pattern matters more than the codec: binary columns make
+Parquet row groups large, so pipelines should ``repartition`` by a
+size-aware key before heavy decode stages, and decode inside
+``mapInPandas`` so one Python worker processes whole Arrow batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: a multimodal asset row: payload + typed metadata
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("content_sha1", StringType(), True),
+        StructField("features", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def _fake_features(payload: bytes, n: int = 8) -> list[float]:
+    """Deterministic stand-in for a decoded feature vector."""
+    digest = hashlib.sha1(payload).digest()
+    return [digest[i] / 255.0 for i in range(n)]
+
+
+def extract_features(assets: DataFrame, real_codec: bool = False, n_features: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``real_codec=True`` would dispatch to PIL/librosa/pyav — not
+    available here, so it raises; the stub path derives deterministic
+    features so the distributed plumbing (schema, batching,
+    partitioning) is fully exercisable.
+    """
+    if real_codec:
+        raise NotImplementedError("no image/audio codecs in this environment; use the stub path")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0).astype("int64"),
+                    "content_sha1": payloads.map(
+                        lambda b: hashlib.sha1(b).hexdigest() if b is not None else None
+                    ),
+                    "features": payloads.map(
+                        lambda b: _fake_features(b, n_features) if b is not None else None
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Planned frame-sample points for video assets (plumbing only).
+
+    Emits one row per (asset, sample_ts_ms) — the decode itself is the
+    stubbed stage above. Demonstrates explode-based fan-out sized by
+    metadata rather than by payload bytes.
+    """
+    videos = assets.filter(F.col("modality") == "video")
+    samples = F.sequence(F.lit(0).cast("long"), F.col("duration_ms"), F.lit(every_ms).cast("long"))
+    return videos.select(
+        "asset_id", F.explode(samples).alias("sample_ts_ms")
+    )
+
+
+def synthetic_assets(spark, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake asset table derived from the documents table.
+
+    Lets the multimodal path run against driver-provided test data:
+    payload = utf8 bytes of the text, modality round-robins by id.
+    """
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col).alias("asset_id"),
+        modality.alias("modality"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col(id_col) % 10 * 1000).cast("long").alias("duration_ms"),
+    )

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small)
+  query set against the corpus; dot products via ``zip_with`` +
+  ``aggregate`` stay JVM-side. This is the correctness baseline and
+  the right plan whenever |queries| is small — the corpus is scanned
+  once regardless of its size.
+- :func:`lsh_cosine_buckets` / :func:`lsh_cosine_topk` — the scale
+  path: random-hyperplane LSH. Each vector gets a sign-bit bucket key;
+  only same-bucket pairs are scored. Planes are generated driver-side
+  from a fixed seed (deterministic), shipped as literals — no state,
+  no fitted model, works in one pass at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_similarity_col(a: Column, b: Column) -> Column:
+    """Cosine of two array<float/double> columns, computed in double."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors per query vector (brute force).
+
+    ``queries``: (id, vec) — small; broadcast-joined against the corpus.
+    Returns (query_id, neighbor_id, cosine) with deterministic
+    (cosine desc, neighbor_id) ranking, self-matches excluded.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity_col(F.col("_qvec"), F.col("_cvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round(F.col("cosine"), 6).alias("cosine"), "rank")
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy dependency at executors)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_cosine_buckets(embeddings: DataFrame, dim: int, n_planes: int = 16, seed: int = 42,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane signature: (id, vec, bucket: long).
+
+    bucket bit j = sign(v . plane_j). Cosine-close vectors collide with
+    high probability; the bucket is a plain long, so the follow-up
+    join hash-partitions evenly.
+    """
+    planes = _planes(dim, n_planes, seed)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = [
+        F.when(_dot(vd, F.array(*[F.lit(w) for w in plane])) > 0,
+               F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+        for j, plane in enumerate(planes)
+    ]
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket.bitwiseOR(b)
+    return embeddings.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+                    n_planes: int = 8, seed: int = 42,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: score only same-bucket candidates.
+
+    Recall improves with fewer planes (bigger buckets) — callers pick
+    the trade-off. Same output shape as :func:`cosine_topk`.
+    """
+    corpus = lsh_cosine_buckets(embeddings, dim, n_planes, seed, id_col, vec_col)
+    qb = lsh_cosine_buckets(queries, dim, n_planes, seed, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"), "bucket"
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"), "bucket")
+        .join(F.broadcast(qb), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity_col(F.col("_qvec"), F.col("_cvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round(F.col("cosine"), 6).alias("cosine"), "rank")
+    )

@@ -1,0 +1,59 @@
+"""Declared schemas for the engine's two persistent tables.
+
+Parity: reference DDL /root/reference/doc/install.md:155-184 (data,
+metrics). Schemas are always declared, never inferred (SURVEY §1.3).
+
+``data``    — time-series points, partitioned by ``date`` on disk and
+              sorted within files by (metric, timestamp) so Parquet
+              row-group min/max stats reproduce the ClickHouse
+              ``ORDER BY (metric, timestamp)`` prune-and-seek effect.
+``metrics`` — the metric-name tree. Append-only; the latest row per
+              name wins at read time via ``max_by(status, updated)``
+              (ReplacingMergeTree finalization is a *read-time*
+              operator, MetricSearch.java:320-324).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    DateType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: graphite.data (install.md:173-184)
+DATA_SCHEMA = StructType(
+    [
+        StructField("metric", StringType(), False),
+        StructField("value", DoubleType(), True),
+        StructField("timestamp", LongType(), False),  # event epoch seconds (producer clock)
+        StructField("date", DateType(), False),  # partition/prune column, UTC day of timestamp
+        StructField("updated", LongType(), False),  # arrival epoch seconds (version for LWW)
+    ]
+)
+
+#: graphite.metrics (install.md:158-170); Enum8 status -> string
+METRICS_SCHEMA = StructType(
+    [
+        StructField("name", StringType(), False),  # trailing '.' marks a directory
+        StructField("level", IntegerType(), False),
+        StructField("parent", StringType(), False),
+        StructField("status", StringType(), False),
+        StructField("updated", TimestampType(), False),
+    ]
+)
+
+#: parsed graphite plaintext line (server/BaseMetricFactory.java:41-78)
+LINE_SCHEMA = StructType(
+    [
+        StructField("name", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("timestamp", LongType(), True),
+        StructField("updated", LongType(), True),
+    ]
+)

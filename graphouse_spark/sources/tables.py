@@ -1,0 +1,75 @@
+"""Storage layout: Parquet replaces the MergeTree engines.
+
+The scale contract (SURVEY §4):
+- ``data`` is written ``partitionBy("date")`` — Catalyst partition
+  pruning replaces ClickHouse ``PARTITION BY toMonday(date)``; we use
+  daily partitions (finer than weekly, prunes at least as well).
+- files are sorted within partitions by ``(metric, timestamp)`` —
+  Parquet row-group min/max stats then reproduce the primary-key
+  range-scan effect of ``ORDER BY (metric, timestamp)``
+  (install.md:181-184).
+- appends REPARTITION by ``metric`` hash before the sort, mirroring
+  the reference's ``sipHash64(metric)`` shard routing
+  (doc/cluster.md:78-87): one metric's points cluster into few files,
+  so an IN-list query touches few row groups even at 100 TB.
+- ``metrics`` is small relative to data (name tree); append-only with
+  read-time ``max_by`` finalization, periodically compacted.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphouse_spark.schemas import DATA_SCHEMA, METRICS_SCHEMA
+
+
+def write_data(df: DataFrame, path: str, mode: str = "append", target_partitions: int | None = None) -> None:
+    """Append points with the scan-optimized layout.
+
+    Expects columns (metric, value, timestamp, updated); derives the
+    UTC ``date`` partition column when absent.
+    """
+    if "date" not in df.columns:
+        df = df.withColumn("date", F.to_date(F.from_unixtime(F.col("timestamp"))))
+    cols = [f.name for f in DATA_SCHEMA.fields]
+    df = df.select(*cols)
+    if target_partitions is None:
+        target_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 4)
+    # cluster one metric's points together, then lay files down sorted
+    (
+        df.repartition(target_partitions, "metric")
+        .sortWithinPartitions("date", "metric", "timestamp")
+        .write.mode(mode)
+        .partitionBy("date")
+        .parquet(path)
+    )
+
+
+def read_data(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(DATA_SCHEMA).parquet(path)
+
+
+def write_metrics(df: DataFrame, path: str, mode: str = "append") -> None:
+    cols = [f.name for f in METRICS_SCHEMA.fields]
+    (
+        df.select(*cols)
+        .repartition(1)  # tree table is tiny next to data; one file per append batch
+        .sortWithinPartitions("parent", "name")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def read_metrics(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(METRICS_SCHEMA).parquet(path)
+
+
+def compact_metrics(spark: SparkSession, path: str, out_path: str) -> None:
+    """Finalize ReplacingMergeTree semantics: keep the latest row per name."""
+    from graphouse_spark.operators.dedup import latest_status
+
+    latest = latest_status(read_metrics(spark, path))
+    write_metrics(latest, out_path, mode="overwrite")
