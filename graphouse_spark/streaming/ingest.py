@@ -1,0 +1,122 @@
+"""Streaming ingest: Graphite plaintext -> data + metrics tables.
+
+Replaces the reference's TCP server / micro-batcher / writer pool
+(MetricServer.java, MetricCacher.java) with Structured Streaming:
+
+  readStream (socket/text/custom) -> parse+validate (S2/S3)
+  -> foreachBatch:
+       ban-filter (X7) -> append data parquet (S5)
+       new-name anti-join vs known names -> append metrics rows (S7)
+
+Semantics mapping (SURVEY §2.9):
+- T2: NO watermark — late/duplicate points are accepted by design
+  (gauge resubmission is a feature); conflict resolution stays
+  read-time LWW.
+- T3: the size/time hybrid trigger becomes ``Trigger.ProcessingTime``;
+  checkpointing gives exactly-once ``foreachBatch`` (strictly stronger
+  than the reference's at-least-once infinite retry, T7).
+- T6: a new point for a HIDDEN/AUTO_HIDDEN metric re-opens it — the
+  batch emits SIMPLE rows for previously-hidden names it touches; the
+  read-time status lattice keeps BAN sticky.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphouse_spark.sources.graphite import metric_tree_rows, parse_lines, to_data_rows
+from graphouse_spark.sources.tables import write_data, write_metrics
+
+
+@dataclass
+class IngestConfig:
+    data_path: str
+    metrics_path: str
+    checkpoint_path: str
+    trigger_seconds: int = 5
+    banned_prefixes: tuple[str, ...] = ()  # X7 ban check (small, broadcast)
+
+
+def filter_banned(parsed: DataFrame, banned_prefixes: tuple[str, ...]) -> DataFrame:
+    """Drop metrics under banned dirs (BannedMetricCache.isBanned analog)."""
+    if not banned_prefixes:
+        return parsed
+    cond = None
+    for p in banned_prefixes:
+        c = F.col("name").startswith(p)
+        cond = c if cond is None else (cond | c)
+    return parsed.filter(~cond)
+
+
+def ingest_batch(batch: DataFrame, cfg: IngestConfig, known_names: DataFrame | None,
+                 hidden_names: DataFrame | None = None) -> None:
+    """One micro-batch: append points; register new names; un-hide (T6).
+
+    ``known_names``/``hidden_names`` come from the current resolved
+    metrics table (may be None on first boot). New-name detection is a
+    left-anti join — at scale the names side is orders of magnitude
+    smaller than the points side, and the anti-join key (name) is the
+    batch's natural clustering.
+    """
+    batch = filter_banned(batch, cfg.banned_prefixes).cache()
+    try:
+        write_data(to_data_rows(batch), cfg.data_path)
+
+        batch_names = batch.select("name").distinct()
+        new_names = (
+            batch_names.join(known_names, "name", "left_anti") if known_names is not None else batch_names
+        )
+        tree_updates = metric_tree_rows(new_names)
+        if known_names is not None:
+            # ancestor expansion may resurface already-registered dirs
+            tree_updates = tree_updates.join(known_names, "name", "left_anti")
+        if hidden_names is not None:
+            # T6: touched hidden metrics (and their ancestor chain) re-open
+            reopened = metric_tree_rows(batch_names.join(hidden_names, "name", "left_semi"))
+            tree_updates = tree_updates.unionByName(reopened)
+        # the lattice denies illegal flips at read time (BAN stays BAN);
+        # SIMPLE rows for still-banned names are filtered by argMax+lattice
+        write_metrics(tree_updates, cfg.metrics_path)
+    finally:
+        batch.unpersist()
+
+
+def start_socket_ingest(spark: SparkSession, cfg: IngestConfig, host: str = "localhost",
+                        port: int = 2003):
+    """Wire the pipeline to a live socket (the reference's TCP listener).
+
+    Returns the StreamingQuery; caller owns lifecycle. For production
+    sources (kafka, files) swap the readStream line — everything after
+    ``parse_lines`` is source-agnostic.
+    """
+    from graphouse_spark.sources.tables import read_metrics
+    from graphouse_spark.operators.dedup import latest_status
+
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    parsed = parse_lines(raw)
+
+    def run(batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        if os.path.exists(cfg.metrics_path):  # reads are lazy; probe eagerly
+            resolved = latest_status(read_metrics(spark, cfg.metrics_path))
+            known = resolved.select("name")
+            hidden = resolved.filter(F.col("status").isin("HIDDEN", "AUTO_HIDDEN")).select("name")
+        else:  # first batch: table does not exist yet
+            known = hidden = None
+        ingest_batch(batch, cfg, known, hidden)
+
+    return (
+        parsed.writeStream.foreachBatch(run)
+        .option("checkpointLocation", cfg.checkpoint_path)
+        .trigger(processingTime=f"{cfg.trigger_seconds} seconds")
+        .start()
+    )

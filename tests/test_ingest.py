@@ -1,0 +1,139 @@
+"""Ingest path: line parsing (S2/S3), batch ingest (S5/S7/T6), socket e2e (S1)."""
+
+import socket
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphouse_spark.operators.dedup import latest_status
+from graphouse_spark.sources.graphite import metric_tree_rows, parse_lines, to_data_rows
+from graphouse_spark.sources.tables import read_data, read_metrics
+from graphouse_spark.streaming.ingest import IngestConfig, filter_banned, ingest_batch
+
+
+def lines_df(spark, lines):
+    return spark.createDataFrame([(l,) for l in lines], "value string")
+
+
+def test_parse_lines(spark):
+    raw = lines_df(spark, [
+        "one_min.srv1.cpu 42.5 1542199500",          # ok
+        "one_min.srv1.cpu 42.5 1542199500.6",        # float ts -> rounded
+        "one_min.srv1.mem nan 1542199500",           # non-finite -> drop
+        "one_min.srv1.cpu 1.0 0",                    # ts <= 0 -> drop
+        "one_min.srv1.cpu 1.0 -5",                   # negative -> drop
+        "bad..name 1.0 1542199500",                  # invalid name -> drop
+        "a.b 1.0 1542199500",                        # too short/few levels -> drop
+        "one_min.srv1.cpu 42.5",                     # missing field -> drop
+        "one_min.srv1.cpu x 1542199500",             # non-numeric value -> drop
+        "  one_min.srv2.cpu 7 1542199501  ",         # whitespace tolerated
+    ])
+    got = parse_lines(raw, updated=F.lit(1000)).collect()
+    rows = {(r["name"], r["value"], r["timestamp"]) for r in got}
+    assert rows == {
+        ("one_min.srv1.cpu", 42.5, 1542199500),
+        ("one_min.srv1.cpu", 42.5, 1542199501),  # 1542199500.6 rounds up
+        ("one_min.srv2.cpu", 7.0, 1542199501),
+    }
+    assert all(r["updated"] == 1000 for r in got)
+
+
+def test_metric_tree_rows(spark):
+    names = spark.createDataFrame([("one_min.srv1.cpu.load",)], "name string")
+    rows = {r["name"]: r for r in metric_tree_rows(names).collect()}
+    assert set(rows) == {"one_min.", "one_min.srv1.", "one_min.srv1.cpu.", "one_min.srv1.cpu.load"}
+    assert rows["one_min.srv1.cpu.load"]["parent"] == "one_min.srv1.cpu."
+    assert rows["one_min.srv1.cpu.load"]["level"] == 4
+    assert rows["one_min.srv1.cpu."]["level"] == 3
+    assert rows["one_min."]["parent"] == ""
+    assert all(r["status"] == "SIMPLE" for r in rows.values())
+
+
+def test_filter_banned(spark):
+    parsed = parse_lines(lines_df(spark, [
+        "one_min.bad.metric 1 1542199500",
+        "one_min.good.metric 2 1542199500",
+    ]), updated=F.lit(1))
+    kept = filter_banned(parsed, ("one_min.bad.",)).collect()
+    assert [r["name"] for r in kept] == ["one_min.good.metric"]
+
+
+def test_ingest_batch_roundtrip(spark, tmp_path):
+    cfg = IngestConfig(
+        data_path=str(tmp_path / "data"),
+        metrics_path=str(tmp_path / "metrics"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    batch1 = parse_lines(lines_df(spark, [
+        "one_min.srv1.cpu 1.0 1542199500",
+        "one_min.srv1.mem 2.0 1542199500",
+    ]), updated=F.lit(100))
+    ingest_batch(batch1, cfg, known_names=None)
+
+    data = read_data(spark, cfg.data_path)
+    assert data.count() == 2
+    tree = latest_status(read_metrics(spark, cfg.metrics_path))
+    assert tree.count() == 4  # 2 metrics + srv1 dir + one_min dir
+
+    # second batch: one known, one new name -> only the new chain appended
+    known = tree.select("name")
+    batch2 = parse_lines(lines_df(spark, [
+        "one_min.srv1.cpu 3.0 1542199560",
+        "one_min.srv2.cpu 4.0 1542199560",
+    ]), updated=F.lit(200))
+    ingest_batch(batch2, cfg, known_names=known)
+    assert read_data(spark, cfg.data_path).count() == 4
+    tree2 = latest_status(read_metrics(spark, cfg.metrics_path))
+    assert tree2.count() == 6  # + srv2 dir + srv2.cpu
+    # duplicate names were not re-registered
+    assert read_metrics(spark, cfg.metrics_path).count() == 6
+
+
+@pytest.mark.slow
+def test_socket_ingest_e2e(spark, tmp_path):
+    """S1 end-to-end: TCP server -> socket stream -> parquet tables."""
+    from graphouse_spark.streaming.ingest import start_socket_ingest
+
+    lines = [f"one_min.host{i % 3}.cpu {i}.5 {1542199500 + i}\n" for i in range(50)]
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("localhost", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            for line in lines:
+                conn.sendall(line.encode())
+            time.sleep(8)  # keep the socket open across a trigger
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    cfg = IngestConfig(
+        data_path=str(tmp_path / "data"),
+        metrics_path=str(tmp_path / "metrics"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        trigger_seconds=1,
+    )
+    query = start_socket_ingest(spark, cfg, "localhost", port)
+    try:
+        deadline = time.time() + 90
+        n, names = 0, set()
+        while time.time() < deadline:
+            try:
+                n = read_data(spark, cfg.data_path).count()
+                names = {r["name"] for r in latest_status(read_metrics(spark, cfg.metrics_path)).collect()}
+            except Exception:
+                pass
+            if n >= 50 and "one_min.host0.cpu" in names:
+                break
+            time.sleep(1)
+        assert n >= 50, f"only {n} rows ingested"
+        assert "one_min.host0.cpu" in names and "one_min." in names
+    finally:
+        query.stop()
+        server.close()
