@@ -1,0 +1,118 @@
+"""The gateway facade — graphouse's three HTTP surfaces as functions.
+
+Mirrors (without the HTTP plumbing):
+- ``/search``      -> :meth:`GraphouseService.search`
+  (MetricSearchServlet.java:141-154; newline-separated names, dirs
+  keep the trailing dot — the graphite-web plugin's contract,
+  graphouse.py:202-225)
+- ``/metricData``  -> :meth:`GraphouseService.metric_data`
+  (MetricDataServiceServlet.java:44-98; JSON
+  ``{name: {start, end, step, points}}``, graphouse.py:119-131)
+- ``/ban /approve /hide /multiModify`` -> :meth:`GraphouseService.modify`
+  (MetricSearchServlet.java:115-139)
+
+State: the driver-side :class:`MetricTree` index serves name lookups
+(bootstrapped from the ``metrics`` table, S8); data queries run as
+Spark jobs over the ``data`` table. Mutations append rows to the
+``metrics`` table AND update the index — the same dual-write the
+reference performs (tree + UpdateMetricQueueService).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import SparkSession
+
+from graphouse_spark.globs import contains_expressions
+from graphouse_spark.plans.metricdata import MetricDataService
+from graphouse_spark.retention import CombinedRetentionProvider, DefaultRetentionProvider
+from graphouse_spark.sources.tables import read_data, read_metrics, write_metrics
+from graphouse_spark.status import MetricStatus
+from graphouse_spark.tree_index import MetricTree
+
+
+class GraphouseService:
+    def __init__(self, spark: SparkSession, data_path: str, metrics_path: str,
+                 provider: CombinedRetentionProvider | None = None,
+                 max_points_per_metric: int = -1,
+                 max_subdirs_per_dir: int = -1, max_metrics_per_dir: int = -1) -> None:
+        self.spark = spark
+        self.data_path = data_path
+        self.metrics_path = metrics_path
+        self.provider = provider or DefaultRetentionProvider()
+        self.data_service = MetricDataService(self.provider, max_points_per_metric)
+        self.tree = MetricTree(max_subdirs_per_dir, max_metrics_per_dir)
+        self._loaded = False
+
+    # -- bootstrap (S8: full scan, latest status per name) --
+    def load_tree(self) -> int:
+        from graphouse_spark.operators.dedup import latest_status
+
+        resolved = latest_status(read_metrics(self.spark, self.metrics_path))
+        rows = [(r["name"], r["status"]) for r in resolved.collect()]
+        # parents before children so statuses land on the right nodes
+        rows.sort(key=lambda r: r[0])
+        self.tree.load_rows(rows)
+        self._loaded = True
+        return len(rows)
+
+    # -- /search --
+    def search(self, query: str) -> str:
+        """Newline-separated matches; dirs keep their trailing dot."""
+        if not self._loaded:
+            raise RuntimeError("metric tree not loaded yet (the reference returns 503)")
+        return "\n".join(self.tree.search(query))
+
+    # -- /metricData --
+    def metric_data(self, patterns: list[str], start: int, end: int,
+                    now_seconds: int | None = None) -> dict:
+        """Glob-expand each pattern, then run the §3.1 read path."""
+        if not self._loaded:
+            raise RuntimeError("metric tree not loaded yet (the reference returns 503)")
+        # literals also route through search (MetricDataService.java:86-98):
+        # banned/hidden/unknown names produce no series at all, while
+        # registered-but-dataless metrics get full null series
+        names: list[str] = []
+        seen = set()
+        for pattern in patterns:
+            for m in self.tree.search(pattern):
+                if not m.endswith(".") and m not in seen:
+                    seen.add(m)
+                    names.append(m)
+        data = read_data(self.spark, self.data_path)
+        return self.data_service.get_data(self.spark, data, names, start, end, now_seconds)
+
+    def metric_data_json(self, *args, **kwargs) -> str:
+        return json.dumps(self.metric_data(*args, **kwargs))
+
+    # -- /ban /approve /hide /multiModify --
+    def modify(self, pattern: str, status: str) -> list[str]:
+        """Set status on a path or on every glob match; returns touched names."""
+        st = MetricStatus(status)
+        targets = self.tree.search(pattern) if contains_expressions(pattern) else [pattern]
+        touched: list[str] = []
+        for name in targets:
+            node = self.tree.modify(name, st)
+            if node is not None:
+                touched.append(name)
+        if touched:
+            self._persist_status(touched, st)
+        return touched
+
+    def ban(self, pattern: str) -> list[str]:
+        return self.modify(pattern, "BAN")
+
+    def approve(self, pattern: str) -> list[str]:
+        return self.modify(pattern, "APPROVED")
+
+    def hide(self, pattern: str) -> list[str]:
+        return self.modify(pattern, "HIDDEN")
+
+    def _persist_status(self, names: list[str], status: MetricStatus) -> None:
+        from graphouse_spark.paths import get_level, get_parent_name
+
+        rows = [(n, get_level(n), get_parent_name(n), status.value) for n in names]
+        df = self.spark.createDataFrame(rows, "name string, level int, parent string, status string")
+        df = df.selectExpr("name", "level", "parent", "status", "current_timestamp() AS updated")
+        write_metrics(df, self.metrics_path)
