@@ -347,6 +347,28 @@ def q_doc_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_lang_id(spark, sf_dir):
+    from graphouse_spark.functions.text import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_emb_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup: globally most-similar pairs (top 20)."""
+    from graphouse_spark.functions.similarity import cosine_similarity_col
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine_similarity_col(F.col("_va"), F.col("_vb")), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+    )
+
+
 def q_emb_cosine_topk(spark, sf_dir):
     from graphouse_spark.functions.similarity import cosine_topk
 
@@ -431,6 +453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_lang_id": q_doc_lang_id,
+        "emb_cosine_pairs": q_emb_cosine_pairs,
         "doc_minhash_neardup": q_doc_minhash_neardup,
         "doc_simhash": q_doc_simhash,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -682,6 +706,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.1
+        """,
+        "doc_lang_id": r"""
+            WITH toks AS (
+                SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS tokens
+                FROM documents
+            ),
+            langs(lang, words) AS (VALUES
+                ('de', ['der','die','das','und','zu','den','von','ist','mit','nicht']),
+                ('en', ['the','a','of','and','to','in','is','that','it','for']),
+                ('es', ['el','la','de','que','y','en','un','es','se','no']),
+                ('fr', ['le','la','de','et','un','que','est','pour','qui','dans'])
+            ),
+            hits AS (
+                SELECT doc_id, lang, CAST(len(list_intersect(tokens, words)) AS INTEGER) AS h
+                FROM toks CROSS JOIN langs
+            )
+            SELECT doc_id, lang AS lang_pred, h AS lang_hits
+            FROM hits
+            QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang DESC) = 1
+        """,
+        "emb_cosine_pairs": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            ORDER BY cosine DESC, id_a ASC, id_b ASC
+            LIMIT 20
         """,
         "emb_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),

@@ -73,6 +73,20 @@ def visible_tree(metrics: DataFrame) -> DataFrame:
     return visible.join(blocked, "name", "left_anti")
 
 
+def incremental_scan(metrics: DataFrame, updated_from, updated_to=None) -> DataFrame:
+    """S9: tree refresh — latest status of names touched in a window.
+
+    ``PREWHERE updated >= ? AND updated <= ?`` + argMax
+    (MetricSearch.java:356-391). The updated-range filter is pushed to
+    the scan; the reference's LIMIT/OFFSET pagination is unnecessary
+    under Spark (the scan distributes).
+    """
+    cond = F.col("updated") >= updated_from
+    if updated_to is not None:
+        cond = cond & (F.col("updated") <= updated_to)
+    return latest_status(metrics.filter(cond))
+
+
 def glob_search(metrics: DataFrame, query: str, include_dirs: bool = True) -> DataFrame:
     """X1: glob search as one JVM-side regex filter over visible names.
 

@@ -251,6 +251,44 @@ class MetricTree:
                     if matcher.match(name):
                         self._search(child, levels, idx + 1, out)
 
+    def search_cached(self, query: str) -> list[str]:
+        """X2: same recursion but force-append (ignores visibility).
+
+        Diagnostic surface (MetricTree.java:131-179) — shows what the
+        index holds regardless of status.
+        """
+        out: list[str] = []
+        self._search_cached(self.root, split_to_levels(query), 0, out)
+        return out
+
+    def _search_cached(self, d: _Dir | None, levels: list[str], idx: int, out: list[str]) -> None:
+        if d is None:
+            return
+        last = idx == len(levels) - 1
+        level = levels[idx]
+        matcher = None if not contains_expressions(level) else compile_level_glob(level)
+        if not contains_expressions(level):
+            if last:
+                if level in d.dirs:
+                    self._append(d.dirs[level], out, force=True)
+                if level in d.metrics:
+                    self._append(d.metrics[level], out, force=True)
+            else:
+                self._search_cached(d.dirs.get(level), levels, idx + 1, out)
+            return
+        if matcher is None and level != ALL_PATTERN:
+            return
+        for name, child in d.dirs.items():
+            if level == ALL_PATTERN or matcher.match(name):
+                if last:
+                    self._append(child, out, force=True)
+                else:
+                    self._search_cached(child, levels, idx + 1, out)
+        if last:
+            for name, child in d.metrics.items():
+                if level == ALL_PATTERN or matcher.match(name):
+                    self._append(child, out, force=True)
+
     # -- lookups (MetricTree.java:254-289) --
     def maybe_find_metric(self, metric: str) -> _Node | None:
         levels = split_to_levels(metric)

@@ -133,3 +133,18 @@ def test_autohide(spark, base_tree):
         make_metrics(spark, [("five_sec.int_8742.x2", 3, "five_sec.int_8742.", "BAN", tick(50))])
     )
     assert autohide_updates(data, banned, 200, 7, now).count() == 0
+
+
+def test_incremental_scan(spark):
+    import datetime as dt
+    from graphouse_spark.operators.tree import incremental_scan
+    from graphouse_spark.schemas import METRICS_SCHEMA
+    t0 = dt.datetime(2018, 11, 14, 12, 0, 0)
+    rows = [
+        ("a.b.c", 3, "a.b.", "SIMPLE", t0),
+        ("a.b.c", 3, "a.b.", "HIDDEN", t0 + dt.timedelta(seconds=30)),
+        ("a.b.d", 3, "a.b.", "SIMPLE", t0 - dt.timedelta(seconds=60)),
+    ]
+    m = spark.createDataFrame(rows, METRICS_SCHEMA)
+    got = incremental_scan(m, t0).collect()
+    assert {(r["name"], r["status"]) for r in got} == {("a.b.c", "HIDDEN")}

@@ -161,3 +161,14 @@ def test_load_and_export_roundtrip():
     assert rows["one_min.srv.cpu"][1] == 3
     assert rows["one_min.srv.cpu"][2] == "one_min.srv."
     assert t.metric_count() == 2
+
+
+def test_search_cached_ignores_visibility():
+    from graphouse_spark.status import MetricStatus as S
+    from graphouse_spark.tree_index import MetricTree
+    t = MetricTree()
+    t.add("five_sec.int_8742.x1")
+    t.modify("five_sec.int_8742.", S.BAN)
+    assert t.search("five_sec.*") == []
+    assert sorted(t.search_cached("five_sec.*")) == ["five_sec.int_8742."]
+    assert sorted(t.search_cached("five_sec.int_8742.*")) == ["five_sec.int_8742.x1"]
