@@ -192,6 +192,63 @@ def q_gh_json_props(spark, sf_dir):
     )
 
 
+def q_gh_sliding_window(spark, sf_dir):
+    """T5 extension: sliding windows (10 min wide, 5 min slide) via window()."""
+    ev = _events_sec(spark, sf_dir)
+    win = F.window(F.from_unixtime("ts_sec").cast("timestamp"), "600 seconds", "300 seconds")
+    return (
+        ev.groupBy("event_type", win)
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("window.start")).alias("ts"),
+            "avg_value",
+            "n",
+        )
+    )
+
+
+def q_gh_distinct_users(spark, sf_dir):
+    """exact distinct aggregation per group."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def q_gh_lag_delta(spark, sf_dir):
+    """analytic lag(): per-user value delta between consecutive events."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+def q_gh_percentiles(spark, sf_dir):
+    """exact interpolated percentiles per group."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+
+
+def q_gh_weekday_mix(spark, sf_dir):
+    """date functions + conditional aggregation: purchase share per weekday."""
+    ev = _events_sec(spark, sf_dir)
+    wd = F.weekday(F.to_date(F.from_unixtime("ts_sec")))  # 0 = Monday
+    return ev.groupBy(wd.alias("weekday")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchase"),
+        F.round(
+            F.count_if(F.col("event_type") == "purchase") / F.count(F.lit(1)), 6
+        ).alias("purchase_share"),
+    )
+
+
 # --------------------------------------------------------------------------
 # relational coverage (joins / windows / sets / grouping) — TPC-H-ish
 # --------------------------------------------------------------------------
@@ -440,6 +497,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gh_lex_range": q_gh_lex_range,
         "gh_validate": q_gh_validate,
         "gh_json_props": q_gh_json_props,
+        "gh_sliding_window": q_gh_sliding_window,
+        "gh_distinct_users": q_gh_distinct_users,
+        "gh_lag_delta": q_gh_lag_delta,
+        "gh_percentiles": q_gh_percentiles,
+        "gh_weekday_mix": q_gh_weekday_mix,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -568,6 +630,38 @@ def oracle_sql() -> dict[str, str]:
                    max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "gh_sliding_window": f"""
+            -- each event lands in two 600s windows whose starts are the
+            -- two 300s-aligned marks in (ts-600, ts]
+            SELECT event_type,
+                   ({ts_sec} // 300) * 300 - off AS ts,
+                   round(avg(value), 6) AS avg_value,
+                   count(*) AS n
+            FROM events CROSS JOIN (VALUES (0), (300)) AS offs(off)
+            GROUP BY 1, 2
+        """,
+        "gh_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "gh_lag_delta": """
+            SELECT user_id, event_id,
+                   round(value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 6) AS delta
+            FROM events
+        """,
+        "gh_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95
+            FROM events GROUP BY event_type
+        """,
+        "gh_weekday_mix": """
+            SELECT CAST(isodow(ts) - 1 AS INTEGER) AS weekday,
+                   count(*) AS n,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   round((count(*) FILTER (event_type = 'purchase')) / CAST(count(*) AS DOUBLE), 6) AS purchase_share
+            FROM events GROUP BY 1
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -85,23 +85,39 @@ def ingest_batch(batch: DataFrame, cfg: IngestConfig, known_names: DataFrame | N
 
 
 def start_socket_ingest(spark: SparkSession, cfg: IngestConfig, host: str = "localhost",
-                        port: int = 2003):
-    """Wire the pipeline to a live socket (the reference's TCP listener).
+                        port: int = 2003, server_mode: bool = False):
+    """Wire the pipeline to live TCP (the reference's ingestion daemon).
 
-    Returns the StreamingQuery; caller owns lifecycle. For production
-    sources (kafka, files) swap the readStream line — everything after
-    ``parse_lines`` is source-agnostic.
+    ``server_mode=False``: Spark's socket source (we dial out — handy in
+    tests). ``server_mode=True``: the custom ``graphite`` DataSource —
+    WE listen and any number of producers connect, the reference's
+    topology (MetricServer.java). Everything after ``parse_lines`` is
+    source-agnostic; swap in kafka/files the same way.
+
+    Returns the StreamingQuery; caller owns lifecycle.
     """
     from graphouse_spark.sources.tables import read_metrics
     from graphouse_spark.operators.dedup import latest_status
 
-    raw = (
-        spark.readStream.format("socket")
-        .option("host", host)
-        .option("port", port)
-        .load()
-    )
-    parsed = parse_lines(raw)
+    if server_mode:
+        from graphouse_spark.sources.graphite_source import GraphiteDataSource
+
+        spark.dataSource.register(GraphiteDataSource)
+        raw = (
+            spark.readStream.format("graphite")
+            .option("host", host)
+            .option("port", str(port))
+            .load()
+        )
+        parsed = parse_lines(raw, updated=F.col("updated"))
+    else:
+        raw = (
+            spark.readStream.format("socket")
+            .option("host", host)
+            .option("port", port)
+            .load()
+        )
+        parsed = parse_lines(raw)
 
     def run(batch: DataFrame, batch_id: int) -> None:
         import os
