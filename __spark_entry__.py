@@ -305,6 +305,38 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """order-priority check: orders with at least one late lineitem."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    late = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            late.filter(F.col("l_shipdate") > F.lit("1997-08-01").cast("timestamp")),
+            orders["o_orderkey"] == late["l_orderkey"],
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    """forecasting revenue change: single-table filter + sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
 def q_join_semi(spark, sf_dir):
     """J1: left-semi join (IN-subquery shape)."""
     cust = _t(spark, sf_dir, "customer")
@@ -504,7 +536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gh_weekday_mix": q_gh_weekday_mix,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "set_ops": q_set_ops,
@@ -689,6 +723,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+              AND o_orderdate < TIMESTAMP '1997-10-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1997-08-01'
+              )
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.06
+              AND l_quantity < 24
         """,
         "tpch_q5": """
             SELECT n_name,

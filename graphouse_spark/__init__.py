@@ -41,8 +41,10 @@ from graphouse_spark.retention import (
     MetricRetentionConfig,
 )
 from graphouse_spark.queryparams import MetricDataQueryParams
+from graphouse_spark.tree_index import MetricTree
 
 __all__ = [
+    "MetricTree",
     "MetricStatus",
     "select_status",
     "MetricValidator",

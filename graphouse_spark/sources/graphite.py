@@ -90,19 +90,15 @@ def metric_tree_rows(names: DataFrame, status: str = "SIMPLE", name_col: str = "
     (UpdateMetricQueueService.java:44-54). One explode, no driver loop.
     """
     from graphouse_spark.operators.tree import ancestors_col
+    from graphouse_spark.paths import level_col, parent_col
 
     name = F.col(name_col)
     chain = F.array_union(ancestors_col(name), F.array(name))
     exploded = names.select(F.explode(chain).alias("name")).distinct()
-    level = F.length("name") - F.length(F.replace(F.col("name"), F.lit("."), F.lit("")))
-    is_dir = F.col("name").endswith(".")
-    body = F.when(is_dir, F.col("name").substr(F.lit(1), F.length("name") - 1)).otherwise(F.col("name"))
-    rev_idx = F.instr(F.reverse(body), ".")
-    parent = F.when(rev_idx == 0, F.lit("")).otherwise(body.substr(F.lit(1), F.length(body) - rev_idx + 1))
     return exploded.select(
         "name",
-        F.when(is_dir, level).otherwise(level + 1).cast("int").alias("level"),
-        parent.alias("parent"),
+        level_col(F.col("name")).alias("level"),
+        parent_col(F.col("name")).alias("parent"),
         F.lit(status).alias("status"),
         F.current_timestamp().alias("updated"),
     )

@@ -18,8 +18,6 @@ The scale contract (SURVEY §4):
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
