@@ -249,6 +249,22 @@ def q_gh_weekday_mix(spark, sf_dir):
     )
 
 
+def q_gh_session_window(spark, sf_dir):
+    """T5 extension: session windows (30-min inactivity gap) per user."""
+    ev = _events_sec(spark, sf_dir)
+    sess = F.session_window(F.from_unixtime("ts_sec").cast("timestamp"), "1800 seconds")
+    return (
+        ev.groupBy("user_id", sess)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # relational coverage (joins / windows / sets / grouping) — TPC-H-ish
 # --------------------------------------------------------------------------
@@ -334,6 +350,75 @@ def q_tpch_q6(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    """shipping modes and order priority: join + conditional agg."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.count_if(high).alias("high_line_count"),
+            F.count_if(~high).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """promotion effect: join + conditional ratio."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(F.round(100 * F.sum(promo) / F.sum(rev), 6).alias("promo_revenue"))
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """large-volume customers: agg subquery feeding a semi-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.round(F.col("total_qty"), 4).alias("total_qty"),
+        )
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """discounted revenue: OR-of-ANDs predicate across a join."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity").between(1, 20)) & (F.col("p_size").between(1, 10)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity").between(10, 30)) & (F.col("p_size").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity").between(20, 40)) & (F.col("p_size").between(1, 30)))
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
     )
 
 
@@ -530,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gh_validate": q_gh_validate,
         "gh_json_props": q_gh_json_props,
         "gh_sliding_window": q_gh_sliding_window,
+        "gh_session_window": q_gh_session_window,
         "gh_distinct_users": q_gh_distinct_users,
         "gh_lag_delta": q_gh_lag_delta,
         "gh_percentiles": q_gh_percentiles,
@@ -539,6 +625,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "set_ops": q_set_ops,
@@ -696,6 +786,59 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (event_type = 'purchase') AS n_purchase,
                    round((count(*) FILTER (event_type = 'purchase')) / CAST(count(*) AS DOUBLE), 6) AS purchase_share
             FROM events GROUP BY 1
+        """,
+        "gh_session_window": f"""
+            -- session = run of events per user with gaps < 1800 s;
+            -- new-session flag -> running sum -> group
+            WITH ordered AS (
+                SELECT user_id, {ts_sec} AS ts, value,
+                       CASE WHEN {ts_sec} - lag({ts_sec}) OVER w >= 1800
+                            OR lag({ts_sec}) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY {ts_sec}, event_id)
+            ),
+            tagged AS (
+                SELECT user_id, ts, value,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM ordered
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM tagged GROUP BY user_id, session_id
+        """,
+        "tpch_q12": """
+            SELECT l_linestatus,
+                   count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+                   count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_linestatus
+        """,
+        "tpch_q14": """
+            SELECT round(100 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        """,
+        "tpch_q18": """
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+                   round(total_qty, 4) AS total_qty
+            FROM orders
+            JOIN (
+                SELECT l_orderkey, sum(l_quantity) AS total_qty
+                FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+            ) big ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "tpch_q19": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20 AND p_size BETWEEN 1 AND 10)
+               OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 30 AND p_size BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 40 AND p_size BETWEEN 1 AND 30)
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

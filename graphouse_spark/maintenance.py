@@ -1,0 +1,75 @@
+"""Scheduled maintenance — the reference's background loops as batch jobs.
+
+T8 mapping (SURVEY §2.9): tree refresh 60s / autohide daily /
+statistics flush become explicit, idempotent batch functions a
+scheduler (cron, Airflow, `availableNow` triggers) invokes:
+
+- :func:`run_autohide`  — X5: flip stale sparse metrics to AUTO_HIDDEN
+  (AutoHideService.java:68-160)
+- :func:`run_rollup`    — A7: compact aged partitions to tier precision
+- :func:`run_metrics_compaction` — finalize Replacing semantics on the
+  name table so bootstrap scans stay cheap
+- :func:`run_all`       — the nightly bundle; returns a report dict
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from graphouse_spark.operators.autohide import autohide_updates
+from graphouse_spark.operators.rollup import compact_data_table
+from graphouse_spark.retention import CombinedRetentionProvider, DefaultRetentionProvider
+from graphouse_spark.sources.tables import read_data, read_metrics, write_metrics
+
+
+def run_autohide(spark: SparkSession, data_path: str, metrics_path: str,
+                 max_values_count: int = 200, retention_days: int = 7,
+                 now_seconds: int | None = None) -> int:
+    data = read_data(spark, data_path)
+    metrics = read_metrics(spark, metrics_path)
+    updates = autohide_updates(data, metrics, max_values_count, retention_days, now_seconds)
+    n = updates.count()
+    if n:
+        write_metrics(updates, metrics_path)
+    return n
+
+
+def run_rollup(spark: SparkSession, data_path: str,
+               provider: CombinedRetentionProvider | None = None,
+               min_age_seconds: int = 7 * 86400,
+               now_seconds: int | None = None) -> list[str]:
+    provider = provider or DefaultRetentionProvider()
+    return compact_data_table(spark, data_path, provider, now_seconds, min_age_seconds)
+
+
+def run_metrics_compaction(spark: SparkSession, metrics_path: str) -> int:
+    """Rewrite the name table to one (latest) row per name, in place.
+
+    The table is append-only between compactions; this bounds the
+    argMax work every read performs. Small table -> collect-and-rewrite
+    through a temp dir is fine at any realistic tree size.
+    """
+    import shutil
+    import tempfile
+
+    from graphouse_spark.operators.dedup import latest_status
+
+    latest = latest_status(read_metrics(spark, metrics_path))
+    tmp = tempfile.mkdtemp(prefix="metrics_compact_")
+    write_metrics(latest, tmp, mode="overwrite")
+    n = spark.read.parquet(tmp).count()
+    shutil.rmtree(metrics_path)
+    shutil.move(tmp, metrics_path)
+    return n
+
+
+def run_all(spark: SparkSession, data_path: str, metrics_path: str,
+            provider: CombinedRetentionProvider | None = None,
+            now_seconds: int | None = None) -> dict:
+    """The nightly bundle. Order matters: autohide reads pre-rollup
+    counts (rollup shrinks them), so it runs first — same relative
+    ordering as the reference's daily autohide vs continuous merges."""
+    hidden = run_autohide(spark, data_path, metrics_path, now_seconds=now_seconds)
+    rolled = run_rollup(spark, data_path, provider, now_seconds=now_seconds)
+    compacted = run_metrics_compaction(spark, metrics_path)
+    return {"autohidden": hidden, "rolled_partitions": rolled, "metrics_rows": compacted}
