@@ -551,6 +551,16 @@ def q_emb_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, queries, k=3)
 
 
+def q_emb_ivf_topk(spark, sf_dir):
+    """IVF ANN (no SQL oracle: approximate, cluster-dependent)."""
+    from graphouse_spark.functions.similarity import ivf_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    assigned, centroids = ivf_index(emb, n_clusters=8, iters=1)
+    return ivf_topk(assigned, centroids, queries, k=3, nprobe=4)
+
+
 def q_emb_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN (no SQL oracle: approximate, hash-dependent)."""
     from graphouse_spark.functions.similarity import lsh_cosine_topk
@@ -645,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
+        "emb_ivf_topk": q_emb_ivf_topk,
         "multimodal_features": q_multimodal_features,
     }
 

@@ -28,9 +28,11 @@ BENCH_QUERIES = [
     "gh_two_level_agg",
     "gh_gap_fill",
     "gh_lww_dedup",
+    "gh_session_window",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q18",
     "window_rank",
     "doc_exact_dedup",
     "doc_token_stats",

@@ -70,6 +70,108 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def ivf_index(embeddings: DataFrame, n_clusters: int = 16, iters: int = 2,
+              id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF coarse quantizer: Lloyd iterations entirely in DataFrame ops.
+
+    Returns (assigned, centroids) where ``assigned`` adds a ``cluster``
+    column and ``centroids`` is the driver-side list of centroid
+    vectors (small: n_clusters x dim doubles).
+
+    Deterministic: seeds are the ``n_clusters`` lowest-id vectors; each
+    iteration assigns by max dot product (centroids broadcast as
+    literals — no shuffle for assignment) and recomputes means via
+    posexplode + groupBy(cluster, pos), a single shuffle per iteration
+    keyed on (cluster, dimension) — scales with corpus size, never
+    with pair count.
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def assign(df, centroids):
+        scores = [
+            _dot(vd, F.array(*[F.lit(w) for w in c])).alias(f"_s{j}")
+            for j, c in enumerate(centroids)
+        ]
+        best = F.array_position(
+            F.array(*[F.col(f"_s{j}") for j in range(len(centroids))]),
+            F.array_max(F.array(*[F.col(f"_s{j}") for j in range(len(centroids))])),
+        ) - 1
+        return (
+            df.select(F.col(id_col), F.col(vec_col), *scores)
+            .withColumn("cluster", best.cast("int"))
+            .drop(*[f"_s{j}" for j in range(len(centroids))])
+        )
+
+    seeds = embeddings.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    assigned = assign(embeddings, centroids)
+    for _ in range(iters):
+        means = (
+            assigned.select("cluster", F.posexplode(vd).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+            .select("cluster", F.col("ms.m").alias("centroid"))
+            .collect()
+        )
+        new_centroids = list(centroids)
+        for r in means:
+            new_centroids[r["cluster"]] = [float(x) for x in r["centroid"]]
+        centroids = new_centroids
+        assigned = assign(embeddings, centroids)
+    return assigned, centroids
+
+
+def ivf_topk(assigned: DataFrame, centroids: list, queries: DataFrame, k: int = 10,
+             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF search: score only vectors in each query's ``nprobe`` nearest
+    cells. Same output shape as :func:`cosine_topk`; recall rises with
+    nprobe (nprobe == n_clusters degenerates to exact brute force)."""
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scores = F.array(*[_dot(vd, F.array(*[F.lit(w) for w in c])) for c in centroids])
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    ranked = F.slice(
+        F.col("_pairs"),  # sorted desc by score
+        1,
+        nprobe,
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+        .withColumn(
+            "_pairs",
+            F.reverse(
+                F.array_sort(
+                    F.zip_with(
+                        F.array(*[_dot(F.transform(F.col("_qvec"), lambda x: x.cast("double")),
+                                       F.array(*[F.lit(w) for w in c])) for c in centroids]),
+                        idx,
+                        lambda s, i: F.struct(s.alias("score"), i.alias("cluster")),
+                    )
+                )
+            ),
+        )
+        .withColumn("probe", F.explode(ranked["cluster"]))
+        .select("query_id", "_qvec", F.col("probe").cast("int").alias("cluster"))
+    )
+    scored = (
+        assigned.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"), "cluster")
+        .join(F.broadcast(q), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity_col(F.col("_qvec"), F.col("_cvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round(F.col("cosine"), 6).alias("cosine"), "rank")
+    )
+
+
 def lsh_cosine_buckets(embeddings: DataFrame, dim: int, n_planes: int = 16, seed: int = 42,
                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane signature: (id, vec, bucket: long).

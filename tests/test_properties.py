@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) for the pure core.
+
+Invariants that must hold for ANY input, not just the reference
+corpus: glob compilation safety, validator/pattern agreement, path
+arithmetic round-trips, retention monotonic lookup, query-param grid
+laws.
+"""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from graphouse_spark.globs import compile_glob, glob_to_regex, level_glob_to_regex
+from graphouse_spark.paths import MetricValidator, get_level, get_parent_name, is_dir
+from graphouse_spark.queryparams import MetricDataQueryParams
+from graphouse_spark.retention import MetricRetention
+from graphouse_spark.status import MetricStatus, select_status
+
+name_chars = st.text(alphabet="abcdefABC012-_", min_size=1, max_size=8)
+paths = st.lists(name_chars, min_size=1, max_size=6).map(".".join)
+glob_chars = st.text(alphabet="abc01*?[]{}-,.\\", min_size=0, max_size=12)
+
+
+@given(glob_chars)
+@settings(max_examples=300)
+def test_glob_compiler_never_raises(g):
+    # any input either compiles to a valid regex or returns None
+    r = glob_to_regex(g)
+    if r is not None:
+        re.compile(r)
+
+
+@given(paths)
+@settings(max_examples=200)
+def test_literal_glob_matches_itself(p):
+    # a glob with no metacharacters matches exactly its own path
+    m = compile_glob(p)
+    assert m is not None and m.match(p)
+
+
+@given(paths)
+@settings(max_examples=200)
+def test_parent_level_roundtrip(p):
+    parent = get_parent_name(p)
+    if parent:
+        assert is_dir(parent)
+        assert get_level(parent) == get_level(p) - 1
+        assert p.startswith(parent)
+    else:
+        assert get_level(p) == 1
+
+
+@given(paths, st.booleans())
+@settings(max_examples=200)
+def test_validator_accepts_only_its_charset(p, allow_dirs):
+    v = MetricValidator()
+    if v.validate(p, allow_dirs):
+        assert re.fullmatch(r"[-_0-9a-zA-Z\.]*", p)
+        assert ".." not in p and not p.startswith(".")
+
+
+@given(st.integers(min_value=-10**6, max_value=10**9))
+@settings(max_examples=200)
+def test_retention_step_monotone_in_config(age):
+    r = MetricRetention("avg", {0: 1, 3600: 5, 86400: 60})
+    step = r.step_size(age)
+    assert step in (1, 5, 60)
+    # coarser with age
+    assert r.step_size(max(age, 0) + 10**9) >= step
+
+
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=1, max_value=10**6),
+    st.integers(min_value=-1, max_value=5000),
+)
+@settings(max_examples=300)
+def test_query_params_grid_laws(start, span, max_points):
+    end = start + span
+    r = MetricRetention("avg", {0: 60})
+    p = MetricDataQueryParams.create([r], start, end, max_points, now_seconds=end)
+    assert p.start_time_seconds % p.step_seconds == 0
+    assert (p.end_time_seconds - p.start_time_seconds) % p.step_seconds == 0
+    assert p.start_time_seconds <= start
+    assert p.end_time_seconds <= p.start_time_seconds + span + p.step_seconds
+    if max_points > 0:
+        assert p.num_points <= max_points
+
+
+@given(st.sampled_from(list(MetricStatus)), st.sampled_from(list(MetricStatus)))
+def test_select_status_closed_and_stable(old, new):
+    out = select_status(old, new)
+    assert out in (old, new)
+    # applying the same request twice changes nothing more
+    assert select_status(out, new) == out

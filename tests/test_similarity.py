@@ -1,0 +1,50 @@
+"""ANN paths: IVF and LSH against the brute-force exact baseline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphouse_spark.functions.similarity import cosine_topk, ivf_index, ivf_topk, lsh_cosine_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+def pairs(rows):
+    return {(r["query_id"], r["neighbor_id"]) for r in rows}
+
+
+def test_ivf_recall_and_exactness(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = pairs(cosine_topk(emb, queries, k=3).collect())
+    assigned, centroids = ivf_index(emb, n_clusters=8, iters=2)
+    assigned = assigned.cache()
+    # balanced-ish cells: no cell swallows the corpus
+    sizes = [r["count"] for r in assigned.groupBy("cluster").count().collect()]
+    assert len(sizes) == 8 and max(sizes) < emb.count() / 2
+    # half the probes already recovers most of the exact set
+    approx = pairs(ivf_topk(assigned, centroids, queries, k=3, nprobe=4).collect())
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"recall {recall}"
+    # probing every cell degenerates to exact brute force
+    full = pairs(ivf_topk(assigned, centroids, queries, k=3, nprobe=8).collect())
+    assert full == exact
+
+
+def test_lsh_subset_of_scores(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = lsh_cosine_topk(emb, queries, dim=64, k=3, n_planes=6).collect()
+    # every returned neighbor must carry the true cosine (verified by
+    # rank monotonicity within each query)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        cosines = [c for _, c in rows]
+        assert cosines == sorted(cosines, reverse=True)
