@@ -570,6 +570,16 @@ def q_emb_lsh_topk(spark, sf_dir):
     return lsh_cosine_topk(emb, queries, dim=64, k=3, n_planes=6)
 
 
+def q_multimodal_meta(spark, sf_dir):
+    """Arrow-batched metadata over binary payloads — WITH a SQL oracle:
+    the md5/length results of the mapInPandas stage are replayable in
+    SQL, so the distributed plumbing itself gets hash-checked."""
+    from graphouse_spark.functions.multimodal import extract_features, synthetic_assets
+
+    assets = synthetic_assets(spark, _t(spark, sf_dir, "documents"))
+    return extract_features(assets).select("asset_id", "modality", "n_bytes", "content_md5")
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column plumbing: synthetic assets -> mapInPandas features.
 
@@ -657,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        "multimodal_meta": q_multimodal_meta,
     }
 
 
@@ -1035,6 +1046,14 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             ORDER BY cosine DESC, id_a ASC, id_b ASC
             LIMIT 20
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS asset_id,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                        WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS content_md5
+            FROM documents
         """,
         "emb_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),

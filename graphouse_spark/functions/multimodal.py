@@ -50,7 +50,7 @@ FEATURE_SCHEMA = StructType(
         StructField("asset_id", LongType(), False),
         StructField("modality", StringType(), False),
         StructField("n_bytes", LongType(), True),
-        StructField("content_sha1", StringType(), True),
+        StructField("content_md5", StringType(), True),
         StructField("features", ArrayType(DoubleType()), True),
     ]
 )
@@ -81,8 +81,9 @@ def extract_features(assets: DataFrame, real_codec: bool = False, n_features: in
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
                     "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0).astype("int64"),
-                    "content_sha1": payloads.map(
-                        lambda b: hashlib.sha1(b).hexdigest() if b is not None else None
+                    # md5 so a SQL oracle can replay the metadata columns
+                    "content_md5": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
                     ),
                     "features": payloads.map(
                         lambda b: _fake_features(b, n_features) if b is not None else None

@@ -137,3 +137,17 @@ def test_socket_ingest_e2e(spark, tmp_path):
     finally:
         query.stop()
         server.close()
+
+
+def test_redirect_host_metrics(spark):
+    from graphouse_spark.sources.graphite import redirect_host_metrics
+
+    parsed = parse_lines(lines_df(spark, [
+        "one_min.msh01d_market_yandex_net.cpu.load 1 1542199500",
+        "one_min.front01.cpu.load 2 1542199500",
+    ]), updated=F.lit(1))
+    out = {r["name"] for r in redirect_host_metrics(parsed, {"_market_yandex_net": "market-hosts"}).collect()}
+    assert out == {
+        "one_min.market-hosts.msh01d_market_yandex_net.cpu.load",
+        "one_min.front01.cpu.load",
+    }
