@@ -1,0 +1,106 @@
+"""HTTP shell: the graphite-web wire contract over a live server."""
+
+import json
+import urllib.parse
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphouse_spark.api.http import start_http_server
+from graphouse_spark.api.service import GraphouseService
+from graphouse_spark.retention import CombinedRetentionProvider, MetricRetention, MetricRetentionConfig
+from graphouse_spark.sources.graphite import parse_lines
+from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
+
+BASE = 1_542_199_500
+
+
+def post(port, path, **form):
+    data = urllib.parse.urlencode(form).encode()
+    req = urllib.request.Request(f"http://127.0.0.1:{port}{path}", data=data, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, resp.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def get(port, path):
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=30) as resp:
+            return resp.status, resp.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("http")
+    cfg = IngestConfig(str(tmp / "data"), str(tmp / "metrics"), str(tmp / "ckpt"))
+    lines = [f"one_min.srv{j}.cpu {v}.0 {BASE + i * 60}" for j in (1, 2) for i, v in enumerate([1, 2, 3])]
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    ingest_batch(parse_lines(raw, updated=F.lit(BASE)), cfg, known_names=None)
+    provider = CombinedRetentionProvider(
+        [MetricRetentionConfig(".*", True, MetricRetention("avg", {0: 60}))]
+    )
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path, provider)
+    http = start_http_server(svc)
+    port = http.server_address[1]
+    yield svc, http, port
+    http.shutdown()
+
+
+def test_503_before_load_then_200(server):
+    svc, http, port = server
+    code, body = get(port, "/metricTreeState")
+    assert code == 503
+    code, _ = post(port, "/search", query="*")
+    assert code == 503
+    svc.load_tree()
+    code, body = get(port, "/metricTreeState")
+    assert (code, body) == (200, "LOADED")
+
+
+def test_search_and_metric_data_wire_contract(server):
+    svc, http, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    code, body = post(port, "/search", query="one_min.*")
+    assert code == 200
+    assert body == "one_min.srv1.\none_min.srv2."
+
+    code, body = post(
+        port, "/metricData",
+        metrics="one_min.srv1.cpu,one_min.srv2.cpu",
+        startSecond=str(BASE), endSecond=str(BASE + 180),
+    )
+    assert code == 200
+    payload = json.loads(body)
+    assert payload["one_min.srv1.cpu"]["points"] == [1.0, 2.0, 3.0]
+    assert payload["one_min.srv1.cpu"]["step"] == 60
+
+
+def test_ban_approve_flow(server):
+    svc, http, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    code, body = post(port, "/ban", metric="one_min.srv2.")
+    assert (code, body) == (200, "one_min.srv2.")
+    _, body = post(port, "/search", query="one_min.*")
+    assert body == "one_min.srv1."
+    post(port, "/approve", metric="one_min.srv2.")
+    _, body = post(port, "/search", query="one_min.*")
+    assert body == "one_min.srv1.\none_min.srv2."
+
+
+def test_bad_requests(server):
+    svc, http, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    code, _ = post(port, "/metricData", metrics="a.b.c")  # missing range
+    assert code == 400
+    code, _ = post(port, "/metricData", metrics="a.b.c", startSecond="x", endSecond="y")
+    assert code == 400
+    code, _ = get(port, "/nope")
+    assert code == 404
