@@ -1,0 +1,57 @@
+"""Watermarked streaming window aggregation — the streaming-rollup path.
+
+The batch engine rolls up lazily (read-time A2 + compaction A7). An
+alternative the reference cannot express — and SURVEY §2.9 T2 asks us
+to provide *with its divergence documented* — is a streaming tumbling
+aggregate that materializes buckets as data arrives:
+
+    parsed -> event-time watermark -> window(step) -> agg -> sink
+
+DIVERGENCE from the reference's semantics: the watermark DROPS points
+whose event time lags the stream's max event time by more than the
+delay, whereas graphouse accepts arbitrarily late points forever
+(last-writer-wins at read). In particular a producer backfilling
+history lands outside any practical watermark. This pipeline is
+therefore a low-latency *materialized view* beside the authoritative
+append-only table, not a replacement: exact results still come from
+the batch read path; this stream serves dashboards that want
+second-fresh buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_rollup(parsed: DataFrame, step_seconds: int = 60,
+                    watermark_delay: str = "2 minutes",
+                    function: str = "avg") -> DataFrame:
+    """Streaming (name, bucket) aggregates with a late-data bound.
+
+    ``parsed``: streaming DF (name, value, timestamp, updated).
+    Emits (metric, ts, value, n_points) in append mode once the
+    watermark passes each window.
+    """
+    from graphouse_spark.operators.bucket import AGG_FUNCTIONS
+
+    try:
+        agg = AGG_FUNCTIONS[function]
+    except KeyError:
+        raise ValueError(f"unknown retention function {function!r}") from None
+    with_time = parsed.withColumn(
+        "_event", F.from_unixtime("timestamp").cast("timestamp")
+    ).withWatermark("_event", watermark_delay)
+    return (
+        with_time.groupBy(
+            F.col("name").alias("metric"),
+            F.window("_event", f"{step_seconds} seconds"),
+        )
+        .agg(agg("value").alias("value"), F.count(F.lit(1)).alias("n_points"))
+        .select(
+            "metric",
+            F.unix_timestamp(F.col("window.start")).alias("ts"),
+            "value",
+            "n_points",
+        )
+    )
