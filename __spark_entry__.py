@@ -353,6 +353,46 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def q_tpch_q2min(spark, sf_dir):
+    """Q2-style correlated-min: cheapest supplier's account per nation-of-part.
+
+    The correlated MIN subquery becomes a window over the join — the
+    idiomatic Spark translation of WHERE x = (SELECT min(...) ...).
+    """
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"]).select(
+        "l_partkey", "s_suppkey", "s_name", "s_acctbal", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        joined.withColumn("min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .groupBy("l_partkey")
+        .agg(
+            F.min("s_suppkey").alias("cheapest_suppkey"),
+            F.round(F.min("min_price"), 4).alias("min_price"),
+        )
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """top returning customers by lost revenue."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 def q_tpch_q12(spark, sf_dir):
     """shipping modes and order priority: join + conditional agg."""
     orders = _t(spark, sf_dir, "orders")
@@ -645,6 +685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q2min": q_tpch_q2min,
+        "tpch_q10": q_tpch_q10,
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
@@ -828,6 +870,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start,
                    count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM tagged GROUP BY user_id, session_id
+        """,
+        "tpch_q2min": """
+            WITH joined AS (
+                SELECT l_partkey, s_suppkey, s_acctbal, l_extendedprice
+                FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            )
+            SELECT l_partkey,
+                   min(s_suppkey) AS cheapest_suppkey,
+                   round(min(l_extendedprice), 4) AS min_price
+            FROM joined j
+            WHERE l_extendedprice = (
+                SELECT min(l_extendedprice) FROM joined j2 WHERE j2.l_partkey = j.l_partkey
+            )
+            GROUP BY l_partkey
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
         """,
         "tpch_q12": """
             SELECT l_linestatus,
