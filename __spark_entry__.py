@@ -180,6 +180,45 @@ def q_gh_validate(spark, sf_dir):
     return cand.select("path", v.valid_condition(F.col("path")).alias("is_valid"))
 
 
+def q_gh_dir_children(spark, sf_dir):
+    """S10: dir-children scan — children grouped under their parent dir."""
+    paths = _paths(spark, sf_dir)
+    parent = F.regexp_replace("path", "[^.]+$", "")
+    return (
+        paths.select(parent.alias("parent"), F.col("path").alias("name"))
+        .filter(F.col("parent").isin("events.click.", "events.view."))
+        .groupBy("parent")
+        .agg(F.count(F.lit(1)).alias("n_children"), F.min("name").alias("first_child"))
+    )
+
+
+def q_gh_in_list(spark, sf_dir):
+    """F1: literal IN-list filter (the glob-expansion output shape)."""
+    wanted = ["events.click.u1", "events.view.u2", "events.error.u3", "events.nope.u4"]
+    return (
+        _paths(spark, sf_dir)
+        .filter(F.col("path").isin(wanted))
+        .select("path")
+    )
+
+
+def q_gh_multi_function_agg(spark, sf_dir):
+    """Single-pass multi-function bucket agg (the one-shuffle alternative
+    to the reference's query-per-function grouping; operators/bucket.py)."""
+    from graphouse_spark.operators.bucket import bucket_aggregate_multi
+
+    ev = _events_sec(spark, sf_dir)
+    # retention-function assignment by metric family: purchases sum, others avg
+    tagged = ev.select(
+        F.concat(F.lit("events."), F.col("event_type")).alias("metric"),
+        F.col("ts_sec").alias("timestamp"),
+        "value",
+        F.when(F.col("event_type") == "purchase", F.lit("sum")).otherwise(F.lit("avg")).alias("function"),
+    )
+    out = bucket_aggregate_multi(tagged, step=DAY)
+    return out.select("metric", "ts", F.round(F.col("value"), 6).alias("value"))
+
+
 def q_gh_json_props(spark, sf_dir):
     """JSON scalar extraction (extended surface): props->k stats per type."""
     ev = _t(spark, sf_dir, "events")
@@ -674,6 +713,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gh_lex_range": q_gh_lex_range,
         "gh_validate": q_gh_validate,
         "gh_json_props": q_gh_json_props,
+        "gh_dir_children": q_gh_dir_children,
+        "gh_in_list": q_gh_in_list,
+        "gh_multi_function_agg": q_gh_multi_function_agg,
         "gh_sliding_window": q_gh_sliding_window,
         "gh_session_window": q_gh_session_window,
         "gh_distinct_users": q_gh_distinct_users,
@@ -818,6 +860,31 @@ def oracle_sql() -> dict[str, str]:
                    max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "gh_dir_children": """
+            WITH paths AS (
+                SELECT DISTINCT 'events.' || event_type || '.u' || user_id AS path FROM events
+            )
+            SELECT regexp_replace(path, '[^.]+$', '') AS parent,
+                   count(*) AS n_children,
+                   min(path) AS first_child
+            FROM paths
+            WHERE regexp_replace(path, '[^.]+$', '') IN ('events.click.', 'events.view.')
+            GROUP BY 1
+        """,
+        "gh_in_list": """
+            WITH paths AS (
+                SELECT DISTINCT 'events.' || event_type || '.u' || user_id AS path FROM events
+            )
+            SELECT path FROM paths
+            WHERE path IN ('events.click.u1', 'events.view.u2', 'events.error.u3', 'events.nope.u4')
+        """,
+        "gh_multi_function_agg": f"""
+            SELECT 'events.' || event_type AS metric,
+                   ({ts_sec} - {ts_sec} % 86400) AS ts,
+                   round(CASE WHEN event_type = 'purchase' THEN sum(value) ELSE avg(value) END, 6) AS value
+            FROM events
+            GROUP BY event_type, 2
         """,
         "gh_sliding_window": f"""
             -- each event lands in two 600s windows whose starts are the

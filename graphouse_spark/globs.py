@@ -112,7 +112,15 @@ def glob_to_regex(query: str, anchor: bool = True) -> str | None:
             return None
         compiled.append(r)
     body = "\\.".join(compiled)
-    return f"^{body}$" if anchor else body
+    out = f"^{body}$" if anchor else body
+    # malformed classes like [0--] survive translation but are invalid
+    # regexes (in Python and Java alike); the invalid-glob contract is
+    # None -> empty result, never an error (MetricTree.java:101-103)
+    try:
+        re.compile(out)
+    except re.error:
+        return None
+    return out
 
 
 def compile_glob(query: str) -> "re.Pattern[str] | None":
