@@ -558,6 +558,14 @@ def q_cube_agg(spark, sf_dir):
     )
 
 
+def q_rollup_agg(spark, sf_dir):
+    """ROLLUP clause: hierarchical subtotals nation -> mktsegment."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.rollup("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 4).alias("sum_bal")
+    )
+
+
 # --------------------------------------------------------------------------
 # pipeline operators: dedup / text / similarity over documents & embeddings
 # --------------------------------------------------------------------------
@@ -739,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": q_window_rank,
         "collect_sorted": q_collect_sorted,
         "cube_agg": q_cube_agg,
+        "rollup_agg": q_rollup_agg,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -1094,6 +1103,11 @@ def oracle_sql() -> dict[str, str]:
         "cube_agg": """
             SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "rollup_agg": """
+            SELECT c_nationkey, c_mktsegment, count(*) AS n,
+                   round(sum(c_acctbal), 4) AS sum_bal
+            FROM customer GROUP BY ROLLUP (c_nationkey, c_mktsegment)
         """,
         "doc_exact_dedup": """
             SELECT md5(text) AS md5, min(doc_id) AS keep_id, count(*) AS n_copies
