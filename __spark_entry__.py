@@ -576,6 +576,17 @@ def q_doc_exact_dedup(spark, sf_dir):
     return exact_duplicates(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_dedup_corpus(spark, sf_dir):
+    """Materialized exact dedup: the corpus with duplicates dropped
+    (keep the lowest doc_id per content hash) — the actual pipeline
+    output shape, not just the duplicate report."""
+    from graphouse_spark.functions.dedup import exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    keep = exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
+    return docs.join(keep, "doc_id", "left_semi").select("doc_id", "lang", "source", "n_chars")
+
+
 def q_doc_token_stats(spark, sf_dir):
     from graphouse_spark.functions.text import token_stats
 
@@ -749,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "rollup_agg": q_rollup_agg,
         "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_dedup_corpus": q_doc_dedup_corpus,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
@@ -1112,6 +1124,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": """
             SELECT md5(text) AS md5, min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY 1
+        """,
+        "doc_dedup_corpus": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id IN (
+                SELECT min(doc_id) FROM documents GROUP BY md5(text)
+            )
         """,
         "doc_token_stats": r"""
             SELECT doc_id,

@@ -65,6 +65,32 @@ def read_metrics(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(METRICS_SCHEMA).parquet(path)
 
 
+def write_data_bucketed(df: DataFrame, table_name: str, n_buckets: int = 64) -> None:
+    """Bucketed variant of the data layout for co-located joins.
+
+    ``bucketBy(metric)`` + sorted buckets persist the hash partitioning
+    in the table metadata, so joins and aggregations keyed on
+    ``metric`` skip their shuffle entirely — the Spark analog of the
+    reference's ``Distributed(... sipHash64(metric))`` shard routing
+    (doc/cluster.md:78-87) applied at rest. At 100 TB this is the
+    difference between re-shuffling the fact table per query and
+    reading pre-clustered buckets.
+
+    Requires a metastore-backed table (saveAsTable), not a bare path.
+    """
+    if "date" not in df.columns:
+        df = df.withColumn("date", F.to_date(F.from_unixtime(F.col("timestamp"))))
+    cols = [f.name for f in DATA_SCHEMA.fields]
+    (
+        df.select(*cols)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "metric")
+        .sortBy("metric", "timestamp")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def compact_metrics(spark: SparkSession, path: str, out_path: str) -> None:
     """Finalize ReplacingMergeTree semantics: keep the latest row per name."""
     from graphouse_spark.operators.dedup import latest_status

@@ -59,3 +59,32 @@ def test_no_python_in_core_queries(spark):
     for name in ["gh_lww_dedup", "gh_bucket_agg", "gh_gap_fill", "gh_glob_filter"]:
         plan = plan_of(em.queries()[name](spark, SF))
         assert "EvalPython" not in plan, f"{name} fell back to Python"
+
+
+def test_bucketed_table_joins_without_shuffle(spark, tmp_path):
+    """bucketBy(metric) persists the clustering: a self-join and a
+    groupBy on the bucket key must run with zero Exchange operators."""
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.sources.tables import write_data_bucketed
+    from tests.test_read_path import make_data
+
+    # (warehouse dir is a static conf — the default ./spark-warehouse is
+    # used; the table is dropped below and the dir is gitignored)
+    rows = [(f"m.grp{i % 5}.x", float(i), 1_542_199_500 + i, 1) for i in range(1000)]
+    write_data_bucketed(make_data(spark, rows), "bucketed_data", n_buckets=8)
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        t = spark.table("bucketed_data")
+        agg = t.groupBy("metric").agg(F.avg("value"))
+        assert ") Exchange" not in plan_of(agg), "bucketed groupBy must not shuffle"
+        # force a non-broadcast join so the bucketing (not a broadcast)
+        # is what avoids the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = t.alias("a").join(spark.table("bucketed_data").alias("b"), "metric")
+        jplan = plan_of(joined)
+        assert ") Exchange" not in jplan, "bucketed equi-join must not shuffle"
+        assert "SortMergeJoin" in jplan or "ShuffledHashJoin" in jplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS bucketed_data")
