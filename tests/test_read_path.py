@@ -164,3 +164,31 @@ def test_filter_pushdown_shape(spark, tmp_path):
     pushed = formatted.split("PushedFilters")[1]
     assert "timestamp" in pushed[:500] and "metric" in pushed[:500]
     assert "PartitionFilters" in formatted  # date predicate prunes partitions
+
+
+def test_salted_aggregate_matches_plain(spark):
+    """Salted two-phase agg must equal the direct aggregation exactly
+    for decomposable functions (and reject non-decomposable ones)."""
+    import pytest as _pytest
+
+    from graphouse_spark.operators.skew import salted_aggregate
+
+    # hot key: one metric holds 90% of rows
+    rows = [("hot.metric.x", float(i % 13), 100 + i, 1) for i in range(900)]
+    rows += [(f"cold.metric.{i}", float(i), 100 + i, 1) for i in range(100)]
+    data = make_data(spark, rows)
+
+    for fn in ["avg", "sum", "min", "max", "count"]:
+        salted = {r["metric"]: r["value"] for r in salted_aggregate(data, ["metric"], "value", fn).collect()}
+        if fn == "avg":
+            plain = {r["metric"]: r["v"] for r in data.groupBy("metric").agg(F.avg("value").alias("v")).collect()}
+            assert salted.keys() == plain.keys()
+            for k in plain:
+                assert abs(salted[k] - plain[k]) < 1e-9, (fn, k)
+        else:
+            agg = {"sum": F.sum, "min": F.min, "max": F.max, "count": lambda c: F.count(F.lit(1))}[fn]
+            plain = {r["metric"]: r["v"] for r in data.groupBy("metric").agg(agg("value").alias("v")).collect()}
+            assert salted == plain, fn
+
+    with _pytest.raises(ValueError):
+        salted_aggregate(data, ["metric"], "value", "median")
