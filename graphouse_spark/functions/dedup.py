@@ -18,6 +18,8 @@ Python in the hot path.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -49,24 +51,33 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
-    """(id, signature: array<long>) — min over shingles of seeded xxhash64.
+    """(id, signature: array<long>) — universal-hash MinHash.
 
-    Computed as ONE fold over the shingle array updating a
-    ``num_hashes``-wide running-min vector (each shingle is hashed
-    ``num_hashes`` times with different seeds). ~10x faster than
-    ``num_hashes`` separate array_min projections: the shingle array is
-    traversed once and the expression tree stays small enough for
-    codegen.
+    Each shingle is string-hashed ONCE (xxhash64, masked to 32 bits);
+    the ``num_hashes`` family members derive from it with
+    ``(a_i * h + b_i) mod P`` (P = 2^61 - 1, fixed-seed a_i/b_i), so
+    one fold over the pre-hashed longs updates the running-min vector
+    with cheap arithmetic instead of re-hashing the string per seed
+    (~5x faster per row, and a far smaller codegen tree).
+
+    ANSI-safe bounds: a < 2^30, h < 2^32, b < 2^60 keep every
+    intermediate below 2^63 (Spark 4 throws on long overflow).
     """
-    def hashes_of(s):
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)), lambda i: F.xxhash64(s, i)
-        )
-
+    rng = random.Random(0x5EED + num_hashes)
+    ab = [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 60)) for _ in range(num_hashes)]
+    ab_lit = F.expr(
+        "array(" + ",".join(f"named_struct('a',{a}L,'b',{b}L)" for a, b in ab) + ")"
+    )
+    prime = F.lit((1 << 61) - 1)
     shingles = word_shingles(F.col(text_col), shingle_n)
-    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+    hashed = F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF)))
+    init = F.array_repeat(F.lit(1 << 62).cast("long"), num_hashes)
     sig = F.aggregate(
-        shingles, init, lambda acc, s: F.zip_with(acc, hashes_of(s), lambda a, b: F.least(a, b))
+        hashed,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, ab_lit, lambda a, p: F.least(a, (p["a"] * h + p["b"]) % prime)
+        ),
     )
     return docs.select(F.col(id_col), sig.alias("signature"))
 

@@ -1,0 +1,65 @@
+"""MinHash/LSH near-dedup unit coverage (beyond the rows-only driver check).
+
+Reference scope: the dedup tier list is an extended-surface component
+(SURVEY.md §7 step 9), not a graphouse parity item — tests pin the
+algorithmic contract: identical docs always collide, near-identical
+docs exceed the threshold, unrelated docs don't surface.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphouse_spark.functions.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate of 1
+        (3, BASE.replace("lazy", "sleepy")),  # near-duplicate of 1
+        (4, "completely unrelated text about spark query planning and shuffles "
+            "with adaptive execution and broadcast joins everywhere today"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_signatures_deterministic_and_equal_for_equal_text(spark, corpus):
+    sigs = {r["doc_id"]: r["signature"] for r in minhash_signatures(corpus).collect()}
+    assert sigs[1] == sigs[2]
+    assert len(sigs[1]) == 64
+    assert sigs[1] != sigs[4]
+    again = {r["doc_id"]: r["signature"] for r in minhash_signatures(corpus).collect()}
+    assert again == sigs  # fixed-seed hash family: stable across runs
+
+
+def test_near_duplicates_found_and_unrelated_excluded(spark, corpus):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_near_duplicates(corpus, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical docs collide in every band
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5  # one-word edit stays similar
+    assert not any(4 in p for p in pairs)  # unrelated doc never surfaces
+
+
+def test_exact_tier_counts_copies(spark, corpus):
+    out = {r["keep_id"]: r["n_copies"] for r in exact_duplicates(corpus).collect()}
+    assert out[1] == 2 and out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_hand_value(spark):
+    # doc 1: tokens a b c d -> shingles {a b c, b c d}; doc 2: a b c e -> {a b c, b c e}
+    # intersection 1, union 3 -> jaccard 1/3
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"])
+    rows = ngram_jaccard_pairs(df, threshold=0.1).collect()
+    assert len(rows) == 1
+    assert rows[0]["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
