@@ -10,6 +10,12 @@ Speaks the wire contract the graphite-web plugin consumes
   -> JSON ``{name: {start, end, step, points}}`` (graphouse.py:71-131)
 - ``POST /ban|/approve|/hide``  form ``metric=<path or glob>``
   (MetricSearchServlet.java:115-139)
+- ``GET|POST /multiBan|/multiApprove|/multiHide`` param ``query=<glob>``
+  -> the reference's report shape: header line, blank line, touched
+  names, blank line, ``Total count: N`` (MetricSearchServlet.java:126-139)
+- ``GET /search?query=`` / ``GET /searchCachedMetrics?query=`` —
+  cached search ignores visibility (MetricSearchServlet.java:156-176,
+  MetricTree.java:131-179)
 - ``GET  /metricTreeState`` -> 200 once the tree is loaded, 503 before
   (MetricSearchServlet.java:34-37 returns 503 until bootstrap).
 
@@ -22,7 +28,9 @@ from __future__ import annotations
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs
+from urllib.parse import parse_qs, urlparse
+
+MULTI_STATUS = {"/multiBan": "BAN", "/multiApprove": "APPROVED", "/multiHide": "HIDDEN"}
 
 from graphouse_spark.api.service import GraphouseService
 
@@ -45,29 +53,59 @@ def make_handler(service: GraphouseService):
             raw = self.rfile.read(length).decode("utf-8") if length else ""
             return {k: v[0] for k, v in parse_qs(raw, keep_blank_values=True).items()}
 
+        def _multi_modify(self, route: str, params: dict) -> None:
+            """The reference's multiModify report: header, names, total
+            (MetricSearchServlet.java:126-139)."""
+            query = params.get("query", "")
+            if not query:
+                self._send(400, "query parameter required")
+                return
+            status = MULTI_STATUS[route]
+            touched = service.modify(query, status)
+            body = "Status changed to %s:\n\n%s\n\nTotal count: %d\n" % (
+                status, "\n".join(touched), len(touched)
+            )
+            self._send(200, body)
+
         def do_GET(self):
-            if self.path == "/metricTreeState":
-                if service._loaded:
-                    self._send(200, "LOADED")
+            parsed = urlparse(self.path)
+            route = parsed.path
+            params = {k: v[0] for k, v in parse_qs(parsed.query, keep_blank_values=True).items()}
+            try:
+                if route == "/metricTreeState":
+                    self._send(200, "LOADED") if service._loaded else self._send(503, "LOADING")
+                elif route == "/search":
+                    self._send(200, service.search(params.get("query", "")))
+                elif route == "/searchCachedMetrics":
+                    self._send(200, service.search_cached(params.get("query", "")))
+                elif route in MULTI_STATUS:
+                    self._multi_modify(route, params)
                 else:
-                    self._send(503, "LOADING")
-            else:
-                self._send(404, "not found")
+                    self._send(404, "not found")
+            except RuntimeError as e:  # tree not loaded
+                self._send(503, str(e))
+            except (KeyError, ValueError) as e:
+                self._send(400, f"bad request: {e}")
 
         def do_POST(self):
+            route = urlparse(self.path).path
             form = self._form()
             try:
-                if self.path == "/search":
+                if route == "/search":
                     self._send(200, service.search(form.get("query", "")))
-                elif self.path == "/metricData":
+                elif route == "/searchCachedMetrics":
+                    self._send(200, service.search_cached(form.get("query", "")))
+                elif route == "/metricData":
                     metrics = [m for m in form.get("metrics", "").split(",") if m]
                     start = int(form["startSecond"])
                     end = int(form["endSecond"])
                     self._send(200, service.metric_data_json(metrics, start, end), "application/json")
-                elif self.path in ("/ban", "/approve", "/hide"):
-                    status = {"/ban": "BAN", "/approve": "APPROVED", "/hide": "HIDDEN"}[self.path]
+                elif route in ("/ban", "/approve", "/hide"):
+                    status = {"/ban": "BAN", "/approve": "APPROVED", "/hide": "HIDDEN"}[route]
                     touched = service.modify(form.get("metric", ""), status)
                     self._send(200, "\n".join(touched))
+                elif route in MULTI_STATUS:
+                    self._multi_modify(route, form)
                 else:
                     self._send(404, "not found")
             except RuntimeError as e:  # tree not loaded

@@ -64,6 +64,12 @@ class GraphouseService:
             raise RuntimeError("metric tree not loaded yet (the reference returns 503)")
         return "\n".join(self.tree.search(query))
 
+    # -- /searchCachedMetrics (X2: ignores visibility) --
+    def search_cached(self, query: str) -> str:
+        if not self._loaded:
+            raise RuntimeError("metric tree not loaded yet (the reference returns 503)")
+        return "\n".join(self.tree.search_cached(query))
+
     # -- /metricData --
     def metric_data(self, patterns: list[str], start: int, end: int,
                     now_seconds: int | None = None) -> dict:

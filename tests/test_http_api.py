@@ -94,6 +94,32 @@ def test_ban_approve_flow(server):
     assert body == "one_min.srv1.\none_min.srv2."
 
 
+def test_get_search_and_multi_modify_report(server):
+    svc, http, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    # GET /search mirrors POST (MetricSearchServlet serves both verbs)
+    code, body = get(port, "/search?query=" + urllib.parse.quote("one_min.*"))
+    assert code == 200 and "one_min.srv1." in body
+
+    # multiHide emits the reference's report: header, names, total count
+    code, body = get(port, "/multiHide?query=" + urllib.parse.quote("one_min.srv2.cpu"))
+    assert code == 200
+    assert body.startswith("Status changed to HIDDEN:\n\n")
+    assert "one_min.srv2.cpu" in body
+    assert body.rstrip().endswith("Total count: 1")
+    _, visible = post(port, "/search", query="one_min.srv2.*")
+    assert visible == ""
+
+    # hidden nodes still appear in the cached (diagnostic) search
+    code, body = get(port, "/searchCachedMetrics?query=" + urllib.parse.quote("one_min.srv2.*"))
+    assert code == 200 and "one_min.srv2.cpu" in body
+
+    code, body = get(port, "/multiBan")  # missing query
+    assert code == 400
+    post(port, "/multiApprove", query="one_min.srv2.cpu")  # restore visibility
+
+
 def test_bad_requests(server):
     svc, http, port = server
     if not svc._loaded:
