@@ -709,6 +709,22 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_asof_click_attrib(spark, sf_dir):
+    """As-of join (extended surface): latest click at-or-before each error,
+    per user — union-merge implementation, one shuffle
+    (graphouse_spark/operators/asof.py). Oracle: DuckDB native ASOF JOIN."""
+    from graphouse_spark.operators.asof import asof_join
+
+    ev = _events_sec(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts_sec", "value")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_sec")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    return asof_join(errors, clicks, "user_id", "ts_sec", "ts_sec", ["click_value"])
+
+
 def q_join_semi(spark, sf_dir):
     """J1: left-semi join (IN-subquery shape)."""
     cust = _t(spark, sf_dir, "customer")
@@ -970,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
+        "asof_click_attrib": q_asof_click_attrib,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "set_ops": q_set_ops,
@@ -1425,6 +1442,20 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
               )
             GROUP BY 1
+        """,
+        "asof_click_attrib": """
+            SELECT l.event_id, l.user_id, l.ts_sec, l.value, r.click_value
+            FROM (
+                SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+                FROM events WHERE event_type = 'error'
+            ) l
+            ASOF LEFT JOIN (
+                SELECT user_id, ts_sec, arg_max(value, event_id) AS click_value
+                FROM (
+                    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value, event_id
+                    FROM events WHERE event_type = 'click'
+                ) GROUP BY 1, 2
+            ) r ON l.user_id = r.user_id AND r.ts_sec <= l.ts_sec
         """,
         "join_semi": """
             SELECT c_custkey, c_name FROM customer
