@@ -725,6 +725,25 @@ def q_asof_click_attrib(spark, sf_dir):
     return asof_join(errors, clicks, "user_id", "ts_sec", "ts_sec", ["click_value"])
 
 
+def q_interval_click_density(spark, sf_dir):
+    """Interval join (extended surface): clicks within +/-300 s of each
+    error per user, aggregated — bucketed equi-join implementation
+    (graphouse_spark/operators/interval.py), linear shuffle."""
+    from graphouse_spark.operators.interval import interval_join
+
+    ev = _events_sec(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts_sec")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_sec").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    pairs = interval_join(errors, clicks, "user_id", "ts_sec", "click_ts",
+                          before=300, after=300, value_cols=["click_value"])
+    return pairs.groupBy("event_id", "user_id", "ts_sec").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("click_value"), 4).alias("sum_click_value"),
+    )
+
+
 def q_join_semi(spark, sf_dir):
     """J1: left-semi join (IN-subquery shape)."""
     cust = _t(spark, sf_dir, "customer")
@@ -987,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
         "asof_click_attrib": q_asof_click_attrib,
+        "interval_click_density": q_interval_click_density,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "set_ops": q_set_ops,
@@ -1456,6 +1476,21 @@ def oracle_sql() -> dict[str, str]:
                     FROM events WHERE event_type = 'click'
                 ) GROUP BY 1, 2
             ) r ON l.user_id = r.user_id AND r.ts_sec <= l.ts_sec
+        """,
+        "interval_click_density": """
+            SELECT l.event_id, l.user_id, l.ts_sec,
+                   count(*) AS n_clicks,
+                   round(sum(r.click_value), 4) AS sum_click_value
+            FROM (
+                SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+                FROM events WHERE event_type = 'error'
+            ) l
+            JOIN (
+                SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS click_ts, value AS click_value
+                FROM events WHERE event_type = 'click'
+            ) r ON l.user_id = r.user_id
+               AND r.click_ts BETWEEN l.ts_sec - 300 AND l.ts_sec + 300
+            GROUP BY 1, 2, 3
         """,
         "join_semi": """
             SELECT c_custkey, c_name FROM customer
