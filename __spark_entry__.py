@@ -744,6 +744,25 @@ def q_interval_click_density(spark, sf_dir):
     )
 
 
+def q_sketch_daily_users(spark, sf_dir):
+    """Mergeable-sketch rollup (extended surface): HLL distinct users and
+    t-digest-style p95 per day. At 100 TB these replace exact
+    distinct/percentile — partials merge associatively across
+    executors, so the plan is one partial+final agg with no
+    re-shuffle of raw values. Approximate -> rows-only driver check
+    (exact twins are oracled in gh_distinct_users / gh_percentiles)."""
+    ev = _events_sec(spark, sf_dir)
+    day = ((F.col("ts_sec") - SEC_JAN1) / DAY).cast("long").alias("day")
+    return (
+        ev.groupBy(day)
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.95, 10000).alias("p95_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 def q_join_semi(spark, sf_dir):
     """J1: left-semi join (IN-subquery shape)."""
     cust = _t(spark, sf_dir, "customer")
@@ -1007,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "asof_click_attrib": q_asof_click_attrib,
         "interval_click_density": q_interval_click_density,
+        "sketch_daily_users": q_sketch_daily_users,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "set_ops": q_set_ops,

@@ -32,8 +32,12 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q9",
     "tpch_q18",
+    "tpch_q21",
     "window_rank",
+    "asof_click_attrib",
+    "interval_click_density",
     "doc_exact_dedup",
     "doc_token_stats",
     "doc_minhash_neardup",
