@@ -88,3 +88,24 @@ def test_bucketed_table_joins_without_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql("DROP TABLE IF EXISTS bucketed_data")
+
+
+def test_asof_join_single_exchange(spark):
+    """The union-merge as-of join must cost exactly one data shuffle
+    (the window's hashpartitioning on the join key) for pre-deduped
+    inputs — the property that makes it viable at 100 TB."""
+    left = spark.createDataFrame([("a", 10)], "k string, t long")
+    right = spark.createDataFrame([("a", 8, 1.0)], "k string, t long, v double")
+    from graphouse_spark.operators.asof import asof_join
+
+    plan = plan_of(asof_join(left, right, "k", "t", "t", ["v"]))
+    assert plan.count(") Exchange") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_interval_join_is_equi_join(spark):
+    """The bucketed range join must plan as a hash/sort-merge equi-join
+    with the range as a residual filter — never a nested-loop."""
+    plan = plan_of(em.q_interval_click_density(spark, SF))
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan and "_iv_bucket" in plan
