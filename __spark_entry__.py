@@ -911,6 +911,17 @@ def q_emb_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, queries, k=3)
 
 
+def q_emb_cosine_topk_np(spark, sf_dir):
+    """Same logical op as emb_cosine_topk, Arrow/numpy physical strategy
+    (mapInPandas batch matmul + local top-k) — results identical, so it
+    shares the exact oracle."""
+    from graphouse_spark.functions.similarity import cosine_topk_vectorized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_vectorized(emb, queries, k=3)
+
+
 def q_emb_ivf_topk(spark, sf_dir):
     """IVF ANN (no SQL oracle: approximate, cluster-dependent)."""
     from graphouse_spark.functions.similarity import ivf_index, ivf_topk
@@ -1044,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_neardup": q_doc_minhash_neardup,
         "doc_simhash": q_doc_simhash,
         "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_cosine_topk_np": q_emb_cosine_topk_np,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "multimodal_features": q_multimodal_features,
@@ -1659,6 +1671,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "emb_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_dot_product(q.qvec, e.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos_raw
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id != q.query_id
+            )
+            SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INTEGER) AS rank
+            FROM scored
+            QUALIFY rank <= 3
+        """,
+"emb_cosine_topk_np": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
             scored AS (
                 SELECT q.query_id, e.vec_id AS neighbor_id,

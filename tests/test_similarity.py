@@ -48,3 +48,17 @@ def test_lsh_subset_of_scores(spark, emb):
         rows.sort()
         cosines = [c for _, c in rows]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_vectorized_topk_matches_jvm_strategy(spark):
+    """Two physical strategies, one logical op: the Arrow/numpy matmul
+    path must return byte-identical rows to the zip_with fold path."""
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.functions.similarity import cosine_topk, cosine_topk_vectorized
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    a = sorted(map(tuple, cosine_topk(emb, queries, k=5).collect()))
+    b = sorted(map(tuple, cosine_topk_vectorized(emb, queries, k=5).collect()))
+    assert a == b
