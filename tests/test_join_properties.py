@@ -1,0 +1,57 @@
+"""Property tests: asof/interval joins vs naive Python reference.
+
+Hypothesis generates small random timelines; the operators (built for
+one-shuffle scale) must agree with the obviously-correct quadratic
+reference on every instance — edges, ties, duplicates, negatives.
+"""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from graphouse_spark.operators.asof import asof_join
+from graphouse_spark.operators.interval import interval_join
+
+KEYS = ["a", "b"]
+times = st.integers(min_value=-50, max_value=50)
+
+
+@pytest.fixture(scope="module")
+def sp(spark):
+    return spark
+
+
+rows_left = st.lists(st.tuples(st.sampled_from(KEYS), times), min_size=1, max_size=8,
+                     unique=True)
+rows_right = st.lists(st.tuples(st.sampled_from(KEYS), times), min_size=0, max_size=8,
+                      unique=True)  # unique (k, t): operator contract (pre-deduped right)
+
+
+@given(rows_left, rows_right)
+@settings(max_examples=25, deadline=None)
+def test_asof_matches_naive(sp, left_rows, right_rows):
+    left = sp.createDataFrame(left_rows, "k string, t long")
+    right = sp.createDataFrame([(k, t, float(t)) for k, t in right_rows],
+                               "k string, t long, v double") if right_rows else \
+        sp.createDataFrame([], "k string, t long, v double")
+    got = {(r["k"], r["t"]): r["v"] for r in asof_join(left, right, "k", "t", "t", ["v"]).collect()}
+    for k, t in left_rows:
+        cands = [rt for rk, rt in right_rows if rk == k and rt <= t]
+        want = float(max(cands)) if cands else None
+        assert got[(k, t)] == want, (k, t, got[(k, t)], want)
+
+
+@given(rows_left, rows_right, st.integers(1, 40), st.integers(0, 40))
+@settings(max_examples=25, deadline=None)
+def test_interval_matches_naive(sp, left_rows, right_rows, before, after):
+    left = sp.createDataFrame(left_rows, "k string, t long")
+    right = sp.createDataFrame([(k, t, float(t)) for k, t in right_rows],
+                               "k string, t long, v double") if right_rows else \
+        sp.createDataFrame([], "k string, t long, v double")
+    out = interval_join(left, right, "k", "t", "t", before=before, after=after).collect()
+    got = {}
+    for r in out:
+        got.setdefault((r["k"], r["t"]), set()).add(r["v"])
+    for k, t in left_rows:
+        want = {float(rt) for rk, rt in right_rows if rk == k and t - before <= rt <= t + after}
+        assert got.get((k, t), set()) == want, (k, t)
