@@ -55,3 +55,26 @@ def windowed_rollup(parsed: DataFrame, step_seconds: int = 60,
             "n_points",
         )
     )
+
+
+def streaming_dedup(parsed: DataFrame, delay: str = "10 minutes",
+                    keys: tuple[str, ...] = ("name", "timestamp")) -> DataFrame:
+    """Streaming exact dedup within a watermark horizon.
+
+    The reference never dedups in flight — duplicates are a feature
+    (gauge resubmission, T2) and LWW resolves at read. For the
+    extended pipeline surface (training-data ingest, where a repeated
+    record is waste, not a correction) this is the streaming-native
+    tier: ``dropDuplicatesWithinWatermark`` keeps per-key state only
+    until the watermark passes, so state is bounded by the delay
+    window, not by stream history — the property that lets it run
+    forever on an unbounded feed.
+
+    ``parsed``: streaming DF (name, value, timestamp, updated) — the
+    parse_lines schema; event time derives from ``timestamp``. First
+    occurrence wins; a later duplicate inside the horizon is dropped.
+    """
+    with_time = parsed.withColumn(
+        "_event", F.from_unixtime("timestamp").cast("timestamp")
+    ).withWatermark("_event", delay)
+    return with_time.dropDuplicatesWithinWatermark(list(keys)).drop("_event")

@@ -50,3 +50,38 @@ def test_windowed_rollup_stream(spark, tmp_path):
         assert (BASE + 1000) - (BASE + 1000) % 60 in got
     finally:
         query.stop()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from graphouse_spark.streaming.windowed import streaming_dedup
+
+    src = tmp_path / "din"
+    src.mkdir()
+    rows1 = [
+        ("m.a.cpu", 1.0, BASE, BASE),
+        ("m.a.cpu", 1.5, BASE, BASE + 1),      # same (name, timestamp): duplicate
+        ("m.b.cpu", 2.0, BASE, BASE),
+    ]
+    spark.createDataFrame(rows1, LINE_SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(LINE_SCHEMA).parquet(str(src / "*"))
+    query = (
+        streaming_dedup(stream, delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        # a cross-batch duplicate inside the horizon is dropped too
+        rows2 = [("m.a.cpu", 9.9, BASE, BASE + 2), ("m.c.cpu", 3.0, BASE + 5, BASE + 5)]
+        spark.createDataFrame(rows2, LINE_SCHEMA).coalesce(1).write.parquet(str(src / "b2"))
+        query.processAllAvailable()
+        out = spark.table("dedup_out").collect()
+    finally:
+        query.stop()
+    got = {(r["name"], r["timestamp"]): r["value"] for r in out}
+    assert len(out) == 3                      # 5 inputs, 2 duplicates dropped
+    assert got[("m.a.cpu", BASE)] == 1.0      # first occurrence won
+    assert ("m.c.cpu", BASE + 5) in got
