@@ -58,12 +58,19 @@ def main() -> None:
               "nation", "region", "documents", "embeddings"]:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
+    # each query runs twice: the first execution pays one-time
+    # whole-stage-codegen compilation + JIT (~0.5-2 s per novel plan —
+    # at sf<=0.1 that fixed cost dwarfs the actual compute); the second
+    # run is the steady-state number a long-lived cluster sees.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
+        fn(spark, sf_dir).count()  # compile + warm
+        # drop any intra-query persist() results: the timed run must
+        # recompute the full pipeline, not read its predecessor's cache
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        n = fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
@@ -72,6 +79,7 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "mode": "steady-state (per-query warm run; cold run excluded)",
         "queries": timings,
         "sf": sf,
     }))
