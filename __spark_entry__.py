@@ -671,6 +671,10 @@ def q_tpch_q21(spark, sf_dir):
     joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).withColumn(
         "late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 120)
     )
+    # collect_set state is bounded here (an order has <= 7 lineitems), so
+    # one shuffle + tiny arrays beats the two-level-agg alternative (an
+    # extra shuffle) and the double-count_distinct one (Expand x3) —
+    # A/B-measured at sf0.1. Unbounded group sizes would flip this.
     per_order = joined.groupBy("l_orderkey").agg(
         F.collect_set("l_suppkey").alias("all_supps"),
         F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supps"),
