@@ -891,6 +891,17 @@ def q_doc_lang_id(spark, sf_dir):
     return language_id(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_winnow_pairs(spark, sf_dir):
+    """Winnowing-fingerprint overlap pairs (rolling-hash dedup tier;
+    rows-only: fingerprints are engine-hash-specific). Guarantee and
+    determinism are unit-tested in tests/test_pipeline_dedup.py."""
+    from graphouse_spark.functions.text import winnow_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(docs.repartition(docs.sparkSession.sparkContext.defaultParallelism),
+                                k=16, window=8, min_shared=3)
+
+
 def q_emb_cosine_pairs(spark, sf_dir):
     """Embedding-cosine near-dup: globally most-similar pairs (top 20)."""
     from graphouse_spark.functions.similarity import cosine_similarity_col
@@ -1058,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_pairs": q_emb_cosine_pairs,
         "doc_minhash_neardup": q_doc_minhash_neardup,
         "doc_simhash": q_doc_simhash,
+        "doc_winnow_pairs": q_doc_winnow_pairs,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_cosine_topk_np": q_emb_cosine_topk_np,
         "emb_lsh_topk": q_emb_lsh_topk,

@@ -63,3 +63,37 @@ def test_ngram_jaccard_hand_value(spark):
     rows = ngram_jaccard_pairs(df, threshold=0.1).collect()
     assert len(rows) == 1
     assert rows[0]["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+@pytest.mark.parametrize("strategy", ["catalyst", "arrow"])
+def test_winnowing_guarantee(spark, strategy):
+    """Any shared substring of length >= k + window - 1 must produce at
+    least one shared fingerprint (the winnowing paper's core property)
+    — in both physical strategies."""
+    from graphouse_spark.functions.text import winnow_overlap_pairs
+
+    k, w = 8, 4
+    shared = "zqxjkvbw unique shared run"  # 26 chars > k + w - 1 = 11
+    docs = spark.createDataFrame(
+        [(1, "left padding text " + shared), (2, shared + " right padding text"),
+         (3, "no such run anywhere in this document at all")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             winnow_overlap_pairs(docs, k=k, window=w, min_shared=1,
+                                  strategy=strategy).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnowing_deterministic_and_subset_sized(spark):
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.functions.text import winnowing_fingerprints
+
+    docs = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
+    a = winnowing_fingerprints(docs).collect()[0]["fingerprints"]
+    b = winnowing_fingerprints(docs).collect()[0]["fingerprints"]
+    assert a == b and len(a) > 0
+    # winnowing keeps roughly 2/(w+1) of the k-gram positions
+    assert len(a) < len(BASE)
