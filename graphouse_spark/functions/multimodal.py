@@ -127,3 +127,47 @@ def synthetic_assets(spark, docs: DataFrame, text_col: str = "text", id_col: str
         F.lit(None).cast("int").alias("height"),
         (F.col(id_col) % 10 * 1000).cast("long").alias("duration_ms"),
     )
+
+
+RESIZE_SCHEMA = (
+    "asset_id long, modality string, payload binary, "
+    "width int, height int, n_bytes long"
+)
+
+
+def resize_images(assets: DataFrame, width: int = 224, height: int = 224,
+                  real_codec: bool = False) -> DataFrame:
+    """Arrow-batched image resize (plumbing real, codec stubbed).
+
+    ``real_codec=True`` would decode with PIL and emit re-encoded
+    bytes — unavailable here, so it raises. The stub keeps every
+    contract the real kernel would have: images only (other modalities
+    pass through untouched), payload bytes replaced by a
+    deterministically-derived "resized" buffer sized ``width*height*3``,
+    metadata updated to the new dimensions. Runs per Arrow batch; no
+    per-row Python round trips through the driver.
+    """
+    if real_codec:
+        raise NotImplementedError("no image codecs in this environment; use the stub path")
+
+    target_len = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = row["payload"]
+                if row["modality"] == "image" and payload is not None:
+                    # stub "resample": tile the source bytes to the target
+                    # buffer size (deterministic, size-correct)
+                    reps = -(-target_len // max(len(payload), 1))
+                    payload = (bytes(payload) * reps)[:target_len]
+                    w, h = width, height
+                else:
+                    w, h = None, None
+                out.append((row["asset_id"], row["modality"], payload, w, h,
+                            len(payload) if payload is not None else 0))
+            yield pd.DataFrame(out, columns=["asset_id", "modality", "payload",
+                                             "width", "height", "n_bytes"])
+
+    return assets.mapInPandas(run, RESIZE_SCHEMA)
