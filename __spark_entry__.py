@@ -748,6 +748,18 @@ def q_interval_click_density(spark, sf_dir):
     )
 
 
+def q_gh_salted_agg(spark, sf_dir):
+    """Hot-key-resistant salted two-phase aggregation
+    (operators/skew.py). Decomposable aggregates are EXACTLY equal to
+    the direct groupBy, so the oracle is the plain GROUP BY — the salt
+    is invisible in the result, by construction."""
+    from graphouse_spark.operators.skew import salted_aggregate
+
+    ev = _events_sec(spark, sf_dir)
+    out = salted_aggregate(ev, ["event_type"], "value", "avg", n_salts=16)
+    return out.select("event_type", F.round("value", 6).alias("avg_value"))
+
+
 def q_sketch_daily_users(spark, sf_dir):
     """Mergeable-sketch rollup (extended surface): HLL distinct users and
     t-digest-style p95 per day. At 100 TB these replace exact
@@ -1053,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_attrib": q_asof_click_attrib,
         "interval_click_density": q_interval_click_density,
         "sketch_daily_users": q_sketch_daily_users,
+        "gh_salted_agg": q_gh_salted_agg,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "set_ops": q_set_ops,
@@ -1510,6 +1523,10 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
               )
             GROUP BY 1
+        """,
+        "gh_salted_agg": """
+            SELECT event_type, round(avg(value), 6) AS avg_value
+            FROM events GROUP BY event_type
         """,
         "asof_click_attrib": """
             SELECT l.event_id, l.user_id, l.ts_sec, l.value, r.click_value

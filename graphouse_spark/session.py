@@ -37,3 +37,36 @@ def get_spark(app_name: str = "graphouse-spark", shuffle_partitions: int | None 
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()
+
+
+def cluster_conf(executor_cores: int = 4, executors: int = 1000,
+                 target_partition_mb: int = 128) -> dict[str, str]:
+    """The conf this engine would ship to a real 100 TB cluster.
+
+    Not used by the local factory (local[N] ignores most of it) —
+    documented as code so the scale posture is explicit and testable:
+
+    - shuffle partitions ~2x total cores: keeps every core busy through
+      stragglers while AQE coalesces the small ones post-shuffle;
+    - 128 MiB scan splits: matches parquet row-group sizing from
+      sources/tables.py, so one task ~ one row group;
+    - AQE owns runtime re-planning (skew splits, join demotion);
+    - 64 MiB broadcast threshold: nation/region/supplier-sized dims
+      broadcast, fact-fact joins shuffle;
+    - shuffle + spill compression on: at 100 TB the network is the
+      bottleneck, not CPU.
+    """
+    total_cores = executor_cores * executors
+    return {
+        "spark.sql.shuffle.partitions": str(2 * total_cores),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.shuffle.compress": "true",
+        "spark.shuffle.spill.compress": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+    }
