@@ -192,3 +192,28 @@ def test_salted_aggregate_matches_plain(spark):
 
     with _pytest.raises(ValueError):
         salted_aggregate(data, ["metric"], "value", "median")
+
+
+def test_utc_day_boundary_date_derivation(spark, tmp_path):
+    """C11 analog of MetricsStreamCallbackTest.testTimeZones: the
+    reference derives the date partition in the ClickHouse server TZ
+    (Moscow in the golden: 1491771599 -> day 17265, 1491771601 ->
+    17266); this engine pins UTC and documents the delta. The UTC
+    boundary for those instants is 1491782400 (2017-04-10T00:00Z)."""
+    import datetime
+
+    from graphouse_spark.sources.tables import write_data
+
+    rows = [
+        ("m.a", 1.0, 1491771599, 1),  # Moscow flips here; UTC must NOT
+        ("m.a", 2.0, 1491771601, 1),
+        ("m.a", 3.0, 1491782399, 1),  # 2017-04-09T23:59:59Z
+        ("m.a", 4.0, 1491782400, 1),  # 2017-04-10T00:00:00Z
+    ]
+    df = make_data(spark, rows)
+    path = str(tmp_path / "tzdata")
+    write_data(df, path)
+    got = {r["timestamp"]: r["date"] for r in spark.read.parquet(path).collect()}
+    d9, d10 = datetime.date(2017, 4, 9), datetime.date(2017, 4, 10)
+    assert got[1491771599] == d9 and got[1491771601] == d9  # diverges from Moscow golden
+    assert got[1491782399] == d9 and got[1491782400] == d10  # UTC boundary exact
