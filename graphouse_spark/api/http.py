@@ -6,8 +6,12 @@ Speaks the wire contract the graphite-web plugin consumes
 - ``POST /search``          form ``query=<glob>``          -> text/plain,
   newline-separated names, dirs keep the trailing dot
   (graphouse.py:202-225; MetricSearchServlet.java:141-154)
-- ``POST /metricData``      form ``metrics=<csv> startSecond= endSecond=``
-  -> JSON ``{name: {start, end, step, points}}`` (graphouse.py:71-131)
+- ``POST /metricData``      the plugin's exact wire shape
+  (graphouse.py:78-88): ``metrics=<csv>`` in the form BODY,
+  ``start``/``end``/``reqKey`` as QUERY parameters -> JSON
+  ``{name: {start, end, step, points}}``; oversized metric lists get
+  413 (MetricDataServiceServlet.java:58-64). Legacy
+  ``startSecond``/``endSecond`` form fields stay accepted.
 - ``POST /ban|/approve|/hide``  form ``metric=<path or glob>``
   (MetricSearchServlet.java:115-139)
 - ``GET|POST /multiBan|/multiApprove|/multiHide`` param ``query=<glob>``
@@ -30,9 +34,9 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-MULTI_STATUS = {"/multiBan": "BAN", "/multiApprove": "APPROVED", "/multiHide": "HIDDEN"}
-
 from graphouse_spark.api.service import GraphouseService
+
+MULTI_STATUS = {"/multiBan": "BAN", "/multiApprove": "APPROVED", "/multiHide": "HIDDEN"}
 
 
 def make_handler(service: GraphouseService):
@@ -84,21 +88,32 @@ def make_handler(service: GraphouseService):
                     self._send(404, "not found")
             except RuntimeError as e:  # tree not loaded
                 self._send(503, str(e))
-            except (KeyError, ValueError) as e:
+            except (KeyError, ValueError, TypeError) as e:
                 self._send(400, f"bad request: {e}")
 
         def do_POST(self):
-            route = urlparse(self.path).path
+            parsed = urlparse(self.path)
+            route = parsed.path
+            qparams = {k: v[0] for k, v in parse_qs(parsed.query, keep_blank_values=True).items()}
             form = self._form()
             try:
                 if route == "/search":
-                    self._send(200, service.search(form.get("query", "")))
+                    self._send(200, service.search(form.get("query", qparams.get("query", ""))))
                 elif route == "/searchCachedMetrics":
-                    self._send(200, service.search_cached(form.get("query", "")))
+                    self._send(200, service.search_cached(form.get("query", qparams.get("query", ""))))
                 elif route == "/metricData":
                     metrics = [m for m in form.get("metrics", "").split(",") if m]
-                    start = int(form["startSecond"])
-                    end = int(form["endSecond"])
+                    if not metrics:
+                        self._send(400, "metrics parameter required")
+                        return
+                    if 0 < service.max_metrics_per_query < len(metrics):
+                        self._send(413, "Too many metrics in query. Provided %d, max %d"
+                                   % (len(metrics), service.max_metrics_per_query))
+                        return
+                    # plugin wire shape: start/end ride the query string;
+                    # legacy startSecond/endSecond form fields also accepted
+                    start = int(qparams.get("start", form.get("start", form.get("startSecond"))))
+                    end = int(qparams.get("end", form.get("end", form.get("endSecond"))))
                     self._send(200, service.metric_data_json(metrics, start, end), "application/json")
                 elif route in ("/ban", "/approve", "/hide"):
                     status = {"/ban": "BAN", "/approve": "APPROVED", "/hide": "HIDDEN"}[route]
@@ -110,7 +125,7 @@ def make_handler(service: GraphouseService):
                     self._send(404, "not found")
             except RuntimeError as e:  # tree not loaded
                 self._send(503, str(e))
-            except (KeyError, ValueError) as e:
+            except (KeyError, ValueError, TypeError) as e:
                 self._send(400, f"bad request: {e}")
 
     return Handler

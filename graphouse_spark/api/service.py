@@ -36,13 +36,17 @@ class GraphouseService:
     def __init__(self, spark: SparkSession, data_path: str, metrics_path: str,
                  provider: CombinedRetentionProvider | None = None,
                  max_points_per_metric: int = -1,
-                 max_subdirs_per_dir: int = -1, max_metrics_per_dir: int = -1) -> None:
+                 max_subdirs_per_dir: int = -1, max_metrics_per_dir: int = -1,
+                 max_metrics_per_query: int = -1) -> None:
         self.spark = spark
         self.data_path = data_path
         self.metrics_path = metrics_path
         self.provider = provider or DefaultRetentionProvider()
         self.data_service = MetricDataService(self.provider, max_points_per_metric)
         self.tree = MetricTree(max_subdirs_per_dir, max_metrics_per_dir)
+        # graphouse.metric-data.max-metrics-per-query (-1 = unlimited);
+        # exceeding it gets HTTP 413 (MetricDataServiceServlet.java:58-64)
+        self.max_metrics_per_query = max_metrics_per_query
         self._loaded = False
 
     # -- bootstrap (S8: full scan, latest status per name) --

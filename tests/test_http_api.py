@@ -94,6 +94,30 @@ def test_ban_approve_flow(server):
     assert body == "one_min.srv1.\none_min.srv2."
 
 
+def test_plugin_wire_shape_start_end_in_query_string(server):
+    """graphouse.py:78-88 sends start/end/reqKey as QUERY params and the
+    metrics csv as the form body — the authoritative consumer shape."""
+    svc, http, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    path = f"/metricData?start={BASE}&end={BASE + 180}&reqKey=test-123"
+    code, body = post(port, path, metrics="one_min.srv1.cpu")
+    assert code == 200
+    payload = json.loads(body)
+    assert payload["one_min.srv1.cpu"]["points"] == [1.0, 2.0, 3.0]
+
+    code, _ = post(port, f"/metricData?start={BASE}&end={BASE + 60}")  # no metrics
+    assert code == 400
+
+    svc.max_metrics_per_query = 1
+    try:
+        code, body = post(port, f"/metricData?start={BASE}&end={BASE + 60}",
+                          metrics="one_min.srv1.cpu,one_min.srv2.cpu")
+        assert code == 413 and "max 1" in body
+    finally:
+        svc.max_metrics_per_query = -1
+
+
 def test_get_search_and_multi_modify_report(server):
     svc, http, port = server
     if not svc._loaded:
