@@ -117,7 +117,13 @@ def make_handler(service: GraphouseService):
                     self._send(200, service.metric_data_json(metrics, start, end), "application/json")
                 elif route in ("/ban", "/approve", "/hide"):
                     status = {"/ban": "BAN", "/approve": "APPROVED", "/hide": "HIDDEN"}[route]
-                    touched = service.modify(form.get("metric", ""), status)
+                    # the servlet reads getParameter("name")
+                    # (MetricSearchServlet.java:116); "metric" kept as alias
+                    target = form.get("name", qparams.get("name", form.get("metric", "")))
+                    if not target:
+                        self._send(400, "name parameter required")
+                        return
+                    touched = service.modify(target, status)
                     self._send(200, "\n".join(touched))
                 elif route in MULTI_STATUS:
                     self._multi_modify(route, form)

@@ -85,8 +85,11 @@ def test_ban_approve_flow(server):
     svc, http, port = server
     if not svc._loaded:
         svc.load_tree()
-    code, body = post(port, "/ban", metric="one_min.srv2.")
+    # the servlet's parameter is "name" (MetricSearchServlet.java:116)
+    code, body = post(port, "/ban", name="one_min.srv2.")
     assert (code, body) == (200, "one_min.srv2.")
+    code, _ = post(port, "/ban")  # missing name -> 400
+    assert code == 400
     _, body = post(port, "/search", query="one_min.*")
     assert body == "one_min.srv1."
     post(port, "/approve", metric="one_min.srv2.")
