@@ -37,10 +37,16 @@ def test_parse_write_rate(spark, tmp_path):
     )
     lines.count()  # generation excluded from the timed window
 
+    parsed = parse_lines(lines, updated=F.lit(BASE))
+    rows = to_data_rows(parsed)
+    # steady-state measurement (same policy as bench.py): the first write
+    # pays whole-stage-codegen compilation, which at 200k rows dwarfs the
+    # actual pipeline; a long-lived ingest service compiles once
+    write_data(rows, str(tmp_path / "warmup"))
+
     path = str(tmp_path / "data")
     t0 = time.perf_counter()
-    parsed = parse_lines(lines, updated=F.lit(BASE))
-    write_data(to_data_rows(parsed), path)
+    write_data(rows, path)
     elapsed = time.perf_counter() - t0
 
     written = read_data(spark, path).count()
