@@ -748,6 +748,55 @@ def q_interval_click_density(spark, sf_dir):
     )
 
 
+def _series(spark, sf_dir):
+    """Canonical (metric, ts, value) series from events: per-type 5-min avg."""
+    ev = _events_sec(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("metric"),
+            (F.col("ts_sec") - F.col("ts_sec") % 300).alias("ts"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("value"))
+    )
+
+
+_SERIES_SQL = """
+    SELECT event_type AS metric,
+           ts_sec - ts_sec % 300 AS ts,
+           round(avg(value), 6) AS value
+    FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events)
+    GROUP BY 1, 2
+"""
+
+
+def q_ts_moving_average(spark, sf_dir):
+    """graphite movingAverage as a ROWS-frame window (functions/timeseries.py)."""
+    from graphouse_spark.functions.timeseries import moving_average
+
+    return moving_average(_series(spark, sf_dir), window_points=3)
+
+
+def q_ts_running_total(spark, sf_dir):
+    """graphite integral: cumulative sum per series."""
+    from graphouse_spark.functions.timeseries import running_total
+
+    return running_total(_series(spark, sf_dir))
+
+
+def q_ts_nn_derivative(spark, sf_dir):
+    """graphite nonNegativeDerivative: counter rate, null on resets."""
+    from graphouse_spark.functions.timeseries import non_negative_derivative
+
+    return non_negative_derivative(_series(spark, sf_dir))
+
+
+def q_ts_sum_series(spark, sf_dir):
+    """graphite sumSeries: aligned-point sum across all series."""
+    from graphouse_spark.functions.timeseries import sum_series
+
+    return sum_series(_series(spark, sf_dir))
+
+
 def q_gh_salted_agg(spark, sf_dir):
     """Hot-key-resistant salted two-phase aggregation
     (operators/skew.py). Decomposable aggregates are EXACTLY equal to
@@ -1066,6 +1115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_click_density": q_interval_click_density,
         "sketch_daily_users": q_sketch_daily_users,
         "gh_salted_agg": q_gh_salted_agg,
+        "ts_moving_average": q_ts_moving_average,
+        "ts_running_total": q_ts_running_total,
+        "ts_nn_derivative": q_ts_nn_derivative,
+        "ts_sum_series": q_ts_sum_series,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "set_ops": q_set_ops,
@@ -1527,6 +1580,33 @@ def oracle_sql() -> dict[str, str]:
         "gh_salted_agg": """
             SELECT event_type, round(avg(value), 6) AS avg_value
             FROM events GROUP BY event_type
+        """,
+        "ts_moving_average": f"""
+            SELECT metric, ts,
+                   round(avg(value) OVER (PARTITION BY metric ORDER BY ts
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+            FROM ({_SERIES_SQL})
+        """,
+        "ts_running_total": f"""
+            SELECT metric, ts,
+                   round(sum(value) OVER (PARTITION BY metric ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_total
+            FROM ({_SERIES_SQL})
+        """,
+        "ts_nn_derivative": f"""
+            SELECT metric, ts,
+                   CASE WHEN dv >= 0 AND dt > 0 THEN round(dv / dt, 6) END AS rate
+            FROM (
+                SELECT metric, ts,
+                       value - lag(value) OVER (PARTITION BY metric ORDER BY ts) AS dv,
+                       ts - lag(ts) OVER (PARTITION BY metric ORDER BY ts) AS dt
+                FROM ({_SERIES_SQL})
+            )
+        """,
+        "ts_sum_series": f"""
+            SELECT ts, round(sum(value), 6) AS sum_value, count(*) AS n_series
+            FROM ({_SERIES_SQL})
+            GROUP BY ts
         """,
         "asof_click_attrib": """
             SELECT l.event_id, l.user_id, l.ts_sec, l.value, r.click_value

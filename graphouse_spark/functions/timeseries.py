@@ -1,0 +1,84 @@
+"""Graphite transform functions as DataFrame operators.
+
+The reference serves these from graphite-web AFTER fetching raw series
+(SURVEY §2.10 — graphouse only finds+fetches; graphouse.py:119-131).
+Re-expressing the core family engine-side means a consumer can push
+the transform into the scan instead of pulling every point to a
+renderer — at 100 TB the difference between shipping buckets and
+shipping raw points.
+
+All pure window/agg expressions over the canonical series shape
+(metric, ts, value); ties and frames are deterministic, so every
+operator is DuckDB-oracle-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def moving_average(series: DataFrame, window_points: int = 3,
+                   metric_col: str = "metric", ts_col: str = "ts",
+                   value_col: str = "value") -> DataFrame:
+    """graphite ``movingAverage(series, N)``: mean of the last N points
+    (ROWS frame — point-count semantics, exactly graphite's)."""
+    w = (
+        Window.partitionBy(metric_col)
+        .orderBy(ts_col)
+        .rowsBetween(-(window_points - 1), Window.currentRow)
+    )
+    return series.select(
+        metric_col, ts_col,
+        F.round(F.avg(value_col).over(w), 6).alias("moving_avg"),
+    )
+
+
+def running_total(series: DataFrame, metric_col: str = "metric",
+                  ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``integral(series)``: cumulative sum over time."""
+    w = (
+        Window.partitionBy(metric_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return series.select(
+        metric_col, ts_col,
+        F.round(F.sum(value_col).over(w), 6).alias("running_total"),
+    )
+
+
+def non_negative_derivative(series: DataFrame, metric_col: str = "metric",
+                            ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``nonNegativeDerivative``: per-second rate of a counter,
+    null where the counter reset (value decreased) — graphite emits
+    None there rather than a negative spike."""
+    w = Window.partitionBy(metric_col).orderBy(ts_col)
+    dv = F.col(value_col) - F.lag(value_col).over(w)
+    dt = F.col(ts_col) - F.lag(ts_col).over(w)
+    rate = F.when((dv >= 0) & (dt > 0), F.round(dv / dt, 6))
+    return series.select(metric_col, ts_col, rate.alias("rate"))
+
+
+def time_shift(series: DataFrame, shift_seconds: int,
+               metric_col: str = "metric", ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """graphite ``timeShift``: move the series along the time axis
+    (positive = into the future), for week-over-week comparisons."""
+    return series.select(
+        metric_col,
+        (F.col(ts_col) + shift_seconds).alias(ts_col),
+        value_col,
+    )
+
+
+def sum_series(series: DataFrame, ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """graphite ``sumSeries``: collapse many series into one by summing
+    aligned points (one partial+final agg; metrics with missing buckets
+    simply contribute nothing, matching graphite's None-skipping)."""
+    return (
+        series.groupBy(ts_col)
+        .agg(F.round(F.sum(value_col), 6).alias("sum_value"),
+             F.count(F.lit(1)).alias("n_series"))
+    )

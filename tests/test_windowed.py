@@ -85,3 +85,35 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert len(out) == 3                      # 5 inputs, 2 duplicates dropped
     assert got[("m.a.cpu", BASE)] == 1.0      # first occurrence won
     assert ("m.c.cpu", BASE + 5) in got
+
+
+def test_timeshift_and_graphite_function_family(spark):
+    """functions/timeseries.py: unit semantics on a hand-checkable series."""
+    from graphouse_spark.functions.timeseries import (
+        moving_average,
+        non_negative_derivative,
+        running_total,
+        sum_series,
+        time_shift,
+    )
+
+    rows = [("m1", 0, 10.0), ("m1", 60, 20.0), ("m1", 120, 5.0),
+            ("m2", 0, 1.0), ("m2", 60, 2.0)]
+    s = spark.createDataFrame(rows, "metric string, ts long, value double")
+
+    ma = {(r["metric"], r["ts"]): r["moving_avg"] for r in moving_average(s, 2).collect()}
+    assert ma[("m1", 60)] == 15.0 and ma[("m1", 120)] == 12.5 and ma[("m2", 0)] == 1.0
+
+    rt = {(r["metric"], r["ts"]): r["running_total"] for r in running_total(s).collect()}
+    assert rt[("m1", 120)] == 35.0
+
+    nn = {(r["metric"], r["ts"]): r["rate"] for r in non_negative_derivative(s).collect()}
+    assert nn[("m1", 0)] is None                      # no predecessor
+    assert nn[("m1", 60)] == pytest.approx(10 / 60, abs=1e-6)  # rising counter (rounded to 6)
+    assert nn[("m1", 120)] is None                    # reset -> None, not negative
+
+    shifted = {(r["metric"], r["ts"]) for r in time_shift(s, 3600).collect()}
+    assert ("m1", 3600) in shifted and ("m1", 0) not in shifted
+
+    ss = {r["ts"]: (r["sum_value"], r["n_series"]) for r in sum_series(s).collect()}
+    assert ss[0] == (11.0, 2) and ss[120] == (5.0, 1)  # missing bucket skipped
