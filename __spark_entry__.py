@@ -797,6 +797,35 @@ def q_ts_sum_series(spark, sf_dir):
     return sum_series(_series(spark, sf_dir))
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_gh_pivot_daily(spark, sf_dir):
+    """Pivot (reshape): day x event_type -> one avg column per type.
+    Explicit value list => no extra distinct-scan job and a stable
+    schema (the unbounded-pivot footgun at scale is the hidden
+    collect of unique keys)."""
+    ev = _events_sec(spark, sf_dir)
+    day = ((F.col("ts_sec") - SEC_JAN1) / DAY).cast("long").alias("day")
+    return (
+        ev.groupBy(day)
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.avg("value"), 6))
+    )
+
+
+def q_gh_unpivot_daily(spark, sf_dir):
+    """Unpivot (melt): the inverse reshape via stack/unpivot back to
+    (day, event_type, avg_value) long form."""
+    wide = q_gh_pivot_daily(spark, sf_dir)
+    # DuckDB's UNPIVOT drops NULL cells; Spark keeps them — align on drop
+    # (a day with no events of a type has no long-form row)
+    return (
+        wide.unpivot("day", EVENT_TYPES, "event_type", "avg_value")
+        .filter(F.col("avg_value").isNotNull())
+    )
+
+
 def q_gh_salted_agg(spark, sf_dir):
     """Hot-key-resistant salted two-phase aggregation
     (operators/skew.py). Decomposable aggregates are EXACTLY equal to
@@ -1115,6 +1144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_click_density": q_interval_click_density,
         "sketch_daily_users": q_sketch_daily_users,
         "gh_salted_agg": q_gh_salted_agg,
+        "gh_pivot_daily": q_gh_pivot_daily,
+        "gh_unpivot_daily": q_gh_unpivot_daily,
         "ts_moving_average": q_ts_moving_average,
         "ts_running_total": q_ts_running_total,
         "ts_nn_derivative": q_ts_nn_derivative,
@@ -1580,6 +1611,30 @@ def oracle_sql() -> dict[str, str]:
         "gh_salted_agg": """
             SELECT event_type, round(avg(value), 6) AS avg_value
             FROM events GROUP BY event_type
+        """,
+        "gh_pivot_daily": """
+            SELECT (ts_sec - 1704067200) // 86400 AS day,
+                   round(avg(value) FILTER (event_type = 'click'), 6) AS click,
+                   round(avg(value) FILTER (event_type = 'error'), 6) AS error,
+                   round(avg(value) FILTER (event_type = 'purchase'), 6) AS purchase,
+                   round(avg(value) FILTER (event_type = 'signup'), 6) AS signup,
+                   round(avg(value) FILTER (event_type = 'view'), 6) AS view
+            FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events)
+            GROUP BY 1
+        """,
+        "gh_unpivot_daily": """
+            WITH wide AS (
+                SELECT (ts_sec - 1704067200) // 86400 AS day,
+                       round(avg(value) FILTER (event_type = 'click'), 6) AS click,
+                       round(avg(value) FILTER (event_type = 'error'), 6) AS error,
+                       round(avg(value) FILTER (event_type = 'purchase'), 6) AS purchase,
+                       round(avg(value) FILTER (event_type = 'signup'), 6) AS signup,
+                       round(avg(value) FILTER (event_type = 'view'), 6) AS view
+                FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events)
+                GROUP BY 1
+            )
+            SELECT day, event_type, avg_value FROM wide
+            UNPIVOT (avg_value FOR event_type IN (click, error, purchase, signup, view))
         """,
         "ts_moving_average": f"""
             SELECT metric, ts,
