@@ -800,6 +800,13 @@ def q_ts_sum_series(spark, sf_dir):
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_ts_percentile_series(spark, sf_dir):
+    """graphite percentileOfSeries: exact p95 across series per point."""
+    from graphouse_spark.functions.timeseries import percentile_of_series
+
+    return percentile_of_series(_series(spark, sf_dir), 0.95)
+
+
 def q_gh_pivot_daily(spark, sf_dir):
     """Pivot (reshape): day x event_type -> one avg column per type.
     Explicit value list => no extra distinct-scan job and a stable
@@ -1150,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_running_total": q_ts_running_total,
         "ts_nn_derivative": q_ts_nn_derivative,
         "ts_sum_series": q_ts_sum_series,
+        "ts_percentile_series": q_ts_percentile_series,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "set_ops": q_set_ops,
@@ -1660,6 +1668,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ts_sum_series": f"""
             SELECT ts, round(sum(value), 6) AS sum_value, count(*) AS n_series
+            FROM ({_SERIES_SQL})
+            GROUP BY ts
+        """,
+        "ts_percentile_series": f"""
+            SELECT ts, round(quantile_cont(value, 0.95), 6) AS pct_value
             FROM ({_SERIES_SQL})
             GROUP BY ts
         """,

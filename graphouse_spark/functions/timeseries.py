@@ -82,3 +82,23 @@ def sum_series(series: DataFrame, ts_col: str = "ts",
         .agg(F.round(F.sum(value_col), 6).alias("sum_value"),
              F.count(F.lit(1)).alias("n_series"))
     )
+
+
+def percentile_of_series(series: DataFrame, p: float = 0.95,
+                         ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``percentileOfSeries``: per aligned point, the exact
+    interpolated percentile across all series (one partial+final agg)."""
+    return (
+        series.groupBy(ts_col)
+        .agg(F.round(F.percentile(value_col, F.lit(p)), 6).alias("pct_value"))
+    )
+
+
+def alias_by_node(series: DataFrame, node: int,
+                  metric_col: str = "metric") -> DataFrame:
+    """graphite ``aliasByNode``: rename each series to its Nth dotted
+    path segment (0-based, negatives from the end)."""
+    parts = F.split(F.col(metric_col), r"\.")
+    idx = F.lit(node + 1) if node >= 0 else F.size(parts) + (node + 1)
+    renamed = F.element_at(parts, idx)
+    return series.withColumn(metric_col, renamed)

@@ -117,3 +117,17 @@ def test_timeshift_and_graphite_function_family(spark):
 
     ss = {r["ts"]: (r["sum_value"], r["n_series"]) for r in sum_series(s).collect()}
     assert ss[0] == (11.0, 2) and ss[120] == (5.0, 1)  # missing bucket skipped
+
+
+def test_percentile_and_alias_by_node(spark):
+    from graphouse_spark.functions.timeseries import alias_by_node, percentile_of_series
+
+    s = spark.createDataFrame(
+        [("one_min.srv1.cpu", 0, 1.0), ("one_min.srv2.cpu", 0, 3.0), ("one_min.srv1.cpu", 60, 5.0)],
+        "metric string, ts long, value double",
+    )
+    med = {r["ts"]: r["pct_value"] for r in percentile_of_series(s, 0.5).collect()}
+    assert med == {0: 2.0, 60: 5.0}  # interpolated median across series
+
+    assert sorted({r["metric"] for r in alias_by_node(s, 1).collect()}) == ["srv1", "srv2"]
+    assert {r["metric"] for r in alias_by_node(s, -1).collect()} == {"cpu"}
