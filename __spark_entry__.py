@@ -999,6 +999,23 @@ def q_doc_winnow_pairs(spark, sf_dir):
                                 k=16, window=8, min_shared=3)
 
 
+def q_doc_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-40 tokens by document frequency (explode
+    distinct tokens -> one agg; ties broken lexicographically)."""
+    from graphouse_spark.functions.text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(40)
+    )
+
+
 def q_emb_cosine_pairs(spark, sf_dir):
     """Embedding-cosine near-dup: globally most-similar pairs (top 20)."""
     from graphouse_spark.functions.similarity import cosine_similarity_col
@@ -1175,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_neardup": q_doc_minhash_neardup,
         "doc_simhash": q_doc_simhash,
         "doc_winnow_pairs": q_doc_winnow_pairs,
+        "doc_vocab_topk": q_doc_vocab_topk,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_cosine_topk_np": q_emb_cosine_topk_np,
         "emb_lsh_topk": q_emb_lsh_topk,
@@ -1615,6 +1633,17 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
               )
             GROUP BY 1
+        """,
+        "doc_vocab_topk": """
+            SELECT token, count(*) AS doc_freq
+            FROM (
+                SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+                FROM documents
+            )
+            WHERE token != ''
+            GROUP BY token
+            ORDER BY doc_freq DESC, token ASC
+            LIMIT 40
         """,
         "gh_salted_agg": """
             SELECT event_type, round(avg(value), 6) AS avg_value
