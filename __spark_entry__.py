@@ -578,6 +578,23 @@ def q_tpch_q9(spark, sf_dir):
     )
 
 
+def q_tpch_q11(spark, sf_dir):
+    """important stock (adapted: no partsupp -> per-part revenue via
+    lineitem x supplier-nation filter); the Q11 shape = group agg
+    compared against a scalar-subquery fraction of the global total."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") <= 4)
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+    per_part = joined.groupBy("l_partkey").agg(rev.alias("part_value"))
+    total = joined.agg((rev * 0.001).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", F.round("part_value", 4).alias("part_value"))
+    )
+
+
 def q_tpch_q13(spark, sf_dir):
     """customer order-count distribution: LEFT OUTER join + agg-of-agg."""
     cust = _t(spark, sf_dir, "customer")
@@ -1157,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q16": q_tpch_q16,
@@ -1546,6 +1564,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE p_name LIKE '%gear%'
             GROUP BY 1, 2
+        """,
+        "tpch_q11": """
+            WITH joined AS (
+                SELECT l_partkey, l_extendedprice * (1 - l_discount) AS rev
+                FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                WHERE s_nationkey <= 4
+            )
+            SELECT l_partkey, round(sum(rev), 4) AS part_value
+            FROM joined
+            GROUP BY l_partkey
+            HAVING sum(rev) > (SELECT sum(rev) * 0.001 FROM joined)
         """,
         "tpch_q13": """
             SELECT c_count, count(*) AS custdist
