@@ -850,6 +850,15 @@ def q_gh_unpivot_daily(spark, sf_dir):
     )
 
 
+def q_gh_histogram(spark, sf_dir):
+    """Fixed-width value histogram per event_type (floor-bin + count —
+    one partial+final agg; the fixed grid keeps bins mergeable across
+    executors, unlike rank-based binning)."""
+    ev = _events_sec(spark, sf_dir)
+    bin_col = (F.floor(F.col("value") / 10.0) * 10).cast("double").alias("bin_lo")
+    return ev.groupBy("event_type", bin_col).agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_gh_salted_agg(spark, sf_dir):
     """Hot-key-resistant salted two-phase aggregation
     (operators/skew.py). Decomposable aggregates are EXACTLY equal to
@@ -1186,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_click_density": q_interval_click_density,
         "sketch_daily_users": q_sketch_daily_users,
         "gh_salted_agg": q_gh_salted_agg,
+        "gh_histogram": q_gh_histogram,
         "gh_pivot_daily": q_gh_pivot_daily,
         "gh_unpivot_daily": q_gh_unpivot_daily,
         "ts_moving_average": q_ts_moving_average,
@@ -1677,6 +1687,11 @@ def oracle_sql() -> dict[str, str]:
         "gh_salted_agg": """
             SELECT event_type, round(avg(value), 6) AS avg_value
             FROM events GROUP BY event_type
+        """,
+        "gh_histogram": """
+            SELECT event_type, CAST(floor(value / 10.0) * 10 AS DOUBLE) AS bin_lo,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
         """,
         "gh_pivot_daily": """
             SELECT (ts_sec - 1704067200) // 86400 AS day,

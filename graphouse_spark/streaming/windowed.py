@@ -78,3 +78,16 @@ def streaming_dedup(parsed: DataFrame, delay: str = "10 minutes",
         "_event", F.from_unixtime("timestamp").cast("timestamp")
     ).withWatermark("_event", delay)
     return with_time.dropDuplicatesWithinWatermark(list(keys)).drop("_event")
+
+
+def enrich_with_dimension(parsed: DataFrame, dim: DataFrame,
+                          key: str = "name") -> DataFrame:
+    """Stream-static join: enrich in-flight points with a dimension
+    table (e.g. per-metric retention/ownership metadata).
+
+    Structured Streaming re-plans the static side each micro-batch, so
+    a dimension refreshed on disk is picked up without restarting the
+    query; broadcast keeps the stream side shuffle-free — the stateless
+    enrichment shape that scales to any stream rate.
+    """
+    return parsed.join(F.broadcast(dim), key, "left_outer")

@@ -131,3 +131,30 @@ def test_percentile_and_alias_by_node(spark):
 
     assert sorted({r["metric"] for r in alias_by_node(s, 1).collect()}) == ["srv1", "srv2"]
     assert {r["metric"] for r in alias_by_node(s, -1).collect()} == {"cpu"}
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.streaming.windowed import enrich_with_dimension
+
+    src = tmp_path / "ein"
+    src.mkdir()
+    rows = [("m.a.cpu", 1.0, BASE, BASE), ("m.b.cpu", 2.0, BASE, BASE)]
+    spark.createDataFrame(rows, LINE_SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
+    dim = spark.createDataFrame([("m.a.cpu", "team-x")], "name string, owner string")
+    stream = spark.readStream.schema(LINE_SCHEMA).parquet(str(src / "*"))
+    query = (
+        enrich_with_dimension(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enriched_out")
+        .option("checkpointLocation", str(tmp_path / "eckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        got = {r["name"]: r["owner"] for r in spark.table("enriched_out").collect()}
+    finally:
+        query.stop()
+    assert got == {"m.a.cpu": "team-x", "m.b.cpu": None}  # left join keeps unknowns
