@@ -824,6 +824,20 @@ def q_ts_percentile_series(spark, sf_dir):
     return percentile_of_series(_series(spark, sf_dir), 0.95)
 
 
+def q_ts_group_by_node(spark, sf_dir):
+    """graphite groupByNode over synthetic dotted paths: re-key events
+    series to 'events.<type>' -> first segment and sum aligned points."""
+    from graphouse_spark.functions.timeseries import group_by_node
+
+    ev = _events_sec(spark, sf_dir)
+    s = ev.select(
+        F.concat(F.lit("events."), F.col("event_type"), F.lit(".u"), F.col("user_id")).alias("metric"),
+        (F.col("ts_sec") - F.col("ts_sec") % 3600).alias("ts"),
+        F.col("value"),
+    )
+    return group_by_node(s, 1, "sum")
+
+
 def q_gh_pivot_daily(spark, sf_dir):
     """Pivot (reshape): day x event_type -> one avg column per type.
     Explicit value list => no extra distinct-scan job and a stable
@@ -1203,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_nn_derivative": q_ts_nn_derivative,
         "ts_sum_series": q_ts_sum_series,
         "ts_percentile_series": q_ts_percentile_series,
+        "ts_group_by_node": q_ts_group_by_node,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "set_ops": q_set_ops,
@@ -1748,6 +1763,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT ts, round(quantile_cont(value, 0.95), 6) AS pct_value
             FROM ({_SERIES_SQL})
             GROUP BY ts
+        """,
+        "ts_group_by_node": """
+            SELECT string_split(metric, '.')[2] AS metric,
+                   ts, round(sum(value), 6) AS value
+            FROM (
+                SELECT 'events.' || event_type || '.u' || user_id AS metric,
+                       ts_sec - ts_sec % 3600 AS ts, value
+                FROM (SELECT event_type, user_id,
+                             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events)
+            )
+            GROUP BY 1, 2
         """,
         "asof_click_attrib": """
             SELECT l.event_id, l.user_id, l.ts_sec, l.value, r.click_value

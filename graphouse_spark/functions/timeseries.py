@@ -102,3 +102,22 @@ def alias_by_node(series: DataFrame, node: int,
     idx = F.lit(node + 1) if node >= 0 else F.size(parts) + (node + 1)
     renamed = F.element_at(parts, idx)
     return series.withColumn(metric_col, renamed)
+
+
+def group_by_node(series: DataFrame, node: int, function: str = "sum",
+                  metric_col: str = "metric", ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """graphite ``groupByNode(series, N, func)``: re-key every series to
+    its Nth path segment and aggregate aligned points within each new
+    key — alias_by_node composed with one partial+final agg."""
+    from graphouse_spark.operators.bucket import AGG_FUNCTIONS
+
+    try:
+        agg = AGG_FUNCTIONS[function]
+    except KeyError:
+        raise ValueError(f"unknown aggregation function {function!r}") from None
+    rekeyed = alias_by_node(series, node, metric_col)
+    return (
+        rekeyed.groupBy(metric_col, ts_col)
+        .agg(F.round(agg(value_col), 6).alias(value_col))
+    )

@@ -158,3 +158,16 @@ def test_stream_static_enrichment(spark, tmp_path):
     finally:
         query.stop()
     assert got == {"m.a.cpu": "team-x", "m.b.cpu": None}  # left join keeps unknowns
+
+
+def test_group_by_node(spark):
+    from graphouse_spark.functions.timeseries import group_by_node
+
+    s = spark.createDataFrame(
+        [("dc1.srv1.cpu", 0, 1.0), ("dc1.srv2.cpu", 0, 3.0), ("dc2.srv3.cpu", 0, 7.0)],
+        "metric string, ts long, value double",
+    )
+    by_dc = {(r["metric"], r["ts"]): r["value"] for r in group_by_node(s, 0, "sum").collect()}
+    assert by_dc == {("dc1", 0): 4.0, ("dc2", 0): 7.0}
+    with pytest.raises(ValueError):
+        group_by_node(s, 0, "median")
