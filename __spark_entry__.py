@@ -24,6 +24,13 @@ DAY = 86400
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The caller may hand us a session built without our confs (the
+    # correctness harness builds its own). Both are runtime-settable:
+    # events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects unless
+    # nanosAsLong is on, and date/time functions must agree with the
+    # UTC-based DuckDB oracle regardless of the host timezone.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

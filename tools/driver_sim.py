@@ -1,0 +1,97 @@
+"""Simulate the driver's correctness gate with a BARE SparkSession.
+
+The driver harness builds its own session with none of our confs
+(round 1 lost all 31 events-based queries to the TIMESTAMP(NANOS)
+parquet type because of exactly this gap). This script mirrors that:
+plain builder, then run every queries() entry against its oracle_sql()
+on DuckDB at the given sf dir, comparing row count, sorted column
+names, and sorted-row values.
+
+Usage: python tools/driver_sim.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entry_mod  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == "float64":
+            df[c] = df[c].round(9)
+    rows = [
+        tuple(None if (isinstance(v, float) and math.isnan(v)) or v is pd.NA else v
+              for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
+    return sorted(rows, key=repr)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    # bare session — intentionally NO graphouse_spark.session confs
+    spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    results: dict[str, dict] = {}
+    bad = 0
+    for name in sorted(queries):
+        if only and name not in only:
+            continue
+        rec: dict = {}
+        try:
+            sdf = queries[name](spark, sf_dir).toPandas()
+            rec["spark_rows"] = len(sdf)
+            if name in oracles:
+                ddf = con.execute(oracles[name]).fetchdf()
+                rec["oracle_rows"] = len(ddf)
+                rec["schema_match"] = sorted(sdf.columns) == sorted(ddf.columns)
+                s_rows, d_rows = normalize(sdf), normalize(ddf)
+                rec["rows_match"] = len(s_rows) == len(d_rows)
+                rec["hash_match"] = rec["rows_match"] and all(
+                    a == b for a, b in zip(s_rows, d_rows)
+                )
+                ok = rec["schema_match"] and rec["hash_match"]
+            else:
+                rec["rows_only"] = True
+                ok = True
+        except Exception as e:  # noqa: BLE001
+            rec["err"] = f"{type(e).__name__}: {e}"
+            ok = False
+        if not ok:
+            bad += 1
+            print(f"FAIL {name}: {json.dumps(rec)[:400]}")
+        else:
+            print(f"ok   {name} ({rec.get('spark_rows')} rows)")
+        results[name] = rec
+
+    print(f"\n{len(results) - bad}/{len(results)} pass")
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
