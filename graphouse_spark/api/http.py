@@ -12,8 +12,9 @@ Speaks the wire contract the graphite-web plugin consumes
   ``{name: {start, end, step, points}}``; oversized metric lists get
   413 (MetricDataServiceServlet.java:58-64). Legacy
   ``startSecond``/``endSecond`` form fields stay accepted.
-- ``POST /ban|/approve|/hide``  form ``metric=<path or glob>``
-  (MetricSearchServlet.java:115-139)
+- ``GET|POST /ban|/approve|/hide``  param ``name=<path or glob>``
+  (``metric`` kept as alias; MetricSearchServlet.java:115-139 — the
+  reference routes these through doGet)
 - ``GET|POST /multiBan|/multiApprove|/multiHide`` param ``query=<glob>``
   -> the reference's report shape: header line, blank line, touched
   names, blank line, ``Total count: N`` (MetricSearchServlet.java:126-139)
@@ -84,6 +85,16 @@ def make_handler(service: GraphouseService):
                     self._send(200, service.search_cached(params.get("query", "")))
                 elif route in MULTI_STATUS:
                     self._multi_modify(route, params)
+                elif route in ("/ban", "/approve", "/hide"):
+                    # the reference serves these over GET too
+                    # (MetricSearchServlet.doGet; getParameter("name"))
+                    status = {"/ban": "BAN", "/approve": "APPROVED", "/hide": "HIDDEN"}[route]
+                    target = params.get("name", params.get("metric", ""))
+                    if not target:
+                        self._send(400, "name parameter required")
+                        return
+                    touched = service.modify(target, status)
+                    self._send(200, "\n".join(touched))
                 else:
                     self._send(404, "not found")
             except RuntimeError as e:  # tree not loaded

@@ -99,6 +99,11 @@ class GraphouseService:
     # -- /ban /approve /hide /multiModify --
     def modify(self, pattern: str, status: str) -> list[str]:
         """Set status on a path or on every glob match; returns touched names."""
+        if not self._loaded:
+            # every route 503s until bootstrap finishes
+            # (MetricSearchServlet.isServerNotReady) — mutating an empty
+            # tree would persist bogus status rows
+            raise RuntimeError("metric tree not loaded yet (the reference returns 503)")
         st = MetricStatus(status)
         targets = self.tree.search(pattern) if contains_expressions(pattern) else [pattern]
         touched: list[str] = []

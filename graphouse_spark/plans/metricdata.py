@@ -92,7 +92,9 @@ def render_series(rows, params: MetricDataQueryParams, metric_names: list[str]) 
         if offset < 0 or idx >= params.num_points:
             continue
         v = row["value"]
-        series["points"][idx] = None if v is None or math.isnan(v) else v
+        # Double.isFinite check in MetricDataRowCallbackHandler: NaN and
+        # +/-Infinity both serialize as null (bare Infinity is not JSON).
+        series["points"][idx] = None if v is None or not math.isfinite(v) else v
     return result
 
 
@@ -123,21 +125,24 @@ class MetricDataService:
         """
         if not metric_names:
             return {}
-        if params is None:
-            params = self.query_params(metric_names, start, end, now_seconds)
-        # per-function grouping (MetricDataService.java:45-52)
+        # per-function grouping (MetricDataService.java:45-52); params are
+        # derived PER GROUP from that group's retentions only
+        # (MetricDataService.java:55-58), so a mixed-retention request
+        # renders each group at its own step, not the global max.
         groups: dict[str, list[str]] = defaultdict(list)
         for name in metric_names:
             groups[self.provider.get_retention(name).function].append(name)
-        frames = [
-            metric_series(spark, data, names, params.start_time_seconds,
-                          params.end_time_seconds, params.step_seconds, fn)
-            for fn, names in groups.items()
-        ]
-        union = frames[0]
-        for f in frames[1:]:
-            union = union.unionByName(f)
-        return render_series(union.collect(), params, metric_names)
+        result: dict[str, dict] = {}
+        for fn, names in groups.items():
+            gparams = params if params is not None else self.query_params(
+                names, start, end, now_seconds
+            )
+            frame = metric_series(
+                spark, data, names, gparams.start_time_seconds,
+                gparams.end_time_seconds, gparams.step_seconds, fn,
+            )
+            result.update(render_series(frame.collect(), gparams, names))
+        return result
 
     def get_data_json(self, *args, **kwargs) -> str:
         return json.dumps(self.get_data(*args, **kwargs))

@@ -43,10 +43,14 @@ def parse_lines(lines: DataFrame, updated: Column | None = None,
         updated.cast("long").alias("updated"),
         F.size(parts).alias("_n"),
     )
+    # Double.isFinite (BaseMetricFactory.java:66-69): Spark happily casts
+    # 'Infinity'/'-Infinity' strings to doubles, so an explicit finite-range
+    # check is needed; NaN fails the between too (SQL comparison -> null).
+    finite = F.col("value").between(-1.7976931348623157e308, 1.7976931348623157e308)
     return parsed.filter(
         (F.col("_n") == 3)
         & F.col("value").isNotNull()
-        & ~F.isnan("value")
+        & finite
         & F.col("timestamp").isNotNull()
         & (F.col("timestamp") > 0)
         & validator.valid_condition(F.col("name"))

@@ -51,8 +51,28 @@ def filter_banned(parsed: DataFrame, banned_prefixes: tuple[str, ...]) -> DataFr
     return parsed.filter(~cond)
 
 
+def filter_banned_dynamic(parsed: DataFrame, banned: DataFrame | None) -> DataFrame:
+    """Drop names whose resolved status (or an ancestor dir's) is BAN.
+
+    The reference refuses values for banned subtrees via the write-path
+    trie (BannedMetricCache.isBanned); here the resolved BAN rows are a
+    small broadcast side of a left-anti join. Dir names carry a trailing
+    dot, so ``startswith`` is an unambiguous subtree match; metric names
+    must match exactly (no trailing delimiter to guard the prefix).
+    """
+    if banned is None:
+        return parsed
+    b = F.broadcast(banned.select(F.col(banned.columns[0]).alias("_ban")))
+    is_dir = F.col("_ban").endswith(".")
+    cond = F.when(is_dir, F.col("name").startswith(F.col("_ban"))).otherwise(
+        F.col("name") == F.col("_ban")
+    )
+    return parsed.join(b, cond, "left_anti")
+
+
 def ingest_batch(batch: DataFrame, cfg: IngestConfig, known_names: DataFrame | None,
-                 hidden_names: DataFrame | None = None) -> None:
+                 hidden_names: DataFrame | None = None,
+                 banned_names: DataFrame | None = None) -> None:
     """One micro-batch: append points; register new names; un-hide (T6).
 
     ``known_names``/``hidden_names`` come from the current resolved
@@ -61,7 +81,9 @@ def ingest_batch(batch: DataFrame, cfg: IngestConfig, known_names: DataFrame | N
     smaller than the points side, and the anti-join key (name) is the
     batch's natural clustering.
     """
-    batch = filter_banned(batch, cfg.banned_prefixes).cache()
+    batch = filter_banned_dynamic(
+        filter_banned(batch, cfg.banned_prefixes), banned_names
+    ).cache()
     try:
         write_data(to_data_rows(batch), cfg.data_path)
 
@@ -126,9 +148,10 @@ def start_socket_ingest(spark: SparkSession, cfg: IngestConfig, host: str = "loc
             resolved = latest_status(read_metrics(spark, cfg.metrics_path))
             known = resolved.select("name")
             hidden = resolved.filter(F.col("status").isin("HIDDEN", "AUTO_HIDDEN")).select("name")
+            banned = resolved.filter(F.col("status") == "BAN").select("name")
         else:  # first batch: table does not exist yet
-            known = hidden = None
-        ingest_batch(batch, cfg, known, hidden)
+            known = hidden = banned = None
+        ingest_batch(batch, cfg, known, hidden, banned)
 
     return (
         parsed.writeStream.foreachBatch(run)

@@ -76,3 +76,14 @@ def test_ban_and_persistence(service, spark):
     assert svc2.search("one_min.*") == "one_min.srv1."
     svc2.approve("one_min.srv2.")
     assert svc2.search("one_min.*") == "one_min.srv1.\none_min.srv2."
+
+
+def test_modify_503_before_load(spark, tmp_path):
+    # /ban etc. must 503 until bootstrap, like every other route
+    # (MetricSearchServlet.isServerNotReady) — otherwise they mutate an
+    # empty tree and persist bogus rows.
+    svc = GraphouseService(spark, str(tmp_path / "d"), str(tmp_path / "m"))
+    with pytest.raises(RuntimeError):
+        svc.modify("one_min.srv1.", "BAN")
+    with pytest.raises(RuntimeError):
+        svc.ban("one_min.srv1.")

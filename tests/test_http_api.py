@@ -157,3 +157,21 @@ def test_bad_requests(server):
     assert code == 400
     code, _ = get(port, "/nope")
     assert code == 404
+
+
+def test_get_modify_routes(server):
+    # the reference serves /ban /approve /hide over GET with the 'name'
+    # query parameter (MetricSearchServlet.doGet)
+    svc, http, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    code, body = get(port, "/ban?name=one_min.srv1.cpu")
+    assert (code, body) == (200, "one_min.srv1.cpu")
+    _, body = post(port, "/search", query="one_min.srv1.*")
+    assert "one_min.srv1.cpu" not in body
+    code, body = get(port, "/approve?name=one_min.srv1.cpu")
+    assert (code, body) == (200, "one_min.srv1.cpu")
+    _, body = post(port, "/search", query="one_min.srv1.*")
+    assert "one_min.srv1.cpu" in body
+    code, _ = get(port, "/hide?name=")
+    assert code == 400

@@ -151,3 +151,50 @@ def test_redirect_host_metrics(spark):
         "one_min.market-hosts.msh01d_market_yandex_net.cpu.load",
         "one_min.front01.cpu.load",
     }
+
+
+def test_parse_lines_rejects_infinity(spark):
+    # Spark casts 'Infinity'/'-Infinity'/overflowing literals to valid
+    # doubles; the reference's Double.isFinite check must drop them.
+    raw = lines_df(spark, [
+        "one_min.srv1.a Infinity 1542199500",
+        "one_min.srv1.b -Infinity 1542199500",
+        "one_min.srv1.c 1e400 1542199500",     # overflows to +inf
+        "one_min.srv1.d 1.0 1542199500",
+    ])
+    got = parse_lines(raw, updated=F.lit(1)).collect()
+    assert [r["name"] for r in got] == ["one_min.srv1.d"]
+
+
+def test_dynamic_ban_blocks_new_names(spark, tmp_path):
+    # A brand-new metric under a BANned directory must be refused on
+    # ingest (the reference's BannedMetricCache subtree check), not just
+    # names on the static cfg.banned_prefixes list.
+    from graphouse_spark.streaming.ingest import filter_banned_dynamic
+
+    cfg = IngestConfig(
+        data_path=str(tmp_path / "data"),
+        metrics_path=str(tmp_path / "metrics"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    banned = spark.createDataFrame(
+        [("one_min.bad.",), ("one_min.ok.exactmetric",)], "name string"
+    )
+    batch = parse_lines(lines_df(spark, [
+        "one_min.bad.newmetric 1.0 1542199500",    # new name under banned dir
+        "one_min.ok.exactmetric 2.0 1542199500",   # exactly-banned metric
+        "one_min.ok.exactmetric2 2.5 1542199500",  # prefix of a banned METRIC is ok
+        "one_min.good.metric 3.0 1542199500",
+    ]), updated=F.lit(100))
+
+    kept = filter_banned_dynamic(batch, banned)
+    assert sorted(r["name"] for r in kept.collect()) == [
+        "one_min.good.metric", "one_min.ok.exactmetric2",
+    ]
+
+    ingest_batch(batch, cfg, known_names=None, banned_names=banned)
+    data_metrics = {r["metric"] for r in read_data(spark, cfg.data_path).collect()}
+    assert data_metrics == {"one_min.good.metric", "one_min.ok.exactmetric2"}
+    tree_names = {r["name"] for r in read_metrics(spark, cfg.metrics_path).collect()}
+    assert "one_min.bad.newmetric" not in tree_names
+    assert "one_min.bad." not in tree_names

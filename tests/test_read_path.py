@@ -6,6 +6,7 @@ series for matched-but-dataless metrics) is the contract for
 ``MetricDataService.get_data``.
 """
 
+import json
 import math
 
 import pytest
@@ -217,3 +218,38 @@ def test_utc_day_boundary_date_derivation(spark, tmp_path):
     d9, d10 = datetime.date(2017, 4, 9), datetime.date(2017, 4, 10)
     assert got[1491771599] == d9 and got[1491771601] == d9  # diverges from Moscow golden
     assert got[1491782399] == d9 and got[1491782400] == d10  # UTC boundary exact
+
+
+def test_mixed_retention_per_group_params(spark):
+    # MetricDataService.java:55-58: params are computed PER function group,
+    # so a mixed-retention request renders the finer group at its own step
+    # instead of the global max step.
+    provider = CombinedRetentionProvider([
+        MetricRetentionConfig("coarse\\..*", False, MetricRetention("max", {0: 300})),
+        MetricRetentionConfig(".*", True, MetricRetention("avg", {0: 60})),
+    ])
+    service = MetricDataService(provider)
+    data = make_data(spark, [
+        ("coarse.m", 1.0, 30, 1), ("coarse.m", 5.0, 290, 1),
+        ("fine.m", 2.0, 30, 1), ("fine.m", 4.0, 90, 1),
+    ])
+    out = service.get_data(spark, data, ["coarse.m", "fine.m"], 0, 600, now_seconds=600)
+    assert out["coarse.m"]["step"] == 300
+    assert out["fine.m"]["step"] == 60
+    assert out["coarse.m"]["points"] == [5.0, None]
+    assert out["fine.m"]["points"] == [2.0, 4.0] + [None] * 8
+
+
+def test_infinity_to_null(spark):
+    # Double.isFinite at render: Infinity must become null (bare Infinity
+    # is not valid strict JSON), same as NaN.
+    from graphouse_spark.plans.metricdata import render_series
+
+    rows = [
+        {"metric": "m", "ts": 0, "value": float("inf")},
+        {"metric": "m", "ts": 60, "value": float("-inf")},
+        {"metric": "m", "ts": 120, "value": 1.5},
+    ]
+    out = render_series(rows, MetricDataQueryParams(0, 180, 60), ["m"])
+    assert out["m"]["points"] == [None, None, 1.5]
+    assert "Infinity" not in json.dumps(out)
