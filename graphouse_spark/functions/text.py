@@ -175,15 +175,21 @@ def winnow_overlap_pairs(docs: DataFrame, k: int = 8, window: int = 4,
     expressions, no Python workers). Both satisfy the winnowing
     guarantee; their hash families (and so exact fingerprints) differ.
 
-    Fingerprint explode -> equi-join -> count: pair cost tracks true
-    overlap (shared substrings), never n² — the same shape as the
-    shingle join but over the winnowed (~2/(window+1)-sized) set.
+    Pair generation is ONE aggregation, not a self-join: group by
+    fingerprint, collect the (sorted) doc list per fingerprint, emit
+    in-list pair combinations with a nested ``transform``, then count
+    per pair. Two shuffles total (by fp, then by pair) versus the
+    self-join shape's four (df-count, semi-join probe, join, final agg)
+    — and the df cap becomes a free ``size(ids) <= cap`` filter on the
+    already-collected list. Pair volume still tracks true overlap
+    (sum of per-fp C(df,2)), never n².
 
     ``max_df``: fingerprints present in more than this fraction of the
-    corpus are dropped before the self-join (a fingerprint shared by
-    everything — boilerplate, templates — carries no dedup signal, and
-    its join bucket is exactly the quadratic hot key that melts the
-    shuffle at scale). Disable with ``max_df=1.0``.
+    corpus are dropped (a fingerprint shared by everything —
+    boilerplate, templates — carries no dedup signal, and its pair
+    blow-up is exactly the quadratic hot key that melts the shuffle at
+    scale; the cap also bounds per-group collect_list memory).
+    Disable with ``max_df=1.0``.
     """
     if strategy == "arrow":
         ex = winnowing_fingerprints_np(docs, k, window, text_col, id_col)
@@ -192,22 +198,28 @@ def winnow_overlap_pairs(docs: DataFrame, k: int = 8, window: int = 4,
         ex = fps.select(F.col(id_col), F.explode("fingerprints").alias("fp"))
     else:
         raise ValueError(f"strategy must be arrow|catalyst, got {strategy!r}")
-    # persist: the fingerprint subtree otherwise re-executes for the df
-    # count and for BOTH sides of the self-join
-    ex = ex.persist()
     if max_df < 1.0:
-        n_docs = docs.count()
-        cap = max(2, int(n_docs * max_df))
-        rare = (
-            ex.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= cap).select("fp")
+        cap = max(2, int(docs.count() * max_df))
+    else:
+        cap = None
+    lists = ex.groupBy("fp").agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+    lists = lists.filter(F.size("ids") >= 2)
+    if cap is not None:
+        lists = lists.filter(F.size("ids") <= cap)
+    # all pairs (ids[i], ids[j]) with i < j: for each element, pair it
+    # with every later element (slice is 1-based; i is 0-based)
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        ex = ex.join(rare, "fp", "left_semi")
-    l, r = ex.alias("l"), ex.alias("r")
+    )
     return (
-        l.join(r, "fp")
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        lists.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
