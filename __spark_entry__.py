@@ -1029,6 +1029,22 @@ def q_doc_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_minhash_md5(spark, sf_dir):
+    """MinHash+LSH near-dup on the PORTABLE md5 hash family — the full
+    shingle -> signature -> band -> verify pipeline is oracle-checked
+    bit-for-bit (the DuckDB twin derives identical signatures)."""
+    from graphouse_spark.functions.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(_t(spark, sf_dir, "documents"), threshold=0.5, hash_fn="md5")
+
+
+def q_doc_simhash_md5(spark, sf_dir):
+    """60-bit SimHash on the portable md5 family (oracled)."""
+    from graphouse_spark.functions.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), bits=60, hash_fn="md5")
+
+
 def q_doc_lang_id(spark, sf_dir):
     from graphouse_spark.functions.text import language_id
 
@@ -1241,6 +1257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_pairs": q_emb_cosine_pairs,
         "doc_minhash_neardup": q_doc_minhash_neardup,
         "doc_simhash": q_doc_simhash,
+        "doc_minhash_md5": q_doc_minhash_md5,
+        "doc_simhash_md5": q_doc_simhash_md5,
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "doc_vocab_topk": q_doc_vocab_topk,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -1252,9 +1270,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _minhash_md5_oracle(threshold: float = 0.5, num_hashes: int = 64,
+                        bands: int = 16, shingle_n: int = 3) -> str:
+    """DuckDB twin of minhash_near_duplicates(hash_fn='md5'): same
+    fixed-seed (a_i, b_i) family, same md5-prefix shingle hash, same
+    band slicing — signatures agree bit-for-bit, so the LSH candidate
+    set (band-slice equality) and the verified pairs match exactly."""
+    from graphouse_spark.functions.dedup import minhash_ab
+
+    ab = minhash_ab(num_hashes)
+    aas = "[" + ",".join(str(a) for a, _ in ab) + "]"
+    bbs = "[" + ",".join(str(b) for _, b in ab) + "]"
+    p = (1 << 61) - 1
+    rpb = num_hashes // bands
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, list_distinct(CASE WHEN len(toks) <= {shingle_n - 1}
+              THEN [array_to_string(toks, ' ')]
+              ELSE [array_to_string(toks[i:i+{shingle_n - 1}], ' ') FOR i IN range(1, len(toks)-{shingle_n - 2})]
+            END) AS shingles
+          FROM toks
+        ),
+        hs AS (
+          SELECT doc_id, [CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT) FOR s IN shingles] AS hs
+          FROM sh
+        ),
+        sig AS (
+          SELECT doc_id,
+            [list_min([(({aas})[i]*h + ({bbs})[i]) % {p} FOR h IN hs]) FOR i IN range(1, {num_hashes + 1})] AS sig
+          FROM hs
+        ),
+        bnd AS (
+          SELECT doc_id, b, sig[{rpb}*b+1 : {rpb}*b+{rpb}] AS key FROM sig, range(0, {bands}) t(b)
+        ),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM bnd l JOIN bnd r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+        )
+        SELECT cand.id_a, cand.id_b,
+          round(list_sum([CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END FOR i IN range(1, {num_hashes + 1})]) / {num_hashes}.0, 6) AS est_jaccard
+        FROM cand JOIN sig sa ON sa.doc_id = cand.id_a JOIN sig sb ON sb.doc_id = cand.id_b
+        WHERE est_jaccard >= {threshold}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     ts_sec = "CAST(floor(epoch(ts)) AS BIGINT)"
     return {
+        "doc_minhash_md5": _minhash_md5_oracle(),
+        "doc_simhash_md5": r"""
+            WITH toks AS (
+              SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS toks
+              FROM documents
+            ),
+            hs AS (
+              SELECT doc_id, [CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT) FOR t IN toks] AS hs
+              FROM toks
+            )
+            SELECT doc_id,
+              CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0
+                             THEN (CAST(1 AS BIGINT) << j) ELSE 0 END FOR j IN range(0, 60)]) AS BIGINT) AS simhash
+            FROM hs
+        """,
         "gh_lww_dedup": """
             SELECT user_id, event_type,
                    arg_max(value, event_id) AS last_value,

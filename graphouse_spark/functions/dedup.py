@@ -49,8 +49,32 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def portable_hash32(col: Column) -> Column:
+    """32-bit content hash identical across engines: first 8 hex chars
+    of md5. DuckDB twin: ``CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT)``.
+
+    xxhash64 is ~3x faster JVM-side but engine-specific; use this
+    family when results must be reproducible outside Spark (oracle
+    checks, cross-system dedup manifests).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def portable_hash60(col: Column) -> Column:
+    """60-bit variant (15 hex chars — stays clear of BIGINT sign)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_ab(num_hashes: int) -> list[tuple[int, int]]:
+    """The fixed-seed universal-hash family (a_i, b_i) — shared with the
+    DuckDB oracle so both engines derive identical signatures."""
+    rng = random.Random(0x5EED + num_hashes)
+    return [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 60)) for _ in range(num_hashes)]
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
+                       num_hashes: int = 64, shingle_n: int = 3,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """(id, signature: array<long>) — universal-hash MinHash.
 
     Each shingle is string-hashed ONCE (xxhash64, masked to 32 bits);
@@ -62,15 +86,23 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
 
     ANSI-safe bounds: a < 2^30, h < 2^32, b < 2^60 keep every
     intermediate below 2^63 (Spark 4 throws on long overflow).
+
+    ``hash_fn``: ``xxhash64`` (fast, engine-specific) or ``md5``
+    (portable_hash32 — bit-identical in DuckDB, so the whole pipeline
+    is oracle-checkable).
     """
-    rng = random.Random(0x5EED + num_hashes)
-    ab = [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 60)) for _ in range(num_hashes)]
+    ab = minhash_ab(num_hashes)
     ab_lit = F.expr(
         "array(" + ",".join(f"named_struct('a',{a}L,'b',{b}L)" for a, b in ab) + ")"
     )
     prime = F.lit((1 << 61) - 1)
     shingles = word_shingles(F.col(text_col), shingle_n)
-    hashed = F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF)))
+    if hash_fn == "md5":
+        hashed = F.transform(shingles, portable_hash32)
+    elif hash_fn == "xxhash64":
+        hashed = F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF)))
+    else:
+        raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
     init = F.array_repeat(F.lit(1 << 62).cast("long"), num_hashes)
     sig = F.aggregate(
         hashed,
@@ -124,7 +156,8 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 
 def minhash_near_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                             threshold: float = 0.7, num_hashes: int = 64,
-                            bands: int = 16, shingle_n: int = 3) -> DataFrame:
+                            bands: int = 16, shingle_n: int = 3,
+                            hash_fn: str = "xxhash64") -> DataFrame:
     """End-to-end MinHash LSH: candidates verified by signature similarity.
 
     Returns (id_a, id_b, est_jaccard) for pairs whose estimated
@@ -135,7 +168,8 @@ def minhash_near_duplicates(docs: DataFrame, text_col: str = "text", id_col: str
     # all cores before computing, and persist — the signature subtree
     # feeds three joins below
     par = docs.sparkSession.sparkContext.defaultParallelism
-    sigs = minhash_signatures(docs.repartition(par), text_col, id_col, num_hashes, shingle_n).persist()
+    sigs = minhash_signatures(docs.repartition(par), text_col, id_col, num_hashes,
+                              shingle_n, hash_fn).persist()
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
@@ -182,13 +216,22 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 64) -> DataFrame:
-    """64-bit SimHash from token xxhash64s, entirely in expressions.
+            bits: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
+    """64-bit SimHash from token hashes, entirely in expressions.
 
     bit_j(sim) = 1 iff sum over tokens of sign(bit_j(hash(token))) > 0.
+
+    ``hash_fn="md5"`` uses the 60-bit portable family (pass bits<=60):
+    bit-identical in DuckDB, so fingerprints are oracle-checkable.
     """
     toks = F.array_distinct(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if hash_fn == "md5":
+        assert bits <= 60, "portable md5 hash carries 60 bits"
+        hashes = F.transform(toks, portable_hash60)
+    elif hash_fn == "xxhash64":
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    else:
+        raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
     def vote(mask: int):
         return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
 
