@@ -98,3 +98,185 @@ def ewma_anomalies(parsed: DataFrame, alpha: float = 0.3, z_threshold: float = 3
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time sessionization with gap timeout
+# ---------------------------------------------------------------------------
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ts", LongType()),
+        StructField("last_ts", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("session_start", LongType()),
+        StructField("session_end", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("closed_by", StringType()),
+    ]
+)
+
+
+def make_session_fn(gap_seconds: int):
+    """(key, batches, state) -> closed sessions. A session closes when a
+    later event arrives more than ``gap_seconds`` after the previous one
+    (closed_by='gap') or when the watermark passes last_ts + gap
+    (closed_by='timeout' — the open session is flushed)."""
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        cols = [f.name for f in SESSION_OUTPUT_SCHEMA.fields]
+        if state.hasTimedOut:
+            start, last, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame([(k, start, last, n, sv, "timeout")], columns=cols)
+            return
+        if state.exists:
+            start, last, n, sv = state.get
+        else:
+            start = last = None
+            n, sv = 0, 0.0
+        out = []
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            if start is not None:
+                state.update((start, last, n, sv))
+                state.setTimeoutTimestamp((last + gap_seconds) * 1000)
+            yield pd.DataFrame([], columns=cols)
+            return
+        events = pd.concat(chunks, ignore_index=True).sort_values("ts_sec")
+        for ts, value in zip(events["ts_sec"], events["value"]):
+            ts = int(ts)
+            if start is None:
+                start, last, n, sv = ts, ts, 1, float(value)
+            elif ts - last > gap_seconds:
+                out.append((k, start, last, n, sv, "gap"))
+                start, last, n, sv = ts, ts, 1, float(value)
+            else:
+                last = max(last, ts)
+                n += 1
+                sv += float(value)
+        state.update((start, last, n, sv))
+        # wake up when the watermark passes the gap horizon to flush
+        state.setTimeoutTimestamp((last + gap_seconds) * 1000)
+        yield pd.DataFrame(out, columns=cols)
+
+    return update
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800,
+               key_col: str = "key") -> DataFrame:
+    """Custom session windows over a stream — the applyInPandasWithState
+    equivalent of ``session_window`` with full control over the emitted
+    aggregate (and a template for richer per-session state).
+
+    ``events`` needs (key, ts_sec: long, value: double, event_time:
+    timestamp with a watermark). State shards by ``key`` — same story
+    as ewma_anomalies: the state store scales horizontally with the
+    key space, no global state.
+    """
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            make_session_fn(gap_seconds),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters (Space-Saving sketch per key)
+# ---------------------------------------------------------------------------
+
+HH_STATE_SCHEMA = StructType(
+    [
+        StructField("items", StringType()),   # \x1f-joined item labels
+        StructField("counts", StringType()),  # comma-joined estimated counts
+        StructField("errs", StringType()),    # comma-joined max overestimates
+    ]
+)
+
+HH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("item", StringType()),
+        StructField("est_count", LongType()),
+        StructField("max_err", LongType()),
+        StructField("batch_rank", LongType()),
+    ]
+)
+
+
+def make_heavy_hitters_fn(capacity: int, top_k: int):
+    """Space-Saving (Metwally et al.): bounded ``capacity`` counters per
+    key; a new item evicts the minimum counter and inherits its count
+    as overestimate error. est_count - max_err is a guaranteed lower
+    bound on the true frequency."""
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.exists:
+            items_s, counts_s, errs_s = state.get
+            items = items_s.split("\x1f") if items_s else []
+            counters = dict(zip(items, zip(map(int, counts_s.split(",")) if counts_s else [],
+                                           map(int, errs_s.split(",")) if errs_s else [])))
+        else:
+            counters = {}
+        for pdf in pdfs:
+            for item in pdf["item"]:
+                item = str(item)
+                if item in counters:
+                    c, e = counters[item]
+                    counters[item] = (c + 1, e)
+                elif len(counters) < capacity:
+                    counters[item] = (1, 0)
+                else:
+                    victim = min(counters, key=lambda i: counters[i][0])
+                    vc, _ = counters.pop(victim)
+                    counters[item] = (vc + 1, vc)
+        items = sorted(counters, key=lambda i: (-counters[i][0], i))
+        state.update((
+            "\x1f".join(items),
+            ",".join(str(counters[i][0]) for i in items),
+            ",".join(str(counters[i][1]) for i in items),
+        ))
+        top = items[:top_k]
+        yield pd.DataFrame(
+            [(k, i, counters[i][0], counters[i][1], r + 1) for r, i in enumerate(top)],
+            columns=[f.name for f in HH_OUTPUT_SCHEMA.fields],
+        )
+
+    return update
+
+
+def heavy_hitters(events: DataFrame, capacity: int = 100, top_k: int = 10,
+                  key_col: str = "key") -> DataFrame:
+    """Streaming approximate top-k items per key under bounded memory.
+
+    Emits the current top-k estimate after every micro-batch (update
+    mode downstream dedups on (key, item) if a changelog is unwanted).
+    At 100 TB the point is the *bound*: capacity counters per key
+    regardless of item cardinality, and sketches of disjoint streams
+    merge by summing — the state never outgrows the store.
+    """
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            make_heavy_hitters_fn(capacity, top_k),
+            outputStructType=HH_OUTPUT_SCHEMA,
+            stateStructType=HH_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -54,3 +54,98 @@ def test_ewma_anomaly_stream(spark, tmp_path):
     finally:
         if query:
             query.stop()
+
+
+@pytest.mark.slow
+def test_sessionize_gap_and_timeout(spark, tmp_path):
+    """Custom sessions: gap-close on a later event, timeout-flush via watermark."""
+    from graphouse_spark.streaming.stateful import sessionize
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    base = 1_700_000_000
+    schema = "key string, ts_sec long, value double"
+
+    def write_batch(name, rows):
+        # one file per batch: maxFilesPerTrigger=1 must see these rows
+        # as ONE micro-batch, not one batch per shuffle partition file
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / name))
+
+    # u1: two bursts separated by > gap (600) -> first session closes by gap
+    write_batch("b1", [("u1", base, 1.0), ("u1", base + 30, 2.0),
+                       ("u1", base + 1000, 5.0), ("u2", base, 7.0)])
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+        .withColumn("event_time", F.col("ts_sec").cast("timestamp"))
+        .withWatermark("event_time", "10 seconds")
+    )
+    sessions = sessionize(stream, gap_seconds=600)
+    query = (
+        sessions.writeStream.format("memory").queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .outputMode("append").start()
+    )
+    try:
+        query.processAllAvailable()
+        rows = {(r["key"], r["session_start"]): r for r in spark.sql("SELECT * FROM sess_out").collect()}
+        assert ("u1", base) in rows
+        first = rows[("u1", base)]
+        assert (first["session_end"], first["n_events"], first["sum_value"], first["closed_by"]) == (
+            base + 30, 2, 3.0, "gap")
+
+        # advance the watermark far past u1's open session and u2's only
+        # session -> both flush by timeout
+        write_batch("b2", [("u3", base + 10000, 1.0)])
+        query.processAllAvailable()
+        write_batch("b3", [("u3", base + 10001, 1.0)])  # extra batch so timeouts fire
+        query.processAllAvailable()
+        rows = {(r["key"], r["session_start"]): r for r in spark.sql("SELECT * FROM sess_out").collect()}
+        assert rows[("u1", base + 1000)]["closed_by"] == "timeout"
+        assert rows[("u1", base + 1000)]["n_events"] == 1
+        u2 = rows[("u2", base)]
+        assert (u2["n_events"], u2["sum_value"], u2["closed_by"]) == (1, 7.0, "timeout")
+    finally:
+        query.stop()
+
+
+@pytest.mark.slow
+def test_heavy_hitters_stream(spark, tmp_path):
+    """Space-Saving top-k: state carries across batches, bounds hold."""
+    from graphouse_spark.streaming.stateful import heavy_hitters
+
+    src = tmp_path / "hh_in"
+    src.mkdir()
+    schema = "key string, item string"
+
+    # batch 1: 'a' x5, 'b' x3, singles c..f; capacity 4 forces evictions
+    b1 = [("k", "a")] * 5 + [("k", "b")] * 3 + [("k", x) for x in "cdef"]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(str(src / "*"))
+    hh = heavy_hitters(stream, capacity=4, top_k=3)
+    query = (
+        hh.writeStream.format("memory").queryName("hh_out")
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .outputMode("append").start()
+    )
+    try:
+        query.processAllAvailable()
+        snap1 = spark.sql("SELECT * FROM hh_out WHERE batch_rank = 1").collect()
+        assert snap1[0]["item"] == "a" and snap1[0]["est_count"] == 5
+
+        # batch 2: 'b' surges; state (not batch-local counts) decides
+        b2 = [("k", "b")] * 6
+        spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+        query.processAllAvailable()
+        top = {r["batch_rank"]: r for r in spark.sql(
+            "SELECT * FROM hh_out WHERE est_count >= 5 AND item = 'b'").collect()}
+        best = max(top.values(), key=lambda r: r["est_count"])
+        assert best["est_count"] == 9  # 3 + 6 carried across batches
+        assert best["max_err"] == 0    # 'b' was never evicted
+        # guarantee: est - err is a lower bound on true frequency
+        for r in spark.sql("SELECT * FROM hh_out").collect():
+            assert r["est_count"] - r["max_err"] >= 0
+    finally:
+        query.stop()
