@@ -1125,7 +1125,9 @@ def q_emb_ivf_topk(spark, sf_dir):
 
 
 def q_emb_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (no SQL oracle: approximate, hash-dependent)."""
+    """LSH-bucketed ANN. The hyperplanes are fixed-seed literals, so the
+    DuckDB oracle rebuilds the identical sign-bit buckets and the
+    approximate result is still exactly reproducible (hash-checked)."""
     from graphouse_spark.functions.similarity import lsh_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1318,10 +1320,44 @@ def _minhash_md5_oracle(threshold: float = 0.5, num_hashes: int = 64,
     """
 
 
+def _lsh_cosine_oracle(dim: int = 64, n_planes: int = 6, seed: int = 42, k: int = 3) -> str:
+    """DuckDB twin of lsh_cosine_topk: the same fixed-seed hyperplanes
+    (repr round-trips doubles exactly) give identical sign-bit buckets,
+    so the approximate candidate set matches and the top-k hash-checks."""
+    from graphouse_spark.functions.similarity import _planes
+
+    planes = _planes(dim, n_planes, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(w) for w in plane)}]) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    )
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        bk AS (
+          SELECT vec_id, v, {bucket} AS bucket FROM b
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qvec, bucket FROM bk WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 list_dot_product(q.qvec, e.v)
+                 / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(e.v, e.v))) AS cos_raw
+          FROM bk e JOIN q ON e.bucket = q.bucket
+          WHERE e.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INTEGER) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     ts_sec = "CAST(floor(epoch(ts)) AS BIGINT)"
     return {
         "doc_minhash_md5": _minhash_md5_oracle(),
+        "emb_lsh_topk": _lsh_cosine_oracle(),
         "doc_simhash_md5": r"""
             WITH toks AS (
               SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS toks
