@@ -1062,6 +1062,18 @@ def q_doc_winnow_pairs(spark, sf_dir):
                                 k=16, window=8, min_shared=3)
 
 
+def q_doc_winnow_md5(spark, sf_dir):
+    """Winnowing fingerprints on the portable md5 family — the MOSS
+    scheme's k-gram hash -> window-min pipeline hash-checked against a
+    DuckDB twin (exploded (doc_id, fp) rows)."""
+    from graphouse_spark.functions.text import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    fps = winnowing_fingerprints(docs.repartition(par), k=16, window=8, hash_fn="md5")
+    return fps.select("doc_id", F.explode("fingerprints").alias("fp"))
+
+
 def q_doc_vocab_topk(spark, sf_dir):
     """Corpus vocabulary: top-40 tokens by document frequency (explode
     distinct tokens -> one agg; ties broken lexicographically)."""
@@ -1261,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "doc_minhash_md5": q_doc_minhash_md5,
         "doc_simhash_md5": q_doc_simhash_md5,
+        "doc_winnow_md5": q_doc_winnow_md5,
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "doc_vocab_topk": q_doc_vocab_topk,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -1358,6 +1371,24 @@ def oracle_sql() -> dict[str, str]:
     return {
         "doc_minhash_md5": _minhash_md5_oracle(),
         "emb_lsh_topk": _lsh_cosine_oracle(),
+        "doc_winnow_md5": r"""
+            WITH norm AS (
+              SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                [CAST(concat('0x', substr(md5(substr(t, i, 16)),1,15)) AS BIGINT)
+                 FOR i IN range(1, greatest(len(t) - 15, 1) + 1)] AS gs
+              FROM norm
+            ),
+            minima AS (
+              SELECT doc_id, CASE WHEN len(gs) >= 8
+                THEN [list_min(gs[i:i+7]) FOR i IN range(1, len(gs)-6)]
+                ELSE [list_min(gs)] END AS ms
+              FROM grams
+            )
+            SELECT doc_id, unnest(list_sort(list_distinct(ms))) AS fp FROM minima
+        """,
         "doc_simhash_md5": r"""
             WITH toks AS (
               SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS toks

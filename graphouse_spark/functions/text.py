@@ -114,7 +114,8 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def winnowing_fingerprints(docs: DataFrame, k: int = 8, window: int = 4,
-                           text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                           text_col: str = "text", id_col: str = "doc_id",
+                           hash_fn: str = "xxhash64") -> DataFrame:
     """Winnowing document fingerprints (the MOSS scheme): hash every
     character k-gram, then keep the minimum hash of each sliding window
     of ``window`` consecutive k-grams.
@@ -133,9 +134,17 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 8, window: int = 4,
     """
     text = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     n_grams = F.greatest(F.length(text) - (k - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(F.substr(text, i, F.lit(k)))
-    )
+    if hash_fn == "md5":
+        # portable 60-bit family — bit-identical in DuckDB, so the
+        # fingerprint set is oracle-checkable
+        from graphouse_spark.functions.dedup import portable_hash60
+
+        gram_hash = lambda i: portable_hash60(F.substr(text, i, F.lit(k)))  # noqa: E731
+    elif hash_fn == "xxhash64":
+        gram_hash = lambda i: F.xxhash64(F.substr(text, i, F.lit(k)))  # noqa: E731
+    else:
+        raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
+    grams = F.transform(F.sequence(F.lit(1), n_grams), gram_hash)
     # ONE fold carrying a ring buffer of the last `window` hashes: the
     # grams array is evaluated once (a fold argument), each step costs
     # O(window). The tempting transform(j -> array_min(slice(grams, j, w)))
