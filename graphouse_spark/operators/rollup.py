@@ -36,23 +36,25 @@ from graphouse_spark.operators.dedup import dedup_points
 from graphouse_spark.retention import CombinedRetentionProvider
 
 
-def resolve_retention_map(spark: SparkSession, pairs: list,
-                          provider: CombinedRetentionProvider,
-                          now_seconds: int) -> DataFrame:
-    """(metric, date, function, precision) per distinct (name, day).
+def resolve_retention_names(spark: SparkSession, names: list,
+                            provider: CombinedRetentionProvider) -> DataFrame:
+    """(metric, function, ranges: array<struct<age,step>>) per name.
 
-    Rule regexes run driver-side over distinct names (tiny next to the
-    points; the reference resolves per-name in memory the same way,
-    J3); the age of a day is measured at its end, so a whole partition
-    gets one precision — matching GraphiteMergeTree, whose rollup
-    params come from the merge window, not per row.
+    Rule regexes run driver-side over distinct NAMES only — the same
+    set the reference keeps in its in-memory tree (J3), bounded by
+    metric cardinality, never by names x days. The age -> precision
+    lookup moves to executors (see rollup_partition), so adding a year
+    of history costs nothing driver-side. If the name set ever outgrows
+    the driver, the first-match itself can move to a crossJoin+rlike+
+    min_by(priority) plan; the rule list is tiny either way.
     """
     rows = []
-    for name, day in pairs:
+    for name in names:
         r = provider.get_retention(name)
-        day_end = int(dt.datetime.combine(day, dt.time.max, dt.timezone.utc).timestamp())
-        rows.append((name, day, r.function, r.step_size(max(now_seconds - day_end, 0))))
-    return spark.createDataFrame(rows, "metric string, date date, function string, precision int")
+        rows.append((name, r.function, [(int(a), int(p)) for a, p in r.ranges]))
+    return spark.createDataFrame(
+        rows, "metric string, function string, ranges array<struct<age:int,step:int>>"
+    )
 
 
 def rollup_partition(spark: SparkSession, points: DataFrame,
@@ -62,16 +64,31 @@ def rollup_partition(spark: SparkSession, points: DataFrame,
 
     Returns the replacement rows (same schema). Points whose tier
     precision is 1 pass through dedup only.
+
+    The age of a day is measured at its end (23:59:59), so a whole
+    partition gets one precision — matching GraphiteMergeTree, whose
+    rollup params come from the merge window, not per row. The
+    age -> step lookup runs executor-side against the broadcast ranges
+    array: ranges are sorted ascending by age threshold, so the match
+    is the LAST element with age <= day age (bisect_right - 1, as
+    MetricRetention.step_size does in Python).
     """
-    pairs = [(r["metric"], r["date"]) for r in points.select("metric", "date").distinct().collect()]
-    if not pairs:
+    names = [r["metric"] for r in points.select("metric").distinct().collect()]
+    if not names:
         return points
-    ret_map = resolve_retention_map(spark, pairs, provider, now_seconds)
+    ret_map = resolve_retention_names(spark, names, provider)
 
     deduped = dedup_points(points).withColumn(
         "date", F.to_date(F.from_unixtime("timestamp"))
     )  # (metric, timestamp, value, updated, date)
-    tagged = deduped.join(F.broadcast(ret_map), ["metric", "date"])
+    day_end = F.unix_timestamp(F.date_add(F.col("date"), 1).cast("timestamp")) - 1
+    age = F.greatest(F.lit(int(now_seconds)) - day_end, F.lit(0).cast("long"))
+    precision = F.element_at(F.filter("ranges", lambda r: r["age"] <= age), -1)["step"]
+    tagged = (
+        deduped.join(F.broadcast(ret_map), "metric")
+        .withColumn("precision", precision)
+        .drop("ranges")
+    )
     rolled = (
         tagged.groupBy(
             "metric",
