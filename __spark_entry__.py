@@ -845,6 +845,75 @@ def q_ts_group_by_node(spark, sf_dir):
     return group_by_node(s, 1, "sum")
 
 
+def q_ts_keep_last(spark, sf_dir):
+    """graphite keepLastValue: forward-fill null buckets of a gap-filled
+    hourly grid with the series' last non-null reading."""
+    from graphouse_spark.functions.timeseries import keep_last_value
+
+    ev = _events_sec(spark, sf_dir)
+    start, end = SEC_JAN1, SEC_JAN1 + 31 * DAY
+    hourly = ev.groupBy(
+        F.col("event_type").alias("metric"),
+        (F.col("ts_sec") - F.col("ts_sec") % HOUR).alias("ts"),
+    ).agg(F.round(F.avg("value"), 6).alias("value"))
+    grid = (
+        ev.select(F.col("event_type").alias("metric"))
+        .distinct()
+        .select(
+            "metric",
+            F.explode(
+                F.sequence(F.lit(start).cast("long"), F.lit(end - HOUR).cast("long"), F.lit(HOUR).cast("long"))
+            ).alias("ts"),
+        )
+    )
+    sparse = grid.join(hourly, ["metric", "ts"], "left")
+    return keep_last_value(sparse)
+
+
+def q_ts_divide_series(spark, sf_dir):
+    """graphite divideSeries: error-rate = error series / click series,
+    aligned on the hour; zero/missing divisor -> null."""
+    from graphouse_spark.functions.timeseries import divide_series
+
+    ev = _events_sec(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", (F.col("ts_sec") - F.col("ts_sec") % HOUR).alias("ts")
+    ).agg(F.round(F.avg("value"), 6).alias("value"))
+    num = hourly.filter(F.col("event_type") == "error").drop("event_type")
+    den = hourly.filter(F.col("event_type") == "click").drop("event_type")
+    return divide_series(num, den)
+
+
+def q_ts_highest_max(spark, sf_dir):
+    """graphite highestMax(series, 5) over the per-user dotted-path
+    series: top-5 series by peak value (name-asc tiebreak), full series
+    returned via a broadcast semi-join."""
+    from graphouse_spark.functions.timeseries import highest_max
+
+    ev = _events_sec(spark, sf_dir)
+    s = ev.groupBy(
+        F.concat(F.lit("events."), F.col("event_type"), F.lit(".u"), F.col("user_id")).alias("metric"),
+        (F.col("ts_sec") - F.col("ts_sec") % DAY).alias("ts"),
+    ).agg(F.round(F.sum("value"), 6).alias("value"))
+    return highest_max(s, 5)
+
+
+def q_ts_stddev_series(spark, sf_dir):
+    """graphite stddevSeries/averageSeries/countSeries in one pass."""
+    from graphouse_spark.functions.timeseries import stddev_series
+
+    return stddev_series(_series(spark, sf_dir))
+
+
+def q_ts_scale_abs(spark, sf_dir):
+    """graphite absolute(offset(scale(series, 2), -50)) composed."""
+    from graphouse_spark.functions.timeseries import (
+        absolute_series, offset_series, scale_series,
+    )
+
+    return absolute_series(offset_series(scale_series(_series(spark, sf_dir), 2.0), -50.0))
+
+
 def q_gh_pivot_daily(spark, sf_dir):
     """Pivot (reshape): day x event_type -> one avg column per type.
     Explicit value list => no extra distinct-scan job and a stable
@@ -1013,6 +1082,16 @@ def q_doc_ngram_jaccard(spark, sf_dir):
     from graphouse_spark.functions.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), shingle_n=2, threshold=0.1)
+
+
+def q_doc_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: n-gram Jaccard pairs -> connected components
+    (iterative min-label propagation; oracle = recursive-CTE closure)."""
+    from graphouse_spark.functions.cluster import dedup_clusters
+    from graphouse_spark.functions.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), shingle_n=2, threshold=0.3)
+    return dedup_clusters(pairs)
 
 
 def q_doc_minhash_neardup(spark, sf_dir):
@@ -1255,6 +1334,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sum_series": q_ts_sum_series,
         "ts_percentile_series": q_ts_percentile_series,
         "ts_group_by_node": q_ts_group_by_node,
+        "ts_keep_last": q_ts_keep_last,
+        "ts_divide_series": q_ts_divide_series,
+        "ts_highest_max": q_ts_highest_max,
+        "ts_stddev_series": q_ts_stddev_series,
+        "ts_scale_abs": q_ts_scale_abs,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "set_ops": q_set_ops,
@@ -1267,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_lang_id": q_doc_lang_id,
         "emb_cosine_pairs": q_emb_cosine_pairs,
         "doc_minhash_neardup": q_doc_minhash_neardup,
@@ -1930,6 +2015,68 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY 1, 2
         """,
+        "ts_keep_last": f"""
+            WITH hourly AS (
+                SELECT event_type AS metric,
+                       ts_sec - ts_sec % 3600 AS ts,
+                       round(avg(value), 6) AS value
+                FROM (SELECT event_type, {ts_sec} AS ts_sec, value FROM events)
+                GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT m.metric, g.ts
+                FROM (SELECT DISTINCT event_type AS metric FROM events) m
+                CROSS JOIN (
+                    SELECT unnest(generate_series(1704067200, 1704067200 + 31*86400 - 3600, 3600)) AS ts
+                ) g
+            )
+            SELECT grid.metric, grid.ts,
+                   last_value(hourly.value IGNORE NULLS) OVER (
+                       PARTITION BY grid.metric ORDER BY grid.ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS filled_value
+            FROM grid LEFT JOIN hourly USING (metric, ts)
+        """,
+        "ts_divide_series": f"""
+            WITH hourly AS (
+                SELECT event_type,
+                       ts_sec - ts_sec % 3600 AS ts,
+                       round(avg(value), 6) AS value
+                FROM (SELECT event_type, {ts_sec} AS ts_sec, value FROM events)
+                GROUP BY 1, 2
+            )
+            SELECT n.ts,
+                   CASE WHEN d.value != 0 THEN round(n.value / d.value, 6) END AS ratio
+            FROM (SELECT ts, value FROM hourly WHERE event_type = 'error') n
+            LEFT JOIN (SELECT ts, value FROM hourly WHERE event_type = 'click') d USING (ts)
+        """,
+        "ts_highest_max": f"""
+            WITH s AS (
+                SELECT 'events.' || event_type || '.u' || user_id AS metric,
+                       ts_sec - ts_sec % 86400 AS ts,
+                       round(sum(value), 6) AS value
+                FROM (SELECT event_type, user_id, {ts_sec} AS ts_sec, value FROM events)
+                GROUP BY 1, 2
+            ),
+            top AS (
+                SELECT metric FROM (
+                    SELECT metric, max(value) AS peak FROM s GROUP BY metric
+                ) QUALIFY row_number() OVER (ORDER BY peak DESC, metric ASC) <= 5
+            )
+            SELECT s.metric, s.ts, s.value FROM s SEMI JOIN top ON s.metric = top.metric
+        """,
+        "ts_stddev_series": f"""
+            SELECT ts, round(avg(value), 6) AS avg_value,
+                   round(stddev_samp(value), 6) AS stddev_value,
+                   count(*) AS n_series
+            FROM ({_SERIES_SQL})
+            GROUP BY ts
+        """,
+        "ts_scale_abs": f"""
+            SELECT metric, ts,
+                   abs(round(round(value * 2.0, 6) + -50.0, 6)) AS value
+            FROM ({_SERIES_SQL})
+        """,
         "asof_click_attrib": """
             SELECT l.event_id, l.user_id, l.ts_sec, l.value, r.click_value
             FROM (
@@ -2068,6 +2215,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.1
+        """,
+        "doc_dedup_clusters": r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS tokens
+                FROM documents
+            ),
+            shingled AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN len(tokens) <= 1 THEN [array_to_string(tokens, ' ')]
+                            ELSE [array_to_string(tokens[i:i+1], ' ') FOR i IN range(1, len(tokens))]
+                       END) AS shingles
+                FROM toks
+            ),
+            exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM exploded GROUP BY 1),
+            common AS (
+                SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_common
+                FROM exploded l JOIN exploded r USING (shingle)
+                WHERE l.doc_id < r.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+                WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.3
+            ),
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+                SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.v, r.label FROM reach r JOIN edges e ON r.node = e.u
+            ),
+            comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+            cs AS (SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY cluster_id)
+            SELECT comp.node AS doc_id, comp.cluster_id, cs.n_members
+            FROM comp JOIN cs USING (cluster_id)
         """,
         "doc_lang_id": r"""
             WITH toks AS (

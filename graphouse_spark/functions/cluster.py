@@ -1,0 +1,108 @@
+"""Connected components over a similarity-pair graph -> dedup clusters.
+
+The dedup family (MinHash/LSH, SimHash, n-gram Jaccard, winnowing)
+produces PAIRS of near-duplicate documents; a training-data pipeline
+needs CLUSTERS — "keep one representative per component" — which is
+connected components over the pair graph.
+
+Spark-first design (no GraphX / graphframes dependency):
+- min-label propagation: every node starts labeled with itself; each
+  round a node takes the min label among itself and its neighbors.
+  Converges in O(graph diameter) rounds — near-dup components are
+  small dense cliques, so 2-4 rounds in practice.
+- each round is one shuffle join (edges x labels, both hash-partitioned
+  on the join key) + a partial/final min aggregation — the same plan a
+  1000-executor cluster runs without driver involvement. The only
+  driver-side values are the per-round change count (the convergence
+  test) and the loop itself.
+- ``localCheckpoint(eager=True)`` after each round truncates the plan
+  lineage so the iteration count doesn't stack Catalyst plans (the
+  classic iterative-algorithm pitfall at scale).
+- at extreme scale (trillions of edges, high-diameter graphs) the
+  known upgrade is alternating large-star/small-star contraction
+  [Kiveris et al., "Connected Components in MapReduce and Beyond"],
+  which converges in O(log^2 n); the label-propagation loop here keeps
+  the same join-agg shape per round, so swapping the round body is a
+  local change.
+
+Oracle: DuckDB recursive CTE computes the transitive closure and takes
+min(reachable node) per node — exact same component ids (min node id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
+                         max_iters: int = 25) -> DataFrame:
+    """(src, dst) undirected edge list -> (node, component).
+
+    ``component`` is the minimum node id in the node's component (a
+    canonical, engine-independent label). Only nodes that appear in at
+    least one edge are returned; isolated nodes are trivially their own
+    component and never enter the pair graph.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    sym = sym.localCheckpoint(eager=True)  # reused every round: materialize once
+
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("_changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Near-duplicate pairs -> (doc_id, cluster_id, n_members).
+
+    cluster_id = min doc_id in the component; n_members counts the
+    component's documents (one extra partial/final agg + broadcastable
+    join back — components are tiny relative to the corpus).
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "n_members",
+        )
+    )
+
+
+def cluster_representatives(docs: DataFrame, clusters: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (the cluster_id member) per cluster plus
+    all unclustered docs — the actual dedup 'writer' of the pipeline.
+
+    Left-anti join removes every clustered doc that is not its own
+    cluster representative; the clusters side is small (near-dups are
+    a fraction of the corpus), so this broadcasts.
+    """
+    losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return docs.join(F.broadcast(losers), id_col, "left_anti")

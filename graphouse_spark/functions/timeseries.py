@@ -104,6 +104,86 @@ def alias_by_node(series: DataFrame, node: int,
     return series.withColumn(metric_col, renamed)
 
 
+def keep_last_value(series: DataFrame, metric_col: str = "metric",
+                    ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``keepLastValue``: forward-fill null points with the most
+    recent non-null value of the same series (gap-filled grids produce
+    nulls for missing buckets; this carries the last reading forward).
+
+    One ignorenulls ``last`` over an unbounded-preceding ROWS frame —
+    a single window pass, no self-join.
+    """
+    w = (
+        Window.partitionBy(metric_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last(value_col, ignorenulls=True).over(w)
+    return series.select(metric_col, ts_col, filled.alias("filled_value"))
+
+
+def divide_series(num: DataFrame, den: DataFrame, ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """graphite ``divideSeries(dividend, divisor)``: align two series on
+    the time axis and divide pointwise; division by zero or a missing
+    divisor point yields null (graphite emits None there).
+
+    An equi-join on ts — broadcastable when one side is a single
+    aggregated series, else a co-partitioned sort-merge join.
+    """
+    n = num.select(ts_col, F.col(value_col).alias("_num"))
+    d = den.select(ts_col, F.col(value_col).alias("_den"))
+    ratio = F.when(F.col("_den") != 0, F.round(F.col("_num") / F.col("_den"), 6))
+    return n.join(d, ts_col, "left").select(ts_col, ratio.alias("ratio"))
+
+
+def highest_max(series: DataFrame, n: int, metric_col: str = "metric",
+                ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``highestMax(series, N)``: keep only the N series whose
+    peak value is highest (name-asc tiebreak for determinism), returning
+    their full series.
+
+    Per-series max is a partial+final agg; the winner set is tiny and
+    broadcasts back as a semi-join, so the big side never reshuffles.
+    """
+    peaks = series.groupBy(metric_col).agg(F.max(value_col).alias("_peak"))
+    w = Window.orderBy(F.desc("_peak"), F.asc(metric_col))
+    top = peaks.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n)
+    return series.join(
+        F.broadcast(top.select(metric_col)), metric_col, "left_semi"
+    ).select(metric_col, ts_col, value_col)
+
+
+def stddev_series(series: DataFrame, ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """graphite ``stddevSeries`` + ``averageSeries`` + ``countSeries`` in
+    one aligned-point pass (sample stddev; null when only one series
+    contributes, matching SQL semantics on both engines)."""
+    return (
+        series.groupBy(ts_col)
+        .agg(
+            F.round(F.avg(value_col), 6).alias("avg_value"),
+            F.round(F.stddev_samp(value_col), 6).alias("stddev_value"),
+            F.count(F.lit(1)).alias("n_series"),
+        )
+    )
+
+
+def scale_series(series: DataFrame, factor: float, value_col: str = "value") -> DataFrame:
+    """graphite ``scale(series, factor)``."""
+    return series.withColumn(value_col, F.round(F.col(value_col) * factor, 6))
+
+
+def offset_series(series: DataFrame, amount: float, value_col: str = "value") -> DataFrame:
+    """graphite ``offset(series, amount)``."""
+    return series.withColumn(value_col, F.round(F.col(value_col) + amount, 6))
+
+
+def absolute_series(series: DataFrame, value_col: str = "value") -> DataFrame:
+    """graphite ``absolute(series)``."""
+    return series.withColumn(value_col, F.abs(F.col(value_col)))
+
+
 def group_by_node(series: DataFrame, node: int, function: str = "sum",
                   metric_col: str = "metric", ts_col: str = "ts",
                   value_col: str = "value") -> DataFrame:

@@ -97,3 +97,32 @@ def test_winnowing_deterministic_and_subset_sized(spark):
     assert a == b and len(a) > 0
     # winnowing keeps roughly 2/(w+1) of the k-gram positions
     assert len(a) < len(BASE)
+
+
+# ---------------------------------------------------------------- clusters
+
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain (worst-case diameter) collapses to one component;
+    a separate pair and the chain never merge; labels are min node id."""
+    from graphouse_spark.functions.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_and_representatives(spark):
+    from graphouse_spark.functions.cluster import cluster_representatives, dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+    clusters = dedup_clusters(pairs)
+    rows = {r["doc_id"]: (r["cluster_id"], r["n_members"]) for r in clusters.collect()}
+    assert rows == {1: (1, 3), 2: (1, 3), 3: (1, 3), 5: (5, 2), 6: (5, 2)}
+    kept = sorted(r["doc_id"] for r in cluster_representatives(docs, clusters).collect())
+    # representatives 1 and 5 survive; unclustered 4 and 7 survive
+    assert kept == [1, 4, 5, 7]
