@@ -1117,6 +1117,16 @@ def q_doc_minhash_md5(spark, sf_dir):
     return minhash_near_duplicates(_t(spark, sf_dir, "documents"), threshold=0.5, hash_fn="md5")
 
 
+def q_doc_minhash_np(spark, sf_dir):
+    """Same md5-family MinHash pipeline, Arrow/numpy signature kernel —
+    strategy equivalence proven by sharing the md5 oracle."""
+    from graphouse_spark.functions.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), threshold=0.5, strategy="arrow"
+    )
+
+
 def q_doc_simhash_md5(spark, sf_dir):
     """60-bit SimHash on the portable md5 family (oracled)."""
     from graphouse_spark.functions.dedup import simhash
@@ -1357,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_neardup": q_doc_minhash_neardup,
         "doc_simhash": q_doc_simhash,
         "doc_minhash_md5": q_doc_minhash_md5,
+        "doc_minhash_np": q_doc_minhash_np,
         "doc_simhash_md5": q_doc_simhash_md5,
         "doc_winnow_md5": q_doc_winnow_md5,
         "doc_winnow_pairs": q_doc_winnow_pairs,
@@ -1455,6 +1466,7 @@ def oracle_sql() -> dict[str, str]:
     ts_sec = "CAST(floor(epoch(ts)) AS BIGINT)"
     return {
         "doc_minhash_md5": _minhash_md5_oracle(),
+        "doc_minhash_np": _minhash_md5_oracle(),
         "emb_lsh_topk": _lsh_cosine_oracle(),
         "doc_winnow_md5": r"""
             WITH norm AS (

@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "doc_exact_dedup",
     "doc_token_stats",
     "doc_minhash_neardup",
+    "doc_minhash_np",  # same logical op, Arrow signature kernel (scale path)
+    "doc_dedup_clusters",
     "doc_winnow_pairs",
     "emb_cosine_topk",
     "emb_cosine_topk_np",  # same logical op, Arrow strategy — keep both visible

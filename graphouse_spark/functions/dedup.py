@@ -114,6 +114,60 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     return docs.select(F.col(id_col), sig.alias("signature"))
 
 
+def minhash_signatures_np(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                          num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
+    """MinHash signatures, Arrow/numpy strategy — bit-identical to
+    ``minhash_signatures(hash_fn='md5')``.
+
+    Per Arrow batch: tokenize + shingle in Python, md5-prefix hash each
+    distinct shingle once, then ONE numpy broadcast
+    ``(A[:,None] * h[None,:] + B[:,None]) % P`` and a min over the
+    shingle axis — the 64-member family collapses to a single
+    vectorized op instead of a 64-wide Catalyst fold lambda. Bounds
+    (a < 2^30, h < 2^32, b < 2^60) keep products under 2^63, so uint64
+    arithmetic is exact and matches the JVM's long semantics.
+
+    Same fixed-seed family and md5 shingle hash as the engine variant,
+    so the DuckDB oracle for the md5 pipeline verifies this one too.
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    ab = minhash_ab(num_hashes)
+    A = np.array([a for a, _ in ab], dtype=np.uint64)[:, None]
+    B = np.array([b for _, b in ab], dtype=np.uint64)[:, None]
+    P = np.uint64((1 << 61) - 1)
+    ws = re.compile(r"\s+")
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split(str(text).lower()) if t]
+                if len(toks) <= shingle_n - 1:
+                    shingles = {" ".join(toks)}
+                else:
+                    shingles = {
+                        " ".join(toks[j:j + shingle_n])
+                        for j in range(len(toks) - shingle_n + 1)
+                    }
+                hs = np.fromiter(
+                    (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) for s in shingles),
+                    dtype=np.uint64, count=len(shingles),
+                )[None, :]
+                sig = ((A * hs + B) % P).min(axis=1)
+                ids.append(doc_id)
+                sigs.append(sig.astype(np.int64).tolist())
+            yield pd.DataFrame({id_col: ids, "signature": sigs})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} long, signature array<long>"
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         bands: int = 16, rows_per_band: int = 4) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
@@ -157,19 +211,31 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 def minhash_near_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                             threshold: float = 0.7, num_hashes: int = 64,
                             bands: int = 16, shingle_n: int = 3,
-                            hash_fn: str = "xxhash64") -> DataFrame:
+                            hash_fn: str = "xxhash64",
+                            strategy: str = "engine") -> DataFrame:
     """End-to-end MinHash LSH: candidates verified by signature similarity.
 
     Returns (id_a, id_b, est_jaccard) for pairs whose estimated
     Jaccard (fraction of equal minhashes) >= threshold.
+
+    ``strategy='engine'`` computes signatures with the Catalyst fold
+    (pure JVM, hash_fn selectable); ``strategy='arrow'`` uses the
+    vectorized numpy kernel (md5 family, bit-identical to
+    ``hash_fn='md5'`` — faster when shingle counts per doc are large).
     """
     rows_per_band = num_hashes // bands
     # hashing is CPU-bound per row: spread small single-file inputs over
     # all cores before computing, and persist — the signature subtree
     # feeds three joins below
     par = docs.sparkSession.sparkContext.defaultParallelism
-    sigs = minhash_signatures(docs.repartition(par), text_col, id_col, num_hashes,
-                              shingle_n, hash_fn).persist()
+    if strategy == "arrow":
+        sigs = minhash_signatures_np(docs.repartition(par), text_col, id_col,
+                                     num_hashes, shingle_n).persist()
+    elif strategy == "engine":
+        sigs = minhash_signatures(docs.repartition(par), text_col, id_col, num_hashes,
+                                  shingle_n, hash_fn).persist()
+    else:
+        raise ValueError(f"strategy must be engine|arrow, got {strategy!r}")
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))

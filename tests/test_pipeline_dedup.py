@@ -126,3 +126,21 @@ def test_dedup_clusters_and_representatives(spark):
     kept = sorted(r["doc_id"] for r in cluster_representatives(docs, clusters).collect())
     # representatives 1 and 5 survive; unclustered 4 and 7 survive
     assert kept == [1, 4, 5, 7]
+
+
+def test_minhash_np_matches_engine_md5(spark):
+    """The Arrow kernel reproduces the md5-family Catalyst fold bit-for-bit."""
+    from graphouse_spark.functions.dedup import minhash_signatures, minhash_signatures_np
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different text with no overlap at all"),
+         (4, "short"), (5, "  "), (6, "a b")],
+        ["doc_id", "text"],
+    )
+    eng = {r["doc_id"]: r["signature"] for r in
+           minhash_signatures(docs, hash_fn="md5").collect()}
+    arw = {r["doc_id"]: r["signature"] for r in
+           minhash_signatures_np(docs).collect()}
+    assert eng == arw
