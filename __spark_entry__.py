@@ -1094,6 +1094,28 @@ def q_doc_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def q_emb_quantize(spark, sf_dir):
+    """int8 scalar quantization of the embedding corpus; per-vector
+    scale + code aggregates (sum/min/max) for engine-portable compare."""
+    from graphouse_spark.functions.similarity import quantize_embeddings
+
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", "scale",
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, v: a + v).alias("code_sum"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+    )
+
+
+def q_doc_tfidf_topk(spark, sf_dir):
+    """Top-3 characteristic terms per doc by smoothed TF-IDF
+    (deterministic rank: rounded score desc, token asc)."""
+    from graphouse_spark.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 def q_doc_minhash_neardup(spark, sf_dir):
     """MinHash+LSH near-dup (no SQL oracle: engine-specific hash function)."""
     from graphouse_spark.functions.dedup import minhash_near_duplicates
@@ -1362,6 +1384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_dedup_clusters": q_doc_dedup_clusters,
+        "doc_tfidf_topk": q_doc_tfidf_topk,
+        "emb_quantize": q_emb_quantize,
         "doc_lang_id": q_doc_lang_id,
         "emb_cosine_pairs": q_emb_cosine_pairs,
         "doc_minhash_neardup": q_doc_minhash_neardup,
@@ -2227,6 +2251,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.1
+        """,
+        "emb_quantize": """
+            WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            s AS (
+                SELECT vec_id, v,
+                       CASE WHEN list_max([abs(x) FOR x IN v]) > 0
+                            THEN 127.0 / list_max([abs(x) FOR x IN v])
+                            ELSE 1.0 END AS sc
+                FROM b
+            ),
+            c AS (SELECT vec_id, sc, [CAST(round(x * sc) AS INTEGER) FOR x IN v] AS codes FROM s)
+            SELECT vec_id, round(sc, 6) AS scale,
+                   CAST(list_sum(codes) AS BIGINT) AS code_sum,
+                   list_min(codes) AS code_min,
+                   list_max(codes) AS code_max
+            FROM c
+        """,
+        "doc_tfidf_topk": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')) AS token
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT * FROM (
+                SELECT doc_id, token, tf,
+                       round(tf * (ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1), 6) AS tfidf,
+                       CAST(row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY round(tf * (ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1), 6) DESC,
+                                    token ASC
+                       ) AS INTEGER) AS rank
+                FROM tf JOIN dfreq USING (token) CROSS JOIN n
+            ) WHERE rank <= 3
         """,
         "doc_dedup_clusters": r"""
             WITH RECURSIVE toks AS (

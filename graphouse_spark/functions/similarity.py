@@ -35,6 +35,30 @@ def cosine_similarity_col(a: Column, b: Column) -> Column:
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
+def quantize_embeddings(embeddings: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization.
+
+    ``scale = 127 / max(|x|)``; ``code_i = round(x_i * scale)`` — 4x
+    smaller than float32 (the standard first step before shipping an
+    ANN corpus to a serving tier). Pure Column expressions, one
+    projection, no shuffle; at 100 TB this runs entirely inside the
+    scan stage. Zero vectors get scale 1.0 (all-zero codes).
+
+    Returns (id, scale, codes: array<int>); reverse with
+    ``code / scale``.
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(vec, F.abs))
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(1.0))
+    codes = F.transform(vec, lambda x: F.round(x * scale).cast("int"))
+    return embeddings.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        codes.alias("codes"),
+    )
+
+
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors per query vector (brute force).

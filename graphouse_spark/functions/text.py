@@ -12,7 +12,7 @@ SQL oracle can replay it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny embedded stopword lists for n-gram/stopword language ID
@@ -98,6 +98,41 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.col(id_col),
         best["lang"].alias("lang_pred"),
         best["hits"].alias("lang_hits"),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF.
+
+    tf = in-doc term count; idf = ln((N+1)/(df+1)) + 1 (smooth — no
+    zero/df=N blowups). Returns (doc_id, token, tf, tfidf, rank) with a
+    token-asc tiebreak so ranks are deterministic on every engine.
+
+    Plan shape: one explode -> (doc, token) count [shuffle on (doc,
+    token)] -> document frequency as a second partial/final agg on
+    token -> idf joined back (token df table is vocabulary-sized —
+    orders of magnitude under the corpus, broadcastable) -> per-doc
+    top-k window. N comes from a one-row aggregate cross-joined in
+    (broadcast), not a driver-side collect.
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("token").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col, "token", "tf",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -80,6 +80,54 @@ def streaming_dedup(parsed: DataFrame, delay: str = "10 minutes",
     return with_time.dropDuplicatesWithinWatermark(list(keys)).drop("_event")
 
 
+def stream_stream_attribution(clicks: DataFrame, views: DataFrame,
+                              horizon_seconds: int = 600,
+                              watermark_delay: str = "2 minutes") -> DataFrame:
+    """Stream-stream inner join: attribute each click to the view(s) of
+    the same user within the preceding ``horizon_seconds``.
+
+    Both sides carry an event-time watermark and the join condition
+    bounds the time skew (view_time in (click_time - horizon,
+    click_time]), so Structured Streaming can expire join state on both
+    sides — the REQUIRED shape for an unbounded stream-stream join:
+    without the time bound, state grows forever; with it, each side
+    keeps only ``horizon + delay`` worth of rows per key.
+
+    Inputs are streaming DFs shaped (user_id, ts_sec, value); the join
+    key (user_id) is the shuffle key on both sides, hash-partitioned
+    identically, so matching rows co-locate per micro-batch.
+
+    Returns (user_id, click_ts, view_ts, click_value, view_value).
+    """
+    c = (
+        clicks.select(
+            F.col("user_id"),
+            F.col("ts_sec").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withColumn("click_time", F.from_unixtime("click_ts").cast("timestamp"))
+        .withWatermark("click_time", watermark_delay)
+    )
+    v = (
+        views.select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts_sec").alias("view_ts"),
+            F.col("value").alias("view_value"),
+        )
+        .withColumn("view_time", F.from_unixtime("view_ts").cast("timestamp"))
+        .withWatermark("view_time", watermark_delay)
+    )
+    cond = (
+        (c["user_id"] == v["v_user_id"])
+        & (v["view_time"] <= c["click_time"])
+        & (v["view_time"] >= c["click_time"] - F.expr(f"INTERVAL {horizon_seconds} SECONDS"))
+    )
+    return (
+        c.join(v, cond, "inner")
+        .select("user_id", "click_ts", "view_ts", "click_value", "view_value")
+    )
+
+
 def enrich_with_dimension(parsed: DataFrame, dim: DataFrame,
                           key: str = "name") -> DataFrame:
     """Stream-static join: enrich in-flight points with a dimension

@@ -171,3 +171,36 @@ def test_group_by_node(spark):
     assert by_dc == {("dc1", 0): 4.0, ("dc2", 0): 7.0}
     with pytest.raises(ValueError):
         group_by_node(s, 0, "median")
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    from graphouse_spark.streaming.windowed import stream_stream_attribution
+
+    csrc, vsrc = tmp_path / "clicks", tmp_path / "views"
+    csrc.mkdir(); vsrc.mkdir()
+    schema = "user_id long, ts_sec long, value double"
+    # user 1: view 100s before click (inside 600s horizon)
+    # user 2: view 1000s before click (outside horizon)
+    # user 3: view AFTER the click (never attributable)
+    clicks = [(1, BASE + 700, 10.0), (2, BASE + 1200, 20.0), (3, BASE + 100, 30.0)]
+    views = [(1, BASE + 600, 1.0), (2, BASE + 200, 2.0), (3, BASE + 300, 3.0)]
+    spark.createDataFrame(clicks, schema).coalesce(1).write.parquet(str(csrc / "b1"))
+    spark.createDataFrame(views, schema).coalesce(1).write.parquet(str(vsrc / "b1"))
+
+    cstream = spark.readStream.schema(schema).parquet(str(csrc / "*"))
+    vstream = spark.readStream.schema(schema).parquet(str(vsrc / "*"))
+    query = (
+        stream_stream_attribution(cstream, vstream, horizon_seconds=600)
+        .writeStream.format("memory")
+        .queryName("attrib_out")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        rows = spark.table("attrib_out").collect()
+    finally:
+        query.stop()
+    got = {(r["user_id"], r["click_ts"], r["view_ts"]) for r in rows}
+    assert got == {(1, BASE + 700, BASE + 600)}
