@@ -914,6 +914,14 @@ def q_ts_scale_abs(spark, sf_dir):
     return absolute_series(offset_series(scale_series(_series(spark, sf_dir), 2.0), -50.0))
 
 
+def q_ts_holt_winters(spark, sf_dir):
+    """Double-exponential-smoothing forecast per series (applyInPandas
+    recurrence — not SQL-expressible; unit-tested against hand math)."""
+    from graphouse_spark.functions.timeseries import holt_winters_forecast
+
+    return holt_winters_forecast(_series(spark, sf_dir))
+
+
 def q_gh_pivot_daily(spark, sf_dir):
     """Pivot (reshape): day x event_type -> one avg column per type.
     Explicit value list => no extra distinct-scan job and a stable
@@ -1108,6 +1116,35 @@ def q_emb_quantize(spark, sf_dir):
     )
 
 
+def q_doc_hash_sample(spark, sf_dir):
+    """Deterministic 10% content-hash sample (portable md5 family)."""
+    from graphouse_spark.functions.sampling import hash_sample
+
+    return hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 0.1, salt="s1").select(
+        "doc_id", "source"
+    )
+
+
+def q_doc_stratified_sample(spark, sf_dir):
+    """Per-source deterministic rates: keep all src0, quarter of src1,
+    5% of everything else."""
+    from graphouse_spark.functions.sampling import stratified_hash_sample
+
+    return stratified_hash_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "source",
+        {"src0": 1.0, "src1": 0.25}, default_rate=0.05, salt="strat",
+    ).select("doc_id", "source")
+
+
+def q_doc_train_split(spark, sf_dir):
+    """Stable train/eval split column (1% eval by id hash)."""
+    from graphouse_spark.functions.sampling import split_train_eval
+
+    return split_train_eval(_t(spark, sf_dir, "documents"), "doc_id", 0.01).select(
+        "doc_id", "split"
+    )
+
+
 def q_doc_tfidf_topk(spark, sf_dir):
     """Top-3 characteristic terms per doc by smoothed TF-IDF
     (deterministic rank: rounded score desc, token asc)."""
@@ -1168,8 +1205,7 @@ def q_doc_winnow_pairs(spark, sf_dir):
     determinism are unit-tested in tests/test_pipeline_dedup.py."""
     from graphouse_spark.functions.text import winnow_overlap_pairs
 
-    docs = _t(spark, sf_dir, "documents")
-    return winnow_overlap_pairs(docs.repartition(docs.sparkSession.sparkContext.defaultParallelism),
+    return winnow_overlap_pairs(_t(spark, sf_dir, "documents"),
                                 k=16, window=8, min_shared=3)
 
 
@@ -1371,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_highest_max": q_ts_highest_max,
         "ts_stddev_series": q_ts_stddev_series,
         "ts_scale_abs": q_ts_scale_abs,
+        "ts_holt_winters": q_ts_holt_winters,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "set_ops": q_set_ops,
@@ -1385,6 +1422,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_tfidf_topk": q_doc_tfidf_topk,
+        "doc_hash_sample": q_doc_hash_sample,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_train_split": q_doc_train_split,
         "emb_quantize": q_emb_quantize,
         "doc_lang_id": q_doc_lang_id,
         "emb_cosine_pairs": q_emb_cosine_pairs,
@@ -2251,6 +2291,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.1
+        """,
+        "doc_hash_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST(concat('0x', substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 10000 < 1000
+        """,
+        "doc_stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST(concat('0x', substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 10000
+                  < CASE WHEN source = 'src0' THEN 10000
+                         WHEN source = 'src1' THEN 2500
+                         ELSE 500 END
+        """,
+        "doc_train_split": """
+            SELECT doc_id,
+                   CASE WHEN CAST(concat('0x', substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                             % 10000 < 100
+                        THEN 'eval' ELSE 'train' END AS split
+            FROM documents
         """,
         "emb_quantize": """
             WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

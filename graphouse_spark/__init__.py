@@ -41,6 +41,7 @@ from graphouse_spark.retention import (
     MetricRetentionConfig,
 )
 from graphouse_spark.queryparams import MetricDataQueryParams
+from graphouse_spark.sources.tables import register_corpus
 from graphouse_spark.tree_index import MetricTree
 
 __all__ = [
@@ -61,4 +62,5 @@ __all__ = [
     "CombinedRetentionProvider",
     "DefaultRetentionProvider",
     "MetricDataQueryParams",
+    "register_corpus",
 ]

@@ -1,0 +1,76 @@
+"""Deterministic (hash-based) sampling — the training-pipeline staple.
+
+``df.sample()`` draws a DIFFERENT subset every run (and every retry of
+a failed task unless the seed plumbing is perfect); production data
+pipelines instead sample by content hash so that
+
+- the decision for a given record never changes across runs, engines,
+  or cluster sizes (reproducible experiments, stable eval splits),
+- adding data never flips the membership of existing records,
+- upstream and downstream jobs agree on the split without coordination.
+
+Everything here keys off the portable md5 family
+(:func:`graphouse_spark.functions.dedup.portable_hash32`), so the
+exact sample is DuckDB-oracle-checkable and survives an engine swap.
+All pure Column expressions — sampling happens inside the scan stage,
+no shuffle, and the filter prunes before any downstream join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphouse_spark.functions.dedup import portable_hash32
+
+#: hash-space denominator: rates quantize to 0.01% steps
+_BUCKETS = 10_000
+
+
+def _bucket(id_col: Column, salt: str) -> Column:
+    """Stable bucket in [0, 10000) from the record id + salt."""
+    return portable_hash32(F.concat(F.lit(salt), id_col.cast("string"))) % _BUCKETS
+
+
+def hash_sample(df: DataFrame, id_col: str, rate: float, salt: str = "") -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by id hash.
+
+    ``salt`` decorrelates independent samples over the same ids (two
+    different salts give two independent subsets).
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(_bucket(F.col(id_col), salt) < int(rate * _BUCKETS))
+
+
+def stratified_hash_sample(df: DataFrame, id_col: str, strata_col: str,
+                           rates: dict[str, float], default_rate: float = 0.0,
+                           salt: str = "") -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample a dominant
+    source while keeping all of a rare one).
+
+    ``rates`` maps stratum value -> keep fraction; unlisted strata get
+    ``default_rate``. The rate table enters the plan as a CASE
+    expression (a handful of literals), so the filter still sits in
+    the scan stage — no join, no shuffle.
+    """
+    threshold: Column = F.lit(int(default_rate * _BUCKETS))
+    for value, rate in sorted(rates.items()):
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {value!r} must be in [0, 1], got {rate}")
+        threshold = F.when(F.col(strata_col) == value, F.lit(int(rate * _BUCKETS))).otherwise(threshold)
+    return df.filter(_bucket(F.col(id_col), salt) < threshold)
+
+
+def split_train_eval(df: DataFrame, id_col: str, eval_fraction: float = 0.01,
+                     salt: str = "split") -> DataFrame:
+    """Add a stable ``split`` column ('train' / 'eval').
+
+    The id hash decides membership, so a record's split never changes
+    as the corpus grows — the property that keeps eval sets
+    uncontaminated across dataset versions.
+    """
+    if not 0.0 < eval_fraction < 1.0:
+        raise ValueError(f"eval_fraction must be in (0, 1), got {eval_fraction}")
+    is_eval = _bucket(F.col(id_col), salt) < int(eval_fraction * _BUCKETS)
+    return df.withColumn("split", F.when(is_eval, F.lit("eval")).otherwise(F.lit("train")))

@@ -235,21 +235,28 @@ def winnow_overlap_pairs(docs: DataFrame, k: int = 8, window: int = 4,
     scale; the cap also bounds per-group collect_list memory).
     Disable with ``max_df=1.0``.
     """
+    # the per-doc hash kernel is CPU-bound: spread a single-file input
+    # over every core before computing (1-task scans otherwise serialize
+    # the whole corpus through one worker)
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     if strategy == "arrow":
-        ex = winnowing_fingerprints_np(docs, k, window, text_col, id_col)
+        ex = winnowing_fingerprints_np(spread, k, window, text_col, id_col)
     elif strategy == "catalyst":
-        fps = winnowing_fingerprints(docs, k, window, text_col, id_col)
+        fps = winnowing_fingerprints(spread, k, window, text_col, id_col)
         ex = fps.select(F.col(id_col), F.explode("fingerprints").alias("fp"))
     else:
         raise ValueError(f"strategy must be arrow|catalyst, got {strategy!r}")
-    if max_df < 1.0:
-        cap = max(2, int(docs.count() * max_df))
-    else:
-        cap = None
     lists = ex.groupBy("fp").agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
     lists = lists.filter(F.size("ids") >= 2)
-    if cap is not None:
-        lists = lists.filter(F.size("ids") <= cap)
+    if max_df < 1.0:
+        # corpus size enters the plan as a broadcast one-row aggregate —
+        # no separate driver-side count action / extra scan
+        n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
+        lists = (
+            lists.crossJoin(F.broadcast(n_docs))
+            .filter(F.size("ids") <= F.greatest(F.lit(2), F.floor(F.col("_n") * max_df)))
+            .drop("_n")
+        )
     # all pairs (ids[i], ids[j]) with i < j: for each element, pair it
     # with every later element (slice is 1-based; i is 0-based)
     pairs = F.flatten(

@@ -169,6 +169,58 @@ def stddev_series(series: DataFrame, ts_col: str = "ts",
     )
 
 
+def holt_winters_forecast(series: DataFrame, alpha: float = 0.1, beta: float = 0.0035,
+                          metric_col: str = "metric", ts_col: str = "ts",
+                          value_col: str = "value") -> DataFrame:
+    """graphite ``holtWintersForecast``-style double exponential
+    smoothing (level + trend; the seasonal term is omitted — graphite's
+    weekly season needs a 7-day bootstrap window, meaningless on short
+    ranges). One-step-ahead forecast per point plus the running
+    deviation that powers confidence bands.
+
+    The recurrence (level_t depends on level_{t-1}) cannot be a window
+    expression, so each series runs as a vectorized-ish loop inside
+    ``applyInPandas`` — the standard custom-stateful-operator shape:
+    partition by series key, sort by time inside the group, carry state
+    in Python. Each group is one series (small); parallelism comes from
+    the number of series, which is exactly how the load distributes on
+    a real cluster.
+
+    Returns (metric, ts, value, forecast, deviation) — forecast/
+    deviation are null for the first point (no history), rounded to 6.
+    """
+    import pandas as pd
+
+    gamma = 0.1  # deviation smoothing, graphite's hwDeviation constant shape
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        n = len(pdf)
+        forecasts = [None] * n
+        deviations = [None] * n
+        level = trend = dev = None
+        for i, v in enumerate(pdf[value_col]):
+            if v is None or (isinstance(v, float) and v != v):
+                continue
+            if level is None:
+                level, trend, dev = float(v), 0.0, 0.0
+                continue
+            forecast = level + trend
+            forecasts[i] = round(forecast, 6)
+            dev = gamma * abs(float(v) - forecast) + (1 - gamma) * dev
+            deviations[i] = round(dev, 6)
+            last_level = level
+            level = alpha * float(v) + (1 - alpha) * (level + trend)
+            trend = beta * (level - last_level) + (1 - beta) * trend
+        out = pdf[[metric_col, ts_col, value_col]].copy()
+        out["forecast"] = pd.array(forecasts, dtype="float64")
+        out["deviation"] = pd.array(deviations, dtype="float64")
+        return out
+
+    schema = f"{metric_col} string, {ts_col} long, {value_col} double, forecast double, deviation double"
+    return series.groupBy(metric_col).applyInPandas(fit, schema)
+
+
 def scale_series(series: DataFrame, factor: float, value_col: str = "value") -> DataFrame:
     """graphite ``scale(series, factor)``."""
     return series.withColumn(value_col, F.round(F.col(value_col) * factor, 6))

@@ -24,6 +24,29 @@ from pyspark.sql import functions as F
 from graphouse_spark.schemas import DATA_SCHEMA, METRICS_SCHEMA
 
 
+#: the driver test-corpus tables (TPC-H-ish star schema + streams)
+CORPUS_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+                 "lineitem", "events", "documents", "embeddings")
+
+
+def register_corpus(spark: SparkSession, sf_dir: str,
+                    tables: tuple[str, ...] = CORPUS_TABLES) -> None:
+    """Register every corpus parquet as a temp view so the whole engine
+    surface is reachable from plain ``spark.sql(...)`` — the SQL front
+    door for users coming from the reference's ClickHouse dialect.
+
+    Views are lazy: registration costs one schema read per table, and
+    each query still gets full pushdown/pruning through the view.
+    """
+    # the corpus events table carries TIMESTAMP(NANOS) parquet timestamps
+    # (Spark 4 rejects them without this), and all date math is pinned
+    # UTC to agree with external engines
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
 def write_data(df: DataFrame, path: str, mode: str = "append", target_partitions: int | None = None) -> None:
     """Append points with the scan-optimized layout.
 

@@ -144,3 +144,32 @@ def test_minhash_np_matches_engine_md5(spark):
     arw = {r["doc_id"]: r["signature"] for r in
            minhash_signatures_np(docs).collect()}
     assert eng == arw
+
+
+# ---------------------------------------------------------------- sampling
+
+def test_hash_sampling_deterministic_and_stratified(spark):
+    from graphouse_spark.functions.sampling import (
+        hash_sample, split_train_eval, stratified_hash_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "src0" if i % 3 == 0 else "src1") for i in range(300)],
+        ["doc_id", "text", "source"],
+    )
+    a = sorted(r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2).collect())
+    b = sorted(r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2).collect())
+    assert a == b and 0 < len(a) < 300            # stable, non-trivial subset
+    salted = sorted(r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2, salt="x").collect())
+    assert salted != a                            # salt decorrelates
+    # a 0.2 sample is a SUBSET of the 0.5 sample (monotone thresholds)
+    big = set(r["doc_id"] for r in hash_sample(docs, "doc_id", 0.5).collect())
+    assert set(a) <= big
+
+    strat = stratified_hash_sample(docs, "doc_id", "source", {"src0": 1.0}, default_rate=0.0)
+    got = {r["source"] for r in strat.collect()}
+    assert got == {"src0"} and strat.count() == 100   # all of src0, none of src1
+
+    split = split_train_eval(docs, "doc_id", 0.1)
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["eval"] + counts["train"] == 300 and 0 < counts["eval"] < 100

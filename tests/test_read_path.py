@@ -253,3 +253,17 @@ def test_infinity_to_null(spark):
     out = render_series(rows, MetricDataQueryParams(0, 180, 60), ["m"])
     assert out["m"]["points"] == [None, None, 1.5]
     assert "Infinity" not in json.dumps(out)
+
+
+def test_register_corpus_sql_front_door(spark):
+    """Every corpus table reachable from plain spark.sql, nanos events included."""
+    from graphouse_spark import register_corpus
+
+    register_corpus(spark, "/root/testdata/sf0.001")
+    n = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
+    assert n > 0
+    # events carries TIMESTAMP(NANOS): readable, and ts arithmetic works
+    row = spark.sql(
+        "SELECT count(*) AS n, min(ts div 1000000000) AS first_sec FROM events"
+    ).collect()[0]
+    assert row["n"] > 0 and row["first_sec"] >= 1704067200

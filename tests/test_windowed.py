@@ -204,3 +204,20 @@ def test_stream_stream_attribution_join(spark, tmp_path):
         query.stop()
     got = {(r["user_id"], r["click_ts"], r["view_ts"]) for r in rows}
     assert got == {(1, BASE + 700, BASE + 600)}
+
+
+def test_holt_winters_forecast_recurrence(spark):
+    """Hand-computed double-exponential smoothing (alpha=.5, beta=.5)."""
+    from graphouse_spark.functions.timeseries import holt_winters_forecast
+
+    s = spark.createDataFrame(
+        [("m1", 0, 10.0), ("m1", 60, 12.0), ("m1", 120, 14.0), ("m2", 0, 5.0)],
+        "metric string, ts long, value double",
+    )
+    rows = {(r["metric"], r["ts"]): (r["forecast"], r["deviation"])
+            for r in holt_winters_forecast(s, alpha=0.5, beta=0.5).collect()}
+    assert rows[("m1", 0)] == (None, None)          # no history yet
+    assert rows[("m1", 60)] == (10.0, 0.2)          # level=10, trend=0
+    # level=11, trend=0.5 -> forecast 11.5; dev = .1*2.5 + .9*.2 = .43
+    assert rows[("m1", 120)] == (11.5, 0.43)
+    assert rows[("m2", 0)] == (None, None)          # independent series
