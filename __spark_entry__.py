@@ -1176,6 +1176,15 @@ def q_doc_minhash_md5(spark, sf_dir):
     return minhash_near_duplicates(_t(spark, sf_dir, "documents"), threshold=0.5, hash_fn="md5")
 
 
+def q_doc_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: banded hamming LSH (pigeonhole bands) +
+    exact bit_count verify. Oracle is brute-force all-pairs — matching
+    it PROVES the band recall guarantee on this corpus."""
+    from graphouse_spark.functions.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
 def q_doc_minhash_np(spark, sf_dir):
     """Same md5-family MinHash pipeline, Arrow/numpy signature kernel —
     strategy equivalence proven by sharing the md5 oracle."""
@@ -1433,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_md5": q_doc_minhash_md5,
         "doc_minhash_np": q_doc_minhash_np,
         "doc_simhash_md5": q_doc_simhash_md5,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_winnow_md5": q_doc_winnow_md5,
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "doc_vocab_topk": q_doc_vocab_topk,
@@ -1563,6 +1573,26 @@ def oracle_sql() -> dict[str, str]:
               CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0
                              THEN (CAST(1 AS BIGINT) << j) ELSE 0 END FOR j IN range(0, 60)]) AS BIGINT) AS simhash
             FROM hs
+        """,
+        "doc_simhash_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS toks
+              FROM documents
+            ),
+            hs AS (
+              SELECT doc_id, [CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT) FOR t IN toks] AS hs
+              FROM toks
+            ),
+            sh AS (
+              SELECT doc_id,
+                CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0
+                               THEN (CAST(1 AS BIGINT) << j) ELSE 0 END FOR j IN range(0, 60)]) AS BIGINT) AS simhash
+              FROM hs
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "gh_lww_dedup": """
             SELECT user_id, event_type,

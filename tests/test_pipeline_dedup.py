@@ -173,3 +173,22 @@ def test_hash_sampling_deterministic_and_stratified(spark):
     split = split_train_eval(docs, "doc_id", 0.1)
     counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
     assert counts["eval"] + counts["train"] == 300 and 0 < counts["eval"] < 100
+
+
+def test_simhash_banded_pairs_recall(spark):
+    """Identical docs -> distance 0 pair; unrelated docs excluded; banded
+    candidates never miss a pair within max_hamming (exact verify)."""
+    from graphouse_spark.functions.dedup import simhash_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),     # exact twin of 1
+         (3, "alpha beta gamma delta epsilon theta"),    # near twin
+         (4, "utterly unrelated words entirely distinct vocabulary")],
+        ["doc_id", "text"],
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_duplicates(docs, max_hamming=10).collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 3) in got and got[(1, 3)] <= 10
+    assert not any(4 in p for p in got)
