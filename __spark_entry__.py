@@ -1093,12 +1093,17 @@ def q_doc_ngram_jaccard(spark, sf_dir):
 
 
 def q_doc_dedup_clusters(spark, sf_dir):
-    """Near-dup clusters: n-gram Jaccard pairs -> connected components
-    (iterative min-label propagation; oracle = recursive-CTE closure)."""
-    from graphouse_spark.functions.cluster import dedup_clusters
-    from graphouse_spark.functions.dedup import ngram_jaccard_pairs
+    """Near-dup clusters: SimHash banded pairs -> connected components
+    (iterative min-label propagation; oracle = recursive-CTE closure
+    over the brute-force hamming pair graph).
 
-    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), shingle_n=2, threshold=0.3)
+    Edges come from the banded-LSH pair generator — linear in corpus
+    size — not the shingle self-join, whose hot boilerplate shingles
+    go quadratic on low-vocabulary corpora."""
+    from graphouse_spark.functions.cluster import dedup_clusters
+    from graphouse_spark.functions.dedup import simhash_near_duplicates
+
+    pairs = simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=2)
     return dedup_clusters(pairs)
 
 
@@ -2380,28 +2385,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_dedup_clusters": r"""
             WITH RECURSIVE toks AS (
-                SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS tokens
-                FROM documents
+              SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS toks
+              FROM documents
             ),
-            shingled AS (
-                SELECT doc_id,
-                       list_distinct(CASE WHEN len(tokens) <= 1 THEN [array_to_string(tokens, ' ')]
-                            ELSE [array_to_string(tokens[i:i+1], ' ') FOR i IN range(1, len(tokens))]
-                       END) AS shingles
-                FROM toks
+            hs AS (
+              SELECT doc_id, [CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT) FOR t IN toks] AS hs
+              FROM toks
             ),
-            exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM exploded GROUP BY 1),
-            common AS (
-                SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_common
-                FROM exploded l JOIN exploded r USING (shingle)
-                WHERE l.doc_id < r.doc_id
-                GROUP BY 1, 2
+            sh AS (
+              SELECT doc_id,
+                CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0
+                               THEN (CAST(1 AS BIGINT) << j) ELSE 0 END FOR j IN range(0, 60)]) AS BIGINT) AS simhash
+              FROM hs
             ),
             pairs AS (
-                SELECT id_a, id_b
-                FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-                WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.3
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
             ),
             edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
             reach AS (

@@ -60,12 +60,27 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
             .groupBy("u")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
             .select(
                 "node",
                 F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias("component"),
                 (F.col("nbr_min") < F.col("component")).alias("_changed"),
+            )
+        )
+        # pointer jumping: also adopt the label OF my label. Neighbor-min
+        # alone needs O(diameter) rounds (a 12-deep near-dup chain = 12
+        # rounds); the extra self-join halves the remaining distance each
+        # round, so the loop converges in O(log diameter).
+        by_node = stepped.select(
+            F.col("node").alias("_c"), F.col("component").alias("_cc")
+        )
+        new_labels = (
+            stepped.join(by_node, stepped["component"] == by_node["_c"], "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce(F.col("_cc"), F.col("component"))).alias("component"),
+                (F.col("_changed") | (F.col("_cc") < F.col("component"))).alias("_changed"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)

@@ -298,15 +298,30 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         hashes = F.transform(toks, lambda t: F.xxhash64(t))
     else:
         raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
-    def vote(mask: int):
-        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
-
-    sim = F.lit(0).cast("long")
-    for j in range(bits):
-        # bit 63 is the long sign bit: its mask is the negative literal
-        mask = (1 << j) if j < 63 else -(1 << 63)
-        bit_sum = F.aggregate(hashes, F.lit(0), vote(mask))
-        sim = sim.bitwiseOR(F.when(bit_sum > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long")))
+    # bit 63 is the long sign bit: its mask is the negative literal
+    masks = [(1 << j) if j < 63 else -(1 << 63) for j in range(bits)]
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+    # ONE fold over the hashed tokens carrying all `bits` vote counters.
+    # The tempting per-bit formulation (`bits` independent aggregate()
+    # calls over `hashes`) re-evaluates the md5/xxhash transform once
+    # PER BIT — no CSE inside higher-order-function lambdas — i.e. 60x
+    # the hashing work. Fold arguments evaluate exactly once.
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc, mask_arr,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            votes, mask_arr,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc.bitwiseOR(b),
+    )
     return docs.select(F.col(id_col), sim.alias("simhash"))
 
 
@@ -334,7 +349,9 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
     widths = [width + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
 
-    sigs = simhash(docs, text_col, id_col, bits, hash_fn)
+    # fingerprinting is CPU-bound per row — spread single-file corpora
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sigs = simhash(docs.repartition(par), text_col, id_col, bits, hash_fn)
     band_entries = F.explode(
         F.array(*[
             F.struct(

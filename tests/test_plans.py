@@ -109,3 +109,32 @@ def test_interval_join_is_equi_join(spark):
     plan = plan_of(em.q_interval_click_density(spark, SF))
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
     assert "Join" in plan and "_iv_bucket" in plan
+
+
+def test_hash_sampling_filters_in_scan_stage(spark):
+    # deterministic sampling is a pure filter: no shuffle, no Python
+    plan = plan_of(em.q_doc_hash_sample(spark, SF))
+    assert ") Exchange" not in plan
+    assert "EvalPython" not in plan
+    plan = plan_of(em.q_doc_stratified_sample(spark, SF))
+    assert ") Exchange" not in plan
+
+
+def test_tfidf_broadcasts_vocabulary_sides(spark):
+    # df table and corpus count join back as broadcasts; the only real
+    # shuffles are the (doc, token) aggregations + the top-k window
+    plan = plan_of(em.q_doc_tfidf_topk(spark, SF))
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "EvalPython" not in plan
+
+
+def test_highest_max_semi_join_broadcasts(spark):
+    plan = plan_of(em.q_ts_highest_max(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_simhash_pairs_is_equi_join(spark):
+    # banded LSH must plan an equi-join on (band, key) — a nested-loop
+    # pair comparison would be the n^2 disaster at scale
+    plan = plan_of(em.q_doc_simhash_pairs(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
