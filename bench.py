@@ -41,11 +41,19 @@ BENCH_QUERIES = [
     "doc_exact_dedup",
     "doc_token_stats",
     "doc_minhash_neardup",
-    "doc_minhash_np",  # same logical op, Arrow signature kernel (scale path)
-    "doc_dedup_clusters",
     "doc_winnow_pairs",
     "emb_cosine_topk",
     "emb_cosine_topk_np",  # same logical op, Arrow strategy — keep both visible
+]
+
+#: round-2+ operators benched separately so headline totals stay
+#: comparable round over round (same 20-query basket since r1)
+EXTENDED_QUERIES = [
+    "doc_minhash_np",      # Arrow signature kernel (scale path of minhash)
+    "doc_dedup_clusters",  # iterative connected components
+    "doc_simhash_pairs",   # banded hamming LSH
+    "doc_tfidf_topk",
+    "emb_quantize",
 ]
 
 
@@ -66,25 +74,31 @@ def main() -> None:
     # whole-stage-codegen compilation + JIT (~0.5-2 s per novel plan —
     # at sf<=0.1 that fixed cost dwarfs the actual compute); the second
     # run is the steady-state number a long-lived cluster sees.
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = queries[name]
-        fn(spark, sf_dir).count()  # compile + warm
-        # drop any intra-query persist() results: the timed run must
-        # recompute the full pipeline, not read its predecessor's cache
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    def run_set(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            fn = queries[name]
+            fn(spark, sf_dir).count()  # compile + warm
+            # drop any intra-query persist() results: the timed run must
+            # recompute the full pipeline, not read its predecessor's cache
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        return timings
 
-    total = round(sum(timings.values()), 4)
+    timings = run_set(BENCH_QUERIES)
+    extended = run_set(EXTENDED_QUERIES)
+
     print(json.dumps({
         "metric": "headline_queries_total",
-        "value": total,
+        "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "mode": "steady-state (per-query warm run; cold run excluded)",
         "queries": timings,
+        "extended": extended,
+        "extended_total": round(sum(extended.values()), 4),
         "sf": sf,
     }))
 
