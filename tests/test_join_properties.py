@@ -55,3 +55,40 @@ def test_interval_matches_naive(sp, left_rows, right_rows, before, after):
     for k, t in left_rows:
         want = {float(rt) for rk, rt in right_rows if rk == k and t - before <= rt <= t + after}
         assert got.get((k, t), set()) == want, (k, t)
+
+
+# ------------------------------------------------------- connected components
+
+edge_lists = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=15), st.integers(min_value=0, max_value=15))
+    .filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=12,
+)
+
+
+def _union_find_components(edges):
+    """Obviously-correct reference: path-compressed union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+@given(edge_lists)
+@settings(max_examples=8, deadline=None)
+def test_connected_components_matches_union_find(sp, edges):
+    from graphouse_spark.functions.cluster import connected_components
+
+    df = sp.createDataFrame([(int(u), int(v)) for u, v in edges], ["id_a", "id_b"])
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == _union_find_components(edges)
