@@ -1107,6 +1107,27 @@ def q_doc_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def q_doc_contamination(spark, sf_dir):
+    """Eval-set contamination: train docs sharing >= 3 distinct 8-gram
+    hashes with any doc of the deterministic 5% eval split."""
+    from graphouse_spark.functions.contamination import ngram_contamination
+    from graphouse_spark.functions.sampling import split_train_eval
+
+    docs = split_train_eval(_t(spark, sf_dir, "documents"), "doc_id", 0.05)
+    train = docs.filter(F.col("split") == "train").drop("split")
+    ev = docs.filter(F.col("split") == "eval").drop("split")
+    return ngram_contamination(train, ev, n=8, min_shared=3)
+
+
+def q_doc_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (first-fit-decreasing per hash
+    group; sequential bin state -> not SQL-expressible; invariants
+    unit-tested)."""
+    from graphouse_spark.functions.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=512)
+
+
 def q_emb_quantize(spark, sf_dir):
     """int8 scalar quantization of the embedding corpus; per-vector
     scale + code aggregates (sum/min/max) for engine-portable compare."""
@@ -1439,6 +1460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hash_sample": q_doc_hash_sample,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_train_split": q_doc_train_split,
+        "doc_contamination": q_doc_contamination,
+        "doc_pack_sequences": q_doc_pack_sequences,
         "emb_quantize": q_emb_quantize,
         "doc_lang_id": q_doc_lang_id,
         "emb_cosine_pairs": q_emb_cosine_pairs,
@@ -2326,6 +2349,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.1
+        """,
+        "doc_contamination": r"""
+            WITH split AS (
+                SELECT doc_id, text,
+                       CASE WHEN CAST(concat('0x', substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                                 % 10000 < 500
+                            THEN 'eval' ELSE 'train' END AS split
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, split,
+                       list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+                FROM split
+            ),
+            grams AS (
+                SELECT doc_id, split,
+                       unnest(list_distinct(CASE WHEN len(toks) <= 7
+                           THEN [array_to_string(toks, ' ')]
+                           ELSE [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks)-6)]
+                       END)) AS g
+                FROM toks
+            ),
+            hashed AS (
+                SELECT doc_id, split,
+                       CAST(concat('0x', substr(md5(g),1,15)) AS BIGINT) AS gram
+                FROM grams
+            ),
+            ovl AS (
+                SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(DISTINCT t.gram) AS n_shared
+                FROM (SELECT DISTINCT doc_id, gram FROM hashed WHERE split = 'train') t
+                JOIN (SELECT DISTINCT doc_id, gram FROM hashed WHERE split = 'eval') e USING (gram)
+                GROUP BY 1, 2
+                HAVING count(DISTINCT t.gram) >= 3
+            )
+            SELECT train_id, count(*) AS n_eval_docs, max(n_shared) AS max_shared
+            FROM ovl GROUP BY train_id
         """,
         "doc_hash_sample": """
             SELECT doc_id, source FROM documents

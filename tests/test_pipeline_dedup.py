@@ -192,3 +192,33 @@ def test_simhash_banded_pairs_recall(spark):
     assert got[(1, 2)] == 0
     assert (1, 3) in got and got[(1, 3)] <= 10
     assert not any(4 in p for p in got)
+
+
+def test_pack_sequences_invariants(spark):
+    """Every doc assigned once; no shard exceeds the budget except a
+    single oversized doc; offsets tile each shard without overlap."""
+    from graphouse_spark.functions.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (10 * (i % 7) + 1)) for i in range(1, 41)] + [(99, "x " * 500)],
+        ["doc_id", "text"],
+    )
+    out = pack_sequences(docs, budget=100, n_groups=4).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted([*range(1, 41), 99])
+
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for shard, rows in by_shard.items():
+        total = sum(r["n_tokens"] for r in rows)
+        if len(rows) == 1:
+            continue  # single oversized doc allowed
+        assert total <= 100, f"{shard} over budget: {total}"
+        spans = sorted((r["offset"], r["offset"] + r["n_tokens"]) for r in rows)
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 <= s2, f"{shard} overlapping spans"
+
+    # determinism: same input -> same shards
+    again = {r["doc_id"]: (r["shard_id"], r["offset"])
+             for r in pack_sequences(docs, budget=100, n_groups=4).collect()}
+    assert again == {r["doc_id"]: (r["shard_id"], r["offset"]) for r in out}
