@@ -1119,6 +1119,43 @@ def q_doc_contamination(spark, sf_dir):
     return ngram_contamination(train, ev, n=8, min_shared=3)
 
 
+def q_doc_corpus_pipeline(spark, sf_dir):
+    """The END-TO-END training-corpus pipeline in one DAG, fully oracled:
+
+    documents -> drop near-dup non-representatives (SimHash banded pairs
+    -> connected components, keep cluster min) -> 5% eval split -> drop
+    train docs contaminated by the eval set (>= 3 shared 8-grams) ->
+    per-source stratified downsampling -> per-source corpus summary.
+
+    Every stage is an independently-oracled operator; this query proves
+    they compose into one lazy plan (no intermediate materialization
+    beyond the components loop's checkpoints)."""
+    from graphouse_spark.functions.cluster import cluster_representatives, dedup_clusters
+    from graphouse_spark.functions.contamination import ngram_contamination
+    from graphouse_spark.functions.dedup import simhash_near_duplicates
+    from graphouse_spark.functions.sampling import split_train_eval, stratified_hash_sample
+    from graphouse_spark.functions.text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_duplicates(docs, max_hamming=2)
+    kept = cluster_representatives(docs, dedup_clusters(pairs))
+    split = split_train_eval(kept, "doc_id", 0.05)
+    train = split.filter(F.col("split") == "train").drop("split")
+    ev = split.filter(F.col("split") == "eval").drop("split")
+    contam = ngram_contamination(train, ev, n=8, min_shared=3)
+    clean = train.join(
+        contam.select(F.col("train_id").alias("doc_id")), "doc_id", "left_anti"
+    )
+    sampled = stratified_hash_sample(
+        clean, "doc_id", "source", {"src0": 1.0, "src1": 0.25}, default_rate=0.05,
+        salt="mix",
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col(F.col("text")))).alias("sum_tokens"),
+    )
+
+
 def q_doc_pack_sequences(spark, sf_dir):
     """Token-budget sequence packing (first-fit-decreasing per hash
     group; sequential bin state -> not SQL-expressible; invariants
@@ -1462,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_train_split": q_doc_train_split,
         "doc_contamination": q_doc_contamination,
         "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_corpus_pipeline": q_doc_corpus_pipeline,
         "emb_quantize": q_emb_quantize,
         "doc_lang_id": q_doc_lang_id,
         "emb_cosine_pairs": q_emb_cosine_pairs,
@@ -2349,6 +2387,84 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.1
+        """,
+        "doc_corpus_pipeline": r"""
+            WITH RECURSIVE dtoks AS (
+              SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS toks
+              FROM documents
+            ),
+            dhs AS (
+              SELECT doc_id, [CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT) FOR t IN toks] AS hs
+              FROM dtoks
+            ),
+            dsh AS (
+              SELECT doc_id,
+                CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0
+                               THEN (CAST(1 AS BIGINT) << j) ELSE 0 END FOR j IN range(0, 60)]) AS BIGINT) AS simhash
+              FROM dhs
+            ),
+            dpairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM dsh a JOIN dsh b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+            ),
+            dedges AS (SELECT id_a AS u, id_b AS v FROM dpairs UNION SELECT id_b, id_a FROM dpairs),
+            dreach AS (
+                SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM dedges)
+                UNION
+                SELECT e.v, r.label FROM dreach r JOIN dedges e ON r.node = e.u
+            ),
+            dcomp AS (SELECT node, min(label) AS cluster_id FROM dreach GROUP BY node),
+            kept AS (
+                SELECT d.* FROM documents d
+                WHERE d.doc_id NOT IN (SELECT node FROM dcomp WHERE node != cluster_id)
+            ),
+            split AS (
+                SELECT *,
+                       CASE WHEN CAST(concat('0x', substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                                 % 10000 < 500
+                            THEN 'eval' ELSE 'train' END AS split
+                FROM kept
+            ),
+            ktoks AS (
+                SELECT doc_id, split,
+                       list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+                FROM split
+            ),
+            kgrams AS (
+                SELECT doc_id, split,
+                       unnest(list_distinct(CASE WHEN len(toks) <= 7
+                           THEN [array_to_string(toks, ' ')]
+                           ELSE [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks)-6)]
+                       END)) AS g
+                FROM ktoks
+            ),
+            khashed AS (
+                SELECT doc_id, split, CAST(concat('0x', substr(md5(g),1,15)) AS BIGINT) AS gram
+                FROM kgrams
+            ),
+            kovl AS (
+                SELECT t.doc_id AS train_id
+                FROM (SELECT DISTINCT doc_id, gram FROM khashed WHERE split = 'train') t
+                JOIN (SELECT DISTINCT doc_id, gram FROM khashed WHERE split = 'eval') e USING (gram)
+                GROUP BY t.doc_id, e.doc_id
+                HAVING count(DISTINCT t.gram) >= 3
+            ),
+            clean AS (
+                SELECT * FROM split
+                WHERE split = 'train' AND doc_id NOT IN (SELECT DISTINCT train_id FROM kovl)
+            ),
+            sampled AS (
+                SELECT * FROM clean
+                WHERE CAST(concat('0x', substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                      % 10000
+                      < CASE WHEN source = 'src0' THEN 10000
+                             WHEN source = 'src1' THEN 2500
+                             ELSE 500 END
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS BIGINT) AS sum_tokens
+            FROM sampled GROUP BY source
         """,
         "doc_contamination": r"""
             WITH split AS (

@@ -54,6 +54,9 @@ EXTENDED_QUERIES = [
     "doc_simhash_pairs",   # banded hamming LSH
     "doc_tfidf_topk",
     "emb_quantize",
+    "doc_contamination",   # eval-set 8-gram leak check
+    "doc_pack_sequences",  # token-budget FFD packing
+    "doc_corpus_pipeline", # dedup -> decontaminate -> sample, one DAG
 ]
 
 
