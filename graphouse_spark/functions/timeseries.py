@@ -143,12 +143,15 @@ def highest_max(series: DataFrame, n: int, metric_col: str = "metric",
     peak value is highest (name-asc tiebreak for determinism), returning
     their full series.
 
-    Per-series max is a partial+final agg; the winner set is tiny and
-    broadcasts back as a semi-join, so the big side never reshuffles.
+    Per-series max is a partial+final agg; the top-N selection is
+    ``orderBy().limit(n)`` — Catalyst plans TakeOrderedAndProject
+    (per-partition heaps merged on the driver), NOT a global-window
+    row_number, which would funnel every series through one task at
+    10M-metric cardinality. The tiny winner set broadcasts back as a
+    semi-join, so the big side never reshuffles.
     """
     peaks = series.groupBy(metric_col).agg(F.max(value_col).alias("_peak"))
-    w = Window.orderBy(F.desc("_peak"), F.asc(metric_col))
-    top = peaks.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n)
+    top = peaks.orderBy(F.desc("_peak"), F.asc(metric_col)).limit(n)
     return series.join(
         F.broadcast(top.select(metric_col)), metric_col, "left_semi"
     ).select(metric_col, ts_col, value_col)

@@ -131,6 +131,8 @@ def test_tfidf_broadcasts_vocabulary_sides(spark):
 def test_highest_max_semi_join_broadcasts(spark):
     plan = plan_of(em.q_ts_highest_max(spark, SF))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # top-N must be the distributed heap-merge, not a global window
+    assert "TakeOrderedAndProject" in plan and "Window" not in plan
 
 
 def test_simhash_pairs_is_equi_join(spark):
