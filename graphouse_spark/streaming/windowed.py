@@ -80,6 +80,31 @@ def streaming_dedup(parsed: DataFrame, delay: str = "10 minutes",
     return with_time.dropDuplicatesWithinWatermark(list(keys)).drop("_event")
 
 
+def windowed_distinct_users(events: DataFrame, step_seconds: int = 3600,
+                            watermark_delay: str = "10 minutes",
+                            key: str = "user_id") -> DataFrame:
+    """Streaming per-window approximate distinct count (HLL sketch).
+
+    ``approx_count_distinct`` keeps a fixed-size HyperLogLog per open
+    window instead of the full key set — the state store holds
+    O(windows x sketch_size) regardless of cardinality, which is what
+    makes distinct-count survivable on an unbounded stream (an exact
+    distinct would grow state with every new key). Partials merge
+    associatively across executors, same as the batch rollup path.
+
+    ``events``: streaming DF with (user_id, ts_sec, ...) — emits
+    (ts, approx_users) per closed window in append mode.
+    """
+    with_time = events.withColumn(
+        "_event", F.from_unixtime("ts_sec").cast("timestamp")
+    ).withWatermark("_event", watermark_delay)
+    return (
+        with_time.groupBy(F.window("_event", f"{step_seconds} seconds"))
+        .agg(F.approx_count_distinct(key).alias("approx_users"))
+        .select(F.unix_timestamp(F.col("window.start")).alias("ts"), "approx_users")
+    )
+
+
 def stream_stream_attribution(clicks: DataFrame, views: DataFrame,
                               horizon_seconds: int = 600,
                               watermark_delay: str = "2 minutes") -> DataFrame:

@@ -221,3 +221,34 @@ def test_holt_winters_forecast_recurrence(spark):
     # level=11, trend=0.5 -> forecast 11.5; dev = .1*2.5 + .9*.2 = .43
     assert rows[("m1", 120)] == (11.5, 0.43)
     assert rows[("m2", 0)] == (None, None)          # independent series
+
+
+def test_windowed_distinct_users_stream(spark, tmp_path):
+    from graphouse_spark.streaming.windowed import windowed_distinct_users
+
+    src = tmp_path / "uin"
+    src.mkdir()
+    schema = "user_id long, ts_sec long, value double"
+    rows1 = ([(u, BASE + u, 1.0) for u in range(1, 6)]          # 5 users, window 1
+             + [(1, BASE + 10, 1.0), (2, BASE + 11, 1.0)]       # repeats: still 5
+             + [(9, BASE + 7200, 1.0)])                         # advances watermark
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    query = (
+        windowed_distinct_users(stream, step_seconds=3600, watermark_delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("du_out")
+        .option("checkpointLocation", str(tmp_path / "uckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        # one more far-future point closes the second window too
+        spark.createDataFrame([(9, BASE + 20000, 1.0)], schema).coalesce(1).write.parquet(str(src / "b2"))
+        query.processAllAvailable()
+        got = {r["ts"]: r["approx_users"] for r in spark.table("du_out").collect()}
+    finally:
+        query.stop()
+    w1 = BASE - BASE % 3600
+    assert got[w1] == 5  # HLL is exact at tiny cardinalities
