@@ -914,6 +914,27 @@ def q_ts_scale_abs(spark, sf_dir):
     return absolute_series(offset_series(scale_series(_series(spark, sf_dir), 2.0), -50.0))
 
 
+def q_ts_as_percent(spark, sf_dir):
+    """graphite asPercent: per-point share of the cross-series total."""
+    from graphouse_spark.functions.timeseries import as_percent
+
+    return as_percent(_series(spark, sf_dir))
+
+
+def q_ts_average_above(spark, sf_dir):
+    """graphite averageAbove(series, 50): series selection by mean."""
+    from graphouse_spark.functions.timeseries import average_above
+
+    return average_above(_series(spark, sf_dir), 50.0)
+
+
+def q_ts_summarize(spark, sf_dir):
+    """graphite summarize(series, '1d', 'max'): coarser re-bucketing."""
+    from graphouse_spark.functions.timeseries import summarize
+
+    return summarize(_series(spark, sf_dir), DAY, "max")
+
+
 def q_ts_holt_winters(spark, sf_dir):
     """Double-exponential-smoothing forecast per series (applyInPandas
     recurrence — not SQL-expressible; unit-tested against hand math)."""
@@ -1480,6 +1501,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_stddev_series": q_ts_stddev_series,
         "ts_scale_abs": q_ts_scale_abs,
         "ts_holt_winters": q_ts_holt_winters,
+        "ts_as_percent": q_ts_as_percent,
+        "ts_average_above": q_ts_average_above,
+        "ts_summarize": q_ts_summarize,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "set_ops": q_set_ops,
@@ -2248,6 +2272,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT metric, ts,
                    abs(round(round(value * 2.0, 6) + -50.0, 6)) AS value
             FROM ({_SERIES_SQL})
+        """,
+        "ts_as_percent": f"""
+            SELECT metric, ts,
+                   CASE WHEN sum(value) OVER (PARTITION BY ts) != 0
+                        THEN round(value * 100.0 / sum(value) OVER (PARTITION BY ts), 6)
+                   END AS pct
+            FROM ({_SERIES_SQL})
+        """,
+        "ts_average_above": f"""
+            WITH s AS ({_SERIES_SQL}),
+            keep AS (SELECT metric FROM s GROUP BY metric HAVING avg(value) >= 50.0)
+            SELECT s.metric, s.ts, s.value FROM s SEMI JOIN keep ON s.metric = keep.metric
+        """,
+        "ts_summarize": f"""
+            SELECT metric, ts - ts % 86400 AS ts, round(max(value), 6) AS value
+            FROM ({_SERIES_SQL})
+            GROUP BY 1, 2
         """,
         "asof_click_attrib": """
             SELECT l.event_id, l.user_id, l.ts_sec, l.value, r.click_value

@@ -172,6 +172,49 @@ def stddev_series(series: DataFrame, ts_col: str = "ts",
     )
 
 
+def as_percent(series: DataFrame, metric_col: str = "metric",
+               ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``asPercent(series)``: each series' share of the
+    aligned-point total. One window sum over the ts partition — no
+    self-join; zero totals yield null (graphite's None)."""
+    w = Window.partitionBy(ts_col)
+    total = F.sum(value_col).over(w)
+    pct = F.when(total != 0, F.round(F.col(value_col) * 100.0 / total, 6))
+    return series.select(metric_col, ts_col, pct.alias("pct"))
+
+
+def average_above(series: DataFrame, threshold: float, metric_col: str = "metric",
+                  ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``averageAbove(series, X)``: keep only series whose mean
+    clears the threshold — per-series agg, broadcast semi-join back."""
+    means = (
+        series.groupBy(metric_col)
+        .agg(F.avg(value_col).alias("_mean"))
+        .filter(F.col("_mean") >= threshold)
+    )
+    return series.join(
+        F.broadcast(means.select(metric_col)), metric_col, "left_semi"
+    ).select(metric_col, ts_col, value_col)
+
+
+def summarize(series: DataFrame, interval_seconds: int, function: str = "sum",
+              metric_col: str = "metric", ts_col: str = "ts",
+              value_col: str = "value") -> DataFrame:
+    """graphite ``summarize(series, interval, func)``: re-bucket each
+    series to a coarser epoch-aligned grid (one partial+final agg)."""
+    from graphouse_spark.operators.bucket import AGG_FUNCTIONS
+
+    try:
+        agg = AGG_FUNCTIONS[function]
+    except KeyError:
+        raise ValueError(f"unknown aggregation function {function!r}") from None
+    bucket = (F.col(ts_col) - F.col(ts_col) % interval_seconds).alias(ts_col)
+    return (
+        series.groupBy(metric_col, bucket)
+        .agg(F.round(agg(value_col), 6).alias(value_col))
+    )
+
+
 def holt_winters_forecast(series: DataFrame, alpha: float = 0.1, beta: float = 0.0035,
                           metric_col: str = "metric", ts_col: str = "ts",
                           value_col: str = "value") -> DataFrame:
