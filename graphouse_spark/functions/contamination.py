@@ -31,8 +31,10 @@ from graphouse_spark.functions.dedup import portable_hash60, word_shingles
 
 
 def _hashed_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    # md5-per-gram is CPU-bound: spread single-file corpora across cores
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     grams = word_shingles(F.col(text_col), n)
-    return docs.select(
+    return spread.select(
         F.col(id_col),
         F.explode(F.transform(grams, portable_hash60)).alias("gram"),
     ).distinct()
