@@ -914,6 +914,44 @@ def q_ts_scale_abs(spark, sf_dir):
     return absolute_series(offset_series(scale_series(_series(spark, sf_dir), 2.0), -50.0))
 
 
+def q_window_distribution(spark, sf_dir):
+    """Distribution analytics per event_type ordered by value: quartile
+    (ntile 4), percent_rank, cume_dist — the W-family beyond rank/lag."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id", "event_type", "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q_gh_topk_per_group(spark, sf_dir):
+    """Top-3 users by total value within each event_type (window rank
+    over an aggregate — the per-group top-k idiom)."""
+    ev = _t(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 4).alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("total"), F.asc("user_id"))
+    return (
+        totals.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+def q_ts_derivative(spark, sf_dir):
+    """graphite derivative: plain successive difference per series
+    (vs nonNegativeDerivative's rate semantics)."""
+    s = _series(spark, sf_dir)
+    w = Window.partitionBy("metric").orderBy("ts")
+    return s.select(
+        "metric", "ts",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
 def q_ts_as_percent(spark, sf_dir):
     """graphite asPercent: per-point share of the cross-series total."""
     from graphouse_spark.functions.timeseries import as_percent
@@ -1502,6 +1540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_scale_abs": q_ts_scale_abs,
         "ts_holt_winters": q_ts_holt_winters,
         "ts_as_percent": q_ts_as_percent,
+        "ts_derivative": q_ts_derivative,
+        "window_distribution": q_window_distribution,
+        "gh_topk_per_group": q_gh_topk_per_group,
         "ts_average_above": q_ts_average_above,
         "ts_summarize": q_ts_summarize,
         "join_semi": q_join_semi,
@@ -2271,6 +2312,30 @@ def oracle_sql() -> dict[str, str]:
         "ts_scale_abs": f"""
             SELECT metric, ts,
                    abs(round(round(value * 2.0, 6) + -50.0, 6)) AS value
+            FROM ({_SERIES_SQL})
+        """,
+        "window_distribution": """
+            SELECT event_id, event_type, value,
+                   CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+        """,
+        "gh_topk_per_group": """
+            SELECT * FROM (
+                SELECT event_type, user_id, total,
+                       CAST(row_number() OVER (PARTITION BY event_type
+                            ORDER BY total DESC, user_id ASC) AS INTEGER) AS rnk
+                FROM (
+                    SELECT event_type, user_id, round(sum(value), 4) AS total
+                    FROM events GROUP BY 1, 2
+                )
+            ) WHERE rnk <= 3
+        """,
+        "ts_derivative": f"""
+            SELECT metric, ts,
+                   round(value - lag(value) OVER (PARTITION BY metric ORDER BY ts), 6) AS delta
             FROM ({_SERIES_SQL})
         """,
         "ts_as_percent": f"""
