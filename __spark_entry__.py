@@ -914,6 +914,16 @@ def q_ts_scale_abs(spark, sf_dir):
     return absolute_series(offset_series(scale_series(_series(spark, sf_dir), 2.0), -50.0))
 
 
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Edit-distance <= 1 customer-name pairs via PassJoin segment
+    blocking + levenshtein verify (oracle: brute-force cross join —
+    matching it proves the blocking loses nothing)."""
+    from graphouse_spark.functions.fuzzy import edit_distance_pairs
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return edit_distance_pairs(cust, "c_name", "c_custkey", max_dist=1)
+
+
 def q_window_distribution(spark, sf_dir):
     """Distribution analytics per event_type ordered by value: quartile
     (ntile 4), percent_rank, cume_dist — the W-family beyond rank/lag."""
@@ -1542,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_as_percent": q_ts_as_percent,
         "ts_derivative": q_ts_derivative,
         "window_distribution": q_window_distribution,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "gh_topk_per_group": q_gh_topk_per_group,
         "ts_average_above": q_ts_average_above,
         "ts_summarize": q_ts_summarize,
@@ -2313,6 +2324,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT metric, ts,
                    abs(round(round(value * 2.0, 6) + -50.0, 6)) AS value
             FROM ({_SERIES_SQL})
+        """,
+        "fuzzy_name_pairs": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+             AND length(a.c_name) = length(b.c_name)
+             AND levenshtein(a.c_name, b.c_name) <= 1
         """,
         "window_distribution": """
             SELECT event_id, event_type, value,

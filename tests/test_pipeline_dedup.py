@@ -222,3 +222,27 @@ def test_pack_sequences_invariants(spark):
     again = {r["doc_id"]: (r["shard_id"], r["offset"])
              for r in pack_sequences(docs, budget=100, n_groups=4).collect()}
     assert again == {r["doc_id"]: (r["shard_id"], r["offset"]) for r in out}
+
+
+def test_edit_distance_pairs_blocking_recall(spark):
+    """Segment blocking must not lose pairs — including equal-length
+    insert+delete shifts at k=2 (positions move, pigeonhole window
+    catches them)."""
+    from graphouse_spark.functions.fuzzy import edit_distance_pairs
+
+    rows = [
+        (1, "abcdefgh"), (2, "abcdefgX"),   # 1 substitution
+        (3, "Xabcdefg"),                    # del front + ins back vs 1: dist 2
+        (4, "abXdefgh"),                    # 1 substitution vs 1
+        (5, "zzzzzzzz"),                    # unrelated
+        (6, "abcd"), (7, "abXd"),           # different length group
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in edit_distance_pairs(df, "name", "id", max_dist=2).collect()}
+    assert got[(1, 2)] == 1 and got[(1, 4)] == 1 and got[(6, 7)] == 1
+    assert got[(1, 3)] == 2                  # shifted pair found despite blocking
+    assert got[(2, 4)] == 2
+    assert not any(5 in p for p in got)
+    # a length mismatch never pairs in the equal-length variant
+    assert not any((a in (6, 7)) != (b in (6, 7)) for a, b in got)
