@@ -962,6 +962,52 @@ def q_ts_derivative(spark, sf_dir):
     )
 
 
+def q_ts_zscore(spark, sf_dir):
+    """Batch anomaly scoring: per-series z-score of every point against
+    the series' own mean/std (window aggregates, no self-join); flags
+    |z| >= 2.5. The streaming twin is stateful.ewma_anomalies."""
+    s = _series(spark, sf_dir)
+    w = Window.partitionBy("metric")
+    mean, std = F.avg("value").over(w), F.stddev_samp("value").over(w)
+    z = F.when(std > 0, F.round((F.col("value") - mean) / std, 6))
+    return s.select(
+        "metric", "ts", "value", z.alias("zscore"),
+        (F.abs(F.coalesce(z, F.lit(0.0))) >= 2.5).alias("is_anomaly"),
+    )
+
+
+def q_ts_seasonal_profile(spark, sf_dir):
+    """Seasonality-lite: hour-of-day profile per series + residual
+    (value minus the series' mean for that hour slot)."""
+    s = _series(spark, sf_dir)
+    hod = ((F.col("ts") % DAY) / HOUR).cast("int")
+    w = Window.partitionBy("metric", "hod")
+    profile = F.round(F.avg("value").over(w), 6)
+    return s.withColumn("hod", hod).select(
+        "metric", "ts", "hod",
+        profile.alias("hour_profile"),
+        F.round(F.col("value") - profile, 6).alias("residual"),
+    )
+
+
+def q_ts_lag_corr(spark, sf_dir):
+    """Lagged cross-correlation: corr(error[t], click[t - 1h]) on the
+    hourly grid — the does-X-lead-Y primitive, one aligned equi-join +
+    one corr aggregate."""
+    ev = _events_sec(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", (F.col("ts_sec") - F.col("ts_sec") % HOUR).alias("ts")
+    ).agg(F.avg("value").alias("value"))
+    err = hourly.filter(F.col("event_type") == "error").select("ts", F.col("value").alias("err_v"))
+    clk = hourly.filter(F.col("event_type") == "click").select(
+        (F.col("ts") + HOUR).alias("ts"), F.col("value").alias("clk_v")
+    )
+    return err.join(clk, "ts").agg(
+        F.round(F.corr("err_v", "clk_v"), 6).alias("lag_corr"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
 def q_ts_as_percent(spark, sf_dir):
     """graphite asPercent: per-point share of the cross-series total."""
     from graphouse_spark.functions.timeseries import as_percent
@@ -1551,6 +1597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_holt_winters": q_ts_holt_winters,
         "ts_as_percent": q_ts_as_percent,
         "ts_derivative": q_ts_derivative,
+        "ts_zscore": q_ts_zscore,
+        "ts_seasonal_profile": q_ts_seasonal_profile,
+        "ts_lag_corr": q_ts_lag_corr,
         "window_distribution": q_window_distribution,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "gh_topk_per_group": q_gh_topk_per_group,
@@ -2356,6 +2405,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT metric, ts,
                    round(value - lag(value) OVER (PARTITION BY metric ORDER BY ts), 6) AS delta
             FROM ({_SERIES_SQL})
+        """,
+        "ts_zscore": f"""
+            SELECT metric, ts, value,
+                   CASE WHEN stddev_samp(value) OVER w > 0
+                        THEN round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6)
+                   END AS zscore,
+                   abs(coalesce(CASE WHEN stddev_samp(value) OVER w > 0
+                        THEN round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6)
+                   END, 0.0)) >= 2.5 AS is_anomaly
+            FROM ({_SERIES_SQL})
+            WINDOW w AS (PARTITION BY metric)
+        """,
+        "ts_seasonal_profile": f"""
+            SELECT metric, ts, hod,
+                   round(avg(value) OVER (PARTITION BY metric, hod), 6) AS hour_profile,
+                   round(value - round(avg(value) OVER (PARTITION BY metric, hod), 6), 6) AS residual
+            FROM (SELECT metric, ts, value, CAST((ts % 86400) // 3600 AS INTEGER) AS hod
+                  FROM ({_SERIES_SQL}))
+        """,
+        "ts_lag_corr": """
+            WITH hourly AS (
+                SELECT event_type,
+                       ts_sec - ts_sec % 3600 AS ts, avg(value) AS value
+                FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events)
+                GROUP BY 1, 2
+            )
+            SELECT round(corr(e.value, c.value), 6) AS lag_corr, count(*) AS n_points
+            FROM (SELECT ts, value FROM hourly WHERE event_type = 'error') e
+            JOIN (SELECT ts + 3600 AS ts, value FROM hourly WHERE event_type = 'click') c USING (ts)
         """,
         "ts_as_percent": f"""
             SELECT metric, ts,
