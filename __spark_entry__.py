@@ -91,14 +91,22 @@ def q_gh_bucket_agg(spark, sf_dir):
 
 
 def q_gh_two_level_agg(spark, sf_dir):
-    """A6: inner LWW dedup feeding an outer bucket aggregation."""
+    """A6: inner LWW dedup feeding an outer bucket aggregation.
+
+    The outer average runs in exact integer cents (values carry 2
+    decimals): float summation is order-dependent across engines, and
+    at round-6 boundaries a 1-ULP difference flips the digit. Integer
+    sums are associative, so the average is bit-identical anywhere.
+    """
     ev = _events_sec(spark, sf_dir)
     bucket = (F.col("ts_sec") - F.col("ts_sec") % HOUR).alias("ts")
     deduped = ev.groupBy("user_id", "event_type", bucket).agg(
         F.max_by("value", "event_id").alias("value")
     )
+    cents = F.round(F.col("value") * 100).cast("long")
     return deduped.groupBy("event_type", "ts").agg(
-        F.round(F.avg("value"), 6).alias("avg_value"), F.count(F.lit(1)).alias("n")
+        F.round(F.sum(cents) / (F.count(F.lit(1)) * 100.0), 6).alias("avg_value"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
@@ -852,10 +860,13 @@ def q_ts_keep_last(spark, sf_dir):
 
     ev = _events_sec(spark, sf_dir)
     start, end = SEC_JAN1, SEC_JAN1 + 31 * DAY
+    # exact-cents average: integer sums are order-independent, so the
+    # round-6 digit cannot flip on cross-engine float summation order
+    cents = F.round(F.col("value") * 100).cast("long")
     hourly = ev.groupBy(
         F.col("event_type").alias("metric"),
         (F.col("ts_sec") - F.col("ts_sec") % HOUR).alias("ts"),
-    ).agg(F.round(F.avg("value"), 6).alias("value"))
+    ).agg(F.round(F.sum(cents) / (F.count(F.lit(1)) * 100.0), 6).alias("value"))
     grid = (
         ev.select(F.col("event_type").alias("metric"))
         .distinct()
@@ -1810,7 +1821,9 @@ def oracle_sql() -> dict[str, str]:
                        arg_max(value, event_id) AS value
                 FROM events GROUP BY 1, 2, 3
             )
-            SELECT event_type, ts, round(avg(value), 6) AS avg_value, count(*) AS n
+            SELECT event_type, ts,
+                   round(sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100.0), 6) AS avg_value,
+                   count(*) AS n
             FROM deduped GROUP BY 1, 2
         """,
         "gh_gap_fill": f"""
@@ -2316,7 +2329,7 @@ def oracle_sql() -> dict[str, str]:
             WITH hourly AS (
                 SELECT event_type AS metric,
                        ts_sec - ts_sec % 3600 AS ts,
-                       round(avg(value), 6) AS value
+                       round(sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100.0), 6) AS value
                 FROM (SELECT event_type, {ts_sec} AS ts_sec, value FROM events)
                 GROUP BY 1, 2
             ),
