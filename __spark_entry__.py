@@ -1529,6 +1529,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
     sf_dir = "/root/testdata/sf0.001"
     ev = _events_sec(spark, sf_dir)
+    # pre-filter on the RAW nanos column: this predicate sits below the
+    # ts_sec conversion expressions, so it reaches the parquet scan as a
+    # pushed range filter (row-group min/max pruning) instead of being
+    # evaluated post-decode like the derived-column filters above it
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.filter(
+            (F.col("ts") >= SEC_JAN1 * 1_000_000_000)
+            & (F.col("ts") < (SEC_JAN1 + 31 * DAY) * 1_000_000_000)
+        )
+    else:
+        ev = ev.filter(
+            (F.col("ts_sec") >= SEC_JAN1) & (F.col("ts_sec") < SEC_JAN1 + 31 * DAY)
+        )
     data = ev.select(
         F.concat(F.lit("events."), F.col("event_type")).alias("metric"),
         F.col("value"),
