@@ -781,21 +781,28 @@ def q_interval_click_density(spark, sf_dir):
 
 
 def _series(spark, sf_dir):
-    """Canonical (metric, ts, value) series from events: per-type 5-min avg."""
+    """Canonical (metric, ts, value) series from events: per-type 5-min avg.
+
+    The average runs in exact integer cents (values carry 2 decimals):
+    float summation order differs across engines and partitionings, and
+    a 1-ULP delta at a round-6 boundary flips the digit. Integer sums
+    are associative — bit-identical at any scale.
+    """
     ev = _events_sec(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
     return (
         ev.groupBy(
             F.col("event_type").alias("metric"),
             (F.col("ts_sec") - F.col("ts_sec") % 300).alias("ts"),
         )
-        .agg(F.round(F.avg("value"), 6).alias("value"))
+        .agg(F.round(F.sum(cents) / (F.count(F.lit(1)) * 100.0), 6).alias("value"))
     )
 
 
 _SERIES_SQL = """
     SELECT event_type AS metric,
            ts_sec - ts_sec % 300 AS ts,
-           round(avg(value), 6) AS value
+           round(sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100.0), 6) AS value
     FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events)
     GROUP BY 1, 2
 """
@@ -993,7 +1000,10 @@ def q_ts_seasonal_profile(spark, sf_dir):
     s = _series(spark, sf_dir)
     hod = ((F.col("ts") % DAY) / HOUR).cast("int")
     w = Window.partitionBy("metric", "hod")
-    profile = F.round(F.avg("value").over(w), 6)
+    # series values carry 6 decimals: average them as exact micro-units
+    # so the profile is summation-order-independent across engines
+    micro = F.round(F.col("value") * 1_000_000).cast("long")
+    profile = F.round(F.sum(micro).over(w) / (F.count(F.lit(1)).over(w) * 1_000_000.0), 6)
     return s.withColumn("hod", hod).select(
         "metric", "ts", "hod",
         profile.alias("hour_profile"),
@@ -2445,10 +2455,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ts_seasonal_profile": f"""
             SELECT metric, ts, hod,
-                   round(avg(value) OVER (PARTITION BY metric, hod), 6) AS hour_profile,
-                   round(value - round(avg(value) OVER (PARTITION BY metric, hod), 6), 6) AS residual
+                   round(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w
+                         / (count(*) OVER w * 1000000.0), 6) AS hour_profile,
+                   round(value - round(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w
+                         / (count(*) OVER w * 1000000.0), 6), 6) AS residual
             FROM (SELECT metric, ts, value, CAST((ts % 86400) // 3600 AS INTEGER) AS hod
                   FROM ({_SERIES_SQL}))
+            WINDOW w AS (PARTITION BY metric, hod)
         """,
         "ts_lag_corr": """
             WITH hourly AS (
