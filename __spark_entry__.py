@@ -2399,11 +2399,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.metric, s.ts, s.value FROM s SEMI JOIN top ON s.metric = top.metric
         """,
         "ts_stddev_series": f"""
-            SELECT ts, round(avg(value), 6) AS avg_value,
-                   round(stddev_samp(value), 6) AS stddev_value,
-                   count(*) AS n_series
-            FROM ({_SERIES_SQL})
-            GROUP BY ts
+            SELECT ts,
+                   round(CAST(s1 AS DOUBLE) / n) / 1000000.0 AS avg_value,
+                   round(CASE WHEN n > 1 THEN
+                       sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                                     / (n - 1), 0.0)) / 1000000.0
+                   END, 6) AS stddev_value,
+                   n_series
+            FROM (
+                SELECT ts,
+                       sum(CAST(round(value * 1000000) AS HUGEINT)) AS s1,
+                       sum(CAST(round(value * 1000000) AS HUGEINT) * CAST(round(value * 1000000) AS HUGEINT)) AS s2,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       count(*) AS n_series
+                FROM ({_SERIES_SQL})
+                GROUP BY ts
+            )
         """,
         "ts_scale_abs": f"""
             SELECT metric, ts,

@@ -161,12 +161,30 @@ def stddev_series(series: DataFrame, ts_col: str = "ts",
                   value_col: str = "value") -> DataFrame:
     """graphite ``stddevSeries`` + ``averageSeries`` + ``countSeries`` in
     one aligned-point pass (sample stddev; null when only one series
-    contributes, matching SQL semantics on both engines)."""
+    contributes, matching SQL semantics on both engines).
+
+    Engine-portable formulation: built-in ``stddev_samp`` accumulates
+    floats in data order (Welford vs sum-of-squares differs across
+    engines too), so the 6th digit can flip. Instead the aggregation
+    keeps EXACT integer micro-unit sums S1 = Σv, S2 = Σv² (decimal —
+    overflow-safe), then every engine runs the identical scalar
+    formula sqrt((S2 - S1²/n)/(n-1)) on identical numbers.
+    """
+    micro = F.round(F.col(value_col) * 1_000_000).cast("decimal(38,0)")
+    s1 = F.sum(micro).cast("double")
+    s2 = F.sum(micro * micro).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    std = F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0))) / 1_000_000.0)
     return (
         series.groupBy(ts_col)
         .agg(
-            F.round(F.avg(value_col), 6).alias("avg_value"),
-            F.round(F.stddev_samp(value_col), 6).alias("stddev_value"),
+            # round at INTEGER micro precision: s1/n is an exact multiple
+            # of 0.25 in double, so the half cases round identically on
+            # every engine; round(x/1e6, 6) instead hits engine-specific
+            # behavior exactly at those halves
+            (F.round(s1 / n) / 1_000_000.0).alias("avg_value"),
+            F.round(std, 6).alias("stddev_value"),
             F.count(F.lit(1)).alias("n_series"),
         )
     )
