@@ -1525,6 +1525,152 @@ def q_multimodal_features(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# graphite function family round 3 + pipeline round 3
+# --------------------------------------------------------------------------
+
+def q_ts_moving_stats(spark, sf_dir):
+    """graphite movingMedian/Min/Max/Sum in one ROWS-frame pass."""
+    from graphouse_spark.functions.timeseries import moving_stats
+
+    return moving_stats(_series(spark, sf_dir), window_points=5)
+
+
+def q_ts_per_second(spark, sf_dir):
+    """graphite perSecond: per-second rate, null on decrease."""
+    from graphouse_spark.functions.timeseries import per_second
+
+    return per_second(_series(spark, sf_dir))
+
+
+def q_ts_remove_transform(spark, sf_dir):
+    """graphite removeAboveValue(80) + transformNull(0) composed:
+    capped column keeps the null grid, filled column defaults it."""
+    from graphouse_spark.functions.timeseries import remove_above_value
+
+    capped = remove_above_value(_series(spark, sf_dir), 80.0)
+    return capped.select(
+        "metric", "ts",
+        F.col("value").alias("capped"),
+        F.coalesce("value", F.lit(0.0)).alias("filled"),
+    )
+
+
+def q_ts_current_above(spark, sf_dir):
+    """graphite currentAbove: series whose LAST reading clears 50."""
+    from graphouse_spark.functions.timeseries import current_above
+
+    return current_above(_series(spark, sf_dir), 50.0)
+
+
+def q_ts_sort_by_total(spark, sf_dir):
+    """graphite limit(sortByTotal(...), 5) over per-user daily series."""
+    from graphouse_spark.functions.timeseries import sort_by_total
+
+    ev = _events_sec(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    s = ev.groupBy(
+        F.concat(F.lit("events."), F.col("event_type"), F.lit(".u"), F.col("user_id")).alias("metric"),
+        (F.col("ts_sec") - F.col("ts_sec") % DAY).alias("ts"),
+    ).agg((F.sum(cents) / 100.0).alias("value"))
+    return sort_by_total(s, 5)
+
+
+def q_ts_n_percentile(spark, sf_dir):
+    """graphite nPercentile(series, 90): series flattened to its p90.
+
+    Exact integer micro-units feed the percentile, so the interpolation
+    arithmetic is identical on every engine (no float-order drift)."""
+    from pyspark.sql import Window as W
+
+    s = _series(spark, sf_dir)
+    micro = F.round(F.col("value") * 1_000_000).cast("long")
+    w = W.partitionBy("metric")
+    pctl = F.percentile(micro, F.lit(0.9)).over(w) / 1_000_000.0
+    return s.select("metric", "ts", F.round(pctl, 6).alias("pctl_value"))
+
+
+def q_ts_linear_regression(spark, sf_dir):
+    """Per-series least-squares trend (slope/intercept) via exact
+    integer moment sums — the engine-portable regr_slope."""
+    from graphouse_spark.functions.timeseries import linear_regression
+
+    return linear_regression(_series(spark, sf_dir))
+
+
+def q_ts_combine(spark, sf_dir):
+    """graphite minSeries/maxSeries/rangeOfSeries/sumSeries per point."""
+    from graphouse_spark.functions.timeseries import combine_series
+
+    return combine_series(_series(spark, sf_dir))
+
+
+def q_ts_integral_daily(spark, sf_dir):
+    """graphite integralByInterval(series, '1d'): daily-resetting csum."""
+    from graphouse_spark.functions.timeseries import integral_by_interval
+
+    return integral_by_interval(_series(spark, sf_dir), DAY)
+
+
+def q_ts_changed(spark, sf_dir):
+    """graphite changed(): 0/1 flag on value transitions."""
+    from graphouse_spark.functions.timeseries import changed
+
+    return changed(_series(spark, sf_dir))
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Repetition scoring: top-token share per document (the cheap
+    boilerplate detector — a high max-token frequency flags template
+    or spam docs). One explode + two-level agg; deterministic
+    tie-break (min token among the argmax set)."""
+    from graphouse_spark.functions.text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
+    counts = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = counts.withColumn("max_cnt", F.max("cnt").over(Window.partitionBy("doc_id")))
+    return counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.max("cnt").alias("top_cnt"),
+        F.min(F.when(F.col("cnt") == F.col("max_cnt"), F.col("token"))).alias("top_token"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_share"),
+    )
+
+
+def q_doc_source_rebalance(spark, sf_dir):
+    """Domain-mix rebalancing: deterministically cap each source at 20
+    docs (md5-ordered, so the kept set is stable across runs/engines
+    and scan-stage filterable — no RNG, no collect)."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("bal"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+    )
+
+
+def q_emb_label_centroids(spark, sf_dir):
+    """Per-label centroid of the embedding column via posexplode +
+    exact DECIMAL(28,10) sums (float->double is exact; the decimal
+    quantization is the same on every engine, so the mean is
+    summation-order-independent)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    dec = F.col("val").cast("decimal(28,10)")
+    # sum exactly in decimal, divide once in double: the only float op
+    # happens on identical numbers in both engines
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), 6).alias("centroid_val"),
+             F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -1677,6 +1823,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": q_emb_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_meta": q_multimodal_meta,
+        "ts_moving_stats": q_ts_moving_stats,
+        "ts_per_second": q_ts_per_second,
+        "ts_remove_transform": q_ts_remove_transform,
+        "ts_current_above": q_ts_current_above,
+        "ts_sort_by_total": q_ts_sort_by_total,
+        "ts_n_percentile": q_ts_n_percentile,
+        "ts_linear_regression": q_ts_linear_regression,
+        "ts_combine": q_ts_combine,
+        "ts_integral_daily": q_ts_integral_daily,
+        "ts_changed": q_ts_changed,
+        "doc_repetition": q_doc_repetition,
+        "doc_source_rebalance": q_doc_source_rebalance,
+        "emb_label_centroids": q_emb_label_centroids,
     }
 
 
@@ -2420,6 +2579,159 @@ def oracle_sql() -> dict[str, str]:
             SELECT metric, ts,
                    abs(round(round(value * 2.0, 6) + -50.0, 6)) AS value
             FROM ({_SERIES_SQL})
+        """,
+        "ts_moving_stats": f"""
+            SELECT metric, ts,
+                   round(quantile_cont(value, 0.5) OVER w, 6) AS mov_median,
+                   min(value) OVER w AS mov_min,
+                   max(value) OVER w AS mov_max,
+                   sum(CAST(round(value * 1000000) AS BIGINT)) OVER w / 1000000.0 AS mov_sum
+            FROM ({_SERIES_SQL})
+            WINDOW w AS (PARTITION BY metric ORDER BY ts
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "ts_per_second": f"""
+            SELECT metric, ts,
+                   CASE WHEN dv >= 0 AND dt > 0 THEN round(dv / dt, 6) END AS rate
+            FROM (
+                SELECT metric, ts,
+                       value - lag(value) OVER (PARTITION BY metric ORDER BY ts) AS dv,
+                       ts - lag(ts) OVER (PARTITION BY metric ORDER BY ts) AS dt
+                FROM ({_SERIES_SQL})
+            )
+        """,
+        "ts_remove_transform": f"""
+            SELECT metric, ts,
+                   CASE WHEN value <= 80.0 THEN value END AS capped,
+                   CASE WHEN value <= 80.0 THEN value ELSE 0.0 END AS filled
+            FROM ({_SERIES_SQL})
+        """,
+        "ts_current_above": f"""
+            WITH s AS ({_SERIES_SQL}),
+            winners AS (
+                SELECT metric FROM (
+                    SELECT metric, arg_max(value, ts) AS last_v FROM s GROUP BY metric
+                ) WHERE last_v >= 50.0
+            )
+            SELECT s.metric, s.ts, s.value FROM s SEMI JOIN winners ON s.metric = winners.metric
+        """,
+        "ts_sort_by_total": f"""
+            WITH s AS (
+                SELECT 'events.' || event_type || '.u' || user_id AS metric,
+                       ts_sec - ts_sec % 86400 AS ts,
+                       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value
+                FROM (SELECT event_type, user_id, {ts_sec} AS ts_sec, value FROM events)
+                GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT metric,
+                       sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS t
+                FROM s GROUP BY metric
+            ),
+            top AS (
+                SELECT metric, t,
+                       CAST(row_number() OVER (ORDER BY t DESC, metric ASC) AS INTEGER) AS rank
+                FROM tot QUALIFY rank <= 5
+            )
+            SELECT s.metric, top.rank, s.ts, s.value, round(top.t, 6) AS series_total
+            FROM s JOIN top USING (metric)
+        """,
+        "ts_n_percentile": f"""
+            SELECT metric, ts,
+                   round(quantile_cont(CAST(round(value * 1000000) AS BIGINT), 0.9)
+                         OVER (PARTITION BY metric) / 1000000.0, 6) AS pctl_value
+            FROM ({_SERIES_SQL})
+        """,
+        "ts_linear_regression": f"""
+            WITH xy AS (
+                SELECT metric,
+                       CAST(ts - min(ts) OVER (PARTITION BY metric) AS HUGEINT) AS x,
+                       CAST(round(value * 1000000) AS HUGEINT) AS y
+                FROM ({_SERIES_SQL})
+            ),
+            m AS (
+                SELECT metric,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                       CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(x * y) AS DOUBLE) AS sxy,
+                       count(*) AS n_points
+                FROM xy GROUP BY metric
+            )
+            SELECT metric,
+                   CASE WHEN n * sxx - sx * sx != 0
+                        THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx) / 1000000.0, 9)
+                   END AS slope,
+                   CASE WHEN n * sxx - sx * sx != 0
+                        THEN round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / 1000000.0, 6)
+                   END AS intercept,
+                   n_points
+            FROM m
+        """,
+        "ts_combine": f"""
+            SELECT ts,
+                   min(value) AS min_value,
+                   max(value) AS max_value,
+                   round(max(value) - min(value), 6) AS range_value,
+                   sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_value,
+                   count(*) AS n_series
+            FROM ({_SERIES_SQL})
+            GROUP BY ts
+        """,
+        "ts_integral_daily": f"""
+            SELECT metric, ts,
+                   sum(CAST(round(value * 1000000) AS BIGINT)) OVER (
+                       PARTITION BY metric, ts - ts % 86400 ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) / 1000000.0 AS running_value
+            FROM ({_SERIES_SQL})
+        """,
+        "ts_changed": f"""
+            SELECT metric, ts,
+                   CASE WHEN prev IS NULL OR prev = value THEN 0 ELSE 1 END AS changed
+            FROM (
+                SELECT metric, ts, value,
+                       lag(value) OVER (PARTITION BY metric ORDER BY ts) AS prev
+                FROM ({_SERIES_SQL})
+            )
+        """,
+        "doc_repetition": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')) AS token
+                FROM documents
+            ),
+            c AS (SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+            m AS (SELECT doc_id, token, cnt,
+                         max(cnt) OVER (PARTITION BY doc_id) AS max_cnt
+                  FROM c)
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                   CAST(max(cnt) AS BIGINT) AS top_cnt,
+                   min(CASE WHEN cnt = max_cnt THEN token END) AS top_token,
+                   round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_share
+            FROM m GROUP BY doc_id
+        """,
+        "doc_source_rebalance": """
+            SELECT doc_id, source, CAST(rn AS INTEGER) AS rn FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5('bal' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 20
+        """,
+        "emb_label_centroids": """
+            WITH e AS (
+                SELECT label,
+                       CAST(unnest(range(0, len(embedding))) AS INTEGER) AS pos,
+                       unnest(embedding::DOUBLE[]) AS val
+                FROM embeddings
+            )
+            SELECT label, pos,
+                   round(CAST(sum(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS centroid_val,
+                   count(*) AS n_vecs
+            FROM e GROUP BY label, pos
         """,
         "fuzzy_name_pairs": """
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

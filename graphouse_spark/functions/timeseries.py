@@ -317,3 +317,199 @@ def group_by_node(series: DataFrame, node: int, function: str = "sum",
         rekeyed.groupBy(metric_col, ts_col)
         .agg(F.round(agg(value_col), 6).alias(value_col))
     )
+
+
+# --------------------------------------------------------------------------
+# round 3: moving stats, rate, selection, regression, combining
+# --------------------------------------------------------------------------
+
+def moving_stats(series: DataFrame, window_points: int = 5,
+                 metric_col: str = "metric", ts_col: str = "ts",
+                 value_col: str = "value") -> DataFrame:
+    """graphite ``movingMedian/movingMin/movingMax/movingSum`` in one
+    window pass (ROWS frame of the last N points, point-count semantics
+    like movingAverage).
+
+    The moving sum runs on exact integer micro-units so the result is
+    independent of the engine's in-frame summation order; median over a
+    handful of exact values interpolates identically everywhere.
+    """
+    w = (
+        Window.partitionBy(metric_col)
+        .orderBy(ts_col)
+        .rowsBetween(-(window_points - 1), Window.currentRow)
+    )
+    micro = F.round(F.col(value_col) * 1_000_000).cast("long")
+    return series.select(
+        metric_col, ts_col,
+        F.round(F.percentile(value_col, F.lit(0.5)).over(w), 6).alias("mov_median"),
+        F.min(value_col).over(w).alias("mov_min"),
+        F.max(value_col).over(w).alias("mov_max"),
+        (F.sum(micro).over(w) / 1_000_000.0).alias("mov_sum"),
+    )
+
+
+def per_second(series: DataFrame, max_value: float | None = None,
+               metric_col: str = "metric", ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """graphite ``perSecond(series[, maxValue])``: counter rate per
+    second; on counter wrap (value decreased) the delta is recovered as
+    ``max_value - prev + curr`` when maxValue is given, else null."""
+    w = Window.partitionBy(metric_col).orderBy(ts_col)
+    prev = F.lag(value_col).over(w)
+    dv = F.col(value_col) - prev
+    dt = F.col(ts_col) - F.lag(ts_col).over(w)
+    if max_value is not None:
+        dv = F.when(dv >= 0, dv).otherwise(F.lit(max_value) - prev + F.col(value_col))
+        rate = F.when(dt > 0, F.round(dv / dt, 6))
+    else:
+        rate = F.when((dv >= 0) & (dt > 0), F.round(dv / dt, 6))
+    return series.select(metric_col, ts_col, rate.alias("rate"))
+
+
+def remove_above_value(series: DataFrame, threshold: float,
+                       value_col: str = "value") -> DataFrame:
+    """graphite ``removeAboveValue``: points above the bound become null
+    (graphite's None), keeping the grid shape for later gap handling."""
+    keep = F.when(F.col(value_col) <= threshold, F.col(value_col))
+    return series.withColumn(value_col, keep)
+
+
+def remove_below_value(series: DataFrame, threshold: float,
+                       value_col: str = "value") -> DataFrame:
+    """graphite ``removeBelowValue``: points below the bound become null."""
+    keep = F.when(F.col(value_col) >= threshold, F.col(value_col))
+    return series.withColumn(value_col, keep)
+
+
+def transform_null(series: DataFrame, default: float = 0.0,
+                   value_col: str = "value") -> DataFrame:
+    """graphite ``transformNull(series, X)``: nulls become the default."""
+    return series.withColumn(value_col, F.coalesce(F.col(value_col), F.lit(default)))
+
+
+def current_above(series: DataFrame, threshold: float,
+                  metric_col: str = "metric", ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """graphite ``currentAbove(series, X)``: keep series whose LAST
+    reading clears the bound. max_by(value, ts) is one partial+final
+    agg; winners broadcast back as a semi-join (same shape as
+    highest_max — the big side never reshuffles)."""
+    last = (
+        series.groupBy(metric_col)
+        .agg(F.max_by(value_col, ts_col).alias("_last"))
+        .filter(F.col("_last") >= threshold)
+    )
+    return series.join(
+        F.broadcast(last.select(metric_col)), metric_col, "left_semi"
+    ).select(metric_col, ts_col, value_col)
+
+
+def sort_by_total(series: DataFrame, n: int, metric_col: str = "metric",
+                  ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``limit(sortByTotal(series), N)``: the N series with the
+    largest totals, tagged with their rank.
+
+    Totals accumulate in exact micro-units (order-independent across
+    engines); top-N is orderBy().limit() = TakeOrderedAndProject
+    (per-partition heaps, no single-task global window), winners
+    broadcast back.
+    """
+    micro = F.round(F.col(value_col) * 1_000_000).cast("long")
+    totals = series.groupBy(metric_col).agg(
+        (F.sum(micro) / 1_000_000.0).alias("_total")
+    )
+    top = totals.orderBy(F.desc("_total"), F.asc(metric_col)).limit(n)
+    w = Window.orderBy(F.desc("_total"), F.asc(metric_col))
+    ranked = top.withColumn("rank", F.row_number().over(w))  # n rows — tiny
+    return (
+        series.join(F.broadcast(ranked), metric_col)
+        .select(metric_col, "rank", ts_col, value_col,
+                F.round("_total", 6).alias("series_total"))
+    )
+
+
+def n_percentile(series: DataFrame, p: float = 0.9,
+                 metric_col: str = "metric", ts_col: str = "ts",
+                 value_col: str = "value") -> DataFrame:
+    """graphite ``nPercentile(series, N)``: each series flattened to its
+    own Nth percentile (a constant series). A partition-only window
+    keeps the original grid without a self-join."""
+    w = Window.partitionBy(metric_col)
+    pctl = F.round(F.percentile(value_col, F.lit(p)).over(w), 6)
+    return series.select(metric_col, ts_col, pctl.alias("pctl_value"))
+
+
+def linear_regression(series: DataFrame, metric_col: str = "metric",
+                      ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``linearRegression``-style per-series least-squares fit.
+
+    Engine-portable: the moment sums n, Σx, Σy, Σxx, Σxy accumulate as
+    EXACT integers (x = seconds from the series' own start so xx can't
+    overflow; y in micro-units, decimal sums), then slope/intercept are
+    one scalar formula over identical numbers on every engine —
+    built-in regr_slope accumulates floats in partition order, which
+    flips the 6th digit across engines.
+    """
+    start = Window.partitionBy(metric_col)
+    x = (F.col(ts_col) - F.min(ts_col).over(start)).cast("decimal(38,0)")
+    y = F.round(F.col(value_col) * 1_000_000).cast("decimal(38,0)")
+    with_xy = series.select(metric_col, x.alias("_x"), y.alias("_y"))
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum("_x").cast("double")
+    sy = F.sum("_y").cast("double")
+    sxx = F.sum(F.col("_x") * F.col("_x")).cast("double")
+    sxy = F.sum(F.col("_x") * F.col("_y")).cast("double")
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / n
+    return with_xy.groupBy(metric_col).agg(
+        F.when(denom != 0, F.round(slope / 1_000_000.0, 9)).alias("slope"),
+        F.when(denom != 0, F.round(intercept / 1_000_000.0, 6)).alias("intercept"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+def combine_series(series: DataFrame, ts_col: str = "ts",
+                   value_col: str = "value") -> DataFrame:
+    """graphite ``minSeries/maxSeries/rangeOfSeries/sumSeries`` in one
+    aligned-point pass. min/max are exact; the sum runs in integer
+    micro-units so it is summation-order-independent."""
+    micro = F.round(F.col(value_col) * 1_000_000).cast("long")
+    return series.groupBy(ts_col).agg(
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+        F.round(F.max(value_col) - F.min(value_col), 6).alias("range_value"),
+        (F.sum(micro) / 1_000_000.0).alias("sum_value"),
+        F.count(F.lit(1)).alias("n_series"),
+    )
+
+
+def integral_by_interval(series: DataFrame, interval_seconds: int,
+                         metric_col: str = "metric", ts_col: str = "ts",
+                         value_col: str = "value") -> DataFrame:
+    """graphite ``integralByInterval``: cumulative sum that resets at
+    each interval boundary (e.g. daily totals that restart at midnight).
+    The reset is free — the interval bucket just joins the window
+    partition key; micro-unit sums keep the prefix exact."""
+    bucket = F.col(ts_col) - F.col(ts_col) % interval_seconds
+    w = (
+        Window.partitionBy(metric_col, bucket.alias("_b"))
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    micro = F.round(F.col(value_col) * 1_000_000).cast("long")
+    return series.select(
+        metric_col, ts_col,
+        (F.sum(micro).over(w) / 1_000_000.0).alias("running_value"),
+    )
+
+
+def changed(series: DataFrame, metric_col: str = "metric",
+            ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``changed(series)``: 1 where the value differs from the
+    previous point, 0 where equal (first point: 0, like graphite)."""
+    w = Window.partitionBy(metric_col).orderBy(ts_col)
+    prev = F.lag(value_col).over(w)
+    flag = F.when(prev.isNull() | (prev == F.col(value_col)), F.lit(0)).otherwise(F.lit(1))
+    return series.select(metric_col, ts_col, flag.alias("changed"))
