@@ -44,14 +44,20 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     least one edge are returned; isolated nodes are trivially their own
     component and never enter the pair graph.
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # materialize the (possibly expensive) upstream pair DAG ONCE before
+    # symmetrizing: the union's two branches would otherwise each
+    # recompute it — for LSH-generated edges that doubles the whole
+    # candidate-generation cost
+    one_way = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(eager=True)
+    sym = one_way.unionByName(one_way.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     sym = sym.localCheckpoint(eager=True)  # reused every round: materialize once
 
+    # seed labels with the first neighbor-min fold for free: one agg over
+    # sym replaces the distinct-nodes scan AND a whole propagate step
     labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select(F.col("u").alias("node"), F.least("u", "_mv").alias("component"))
         .localCheckpoint(eager=True)
     )
     def propagate(lbl: DataFrame) -> DataFrame:

@@ -252,3 +252,63 @@ def test_windowed_distinct_users_stream(spark, tmp_path):
         query.stop()
     w1 = BASE - BASE % 3600
     assert got[w1] == 5  # HLL is exact at tiny cardinalities
+
+
+@pytest.mark.slow
+def test_continuous_aggregate_merges_late_data(spark, tmp_path):
+    """The maintained rollup table: late points UPDATE their original
+    bucket (unlike the watermarked append stream), merges are partial-
+    aggregate additions, and batch replays are idempotent."""
+    from graphouse_spark.streaming.windowed import (
+        continuous_aggregate_partials,
+        merge_continuous_aggregate,
+        read_continuous_aggregate,
+        start_continuous_aggregate,
+    )
+
+    src = tmp_path / "cin"
+    src.mkdir()
+    table = str(tmp_path / "cagg")
+
+    rows1 = [
+        ("m.a.cpu", 2.0, BASE, BASE),
+        ("m.a.cpu", 4.0, BASE + 10, BASE + 10),
+        ("m.b.cpu", 1.0, BASE + 10, BASE + 10),
+    ]
+    spark.createDataFrame(rows1, LINE_SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(LINE_SCHEMA).parquet(str(src / "*"))
+    query = start_continuous_aggregate(
+        stream, table, checkpoint_dir=str(tmp_path / "cckpt"), step_seconds=300
+    )
+    try:
+        query.processAllAvailable()
+        bucket = BASE - BASE % 300
+        got = {(r["metric"], r["ts"]): (r["value"], r["n_points"])
+               for r in read_continuous_aggregate(spark, table).collect()}
+        assert got[("m.a.cpu", bucket)] == (3.0, 2)
+        assert got[("m.b.cpu", bucket)] == (1.0, 1)
+
+        # batch 2: a VERY late point for the same old bucket + a fresh one —
+        # both merge (no watermark drop in the maintained table)
+        rows2 = [
+            ("m.a.cpu", 9.0, BASE + 20, BASE + 100_000),
+            ("m.a.cpu", 5.0, BASE + 100_000, BASE + 100_000),
+        ]
+        spark.createDataFrame(rows2, LINE_SCHEMA).coalesce(1).write.parquet(str(src / "b2"))
+        query.processAllAvailable()
+        got = {(r["metric"], r["ts"]): (r["value"], r["n_points"])
+               for r in read_continuous_aggregate(spark, table).collect()}
+        assert got[("m.a.cpu", bucket)] == (5.0, 3)          # (2+4+9)/3
+        late_bucket = (BASE + 100_000) - (BASE + 100_000) % 300
+        assert got[("m.a.cpu", late_bucket)] == (5.0, 1)
+    finally:
+        query.stop()
+
+    # replaying an already-absorbed batch id is a no-op (idempotence)
+    replay = continuous_aggregate_partials(
+        spark.createDataFrame(rows2, LINE_SCHEMA), step_seconds=300
+    )
+    merge_continuous_aggregate(spark, table, replay, batch_id=1)
+    got = {(r["metric"], r["ts"]): (r["value"], r["n_points"])
+           for r in read_continuous_aggregate(spark, table).collect()}
+    assert got[("m.a.cpu", BASE - BASE % 300)] == (5.0, 3)   # unchanged
