@@ -1124,6 +1124,18 @@ def q_sketch_daily_users(spark, sf_dir):
     )
 
 
+def q_sketch_weekly_users(spark, sf_dir):
+    """Stored-sketch rollup: daily HLL user sketches merged into weekly
+    estimates via hll_union_agg — the no-raw-re-scan re-aggregation
+    pattern (functions/sketches.py). Approximate -> rows-only check;
+    the merge-is-lossless property is pinned in tests."""
+    from graphouse_spark.functions.sketches import rollup_sketches, user_sketch_table
+
+    ev = _events_sec(spark, sf_dir)
+    daily = user_sketch_table(ev, bucket_seconds=DAY)
+    return rollup_sketches(daily, 7 * DAY)
+
+
 def q_join_semi(spark, sf_dir):
     """J1: left-semi join (IN-subquery shape)."""
     cust = _t(spark, sf_dir, "customer")
@@ -1759,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_attrib": q_asof_click_attrib,
         "interval_click_density": q_interval_click_density,
         "sketch_daily_users": q_sketch_daily_users,
+        "sketch_weekly_users": q_sketch_weekly_users,
         "gh_salted_agg": q_gh_salted_agg,
         "gh_histogram": q_gh_histogram,
         "gh_pivot_daily": q_gh_pivot_daily,

@@ -32,3 +32,35 @@ def test_flush_lines_are_ingestable(spark):
     assert len(parsed) == 1
     assert parsed[0]["name"] == "five_sec.graphouse.statistics.metric_cacher.written"
     assert parsed[0]["value"] == 100.0
+
+
+def test_sketch_rollup_merge_is_lossless(spark):
+    """Merging daily HLL sketches == sketching the raw window directly,
+    and the estimate lands within the sketch's error envelope."""
+    from graphouse_spark.functions.sketches import rollup_sketches, user_sketch_table
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").withColumn(
+        "ts_sec", F.expr("ts div 1000000000")
+    )
+    daily = user_sketch_table(ev, bucket_seconds=86400)
+    weekly = rollup_sketches(daily, 7 * 86400).orderBy("window_ts")
+    got = {r["window_ts"]: r["approx_users"] for r in weekly.collect()}
+
+    # direct sketch over the same weekly windows — same estimates exactly
+    # (union is associative, not just approximately commutative)
+    direct = user_sketch_table(ev, bucket_seconds=7 * 86400)
+    direct = direct.select(
+        F.col("bucket_ts").alias("window_ts"),
+        F.hll_sketch_estimate("user_sketch").cast("long").alias("approx_users"),
+    )
+    got_direct = {r["window_ts"]: r["approx_users"] for r in direct.collect()}
+    assert got == got_direct
+
+    # accuracy: within 5% of exact per window
+    exact = ev.groupBy(
+        (F.col("ts_sec") - F.col("ts_sec") % (7 * 86400)).alias("window_ts")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    for r in exact.collect():
+        est = got[r["window_ts"]]
+        assert abs(est - r["exact_users"]) <= max(3, 0.05 * r["exact_users"])
