@@ -1058,6 +1058,15 @@ def q_ts_holt_winters(spark, sf_dir):
     return holt_winters_forecast(_series(spark, sf_dir))
 
 
+def q_ts_hw_bands(spark, sf_dir):
+    """holtWintersConfidenceBands + aberration over the canonical
+    series (applyInPandas recurrence -> pure column bands; rows-only
+    like the forecast, hand-math-tested)."""
+    from graphouse_spark.functions.timeseries import holt_winters_bands
+
+    return holt_winters_bands(_series(spark, sf_dir))
+
+
 def q_gh_pivot_daily(spark, sf_dir):
     """Pivot (reshape): day x event_type -> one avg column per type.
     Explicit value list => no extra distinct-scan job and a stable
@@ -1788,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_stddev_series": q_ts_stddev_series,
         "ts_scale_abs": q_ts_scale_abs,
         "ts_holt_winters": q_ts_holt_winters,
+        "ts_hw_bands": q_ts_hw_bands,
         "ts_as_percent": q_ts_as_percent,
         "ts_derivative": q_ts_derivative,
         "ts_zscore": q_ts_zscore,

@@ -513,3 +513,29 @@ def changed(series: DataFrame, metric_col: str = "metric",
     prev = F.lag(value_col).over(w)
     flag = F.when(prev.isNull() | (prev == F.col(value_col)), F.lit(0)).otherwise(F.lit(1))
     return series.select(metric_col, ts_col, flag.alias("changed"))
+
+
+def holt_winters_bands(series: DataFrame, delta: float = 3.0,
+                       metric_col: str = "metric", ts_col: str = "ts",
+                       value_col: str = "value") -> DataFrame:
+    """graphite ``holtWintersConfidenceBands`` + ``holtWintersAberration``:
+    bands = forecast ± delta * deviation; aberration = how far the
+    observed value strays OUTSIDE the band (0 inside it).
+
+    Pure column arithmetic over ``holt_winters_forecast`` — the
+    recurrence already produced level/trend/deviation, so the bands add
+    no extra pass over the data.
+    """
+    hw = holt_winters_forecast(series, metric_col=metric_col,
+                               ts_col=ts_col, value_col=value_col)
+    upper = F.round(F.col("forecast") + delta * F.col("deviation"), 6)
+    lower = F.round(F.col("forecast") - delta * F.col("deviation"), 6)
+    aberration = F.when(F.col(value_col) > upper, F.round(F.col(value_col) - upper, 6)) \
+        .when(F.col(value_col) < lower, F.round(F.col(value_col) - lower, 6)) \
+        .otherwise(F.when(F.col("forecast").isNotNull(), F.lit(0.0)))
+    return hw.select(
+        metric_col, ts_col, value_col,
+        upper.alias("upper_band"),
+        lower.alias("lower_band"),
+        aberration.alias("aberration"),
+    )

@@ -312,3 +312,36 @@ def test_continuous_aggregate_merges_late_data(spark, tmp_path):
     got = {(r["metric"], r["ts"]): (r["value"], r["n_points"])
            for r in read_continuous_aggregate(spark, table).collect()}
     assert got[("m.a.cpu", BASE - BASE % 300)] == (5.0, 3)   # unchanged
+
+
+def test_holt_winters_bands_hand_math(spark):
+    """Bands/aberration against the same hand recurrence the forecast
+    test uses: alpha=.1 beta=.0035 gamma=.1 delta=3."""
+    from graphouse_spark.functions.timeseries import holt_winters_bands
+
+    vals = [10.0, 12.0, 11.0, 30.0, 12.5]
+    rows = [("m", 60 * i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    got = {r["ts"]: r for r in holt_winters_bands(df, delta=3.0).collect()}
+
+    # hand recurrence
+    alpha, beta, gamma = 0.1, 0.0035, 0.1
+    level, trend, dev = vals[0], 0.0, 0.0
+    for i, v in enumerate(vals):
+        if i == 0:
+            assert got[0]["upper_band"] is None and got[0]["aberration"] is None
+            continue
+        forecast = level + trend
+        dev = gamma * abs(v - forecast) + (1 - gamma) * dev
+        # the stored forecast/deviation columns are rounded to 6; the
+        # bands build on those stored values
+        upper = round(forecast, 6) + 3 * round(dev, 6)
+        lower = round(forecast, 6) - 3 * round(dev, 6)
+        r = got[60 * i]
+        assert r["upper_band"] == round(upper, 6)
+        assert r["lower_band"] == round(lower, 6)
+        expect_ab = v - round(upper, 6) if v > round(upper, 6) else (v - round(lower, 6) if v < round(lower, 6) else 0.0)
+        assert r["aberration"] == round(expect_ab, 6)
+        last = level
+        level = alpha * v + (1 - alpha) * (level + trend)
+        trend = beta * (level - last) + (1 - beta) * trend
