@@ -1133,6 +1133,35 @@ def q_sketch_daily_users(spark, sf_dir):
     )
 
 
+def q_profile_lineitem(spark, sf_dir):
+    """Data profiling (pipeline hygiene): per-column null count, exact
+    distinct, min/max for a fixed column set — one pass, one
+    partial+final agg (count_distinct adds its Expand; at 100 TB swap
+    for approx_count_distinct and the plan collapses to pure partials).
+    Emitted long-form (one row per column) so the schema is stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_extendedprice"]
+    wide = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls") for c in cols],
+        *[F.count_distinct(F.col(c)).alias(f"{c}__distinct") for c in cols],
+        *[F.round(F.min(c), 4).alias(f"{c}__min") for c in cols],
+        *[F.round(F.max(c), 4).alias(f"{c}__max") for c in cols],
+    )
+    longform = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").cast("double").alias("min_value"),
+            F.col(f"{c}__max").cast("double").alias("max_value"),
+        )
+        for c in cols
+    ])
+    return wide.select(F.explode(longform).alias("s")).select("s.*")
+
+
 def q_sketch_weekly_users(spark, sf_dir):
     """Stored-sketch rollup: daily HLL user sketches merged into weekly
     estimates via hll_union_agg — the no-raw-re-scan re-aggregation
@@ -1781,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_click_density": q_interval_click_density,
         "sketch_daily_users": q_sketch_daily_users,
         "sketch_weekly_users": q_sketch_weekly_users,
+        "profile_lineitem": q_profile_lineitem,
         "gh_salted_agg": q_gh_salted_agg,
         "gh_histogram": q_gh_histogram,
         "gh_pivot_daily": q_gh_pivot_daily,
@@ -2743,6 +2773,27 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents
             ) WHERE rn <= 20
+        """,
+        "profile_lineitem": """
+            WITH w AS (
+                SELECT count(*) AS n_rows,
+                       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+                       count(DISTINCT l_quantity) AS q_distinct,
+                       round(min(l_quantity), 4) AS q_min, round(max(l_quantity), 4) AS q_max,
+                       CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_nulls,
+                       count(DISTINCT l_discount) AS d_distinct,
+                       round(min(l_discount), 4) AS d_min, round(max(l_discount), 4) AS d_max,
+                       CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+                       count(DISTINCT l_extendedprice) AS p_distinct,
+                       round(min(l_extendedprice), 4) AS p_min, round(max(l_extendedprice), 4) AS p_max
+                FROM lineitem
+            )
+            SELECT 'l_quantity' AS col_name, n_rows, q_nulls AS n_nulls, q_distinct AS n_distinct,
+                   q_min AS min_value, q_max AS max_value FROM w
+            UNION ALL
+            SELECT 'l_discount', n_rows, d_nulls, d_distinct, d_min, d_max FROM w
+            UNION ALL
+            SELECT 'l_extendedprice', n_rows, p_nulls, p_distinct, p_min, p_max FROM w
         """,
         "emb_label_centroids": """
             WITH e AS (

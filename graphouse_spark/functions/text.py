@@ -118,7 +118,11 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
     """
     toks = docs.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token"))
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("token").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    # document frequency from tf, not from a second scan of toks: tf is
+    # already one row per (doc, token), so df is a plain count — no
+    # count_distinct Expand, and Catalyst reuses tf's exchange instead
+    # of re-exploding the corpus
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
     scored = (
