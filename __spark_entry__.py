@@ -26,24 +26,38 @@ DAY = 86400
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The caller may hand us a session built without our confs (the
     # correctness harness builds its own). Both are runtime-settable:
-    # events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects unless
-    # nanosAsLong is on, and date/time functions must agree with the
+    # a nanos-typed parquet timestamp is rejected by Spark 4 unless
+    # nanosAsLong is on, and all date/time math must agree with the
     # UTC-based DuckDB oracle regardless of the host timezone.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf removed in some builds; only needed for nanos files
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _events_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts as epoch seconds (ts_sec) — shared base.
+def _epoch_sec(df: DataFrame, col: str = "ts"):
+    """Epoch-seconds expression for a parquet time column, robust to the
+    three physical encodings the driver corpus has shipped so far:
 
-    events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long
-    nanos (nanosAsLong), so seconds = ts div 1e9.
+    - bigint            TIMESTAMP(NANOS) read via nanosAsLong -> ns div 1e9
+    - timestamp_ntz     naive micros; session tz is pinned UTC, so the
+                        wall clock IS the UTC instant (DuckDB epoch(ts))
+    - timestamp         tz-aware micros -> direct epoch cast
     """
+    dt = dict(df.dtypes)[col]
+    if dt == "bigint":
+        return F.expr(f"{col} div 1000000000")
+    if dt == "timestamp_ntz":
+        return F.col(col).cast("timestamp").cast("long")
+    return F.col(col).cast("long")
+
+
+def _events_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts as epoch seconds (ts_sec) — shared base."""
     ev = _t(spark, sf_dir, "events")
-    if dict(ev.dtypes)["ts"] == "bigint":
-        return ev.withColumn("ts_sec", F.expr("ts div 1000000000"))
-    return ev.withColumn("ts_sec", F.col("ts").cast("long"))
+    return ev.withColumn("ts_sec", _epoch_sec(ev, "ts"))
 
 
 def _paths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1735,14 +1749,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
     sf_dir = "/root/testdata/sf0.001"
     ev = _events_sec(spark, sf_dir)
-    # pre-filter on the RAW nanos column: this predicate sits below the
+    # pre-filter on the RAW ts column: this predicate sits below the
     # ts_sec conversion expressions, so it reaches the parquet scan as a
     # pushed range filter (row-group min/max pruning) instead of being
     # evaluated post-decode like the derived-column filters above it
-    if dict(ev.dtypes)["ts"] == "bigint":
+    ts_dt = dict(ev.dtypes)["ts"]
+    if ts_dt == "bigint":  # nanos read as long
         ev = ev.filter(
             (F.col("ts") >= SEC_JAN1 * 1_000_000_000)
             & (F.col("ts") < (SEC_JAN1 + 31 * DAY) * 1_000_000_000)
+        )
+    elif ts_dt.startswith("timestamp"):
+        # string literals coerce to the column's own timestamp flavor
+        # (tz or ntz), staying pushable; session tz is UTC either way
+        ev = ev.filter(
+            (F.col("ts") >= "2024-01-01 00:00:00") & (F.col("ts") < "2024-02-01 00:00:00")
         )
     else:
         ev = ev.filter(

@@ -41,7 +41,7 @@ from graphouse_spark.retention import (
     MetricRetentionConfig,
 )
 from graphouse_spark.queryparams import MetricDataQueryParams
-from graphouse_spark.sources.tables import register_corpus
+from graphouse_spark.sources.tables import epoch_seconds, register_corpus
 from graphouse_spark.tree_index import MetricTree
 
 __all__ = [
@@ -62,5 +62,6 @@ __all__ = [
     "CombinedRetentionProvider",
     "DefaultRetentionProvider",
     "MetricDataQueryParams",
+    "epoch_seconds",
     "register_corpus",
 ]

@@ -29,6 +29,22 @@ CORPUS_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
                  "lineitem", "events", "documents", "embeddings")
 
 
+def epoch_seconds(df: DataFrame, col: str):
+    """Epoch-seconds expression for a parquet time column, robust to the
+    three physical encodings seen in the wild: bigint (TIMESTAMP(NANOS)
+    via nanosAsLong), timestamp_ntz (naive micros — with the session tz
+    pinned UTC the wall clock IS the UTC instant), and tz-aware
+    timestamp. Centralizing this keeps every operator agnostic to how a
+    given corpus happened to encode time.
+    """
+    dt = dict(df.dtypes)[col]
+    if dt == "bigint":
+        return F.expr(f"{col} div 1000000000")
+    if dt == "timestamp_ntz":
+        return F.col(col).cast("timestamp").cast("long")
+    return F.col(col).cast("long")
+
+
 def register_corpus(spark: SparkSession, sf_dir: str,
                     tables: tuple[str, ...] = CORPUS_TABLES) -> None:
     """Register every corpus parquet as a temp view so the whole engine
@@ -37,14 +53,25 @@ def register_corpus(spark: SparkSession, sf_dir: str,
 
     Views are lazy: registration costs one schema read per table, and
     each query still gets full pushdown/pruning through the view.
+    ``events`` additionally gets an ``events_sec`` view exposing
+    ``ts_sec`` (epoch seconds) so SQL users never touch the physical
+    time encoding.
     """
-    # the corpus events table carries TIMESTAMP(NANOS) parquet timestamps
-    # (Spark 4 rejects them without this), and all date math is pinned
-    # UTC to agree with external engines
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # nanos-typed parquet timestamps are rejected by Spark 4 without
+    # this (harmless otherwise), and all date math is pinned UTC to
+    # agree with external engines
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     for t in tables:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        df.createOrReplaceTempView(t)
+        if t == "events":
+            df.withColumn("ts_sec", epoch_seconds(df, "ts")).createOrReplaceTempView(
+                "events_sec"
+            )
 
 
 def write_data(df: DataFrame, path: str, mode: str = "append", target_partitions: int | None = None) -> None:

@@ -256,14 +256,15 @@ def test_infinity_to_null(spark):
 
 
 def test_register_corpus_sql_front_door(spark):
-    """Every corpus table reachable from plain spark.sql, nanos events included."""
+    """Every corpus table reachable from plain spark.sql, any ts encoding."""
     from graphouse_spark import register_corpus
 
     register_corpus(spark, "/root/testdata/sf0.001")
     n = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
     assert n > 0
-    # events carries TIMESTAMP(NANOS): readable, and ts arithmetic works
+    # events_sec normalizes the physical time encoding (nanos-bigint,
+    # timestamp, or timestamp_ntz) to epoch seconds
     row = spark.sql(
-        "SELECT count(*) AS n, min(ts div 1000000000) AS first_sec FROM events"
+        "SELECT count(*) AS n, min(ts_sec) AS first_sec FROM events_sec"
     ).collect()[0]
     assert row["n"] > 0 and row["first_sec"] >= 1704067200

@@ -40,9 +40,10 @@ def test_sketch_rollup_merge_is_lossless(spark):
     from graphouse_spark.functions.sketches import rollup_sketches, user_sketch_table
     from pyspark.sql import functions as F
 
-    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").withColumn(
-        "ts_sec", F.expr("ts div 1000000000")
-    )
+    from graphouse_spark import epoch_seconds
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    ev = ev.withColumn("ts_sec", epoch_seconds(ev, "ts"))
     daily = user_sketch_table(ev, bucket_seconds=86400)
     weekly = rollup_sketches(daily, 7 * 86400).orderBy("window_ts")
     got = {r["window_ts"]: r["approx_users"] for r in weekly.collect()}
