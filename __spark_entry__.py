@@ -1734,6 +1734,49 @@ def q_emb_label_centroids(spark, sf_dir):
     )
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (top unigram/bigram
+    fraction, duplicated-token fraction) per document."""
+    from graphouse_spark.functions.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_chunk_dedup(spark, sf_dir):
+    """Corpus-wide exact chunk dedup (C4 line-dedup on fixed 8-token
+    windows): every repeated chunk survives only at its first
+    occurrence; documents are rebuilt from surviving chunks."""
+    from graphouse_spark.functions.text import chunk_dedup
+
+    return chunk_dedup(_t(spark, sf_dir, "documents"), chunk_tokens=8)
+
+
+def q_doc_pii_stats(spark, sf_dir):
+    """PII audit: per-doc counts of email/ipv4/phone/id-shaped strings
+    plus the redacted-text length (the redaction pass plumbed end-to-
+    end; this corpus is synthetic word soup, so counts legitimately
+    come back zero — the semantics are pinned by tests/test_pii.py)."""
+    from graphouse_spark.functions.pii import pii_stats, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    red = redact_pii(docs).select(
+        "doc_id", F.length("text").alias("n_chars_redacted")
+    )
+    return pii_stats(docs).join(red, "doc_id")
+
+
+def q_doc_resample_mix(spark, sf_dir):
+    """Deterministic downsampling to a target source mix (50/30/20):
+    per-source integer bucket thresholds from one tiny count agg,
+    broadcast onto a scan-stage hash filter."""
+    from graphouse_spark.functions.sampling import resample_to_mix
+
+    return resample_to_mix(
+        _t(spark, sf_dir, "documents"), "doc_id", "source",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2}, salt="mix2",
+    ).select("doc_id", "source")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1876,6 +1919,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hash_sample": q_doc_hash_sample,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_train_split": q_doc_train_split,
+        "doc_repetition": q_doc_repetition,
+        "doc_chunk_dedup": q_doc_chunk_dedup,
+        "doc_pii_stats": q_doc_pii_stats,
+        "doc_resample_mix": q_doc_resample_mix,
         "doc_contamination": q_doc_contamination,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_corpus_pipeline": q_doc_corpus_pipeline,
@@ -3181,6 +3228,106 @@ def oracle_sql() -> dict[str, str]:
                              % 10000 < 100
                         THEN 'eval' ELSE 'train' END AS split
             FROM documents
+        """,
+        "doc_repetition": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS tok,
+                       unnest(range(1, len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) + 1)) AS idx
+                FROM documents
+            ),
+            n AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+            uni AS (
+                SELECT doc_id, max(cnt) AS top_uni,
+                       sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_uni
+                FROM (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok)
+                GROUP BY doc_id
+            ),
+            bi AS (
+                SELECT doc_id, max(cnt) AS top_bi, sum(cnt) AS n_bi
+                FROM (
+                    SELECT doc_id, gram, count(*) AS cnt FROM (
+                        SELECT doc_id,
+                               tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY idx) AS gram
+                        FROM toks
+                    ) WHERE gram IS NOT NULL
+                    GROUP BY doc_id, gram
+                ) GROUP BY doc_id
+            )
+            SELECT n.doc_id, CAST(n.n_tokens AS INT) AS n_tokens,
+                   round(uni.top_uni / greatest(n.n_tokens, 1), 6) AS top_unigram_frac,
+                   round(coalesce(bi.top_bi, 0) / greatest(coalesce(bi.n_bi, 0), 1), 6) AS top_bigram_frac,
+                   round(uni.dup_uni / greatest(n.n_tokens, 1), 6) AS dup_unigram_frac
+            FROM n JOIN uni USING (doc_id) LEFT JOIN bi USING (doc_id)
+        """,
+        "doc_chunk_dedup": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ts
+                FROM documents
+            ),
+            chunks AS (
+                SELECT doc_id,
+                       unnest(range(CAST(ceil(len(ts) / 8.0) AS BIGINT))) AS chunk_idx,
+                       ts
+                FROM toks
+            ),
+            named AS (
+                SELECT doc_id, chunk_idx,
+                       array_to_string(ts[(chunk_idx * 8 + 1):(chunk_idx * 8 + 8)], ' ') AS chunk
+                FROM chunks
+            ),
+            ranked AS (
+                SELECT doc_id, chunk_idx, chunk,
+                       row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+                FROM named
+            ),
+            kept AS (SELECT doc_id, chunk_idx, chunk FROM ranked WHERE rn = 1)
+            SELECT t.doc_id,
+                   coalesce(string_agg(k.chunk, ' ' ORDER BY k.chunk_idx), '') AS kept_text,
+                   CAST(ceil(len(any_value(t.ts)) / 8.0) AS INT) AS n_chunks,
+                   CAST(count(k.chunk) AS INT) AS n_kept
+            FROM toks t LEFT JOIN kept k USING (doc_id)
+            GROUP BY t.doc_id
+        """,
+        "doc_pii_stats": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                   len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone,
+                   len(regexp_extract_all(text, '\b\d{9,18}\b')) AS n_id_number,
+                   len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                   + len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))
+                   + len(regexp_extract_all(text, '\b\d{9,18}\b')) AS n_pii,
+                   length(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                               '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+                           '\b\d{9,18}\b', '<ID>', 'g')
+                   ) AS n_chars_redacted
+            FROM documents
+        """,
+        "doc_resample_mix": """
+            WITH w(source, wt) AS (
+                VALUES ('src0', CAST(0.5 AS DOUBLE)),
+                       ('src1', CAST(0.3 AS DOUBLE)),
+                       ('src2', CAST(0.2 AS DOUBLE))
+            ),
+            c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+            j AS (SELECT c.source, c.n, w.wt FROM c JOIN w USING (source)),
+            t AS (SELECT min(n / wt) AS t_max FROM j),
+            r AS (
+                SELECT source, CAST(floor(wt * t_max / n * 10000) AS INT) AS thr
+                FROM j, t
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r USING (source)
+            WHERE CAST(concat('0x', substr(md5('mix2' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 10000 < r.thr
         """,
         "emb_quantize": """
             WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -57,6 +57,8 @@ EXTENDED_QUERIES = [
     "doc_contamination",   # eval-set 8-gram leak check
     "doc_pack_sequences",  # token-budget FFD packing
     "doc_corpus_pipeline", # dedup -> decontaminate -> sample, one DAG
+    "doc_chunk_dedup",     # corpus-wide exact chunk dedup (explode-heavy)
+    "doc_repetition",      # Gopher repetition signals (two-level gram agg)
 ]
 
 

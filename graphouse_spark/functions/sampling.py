@@ -74,3 +74,43 @@ def split_train_eval(df: DataFrame, id_col: str, eval_fraction: float = 0.01,
         raise ValueError(f"eval_fraction must be in (0, 1), got {eval_fraction}")
     is_eval = _bucket(F.col(id_col), salt) < int(eval_fraction * _BUCKETS)
     return df.withColumn("split", F.when(is_eval, F.lit("eval")).otherwise(F.lit("train")))
+
+
+def resample_to_mix(df: DataFrame, id_col: str, source_col: str,
+                    target_weights: dict[str, float], salt: str = "mix") -> DataFrame:
+    """Downsample so the kept corpus matches a target source mix.
+
+    ``target_weights`` maps source -> desired proportion (normalized
+    internally). The largest feasible total without upsampling is
+    ``T = min_s(n_s / w_s)``; each source keeps ``w_s * T / n_s`` of
+    its rows by content hash. Sources absent from the weights map are
+    dropped (weight 0).
+
+    Shape at scale: one tiny per-source count aggregation, threshold
+    arithmetic on that handful of rows, then a broadcast join + scan-
+    stage hash filter over the corpus — the big side is never
+    shuffled. Thresholds are INTEGER bucket cutoffs (rate quantized to
+    1/10000), so the boundary behaves identically in any engine.
+    """
+    if not target_weights:
+        raise ValueError("target_weights must not be empty")
+    total_w = sum(target_weights.values())
+    if total_w <= 0:
+        raise ValueError("target weights must sum to a positive value")
+
+    weights = df.sparkSession.createDataFrame(
+        [(s, w / total_w) for s, w in sorted(target_weights.items())],
+        f"{source_col} string, _w double",
+    )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    joined = counts.join(weights, source_col)  # inner: unlisted sources drop
+    t_max = joined.agg(F.min(F.col("_n") / F.col("_w")).alias("_t"))
+    thresholds = joined.crossJoin(t_max).select(
+        source_col,
+        F.floor(F.col("_w") * F.col("_t") / F.col("_n") * _BUCKETS).cast("int").alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), source_col)
+        .filter(_bucket(F.col(id_col), salt) < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -322,3 +322,131 @@ def winnowing_fingerprints_np(docs: DataFrame, k: int = 8, window: int = 4,
             yield pd.DataFrame({id_col: ids, "fp": fps})
 
     return docs.select(id_col, text_col).mapInPandas(kernel, f"{id_col} long, fp long")
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    Columns (ratios rounded to 6 decimals, engine-portable):
+    - ``top_unigram_frac``  most frequent token's count / n_tokens
+    - ``top_bigram_frac``   most frequent bigram's count / n_bigrams
+    - ``dup_unigram_frac``  tokens whose value occurs >1 time / n_tokens
+
+    Shape at scale: one explode over the token stream, a (doc, gram)
+    partial/final count, then a per-doc re-aggregation — two shuffles
+    keyed on doc_id, all JVM-side. High-repetition docs (the thing this
+    filter exists to catch) concentrate into fewer distinct grams, so
+    the intermediate SHRINKS on exactly the skewed inputs.
+    """
+    toks = tokens_col(F.col(text_col))
+    bigrams = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    # bigram array from zip_with is token-count long; last slot pairs the
+    # final token with null -> concat_ws leaves a lone token; trim it
+    bigrams = F.slice(bigrams, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        toks.alias("_toks"),
+        bigrams.alias("_bigrams"),
+    )
+
+    uni = (
+        base.select(id_col, "n_tokens", F.explode("_toks").alias("gram"))
+        .groupBy(id_col, "n_tokens", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col, "n_tokens")
+        .agg(
+            F.max("cnt").alias("_top_uni"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("_dup_uni"),
+        )
+    )
+    bi = (
+        base.select(id_col, F.explode("_bigrams").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max("cnt").alias("_top_bi"), F.sum("cnt").alias("_n_bi"))
+    )
+    safe_tokens = F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+    safe_bi = F.greatest(F.col("_n_bi"), F.lit(1)).cast("double")
+    return (
+        uni.join(bi, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round(F.col("_top_uni") / safe_tokens, 6).alias("top_unigram_frac"),
+            F.round(F.coalesce(F.col("_top_bi"), F.lit(0)) / safe_bi, 6).alias("top_bigram_frac"),
+            F.round(F.col("_dup_uni") / safe_tokens, 6).alias("dup_unigram_frac"),
+        )
+    )
+
+
+def chunk_dedup(docs: DataFrame, chunk_tokens: int = 8, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide exact chunk dedup (the C4 line-dedup idea applied to
+    fixed token windows, since corpus "lines" may be whole documents).
+
+    Text splits into non-overlapping ``chunk_tokens``-token chunks; a
+    chunk survives only at its globally FIRST occurrence (min
+    (doc_id, chunk_idx) over every copy); each document is rebuilt from
+    its surviving chunks in order. Returns
+    ``(doc_id, kept_text, n_chunks, n_kept)``.
+
+    Shape at scale: posexplode -> min_by-struct agg keyed on chunk text
+    (one shuffle; partial aggregation collapses duplicate chunks
+    map-side, so hot chunks COMBINE rather than skew) -> broadcast-less
+    join back on chunk -> per-doc sorted re-assembly (second shuffle).
+    No windows over the full corpus, no driver-side state.
+    """
+    # whitespace split WITHOUT lowercasing: reconstruction must emit the
+    # original bytes of surviving chunks
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    # sequence(0, -1) would count DOWN for empty docs — guard to []
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    first = exploded.groupBy("chunk").agg(
+        F.min(F.struct(id_col, "chunk_idx")).alias("_first")
+    )
+    kept = (
+        exploded.join(first, "chunk")
+        .filter(
+            (F.col(f"_first.{id_col}") == F.col(id_col))
+            & (F.col("_first.chunk_idx") == F.col("chunk_idx"))
+        )
+        .select(id_col, "chunk_idx", "chunk")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("kept_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = docs.select(F.col(id_col), F.size(chunks).alias("n_chunks"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+            "n_chunks",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+        )
+    )
