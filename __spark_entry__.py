@@ -1734,6 +1734,34 @@ def q_emb_label_centroids(spark, sf_dir):
     )
 
 
+def q_ev_window_funnel(spark, sf_dir):
+    """CH windowFunnel: first-match view -> click -> purchase depth per
+    user within a 1-hour window of the anchor view."""
+    from graphouse_spark.functions.behavior import window_funnel
+
+    ev = _events_sec(spark, sf_dir)
+    return window_funnel(ev, ["view", "click", "purchase"], HOUR)
+
+
+def q_ev_retention(spark, sf_dir):
+    """CH retention(): signup cohort day x day offset -> returning-user
+    counts over the first week."""
+    from graphouse_spark.functions.behavior import retention_cohorts
+
+    ev = _events_sec(spark, sf_dir)
+    return retention_cohorts(ev, "signup", "view", n_days=7)
+
+
+def q_ev_sequence_match(spark, sf_dir):
+    """CH sequenceMatch('(?1).*(?2).*(?3)'): encoded per-user stream
+    matched against view-then-click-then-purchase (any gaps)."""
+    from graphouse_spark.functions.behavior import sequence_match
+
+    ev = _events_sec(spark, sf_dir)
+    chars = {"view": "v", "click": "c", "purchase": "p", "signup": "s", "error": "e"}
+    return sequence_match(ev, chars, "v.*c.*p")
+
+
 def q_doc_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals (top unigram/bigram
     fraction, duplicated-token fraction) per document."""
@@ -1923,6 +1951,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_pii_stats": q_doc_pii_stats,
         "doc_resample_mix": q_doc_resample_mix,
+        "ev_window_funnel": q_ev_window_funnel,
+        "ev_retention": q_ev_retention,
+        "ev_sequence_match": q_ev_sequence_match,
         "doc_contamination": q_doc_contamination,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_corpus_pipeline": q_doc_corpus_pipeline,
@@ -3310,6 +3341,68 @@ def oracle_sql() -> dict[str, str]:
                            '\b\d{9,18}\b', '<ID>', 'g')
                    ) AS n_chars_redacted
             FROM documents
+        """,
+        "ev_window_funnel": """
+            WITH e AS (
+                SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_type
+                FROM events
+            ),
+            s1 AS (
+                SELECT user_id, min(ts_sec) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.ts_sec) AS t2
+                FROM e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click'
+                  AND e.ts_sec > s1.t1 AND e.ts_sec <= s1.t1 + 3600
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, min(e.ts_sec) AS t3
+                FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase'
+                  AND e.ts_sec > s2.t2 AND e.ts_sec <= s1.t1 + 3600
+                GROUP BY e.user_id
+            )
+            SELECT s1.user_id,
+                   CAST(1 + CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END
+                          + CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS level
+            FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        "ev_retention": """
+            WITH d AS (
+                SELECT user_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+                FROM events
+            ),
+            cohort AS (
+                SELECT user_id, min(day) AS cohort_day FROM d
+                WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            ret AS (
+                SELECT DISTINCT user_id, day AS ret_day FROM d
+                WHERE event_type = 'view'
+            )
+            SELECT cohort_day, CAST(ret_day - cohort_day AS INT) AS day_offset,
+                   count(DISTINCT user_id) AS n_users
+            FROM cohort JOIN ret USING (user_id)
+            WHERE ret_day - cohort_day >= 0 AND ret_day - cohort_day < 7
+            GROUP BY cohort_day, day_offset
+        """,
+        "ev_sequence_match": """
+            WITH e AS (
+                SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_id,
+                       CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+                            WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                            WHEN 'view' THEN 'v' END AS ch
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, string_agg(ch, '' ORDER BY ts_sec, event_id) AS seq
+                FROM e WHERE ch IS NOT NULL GROUP BY user_id
+            )
+            SELECT user_id, regexp_matches(seq, 'v.*c.*p') AS matched FROM s
         """,
         "doc_resample_mix": """
             WITH w(source, wt) AS (

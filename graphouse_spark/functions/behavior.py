@@ -1,0 +1,141 @@
+"""User-behavior analytics: the ClickHouse funnel/retention family.
+
+The reference delegates analytics to ClickHouse, whose signature
+behavioral functions are ``windowFunnel``, ``retention`` and
+``sequenceMatch`` (parametric aggregate functions over per-user event
+streams). Re-expressed Spark-first:
+
+- :func:`window_funnel` — first-match funnel depth per user. CH's
+  windowFunnel scans each user's stream imperatively; here the same
+  greedy semantics ("earliest step-1 hit anchors the window, each next
+  step is the earliest strictly-later hit inside it") falls out of a
+  CHAIN OF MIN-AGGREGATIONS: one filtered min per step, each joined on
+  user_id. Every stage is a shuffle-partial/final agg on the same key,
+  so Catalyst co-partitions the whole chain after the first exchange —
+  no per-user Python, no sort, no window function over the raw stream.
+- :func:`retention_cohorts` — cohort-day x day-offset return counts
+  (CH ``retention()`` folded with the usual GROUP BY cohort wrapper).
+- :func:`sequence_match` — CH ``sequenceMatch('(?1).*(?2)')``: each
+  user's ordered stream is encoded into a compact string (one char per
+  event type) and the pattern becomes a plain regex over it. The
+  encode is one collect_list + array_join per user (single shuffle);
+  the regex runs codegen'd JVM-side.
+
+All outputs are deterministic (ties broken by event_id) and each has
+an exact DuckDB oracle in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def window_funnel(events: DataFrame, steps: list[str], window_sec: int,
+                  ts_col: str = "ts_sec", user_col: str = "user_id",
+                  type_col: str = "event_type") -> DataFrame:
+    """First-match funnel: per user, the number of consecutive ``steps``
+    completed where step 1 anchors at its EARLIEST occurrence and every
+    later step is the earliest occurrence strictly after the previous
+    step and within ``window_sec`` of the anchor.
+
+    Returns ``(user_col, level)`` for every user who hit step 1
+    (level in [1, len(steps)]).
+    """
+    if len(steps) < 1:
+        raise ValueError("steps must name at least one event type")
+    base = events.select(user_col, ts_col, type_col)
+    cur = (
+        base.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"t{i - 1}"
+        anchor_cols = [user_col, "t1"] if prev == "t1" else [user_col, "t1", prev]
+        hit = (
+            base.filter(F.col(type_col) == step)
+            .join(cur.select(*anchor_cols), user_col)
+            .filter(
+                (F.col(ts_col) > F.col(prev))
+                & (F.col(ts_col) <= F.col("t1") + window_sec)
+            )
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t{i}"))
+        )
+        cur = cur.join(hit, user_col, "left")
+    level = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        level = level + F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+    return cur.select(user_col, level.cast("int").alias("level"))
+
+
+def retention_cohorts(events: DataFrame, anchor_type: str, return_type: str,
+                      n_days: int = 7, ts_col: str = "ts_sec",
+                      user_col: str = "user_id",
+                      type_col: str = "event_type") -> DataFrame:
+    """Cohort retention: users grouped by the epoch day of their FIRST
+    ``anchor_type`` event; for each day offset in [0, n_days), how many
+    of them produced a ``return_type`` event that day.
+
+    Returns ``(cohort_day, day_offset, n_users)`` with epoch-day ints
+    (engine-portable; multiply by 86400 for a timestamp).
+    """
+    day = (F.col(ts_col) - F.col(ts_col) % 86400) / 86400
+    cohort = (
+        events.filter(F.col(type_col) == anchor_type)
+        .groupBy(user_col)
+        .agg(F.min(day.cast("long")).alias("cohort_day"))
+    )
+    returns = (
+        events.filter(F.col(type_col) == return_type)
+        .select(user_col, day.cast("long").alias("ret_day"))
+        .distinct()
+    )
+    return (
+        cohort.join(returns, user_col)
+        .withColumn("day_offset", (F.col("ret_day") - F.col("cohort_day")).cast("int"))
+        .filter((F.col("day_offset") >= 0) & (F.col("day_offset") < n_days))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )
+
+
+def sequence_match(events: DataFrame, type_chars: dict[str, str], pattern: str,
+                   ts_col: str = "ts_sec", user_col: str = "user_id",
+                   type_col: str = "event_type",
+                   order_col: str = "event_id") -> DataFrame:
+    """CH ``sequenceMatch``: does each user's time-ordered event stream
+    match ``pattern`` (a regex over the one-char encodings in
+    ``type_chars``; unmapped event types are dropped from the stream)?
+
+    Ties on the timestamp are broken by ``order_col`` so the encoded
+    string — and therefore the match — is deterministic. Returns
+    ``(user_col, matched)``.
+    """
+    enc = None
+    for etype, ch in sorted(type_chars.items()):
+        if len(ch) != 1:
+            raise ValueError(f"encoding for {etype!r} must be a single char, got {ch!r}")
+        enc = F.when(F.col(type_col) == etype, F.lit(ch)) if enc is None else (
+            enc.when(F.col(type_col) == etype, F.lit(ch))
+        )
+    seq = (
+        events.filter(enc.isNotNull())
+        .select(
+            user_col,
+            F.struct(F.col(ts_col), F.col(order_col)).alias("_ord"),
+            enc.alias("_ch"),
+        )
+        .groupBy(user_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("_ord"), F.col("_ch")))),
+                    lambda s: s["_ch"],
+                ),
+                "",
+            ).alias("_seq")
+        )
+    )
+    return seq.select(user_col, F.col("_seq").rlike(pattern).alias("matched"))
