@@ -1734,6 +1734,19 @@ def q_emb_label_centroids(spark, sf_dir):
     )
 
 
+def q_emb_dedup_clusters(spark, sf_dir):
+    """Embedding-space dedup clusters: exact cosine pairs >= 0.4 ->
+    connected components (same clustering core as the text family;
+    oracle = recursive-CTE closure over the brute-force pair graph)."""
+    from graphouse_spark.functions.cluster import dedup_clusters
+    from graphouse_spark.functions.similarity import cosine_near_duplicates
+
+    pairs = cosine_near_duplicates(_t(spark, sf_dir, "embeddings"), 0.4)
+    return dedup_clusters(pairs).withColumnsRenamed(
+        {"doc_id": "vec_id"}
+    )
+
+
 def q_ev_window_funnel(spark, sf_dir):
     """CH windowFunnel: first-match view -> click -> purchase depth per
     user within a 1-hour window of the anchor view."""
@@ -1951,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_pii_stats": q_doc_pii_stats,
         "doc_resample_mix": q_doc_resample_mix,
+        "emb_dedup_clusters": q_emb_dedup_clusters,
         "ev_window_funnel": q_ev_window_funnel,
         "ev_retention": q_ev_retention,
         "ev_sequence_match": q_ev_sequence_match,
@@ -3341,6 +3355,27 @@ def oracle_sql() -> dict[str, str]:
                            '\b\d{9,18}\b', '<ID>', 'g')
                    ) AS n_chars_redacted
             FROM documents
+        """,
+        "emb_dedup_clusters": """
+            WITH RECURSIVE e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+                WHERE round(list_dot_product(a.v, b.v)
+                            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+            ),
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+                SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e2.v, r.label FROM reach r JOIN edges e2 ON r.node = e2.u
+            ),
+            comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+            cs AS (SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY cluster_id)
+            SELECT comp.node AS vec_id, comp.cluster_id, cs.n_members
+            FROM comp JOIN cs USING (cluster_id)
         """,
         "ev_window_funnel": """
             WITH e AS (

@@ -298,3 +298,28 @@ def cosine_topk_vectorized(embeddings: DataFrame, queries: DataFrame, k: int = 1
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round(F.col("cosine"), 6).alias("cosine"), "rank")
     )
+
+
+def cosine_near_duplicates(embeddings: DataFrame, threshold: float,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact embedding near-duplicate pairs: ``(id_a, id_b, cosine)``
+    for every pair at or above ``threshold`` (id_a < id_b).
+
+    This is the EXACT O(n^2) verifier — the right tool for corpus
+    slices, audits, and as the oracle-checkable ground truth. At full
+    corpus scale, generate candidates with :func:`lsh_cosine_buckets`
+    (probabilistic recall) or :func:`ivf_index` partitioning first and
+    run this only within buckets; the pair schema is identical, so
+    downstream clustering (`functions.cluster.dedup_clusters`) accepts
+    either source unchanged.
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_similarity_col(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -149,3 +149,66 @@ def test_heavy_hitters_stream(spark, tmp_path):
             assert r["est_count"] - r["max_err"] >= 0
     finally:
         query.stop()
+
+
+@pytest.mark.slow
+def test_streaming_dedup_ttl(spark, tmp_path):
+    """Exact-dedup manifest: first sight keeps, repeats suppress, TTL
+    expiry reports the suppression count and re-opens the key."""
+    from graphouse_spark.streaming.stateful import streaming_dedup
+
+    src = tmp_path / "dd_in"
+    src.mkdir()
+    base = 1_700_000_000
+    schema = "content_key string, ts_sec long"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / name))
+
+    # batch 1: A first + two repeats, B once
+    write_batch("b1", [("A", base), ("A", base + 1), ("A", base + 2), ("B", base)])
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+        .withColumn("event_time", F.col("ts_sec").cast("timestamp"))
+        .withWatermark("event_time", "5 seconds")
+    )
+    manifest = streaming_dedup(stream, ttl_seconds=600)
+    query = (
+        manifest.writeStream.format("memory").queryName("dd_out")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .outputMode("append").start()
+    )
+    try:
+        query.processAllAvailable()
+        rows = spark.sql("SELECT * FROM dd_out").collect()
+        keeps = {r["content_key"]: r for r in rows if not r["expired"]}
+        assert set(keeps) == {"A", "B"}
+        assert keeps["A"]["first_ts"] == base and keeps["A"]["n_suppressed"] == 0
+
+        # batch 2: another A repeat within TTL -> suppressed silently
+        write_batch("b2", [("A", base + 10)])
+        query.processAllAvailable()
+        assert spark.sql("SELECT count(*) AS n FROM dd_out").collect()[0]["n"] == 2
+
+        # advance the watermark past base + 600 -> both states expire and
+        # report totals (A suppressed 3 repeats, B none)
+        write_batch("b3", [("C", base + 2000)])
+        query.processAllAvailable()
+        write_batch("b4", [("C", base + 2001)])
+        query.processAllAvailable()
+        expired = {r["content_key"]: r for r in
+                   spark.sql("SELECT * FROM dd_out WHERE expired").collect()}
+        assert expired["A"]["n_suppressed"] == 3
+        assert expired["B"]["n_suppressed"] == 0
+
+        # A arrives again after expiry -> fresh keep row
+        write_batch("b5", [("A", base + 2500)])
+        query.processAllAvailable()
+        a_rows = spark.sql(
+            "SELECT * FROM dd_out WHERE content_key = 'A' AND NOT expired ORDER BY first_ts"
+        ).collect()
+        assert len(a_rows) == 2 and a_rows[1]["first_ts"] == base + 2500
+    finally:
+        query.stop()
