@@ -1338,7 +1338,11 @@ def q_doc_corpus_pipeline(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     pairs = simhash_near_duplicates(docs, max_hamming=2)
-    kept = cluster_representatives(docs, dedup_clusters(pairs))
+    # the survivor set feeds FOUR consumers (train x2, eval, sample);
+    # materialize it once so the cluster/anti-join subtree isn't
+    # recomputed per branch (localCheckpoint also truncates lineage,
+    # keeping the final plan independent of the components loop depth)
+    kept = cluster_representatives(docs, dedup_clusters(pairs)).localCheckpoint(eager=True)
     split = split_train_eval(kept, "doc_id", 0.05)
     train = split.filter(F.col("split") == "train").drop("split")
     ev = split.filter(F.col("split") == "eval").drop("split")
