@@ -946,6 +946,58 @@ def q_ts_scale_abs(spark, sf_dir):
     return absolute_series(offset_series(scale_series(_series(spark, sf_dir), 2.0), -50.0))
 
 
+def q_ts_weighted_average(spark, sf_dir):
+    """graphite weightedAverage(avgSeries, countSeries): per-bucket
+    cross-series average weighted by event counts."""
+    from graphouse_spark.functions.timeseries import weighted_average
+
+    ev = _events_sec(spark, sf_dir)
+    weights = ev.groupBy(
+        F.col("event_type").alias("metric"),
+        (F.col("ts_sec") - F.col("ts_sec") % 300).alias("ts"),
+    ).agg(F.count(F.lit(1)).alias("weight"))
+    return weighted_average(_series(spark, sf_dir), weights)
+
+
+def q_ts_min_max(spark, sf_dir):
+    """graphite minMax(series): rescale each series into [0,1]."""
+    from graphouse_spark.functions.timeseries import min_max_normalize
+
+    return min_max_normalize(_series(spark, sf_dir))
+
+
+def q_ts_log(spark, sf_dir):
+    """graphite logarithm(series, 10)."""
+    from graphouse_spark.functions.timeseries import log_series
+
+    return log_series(_series(spark, sf_dir), base=10.0)
+
+
+def q_ts_alias_sub(spark, sf_dir):
+    """graphite aliasSub(series, regex, repl): group-ref rename."""
+    from graphouse_spark.functions.timeseries import alias_sub
+
+    return alias_sub(_series(spark, sf_dir), r"^(\w+)$", r"evt.$1")
+
+
+def q_ts_grep_exclude(spark, sf_dir):
+    """graphite exclude(grep(series, ...), ...) composed: keep the
+    click/view/purchase family, then drop view."""
+    from graphouse_spark.functions.timeseries import exclude_series, grep_series
+
+    return exclude_series(
+        grep_series(_series(spark, sf_dir), "^(click|view|purchase)$"), "^view$"
+    )
+
+
+def q_ts_outside_percentile(spark, sf_dir):
+    """graphite averageOutsidePercentile(series, 80): keep series whose
+    average escapes the [20th, 80th] percentile band."""
+    from graphouse_spark.functions.timeseries import average_outside_percentile
+
+    return average_outside_percentile(_series(spark, sf_dir), 80.0)
+
+
 def q_fuzzy_name_pairs(spark, sf_dir):
     """Edit-distance <= 1 customer-name pairs via PassJoin segment
     blocking + levenshtein verify (oracle: brute-force cross join —
@@ -1945,6 +1997,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_distribution": q_window_distribution,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "gh_topk_per_group": q_gh_topk_per_group,
+        "ts_weighted_average": q_ts_weighted_average,
+        "ts_min_max": q_ts_min_max,
+        "ts_log": q_ts_log,
+        "ts_alias_sub": q_ts_alias_sub,
+        "ts_grep_exclude": q_ts_grep_exclude,
+        "ts_outside_percentile": q_ts_outside_percentile,
         "ts_average_above": q_ts_average_above,
         "ts_summarize": q_ts_summarize,
         "join_semi": q_join_semi,
@@ -2633,6 +2691,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT day, event_type, avg_value FROM wide
             UNPIVOT (avg_value FOR event_type IN (click, error, purchase, signup, view))
+        """,
+        "ts_weighted_average": f"""
+            WITH s AS ({_SERIES_SQL}),
+            c AS (
+                SELECT event_type AS metric, ts_sec - ts_sec % 300 AS ts,
+                       count(*) AS weight
+                FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
+                GROUP BY 1, 2
+            )
+            SELECT s.ts,
+                   CASE WHEN sum(c.weight) != 0
+                        THEN round(sum(s.value * c.weight) / sum(c.weight), 6) END AS wavg
+            FROM s JOIN c USING (metric, ts)
+            GROUP BY s.ts
+        """,
+        "ts_min_max": f"""
+            SELECT metric, ts,
+                   CASE WHEN max(value) OVER (PARTITION BY metric)
+                             != min(value) OVER (PARTITION BY metric)
+                        THEN round((value - min(value) OVER (PARTITION BY metric))
+                                   / (max(value) OVER (PARTITION BY metric)
+                                      - min(value) OVER (PARTITION BY metric)), 6)
+                        ELSE 0.0 END AS norm
+            FROM ({_SERIES_SQL})
+        """,
+        "ts_log": f"""
+            SELECT metric, ts,
+                   CASE WHEN value > 0 THEN round(ln(value) / ln(10.0), 6) END AS value
+            FROM ({_SERIES_SQL})
+        """,
+        "ts_alias_sub": rf"""
+            SELECT regexp_replace(metric, '^(\w+)$', 'evt.\1') AS metric, ts, value
+            FROM ({_SERIES_SQL})
+        """,
+        "ts_grep_exclude": f"""
+            SELECT metric, ts, value FROM ({_SERIES_SQL})
+            WHERE regexp_matches(metric, '^(click|view|purchase)$')
+              AND NOT regexp_matches(metric, '^view$')
+        """,
+        "ts_outside_percentile": f"""
+            WITH s AS ({_SERIES_SQL}),
+            avgs AS (SELECT metric, avg(value) AS a FROM s GROUP BY metric),
+            band AS (
+                SELECT quantile_cont(a, 0.2) AS lo, quantile_cont(a, 0.8) AS hi FROM avgs
+            ),
+            keep AS (
+                SELECT metric FROM avgs, band WHERE a < lo OR a > hi
+            )
+            SELECT s.metric, s.ts, s.value FROM s JOIN keep USING (metric)
         """,
         "ts_moving_average": f"""
             SELECT metric, ts,

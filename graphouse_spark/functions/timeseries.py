@@ -14,6 +14,8 @@ operator is DuckDB-oracle-able.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -539,3 +541,94 @@ def holt_winters_bands(series: DataFrame, delta: float = 3.0,
         lower.alias("lower_band"),
         aberration.alias("aberration"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graphite function family, round 4
+# ---------------------------------------------------------------------------
+
+def weighted_average(series: DataFrame, weights: DataFrame,
+                     metric_col: str = "metric", ts_col: str = "ts",
+                     value_col: str = "value",
+                     weight_col: str = "weight") -> DataFrame:
+    """graphite ``weightedAverage(seriesListAvg, seriesListWeight)``:
+    per aligned timestamp, sum(value*weight)/sum(weight) across series.
+    One equi-join on (metric, ts) + one aggregation on ts; zero total
+    weight yields null (graphite's None)."""
+    joined = series.join(weights.select(metric_col, ts_col, weight_col),
+                         [metric_col, ts_col])
+    wsum = F.sum(F.col(weight_col))
+    return (
+        joined.groupBy(ts_col)
+        .agg(
+            F.when(
+                wsum != 0,
+                F.round(F.sum(F.col(value_col) * F.col(weight_col)) / wsum, 6),
+            ).alias("wavg")
+        )
+    )
+
+
+def min_max_normalize(series: DataFrame, metric_col: str = "metric",
+                      ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``minMax(series)``: rescale each series to [0, 1] by its
+    own min/max (flat series -> 0). Window min/max over the metric
+    partition — no self-join."""
+    w = Window.partitionBy(metric_col)
+    lo, hi = F.min(value_col).over(w), F.max(value_col).over(w)
+    norm = F.when(hi != lo, F.round((F.col(value_col) - lo) / (hi - lo), 6)).otherwise(0.0)
+    return series.select(metric_col, ts_col, norm.alias("norm"))
+
+
+def log_series(series: DataFrame, base: float = 10.0,
+               value_col: str = "value") -> DataFrame:
+    """graphite ``logarithm(series, base)``: log_base(value); null for
+    values <= 0 (graphite emits None)."""
+    v = F.col(value_col)
+    out = F.when(v > 0, F.round(F.log(v) / math.log(base), 6))
+    return series.withColumn(value_col, out)
+
+
+def alias_sub(series: DataFrame, pattern: str, replacement: str,
+              metric_col: str = "metric") -> DataFrame:
+    """graphite ``aliasSub(series, regex, replacement)``: regex rename
+    of the metric name (scan-stage expression)."""
+    return series.withColumn(
+        metric_col, F.regexp_replace(F.col(metric_col), pattern, replacement)
+    )
+
+
+def grep_series(series: DataFrame, pattern: str,
+                metric_col: str = "metric") -> DataFrame:
+    """graphite ``grep(series, regex)``: keep series whose name matches."""
+    return series.filter(F.col(metric_col).rlike(pattern))
+
+
+def exclude_series(series: DataFrame, pattern: str,
+                   metric_col: str = "metric") -> DataFrame:
+    """graphite ``exclude(series, regex)``: drop series whose name matches."""
+    return series.filter(~F.col(metric_col).rlike(pattern))
+
+
+def average_outside_percentile(series: DataFrame, n: float,
+                               metric_col: str = "metric",
+                               value_col: str = "value") -> DataFrame:
+    """graphite ``averageOutsidePercentile(series, n)``: keep the series
+    whose per-series average falls outside the [100-n, n] percentile
+    band of all series averages (n normalized to >= 50).
+
+    Two tiny aggregations over the per-series averages (one row per
+    series); the band is a broadcastable 1-row frame crossed onto the
+    filter, so the full stream is never re-shuffled."""
+    n = max(n, 100.0 - n) / 100.0
+    avgs = series.groupBy(metric_col).agg(F.avg(value_col).alias("_avg"))
+    band = avgs.agg(
+        F.percentile(F.col("_avg"), F.lit(1.0 - n)).alias("_lo"),
+        F.percentile(F.col("_avg"), F.lit(n)).alias("_hi"),
+    )
+    keep = (
+        avgs.crossJoin(F.broadcast(band))
+        .filter((F.col("_avg") < F.col("_lo")) | (F.col("_avg") > F.col("_hi")))
+        .select(metric_col)
+    )
+    return series.join(F.broadcast(keep), metric_col, "left_semi")
