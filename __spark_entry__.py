@@ -1790,6 +1790,21 @@ def q_emb_label_centroids(spark, sf_dir):
     )
 
 
+def q_doc_model_scores(spark, sf_dir):
+    """Batch-inference plumbing: Arrow-batched pseudo-perplexity scores
+    + threshold filter summary per source. The stub scorer is
+    md5-derived, so the WHOLE inference pass is oracle-replayable."""
+    from graphouse_spark.functions.inference import batch_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = batch_score(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return scored.groupBy("source").agg(
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.count(F.when(F.col("score") <= 50.0, 1)).alias("n_kept"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def q_emb_dedup_clusters(spark, sf_dir):
     """Embedding-space dedup clusters: exact cosine pairs >= 0.4 ->
     connected components (same clustering core as the text family;
@@ -2026,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_pii_stats": q_doc_pii_stats,
         "doc_resample_mix": q_doc_resample_mix,
+        "doc_model_scores": q_doc_model_scores,
         "emb_dedup_clusters": q_emb_dedup_clusters,
         "ev_window_funnel": q_ev_window_funnel,
         "ev_retention": q_ev_retention,
@@ -3466,6 +3482,17 @@ def oracle_sql() -> dict[str, str]:
                            '\b\d{9,18}\b', '<ID>', 'g')
                    ) AS n_chars_redacted
             FROM documents
+        """,
+        "doc_model_scores": """
+            WITH s AS (
+                SELECT doc_id, source,
+                       1.0 + CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 10000 / 100.0 AS score
+                FROM documents
+            )
+            SELECT source, round(avg(score), 6) AS avg_score,
+                   count(*) FILTER (score <= 50.0) AS n_kept,
+                   count(*) AS n_docs
+            FROM s GROUP BY source
         """,
         "emb_dedup_clusters": """
             WITH RECURSIVE e AS (

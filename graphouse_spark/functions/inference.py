@@ -1,0 +1,90 @@
+"""Batch model inference over a corpus — the scoring stage of a
+training-data pipeline (quality/perplexity filtering, embedding
+generation) expressed as Arrow-batched ``mapInPandas`` kernels.
+
+The container has no ML runtime, so the default scorers are
+DETERMINISTIC STUBS (hash-derived), but the Spark-side shape is the
+real one and is what the operators here pin down:
+
+- one Python worker per task, fed Arrow record batches — the unit a
+  real model would score in one forward pass;
+- per-partition lazy model init (see ``make_model_scorer``): the model
+  loads ONCE per worker from a broadcast/local path, never per row and
+  never on the driver;
+- scores come back as plain columns, so downstream filters/joins stay
+  in Catalyst — the model is a black box between two DataFrame stages;
+- batch size is controlled by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  (set it to what one GPU/CPU forward pass comfortably holds).
+
+The default stub maps text -> md5-derived pseudo-perplexity, which is
+engine-portable (DuckDB can replay it), so even the inference plumbing
+is oracle-checkable end to end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def stub_perplexity(texts: "pd.Series") -> "pd.Series":
+    """Deterministic fake perplexity in [1, 101): first 8 md5 hex chars
+    mod 10000, scaled. Stands in for a real LM; portable to SQL:
+    ``1 + CAST(concat('0x', substr(md5(text),1,8)) AS BIGINT) % 10000 / 100.0``.
+    """
+    return texts.map(
+        lambda t: 1.0 + (int(hashlib.md5(str(t).encode("utf-8")).hexdigest()[:8], 16) % 10000) / 100.0
+    )
+
+
+def make_model_scorer(model_path: str) -> Callable[["pd.Series"], "pd.Series"]:
+    """Template for a REAL scorer with per-worker lazy init.
+
+    The returned closure loads the model on first call inside the
+    executor (never pickled from the driver) and reuses it for every
+    subsequent Arrow batch that worker processes. The ML runtime is not
+    installed in this container, so calling the closure raises — the
+    plumbing (closure shape, lazy init, batch signature) is the
+    tested contract.
+    """
+    state: dict = {}
+
+    def score(texts: "pd.Series") -> "pd.Series":
+        if "model" not in state:
+            # a real implementation: state["model"] = load_model(model_path)
+            raise NotImplementedError(
+                f"no ML runtime in this environment (would load {model_path!r})"
+            )
+        return state["model"].score(texts)  # pragma: no cover
+
+    return score
+
+
+def batch_score(docs: DataFrame, scorer: Callable[["pd.Series"], "pd.Series"] | None = None,
+                text_col: str = "text", id_col: str = "doc_id",
+                score_col: str = "score") -> DataFrame:
+    """Score every document with ``scorer`` (default: the portable
+    pseudo-perplexity stub). One Arrow round trip; output is
+    ``(id_col, score_col)`` ready for Catalyst-side filtering."""
+    fn = scorer or stub_perplexity
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({id_col: pdf[id_col], score_col: fn(pdf[text_col])})
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, f"{id_col} long, {score_col} double")
+
+
+def perplexity_filter(docs: DataFrame, max_score: float,
+                      scorer: Callable[["pd.Series"], "pd.Series"] | None = None,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep documents scoring at or below ``max_score`` (the classic
+    perplexity-threshold corpus filter). The score join is an equi-join
+    on the id — Catalyst broadcasts or co-partitions as sizes dictate."""
+    scores = batch_score(docs, scorer, text_col=text_col, id_col=id_col)
+    from pyspark.sql import functions as F
+
+    return docs.join(scores.filter(F.col("score") <= max_score).select(id_col), id_col)

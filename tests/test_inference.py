@@ -1,0 +1,51 @@
+"""Batch-inference plumbing: Arrow kernel shape, stub determinism,
+lazy per-worker model init contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphouse_spark.functions.inference import (
+    batch_score,
+    make_model_scorer,
+    perplexity_filter,
+    stub_perplexity,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"document body number {i} with some words") for i in range(50)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_batch_score_deterministic_across_runs_and_partitioning(docs):
+    a = {r["doc_id"]: r["score"] for r in batch_score(docs).collect()}
+    b = {r["doc_id"]: r["score"] for r in batch_score(docs.repartition(7)).collect()}
+    assert a == b  # content-hash scores ignore physical layout
+    assert all(1.0 <= v < 101.0 for v in a.values())
+
+
+def test_stub_matches_local_hash():
+    import hashlib
+    import pandas as pd
+
+    t = "document body number 3 with some words"
+    expect = 1.0 + (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 10000) / 100.0
+    assert stub_perplexity(pd.Series([t]))[0] == expect
+
+
+def test_perplexity_filter_threshold(docs):
+    kept = perplexity_filter(docs, max_score=50.0)
+    scores = {r["doc_id"]: r["score"] for r in batch_score(docs).collect()}
+    expect = {i for i, s in scores.items() if s <= 50.0}
+    assert {r["doc_id"] for r in kept.collect()} == expect
+    assert 0 < len(expect) < 50  # threshold actually separates
+
+
+def test_real_scorer_is_lazy_and_raises_without_runtime(docs):
+    scorer = make_model_scorer("/models/quality-v1")
+    # building the plan must not touch the model...
+    df = batch_score(docs, scorer=scorer)
+    # ...execution hits the per-worker init, which has no runtime here
+    with pytest.raises(Exception, match="NotImplementedError|no ML runtime"):
+        df.collect()
