@@ -1805,6 +1805,20 @@ def q_doc_model_scores(spark, sf_dir):
     )
 
 
+def q_doc_embed_topk(spark, sf_dir):
+    """Embed -> search composed in one lazy DAG: stub-embed the corpus
+    (Arrow kernel, md5-derived components), then exact cosine top-3 for
+    the first 3 docs — the full text-to-ANN pipeline, oracle-replayed
+    in SQL including the embedding generation."""
+    from graphouse_spark.functions.inference import embed_texts
+    from graphouse_spark.functions.similarity import cosine_topk
+
+    emb = embed_texts(_t(spark, sf_dir, "documents"), dim=16).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=3)
+
+
 def q_emb_dedup_clusters(spark, sf_dir):
     """Embedding-space dedup clusters: exact cosine pairs >= 0.4 ->
     connected components (same clustering core as the text family;
@@ -2042,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_stats": q_doc_pii_stats,
         "doc_resample_mix": q_doc_resample_mix,
         "doc_model_scores": q_doc_model_scores,
+        "doc_embed_topk": q_doc_embed_topk,
         "emb_dedup_clusters": q_emb_dedup_clusters,
         "ev_window_funnel": q_ev_window_funnel,
         "ev_retention": q_ev_retention,
@@ -3482,6 +3497,26 @@ def oracle_sql() -> dict[str, str]:
                            '\b\d{9,18}\b', '<ID>', 'g')
                    ) AS n_chars_redacted
             FROM documents
+        """,
+        "doc_embed_topk": """
+            WITH emb AS (
+                SELECT doc_id AS vec_id,
+                       [(CAST(concat('0x', substr(md5(text || ':' || i), 1, 8)) AS BIGINT) % 2000 - 1000)
+                        / 1000.0 FOR i IN range(0, 16)] AS v
+                FROM documents
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qvec FROM emb WHERE vec_id < 3),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_dot_product(q.qvec, e.v)
+                       / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(e.v, e.v))) AS cos_raw
+                FROM emb e CROSS JOIN q
+                WHERE e.vec_id != q.query_id
+            )
+            SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INTEGER) AS rank
+            FROM scored
+            QUALIFY rank <= 3
         """,
         "doc_model_scores": """
             WITH s AS (

@@ -88,3 +88,43 @@ def perplexity_filter(docs: DataFrame, max_score: float,
     from pyspark.sql import functions as F
 
     return docs.join(scores.filter(F.col("score") <= max_score).select(id_col), id_col)
+
+
+def stub_embedding(texts: "pd.Series", dim: int = 16) -> "pd.DataFrame":
+    """Deterministic fake text embedding: component ``i`` derives from
+    md5(text || ':' || i), scaled to [-1, 1). Portable to SQL, so the
+    embed -> index -> search pipeline can be oracle-checked end to end.
+    A real encoder slots in via :func:`make_model_scorer`'s lazy-init
+    pattern with this same batch signature.
+    """
+    def one(t: str) -> list[float]:
+        return [
+            (int(hashlib.md5(f"{t}:{i}".encode("utf-8")).hexdigest()[:8], 16) % 2000 - 1000)
+            / 1000.0
+            for i in range(dim)
+        ]
+
+    return pd.DataFrame({"embedding": [one(str(t)) for t in texts]})
+
+
+def embed_texts(docs: DataFrame, dim: int = 16,
+                embedder: Callable[["pd.Series"], "pd.DataFrame"] | None = None,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched text -> embedding column (``array<double>``).
+
+    The output schema matches the ``embeddings`` corpus table, so every
+    downstream ANN/near-dup operator (`cosine_topk`, `ivf_index`,
+    `cosine_near_duplicates`) consumes generated embeddings unchanged —
+    embed, index and search compose into one lazy DAG.
+    """
+    fn = embedder or (lambda s: stub_embedding(s, dim))
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = fn(pdf[text_col])
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} long, embedding array<double>"
+    )

@@ -49,3 +49,22 @@ def test_real_scorer_is_lazy_and_raises_without_runtime(docs):
     # ...execution hits the per-worker init, which has no runtime here
     with pytest.raises(Exception, match="NotImplementedError|no ML runtime"):
         df.collect()
+
+
+def test_embed_texts_shape_and_determinism(docs):
+    from graphouse_spark.functions.inference import embed_texts
+
+    a = {r["doc_id"]: r["embedding"] for r in embed_texts(docs, dim=8).collect()}
+    b = {r["doc_id"]: r["embedding"] for r in embed_texts(docs.repartition(5), dim=8).collect()}
+    assert a == b
+    assert all(len(v) == 8 and all(-1.0 <= x < 1.0 for x in v) for v in a.values())
+
+
+def test_embed_feeds_ann_operators(docs):
+    from graphouse_spark.functions.inference import embed_texts
+    from graphouse_spark.functions.similarity import cosine_topk
+
+    emb = embed_texts(docs, dim=8).withColumnRenamed("doc_id", "vec_id")
+    top = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    assert len(top) == 2 and all(r["query_id"] == 0 for r in top)
+    assert top[0]["rank"] == 1 and top[0]["cosine"] >= top[1]["cosine"]
