@@ -1790,6 +1790,41 @@ def q_emb_label_centroids(spark, sf_dir):
     )
 
 
+def q_doc_quality_gate(spark, sf_dir):
+    """The composed corpus quality gate: length + repetition + PII +
+    pseudo-perplexity thresholds ANDed into one keep decision, reported
+    per source. Each signal family is an independently-oracled operator;
+    this query proves the gate composes into one lazy DAG (joins on
+    doc_id co-partition; the scan runs once per signal branch)."""
+    from graphouse_spark.functions.inference import batch_score
+    from graphouse_spark.functions.pii import pii_stats
+    from graphouse_spark.functions.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = repetition_stats(docs).select(
+        "doc_id", "n_tokens", "top_unigram_frac"
+    )
+    pii = pii_stats(docs).select("doc_id", "n_pii")
+    ppl = batch_score(docs)
+    gated = (
+        docs.select("doc_id", "source")
+        .join(rep, "doc_id")
+        .join(pii, "doc_id")
+        .join(ppl, "doc_id")
+        .withColumn(
+            "keep",
+            (F.col("n_tokens") >= 20)
+            & (F.col("top_unigram_frac") <= 0.2)
+            & (F.col("n_pii") == 0)
+            & (F.col("score") <= 80.0),
+        )
+    )
+    return gated.groupBy("source").agg(
+        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def q_doc_model_scores(spark, sf_dir):
     """Batch-inference plumbing: Arrow-batched pseudo-perplexity scores
     + threshold filter summary per source. The stub scorer is
@@ -2057,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_resample_mix": q_doc_resample_mix,
         "doc_model_scores": q_doc_model_scores,
         "doc_embed_topk": q_doc_embed_topk,
+        "doc_quality_gate": q_doc_quality_gate,
         "emb_dedup_clusters": q_emb_dedup_clusters,
         "ev_window_funnel": q_ev_window_funnel,
         "ev_retention": q_ev_retention,
@@ -3497,6 +3533,33 @@ def oracle_sql() -> dict[str, str]:
                            '\b\d{9,18}\b', '<ID>', 'g')
                    ) AS n_chars_redacted
             FROM documents
+        """,
+        "doc_quality_gate": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS tok
+                FROM documents
+            ),
+            rep AS (
+                SELECT doc_id, sum(cnt) AS n_tokens, max(cnt) AS top_cnt
+                FROM (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok)
+                GROUP BY doc_id
+            ),
+            sig AS (
+                SELECT d.doc_id, d.source, r.n_tokens,
+                       round(r.top_cnt / greatest(r.n_tokens, 1), 6) AS tuf,
+                       len(regexp_extract_all(d.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       + len(regexp_extract_all(d.text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                       + len(regexp_extract_all(d.text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))
+                       + len(regexp_extract_all(d.text, '\b\d{9,18}\b')) AS n_pii,
+                       1.0 + CAST(concat('0x', substr(md5(d.text), 1, 8)) AS BIGINT) % 10000 / 100.0 AS score
+                FROM documents d JOIN rep r USING (doc_id)
+            )
+            SELECT source,
+                   count(*) FILTER (n_tokens >= 20 AND tuf <= 0.2 AND n_pii = 0
+                                    AND score <= 80.0) AS n_kept,
+                   count(*) AS n_docs
+            FROM sig GROUP BY source
         """,
         "doc_embed_topk": """
             WITH emb AS (
