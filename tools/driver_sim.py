@@ -58,6 +58,14 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     results: dict[str, dict] = {}
     bad = 0
+    if not only:
+        # the driver also smoke-runs entry() on ITS bare session — mirror it
+        try:
+            n = entry_mod.entry(spark).count()
+            print(f"ok   entry() ({n} rows)")
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL entry(): {type(e).__name__}: {e}")
+            bad += 1
     for name in sorted(queries):
         if only and name not in only:
             continue
