@@ -1895,6 +1895,16 @@ def q_ev_sequence_match(spark, sf_dir):
     return sequence_match(ev, chars, "v.*c.*p")
 
 
+def q_ev_sequence_count(spark, sf_dir):
+    """CH sequenceCount: non-overlapping view->purchase occurrences per
+    user (regexp_count over the encoded stream)."""
+    from graphouse_spark.functions.behavior import sequence_count
+
+    ev = _events_sec(spark, sf_dir)
+    chars = {"view": "v", "click": "c", "purchase": "p", "signup": "s", "error": "e"}
+    return sequence_count(ev, chars, "v[^p]*p")
+
+
 def q_doc_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals (top unigram/bigram
     fraction, duplicated-token fraction) per document."""
@@ -2097,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_window_funnel": q_ev_window_funnel,
         "ev_retention": q_ev_retention,
         "ev_sequence_match": q_ev_sequence_match,
+        "ev_sequence_count": q_ev_sequence_count,
         "doc_contamination": q_doc_contamination,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_corpus_pipeline": q_doc_corpus_pipeline,
@@ -3674,6 +3685,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM e WHERE ch IS NOT NULL GROUP BY user_id
             )
             SELECT user_id, regexp_matches(seq, 'v.*c.*p') AS matched FROM s
+        """,
+        "ev_sequence_count": """
+            WITH e AS (
+                SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_id,
+                       CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+                            WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                            WHEN 'view' THEN 'v' END AS ch
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, string_agg(ch, '' ORDER BY ts_sec, event_id) AS seq
+                FROM e WHERE ch IS NOT NULL GROUP BY user_id
+            )
+            SELECT user_id, len(regexp_extract_all(seq, 'v[^p]*p')) AS n_matches FROM s
         """,
         "doc_resample_mix": """
             WITH w(source, wt) AS (

@@ -101,18 +101,12 @@ def retention_cohorts(events: DataFrame, anchor_type: str, return_type: str,
     )
 
 
-def sequence_match(events: DataFrame, type_chars: dict[str, str], pattern: str,
-                   ts_col: str = "ts_sec", user_col: str = "user_id",
-                   type_col: str = "event_type",
-                   order_col: str = "event_id") -> DataFrame:
-    """CH ``sequenceMatch``: does each user's time-ordered event stream
-    match ``pattern`` (a regex over the one-char encodings in
-    ``type_chars``; unmapped event types are dropped from the stream)?
-
-    Ties on the timestamp are broken by ``order_col`` so the encoded
-    string — and therefore the match — is deterministic. Returns
-    ``(user_col, matched)``.
-    """
+def _encoded_streams(events: DataFrame, type_chars: dict[str, str],
+                     ts_col: str, user_col: str, type_col: str,
+                     order_col: str) -> DataFrame:
+    """Per-user time-ordered stream encoded one char per event type
+    (unmapped types dropped; ties broken by ``order_col``). One
+    collect_list + array_join per user — a single shuffle."""
     enc = None
     for etype, ch in sorted(type_chars.items()):
         if len(ch) != 1:
@@ -120,7 +114,7 @@ def sequence_match(events: DataFrame, type_chars: dict[str, str], pattern: str,
         enc = F.when(F.col(type_col) == etype, F.lit(ch)) if enc is None else (
             enc.when(F.col(type_col) == etype, F.lit(ch))
         )
-    seq = (
+    return (
         events.filter(enc.isNotNull())
         .select(
             user_col,
@@ -138,4 +132,28 @@ def sequence_match(events: DataFrame, type_chars: dict[str, str], pattern: str,
             ).alias("_seq")
         )
     )
+
+
+def sequence_match(events: DataFrame, type_chars: dict[str, str], pattern: str,
+                   ts_col: str = "ts_sec", user_col: str = "user_id",
+                   type_col: str = "event_type",
+                   order_col: str = "event_id") -> DataFrame:
+    """CH ``sequenceMatch``: does each user's time-ordered event stream
+    match ``pattern`` (a regex over the one-char encodings in
+    ``type_chars``)? The regex runs codegen'd JVM-side over the encoded
+    stream. Returns ``(user_col, matched)``."""
+    seq = _encoded_streams(events, type_chars, ts_col, user_col, type_col, order_col)
     return seq.select(user_col, F.col("_seq").rlike(pattern).alias("matched"))
+
+
+def sequence_count(events: DataFrame, type_chars: dict[str, str], pattern: str,
+                   ts_col: str = "ts_sec", user_col: str = "user_id",
+                   type_col: str = "event_type",
+                   order_col: str = "event_id") -> DataFrame:
+    """CH ``sequenceCount``: how many NON-OVERLAPPING matches of
+    ``pattern`` each user's ordered stream contains. Returns
+    ``(user_col, n_matches)``."""
+    seq = _encoded_streams(events, type_chars, ts_col, user_col, type_col, order_col)
+    return seq.select(
+        user_col, F.regexp_count(F.col("_seq"), F.lit(pattern)).alias("n_matches")
+    )

@@ -85,3 +85,20 @@ def test_sequence_match_order_and_ties(spark):
 def test_sequence_match_rejects_multichar_encoding(spark):
     with pytest.raises(ValueError):
         sequence_match(_ev(spark, [(1, "view", 1)]), {"view": "vv"}, "v").collect()
+
+
+def test_sequence_count_non_overlapping(spark):
+    from graphouse_spark.functions.behavior import sequence_count
+
+    chars = {"view": "v", "purchase": "p"}
+    rows = [
+        # u1: v p v p -> 2 matches of v[^p]*p
+        (1, "view", 100), (1, "purchase", 200), (1, "view", 300), (1, "purchase", 400),
+        # u2: v v p -> 1 (non-overlapping, leftmost-first)
+        (2, "view", 100), (2, "view", 150), (2, "purchase", 200),
+        # u3: p v -> 0
+        (3, "purchase", 100), (3, "view", 200),
+    ]
+    out = {r["user_id"]: r["n_matches"]
+           for r in sequence_count(_ev(spark, rows), chars, "v[^p]*p").collect()}
+    assert out == {1: 2, 2: 1, 3: 0}
