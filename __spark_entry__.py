@@ -1854,6 +1854,20 @@ def q_doc_embed_topk(spark, sf_dir):
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=3)
 
 
+def q_emb_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: train codebooks on a bounded sample
+    (driver-side, faiss-style), encode the corpus to m=4 codes (16x
+    compression at dim 64), search by asymmetric distance. Rows-only:
+    k-means training is iterative, not SQL-expressible; recall vs exact
+    search is pinned in tests/test_similarity.py."""
+    from graphouse_spark.functions.similarity import pq_adc_topk, pq_encode, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=4, k=16, iters=3, sample_rows=512)
+    codes = pq_encode(emb, cb)
+    return pq_adc_topk(codes, cb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
 def q_emb_dedup_clusters(spark, sf_dir):
     """Embedding-space dedup clusters: exact cosine pairs >= 0.4 ->
     connected components (same clustering core as the text family;
@@ -2104,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_embed_topk": q_doc_embed_topk,
         "doc_quality_gate": q_doc_quality_gate,
         "emb_dedup_clusters": q_emb_dedup_clusters,
+        "emb_pq_topk": q_emb_pq_topk,
         "ev_window_funnel": q_ev_window_funnel,
         "ev_retention": q_ev_retention,
         "ev_sequence_match": q_ev_sequence_match,

@@ -323,3 +323,134 @@ def cosine_near_duplicates(embeddings: DataFrame, threshold: float,
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound ANN scale path
+# ---------------------------------------------------------------------------
+
+def pq_train(embeddings: DataFrame, m: int = 4, k: int = 16, iters: int = 5,
+             sample_rows: int = 2048, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> list:
+    """Train PQ codebooks: split D dims into ``m`` subvectors, run
+    k-means (``k`` centroids) per subspace. Returns
+    ``codebooks[m][k][D/m]`` (plain lists — broadcastable literals).
+
+    Training runs DRIVER-SIDE on a deterministic bounded sample (the
+    ``sample_rows`` lowest ids) — the faiss convention: codebooks need
+    only a representative sample, never the corpus, so training cost is
+    O(sample) regardless of corpus size. Encoding and search (below)
+    are the distributed passes. Deterministic: fixed seeds (first k
+    sample points per subspace), fixed iteration count.
+    """
+    import numpy as np
+
+    rows = (
+        embeddings.orderBy(id_col).limit(sample_rows)
+        .select(vec_col).collect()
+    )
+    x = np.asarray([[float(v) for v in r[vec_col]] for r in rows], dtype=np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    codebooks = []
+    for s in range(m):
+        xs = x[:, s * sub:(s + 1) * sub]
+        cents = xs[:k].copy()  # deterministic seeds: first k sample points
+        for _ in range(iters):
+            # squared-L2 assignment; empty clusters keep their centroid
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for j in range(k):
+                pts = xs[a == j]
+                if len(pts):
+                    cents[j] = pts.mean(axis=0)
+        codebooks.append(cents.tolist())
+    return codebooks
+
+
+def pq_encode(embeddings: DataFrame, codebooks: list, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Distributed PQ encode: each vector -> ``m`` one-byte-ish codes
+    (nearest centroid per subspace). Arrow/numpy kernel, no shuffle —
+    the output is m smallints per vector instead of D floats (e.g.
+    64 x 8B doubles -> 4 codes: a ~128x memory cut before ANN search).
+    """
+    import numpy as np
+
+    cb = [np.asarray(c, dtype=np.float64) for c in codebooks]
+    m = len(cb)
+    sub = cb[0].shape[1]
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.asarray([[float(v) for v in e] for e in pdf[vec_col]], dtype=np.float64)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for s in range(m):
+                xs = x[:, s * sub:(s + 1) * sub]
+                d2 = ((xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes.tolist())})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_adc_topk(codes: DataFrame, codebooks: list, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance search over PQ codes: per query, precompute a
+    (m x k) lookup table of subspace squared distances, then score each
+    code vector by summing m table lookups — never reconstructing the
+    corpus. Arrow kernel with per-batch local top-k, then a global
+    top-k per query (TakeOrderedAndProject-sized final state).
+
+    Returns (query_id, neighbor_id, adc_dist, rank) — approximate by
+    construction; recall is pinned by tests against exact search.
+    """
+    import numpy as np
+
+    cb = [np.asarray(c, dtype=np.float64) for c in codebooks]
+    m = len(cb)
+    sub = cb[0].shape[1]
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    q_ids = [int(r["query_id"]) for r in q_rows]
+    qx = np.asarray([[float(v) for v in r["qv"]] for r in q_rows], dtype=np.float64)
+    # LUT[q][s][code] = ||q_sub - centroid||^2
+    luts = np.stack([
+        ((qx[:, s * sub:(s + 1) * sub][:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+        for s in range(m)
+    ], axis=1)  # (nq, m, k_centroids)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            c = np.asarray(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            ids = pdf[id_col].to_numpy()
+            out = []
+            for qi, qid in enumerate(q_ids):
+                # gather: sum over subspaces of LUT[qi, s, code]
+                dist = luts[qi][np.arange(m)[None, :], c].sum(axis=1)
+                take = min(k, len(dist))
+                part = np.argpartition(dist, take - 1)[:take]
+                for j in part:
+                    out.append((qid, int(ids[j]), float(dist[j])))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "adc_dist"])
+
+    local = codes.select(id_col, "codes").mapInPandas(
+        kernel, "query_id long, neighbor_id long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank")
+    )

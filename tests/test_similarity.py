@@ -62,3 +62,67 @@ def test_vectorized_topk_matches_jvm_strategy(spark):
     a = sorted(map(tuple, cosine_topk(emb, queries, k=5).collect()))
     b = sorted(map(tuple, cosine_topk_vectorized(emb, queries, k=5).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pq_corpus(spark):
+    """Structured synthetic embeddings: 4 well-separated cluster centers
+    in 8-D plus small deterministic offsets — PQ must preserve cluster
+    neighborhoods."""
+    import itertools
+
+    centers = [
+        [5.0, 0, 0, 0, 5.0, 0, 0, 0],
+        [0, 5.0, 0, 0, 0, 5.0, 0, 0],
+        [0, 0, 5.0, 0, 0, 0, 5.0, 0],
+        [0, 0, 0, 5.0, 0, 0, 0, 5.0],
+    ]
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        off = [((i * 7 + j * 3) % 10 - 5) / 10.0 for j in range(8)]
+        rows.append((i, [c[j] + off[j] for j in range(8)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_train_encode_shapes_and_determinism(pq_corpus):
+    from graphouse_spark.functions.similarity import pq_encode, pq_train
+
+    cb = pq_train(pq_corpus, m=4, k=8, iters=4, sample_rows=128)
+    assert len(cb) == 4 and all(len(c) == 8 and len(c[0]) == 2 for c in cb)
+    a = {r["vec_id"]: r["codes"] for r in pq_encode(pq_corpus, cb).collect()}
+    b = {r["vec_id"]: r["codes"]
+         for r in pq_encode(pq_corpus.repartition(5), cb).collect()}
+    assert a == b  # layout-independent
+    assert all(0 <= code < 8 for codes in a.values() for code in codes)
+
+
+def test_pq_adc_recall_against_exact(pq_corpus):
+    from graphouse_spark.functions.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    cb = pq_train(pq_corpus, m=4, k=16, iters=4, sample_rows=200)
+    codes = pq_encode(pq_corpus, cb)
+    queries = pq_corpus.filter("vec_id < 3")
+    approx = pq_adc_topk(codes, cb, queries, k=10)
+    exact = cosine_topk(pq_corpus, queries, k=10)
+    for qid in range(3):
+        a = {r["neighbor_id"] for r in approx.collect() if r["query_id"] == qid}
+        e = {r["neighbor_id"] for r in exact.collect() if r["query_id"] == qid}
+        # cluster structure must survive 8->1 float compression
+        assert len(a & e) >= 6, f"recall@10 too low for query {qid}: {len(a & e)}"
+
+
+def test_pq_rejects_indivisible_dim(pq_corpus):
+    from graphouse_spark.functions.similarity import pq_train
+
+    with pytest.raises(ValueError):
+        pq_train(pq_corpus, m=3)
