@@ -998,6 +998,33 @@ def q_ts_outside_percentile(spark, sf_dir):
     return average_outside_percentile(_series(spark, sf_dir), 80.0)
 
 
+def q_ts_interpolate(spark, sf_dir):
+    """graphite interpolate(series): linear fill of the null gaps in a
+    gap-filled hourly average series (leading/trailing nulls stay
+    null). Exact integer-cents averages keep the endpoints — and so
+    every interpolated point — engine-portable."""
+    from graphouse_spark.functions.timeseries import interpolate_series
+
+    ev = _events_sec(spark, sf_dir)
+    start, end = SEC_JAN1, SEC_JAN1 + 31 * DAY
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = ev.groupBy(
+        "event_type", (F.col("ts_sec") - F.col("ts_sec") % HOUR).alias("ts")
+    ).agg(F.round(F.sum(cents) / (F.count(F.lit(1)) * 100.0), 6).alias("value"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.lit(start).cast("long"), F.lit(end - HOUR).cast("long"), F.lit(HOUR).cast("long"))
+            ).alias("ts"),
+        )
+    )
+    series = grid.join(hourly, ["event_type", "ts"], "left")
+    return interpolate_series(series, metric_col="event_type")
+
+
 def q_fuzzy_name_pairs(spark, sf_dir):
     """Edit-distance <= 1 customer-name pairs via PassJoin segment
     blocking + levenshtein verify (oracle: brute-force cross join —
@@ -2085,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_distribution": q_window_distribution,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "gh_topk_per_group": q_gh_topk_per_group,
+        "ts_interpolate": q_ts_interpolate,
         "ts_weighted_average": q_ts_weighted_average,
         "ts_min_max": q_ts_min_max,
         "ts_log": q_ts_log,
@@ -2784,6 +2812,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT day, event_type, avg_value FROM wide
             UNPIVOT (avg_value FOR event_type IN (click, error, purchase, signup, view))
+        """,
+        "ts_interpolate": f"""
+            WITH grid AS (
+                SELECT et.event_type, g.ts
+                FROM (SELECT DISTINCT event_type FROM events) et
+                CROSS JOIN (
+                    SELECT unnest(generate_series(1704067200, 1704067200 + 31*86400 - 3600, 3600)) AS ts
+                ) g
+            ),
+            hourly AS (
+                SELECT event_type, ts_sec - ts_sec % 3600 AS ts,
+                       round(sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100.0), 6) AS value
+                FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events)
+                GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT grid.event_type, grid.ts, hourly.value
+                FROM grid LEFT JOIN hourly USING (event_type, ts)
+            ),
+            w AS (
+                SELECT event_type, ts, value,
+                       last_value(value IGNORE NULLS) OVER
+                           (PARTITION BY event_type ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                       last_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS) OVER
+                           (PARTITION BY event_type ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+                       first_value(value IGNORE NULLS) OVER
+                           (PARTITION BY event_type ORDER BY ts
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                       first_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS) OVER
+                           (PARTITION BY event_type ORDER BY ts
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+                FROM s
+            )
+            SELECT event_type, ts,
+                   CASE WHEN value IS NOT NULL THEN value
+                        WHEN pv IS NOT NULL AND nv IS NOT NULL
+                        THEN round(pv + (nv - pv) * (ts - pt) / (nt - pt), 6)
+                   END AS value
+            FROM w
         """,
         "ts_weighted_average": f"""
             WITH s AS ({_SERIES_SQL}),

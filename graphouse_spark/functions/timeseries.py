@@ -632,3 +632,36 @@ def average_outside_percentile(series: DataFrame, n: float,
         .select(metric_col)
     )
     return series.join(F.broadcast(keep), metric_col, "left_semi")
+
+
+def interpolate_series(series: DataFrame, metric_col: str = "metric",
+                       ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``interpolate(series)``: fill null points linearly
+    between their nearest known neighbors; leading/trailing nulls stay
+    null (no known endpoint to anchor them).
+
+    Two ordered windows over the metric partition (last-known-before
+    and first-known-after, both ``ignorenulls``) — a single shuffle on
+    the series key, no self-joins, no per-row Python.
+    """
+    w_prev = (
+        Window.partitionBy(metric_col).orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(metric_col).orderBy(ts_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    known_ts = F.when(v.isNotNull(), F.col(ts_col))
+    pv = F.last(v, ignorenulls=True).over(w_prev)
+    pt = F.last(known_ts, ignorenulls=True).over(w_prev)
+    nv = F.first(v, ignorenulls=True).over(w_next)
+    nt = F.first(known_ts, ignorenulls=True).over(w_next)
+    filled = F.when(v.isNotNull(), v).otherwise(
+        F.when(
+            pv.isNotNull() & nv.isNotNull(),
+            F.round(pv + (nv - pv) * (F.col(ts_col) - pt) / (nt - pt), 6),
+        )
+    )
+    return series.withColumn(value_col, filled)

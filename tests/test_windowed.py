@@ -345,3 +345,24 @@ def test_holt_winters_bands_hand_math(spark):
         last = level
         level = alpha * v + (1 - alpha) * (level + trend)
         trend = beta * (level - last) + (1 - beta) * trend
+
+
+def test_interpolate_series_hand_math(spark):
+    """graphite interpolate: linear fill between known neighbors,
+    leading/trailing nulls untouched."""
+    from graphouse_spark.functions.timeseries import interpolate_series
+
+    rows = [
+        ("m", 0, None),       # leading null -> stays null
+        ("m", 60, 10.0),
+        ("m", 120, None),     # -> 10 + (40-10)*(120-60)/(180-60) = 25
+        ("m", 180, 40.0),
+        ("m", 240, None),     # trailing null -> stays null
+        ("n", 0, 5.0),        # other series untouched
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    got = {(r["metric"], r["ts"]): r["value"]
+           for r in interpolate_series(df).collect()}
+    assert got[("m", 0)] is None and got[("m", 240)] is None
+    assert got[("m", 120)] == 25.0
+    assert got[("m", 60)] == 10.0 and got[("n", 0)] == 5.0
