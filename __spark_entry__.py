@@ -1895,6 +1895,20 @@ def q_emb_pq_topk(spark, sf_dir):
     return pq_adc_topk(codes, cb, emb.filter(F.col("vec_id") < 5), k=3)
 
 
+def q_emb_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composite ANN (the faiss flagship layout): coarse cells
+    prune the scan to nprobe/n_clusters of the corpus, PQ residual
+    codes cut per-vector memory ~16x, ADC scores only probed cells.
+    Rows-only (iterative k-means); recall pinned vs exact in tests."""
+    from graphouse_spark.functions.similarity import ivfpq_build, ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coded, cents, cbs = ivfpq_build(emb, n_clusters=8, m=4, k=16,
+                                    kmeans_iters=2, sample_rows=512)
+    return ivfpq_topk(coded, cents, cbs, emb.filter(F.col("vec_id") < 5),
+                      k=3, nprobe=4)
+
+
 def q_emb_dedup_clusters(spark, sf_dir):
     """Embedding-space dedup clusters: exact cosine pairs >= 0.4 ->
     connected components (same clustering core as the text family;
@@ -2147,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_gate": q_doc_quality_gate,
         "emb_dedup_clusters": q_emb_dedup_clusters,
         "emb_pq_topk": q_emb_pq_topk,
+        "emb_ivfpq_topk": q_emb_ivfpq_topk,
         "ev_window_funnel": q_ev_window_funnel,
         "ev_retention": q_ev_retention,
         "ev_sequence_match": q_ev_sequence_match,

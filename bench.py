@@ -59,6 +59,9 @@ EXTENDED_QUERIES = [
     "doc_corpus_pipeline", # dedup -> decontaminate -> sample, one DAG
     "doc_chunk_dedup",     # corpus-wide exact chunk dedup (explode-heavy)
     "doc_repetition",      # Gopher repetition signals (two-level gram agg)
+    "ev_window_funnel",    # CH windowFunnel (filtered-min chain)
+    "doc_quality_gate",    # composed 4-signal quality gate
+    "emb_pq_topk",         # product-quantization ANN (train+encode+ADC)
 ]
 
 

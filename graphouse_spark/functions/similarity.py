@@ -454,3 +454,108 @@ def pq_adc_topk(codes: DataFrame, codebooks: list, queries: DataFrame, k: int = 
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank")
     )
+
+
+def ivfpq_build(embeddings: DataFrame, n_clusters: int = 16, m: int = 4,
+                k: int = 16, kmeans_iters: int = 3, pq_iters: int = 5,
+                sample_rows: int = 2048, id_col: str = "vec_id",
+                vec_col: str = "embedding"):
+    """IVF-PQ composite index (the faiss flagship layout): IVF coarse
+    cells partition the corpus; PQ codebooks quantize the RESIDUAL
+    (vector minus its cell centroid), which is far more compressible
+    than the raw vector. Returns (coded, centroids, codebooks) where
+    ``coded`` carries (id, cluster, codes).
+
+    Every stage reuses the standalone operators: Lloyd assignment from
+    :func:`ivf_index`, codebook training from :func:`pq_train` (on a
+    bounded residual sample), encoding from :func:`pq_encode` — the
+    composite is pure composition, no new distributed shapes.
+    """
+    assigned, centroids = ivf_index(embeddings, n_clusters, kmeans_iters,
+                                    id_col, vec_col)
+    cent_arr = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    # when-chain resolves each row's own centroid literal
+    cent_col = None
+    for j, ca in enumerate(cent_arr):
+        branch = F.when(F.col("cluster") == j, ca)
+        cent_col = branch if cent_col is None else cent_col.when(F.col("cluster") == j, ca)
+    residuals = assigned.select(
+        id_col, "cluster",
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            cent_col,
+            lambda a, b: a - b,
+        ).alias("_res"),
+    )
+    codebooks = pq_train(residuals, m=m, k=k, iters=pq_iters,
+                         sample_rows=sample_rows, id_col=id_col, vec_col="_res")
+    coded = pq_encode(residuals, codebooks, id_col=id_col, vec_col="_res") \
+        .join(residuals.select(id_col, "cluster"), id_col)
+    return coded, centroids, codebooks
+
+
+def ivfpq_topk(coded: DataFrame, centroids: list, codebooks: list,
+               queries: DataFrame, k: int = 10, nprobe: int = 4,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ search: probe each query's ``nprobe`` nearest cells, score
+    only those cells' codes by residual ADC (LUTs built per (query,
+    probed cell) against the query's own residual). The scan prunes to
+    nprobe/n_clusters of the corpus BEFORE any distance math — the
+    IVF pruning and PQ memory cut compose."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cb = [np.asarray(c, dtype=np.float64) for c in codebooks]
+    m = len(cb)
+    sub = cb[0].shape[1]
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    q_ids = [int(r["query_id"]) for r in q_rows]
+    qx = np.asarray([[float(v) for v in r["qv"]] for r in q_rows], dtype=np.float64)
+    # per query: nprobe nearest cells by L2, and a residual LUT per cell
+    d2c = ((qx[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d2c, axis=1)[:, :nprobe]  # (nq, nprobe)
+    luts = {}
+    for qi in range(len(q_ids)):
+        for c in probes[qi]:
+            res = qx[qi] - cents[c]
+            luts[(qi, int(c))] = np.stack([
+                ((res[s * sub:(s + 1) * sub][None, :] - cb[s]) ** 2).sum(axis=1)
+                for s in range(m)
+            ])  # (m, k)
+
+    probe_rows = [(q_ids[qi], int(c)) for qi in range(len(q_ids)) for c in probes[qi]]
+    qi_of = {qid: i for i, qid in enumerate(q_ids)}
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            clusters = pdf["cluster"].to_numpy()
+            for qid, c in probe_rows:
+                mask = clusters == c
+                if not mask.any():
+                    continue
+                lut = luts[(qi_of[qid], c)]
+                cc = codes[mask]
+                dist = lut[np.arange(m)[None, :], cc].sum(axis=1)
+                take = min(k, len(dist))
+                part = np.argpartition(dist, take - 1)[:take]
+                sel = ids[mask]
+                for j in part:
+                    out.append((qid, int(sel[j]), float(dist[j])))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "adc_dist"])
+
+    local = coded.select(id_col, "cluster", "codes").mapInPandas(
+        kernel, "query_id long, neighbor_id long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank")
+    )

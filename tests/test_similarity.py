@@ -126,3 +126,28 @@ def test_pq_rejects_indivisible_dim(pq_corpus):
 
     with pytest.raises(ValueError):
         pq_train(pq_corpus, m=3)
+
+
+def test_ivfpq_recall_and_pruning(pq_corpus):
+    """IVF-PQ composite: residual quantization preserves cluster
+    neighborhoods; probing all cells ~= probing the right cells."""
+    from graphouse_spark.functions.similarity import (
+        cosine_topk,
+        ivfpq_build,
+        ivfpq_topk,
+    )
+
+    coded, cents, cbs = ivfpq_build(pq_corpus, n_clusters=4, m=4, k=16,
+                                    kmeans_iters=2, sample_rows=200)
+    assert set(coded.columns) == {"vec_id", "codes", "cluster"}
+    queries = pq_corpus.filter("vec_id < 3")
+    approx = ivfpq_topk(coded, cents, cbs, queries, k=10, nprobe=2)
+    exact = cosine_topk(pq_corpus, queries, k=10)
+    arows = approx.collect()
+    for qid in range(3):
+        a = {r["neighbor_id"] for r in arows if r["query_id"] == qid}
+        e = {r["neighbor_id"] for r in exact.collect() if r["query_id"] == qid}
+        assert len(a & e) >= 6, f"ivfpq recall@10 too low for {qid}: {len(a & e)}"
+    # determinism across physical layout
+    brows = ivfpq_topk(coded.repartition(5), cents, cbs, queries, k=10, nprobe=2).collect()
+    assert sorted(map(tuple, arows)) == sorted(map(tuple, brows))
