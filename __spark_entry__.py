@@ -998,6 +998,20 @@ def q_ts_outside_percentile(spark, sf_dir):
     return average_outside_percentile(_series(spark, sf_dir), 80.0)
 
 
+def q_ts_moving_stddev(spark, sf_dir):
+    """graphite movingStdDev(series, 5): exact integer moment sums."""
+    from graphouse_spark.functions.timeseries import moving_stddev
+
+    return moving_stddev(_series(spark, sf_dir), window_points=5)
+
+
+def q_ts_sort_by_maxima(spark, sf_dir):
+    """graphite limit(sortByMaxima(series), 3)."""
+    from graphouse_spark.functions.timeseries import sort_by_maxima
+
+    return sort_by_maxima(_series(spark, sf_dir), 3)
+
+
 def q_ts_interpolate(spark, sf_dir):
     """graphite interpolate(series): linear fill of the null gaps in a
     gap-filled hourly average series (leading/trailing nulls stay
@@ -2127,6 +2141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "gh_topk_per_group": q_gh_topk_per_group,
         "ts_interpolate": q_ts_interpolate,
+        "ts_moving_stddev": q_ts_moving_stddev,
+        "ts_sort_by_maxima": q_ts_sort_by_maxima,
         "ts_weighted_average": q_ts_weighted_average,
         "ts_min_max": q_ts_min_max,
         "ts_log": q_ts_log,
@@ -2827,6 +2843,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT day, event_type, avg_value FROM wide
             UNPIVOT (avg_value FOR event_type IN (click, error, purchase, signup, view))
+        """,
+        "ts_moving_stddev": f"""
+            SELECT metric, ts,
+                   round(sqrt(greatest(
+                       (s2 - s1 * s1 / n) / n, 0.0)) / 1000000.0, 6) AS mov_stddev
+            FROM (
+                SELECT metric, ts,
+                       CAST(sum(m) OVER w AS DOUBLE) AS s1,
+                       CAST(sum(m * m) OVER w AS DOUBLE) AS s2,
+                       CAST(count(*) OVER w AS DOUBLE) AS n
+                FROM (
+                    SELECT metric, ts, CAST(round(value * 1000000) AS BIGINT) AS m
+                    FROM ({_SERIES_SQL})
+                )
+                WINDOW w AS (PARTITION BY metric ORDER BY ts
+                             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            )
+        """,
+        "ts_sort_by_maxima": f"""
+            WITH s AS ({_SERIES_SQL}),
+            peaks AS (SELECT metric, max(value) AS pk FROM s GROUP BY metric),
+            top AS (
+                SELECT metric, CAST(row_number() OVER (ORDER BY pk DESC, metric ASC) AS INT) AS rank
+                FROM peaks ORDER BY pk DESC, metric ASC LIMIT 3
+            )
+            SELECT s.metric, s.ts, s.value, top.rank
+            FROM s JOIN top USING (metric)
         """,
         "ts_interpolate": f"""
             WITH grid AS (

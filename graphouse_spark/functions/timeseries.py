@@ -665,3 +665,46 @@ def interpolate_series(series: DataFrame, metric_col: str = "metric",
         )
     )
     return series.withColumn(value_col, filled)
+
+
+def moving_stddev(series: DataFrame, window_points: int = 5,
+                  metric_col: str = "metric", ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """graphite ``movingStdDev(series, N)`` over a ROWS frame.
+
+    Population stddev from exact integer micro-unit moment sums
+    (sum, sum of squares, count) — the in-frame summation order can't
+    perturb the result, so any engine reproduces it bit-for-bit.
+    """
+    w = (
+        Window.partitionBy(metric_col)
+        .orderBy(ts_col)
+        .rowsBetween(-(window_points - 1), Window.currentRow)
+    )
+    micro = F.round(F.col(value_col) * 1_000_000).cast("long")
+    # the SUMS are exact integers (order-independent); the variance is
+    # then evaluated in double — s1*s1 would flirt with int64 overflow,
+    # and an identical double expression reproduces bit-for-bit anywhere
+    s1 = F.sum(micro).over(w).cast("double")
+    s2 = F.sum(micro * micro).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    var_micro2 = (s2 - s1 * s1 / n) / n  # micro^2 units
+    return series.select(
+        metric_col, ts_col,
+        F.round(F.sqrt(F.greatest(var_micro2, F.lit(0.0))) / 1_000_000.0, 6).alias("mov_stddev"),
+    )
+
+
+def sort_by_maxima(series: DataFrame, n: int, metric_col: str = "metric",
+                   ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``limit(sortByMaxima(series), N)``: the N series with
+    the largest peaks, tagged with their rank — same
+    TakeOrderedAndProject + broadcast-back shape as sortByTotal."""
+    maxima = series.groupBy(metric_col).agg(F.max(value_col).alias("_peak"))
+    top = maxima.orderBy(F.desc("_peak"), F.asc(metric_col)).limit(n)
+    w = Window.orderBy(F.desc("_peak"), F.asc(metric_col))
+    ranked = top.withColumn("rank", F.row_number().over(w))  # n rows — tiny
+    return (
+        series.join(F.broadcast(ranked), metric_col)
+        .select(metric_col, ts_col, value_col, "rank")
+    )
