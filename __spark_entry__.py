@@ -2021,6 +2021,44 @@ def q_doc_resample_mix(spark, sf_dir):
 # driver contract
 # --------------------------------------------------------------------------
 
+def q_ev_sum_map(spark, sf_dir):
+    """CH sumMap: per day, event_type -> summed value as aligned sorted
+    key/value arrays (values in exact integer cents; arrays serialized
+    csv for the cross-engine hash compare)."""
+    from graphouse_spark.functions.chagg import sum_map
+
+    ev = _events_sec(spark, sf_dir)
+    ev = ev.withColumn("day", F.col("ts_sec") - F.col("ts_sec") % DAY)
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = sum_map(ev, ["day"], "event_type", cents)
+    return m.select(
+        "day",
+        F.array_join("keys", ",").alias("keys_csv"),
+        F.array_join(F.transform("vals", lambda v: v.cast("string")), ",").alias("vals_csv"),
+    )
+
+
+def q_ev_topk_users(spark, sf_dir):
+    """CH topK(10): heavy-hitter users via bounded per-partition
+    summaries + one merge agg. reserve is far above this corpus's
+    per-partition cardinality, so the estimate is EXACT and the
+    brute-force oracle must hash-match (max_error pinned 0)."""
+    from graphouse_spark.functions.chagg import approx_top_k
+
+    ev = _t(spark, sf_dir, "events")
+    return approx_top_k(ev, "user_id", k=10, reserve=200_000)
+
+
+def q_ev_sample_per_type(spark, sf_dir):
+    """CH groupArraySample(5) made deterministic: per event_type, the 5
+    events whose md5('gh' || event_id) sorts smallest — a reproducible
+    uniform draw (same rows on any engine/partitioning/retry)."""
+    from graphouse_spark.functions.chagg import sample_per_group
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id")
+    return sample_per_group(ev, ["event_type"], "event_id", n=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the /metricData read path end-to-end on sf0.001.
 
@@ -2216,6 +2254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_source_rebalance": q_doc_source_rebalance,
         "emb_label_centroids": q_emb_label_centroids,
+        "ev_sum_map": q_ev_sum_map,
+        "ev_topk_users": q_ev_topk_users,
+        "ev_sample_per_type": q_ev_sample_per_type,
     }
 
 
@@ -3990,6 +4031,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INTEGER) AS rank
             FROM scored
             QUALIFY rank <= 3
+        """,
+        "ev_sum_map": f"""
+            WITH per AS (
+                SELECT {ts_sec} - {ts_sec} % 86400 AS day, event_type AS k,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS v
+                FROM events GROUP BY 1, 2
+            )
+            SELECT day, string_agg(k, ',' ORDER BY k) AS keys_csv,
+                   string_agg(CAST(v AS VARCHAR), ',' ORDER BY k) AS vals_csv
+            FROM per GROUP BY day
+        """,
+        "ev_topk_users": """
+            SELECT CAST(user_id AS VARCHAR) AS user_id, count(*) AS est_count,
+                   CAST(0 AS BIGINT) AS max_error
+            FROM events GROUP BY 1
+            ORDER BY est_count DESC, user_id ASC LIMIT 10
+        """,
+        "ev_sample_per_type": """
+            SELECT event_type, event_id, sample_rank FROM (
+                SELECT event_type, event_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY md5('gh' || CAST(event_id AS VARCHAR)), event_id
+                       ) AS INTEGER) AS sample_rank
+                FROM events
+            ) WHERE sample_rank <= 5
         """,
     }
 

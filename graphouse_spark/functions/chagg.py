@@ -1,0 +1,132 @@
+"""ClickHouse aggregate-combinator family: sumMap, topK, groupArraySample.
+
+The reference hands all aggregation to ClickHouse, whose signature
+"combinator" aggregates have no direct Spark builtin:
+
+- ``sumMap(keys, values)`` — key-wise sum of maps per group
+  (``https://clickhouse.com/docs/sql-reference/aggregate-functions``,
+  used for per-label counter maps). Re-expressed Spark-first in
+  :func:`sum_map`: explode -> two-level groupBy (both shuffles hash on
+  a superset of the same key, and the first agg gets full map-side
+  partial aggregation) -> re-collect sorted key/value arrays. No map
+  objects travel through the shuffle, only flat rows.
+- ``topK(k)`` — approximate heavy hitters with bounded memory.
+  :func:`approx_top_k` keeps a bounded per-partition candidate summary
+  (mapInPandas, capacity ``reserve``), then merges summaries in ONE
+  final aggregation. For any key whose true count exceeds N/reserve
+  the SpaceSaving-style guarantee holds: it appears in some partition
+  summary, and the merged estimate is within the summed per-partition
+  truncation error. With ``reserve`` >= per-partition distinct keys the
+  result is EXACT — the oracle query pins that regime.
+- ``groupArraySample(n)`` — fixed-size per-group sample.
+  :func:`sample_per_group` is the deterministic analog: the n smallest
+  rows per group by a portable md5 order (a seeded uniform permutation,
+  reproducible across engines and retries — CH's reservoir is RNG-based
+  and not reproducible, which a training-data pipeline cannot accept).
+  One window rank over one shuffle; no collect_list blow-up for hot
+  groups.
+
+All three are mergeable partial-aggregation shapes: at 100 TB each is
+a single hash-shuffle whose map side pre-combines (sum_map, topk) or a
+single range-free window (sample), never a driver-side loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sum_map(df: DataFrame, group_cols: list[str], key_col: str,
+            value_col) -> DataFrame:
+    """CH ``sumMap``: per group, key-wise sums as aligned sorted arrays.
+
+    ``value_col`` may be a column name or a Column expression (pass an
+    integer-unit expression for float-exact cross-engine sums). Output:
+    ``group_cols + [keys: array, vals: array]`` with entries sorted by
+    key, so downstream ``map_from_arrays(keys, vals)`` is canonical.
+    """
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    per_key = (
+        df.groupBy(*group_cols, F.col(key_col).alias("__k"))
+        .agg(F.sum(val).alias("__v"))
+    )
+    pairs = F.sort_array(F.collect_list(F.struct("__k", "__v")))
+    return (
+        per_key.groupBy(*group_cols)
+        .agg(
+            F.transform(pairs, lambda p: p["__k"]).alias("keys"),
+            F.transform(pairs, lambda p: p["__v"]).alias("vals"),
+        )
+    )
+
+
+def approx_top_k(df: DataFrame, key_col: str, k: int,
+                 reserve: int = 4096) -> DataFrame:
+    """CH ``topK(k)``: heavy hitters with bounded per-partition state.
+
+    Phase 1 (mapInPandas): each partition emits at most ``reserve``
+    candidate rows ``(key, partial_count, error)`` — its top ``reserve``
+    keys by local count, plus the truncation bound (the largest dropped
+    count) attached so the merge can report estimate uncertainty.
+    Phase 2: one groupBy over candidates sums counts and errors; the
+    global top ``k`` by (estimate desc, key asc) is returned with its
+    worst-case undercount ``max_error``.
+
+    Memory is O(reserve) per partition regardless of key cardinality —
+    the point of topK versus an exact groupBy at 100 TB, where the
+    distinct-key shuffle dominates. When every partition holds fewer
+    than ``reserve`` distinct keys the errors are all zero and the
+    output is exact.
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    out_schema = f"`{key_col}` string, cnt long, err long"
+
+    def summarize(batches):
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for pdf in batches:
+            counts.update(pdf[key_col].astype(str).value_counts().to_dict())
+        if not counts:
+            return
+        ranked = counts.most_common()
+        kept, dropped = ranked[:reserve], ranked[reserve:]
+        err = dropped[0][1] if dropped else 0
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {key_col: [x for x, _ in kept],
+             "cnt": [c for _, c in kept],
+             "err": [err] * len(kept)}
+        )
+
+    cand = df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
+        summarize, schema=out_schema
+    )
+    merged = cand.groupBy(key_col).agg(
+        F.sum("cnt").alias("est_count"), F.sum("err").alias("max_error")
+    )
+    return (
+        merged.orderBy(F.col("est_count").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
+def sample_per_group(df: DataFrame, group_cols: list[str], id_col: str,
+                     n: int, seed: str = "gh") -> DataFrame:
+    """CH ``groupArraySample(n)`` made deterministic: per group, the n
+    rows whose ``md5(seed || id)`` sorts smallest — a reproducible
+    uniform draw (md5 is a fixed permutation of the id space, so every
+    engine, retry, and partition layout picks the same rows).
+
+    Returns the sampled input rows plus ``sample_rank`` (1-based).
+    One shuffle (window partition); no per-group materialized list.
+    """
+    order = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
+    )
