@@ -1,0 +1,151 @@
+"""File-level zonemap index: ClickHouse data-skipping for a parquet lake.
+
+The reference's storage engine skips data two ways: the sparse primary
+index over ``ORDER BY (metric, timestamp)`` (one mark per 8192 rows,
+``doc/install.md:181-184``) and ``PARTITION BY`` month pruning. Spark
+gives us partition pruning and parquet row-group statistics for free,
+but row-group stats are only consulted AFTER a task has opened the
+file — at 100 TB with millions of files, the scheduler still plans one
+task per file split, and listing + footer reads dominate a selective
+query.
+
+This module restores the primary-index behavior: a tiny, persisted
+**zonemap table** (one row per data file x column: min, max, nulls,
+rows) built from parquet FOOTERS only — the analog of ``primary.idx``,
+~bytes per gigabyte of data. A selective read first prunes the file
+list against the zonemap (driver-side interval overlap on a table that
+fits in memory even at millions of files), then hands Spark only the
+surviving files. Because ``write_data`` sorts within partitions by
+``(date, metric, timestamp)``, each file covers a narrow metric/ts
+band and zones barely overlap — exactly why ClickHouse orders
+MergeTree parts.
+
+The zonemap is REBUILDABLE metadata, not a second source of truth:
+``skipping_read`` re-applies the predicate after the scan, so a stale
+index can only over-read (skip less), never return wrong rows — same
+contract as CH skipping indexes (``may_be_true``, not ``is_true``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: columns of the persisted zonemap table
+INDEX_SCHEMA = ("file string, column string, vmin string, vmax string, "
+                "nulls long, rows long")
+
+
+def _data_files(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith("_"):
+                out.append(os.path.join(dirpath, f))
+    return sorted(out)
+
+
+def build_file_index(spark: SparkSession, table_path: str,
+                     cols: list[str]) -> DataFrame:
+    """Zonemap rows for every data file under ``table_path``.
+
+    Footer-only reads, distributed: the FILE LIST (not the data) is
+    parallelized so a million-file lake indexes with one short task per
+    ~thousand footers. Min/max are stored as strings with a
+    sortable encoding for numerics (zero-padded) so one schema serves
+    every column type; :func:`prune_files` compares in the value domain.
+    """
+    files = _data_files(table_path)
+    n_slices = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+
+    def footer_stats(paths):
+        import pyarrow.parquet as pq
+
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for c in cols:
+                if c not in idx:
+                    continue
+                vmin = vmax = None
+                nulls = 0
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[c]).statistics
+                    if st is None or not st.has_min_max:
+                        vmin = vmax = None
+                        break
+                    vmin = st.min if vmin is None else min(vmin, st.min)
+                    vmax = st.max if vmax is None else max(vmax, st.max)
+                    nulls += st.null_count or 0
+                yield (p, c, _enc(vmin), _enc(vmax), nulls, md.num_rows)
+
+    rdd = spark.sparkContext.parallelize(files, n_slices).mapPartitions(footer_stats)
+    return spark.createDataFrame(rdd, INDEX_SCHEMA)
+
+
+def _enc(v) -> str | None:
+    """Order-preserving string encoding (zonemap stores one string type)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, int):
+        return f"{v + 10**18:020d}"  # offset keeps negatives sortable
+    if isinstance(v, float):
+        import struct
+        bits = struct.unpack(">Q", struct.pack(">d", v))[0]
+        bits = bits ^ 0x8000000000000000 if v >= 0 else ~bits & 0xFFFFFFFFFFFFFFFF
+        return f"{bits:020d}"
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return str(v)
+
+
+def write_file_index(index: DataFrame, index_path: str) -> None:
+    index.repartition(1).write.mode("overwrite").parquet(index_path)
+
+
+def read_file_index(spark: SparkSession, index_path: str) -> DataFrame:
+    return spark.read.parquet(index_path)
+
+
+def prune_files(index: DataFrame, col: str, lo, hi) -> list[str]:
+    """Files whose ``[vmin, vmax]`` zone may intersect ``[lo, hi]``.
+
+    A file with NULL zone bounds (stats missing) is conservatively
+    KEPT. Runs as one filter + distinct over the in-memory-sized
+    zonemap; returns the surviving file list for the scan.
+    """
+    zone = index.filter(F.col("column") == col)
+    keep = zone.filter(
+        F.col("vmin").isNull()
+        | ((F.col("vmax") >= F.lit(_enc(lo))) & (F.col("vmin") <= F.lit(_enc(hi))))
+    )
+    all_files = {r[0] for r in index.select("file").distinct().collect()}
+    indexed = {r[0] for r in zone.select("file").distinct().collect()}
+    kept = {r[0] for r in keep.select("file").distinct().collect()}
+    # files the zonemap has no row for (new since build) are kept: the
+    # index may only SKIP what it has proven out of range
+    return sorted(kept | (all_files - indexed))
+
+
+def skipping_read(spark: SparkSession, index: DataFrame, col: str, lo, hi,
+                  base_path: str | None = None) -> DataFrame:
+    """Scan only the files the zonemap cannot rule out, then re-apply
+    the predicate (zones are may-contain, not must-contain).
+
+    Pass ``base_path`` (the table root) when the lake is hive-partitioned
+    so the partition directory columns survive a file-list read.
+    """
+    files = prune_files(index, col, lo, hi)
+    if not files:
+        # nothing can match; keep one file so the result has the table
+        # schema — parquet row-group stats make the scan footer-only
+        files = [index.select("file").first()[0]]
+    reader = spark.read
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
+    df = reader.parquet(*files)
+    return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))

@@ -1,0 +1,69 @@
+"""Zonemap data-skipping: correctness (never drops rows) + actual skipping."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphouse_spark.sources.skipping import (
+    _data_files,
+    build_file_index,
+    prune_files,
+    read_file_index,
+    skipping_read,
+    write_file_index,
+)
+from graphouse_spark.sources.tables import write_data
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    """A small data lake laid out like write_data produces it: date
+    partitions, files sorted by (metric, timestamp) so zones are tight."""
+    root = str(tmp_path_factory.mktemp("lake") / "data")
+    rows = spark.range(20000).select(
+        F.concat(F.lit("m."), (F.col("id") % 50).cast("string")).alias("metric"),
+        (F.col("id") % 97).cast("double").alias("value"),
+        (F.lit(1704067200) + F.col("id") * 60).alias("timestamp"),
+        F.to_date(F.from_unixtime(F.lit(1704067200) + F.col("id") * 60)).alias("date"),
+        F.col("id").alias("updated"),
+    )
+    write_data(rows, root, mode="overwrite", target_partitions=8)
+    return root
+
+
+def test_zonemap_prunes_files_and_loses_no_rows(spark, lake):
+    idx = build_file_index(spark, lake, ["timestamp", "metric"])
+    total = len(_data_files(lake))
+    assert idx.select("file").distinct().count() == total
+
+    lo, hi = 1704067200 + 3 * 86400, 1704067200 + 4 * 86400
+    kept = prune_files(idx, "timestamp", lo, hi)
+    assert 0 < len(kept) < total  # actually skipped something
+
+    got = skipping_read(spark, idx, "timestamp", lo, hi, base_path=lake)
+    full = (
+        spark.read.parquet(lake)
+        .filter((F.col("timestamp") >= lo) & (F.col("timestamp") <= hi))
+    )
+    assert got.count() == full.count() > 0
+    assert sorted(got.columns) == sorted(full.columns)
+
+
+def test_zonemap_string_column_and_roundtrip(spark, lake, tmp_path):
+    idx = build_file_index(spark, lake, ["metric"])
+    p = str(tmp_path / "zonemap")
+    write_file_index(idx, p)
+    idx2 = read_file_index(spark, p)
+
+    got = skipping_read(spark, idx2, "metric", "m.10", "m.19", base_path=lake)
+    full = (
+        spark.read.parquet(lake)
+        .filter((F.col("metric") >= "m.10") & (F.col("metric") <= "m.19"))
+    )
+    assert got.count() == full.count() > 0
+
+
+def test_zonemap_empty_range_keeps_schema(spark, lake):
+    idx = build_file_index(spark, lake, ["timestamp"])
+    got = skipping_read(spark, idx, "timestamp", 1, 2, base_path=lake)  # epoch 1970: no rows
+    assert got.count() == 0
+    assert "metric" in got.columns
