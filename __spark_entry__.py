@@ -2021,6 +2021,21 @@ def q_doc_resample_mix(spark, sf_dir):
 # driver contract
 # --------------------------------------------------------------------------
 
+def q_ts_ema(spark, sf_dir):
+    """graphite exponentialMovingAverage (truncated, exact rational
+    weights — see functions/timeseries.exponential_moving_average)."""
+    from graphouse_spark.functions.timeseries import exponential_moving_average
+
+    return exponential_moving_average(_series(spark, sf_dir), window_points=8)
+
+
+def q_ts_offset_to_zero(spark, sf_dir):
+    """graphite offsetToZero: one unbounded window min per series."""
+    from graphouse_spark.functions.timeseries import offset_to_zero
+
+    return offset_to_zero(_series(spark, sf_dir))
+
+
 def q_ev_sum_map(spark, sf_dir):
     """CH sumMap: per day, event_type -> summed value as aligned sorted
     key/value arrays (values in exact integer cents; arrays serialized
@@ -2254,6 +2269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_source_rebalance": q_doc_source_rebalance,
         "emb_label_centroids": q_emb_label_centroids,
+        "ts_ema": q_ts_ema,
+        "ts_offset_to_zero": q_ts_offset_to_zero,
         "ev_sum_map": q_ev_sum_map,
         "ev_topk_users": q_ev_topk_users,
         "ev_sample_per_type": q_ev_sample_per_type,
@@ -4031,6 +4048,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INTEGER) AS rank
             FROM scored
             QUALIFY rank <= 3
+        """,
+        "ts_ema": f"""
+            WITH s AS ({{series}}),
+            f AS (
+                SELECT metric, ts,
+                       list(CAST(round(value * 100) AS BIGINT)) OVER (
+                           PARTITION BY metric ORDER BY ts
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vals
+                FROM s
+            )
+            SELECT metric, ts,
+                   round(
+                     list_sum([vals[j] * CAST(7**(len(vals)-j) AS BIGINT)
+                                       * CAST(9**(j-1) AS BIGINT)
+                               FOR j IN range(1, len(vals)+1)])
+                     / (list_sum([CAST(7**(len(vals)-j) AS BIGINT)
+                                  * CAST(9**(j-1) AS BIGINT)
+                                  FOR j IN range(1, len(vals)+1)]) * 100.0),
+                   6) AS ema
+            FROM f
+        """.replace("{series}", _SERIES_SQL),
+        "ts_offset_to_zero": f"""
+            SELECT metric, ts,
+                   round(value - min(value) OVER (PARTITION BY metric), 6) AS value
+            FROM ({_SERIES_SQL})
         """,
         "ev_sum_map": f"""
             WITH per AS (

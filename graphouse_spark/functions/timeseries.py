@@ -708,3 +708,68 @@ def sort_by_maxima(series: DataFrame, n: int, metric_col: str = "metric",
         series.join(F.broadcast(ranked), metric_col)
         .select(metric_col, ts_col, value_col, "rank")
     )
+
+
+def exponential_moving_average(series: DataFrame, window_points: int = 8,
+                               metric_col: str = "metric", ts_col: str = "ts",
+                               value_col: str = "value") -> DataFrame:
+    """graphite ``exponentialMovingAverage(series, N)``, truncated to
+    the last N points and renormalized.
+
+    Graphite's EMA is a sequential recurrence (ema = c*v + (1-c)*ema,
+    c = 2/(N+1)) — a shape that serializes per series. Truncating the
+    tail (weights beyond N points contribute < (1-c)^N, under 11% of
+    the mass at N=8 and shrinking geometrically) turns it into a plain
+    ROWS-frame window: each output depends on a FIXED frame, so the
+    operator parallelizes like every other moving aggregate.
+
+    The weighted sum runs in exact integers: with c = 2/(N+1) rational,
+    weight_j ∝ num^(m-1-j) * den^j for the j-th oldest of m in-frame
+    points (num/den = 1-c reduced). Values are cents, so numerator and
+    denominator are integer dot products — bit-identical on any engine
+    and partitioning — divided once at the end.
+    """
+    from fractions import Fraction
+
+    one_minus_c = Fraction(window_points - 1, window_points + 1)  # 1 - 2/(N+1)
+    num, den = one_minus_c.numerator, one_minus_c.denominator
+
+    w = (
+        Window.partitionBy(metric_col)
+        .orderBy(ts_col)
+        .rowsBetween(-(window_points - 1), Window.currentRow)
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    frame = F.collect_list(cents).over(w)  # oldest -> newest in frame order
+
+    def weighted(vals):
+        m = F.size(vals)
+        idx = F.sequence(F.lit(1), m)  # j = 1..m (oldest first)
+        wts = F.transform(
+            idx,
+            lambda j: F.pow(F.lit(num), (m - j).cast("double")).cast("long")
+            * F.pow(F.lit(den), (j - 1).cast("double")).cast("long"),
+        )
+        n_sum = F.aggregate(
+            F.zip_with(vals, wts, lambda v, wt: v * wt),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        )
+        d_sum = F.aggregate(wts, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        return n_sum, d_sum
+
+    n_sum, d_sum = weighted(frame)
+    return series.select(
+        metric_col, ts_col,
+        F.round(n_sum / (d_sum * 100.0), 6).alias("ema"),
+    )
+
+
+def offset_to_zero(series: DataFrame, metric_col: str = "metric",
+                   ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``offsetToZero(series)``: subtract each series' minimum
+    (one unbounded window min — no second scan or join)."""
+    w = Window.partitionBy(metric_col)
+    return series.select(
+        metric_col, ts_col,
+        F.round(F.col(value_col) - F.min(value_col).over(w), 6).alias("value"),
+    )
