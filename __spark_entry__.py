@@ -2021,6 +2021,22 @@ def q_doc_resample_mix(spark, sf_dir):
 # driver contract
 # --------------------------------------------------------------------------
 
+def q_gh_rollup_navigate(spark, sf_dir):
+    """Aggregate navigation: the hourly query is served from a 300 s
+    partial-sum rollup (plans/navigation.py), never touching raw rows —
+    and the oracle computes the SAME hourly averages directly from raw,
+    proving the navigation is exact, not approximate."""
+    from graphouse_spark.plans.navigation import AggTable, build_partial_rollup, serve
+
+    ev = _events_sec(spark, sf_dir).select(
+        F.concat(F.lit("events."), "event_type").alias("metric"),
+        F.col("ts_sec").alias("timestamp"),
+        "value",
+    )
+    rollup = AggTable(build_partial_rollup(ev, 300), 300)
+    return serve([rollup], SEC_JAN1, SEC_JAN1 + 31 * DAY, 3600, "avg")
+
+
 def q_ts_ema(spark, sf_dir):
     """graphite exponentialMovingAverage (truncated, exact rational
     weights — see functions/timeseries.exponential_moving_average)."""
@@ -2269,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_source_rebalance": q_doc_source_rebalance,
         "emb_label_centroids": q_emb_label_centroids,
+        "gh_rollup_navigate": q_gh_rollup_navigate,
         "ts_ema": q_ts_ema,
         "ts_offset_to_zero": q_ts_offset_to_zero,
         "ev_sum_map": q_ev_sum_map,
@@ -4048,6 +4065,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INTEGER) AS rank
             FROM scored
             QUALIFY rank <= 3
+        """,
+        "gh_rollup_navigate": f"""
+            SELECT concat('events.', event_type) AS metric,
+                   {ts_sec} - {ts_sec} % 3600 AS ts,
+                   round(sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100.0), 6) AS value
+            FROM events
+            WHERE {ts_sec} >= 1704067200 AND {ts_sec} < 1704067200 + 31 * 86400
+            GROUP BY 1, 2
         """,
         "ts_ema": f"""
             WITH s AS ({{series}}),
