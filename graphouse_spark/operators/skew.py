@@ -44,3 +44,31 @@ def salted_aggregate(df: DataFrame, keys: list[str], value_col: str = "value",
         partial = df.groupBy(*keys, salt).agg(agg1.alias("_p"))
         return partial.groupBy(*keys).agg(merge.alias("value"))
     raise ValueError(f"function {function!r} does not decompose for salting")
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: list[str],
+                how: str = "inner", n_salts: int = 16) -> DataFrame:
+    """Equi-join resistant to hot keys without relying on AQE.
+
+    The big side gets a deterministic per-row salt (hash of all its
+    columns, so retries and engines agree); the small side is exploded
+    ``n_salts`` ways so every (key, salt) partition holds the matching
+    small rows. A hot key thus spreads over ``n_salts`` reducers
+    instead of melting one. Cost: small side replicated n_salts x —
+    use for dimension-sized right sides when AQE's runtime skew split
+    is unavailable (e.g. inside a cached/reused exchange, or a
+    streaming micro-batch where AQE is off).
+
+    Supports ``inner`` and ``left`` (left keeps unmatched big rows;
+    the salt never drops rows because every salt value exists on the
+    small side).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner|left")
+    salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = b.join(s, on + ["_salt"], how)
+    return out.drop("_salt")

@@ -57,32 +57,7 @@ def build_file_index(spark: SparkSession, table_path: str,
     sortable encoding for numerics (zero-padded) so one schema serves
     every column type; :func:`prune_files` compares in the value domain.
     """
-    files = _data_files(table_path)
-    n_slices = max(1, min(len(files), spark.sparkContext.defaultParallelism))
-
-    def footer_stats(paths):
-        import pyarrow.parquet as pq
-
-        for p in paths:
-            md = pq.ParquetFile(p).metadata
-            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-            for c in cols:
-                if c not in idx:
-                    continue
-                vmin = vmax = None
-                nulls = 0
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx[c]).statistics
-                    if st is None or not st.has_min_max:
-                        vmin = vmax = None
-                        break
-                    vmin = st.min if vmin is None else min(vmin, st.min)
-                    vmax = st.max if vmax is None else max(vmax, st.max)
-                    nulls += st.null_count or 0
-                yield (p, c, _enc(vmin), _enc(vmax), nulls, md.num_rows)
-
-    rdd = spark.sparkContext.parallelize(files, n_slices).mapPartitions(footer_stats)
-    return spark.createDataFrame(rdd, INDEX_SCHEMA)
+    return _index_for_files(spark, _data_files(table_path), cols)
 
 
 def _enc(v) -> str | None:
@@ -149,3 +124,53 @@ def skipping_read(spark: SparkSession, index: DataFrame, col: str, lo, hi,
         reader = reader.option("basePath", base_path)
     df = reader.parquet(*files)
     return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+
+
+def update_file_index(spark: SparkSession, table_path: str,
+                      existing: DataFrame, cols: list[str]) -> DataFrame:
+    """Incremental zonemap maintenance for an append-mostly lake.
+
+    Footers are read ONLY for files the index has never seen (the
+    per-batch ingest appends a handful of files; re-scanning a million
+    old footers every batch would defeat the index). Rows for files
+    that no longer exist (compaction/rollup rewrote the partition) are
+    dropped — a zonemap row must never point at a dead file, and a
+    freshly compacted file is simply "new" on the next update.
+    """
+    current = set(_data_files(table_path))
+    known = {r[0] for r in existing.select("file").distinct().collect()}
+    kept = existing.filter(F.col("file").isin(list(current)) if current else F.lit(False))
+    new_files = sorted(current - known)
+    if not new_files:
+        return kept
+    fresh = _index_for_files(spark, new_files, cols)
+    return kept.unionByName(fresh)
+
+
+def _index_for_files(spark: SparkSession, files: list[str],
+                     cols: list[str]) -> DataFrame:
+    n_slices = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+
+    def footer_stats(paths):
+        import pyarrow.parquet as pq
+
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for c in cols:
+                if c not in idx:
+                    continue
+                vmin = vmax = None
+                nulls = 0
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[c]).statistics
+                    if st is None or not st.has_min_max:
+                        vmin = vmax = None
+                        break
+                    vmin = st.min if vmin is None else min(vmin, st.min)
+                    vmax = st.max if vmax is None else max(vmax, st.max)
+                    nulls += st.null_count or 0
+                yield (p, c, _enc(vmin), _enc(vmax), nulls, md.num_rows)
+
+    rdd = spark.sparkContext.parallelize(files, n_slices).mapPartitions(footer_stats)
+    return spark.createDataFrame(rdd, INDEX_SCHEMA)

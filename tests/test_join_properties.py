@@ -92,3 +92,24 @@ def test_connected_components_matches_union_find(sp, edges):
     df = sp.createDataFrame([(int(u), int(v)) for u, v in edges], ["id_a", "id_b"])
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == _union_find_components(edges)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from graphouse_spark.operators.skew import salted_join
+    from pyspark.sql import functions as F
+
+    # hot key: 'k0' carries 90% of the big side
+    big = spark.range(5000).select(
+        F.when(F.col("id") % 10 < 9, "k0")
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 7).cast("string")))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [("k0", "hot"), ("k1", "a"), ("k3", "b"), ("zz", "unmatched")],
+        "k string, attr string",
+    )
+    for how in ("inner", "left"):
+        got = salted_join(big, small, ["k"], how=how).collect()
+        want = big.join(small, ["k"], how).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want)), how

@@ -67,3 +67,35 @@ def test_zonemap_empty_range_keeps_schema(spark, lake):
     got = skipping_read(spark, idx, "timestamp", 1, 2, base_path=lake)  # epoch 1970: no rows
     assert got.count() == 0
     assert "metric" in got.columns
+
+
+def test_incremental_update_indexes_only_new_files(spark, lake, tmp_path):
+    from graphouse_spark.sources.skipping import update_file_index
+
+    idx = build_file_index(spark, lake, ["timestamp"])
+    n0 = idx.count()
+
+    # append one more day of data -> new files appear
+    extra = spark.range(500).select(
+        F.lit("m.99").alias("metric"),
+        (F.col("id") % 5).cast("double").alias("value"),
+        (F.lit(1704067200) + 40 * 86400 + F.col("id") * 60).alias("timestamp"),
+        F.to_date(
+            F.from_unixtime(F.lit(1704067200) + 40 * 86400 + F.col("id") * 60)
+        ).alias("date"),
+        F.col("id").alias("updated"),
+    )
+    write_data(extra, lake, mode="append", target_partitions=2)
+
+    idx2 = update_file_index(spark, lake, idx, ["timestamp"])
+    assert idx2.count() > n0
+    assert idx2.select("file").distinct().count() == len(_data_files(lake))
+
+    # idempotent: nothing new -> same index back
+    idx3 = update_file_index(spark, lake, idx2, ["timestamp"])
+    assert idx3.count() == idx2.count()
+
+    # the new day is findable through the updated index
+    lo = 1704067200 + 40 * 86400
+    got = skipping_read(spark, idx2, "timestamp", lo, lo + 86400, base_path=lake)
+    assert got.count() == 500
