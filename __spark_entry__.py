@@ -2021,6 +2021,25 @@ def q_doc_resample_mix(spark, sf_dir):
 # driver contract
 # --------------------------------------------------------------------------
 
+def q_sketch_value_quantiles(spark, sf_dir):
+    """Mergeable bfloat16-style quantile sketch (CH quantileBFloat16):
+    daily sketches merged to per-type totals, p50/p95/p99 read from the
+    merged sketch. Rows-only (approximate by design; merge losslessness
+    and the 2^-8 error bound are unit-tested; exact twin: gh_percentiles)."""
+    from graphouse_spark.functions.sketches import (
+        merge_quantile_sketches,
+        quantile_sketch_table,
+        sketch_quantiles,
+    )
+
+    ev = _events_sec(spark, sf_dir).withColumn(
+        "day", F.col("ts_sec") - F.col("ts_sec") % DAY
+    )
+    daily = quantile_sketch_table(ev, ["event_type", "day"])
+    merged = merge_quantile_sketches(daily, ["event_type"])
+    return sketch_quantiles(merged, ["event_type"], [0.5, 0.95, 0.99])
+
+
 def q_gh_rollup_navigate(spark, sf_dir):
     """Aggregate navigation: the hourly query is served from a 300 s
     partial-sum rollup (plans/navigation.py), never touching raw rows —
@@ -2285,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_source_rebalance": q_doc_source_rebalance,
         "emb_label_centroids": q_emb_label_centroids,
+        "sketch_value_quantiles": q_sketch_value_quantiles,
         "gh_rollup_navigate": q_gh_rollup_navigate,
         "ts_ema": q_ts_ema,
         "ts_offset_to_zero": q_ts_offset_to_zero,

@@ -40,3 +40,66 @@ def rollup_sketches(sketch_table: DataFrame, coarse_seconds: int,
         F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).cast("long").alias("approx_users"),
         F.sum("n_events").alias("n_events"),
     )
+
+
+def quantile_sketch_table(df: DataFrame, group_cols: list[str],
+                          value_col: str = "value",
+                          mantissa_bits: int = 7) -> DataFrame:
+    """Mergeable quantile sketch: CH ``quantileBFloat16`` re-expressed.
+
+    Each value is quantized to a float with ``mantissa_bits`` of
+    mantissa (bfloat16 keeps 7): q = round(v / 2^e * 2^m) / 2^m * 2^e
+    with e = floor(log2(|v|)). Per (group, q) counts are the sketch —
+    a few hundred distinct rows per group regardless of input size,
+    relative error <= 2^-(m+1) per value. Counts are plain integers, so
+    sketches MERGE EXACTLY: sum counts per q. Day -> week -> quarter
+    rollup is one sum, raw data untouched (same discipline as the HLL
+    table above).
+    """
+    v = F.col(value_col).cast("double")
+    scale = float(1 << mantissa_bits)
+    e = F.floor(F.log2(F.abs(v)))
+    q = F.when(v == 0.0, F.lit(0.0)).otherwise(
+        F.signum(v)
+        * F.round(F.abs(v) / F.pow(F.lit(2.0), e) * scale)
+        / scale
+        * F.pow(F.lit(2.0), e)
+    )
+    return (
+        df.groupBy(*group_cols, q.alias("q"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_quantile_sketches(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold finer sketch rows into coarser groups — exact (integer sums)."""
+    return sketches.groupBy(*group_cols, "q").agg(F.sum("cnt").alias("cnt"))
+
+
+def sketch_quantiles(sketches: DataFrame, group_cols: list[str],
+                     ps: list[float]) -> DataFrame:
+    """Quantiles from a sketch table: per group, the smallest quantized
+    value whose cumulative count reaches p * total (the standard
+    lower-quantile rule, matching ``percentile_disc`` up to the
+    quantization error). One window pass over the tiny sketch rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("q") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy(*group_cols)
+    cum = sketches.select(
+        *group_cols, "q",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    out = None
+    for p in ps:
+        hit = (
+            cum.filter(F.col("cum") >= F.ceil(F.col("total") * p))
+            .groupBy(*group_cols)
+            .agg(F.min("q").alias("value"))
+            .withColumn("p", F.lit(p))
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out.select(*group_cols, "p", "value")

@@ -65,3 +65,40 @@ def test_sketch_rollup_merge_is_lossless(spark):
     for r in exact.collect():
         est = got[r["window_ts"]]
         assert abs(est - r["exact_users"]) <= max(3, 0.05 * r["exact_users"])
+
+
+def test_quantile_sketch_merge_is_lossless_and_bounded(spark):
+    """Daily quantile sketches merged to the full range give EXACTLY the
+    same sketch as sketching the whole input; estimates stay within the
+    2^-(m+1) relative-error bound of the exact percentile."""
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.functions.sketches import (
+        merge_quantile_sketches,
+        quantile_sketch_table,
+        sketch_quantiles,
+    )
+
+    df = spark.range(30000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 7).alias("day"),
+        (F.pow(F.lit(1.0003), F.col("id") % 9941) * 3.7).alias("value"),
+    )
+
+    daily = quantile_sketch_table(df, ["g", "day"])
+    merged = merge_quantile_sketches(daily, ["g"])
+    direct = quantile_sketch_table(df, ["g"])
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+    got = {(r["g"], r["p"]): r["value"]
+           for r in sketch_quantiles(merged, ["g"], [0.5, 0.95, 0.99]).collect()}
+    exact = {
+        (r["g"], p): r[f"p{int(p*100)}"]
+        for r in df.groupBy("g").agg(
+            *[F.percentile_approx("value", p, 100000).alias(f"p{int(p*100)}")
+              for p in (0.5, 0.95, 0.99)]
+        ).collect()
+        for p in (0.5, 0.95, 0.99)
+    }
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 2 ** -7, (k, est, exact[k])
