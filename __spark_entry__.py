@@ -2021,6 +2021,23 @@ def q_doc_resample_mix(spark, sf_dir):
 # driver contract
 # --------------------------------------------------------------------------
 
+def q_gh_combinators(spark, sf_dir):
+    """CH conditional-aggregate combinators (-If family) + uniqUpTo:
+    sumIf/countIf/avgIf as filtered aggregates in one pass, uniqUpTo(50)
+    as a capped exact distinct — all per event_type, single shuffle."""
+    ev = _events_sec(spark, sf_dir)
+    hi = F.col("value") > 50
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.round(F.sum(F.when(hi, cents)) / 100.0, 6).alias("sum_if_hi"),
+        F.count(F.when(hi, F.lit(1))).alias("count_if_hi"),
+        F.round(
+            F.sum(F.when(hi, cents)) / (F.count(F.when(hi, F.lit(1))) * 100.0), 6
+        ).alias("avg_if_hi"),
+        F.least(F.count_distinct("user_id"), F.lit(51)).alias("uniq_upto_50"),
+    )
+
+
 def q_sketch_value_quantiles(spark, sf_dir):
     """Mergeable bfloat16-style quantile sketch (CH quantileBFloat16):
     daily sketches merged to per-type totals, p50/p95/p99 read from the
@@ -2304,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_source_rebalance": q_doc_source_rebalance,
         "emb_label_centroids": q_emb_label_centroids,
+        "gh_combinators": q_gh_combinators,
         "sketch_value_quantiles": q_sketch_value_quantiles,
         "gh_rollup_navigate": q_gh_rollup_navigate,
         "ts_ema": q_ts_ema,
@@ -4085,6 +4103,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INTEGER) AS rank
             FROM scored
             QUALIFY rank <= 3
+        """,
+        "gh_combinators": """
+            SELECT event_type,
+                   round(sum(CASE WHEN value > 50 THEN CAST(round(value * 100) AS BIGINT) END) / 100.0, 6) AS sum_if_hi,
+                   count(CASE WHEN value > 50 THEN 1 END) AS count_if_hi,
+                   round(sum(CASE WHEN value > 50 THEN CAST(round(value * 100) AS BIGINT) END)
+                         / (count(CASE WHEN value > 50 THEN 1 END) * 100.0), 6) AS avg_if_hi,
+                   least(count(DISTINCT user_id), 51) AS uniq_upto_50
+            FROM events GROUP BY event_type
         """,
         "gh_rollup_navigate": f"""
             SELECT concat('events.', event_type) AS metric,
