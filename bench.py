@@ -62,6 +62,11 @@ EXTENDED_QUERIES = [
     "ev_window_funnel",    # CH windowFunnel (filtered-min chain)
     "doc_quality_gate",    # composed 4-signal quality gate
     "emb_pq_topk",         # product-quantization ANN (train+encode+ADC)
+    "gh_rollup_navigate",  # aggregate navigation from a partial-sum rollup
+    "ev_topk_users",       # bounded-state heavy hitters (mapInPandas summaries)
+    "ev_sum_map",          # CH sumMap as flat-row two-level agg
+    "sketch_value_quantiles",  # mergeable bfloat16 quantile sketch
+    "ts_ema",              # truncated EMA, exact rational integer weights
 ]
 
 

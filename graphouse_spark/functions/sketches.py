@@ -93,13 +93,21 @@ def sketch_quantiles(sketches: DataFrame, group_cols: list[str],
         F.sum("cnt").over(w).alias("cum"),
         F.sum("cnt").over(wt).alias("total"),
     )
-    out = None
-    for p in ps:
-        hit = (
-            cum.filter(F.col("cum") >= F.ceil(F.col("total") * p))
-            .groupBy(*group_cols)
-            .agg(F.min("q").alias("value"))
-            .withColumn("p", F.lit(p))
-        )
-        out = hit if out is None else out.unionByName(hit)
-    return out.select(*group_cols, "p", "value")
+    # ALL quantiles in one aggregation (a conditional min per p), then
+    # stack wide -> long: the groupBy keys equal the window partition
+    # keys, so no second shuffle — versus one shuffle per p when each
+    # quantile filters and re-aggregates separately.
+    wide = cum.groupBy(*group_cols).agg(
+        *[
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.col("total") * p), F.col("q"))
+            ).alias(f"_q{i}")
+            for i, p in enumerate(ps)
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({p!r} AS DOUBLE), _q{i}" for i, p in enumerate(ps)
+    )
+    return wide.selectExpr(
+        *group_cols, f"stack({len(ps)}, {stack_args}) AS (p, value)"
+    )
