@@ -63,13 +63,39 @@ def run_metrics_compaction(spark: SparkSession, metrics_path: str) -> int:
     return n
 
 
+def run_index_update(spark: SparkSession, data_path: str, index_path: str,
+                     cols: tuple = ("metric", "timestamp")) -> int:
+    """Refresh the persisted zonemap AFTER compaction/rollup rewrote
+    files: new files get footer-read, dead files' rows are dropped.
+    First run bootstraps the index. Returns the zonemap row count."""
+    import os
+
+    from graphouse_spark.sources import skipping
+
+    if os.path.exists(index_path):
+        existing = skipping.read_file_index(spark, index_path)
+        idx = skipping.update_file_index(spark, data_path, existing, list(cols))
+    else:
+        idx = skipping.build_file_index(spark, data_path, list(cols))
+    # the index is tiny; localCheckpoint cuts the lineage so the
+    # overwrite below does not read the file it is replacing
+    idx = idx.localCheckpoint()
+    skipping.write_file_index(idx, index_path)
+    return idx.count()
+
+
 def run_all(spark: SparkSession, data_path: str, metrics_path: str,
             provider: CombinedRetentionProvider | None = None,
-            now_seconds: int | None = None) -> dict:
+            now_seconds: int | None = None,
+            index_path: str | None = None) -> dict:
     """The nightly bundle. Order matters: autohide reads pre-rollup
     counts (rollup shrinks them), so it runs first — same relative
-    ordering as the reference's daily autohide vs continuous merges."""
+    ordering as the reference's daily autohide vs continuous merges.
+    The zonemap refresh runs LAST so it indexes the post-rollup files."""
     hidden = run_autohide(spark, data_path, metrics_path, now_seconds=now_seconds)
     rolled = run_rollup(spark, data_path, provider, now_seconds=now_seconds)
     compacted = run_metrics_compaction(spark, metrics_path)
-    return {"autohidden": hidden, "rolled_partitions": rolled, "metrics_rows": compacted}
+    report = {"autohidden": hidden, "rolled_partitions": rolled, "metrics_rows": compacted}
+    if index_path is not None:
+        report["zonemap_rows"] = run_index_update(spark, data_path, index_path)
+    return report

@@ -174,3 +174,17 @@ def _index_for_files(spark: SparkSession, files: list[str],
 
     rdd = spark.sparkContext.parallelize(files, n_slices).mapPartitions(footer_stats)
     return spark.createDataFrame(rdd, INDEX_SCHEMA)
+
+
+def prune_files_multi(index: DataFrame, predicates: list[tuple]) -> list[str]:
+    """Conjunctive pruning: files surviving EVERY (col, lo, hi) range.
+
+    Each predicate can only shrink the survivor set (per-column zones
+    are independent), so the intersection is still conservative —
+    may-contain, never must-contain.
+    """
+    survivors: set[str] | None = None
+    for col, lo, hi in predicates:
+        s = set(prune_files(index, col, lo, hi))
+        survivors = s if survivors is None else survivors & s
+    return sorted(survivors or [])

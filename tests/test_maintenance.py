@@ -32,9 +32,19 @@ def test_run_all(spark, tmp_path):
 
     # maintenance "now" sits after the ingest wall-clock stamps so its
     # status rows version-win (as they would on a real schedule)
-    report = run_all(spark, cfg.data_path, cfg.metrics_path, PROVIDER, now_seconds=int(time.time()) + 10)
+    report = run_all(spark, cfg.data_path, cfg.metrics_path, PROVIDER,
+                     now_seconds=int(time.time()) + 10,
+                     index_path=str(tmp_path / "zonemap"))
 
     assert report["autohidden"] == 1  # the sparse metric
+    # zonemap refreshed last: it indexes exactly the post-rollup files
+    from graphouse_spark.sources.skipping import _data_files, read_file_index
+
+    zm = read_file_index(spark, str(tmp_path / "zonemap"))
+    assert report["zonemap_rows"] == zm.count() > 0
+    assert {r[0] for r in zm.select("file").distinct().collect()} == set(
+        _data_files(cfg.data_path)
+    )
     assert len(report["rolled_partitions"]) >= 1
     # rollup shrank 60s points into 3600s buckets
     assert read_data(spark, cfg.data_path).count() < pre_data_rows

@@ -99,3 +99,15 @@ def test_incremental_update_indexes_only_new_files(spark, lake, tmp_path):
     lo = 1704067200 + 40 * 86400
     got = skipping_read(spark, idx2, "timestamp", lo, lo + 86400, base_path=lake)
     assert got.count() == 500
+
+
+def test_multi_predicate_pruning_is_intersection(spark, lake):
+    from graphouse_spark.sources.skipping import prune_files_multi
+
+    idx = build_file_index(spark, lake, ["timestamp", "metric"])
+    lo, hi = 1704067200 + 3 * 86400, 1704067200 + 4 * 86400
+    t_only = set(prune_files(idx, "timestamp", lo, hi))
+    m_only = set(prune_files(idx, "metric", "m.2", "m.3"))
+    both = set(prune_files_multi(idx, [("timestamp", lo, hi), ("metric", "m.2", "m.3")]))
+    assert both == t_only & m_only
+    assert both <= t_only and both <= m_only
