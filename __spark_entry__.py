@@ -2021,6 +2021,18 @@ def q_doc_resample_mix(spark, sf_dir):
 # driver contract
 # --------------------------------------------------------------------------
 
+def q_ts_target_pipeline(spark, sf_dir):
+    """Graphite render-target front door: the STRING
+    "scale(summarize(keepLastValue(*), 3600, 'max'), 2)" is parsed and
+    evaluated engine-side (functions/target.py) into one Catalyst plan;
+    the oracle recomputes the same pipeline as plain SQL."""
+    from graphouse_spark.functions.target import evaluate_target
+
+    return evaluate_target(
+        _series(spark, sf_dir), "scale(summarize(keepLastValue(*), 3600, 'max'), 2)"
+    )
+
+
 def q_gh_combinators(spark, sf_dir):
     """CH conditional-aggregate combinators (-If family) + uniqUpTo:
     sumIf/countIf/avgIf as filtered aggregates in one pass, uniqUpTo(50)
@@ -2321,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_source_rebalance": q_doc_source_rebalance,
         "emb_label_centroids": q_emb_label_centroids,
+        "ts_target_pipeline": q_ts_target_pipeline,
         "gh_combinators": q_gh_combinators,
         "sketch_value_quantiles": q_sketch_value_quantiles,
         "gh_rollup_navigate": q_gh_rollup_navigate,
@@ -4103,6 +4116,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INTEGER) AS rank
             FROM scored
             QUALIFY rank <= 3
+        """,
+        "ts_target_pipeline": f"""
+            SELECT metric, ts - ts % 3600 AS ts,
+                   round(round(max(value), 6) * 2, 6) AS value
+            FROM ({_SERIES_SQL}) GROUP BY 1, 2
         """,
         "gh_combinators": """
             SELECT event_type,

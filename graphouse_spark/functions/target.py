@@ -1,0 +1,192 @@
+"""Graphite render-target parser: evaluate ``func(path.glob, args)`` engine-side.
+
+The reference serves RAW series and lets graphite-web apply transform
+functions post-fetch (`src/main/pySources/graphouse.py` is a plain
+fetch adapter). This engine implements the function family natively
+(`functions/timeseries.py`), so a render target like
+
+    movingAverage(keepLastValue(events.click), 5)
+
+can be evaluated INSIDE the engine: the whole pipeline becomes one
+Catalyst plan over the pruned scan instead of shipping every raw point
+to a python webapp. This module is the front door: a recursive-descent
+parser for the graphite target grammar (nested calls, int/float/string
+literals, metric globs) and an evaluator that binds names to the
+DataFrame implementations.
+
+Grammar (the subset every dashboard uses):
+    target  := call | path
+    call    := NAME '(' arg (',' arg)* ')'
+    arg     := target | NUMBER | STRING
+    path    := glob chars [A-Za-z0-9._*?{}[]!-]+
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphouse_spark.globs import glob_to_regex
+from graphouse_spark.functions import timeseries as ts
+
+_TOKEN = re.compile(
+    r"\s*(?:(?P<lpar>\()|(?P<rpar>\))|(?P<comma>,)"
+    r"|(?P<string>'[^']*'|\"[^\"]*\")"
+    r"|(?P<number>-?\d+\.\d+|-?\d+)"
+    r"|(?P<atom>[A-Za-z_][A-Za-z0-9_]*(?=\s*\())"  # function name (lookahead '(')
+    r"|(?P<path>[A-Za-z0-9._\-*?{}\[\]!]+))"
+)
+
+
+@dataclass
+class Call:
+    name: str
+    args: list
+
+
+@dataclass
+class Path:
+    glob: str
+
+
+def parse_target(s: str):
+    """Parse a render target into a Call/Path/literal tree."""
+    tokens = []
+    pos = 0
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if not m or m.end() == pos:
+            raise ValueError(f"bad target at {pos}: {s[pos:pos + 20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        text = m.group(kind)
+        tokens.append((kind, text))
+    tokens.append(("end", ""))
+
+    i = 0
+
+    def peek():
+        return tokens[i]
+
+    def eat(kind):
+        nonlocal i
+        k, t = tokens[i]
+        if k != kind:
+            raise ValueError(f"expected {kind}, got {k} {t!r} in {s!r}")
+        i += 1
+        return t
+
+    def expr():
+        k, t = peek()
+        if k == "atom":
+            name = eat("atom")
+            eat("lpar")
+            args = [expr()]
+            while peek()[0] == "comma":
+                eat("comma")
+                args.append(expr())
+            eat("rpar")
+            return Call(name, args)
+        if k == "path":
+            return Path(eat("path"))
+        if k == "number":
+            t = eat("number")
+            return float(t) if "." in t else int(t)
+        if k == "string":
+            return eat("string")[1:-1]
+        raise ValueError(f"unexpected {k} {t!r} in {s!r}")
+
+    out = expr()
+    if peek()[0] != "end":
+        raise ValueError(f"trailing input in {s!r}")
+    return out
+
+
+def _canon(df: DataFrame, value_from: str, metric: str | None = None) -> DataFrame:
+    """Normalize a function's output to the canonical (metric, ts, value)
+    shape so every registry entry composes with every other."""
+    cols = [
+        F.lit(metric).alias("metric") if metric is not None else F.col("metric"),
+        F.col("ts"),
+        F.col(value_from).alias("value"),
+    ]
+    return df.select(*cols)
+
+
+def _derivative(df: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("metric").orderBy("ts")
+    return df.select(
+        "metric", "ts",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value"),
+    )
+
+
+#: name -> callable (series_df, *literal_args) -> canonical frame — the
+#: engine side of graphite-web's function registry. Every entry returns
+#: (metric, ts, value) so arbitrary nesting composes.
+_REGISTRY = {
+    "movingAverage": lambda df, n: _canon(ts.moving_average(df, int(n)), "moving_avg"),
+    "movingMedian": lambda df, n: _canon(ts.moving_stats(df, int(n)), "mov_median"),
+    "sumSeries": lambda df: _canon(ts.sum_series(df), "sum_value", "sumSeries"),
+    "averageSeries": lambda df: _canon(ts.stddev_series(df), "avg_value", "averageSeries"),
+    "keepLastValue": lambda df: _canon(ts.keep_last_value(df), "filled_value"),
+    "derivative": _derivative,
+    "nonNegativeDerivative": lambda df: _canon(ts.non_negative_derivative(df), "rate"),
+    "perSecond": lambda df: _canon(ts.per_second(df), "rate"),
+    "scale": lambda df, k: ts.scale_series(df, float(k)),
+    "offset": lambda df, k: ts.offset_series(df, float(k)),
+    "offsetToZero": lambda df: ts.offset_to_zero(df),
+    "absolute": lambda df: ts.absolute_series(df),
+    "timeShift": lambda df, sec: ts.time_shift(df, int(sec)),
+    "summarize": lambda df, sec, fn="sum": ts.summarize(df, int(sec), str(fn)),
+    "highestMax": lambda df, n: ts.highest_max(df, int(n)).select("metric", "ts", "value"),
+    "removeAboveValue": lambda df, v: ts.remove_above_value(df, float(v)),
+    "removeBelowValue": lambda df, v: ts.remove_below_value(df, float(v)),
+    "transformNull": lambda df, v=0.0: ts.transform_null(df, float(v)),
+    "aliasByNode": lambda df, n: ts.alias_by_node(df, int(n)),
+    "exponentialMovingAverage": lambda df, n: _canon(
+        ts.exponential_moving_average(df, int(n)), "ema"),
+    "logarithm": lambda df, base=10.0: ts.log_series(df, float(base)),
+    "interpolate": lambda df: ts.interpolate_series(df),
+    "groupByNode": lambda df, n, fn="sum": ts.group_by_node(df, int(n), str(fn)),
+}
+
+
+def evaluate_target(series: DataFrame, target: str,
+                    metric_col: str = "metric") -> DataFrame:
+    """Evaluate a render target against the (metric, ts, value) frame.
+
+    A bare path selects matching series (glob filter — pushed to the
+    scan); a call applies the registered function to its evaluated
+    first argument, passing remaining literals through. Unknown
+    function -> ValueError listing what IS supported (graphite-web can
+    still post-process those: the raw-series contract is unchanged).
+    """
+    tree = parse_target(target)
+
+    def ev(node):
+        if isinstance(node, Path):
+            rx = glob_to_regex(node.glob)  # anchored pattern string, or None
+            if rx is None:
+                return series.filter(F.lit(False))
+            return series.filter(F.col(metric_col).rlike(rx))
+        if isinstance(node, Call):
+            if node.name not in _REGISTRY:
+                raise ValueError(
+                    f"unsupported function {node.name!r}; engine-side set: "
+                    f"{sorted(_REGISTRY)}"
+                )
+            if not node.args:
+                raise ValueError(f"{node.name} needs a series argument")
+            head = ev(node.args[0])
+            rest = [ev(a) if isinstance(a, (Call, Path)) else a
+                    for a in node.args[1:]]
+            return _REGISTRY[node.name](head, *rest)
+        raise ValueError(f"a literal {node!r} is not a series")
+
+    return ev(tree)
