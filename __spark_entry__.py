@@ -2138,6 +2138,61 @@ def q_ev_sample_per_type(spark, sf_dir):
     return sample_per_group(ev, ["event_type"], "event_id", n=5)
 
 
+def q_ev_entropy(spark, sf_dir):
+    """CH entropy(user_id) per event_type: Shannon entropy in bits of
+    the user distribution. The float expression tree is identical on
+    both engines ((ln N - sum(c ln c)/N)/ln 2 over integer counts)."""
+    from graphouse_spark.functions.chagg import shannon_entropy
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    out = shannon_entropy(ev, ["event_type"], "user_id")
+    return out.select("event_type", F.round("entropy_bits", 6).alias("entropy_bits"))
+
+
+def q_ev_delta_sum(spark, sf_dir):
+    """CH deltaSum: per user, the summed positive deltas of the
+    time-ordered value sequence (counter-increase extraction), in
+    exact integer cents."""
+    from graphouse_spark.functions.chagg import delta_sum
+
+    ev = _events_sec(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = delta_sum(ev, ["user_id"], ["ts_sec", "event_id"], cents)
+    return out.filter(F.col("delta_sum") > 0)
+
+
+def q_ev_mode(spark, sf_dir):
+    """CH anyHeavy/topK(1) finalized exactly: the modal user per event
+    type, ties broken (count desc, user_id asc)."""
+    from graphouse_spark.functions.chagg import mode_per_group
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("user_id"))
+    return mode_per_group(ev, ["event_type"], "user_id")
+
+
+def q_ev_bitmap_segments(spark, sf_dir):
+    """CH bitmapAndCardinality over every event-type pair: how many
+    distinct users the two segments share. Distinct (type, user) pairs
+    self-join on user — the shuffle carries the bitmaps' information
+    content, one hash agg counts the intersections."""
+    from graphouse_spark.functions.chagg import common_id_cardinality
+
+    ev = _t(spark, sf_dir, "events")
+    return common_id_cardinality(ev, "event_type", "user_id")
+
+
+def q_ev_array_cumdiff(spark, sf_dir):
+    """CH arrayCumSum + arrayDifference flattened: per-user ordered
+    value sequence with 1-based idx, running sum, and step delta, all
+    in exact integer cents (diff null at idx=1)."""
+    from graphouse_spark.functions.chagg import array_cum_diff
+
+    ev = _events_sec(spark, sf_dir).filter(F.col("user_id") % 20 == 0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return array_cum_diff(ev, ["user_id"], ["ts_sec", "event_id"], cents)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the /metricData read path end-to-end on sf0.001.
 
@@ -2342,6 +2397,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sum_map": q_ev_sum_map,
         "ev_topk_users": q_ev_topk_users,
         "ev_sample_per_type": q_ev_sample_per_type,
+        "ev_entropy": q_ev_entropy,
+        "ev_delta_sum": q_ev_delta_sum,
+        "ev_mode": q_ev_mode,
+        "ev_bitmap_segments": q_ev_bitmap_segments,
+        "ev_array_cumdiff": q_ev_array_cumdiff,
     }
 
 
@@ -4189,6 +4249,65 @@ def oracle_sql() -> dict[str, str]:
                        ) AS INTEGER) AS sample_rank
                 FROM events
             ) WHERE sample_rank <= 5
+        """,
+        "ev_entropy": """
+            WITH per AS (
+                SELECT event_type, user_id, count(*) AS c
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type,
+                   round((ln(CAST(sum(c) AS DOUBLE))
+                          - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c))
+                         / ln(2.0), 6) AS entropy_bits
+            FROM per GROUP BY event_type
+        """,
+        "ev_delta_sum": f"""
+            WITH seq AS (
+                SELECT user_id,
+                       CAST(round(value * 100) AS BIGINT)
+                       - lag(CAST(round(value * 100) AS BIGINT)) OVER (
+                           PARTITION BY user_id ORDER BY {ts_sec}, event_id
+                       ) AS d
+                FROM events
+            )
+            SELECT user_id,
+                   sum(CASE WHEN d > 0 THEN d ELSE 0 END) AS delta_sum
+            FROM seq GROUP BY user_id HAVING delta_sum > 0
+        """,
+        "ev_mode": """
+            WITH per AS (
+                SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+                       count(*) AS c
+                FROM events GROUP BY 1, 2
+            ), mx AS (
+                SELECT event_type, max(c) AS mx FROM per GROUP BY event_type
+            )
+            SELECT per.event_type, min(user_id) AS mode_key,
+                   max(c) AS mode_count
+            FROM per JOIN mx ON per.event_type = mx.event_type AND per.c = mx.mx
+            GROUP BY per.event_type
+        """,
+        "ev_bitmap_segments": """
+            WITH pairs AS (
+                SELECT DISTINCT event_type AS g, user_id AS i FROM events
+            )
+            SELECT a.g AS g1, b.g AS g2, count(*) AS common_ids
+            FROM pairs a JOIN pairs b ON a.i = b.i AND a.g < b.g
+            GROUP BY 1, 2
+        """,
+        "ev_array_cumdiff": f"""
+            SELECT user_id,
+                   CAST(row_number() OVER w AS INTEGER) AS idx,
+                   CAST(round(value * 100) AS BIGINT) AS val,
+                   sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY {ts_sec}, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum,
+                   CAST(round(value * 100) AS BIGINT)
+                   - lag(CAST(round(value * 100) AS BIGINT)) OVER w AS diff
+            FROM events
+            WHERE user_id % 20 = 0
+            WINDOW w AS (PARTITION BY user_id ORDER BY {ts_sec}, event_id)
         """,
     }
 

@@ -29,9 +29,20 @@ The reference hands all aggregation to ClickHouse, whose signature
 All three are mergeable partial-aggregation shapes: at 100 TB each is
 a single hash-shuffle whose map side pre-combines (sum_map, topk) or a
 single range-free window (sample), never a driver-side loop.
+
+Round-2 additions re-express more of the CH aggregate catalog:
+``entropy`` (:func:`shannon_entropy`), ``deltaSum`` (:func:`delta_sum`),
+``anyHeavy``/``topK(1)`` finalized (:func:`mode_per_group`),
+``bitmapAndCardinality`` over every group pair
+(:func:`common_id_cardinality`), and ``arrayCumSum``/``arrayDifference``
+flattened (:func:`array_cum_diff`) — same design rule: flat rows through
+hash shuffles, no per-group collections, window sorts only where the
+semantics are inherently ordered.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -111,6 +122,118 @@ def approx_top_k(df: DataFrame, key_col: str, k: int,
     return (
         merged.orderBy(F.col("est_count").desc(), F.col(key_col).asc())
         .limit(k)
+    )
+
+
+def shannon_entropy(df: DataFrame, group_cols: list[str],
+                    key_col: str) -> DataFrame:
+    """CH ``entropy(key)``: Shannon entropy (bits) of the key
+    distribution per group.
+
+    Two chained hash aggregations on a shared key prefix — the first
+    gets full map-side partial aggregation, so no raw rows cross the
+    second shuffle. The float math is arranged as
+    ``(ln(N) - sum(c*ln(c))/N) / ln(2)`` so an SQL oracle can evaluate
+    the bit-identical expression tree over the same integer counts.
+    """
+    per_key = (
+        df.groupBy(*group_cols, F.col(key_col).alias("__k"))
+        .agg(F.count("*").alias("__c"))
+    )
+    return (
+        per_key.groupBy(*group_cols)
+        .agg(F.sum("__c").alias("__n"),
+             F.sum(F.col("__c").cast("double") * F.log(F.col("__c").cast("double"))).alias("__clnc"))
+        .select(
+            *group_cols,
+            ((F.log(F.col("__n").cast("double")) - F.col("__clnc") / F.col("__n"))
+             / F.lit(math.log(2.0))).alias("entropy_bits"),
+        )
+    )
+
+
+def delta_sum(df: DataFrame, group_cols: list[str], order_cols: list[str],
+              value_col) -> DataFrame:
+    """CH ``deltaSum(value)``: per group, the sum of positive deltas of
+    the time-ordered value sequence (counter-increase extraction).
+
+    One window shuffle; the lag and the conditional sum stay inside
+    whole-stage codegen. Pass an integer-unit value expression for an
+    exact cross-engine result.
+    """
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    d = val - F.lag(val).over(w)
+    return (
+        df.select(*group_cols, d.alias("__d"))
+        .groupBy(*group_cols)
+        .agg(F.sum(F.when(F.col("__d") > 0, F.col("__d")).otherwise(F.lit(0))).alias("delta_sum"))
+    )
+
+
+def mode_per_group(df: DataFrame, group_cols: list[str],
+                   key_col: str) -> DataFrame:
+    """CH ``anyHeavy``/``topK(1)`` finalized: the modal key per group,
+    ties broken deterministically (count desc, key asc).
+
+    Count-then-max_by: two aggregations hashing on a shared prefix, no
+    window sort. The struct comparator encodes the tie-break order, so
+    the result is reproducible across engines and partition layouts.
+    """
+    per_key = (
+        df.groupBy(*group_cols, F.col(key_col).alias("mode_key"))
+        .agg(F.count("*").alias("__c"))
+    )
+    mx = per_key.groupBy(*group_cols).agg(F.max("__c").alias("__mx"))
+    return (
+        per_key.join(mx, group_cols)
+        .filter(F.col("__c") == F.col("__mx"))
+        .groupBy(*group_cols)
+        .agg(F.min("mode_key").alias("mode_key"), F.max("__c").alias("mode_count"))
+    )
+
+
+def common_id_cardinality(df: DataFrame, group_col: str,
+                          id_col: str) -> DataFrame:
+    """CH ``bitmapAndCardinality(groupBitmap(a), groupBitmap(b))`` for
+    every pair of group values: |ids(a) ∩ ids(b)|, a < b.
+
+    Spark-first shape: instead of materializing per-group bitmaps, the
+    distinct (group, id) pairs self-join on id — the shuffle carries
+    each id once per group it appears in (exactly the bitmap's
+    information content), and the pair counts fall out of one hash
+    aggregation. Hot ids fan out quadratically only in their own group
+    count, and AQE skew-split handles the heavy ones at scale.
+    """
+    pairs = df.select(F.col(group_col).alias("g"), F.col(id_col).alias("i")).distinct()
+    a, b = pairs.alias("a"), pairs.alias("b")
+    return (
+        a.join(b, (F.col("a.i") == F.col("b.i")) & (F.col("a.g") < F.col("b.g")))
+        .groupBy(F.col("a.g").alias("g1"), F.col("b.g").alias("g2"))
+        .agg(F.count("*").alias("common_ids"))
+    )
+
+
+def array_cum_diff(df: DataFrame, group_cols: list[str], order_cols: list[str],
+                   value_col) -> DataFrame:
+    """CH ``arrayCumSum`` + ``arrayDifference`` over the per-group
+    time-ordered value sequence, emitted flat as
+    ``group_cols + (idx, val, cum, diff)`` (1-based idx).
+
+    Flat rows instead of materialized arrays: a hot group's sequence
+    never has to fit in one task's memory, and the window sort is the
+    only shuffle. ``diff`` is null for idx=1 (CH emits 0 there; null
+    keeps the lag semantics explicit — callers coalesce if they want
+    CH's exact output).
+    """
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.select(
+        *group_cols,
+        F.row_number().over(w).alias("idx"),
+        val.alias("val"),
+        F.sum(val).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        (val - F.lag(val).over(w)).alias("diff"),
     )
 
 

@@ -69,3 +69,63 @@ def test_sample_per_group_deterministic_across_partitioning(spark):
     for r in a:
         per_g.setdefault(r["g"], []).append(r["sample_rank"])
     assert all(sorted(v) == [1, 2, 3] for v in per_g.values())
+
+
+def test_shannon_entropy_hand_math(spark):
+    import math
+
+    from graphouse_spark.functions.chagg import shannon_entropy
+
+    # g1: uniform over 4 keys -> 2 bits; g2: one key -> 0 bits;
+    # g3: p=(1/2, 1/4, 1/4) -> 1.5 bits
+    rows = ([("g1", k) for k in "abcd"] + [("g2", "z")] * 5
+            + [("g3", "a"), ("g3", "a"), ("g3", "b"), ("g3", "c")])
+    df = spark.createDataFrame(rows, "g string, k string")
+    out = {r["g"]: r["entropy_bits"]
+           for r in shannon_entropy(df, ["g"], "k").collect()}
+    assert math.isclose(out["g1"], 2.0, abs_tol=1e-12)
+    assert math.isclose(out["g2"], 0.0, abs_tol=1e-12)
+    assert math.isclose(out["g3"], 1.5, abs_tol=1e-12)
+
+
+def test_delta_sum_counter_semantics(spark):
+    from graphouse_spark.functions.chagg import delta_sum
+
+    # counter goes 10 -> 13 -> 2 (reset) -> 7: positive deltas 3 + 5
+    rows = [("u", 1, 10), ("u", 2, 13), ("u", 3, 2), ("u", 4, 7)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = delta_sum(df, ["g"], ["t"], "v").collect()
+    assert [(r["g"], r["delta_sum"]) for r in got] == [("u", 8)]
+
+
+def test_mode_per_group_tie_break(spark):
+    from graphouse_spark.functions.chagg import mode_per_group
+
+    rows = [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c")]
+    df = spark.createDataFrame(rows, "g string, k string")
+    got = mode_per_group(df, ["g"], "k").collect()
+    # a and b tie at 2 -> smallest key wins
+    assert [(r["g"], r["mode_key"], r["mode_count"]) for r in got] == [("g", "a", 2)]
+
+
+def test_common_id_cardinality_pairs(spark):
+    from graphouse_spark.functions.chagg import common_id_cardinality
+
+    rows = [("x", 1), ("x", 2), ("x", 2), ("y", 2), ("y", 3), ("z", 9)]
+    df = spark.createDataFrame(rows, "g string, i long")
+    got = {(r["g1"], r["g2"]): r["common_ids"]
+           for r in common_id_cardinality(df, "g", "i").collect()}
+    # duplicates collapse (bitmap semantics); disjoint pairs are absent
+    assert got == {("x", "y"): 1}
+
+
+def test_array_cum_diff_flat_rows(spark):
+    from graphouse_spark.functions.chagg import array_cum_diff
+
+    rows = [("u", 1, 4), ("u", 2, 1), ("u", 3, 5)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = sorted(
+        (r["idx"], r["val"], r["cum"], r["diff"])
+        for r in array_cum_diff(df, ["g"], ["t"], "v").collect()
+    )
+    assert got == [(1, 4, 4, None), (2, 1, 5, -3), (3, 5, 10, 4)]
