@@ -2100,6 +2100,65 @@ def q_ts_offset_to_zero(spark, sf_dir):
     return offset_to_zero(_series(spark, sf_dir))
 
 
+def q_ts_hitcount(spark, sf_dir):
+    """graphite hitcount(series, '1d'): rate -> per-bucket hit totals
+    (value * native 300s step, summed in exact cent-seconds)."""
+    from graphouse_spark.functions.timeseries import hitcount
+
+    return hitcount(_series(spark, sf_dir), DAY, 300)
+
+
+def q_ts_smart_summarize(spark, sf_dir):
+    """graphite smartSummarize aligned to a 1am anchor (not the epoch
+    grid) — per-bucket exact-cents average."""
+    from graphouse_spark.functions.timeseries import smart_summarize
+
+    return smart_summarize(_series(spark, sf_dir), DAY, SEC_JAN1 + 3600, "avg")
+
+
+def q_ts_most_deviant(spark, sf_dir):
+    """graphite mostDeviant(series, 2): the 2 highest-stddev series'
+    full point sets, ranked; ranking from exact integer moment sums."""
+    from graphouse_spark.functions.timeseries import most_deviant
+
+    return most_deviant(_series(spark, sf_dir), 2)
+
+
+def q_ts_filter_family(spark, sf_dir):
+    """graphite maximumAbove + minimumBelow composed: series whose peak
+    tops 60 and whose minimum dips under 40 — two unbounded window
+    stats in ONE window pass, then a scan-stage filter."""
+    from graphouse_spark.functions.timeseries import maximum_above, minimum_below
+
+    return minimum_below(maximum_above(_series(spark, sf_dir), 345.0), 40.0)
+
+
+def q_ts_shift_family(spark, sf_dir):
+    """graphite delay(series, 2) over timeSlice(start, +3d): null
+    outside the slice, then a 2-point lag per series."""
+    from graphouse_spark.functions.timeseries import delay_series, time_slice
+
+    sliced = time_slice(_series(spark, sf_dir), SEC_JAN1 + DAY, SEC_JAN1 + 4 * DAY)
+    return delay_series(sliced, 2)
+
+
+def q_ts_pow_family(spark, sf_dir):
+    """graphite pow/squareRoot/invert as one projection (v*v, IEEE
+    sqrt, nulled 1/v)."""
+    from graphouse_spark.functions.timeseries import pow_family
+
+    return pow_family(_series(spark, sf_dir))
+
+
+def q_ts_time_stack(spark, sf_dir):
+    """graphite timeStack(series, '1d', 0, 3): three day-shifted copies
+    via one explode fan-out (single scan, no per-copy union)."""
+    from graphouse_spark.functions.timeseries import time_stack
+
+    one = _series(spark, sf_dir).filter(F.col("metric") == "click")
+    return time_stack(one, DAY, 3)
+
+
 def q_ev_sum_map(spark, sf_dir):
     """CH sumMap: per day, event_type -> summed value as aligned sorted
     key/value arrays (values in exact integer cents; arrays serialized
@@ -2394,6 +2453,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gh_rollup_navigate": q_gh_rollup_navigate,
         "ts_ema": q_ts_ema,
         "ts_offset_to_zero": q_ts_offset_to_zero,
+        "ts_hitcount": q_ts_hitcount,
+        "ts_smart_summarize": q_ts_smart_summarize,
+        "ts_most_deviant": q_ts_most_deviant,
+        "ts_filter_family": q_ts_filter_family,
+        "ts_shift_family": q_ts_shift_family,
+        "ts_pow_family": q_ts_pow_family,
+        "ts_time_stack": q_ts_time_stack,
         "ev_sum_map": q_ev_sum_map,
         "ev_topk_users": q_ev_topk_users,
         "ev_sample_per_type": q_ev_sample_per_type,
@@ -4223,6 +4289,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT metric, ts,
                    round(value - min(value) OVER (PARTITION BY metric), 6) AS value
             FROM ({_SERIES_SQL})
+        """,
+        "ts_hitcount": f"""
+            SELECT metric, ts - ts % 86400 AS ts,
+                   round(sum(CAST(round(value * 100) AS BIGINT) * 300) / 100.0, 6) AS hits
+            FROM ({_SERIES_SQL})
+            GROUP BY 1, 2
+        """,
+        "ts_smart_summarize": f"""
+            SELECT metric,
+                   1704070800 + ((ts - 1704070800)
+                       - (((ts - 1704070800) % 86400) + 86400) % 86400) AS ts,
+                   round(sum(CAST(round(value * 100) AS BIGINT))
+                         / (count(*) * 100.0), 6) AS value
+            FROM ({_SERIES_SQL})
+            GROUP BY 1, 2
+        """,
+        "ts_most_deviant": f"""
+            WITH s AS ({_SERIES_SQL}), stats AS (
+                SELECT metric,
+                       CAST(sum(m) AS DOUBLE) AS s1,
+                       CAST(sum(m * m) AS DOUBLE) AS s2,
+                       CAST(count(*) AS DOUBLE) AS n
+                FROM (SELECT metric, CAST(round(value * 1000000) AS BIGINT) AS m FROM s)
+                GROUP BY metric
+            ), top AS (
+                SELECT metric,
+                       CAST(row_number() OVER (
+                           ORDER BY (s2 - s1 * s1 / n) / n DESC, metric ASC
+                       ) AS INTEGER) AS rank
+                FROM stats
+                ORDER BY (s2 - s1 * s1 / n) / n DESC, metric ASC LIMIT 2
+            )
+            SELECT s.metric, s.ts, s.value, top.rank
+            FROM s JOIN top ON s.metric = top.metric
+        """,
+        "ts_filter_family": f"""
+            SELECT metric, ts, value FROM (
+                SELECT metric, ts, value,
+                       max(value) OVER (PARTITION BY metric) AS mx,
+                       min(value) OVER (PARTITION BY metric) AS mn
+                FROM ({_SERIES_SQL})
+            ) WHERE mx > 345.0 AND mn < 40.0
+        """,
+        "ts_shift_family": f"""
+            SELECT metric, ts,
+                   lag(CASE WHEN ts >= 1704153600 AND ts < 1704412800
+                            THEN value END, 2) OVER (
+                       PARTITION BY metric ORDER BY ts
+                   ) AS value
+            FROM ({_SERIES_SQL})
+        """,
+        "ts_pow_family": f"""
+            SELECT metric, ts, value,
+                   round(value * value, 6) AS squared,
+                   round(sqrt(greatest(value, 0.0)), 6) AS root,
+                   round(CASE WHEN value != 0 THEN 1.0 / value END, 6) AS inverted
+            FROM ({_SERIES_SQL})
+        """,
+        "ts_time_stack": f"""
+            SELECT metric, CAST(c.shift_idx AS INTEGER) AS shift_idx,
+                   ts + c.shift_idx * 86400 AS ts, value
+            FROM ({_SERIES_SQL}) s
+            CROSS JOIN (SELECT unnest(range(3)) AS shift_idx) c
+            WHERE s.metric = 'click'
         """,
         "ev_sum_map": f"""
             WITH per AS (

@@ -773,3 +773,173 @@ def offset_to_zero(series: DataFrame, metric_col: str = "metric",
         metric_col, ts_col,
         F.round(F.col(value_col) - F.min(value_col).over(w), 6).alias("value"),
     )
+
+
+def hitcount(series: DataFrame, interval_seconds: int, step_seconds: int,
+             metric_col: str = "metric", ts_col: str = "ts",
+             value_col: str = "value") -> DataFrame:
+    """graphite ``hitcount(series, interval)``: convert a rate series to
+    the total hit COUNT per coarse bucket — each point contributes
+    value * native_step (its integral), summed per bucket.
+
+    graphite-web's render/functions.py does this post-fetch over one
+    series at a time; here it is a single epoch-aligned partial+final
+    aggregation over every series at once. Values are re-scaled to
+    exact integer cents*step before the sum, so the bucket totals are
+    order-independent and engine-exact.
+    """
+    bucket = (F.col(ts_col) - F.col(ts_col) % interval_seconds).alias(ts_col)
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return (
+        series.groupBy(metric_col, bucket)
+        .agg(F.round(F.sum(cents * step_seconds) / 100.0, 6).alias("hits"))
+    )
+
+
+def smart_summarize(series: DataFrame, interval_seconds: int, anchor_seconds: int,
+                    function: str = "avg", metric_col: str = "metric",
+                    ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``smartSummarize(series, interval, func)``: summarize
+    with buckets aligned to the REQUEST START (anchor), not the epoch —
+    the difference that makes "last 7 days ending now" bucket cleanly.
+
+    Same one-aggregation shape as summarize(); only the bucket
+    arithmetic changes: anchor + floor((ts - anchor)/interval)*interval
+    (floor division keeps pre-anchor points in their own buckets).
+    ``avg`` runs in exact integer cents like the series builder.
+    """
+    off = F.col(ts_col) - anchor_seconds
+    bucket = (F.lit(anchor_seconds)
+              + (off - ((off % interval_seconds) + interval_seconds) % interval_seconds)
+              ).alias(ts_col)
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    if function == "avg":
+        agg = F.round(F.sum(cents) / (F.count(F.lit(1)) * 100.0), 6)
+    elif function == "sum":
+        agg = F.round(F.sum(cents) / 100.0, 6)
+    elif function == "max":
+        agg = F.max(F.col(value_col))
+    elif function == "min":
+        agg = F.min(F.col(value_col))
+    else:
+        raise ValueError(f"unknown aggregation function {function!r}")
+    return series.groupBy(metric_col, bucket).agg(agg.alias(value_col))
+
+
+def most_deviant(series: DataFrame, n: int, metric_col: str = "metric",
+                 ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``mostDeviant(series, N)``: the N series with the
+    largest population stddev, returned as their full point sets tagged
+    with ``rank`` (1 = most deviant).
+
+    Variance comes from exact integer micro-unit moment sums (same
+    trick as moving_stddev: sums are order-independent integers, the
+    final variance is one double expression), so the RANKING — the
+    part that must be reproducible — never depends on float summation
+    order. Unlike the N-point moving frames, a full series' sum of
+    squared micros overflows int64 (4e8^2 x thousands of points), so
+    the second moment accumulates as decimal(38,0) — still exact, still
+    order-free. TakeOrderedAndProject on the tiny per-series aggregate,
+    then a broadcast join tags the points; no second scan of the big
+    side.
+    """
+    micro = F.round(F.col(value_col) * 1_000_000).cast("decimal(19,0)")
+    stats = series.groupBy(metric_col).agg(
+        F.sum(micro).cast("double").alias("_s1"),
+        F.sum(micro * micro).cast("double").alias("_s2"),
+        F.count(F.lit(1)).cast("double").alias("_n"),
+    )
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n")) / F.col("_n")
+    ranked = (
+        stats.withColumn("_var", var)
+        .orderBy(F.desc("_var"), F.asc(metric_col))
+        .limit(n)
+    )
+    w = Window.orderBy(F.desc("_var"), F.asc(metric_col))
+    top = ranked.withColumn("rank", F.row_number().over(w)).select(metric_col, "rank")
+    return (
+        series.join(F.broadcast(top), metric_col)
+        .select(metric_col, ts_col, value_col, "rank")
+    )
+
+
+def maximum_above(series: DataFrame, threshold: float,
+                  metric_col: str = "metric",
+                  value_col: str = "value") -> DataFrame:
+    """graphite ``maximumAbove(series, t)``: keep series whose peak
+    exceeds t. One unbounded window max — no join, no second scan."""
+    w = Window.partitionBy(metric_col)
+    return (
+        series.withColumn("_mx", F.max(value_col).over(w))
+        .filter(F.col("_mx") > threshold)
+        .drop("_mx")
+    )
+
+
+def minimum_below(series: DataFrame, threshold: float,
+                  metric_col: str = "metric",
+                  value_col: str = "value") -> DataFrame:
+    """graphite ``minimumBelow(series, t)``: keep series whose minimum
+    dips below t. Same single-window shape as maximum_above."""
+    w = Window.partitionBy(metric_col)
+    return (
+        series.withColumn("_mn", F.min(value_col).over(w))
+        .filter(F.col("_mn") < threshold)
+        .drop("_mn")
+    )
+
+
+def delay_series(series: DataFrame, steps: int, metric_col: str = "metric",
+                 ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``delay(series, steps)``: shift each series' values
+    forward by N points (null until history exists) — one window lag,
+    the same shuffle the surrounding transforms already use."""
+    w = Window.partitionBy(metric_col).orderBy(ts_col)
+    return series.select(
+        metric_col, ts_col,
+        F.lag(value_col, steps).over(w).alias(value_col),
+    )
+
+
+def time_slice(series: DataFrame, start: int, end: int,
+               ts_col: str = "ts") -> DataFrame:
+    """graphite ``timeSlice(series, start, end)``: null out points
+    outside [start, end) — the predicate-pushdown twin is a plain
+    filter; graphite keeps the grid, so the value is nulled, not the
+    row dropped."""
+    keep = (F.col(ts_col) >= start) & (F.col(ts_col) < end)
+    return series.withColumn("value", F.when(keep, F.col("value")))
+
+
+def pow_family(series: DataFrame, metric_col: str = "metric",
+               ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``pow(series, 2)`` / ``squareRoot`` / ``invert`` in one
+    projection. squared is v*v (not libm pow — multiplication is
+    IEEE-exact on every engine); sqrt/1/x are correctly-rounded IEEE
+    ops; invert nulls v=0 like graphite (None on ZeroDivision)."""
+    v = F.col(value_col)
+    return series.select(
+        metric_col, ts_col, v.alias(value_col),
+        F.round(v * v, 6).alias("squared"),
+        F.round(F.sqrt(F.greatest(v, F.lit(0.0))), 6).alias("root"),
+        F.round(F.when(v != 0, F.lit(1.0) / v), 6).alias("inverted"),
+    )
+
+
+def time_stack(series: DataFrame, shift_seconds: int, copies: int,
+               metric_col: str = "metric", ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """graphite ``timeStack(series, '1d', 0, N)``: N time-shifted copies
+    of each series stacked for period-over-period comparison.
+
+    Spark-first: instead of a UNION per copy (N scans), one
+    explode(sequence(0, N-1)) fans each row out to its shifted
+    versions — a single scan whose output carries ``shift_idx``.
+    """
+    idx = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("shift_idx")
+    return series.select(metric_col, ts_col, value_col, idx).select(
+        metric_col,
+        F.col("shift_idx").cast("int").alias("shift_idx"),
+        (F.col(ts_col) + F.col("shift_idx") * shift_seconds).alias(ts_col),
+        F.col(value_col),
+    )
