@@ -2252,6 +2252,58 @@ def q_ev_array_cumdiff(spark, sf_dir):
     return array_cum_diff(ev, ["user_id"], ["ts_sec", "event_id"], cents)
 
 
+def q_emb_knn_graph(spark, sf_dir):
+    """Mutual kNN graph (k=5) over the embedding corpus: exact cosine
+    top-k per vector, edges kept only when present in both directions.
+    Oracle replays the brute-force graph in SQL."""
+    from graphouse_spark.functions.similarity import knn_graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=5, mutual=True)
+
+
+def q_emb_semdedup(spark, sf_dir):
+    """SemDeDup: k-means (deterministic Lloyd) then within-cluster
+    cosine pruning, keep-lowest-id. Rows-only: the clustering isn't
+    SQL-expressible; invariants are property-tested instead."""
+    from graphouse_spark.functions.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semdedup(emb, n_clusters=8, threshold=0.45, iters=2)
+    return out.select("vec_id", "cluster")
+
+
+def q_doc_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling: hashed-unigram bucket log-ratios
+    (md5-derived stub table) summed per doc in exact integer
+    milli-units; the 100 highest-importance docs win."""
+    from graphouse_spark.functions.sampling import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_weights(docs)
+    win = Window.orderBy(F.desc("weight_milli"), F.asc("doc_id"))
+    return (
+        w.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 100)
+        .select("doc_id", "weight_milli")
+    )
+
+
+def q_doc_bloom_membership(spark, sf_dir):
+    """Portable Bloom-filter membership: build over the train split's
+    content hashes (one bit_or reduction), probe the eval split as a
+    scan-stage expression. The md5 bit family makes the filter — and
+    its false positives — bit-reproducible, so the oracle replays
+    membership exactly."""
+    from graphouse_spark.functions.bloom import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents").withColumn("key", F.md5("text"))
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    words = bloom_build(train, "key")
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    return bloom_probe(ev, "key", words).select("doc_id", "is_member")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the /metricData read path end-to-end on sf0.001.
 
@@ -2468,6 +2520,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_mode": q_ev_mode,
         "ev_bitmap_segments": q_ev_bitmap_segments,
         "ev_array_cumdiff": q_ev_array_cumdiff,
+        "emb_knn_graph": q_emb_knn_graph,
+        "emb_semdedup": q_emb_semdedup,
+        "doc_dsir_sample": q_doc_dsir_sample,
+        "doc_bloom_membership": q_doc_bloom_membership,
     }
 
 
@@ -4424,6 +4480,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.g AS g1, b.g AS g2, count(*) AS common_ids
             FROM pairs a JOIN pairs b ON a.i = b.i AND a.g < b.g
             GROUP BY 1, 2
+        """,
+        "emb_knn_graph": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            scored AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_raw
+                FROM e a JOIN e b ON a.vec_id != b.vec_id
+            ), topk AS (
+                SELECT query_id, neighbor_id, cos_raw,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
+                       ) AS rank
+                FROM scored QUALIFY rank <= 5
+            )
+            SELECT t.query_id AS src, t.neighbor_id AS dst,
+                   round(t.cos_raw, 6) AS cosine
+            FROM topk t JOIN topk r
+              ON t.query_id = r.neighbor_id AND t.neighbor_id = r.query_id
+            WHERE t.query_id < t.neighbor_id
+        """,
+        "doc_dsir_sample": """
+            WITH lr AS (
+                SELECT b, CAST(concat('0x', substr(md5('dsir-' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
+                          % 2001 - 1000 AS v
+                FROM (SELECT unnest(range(1024)) AS b)
+            ), tok AS (
+                SELECT doc_id, t FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(lower(text), '\\s+')) AS t
+                    FROM documents
+                ) WHERE t != ''
+            ), w AS (
+                SELECT d.doc_id, coalesce(sum(lr.v), 0) AS weight_milli
+                FROM documents d
+                LEFT JOIN tok ON d.doc_id = tok.doc_id
+                LEFT JOIN lr
+                  ON CAST(concat('0x', substr(md5(tok.t), 1, 8)) AS BIGINT) % 1024 = lr.b
+                GROUP BY d.doc_id
+            )
+            SELECT doc_id, weight_milli FROM w
+            ORDER BY weight_milli DESC, doc_id ASC LIMIT 100
+        """,
+        "doc_bloom_membership": """
+            WITH seeds AS (SELECT unnest(['b0|', 'b1|', 'b2|', 'b3|']) AS p),
+            train_bits AS (
+                SELECT DISTINCT
+                       CAST(concat('0x', substr(md5(concat(s.p, md5(text))), 1, 8)) AS BIGINT)
+                       % 65536 AS bit
+                FROM documents, seeds s WHERE doc_id % 5 != 0
+            ), probe AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(concat(s.p, md5(text))), 1, 8)) AS BIGINT)
+                       % 65536 AS bit
+                FROM documents, seeds s WHERE doc_id % 5 = 0
+            )
+            SELECT doc_id,
+                   count(*) FILTER (WHERE bit IN (SELECT bit FROM train_bits)) = 4 AS is_member
+            FROM probe GROUP BY doc_id
         """,
         "ev_array_cumdiff": f"""
             SELECT user_id,

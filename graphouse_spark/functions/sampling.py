@@ -114,3 +114,51 @@ def resample_to_mix(df: DataFrame, id_col: str, source_col: str,
         .filter(_bucket(F.col(id_col), salt) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def dsir_log_ratio_table(buckets: int = 1024, salt: str = "dsir") -> list[int]:
+    """The per-bucket log-importance-ratio table for :func:`dsir_weights`,
+    in integer milli-units.
+
+    In real DSIR (Xie et al. 2023) this table is log(p_target(b) /
+    p_raw(b)) from two hashed-n-gram bag-of-words models; the container
+    has no corpora to fit, so the STUB maps each bucket to a
+    deterministic md5-derived value in [-1.000, 1.000] — the Spark-side
+    plumbing (feature hashing, exact integer accumulation, top-m
+    selection) is the real thing and the table is one `lit` array swap
+    away from fitted ratios. md5-derived so a SQL oracle regenerates the
+    identical table.
+    """
+    import hashlib
+
+    out = []
+    for b in range(buckets):
+        h = hashlib.md5(f"{salt}-{b}".encode()).hexdigest()
+        out.append(int(h[:8], 16) % 2001 - 1000)
+    return out
+
+
+def dsir_weights(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 buckets: int = 1024, salt: str = "dsir") -> DataFrame:
+    """DSIR (Data Selection with Importance Resampling) weights: each
+    document's importance is the sum of its tokens' hashed-bucket
+    log-ratios.
+
+    Spark-first shape: the ratio table rides along as a broadcast
+    literal array, each token costs one md5 + one element_at inside a
+    single fold — no explode, no join, no Python. Weights accumulate in
+    exact integer milli-units (floats would make the sum order-
+    dependent), so selection is reproducible anywhere.
+
+    Returns (id, weight_milli). Resample = take the top-m by
+    (weight desc, id) or hash-threshold against the weight.
+    """
+    table = F.array(*[F.lit(v) for v in dsir_log_ratio_table(buckets, salt)])
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    bucket = lambda t: portable_hash32(t) % buckets  # noqa: E731
+    weight = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.element_at(table, (bucket(t) + 1).cast("int")).cast("long"),
+    )
+    return docs.select(F.col(id_col), weight.alias("weight_milli"))

@@ -559,3 +559,70 @@ def ivfpq_topk(coded: DataFrame, centroids: list, codebooks: list,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank")
     )
+
+
+def knn_graph(embeddings: DataFrame, k: int = 5, mutual: bool = True,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """k-nearest-neighbor graph over the embedding corpus.
+
+    Directed edges are each vector's exact top-k by cosine (the same
+    deterministic ranking as :func:`cosine_topk`); ``mutual=True``
+    keeps only edges present in BOTH directions — the mutual-kNN graph
+    that seeds semantic clustering and graph-based dedup — emitted once
+    as (src, dst, cosine) with src < dst.
+
+    An exact kNN graph is quadratic by definition; this is the small-N
+    baseline (and the oracle for the approximate paths). At corpus
+    scale, swap the scoring stage for IVF-cell or LSH-bucket candidate
+    generation (:func:`ivf_topk`, :func:`lsh_cosine_topk`) — the
+    mutual-join stage is unchanged and linear in edge count.
+    """
+    edges = cosine_topk(embeddings, embeddings, k, id_col=id_col, vec_col=vec_col)
+    if not mutual:
+        return edges
+    rev = edges.select(
+        F.col("neighbor_id").alias("query_id"), F.col("query_id").alias("neighbor_id")
+    )
+    return (
+        edges.join(rev, ["query_id", "neighbor_id"], "left_semi")
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .select(
+            F.col("query_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+            "cosine",
+        )
+    )
+
+
+def semdedup(embeddings: DataFrame, n_clusters: int = 16, threshold: float = 0.97,
+             iters: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by clustering then
+    pruning within-cluster near-duplicates.
+
+    1. k-means the corpus (the deterministic DataFrame-native Lloyd of
+       :func:`ivf_index` — same clusters on any engine/partitioning);
+    2. score cosine ONLY within a cluster (the point of the method: the
+       pair join is per-cluster, never corpus-quadratic);
+    3. greedy keep-lowest-id: a vector is dropped iff some smaller-id
+       vector in its cluster scores >= threshold.
+
+    Returns the surviving rows with their ``cluster``. One cluster-keyed
+    self-join + one anti-join; hot clusters are the skew risk at scale —
+    cap cluster size upstream (raise n_clusters so expected cluster size
+    is ~sqrt(corpus)/machine) or let AQE skew-split the join.
+    """
+    assigned, _ = ivf_index(embeddings, n_clusters=n_clusters, iters=iters,
+                            id_col=id_col, vec_col=vec_col)
+    a = assigned.select(F.col("cluster"), F.col(id_col).alias("_ida"),
+                        F.col(vec_col).alias("_va"))
+    b = assigned.select(F.col("cluster"), F.col(id_col).alias("_idb"),
+                        F.col(vec_col).alias("_vb"))
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(cosine_similarity_col(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti")

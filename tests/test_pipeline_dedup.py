@@ -246,3 +246,35 @@ def test_edit_distance_pairs_blocking_recall(spark):
     assert not any(5 in p for p in got)
     # a length mismatch never pairs in the equal-length variant
     assert not any((a in (6, 7)) != (b in (6, 7)) for a, b in got)
+
+
+def test_dsir_weights_hand_math(spark):
+    import hashlib
+
+    from graphouse_spark.functions.sampling import dsir_log_ratio_table, dsir_weights
+
+    table = dsir_log_ratio_table()
+    docs = spark.createDataFrame(
+        [(1, "Alpha beta  ALPHA"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["weight_milli"] for r in dsir_weights(docs).collect()}
+
+    def lr(tok):
+        return table[int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 1024]
+
+    # lowercased, multiplicity counts: alpha twice, beta once; empty doc -> 0
+    assert got[1] == 2 * lr("alpha") + lr("beta")
+    assert got[2] == 0
+
+
+def test_dsir_table_is_md5_derived(spark):
+    import hashlib
+
+    from graphouse_spark.functions.sampling import dsir_log_ratio_table
+
+    t = dsir_log_ratio_table(buckets=8, salt="s")
+    expect = [int(hashlib.md5(f"s-{b}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+              for b in range(8)]
+    assert t == expect
+    assert all(-1000 <= v <= 1000 for v in t)

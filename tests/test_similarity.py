@@ -151,3 +151,59 @@ def test_ivfpq_recall_and_pruning(pq_corpus):
     # determinism across physical layout
     brows = ivfpq_topk(coded.repartition(5), cents, cbs, queries, k=10, nprobe=2).collect()
     assert sorted(map(tuple, arows)) == sorted(map(tuple, brows))
+
+
+def test_knn_graph_mutual_edges(spark):
+    from graphouse_spark.functions.similarity import knn_graph
+
+    # two tight pairs + one outlier; k=1 -> exactly the two pairs
+    rows = [
+        (1, [1.0, 0.0, 0.0]), (2, [0.99, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]), (4, [0.0, 0.99, 0.1]),
+        (5, [-1.0, -1.0, 5.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted((r["src"], r["dst"]) for r in knn_graph(emb, k=1).collect())
+    assert got == [(1, 2), (3, 4)]
+    directed = knn_graph(emb, k=1, mutual=False)
+    assert directed.count() == 5  # every vector has a top-1
+
+
+def test_semdedup_drops_planted_duplicates(spark):
+    from graphouse_spark.functions.similarity import semdedup
+
+    # 30 well-spread vectors + 3 near-copies of vector 0
+    import math
+    base = [(i, [math.cos(i), math.sin(i), float(i % 5)]) for i in range(30)]
+    dupes = [(100 + j, [math.cos(0) + 1e-4 * j, math.sin(0), 0.0]) for j in range(3)]
+    emb = spark.createDataFrame(base + dupes, "vec_id long, embedding array<double>")
+    out = semdedup(emb, n_clusters=4, threshold=0.999)
+    kept = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    # the copies score ~1.0 against vector 0 (lowest id in their cluster)
+    assert 0 in kept
+    assert not {100, 101, 102} & kept.keys()
+
+    # THE invariant: no surviving same-cluster pair still scores >= tau
+    def cos(u, v):
+        import math as m
+        d = sum(a * b for a, b in zip(u, v))
+        return d / (m.sqrt(sum(a * a for a in u)) * m.sqrt(sum(a * a for a in v)))
+
+    vecs = dict(base + dupes)
+    ids = sorted(kept)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if kept[a] == kept[b]:
+                assert cos(vecs[a], vecs[b]) < 0.999
+
+
+def test_semdedup_deterministic_across_partitioning(spark):
+    from graphouse_spark.functions.similarity import semdedup
+
+    emb = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 17 + 1).cast("double") for i in range(4)]).alias("embedding"),
+    )
+    a = sorted(r["vec_id"] for r in semdedup(emb, n_clusters=4, threshold=0.98).collect())
+    b = sorted(r["vec_id"] for r in semdedup(emb.repartition(13), n_clusters=4, threshold=0.98).collect())
+    assert a == b
