@@ -37,12 +37,18 @@ class GraphouseService:
                  provider: CombinedRetentionProvider | None = None,
                  max_points_per_metric: int = -1,
                  max_subdirs_per_dir: int = -1, max_metrics_per_dir: int = -1,
-                 max_metrics_per_query: int = -1) -> None:
+                 max_metrics_per_query: int = -1,
+                 index_path: str | None = None) -> None:
         self.spark = spark
         self.data_path = data_path
         self.metrics_path = metrics_path
         self.provider = provider or DefaultRetentionProvider()
-        self.data_service = MetricDataService(self.provider, max_points_per_metric)
+        # index_path: optional zonemap (maintenance.run_index_update);
+        # when present, /metricData reads only index-surviving files
+        self.data_service = MetricDataService(
+            self.provider, max_points_per_metric,
+            data_path=data_path, index_path=index_path,
+        )
         self.tree = MetricTree(max_subdirs_per_dir, max_metrics_per_dir)
         # graphouse.metric-data.max-metrics-per-query (-1 = unlimited);
         # exceeding it gets HTTP 413 (MetricDataServiceServlet.java:58-64)

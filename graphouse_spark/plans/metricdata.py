@@ -102,9 +102,16 @@ class MetricDataService:
     """Multi-metric read: per-function grouping + params + JSON contract."""
 
     def __init__(self, provider: CombinedRetentionProvider | None = None,
-                 max_points_per_metric: int = -1) -> None:
+                 max_points_per_metric: int = -1,
+                 data_path: str | None = None,
+                 index_path: str | None = None) -> None:
         self.provider = provider or DefaultRetentionProvider()
         self.max_points_per_metric = max_points_per_metric
+        # zonemap wiring (install.md:181-184 analog): when both paths
+        # are configured and the index exists, get_data swaps the full
+        # table scan for an index-pruned file list (sources/skipping.py)
+        self.data_path = data_path
+        self.index_path = index_path
 
     def query_params(self, metric_names: list[str], start: int, end: int,
                      now_seconds: int | None = None) -> MetricDataQueryParams:
@@ -132,17 +139,43 @@ class MetricDataService:
         groups: dict[str, list[str]] = defaultdict(list)
         for name in metric_names:
             groups[self.provider.get_retention(name).function].append(name)
-        result: dict[str, dict] = {}
+        plan: list[tuple[str, list[str], MetricDataQueryParams]] = []
         for fn, names in groups.items():
             gparams = params if params is not None else self.query_params(
                 names, start, end, now_seconds
             )
+            plan.append((fn, names, gparams))
+        # zonemap prune (sources/skipping.py): swap the full-table scan
+        # for the index-surviving file list, using the WIDEST aligned
+        # range across groups so every group's predicate is a subset of
+        # what the pruned frame may contain. Falls back transparently
+        # (returns None) when no index is configured/built.
+        pruned = self._pruned_source(
+            spark, metric_names,
+            min(p.start_time_seconds for _, _, p in plan),
+            max(p.end_time_seconds for _, _, p in plan),
+        )
+        if pruned is not None:
+            data = pruned
+        result: dict[str, dict] = {}
+        for fn, names, gparams in plan:
             frame = metric_series(
                 spark, data, names, gparams.start_time_seconds,
                 gparams.end_time_seconds, gparams.step_seconds, fn,
             )
             result.update(render_series(frame.collect(), gparams, names))
         return result
+
+    def _pruned_source(self, spark: SparkSession, metric_names: list[str],
+                       start: int, end: int) -> DataFrame | None:
+        """Index-pruned scan, or None when the zonemap can't be used."""
+        if not self.data_path or not self.index_path:
+            return None
+        from graphouse_spark.sources.skipping import read_pruned_data
+
+        return read_pruned_data(
+            spark, self.data_path, self.index_path, metric_names, start, end
+        )
 
     def get_data_json(self, *args, **kwargs) -> str:
         return json.dumps(self.get_data(*args, **kwargs))

@@ -176,6 +176,80 @@ def _index_for_files(spark: SparkSession, files: list[str],
     return spark.createDataFrame(rdd, INDEX_SCHEMA)
 
 
+def prune_files_for_query(index: DataFrame, metric_names: list[str],
+                          start: int, end: int,
+                          metric_col: str = "metric",
+                          ts_col: str = "timestamp") -> list[str]:
+    """Survivors of the flagship /metricData predicate: ``metric IN
+    (names) AND ts >= start AND ts < end`` — the zonemap twin of the
+    reference's ``ORDER BY (metric, timestamp)`` primary-key seek
+    (doc/install.md:181-184).
+
+    One collect of the (tiny) zonemap, then pure driver-side interval
+    math: a file survives when its metric zone contains ANY requested
+    name (sorted-names + bisect, O(log n) per file) and its ts zone
+    intersects ``[start, end)``. Files with missing zones/stats are
+    conservatively kept — may-contain, never must-contain, so a stale
+    index can only over-read.
+    """
+    import bisect
+
+    rows = index.collect()
+    names = sorted(metric_names)
+    ts_lo, ts_hi = _enc(int(start)), _enc(int(end) - 1)  # half-open end
+    all_files: set[str] = set()
+    # file -> per-column verdict; missing column rows default to keep
+    metric_ok: dict[str, bool] = {}
+    ts_ok: dict[str, bool] = {}
+    for r in rows:
+        f = r["file"]
+        all_files.add(f)
+        vmin, vmax = r["vmin"], r["vmax"]
+        if r["column"] == metric_col:
+            if vmin is None or vmax is None:
+                metric_ok[f] = True
+            else:
+                i = bisect.bisect_left(names, vmin)
+                metric_ok[f] = i < len(names) and names[i] <= vmax
+        elif r["column"] == ts_col:
+            if vmin is None or vmax is None:
+                ts_ok[f] = True
+            else:
+                ts_ok[f] = vmax >= ts_lo and vmin <= ts_hi
+    return sorted(
+        f for f in all_files
+        if metric_ok.get(f, True) and ts_ok.get(f, True)
+    )
+
+
+def read_pruned_data(spark: SparkSession, data_path: str, index_path: str,
+                     metric_names: list[str], start: int, end: int):
+    """The flagship read path's index-assisted scan, or ``None``.
+
+    Returns a DataFrame over ONLY the files :func:`prune_files_for_query`
+    keeps (with ``basePath`` so hive partition columns survive), an
+    empty-but-schema'd frame when the index proves nothing matches, or
+    ``None`` when no usable index exists — the caller then falls back
+    to the full-table read, so the index is purely an accelerator.
+    """
+    from graphouse_spark.schemas import DATA_SCHEMA
+
+    if not index_path or not os.path.isdir(index_path):
+        return None
+    try:
+        index = read_file_index(spark, index_path)
+        files = prune_files_for_query(index, metric_names, start, end)
+    except Exception:
+        return None  # unreadable/corrupt index must never fail a read
+    if not files:
+        return spark.createDataFrame([], DATA_SCHEMA)
+    return (
+        spark.read.option("basePath", data_path)
+        .schema(DATA_SCHEMA)
+        .parquet(*files)
+    )
+
+
 def prune_files_multi(index: DataFrame, predicates: list[tuple]) -> list[str]:
     """Conjunctive pruning: files surviving EVERY (col, lo, hi) range.
 

@@ -111,3 +111,46 @@ def test_multi_predicate_pruning_is_intersection(spark, lake):
     both = set(prune_files_multi(idx, [("timestamp", lo, hi), ("metric", "m.2", "m.3")]))
     assert both == t_only & m_only
     assert both <= t_only and both <= m_only
+
+
+def test_metricdata_read_path_uses_zonemap(spark, lake, tmp_path):
+    """The flagship /metricData plan consults the zonemap: a selective
+    query scans strictly fewer files WITH the index than without, and
+    returns the identical series dict (the index is an accelerator,
+    never a second source of truth)."""
+    from graphouse_spark.plans.metricdata import MetricDataService
+    from graphouse_spark.sources.skipping import prune_files_for_query
+    from graphouse_spark.sources.tables import read_data
+
+    index_path = str(tmp_path / "zonemap")
+    idx = build_file_index(spark, lake, ["metric", "timestamp"])
+    write_file_index(idx, index_path)
+
+    names = ["m.7"]
+    start, end = 1704067200, 1704067200 + 86400
+
+    # file-level: the pruner keeps a strict subset
+    total = len(_data_files(lake))
+    kept = prune_files_for_query(read_file_index(spark, index_path), names, start, end)
+    assert 0 < len(kept) < total
+
+    with_idx = MetricDataService(data_path=lake, index_path=index_path)
+    without = MetricDataService()
+    data = read_data(spark, lake)
+
+    r_idx = with_idx.get_data(spark, data, names, start, end, now_seconds=end)
+    r_full = without.get_data(spark, data, names, start, end, now_seconds=end)
+    assert r_idx == r_full
+    assert any(p is not None for p in r_idx["m.7"]["points"])
+
+    # plan-level: the pruned source reads fewer files than the full scan
+    pruned = with_idx._pruned_source(spark, names, start, end)
+    assert pruned is not None
+    assert 0 < len(pruned.inputFiles()) < len(data.inputFiles())
+
+    # no index configured -> transparent fallback (None)
+    assert without._pruned_source(spark, names, start, end) is None
+    # configured-but-missing index dir -> transparent fallback too
+    ghost = MetricDataService(data_path=lake, index_path=str(tmp_path / "nope"))
+    assert ghost._pruned_source(spark, names, start, end) is None
+    assert ghost.get_data(spark, data, names, start, end, now_seconds=end) == r_full
