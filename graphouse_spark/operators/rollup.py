@@ -57,9 +57,42 @@ def resolve_retention_names(spark: SparkSession, names: list,
     )
 
 
+def resolve_retention_map(names: DataFrame,
+                          provider: CombinedRetentionProvider) -> DataFrame:
+    """Executor-side retention resolution: the scale path of
+    :func:`resolve_retention_names`.
+
+    The rule WALK (first-match + RETENTION/AGGREGATION combination,
+    CombinedRetentionProvider.java:21-95) runs unchanged on executors —
+    the provider (a tiny rule list with compiled regexes) pickles into
+    the task closure, and each task resolves its slice of distinct
+    names. This reuses the exact anchored-``re`` semantics instead of
+    re-deriving them in SQL ``rlike`` (Java regex — a dialect drift
+    risk), and the result is a DataFrame co-keyed on ``metric`` for a
+    plain shuffle join. 10M names cost one short map stage, never a
+    driver round-trip.
+    """
+    import pandas as pd
+
+    def resolve(batches):
+        # fresh cache per task; the provider came through the closure
+        for pdf in batches:
+            fns, rngs = [], []
+            for name in pdf["metric"]:
+                r = provider.get_retention(name)
+                fns.append(r.function)
+                rngs.append([{"age": int(a), "step": int(p)} for a, p in r.ranges])
+            yield pd.DataFrame({"metric": pdf["metric"], "function": fns, "ranges": rngs})
+
+    return names.select("metric").mapInPandas(
+        resolve, "metric string, function string, ranges array<struct<age:int,step:int>>"
+    )
+
+
 def rollup_partition(spark: SparkSession, points: DataFrame,
                      provider: CombinedRetentionProvider,
-                     now_seconds: int) -> DataFrame:
+                     now_seconds: int,
+                     max_driver_names: int = 100_000) -> DataFrame:
     """Compact a slice of the data table per retention rules.
 
     Returns the replacement rows (same schema). Points whose tier
@@ -73,10 +106,21 @@ def rollup_partition(spark: SparkSession, points: DataFrame,
     is the LAST element with age <= day age (bisect_right - 1, as
     MetricRetention.step_size does in Python).
     """
-    names = [r["metric"] for r in points.select("metric").distinct().collect()]
-    if not names:
+    distinct_names = points.select("metric").distinct()
+    # name-count gate: below the threshold the driver resolves and
+    # broadcasts (one tiny createDataFrame, zero extra shuffle on the
+    # join); above it the resolution itself moves to executors and the
+    # join becomes a plain shuffle join — no driver materialization of
+    # a 10M-name set (the reference holds the same set in its JVM tree;
+    # at its own 10M-name guidance that round-trip is multi-GB).
+    n_names = distinct_names.count()
+    if n_names == 0:
         return points
-    ret_map = resolve_retention_names(spark, names, provider)
+    if n_names <= max_driver_names:
+        names = [r["metric"] for r in distinct_names.collect()]
+        ret_map = F.broadcast(resolve_retention_names(spark, names, provider))
+    else:
+        ret_map = resolve_retention_map(distinct_names, provider)
 
     deduped = dedup_points(points).withColumn(
         "date", F.to_date(F.from_unixtime("timestamp"))
@@ -85,7 +129,7 @@ def rollup_partition(spark: SparkSession, points: DataFrame,
     age = F.greatest(F.lit(int(now_seconds)) - day_end, F.lit(0).cast("long"))
     precision = F.element_at(F.filter("ranges", lambda r: r["age"] <= age), -1)["step"]
     tagged = (
-        deduped.join(F.broadcast(ret_map), "metric")
+        deduped.join(ret_map, "metric")
         .withColumn("precision", precision)
         .drop("ranges")
     )
@@ -122,6 +166,94 @@ def rollup_partition(spark: SparkSession, points: DataFrame,
     )
 
 
+#: staging / backup names for the partition commit protocol. Both are
+#: dot-prefixed: Spark's file listing skips hidden paths, so readers
+#: NEVER see a half-written or half-swapped partition.
+_STAGE_SUFFIX = ".new"
+_BACKUP_SUFFIX = ".bak"
+
+
+def _stage(data_path: str, d: str):
+    from pathlib import Path
+    return Path(data_path) / f".date={d}{_STAGE_SUFFIX}"
+
+
+def _backup(data_path: str, d: str):
+    from pathlib import Path
+    return Path(data_path) / f".date={d}{_BACKUP_SUFFIX}"
+
+
+def _live(data_path: str, d: str):
+    from pathlib import Path
+    return Path(data_path) / f"date={d}"
+
+
+def _commit_partition(data_path: str, d: str) -> None:
+    """Swap a staged partition in, one atomic rename at a time.
+
+    Sequence (stage dir already present):
+      1. live -> backup   (atomic rename; partition vanishes from
+                           listings, but only for the instant between
+                           1 and 2 — and a crash there is recoverable)
+      2. stage -> live    (atomic rename; new data visible)
+      3. remove backup
+    Every intermediate state is enumerated by :func:`recover_compaction`.
+    """
+    import os
+    import shutil
+
+    live, stage, backup = _live(data_path, d), _stage(data_path, d), _backup(data_path, d)
+    if live.exists():
+        os.rename(live, backup)
+    os.rename(stage, live)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
+def recover_compaction(data_path: str) -> list[str]:
+    """Roll the commit protocol forward/back after a crash.
+
+    For each partition with leftover protocol dirs:
+    - stage + live present          -> crashed before step 1: drop the
+      stale stage (the rerun regenerates it).
+    - stage + backup, no live       -> crashed between 1 and 2: finish
+      the swap (stage -> live, drop backup).
+    - backup + live, no stage       -> crashed before step 3: drop the
+      backup.
+    - backup only                   -> restore it to live.
+    Afterwards the table is readable and compaction is re-runnable.
+    Returns the partitions touched.
+    """
+    import os
+    import re as _re
+    import shutil
+    from pathlib import Path
+
+    root = Path(data_path)
+    if not root.is_dir():
+        return []
+    touched = []
+    pat = _re.compile(r"^\.date=(.+)(" + _re.escape(_STAGE_SUFFIX) + "|"
+                      + _re.escape(_BACKUP_SUFFIX) + r")$")
+    dates = {m.group(1) for p in root.iterdir() if (m := pat.match(p.name))}
+    for d in sorted(dates):
+        live, stage, backup = _live(data_path, d), _stage(data_path, d), _backup(data_path, d)
+        if stage.exists():
+            if live.exists():
+                shutil.rmtree(stage)  # never started the swap
+            elif backup.exists():
+                os.rename(stage, live)  # finish the interrupted swap
+                shutil.rmtree(backup, ignore_errors=True)
+            else:
+                shutil.rmtree(stage)  # stage without context: rerun rebuilds
+        elif backup.exists():
+            if live.exists():
+                shutil.rmtree(backup)  # swap completed, cleanup missed
+            else:
+                os.rename(backup, live)  # restore the original
+        touched.append(d)
+    return touched
+
+
 def compact_data_table(spark: SparkSession, data_path: str,
                        provider: CombinedRetentionProvider,
                        now_seconds: int | None = None,
@@ -131,16 +263,23 @@ def compact_data_table(spark: SparkSession, data_path: str,
     Idempotent: re-running maps already-rolled points onto the same
     buckets. Returns the list of rewritten partition dates.
 
-    The rewrite goes through a sibling temp path, then swaps partition
-    directories — Spark cannot overwrite a path it is reading, and a
-    crash mid-swap loses at most one partition's compaction (the raw
-    data is re-derivable; on a real deployment this job would target a
-    table format with atomic replace, e.g. ``replaceWhere``).
+    The rewrite goes through a sibling temp path, then commits each
+    partition via the rename-based protocol above (stage -> backup ->
+    swap -> cleanup; all single-directory renames, atomic on POSIX and
+    HDFS). Readers only ever list the live ``date=`` dirs — staged and
+    backup dirs are dot-hidden. A crash at ANY point leaves the table
+    readable and the job re-runnable after :func:`recover_compaction`
+    (which runs automatically at the start of every compaction). On a
+    table format (Delta/Iceberg) this whole dance collapses to
+    ``replaceWhere`` — the protocol is the bare-parquet equivalent.
     """
+    import os
     import shutil
     from pathlib import Path
 
     from graphouse_spark.sources.tables import read_data
+
+    recover_compaction(data_path)
 
     now = now_seconds if now_seconds is not None else int(dt.datetime.now(dt.timezone.utc).timestamp())
     cutoff = dt.datetime.fromtimestamp(now - min_age_seconds, dt.timezone.utc).date()
@@ -162,10 +301,13 @@ def compact_data_table(spark: SparkSession, data_path: str,
     rewritten = []
     for d in dates:
         src = Path(tmp_path) / f"date={d}"
-        dst = Path(data_path) / f"date={d}"
         if src.exists():
-            shutil.rmtree(dst, ignore_errors=True)
-            shutil.move(str(src), str(dst))
+            # stage into the table dir first (same filesystem as the
+            # sibling tmp path, so this is a rename, not a copy)
+            stage = _stage(data_path, str(d))
+            shutil.rmtree(stage, ignore_errors=True)
+            os.rename(src, stage)
+            _commit_partition(data_path, str(d))
             rewritten.append(str(d))
     shutil.rmtree(tmp_path, ignore_errors=True)
     return rewritten

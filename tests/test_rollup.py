@@ -77,3 +77,78 @@ def test_compaction_invariance(spark, tmp_path):
     compact_data_table(spark, path, PROVIDER, now_seconds=NOW, min_age_seconds=7 * 86400)
     again = service.get_data(spark, read_data(spark, path), names, BASE - 300, NOW, params=params)
     assert again == before
+
+
+def test_retention_resolution_paths_agree(spark):
+    """Driver-collect and executor-side (mapInPandas) retention
+    resolution produce identical rollups — the scale path is a drop-in.
+    The large path must not collect names on the driver."""
+    from unittest.mock import patch
+
+    from graphouse_spark.operators import rollup as rl
+
+    pts = old_points(spark)
+    small = rollup_partition(spark, pts, PROVIDER, NOW).collect()
+    with patch.object(rl, "resolve_retention_names",
+                      side_effect=AssertionError("driver path used in large mode")):
+        large = rollup_partition(spark, pts, PROVIDER, NOW, max_driver_names=0).collect()
+    key = lambda r: (r["metric"], r["timestamp"])  # noqa: E731
+    assert sorted(map(tuple, small), key=lambda t: (t[0], t[2])) == \
+           sorted(map(tuple, large), key=lambda t: (t[0], t[2]))
+    assert {key(r) for r in small} == {key(r) for r in large}
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """Crash-injection at every protocol step: the table stays readable
+    (never loses the partition for readers) and compaction re-runs to
+    the same final state."""
+    import os
+    import shutil
+
+    from graphouse_spark.operators.rollup import (
+        _backup, _commit_partition, _live, _stage, recover_compaction,
+    )
+
+    path = str(tmp_path / "data")
+    write_data(old_points(spark), path)
+    d = "2018-11-14"
+    expect = read_data(spark, path).count()
+
+    def staged_copy():
+        # what compact_data_table produces right before the commit
+        shutil.copytree(_live(path, d), _stage(path, d))
+
+    # -- crash BEFORE step 1 (stage exists, live untouched) --
+    staged_copy()
+    assert read_data(spark, path).count() == expect  # dot-dir invisible
+    recover_compaction(path)
+    assert not _stage(path, d).exists()
+    assert read_data(spark, path).count() == expect
+
+    # -- crash BETWEEN steps 1 and 2 (live renamed away, stage present) --
+    staged_copy()
+    os.rename(_live(path, d), _backup(path, d))
+    recover_compaction(path)  # must finish the swap forward
+    assert _live(path, d).exists() and not _backup(path, d).exists()
+    assert read_data(spark, path).count() == expect
+
+    # -- crash BETWEEN steps 2 and 3 (backup cleanup missed) --
+    shutil.copytree(_live(path, d), _backup(path, d))
+    recover_compaction(path)
+    assert not _backup(path, d).exists()
+    assert read_data(spark, path).count() == expect
+
+    # -- backup only (live lost mid-restore) --
+    os.rename(_live(path, d), _backup(path, d))
+    recover_compaction(path)
+    assert _live(path, d).exists()
+    assert read_data(spark, path).count() == expect
+
+    # -- full committed swap still works and rerun converges --
+    staged_copy()
+    _commit_partition(path, d)
+    assert read_data(spark, path).count() == expect
+    rewritten = compact_data_table(spark, path, PROVIDER, now_seconds=NOW,
+                                   min_age_seconds=7 * 86400)
+    assert rewritten == [d]
+    assert read_data(spark, path).filter(F.col("date") == d).count() == 2
