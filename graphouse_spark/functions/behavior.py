@@ -8,11 +8,14 @@ streams). Re-expressed Spark-first:
 - :func:`window_funnel` — first-match funnel depth per user. CH's
   windowFunnel scans each user's stream imperatively; here the same
   greedy semantics ("earliest step-1 hit anchors the window, each next
-  step is the earliest strictly-later hit inside it") falls out of a
-  CHAIN OF MIN-AGGREGATIONS: one filtered min per step, each joined on
-  user_id. Every stage is a shuffle-partial/final agg on the same key,
-  so Catalyst co-partitions the whole chain after the first exchange —
-  no per-user Python, no sort, no window function over the raw stream.
+  step is the earliest strictly-later hit inside it") runs as ONE
+  shuffle regardless of funnel length: collect each user's relevant
+  events into a time-sorted array (partial-agg'd collect_list on the
+  user key), then fold it with ``F.aggregate`` — a codegen'd JVM
+  lambda, no per-user Python, no per-step join. A time-ordered greedy
+  scan provably equals the chain-of-min formulation because every
+  advance requires a STRICTLY later timestamp, so the first qualifying
+  event in sort order is the min.
 - :func:`retention_cohorts` — cohort-day x day-offset return counts
   (CH ``retention()`` folded with the usual GROUP BY cohort wrapper).
 - :func:`sequence_match` — CH ``sequenceMatch('(?1).*(?2)')``: each
@@ -44,30 +47,58 @@ def window_funnel(events: DataFrame, steps: list[str], window_sec: int,
     """
     if len(steps) < 1:
         raise ValueError("steps must name at least one event type")
-    base = events.select(user_col, ts_col, type_col)
-    cur = (
-        base.filter(F.col(type_col) == steps[0])
+    n = len(steps)
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    per_user = (
+        events.filter(F.col(type_col).isin(list(set(steps))))
         .groupBy(user_col)
-        .agg(F.min(ts_col).alias("t1"))
-    )
-    for i, step in enumerate(steps[1:], start=2):
-        prev = f"t{i - 1}"
-        anchor_cols = [user_col, "t1"] if prev == "t1" else [user_col, "t1", prev]
-        hit = (
-            base.filter(F.col(type_col) == step)
-            .join(cur.select(*anchor_cols), user_col)
-            .filter(
-                (F.col(ts_col) > F.col(prev))
-                & (F.col(ts_col) <= F.col("t1") + window_sec)
-            )
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias(f"t{i}"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).cast("long").alias("ts"),
+                        F.col(type_col).alias("et"),
+                    )
+                )
+            ).alias("evs")
         )
-        cur = cur.join(hit, user_col, "left")
-    level = F.lit(1)
-    for i in range(2, len(steps) + 1):
-        level = level + F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
-    return cur.select(user_col, level.cast("int").alias("level"))
+    )
+    # accumulator: (level = steps completed, anchor = t1, last = t_level).
+    # Greedy advance: an event of the NEXT needed step type, strictly
+    # after the previous step's ts and within window of the anchor.
+    # Same-ts events can never advance two levels (strict >), so the
+    # sort's tie order cannot change the result.
+    acc0 = F.struct(
+        F.lit(0).alias("level"),
+        F.lit(0).cast("long").alias("anchor"),
+        F.lit(0).cast("long").alias("last"),
+    )
+
+    def scan(acc, e):
+        first = (acc["level"] == 0) & (e["et"] == F.lit(steps[0]))
+        # F.get is 0-indexed and null-safe out of range (never throws
+        # under ANSI), so the fold stays pure codegen at level == n
+        advance = (
+            (acc["level"] > 0)
+            & (acc["level"] < n)
+            & (e["et"] == F.get(step_arr, acc["level"]))
+            & (e["ts"] > acc["last"])
+            & (e["ts"] <= acc["anchor"] + window_sec)
+        )
+        return (
+            F.when(first, F.struct(
+                F.lit(1).alias("level"), e["ts"].alias("anchor"), e["ts"].alias("last")))
+            .when(advance, F.struct(
+                (acc["level"] + 1).alias("level"),
+                acc["anchor"].alias("anchor"), e["ts"].alias("last")))
+            .otherwise(acc)
+        )
+
+    level = F.aggregate("evs", acc0, scan)["level"]
+    return (
+        per_user.select(user_col, level.cast("int").alias("level"))
+        .filter(F.col("level") >= 1)
+    )
 
 
 def retention_cohorts(events: DataFrame, anchor_type: str, return_type: str,
