@@ -1243,17 +1243,32 @@ def q_sketch_daily_users(spark, sf_dir):
     t-digest-style p95 per day. At 100 TB these replace exact
     distinct/percentile — partials merge associatively across
     executors, so the plan is one partial+final agg with no
-    re-shuffle of raw values. Approximate -> rows-only driver check
-    (exact twins are oracled in gh_distinct_users / gh_percentiles)."""
+    re-shuffle of raw values.
+
+    Correctness-gate shape: the sketches run IN the plan and their
+    estimates are asserted against exact twins computed alongside
+    (|approx-exact| <= 3*rsd*exact; approx p95 inside [exact p90,
+    exact p99]). The output carries the exact values + the bound
+    booleans, so the driver hash-compares the whole thing against a
+    DuckDB oracle that emits TRUE literals — a failed bound flips a
+    boolean and the hash. Production keeps the sketch-only shape
+    (drop the exact columns); this is the CI form."""
     ev = _events_sec(spark, sf_dir)
     day = ((F.col("ts_sec") - SEC_JAN1) / DAY).cast("long").alias("day")
-    return (
-        ev.groupBy(day)
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx("value", 0.95, 10000).alias("p95_value"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
+    agg = ev.groupBy(day).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx_users"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.percentile_approx("value", 0.95, 10000).alias("_p95_approx"),
+        F.expr("percentile(value, 0.90)").alias("_p90"),
+        F.expr("percentile(value, 0.99)").alias("_p99"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "day", "n_events", "n_users",
+        (F.abs(F.col("_approx_users") - F.col("n_users"))
+         <= 0.06 * F.col("n_users")).alias("users_ok"),
+        ((F.col("_p95_approx") >= F.col("_p90"))
+         & (F.col("_p95_approx") <= F.col("_p99"))).alias("p95_ok"),
     )
 
 
@@ -1289,13 +1304,26 @@ def q_profile_lineitem(spark, sf_dir):
 def q_sketch_weekly_users(spark, sf_dir):
     """Stored-sketch rollup: daily HLL user sketches merged into weekly
     estimates via hll_union_agg — the no-raw-re-scan re-aggregation
-    pattern (functions/sketches.py). Approximate -> rows-only check;
-    the merge-is-lossless property is pinned in tests."""
+    pattern (functions/sketches.py); merge-is-lossless is pinned in
+    tests. Correctness-gate shape (see q_sketch_daily_users): the
+    merged estimate is bound-checked against an exact weekly
+    count_distinct computed alongside (lg_k=12 -> ~1.6% stderr; 5%
+    tolerance), so the output is exactly oracle-able."""
     from graphouse_spark.functions.sketches import rollup_sketches, user_sketch_table
 
     ev = _events_sec(spark, sf_dir)
     daily = user_sketch_table(ev, bucket_seconds=DAY)
-    return rollup_sketches(daily, 7 * DAY)
+    weekly = rollup_sketches(daily, 7 * DAY)
+    week = (F.col("ts_sec") - F.col("ts_sec") % (7 * DAY)).alias("window_ts")
+    exact = ev.groupBy(week).agg(F.count_distinct("user_id").alias("n_users"))
+    return (
+        weekly.join(exact, "window_ts")
+        .select(
+            "window_ts", "n_events", "n_users",
+            (F.abs(F.col("approx_users") - F.col("n_users"))
+             <= 0.05 * F.col("n_users")).alias("merge_ok"),
+        )
+    )
 
 
 def q_join_semi(spark, sf_dir):
@@ -2143,7 +2171,7 @@ def q_ts_most_deviant(spark, sf_dir):
 
 def q_ts_filter_family(spark, sf_dir):
     """graphite maximumAbove + minimumBelow composed: series whose peak
-    tops 60 and whose minimum dips under 40 — two unbounded window
+    tops 345 and whose minimum dips under 40 — two unbounded window
     stats in ONE window pass, then a scan-stage filter."""
     from graphouse_spark.functions.timeseries import maximum_above, minimum_below
 
@@ -2688,6 +2716,24 @@ def oracle_sql() -> dict[str, str]:
                    arg_max(value, event_id) AS last_value,
                    max(event_id) AS updated
             FROM events GROUP BY user_id, event_type
+        """,
+        # the sketch queries assert their own approximation bounds and
+        # emit booleans; the oracle carries the exact twins + TRUE
+        # literals, so a bound violation breaks the hash compare
+        "sketch_daily_users": f"""
+            SELECT ({ts_sec} - 1704067200) // 86400 AS day,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   TRUE AS users_ok,
+                   TRUE AS p95_ok
+            FROM events GROUP BY 1
+        """,
+        "sketch_weekly_users": f"""
+            SELECT {ts_sec} - {ts_sec} % {7 * 86400} AS window_ts,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   TRUE AS merge_ok
+            FROM events GROUP BY 1
         """,
         "gh_dedup_rank": """
             SELECT user_id, event_type, value AS last_value, event_id AS updated
@@ -4416,7 +4462,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_pow_family": f"""
             SELECT metric, ts, value,
                    round(value * value, 6) AS squared,
-                   round(sqrt(greatest(value, 0.0)), 6) AS root,
+                   round(CASE WHEN value >= 0 THEN sqrt(value) END, 6) AS root,
                    round(CASE WHEN value != 0 THEN 1.0 / value END, 6) AS inverted
             FROM ({_SERIES_SQL})
         """,

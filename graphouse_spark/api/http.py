@@ -125,7 +125,11 @@ def make_handler(service: GraphouseService):
                     # legacy startSecond/endSecond form fields also accepted
                     start = int(qparams.get("start", form.get("start", form.get("startSecond"))))
                     end = int(qparams.get("end", form.get("end", form.get("endSecond"))))
-                    self._send(200, service.metric_data_json(metrics, start, end), "application/json")
+                    # reqKey rides the query string (graphouse.py:78-88);
+                    # it scopes this request's Spark jobs for cancellation
+                    req_key = qparams.get("reqKey", form.get("reqKey")) or None
+                    self._send(200, service.metric_data_json(
+                        metrics, start, end, req_key=req_key), "application/json")
                 elif route in ("/ban", "/approve", "/hide"):
                     status = {"/ban": "BAN", "/approve": "APPROVED", "/hide": "HIDDEN"}[route]
                     # the servlet reads getParameter("name")

@@ -82,10 +82,35 @@ class GraphouseService:
 
     # -- /metricData --
     def metric_data(self, patterns: list[str], start: int, end: int,
-                    now_seconds: int | None = None) -> dict:
-        """Glob-expand each pattern, then run the §3.1 read path."""
+                    now_seconds: int | None = None,
+                    req_key: str | None = None) -> dict:
+        """Glob-expand each pattern, then run the §3.1 read path.
+
+        ``req_key`` is the plugin's request-tracing id (graphouse.py:78-88
+        sends it; MetricDataServiceServlet.java:44-98 logs it and keys
+        cancellation on it). Here it becomes the Spark job group for
+        every job this request launches, so :meth:`cancel_request` can
+        kill a running query — the Spark twin of the servlet's
+        cancellation-on-disconnect.
+        """
         if not self._loaded:
             raise RuntimeError("metric tree not loaded yet (the reference returns 503)")
+        if req_key:
+            sc = self.spark.sparkContext
+            sc.setJobGroup(req_key, f"/metricData reqKey={req_key}",
+                           interruptOnCancel=True)
+            try:
+                return self._metric_data(patterns, start, end, now_seconds)
+            finally:
+                sc.setJobGroup(None, None)
+        return self._metric_data(patterns, start, end, now_seconds)
+
+    def cancel_request(self, req_key: str) -> None:
+        """Cancel every Spark job started under ``req_key``."""
+        self.spark.sparkContext.cancelJobGroup(req_key)
+
+    def _metric_data(self, patterns: list[str], start: int, end: int,
+                     now_seconds: int | None = None) -> dict:
         # literals also route through search (MetricDataService.java:86-98):
         # banned/hidden/unknown names produce no series at all, while
         # registered-but-dataless metrics get full null series

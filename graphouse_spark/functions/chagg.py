@@ -134,7 +134,17 @@ def shannon_entropy(df: DataFrame, group_cols: list[str],
     gets full map-side partial aggregation, so no raw rows cross the
     second shuffle. The float math is arranged as
     ``(ln(N) - sum(c*ln(c))/N) / ln(2)`` so an SQL oracle can evaluate
-    the bit-identical expression tree over the same integer counts.
+    the same expression tree over the same integer counts.
+
+    Tolerance (deviation from this module's exact-integer-accumulation
+    rule, stated explicitly): ``sum(c*ln(c))`` is a FLOAT sum, so the
+    result is partition-order-dependent up to ~K*eps relative error
+    (K = distinct keys per group) and engine-comparable only after
+    rounding; callers that oracle this aggregate must round to <= 6
+    decimals (as ``q_ev_entropy`` does). Exact integer accumulation is
+    impossible here because ln(c) is already irrational; scaling to
+    fixed-point units would merely trade order-dependence for a
+    cross-engine libm-ULP dependence of the same magnitude.
     """
     per_key = (
         df.groupBy(*group_cols, F.col(key_col).alias("__k"))

@@ -787,6 +787,14 @@ def hitcount(series: DataFrame, interval_seconds: int, step_seconds: int,
     aggregation over every series at once. Values are re-scaled to
     exact integer cents*step before the sum, so the bucket totals are
     order-independent and engine-exact.
+
+    Deviation from graphite-web (like :func:`smart_summarize` notes for
+    alignment): buckets are EPOCH-aligned, not request-start-aligned,
+    and each point's integral is credited wholly to the bucket holding
+    its timestamp — graphite prorates points whose native interval
+    straddles a bucket edge. On step-aligned series (this engine always
+    emits them) no point straddles, so only the alignment differs; use
+    :func:`smart_summarize` when request-anchored buckets matter.
     """
     bucket = (F.col(ts_col) - F.col(ts_col) % interval_seconds).alias(ts_col)
     cents = F.round(F.col(value_col) * 100).cast("long")
@@ -902,13 +910,13 @@ def delay_series(series: DataFrame, steps: int, metric_col: str = "metric",
 
 
 def time_slice(series: DataFrame, start: int, end: int,
-               ts_col: str = "ts") -> DataFrame:
+               ts_col: str = "ts", value_col: str = "value") -> DataFrame:
     """graphite ``timeSlice(series, start, end)``: null out points
     outside [start, end) — the predicate-pushdown twin is a plain
     filter; graphite keeps the grid, so the value is nulled, not the
     row dropped."""
     keep = (F.col(ts_col) >= start) & (F.col(ts_col) < end)
-    return series.withColumn("value", F.when(keep, F.col("value")))
+    return series.withColumn(value_col, F.when(keep, F.col(value_col)))
 
 
 def pow_family(series: DataFrame, metric_col: str = "metric",
@@ -916,12 +924,13 @@ def pow_family(series: DataFrame, metric_col: str = "metric",
     """graphite ``pow(series, 2)`` / ``squareRoot`` / ``invert`` in one
     projection. squared is v*v (not libm pow — multiplication is
     IEEE-exact on every engine); sqrt/1/x are correctly-rounded IEEE
-    ops; invert nulls v=0 like graphite (None on ZeroDivision)."""
+    ops; invert nulls v=0 and squareRoot nulls v<0, both matching
+    graphite (safePow's None on a math error)."""
     v = F.col(value_col)
     return series.select(
         metric_col, ts_col, v.alias(value_col),
         F.round(v * v, 6).alias("squared"),
-        F.round(F.sqrt(F.greatest(v, F.lit(0.0))), 6).alias("root"),
+        F.round(F.when(v >= 0, F.sqrt(v)), 6).alias("root"),
         F.round(F.when(v != 0, F.lit(1.0) / v), 6).alias("inverted"),
     )
 

@@ -175,3 +175,24 @@ def test_get_modify_routes(server):
     assert "one_min.srv1.cpu" in body
     code, _ = get(port, "/hide?name=")
     assert code == 400
+
+
+def test_req_key_scopes_spark_job_group(server, spark):
+    """reqKey becomes the Spark job group for the request's jobs
+    (cancellation parity with MetricDataServiceServlet); the local
+    property is cleared afterwards and results are unaffected."""
+    svc, http, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    with_key = svc.metric_data(["one_min.srv1.cpu"], BASE, BASE + 180,
+                               req_key="rk-42")
+    without = svc.metric_data(["one_min.srv1.cpu"], BASE, BASE + 180)
+    assert with_key == without
+    assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") is None
+    svc.cancel_request("rk-42")  # no-op on a finished group, must not raise
+
+    # and over the wire
+    path = f"/metricData?start={BASE}&end={BASE + 180}&reqKey=rk-43"
+    code, body = post(port, path, metrics="one_min.srv1.cpu")
+    assert code == 200
+    assert json.loads(body)["one_min.srv1.cpu"]["points"] == [1.0, 2.0, 3.0]

@@ -15,10 +15,15 @@ def test_ewma_anomaly_stream(spark, tmp_path):
     src.mkdir()
     base = 1_542_199_500
 
-    # batch 1: steady signal for two metrics
+    # batch 1: steady signal for two metrics. ONE file per batch
+    # (coalesce(1)): with maxFilesPerTrigger=1 each row would otherwise
+    # land in its own single-row file/micro-batch, and the file-source
+    # orders those by modification time — nondeterministic under suite
+    # load, scrambling the EWMA input order (a run of equal values
+    # collapses the variance and a steady point then alarms spuriously).
     rows1 = [("m.a.x", 10.0 + (i % 3) * 0.1, base + i, base + i) for i in range(20)]
     rows1 += [("m.b.y", 5.0, base + i, base + i) for i in range(10)]
-    spark.createDataFrame(rows1, LINE_SCHEMA).write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows1, LINE_SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
 
     query = None
     out_table = "ewma_out"
@@ -42,7 +47,7 @@ def test_ewma_anomaly_stream(spark, tmp_path):
 
         # batch 2: a spike on m.a.x — state carried across micro-batches
         rows2 = [("m.a.x", 10.1, base + 100, base + 100), ("m.a.x", 500.0, base + 101, base + 101)]
-        spark.createDataFrame(rows2, LINE_SCHEMA).write.parquet(str(src / "b2"))
+        spark.createDataFrame(rows2, LINE_SCHEMA).coalesce(1).write.parquet(str(src / "b2"))
         query.processAllAvailable()
         rows = spark.sql(
             f"SELECT * FROM {out_table} WHERE timestamp >= {base + 100} ORDER BY timestamp"

@@ -1,6 +1,7 @@
 """Graphite round-5 transforms: hitcount, smartSummarize, mostDeviant,
 maximumAbove/minimumBelow, delay, timeSlice, pow family, timeStack."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from graphouse_spark.functions.timeseries import (
@@ -62,11 +63,12 @@ def test_delay_and_time_slice(spark):
 
 
 def test_pow_family_values(spark):
-    s = _mk(spark, [("m", 0, 4.0), ("m", 60, 0.0)])
+    s = _mk(spark, [("m", 0, 4.0), ("m", 60, 0.0), ("m", 120, -9.0)])
     got = {r["ts"]: (r["squared"], r["root"], r["inverted"])
            for r in pow_family(s).collect()}
     assert got[0] == (16.0, 2.0, 0.25)
     assert got[60] == (0.0, 0.0, None)  # invert(0) -> null like graphite
+    assert got[120] == (81.0, None, pytest.approx(-1 / 9, abs=1e-6))  # sqrt(<0) -> null
 
 
 def test_time_stack_shifted_copies(spark):
