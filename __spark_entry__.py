@@ -2195,6 +2195,106 @@ def q_ts_pow_family(spark, sf_dir):
     return pow_family(_series(spark, sf_dir))
 
 
+def q_ts_filter_family2(spark, sf_dir):
+    """graphite minimumAbove + maximumBelow composed (round 6): the
+    filter-family complements — series whose minimum stays above
+    0.02 and whose peak stays below 400, both from ONE window pass each."""
+    from graphouse_spark.functions.timeseries import maximum_below, minimum_above
+
+    return maximum_below(minimum_above(_series(spark, sf_dir), 0.02), 400.0)
+
+
+def q_ts_percentile_trim(spark, sf_dir):
+    """graphite removeAbovePercentile(series, 95): null points above the
+    series' own interpolated p95 — grid preserved, one window
+    percentile, no self-join."""
+    from graphouse_spark.functions.timeseries import remove_above_percentile
+
+    return remove_above_percentile(_series(spark, sf_dir), 95.0)
+
+
+def q_ts_multiply(spark, sf_dir):
+    """graphite multiplySeries across the aligned per-type series.
+    Product runs as a SORTED-array fold so the multiplication order —
+    and therefore every IEEE rounding step — is identical on any
+    engine/partitioning (float products, unlike integer sums, cannot
+    be made exact; fixing the order makes them deterministic)."""
+    s = _series(spark, sf_dir)
+    return (
+        s.groupBy("ts")
+        .agg(F.sort_array(F.collect_list("value")).alias("_vs"))
+        .select(
+            "ts",
+            F.round(
+                F.aggregate("_vs", F.lit(1.0), lambda acc, v: acc * v), 6
+            ).alias("product_value"),
+            F.size("_vs").alias("n_series"),
+        )
+    )
+
+
+def q_ts_diff(spark, sf_dir):
+    """graphite diffSeries(click, *others*): the click series minus the
+    aligned micro-unit-exact sum of every other series."""
+    from graphouse_spark.functions.timeseries import diff_series
+
+    s = _series(spark, sf_dir)
+    return diff_series(
+        s.filter(F.col("metric") == "click"),
+        s.filter(F.col("metric") != "click"),
+    )
+
+
+def q_ts_group_by_nodes(spark, sf_dir):
+    """graphite groupByNodes(series, max, 0, 1): re-key
+    events.<type>.u<user> paths to events.<type> and take the aligned
+    max (exact under any aggregation order)."""
+    from graphouse_spark.functions.timeseries import group_by_nodes
+
+    ev = _events_sec(spark, sf_dir)
+    ser = ev.select(
+        F.concat(F.lit("events."), F.col("event_type"), F.lit(".u"), F.col("user_id")).alias("metric"),
+        (F.col("ts_sec") - F.col("ts_sec") % HOUR).alias("ts"),
+        "value",
+    )
+    return group_by_nodes(ser, "max", [0, 1])
+
+
+def q_ts_count_series(spark, sf_dir):
+    """graphite countSeries: non-null series count per aligned point."""
+    from graphouse_spark.functions.timeseries import count_series
+
+    return count_series(_series(spark, sf_dir))
+
+
+def q_ts_aggregate_line(spark, sf_dir):
+    """graphite aggregateLine(series, avg): each series collapsed to
+    its exact micro-unit mean (the rendered constant line)."""
+    from graphouse_spark.functions.timeseries import aggregate_line
+
+    return aggregate_line(_series(spark, sf_dir), "avg")
+
+
+def q_ts_sort_by_name(spark, sf_dir):
+    """graphite sortByName: lexicographic series rank, computed on the
+    tiny distinct-name set and broadcast back."""
+    from graphouse_spark.functions.timeseries import sort_by_name
+
+    return sort_by_name(_series(spark, sf_dir))
+
+
+def q_ts_render_target(spark, sf_dir):
+    """The render-target front door end-to-end: a nested dashboard
+    expression parsed and evaluated engine-side as ONE Catalyst plan
+    (functions/target.py) — composition is the product being tested."""
+    from graphouse_spark.functions.target import evaluate_target
+
+    return evaluate_target(
+        _series(spark, sf_dir),
+        "movingAverage(keepLastValue(maximumBelow(*, 400.0)), 3)",
+    )
+
+
 def q_ts_time_stack(spark, sf_dir):
     """graphite timeStack(series, '1d', 0, 3): three day-shifted copies
     via one explode fan-out (single scan, no per-copy union)."""
@@ -2556,6 +2656,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_filter_family": q_ts_filter_family,
         "ts_shift_family": q_ts_shift_family,
         "ts_pow_family": q_ts_pow_family,
+        "ts_filter_family2": q_ts_filter_family2,
+        "ts_percentile_trim": q_ts_percentile_trim,
+        "ts_multiply": q_ts_multiply,
+        "ts_diff": q_ts_diff,
+        "ts_group_by_nodes": q_ts_group_by_nodes,
+        "ts_count_series": q_ts_count_series,
+        "ts_aggregate_line": q_ts_aggregate_line,
+        "ts_sort_by_name": q_ts_sort_by_name,
+        "ts_render_target": q_ts_render_target,
         "ts_time_stack": q_ts_time_stack,
         "ev_sum_map": q_ev_sum_map,
         "ev_topk_users": q_ev_topk_users,
@@ -4465,6 +4574,73 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN value >= 0 THEN sqrt(value) END, 6) AS root,
                    round(CASE WHEN value != 0 THEN 1.0 / value END, 6) AS inverted
             FROM ({_SERIES_SQL})
+        """,
+        "ts_filter_family2": f"""
+            WITH s AS ({_SERIES_SQL}),
+            mm AS (SELECT metric, min(value) AS mn, max(value) AS mx FROM s GROUP BY 1)
+            SELECT s.metric, s.ts, s.value
+            FROM s JOIN mm ON s.metric = mm.metric
+            WHERE mm.mn > 0.02 AND mm.mx < 400.0
+        """,
+        "ts_percentile_trim": f"""
+            WITH s AS ({_SERIES_SQL}),
+            c AS (SELECT metric, quantile_cont(value, 0.95) AS cut FROM s GROUP BY 1)
+            SELECT s.metric, s.ts,
+                   CASE WHEN s.value <= c.cut THEN s.value END AS value
+            FROM s JOIN c ON s.metric = c.metric
+        """,
+        "ts_multiply": f"""
+            WITH s AS ({_SERIES_SQL})
+            SELECT ts,
+                   round(list_reduce(list_sort(list(value)), (a, b) -> a * b), 6)
+                       AS product_value,
+                   CAST(count(*) AS INTEGER) AS n_series
+            FROM s GROUP BY ts
+        """,
+        "ts_diff": f"""
+            WITH s AS ({_SERIES_SQL}),
+            sub AS (SELECT ts, sum(CAST(round(value * 1000000) AS BIGINT)) AS sm
+                    FROM s WHERE metric != 'click' GROUP BY 1)
+            SELECT s.metric, s.ts,
+                   round(s.value - coalesce(sub.sm, 0) / 1000000.0, 6) AS value
+            FROM s LEFT JOIN sub ON s.ts = sub.ts
+            WHERE s.metric = 'click'
+        """,
+        "ts_group_by_nodes": f"""
+            SELECT concat('events.', event_type) AS metric,
+                   {ts_sec} - {ts_sec} % 3600 AS ts,
+                   round(max(value), 6) AS value
+            FROM events GROUP BY 1, 2
+        """,
+        "ts_count_series": f"""
+            WITH s AS ({_SERIES_SQL})
+            SELECT ts, count(value) AS n_series FROM s GROUP BY ts
+        """,
+        "ts_aggregate_line": f"""
+            WITH s AS ({_SERIES_SQL})
+            SELECT metric,
+                   round(sum(CAST(round(value * 1000000) AS BIGINT))
+                         / count(value) / 1000000.0, 6) AS line_value
+            FROM s GROUP BY metric
+        """,
+        "ts_sort_by_name": f"""
+            WITH s AS ({_SERIES_SQL}),
+            r AS (SELECT metric,
+                         CAST(row_number() OVER (ORDER BY metric) AS INTEGER) AS rank
+                  FROM (SELECT DISTINCT metric FROM s))
+            SELECT s.metric, r.rank, s.ts, s.value
+            FROM s JOIN r ON s.metric = r.metric
+        """,
+        "ts_render_target": f"""
+            WITH s AS ({_SERIES_SQL}),
+            mm AS (SELECT metric, max(value) AS mx FROM s GROUP BY 1),
+            f AS (SELECT s.* FROM s JOIN mm ON s.metric = mm.metric
+                  WHERE mm.mx < 400.0)
+            SELECT metric, ts,
+                   round(avg(value) OVER (
+                       PARTITION BY metric ORDER BY ts
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS value
+            FROM f
         """,
         "ts_time_stack": f"""
             SELECT metric, CAST(c.shift_idx AS INTEGER) AS shift_idx,

@@ -154,6 +154,58 @@ _REGISTRY = {
     "logarithm": lambda df, base=10.0: ts.log_series(df, float(base)),
     "interpolate": lambda df: ts.interpolate_series(df),
     "groupByNode": lambda df, n, fn="sum": ts.group_by_node(df, int(n), str(fn)),
+    # round 6: filter-family complements, percentile trims, multi-series
+    # arithmetic, multi-node grouping, sorts — plus registrations for
+    # functions that existed engine-side but weren't reachable from a
+    # render target yet
+    "maximumAbove": lambda df, t: ts.maximum_above(df, float(t)),
+    "maximumBelow": lambda df, t: ts.maximum_below(df, float(t)),
+    "minimumAbove": lambda df, t: ts.minimum_above(df, float(t)),
+    "minimumBelow": lambda df, t: ts.minimum_below(df, float(t)),
+    "averageAbove": lambda df, t: ts.average_above(df, float(t)),
+    "averageBelow": lambda df, t: ts.average_below(df, float(t)),
+    "currentAbove": lambda df, t: ts.current_above(df, float(t)),
+    "currentBelow": lambda df, t: ts.current_below(df, float(t)),
+    "removeAbovePercentile": lambda df, p: ts.remove_above_percentile(df, float(p)),
+    "removeBelowPercentile": lambda df, p: ts.remove_below_percentile(df, float(p)),
+    "multiplySeries": lambda df: _canon(
+        ts.multiply_series(df), "product_value", "multiplySeries"),
+    "diffSeries": lambda a, b: ts.diff_series(a, b),
+    "divideSeries": lambda a, b: _canon(
+        ts.divide_series(a, b).withColumn("metric", F.lit("divideSeries")),
+        "ratio", "divideSeries"),
+    "countSeries": lambda df: _canon(
+        ts.count_series(df).select("ts", F.col("n_series").cast("double").alias("n")),
+        "n", "countSeries"),
+    "groupByNodes": lambda df, fn, *nodes: ts.group_by_nodes(df, str(fn), list(nodes)),
+    "sortByName": lambda df: ts.sort_by_name(df).select("metric", "ts", "value"),
+    "sortByTotal": lambda df, n: ts.sort_by_total(df, int(n)).select("metric", "ts", "value"),
+    "sortByMaxima": lambda df, n: ts.sort_by_maxima(df, int(n)).select("metric", "ts", "value"),
+    "mostDeviant": lambda df, n: ts.most_deviant(df, int(n)).select("metric", "ts", "value"),
+    "nPercentile": lambda df, p: _canon(ts.n_percentile(df, float(p) / 100.0), "pctl_value"),
+    "integral": lambda df: _canon(ts.running_total(df), "running_total"),
+    "integralByInterval": lambda df, sec: _canon(
+        ts.integral_by_interval(df, int(sec)), "running_value"),
+    "hitcount": lambda df, sec, step=60: _canon(
+        ts.hitcount(df, int(sec), int(step)), "hits"),
+    "smartSummarize": lambda df, sec, anchor, fn="avg": _canon(
+        ts.smart_summarize(df, int(sec), int(anchor), str(fn)), "value"),
+    "timeSlice": lambda df, a, b: ts.time_slice(df, int(a), int(b)),
+    "timeStack": lambda df, sec, n: ts.time_stack(df, int(sec), int(n)).select(
+        F.concat_ws("#", "metric", F.col("shift_idx").cast("string")).alias("metric"),
+        "ts", "value"),
+    "delay": lambda df, n: ts.delay_series(df, int(n)),
+    "squareRoot": lambda df: _canon(ts.pow_family(df), "root"),
+    "invert": lambda df: _canon(ts.pow_family(df), "inverted"),
+    "pow": lambda df, p=2: _canon(ts.pow_family(df), "squared"),
+    "grep": lambda df, pat: ts.grep_series(df, str(pat)),
+    "exclude": lambda df, pat: ts.exclude_series(df, str(pat)),
+    "aliasSub": lambda df, pat, rep: ts.alias_sub(df, str(pat), str(rep)),
+    "asPercent": lambda df: _canon(ts.as_percent(df), "pct"),
+    "changed": lambda df: _canon(ts.changed(df), "changed"),
+    "aggregateLine": lambda df, fn="avg": ts.aggregate_line(df, str(fn)).select(
+        "metric", F.lit(0).cast("long").alias("ts"),
+        F.col("line_value").alias("value")),
 }
 
 
@@ -184,8 +236,19 @@ def evaluate_target(series: DataFrame, target: str,
             if not node.args:
                 raise ValueError(f"{node.name} needs a series argument")
             head = ev(node.args[0])
-            rest = [ev(a) if isinstance(a, (Call, Path)) else a
-                    for a in node.args[1:]]
+            # non-head Path args: a BARE single-segment identifier (no
+            # dots, no glob chars) is a keyword like the ``sum`` in
+            # ``summarize(x, 3600, sum)`` — graphite accepts it
+            # unquoted — and passes through as a string; anything
+            # dotted/globbed is a real series argument (diffSeries) and
+            # evaluates. A top-level single-segment target still reads
+            # as a series (this branch only covers argument positions).
+            rest = [
+                a.glob if isinstance(a, Path) and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", a.glob)
+                else ev(a) if isinstance(a, (Call, Path))
+                else a
+                for a in node.args[1:]
+            ]
             return _REGISTRY[node.name](head, *rest)
         raise ValueError(f"a literal {node!r} is not a series")
 

@@ -952,3 +952,191 @@ def time_stack(series: DataFrame, shift_seconds: int, copies: int,
         (F.col(ts_col) + F.col("shift_idx") * shift_seconds).alias(ts_col),
         F.col(value_col),
     )
+
+
+# --------------------------------------------------------------------------
+# round 6: filter-family complements, percentile trims, multi-series
+# arithmetic, multi-node grouping, constant lines
+# --------------------------------------------------------------------------
+
+def minimum_above(series: DataFrame, threshold: float,
+                  metric_col: str = "metric",
+                  value_col: str = "value") -> DataFrame:
+    """graphite ``minimumAbove(series, t)``: keep series whose minimum
+    stays above t. One unbounded window min — no join."""
+    w = Window.partitionBy(metric_col)
+    return (
+        series.withColumn("_mn", F.min(value_col).over(w))
+        .filter(F.col("_mn") > threshold)
+        .drop("_mn")
+    )
+
+
+def maximum_below(series: DataFrame, threshold: float,
+                  metric_col: str = "metric",
+                  value_col: str = "value") -> DataFrame:
+    """graphite ``maximumBelow(series, t)``: keep series whose peak
+    stays below t. Same single-window shape as maximum_above."""
+    w = Window.partitionBy(metric_col)
+    return (
+        series.withColumn("_mx", F.max(value_col).over(w))
+        .filter(F.col("_mx") < threshold)
+        .drop("_mx")
+    )
+
+
+def average_below(series: DataFrame, threshold: float, metric_col: str = "metric",
+                  ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``averageBelow(series, X)``: keep only series whose mean
+    is at or under the threshold — per-series agg + broadcast semi-join
+    back (the mirror of average_above)."""
+    means = (
+        series.groupBy(metric_col)
+        .agg(F.avg(value_col).alias("_mean"))
+        .filter(F.col("_mean") <= threshold)
+    )
+    return series.join(
+        F.broadcast(means.select(metric_col)), metric_col, "left_semi"
+    ).select(metric_col, ts_col, value_col)
+
+
+def current_below(series: DataFrame, threshold: float,
+                  metric_col: str = "metric", ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """graphite ``currentBelow(series, X)``: keep series whose LAST
+    reading is at or under the bound (mirror of current_above)."""
+    last = (
+        series.groupBy(metric_col)
+        .agg(F.max_by(value_col, ts_col).alias("_last"))
+        .filter(F.col("_last") <= threshold)
+    )
+    return series.join(
+        F.broadcast(last.select(metric_col)), metric_col, "left_semi"
+    ).select(metric_col, ts_col, value_col)
+
+
+def remove_above_percentile(series: DataFrame, p: float,
+                            metric_col: str = "metric", ts_col: str = "ts",
+                            value_col: str = "value") -> DataFrame:
+    """graphite ``removeAbovePercentile(series, N)``: null out points
+    above the series' own Nth percentile — the grid survives (graphite
+    sets None, never drops rows). One partition-only window percentile,
+    no self-join; same shape as n_percentile."""
+    w = Window.partitionBy(metric_col)
+    cut = F.percentile(value_col, F.lit(p / 100.0)).over(w)
+    keep = F.col(value_col) <= cut
+    return series.select(
+        metric_col, ts_col, F.when(keep, F.col(value_col)).alias(value_col)
+    )
+
+
+def remove_below_percentile(series: DataFrame, p: float,
+                            metric_col: str = "metric", ts_col: str = "ts",
+                            value_col: str = "value") -> DataFrame:
+    """graphite ``removeBelowPercentile(series, N)`` — mirror of
+    remove_above_percentile."""
+    w = Window.partitionBy(metric_col)
+    cut = F.percentile(value_col, F.lit(p / 100.0)).over(w)
+    keep = F.col(value_col) >= cut
+    return series.select(
+        metric_col, ts_col, F.when(keep, F.col(value_col)).alias(value_col)
+    )
+
+
+def multiply_series(series: DataFrame, ts_col: str = "ts",
+                    value_col: str = "value") -> DataFrame:
+    """graphite ``multiplySeries(series)``: aligned-point product across
+    all series. ``F.product`` is one partial+final agg; the result is
+    rounded because float products are rounding-order-dependent across
+    engines (unlike the micro-unit sums used elsewhere, products cannot
+    be made exact in integers without overflow)."""
+    return series.groupBy(ts_col).agg(
+        F.round(F.product(value_col), 6).alias("product_value"),
+        F.count(F.lit(1)).alias("n_series"),
+    )
+
+
+def diff_series(minuend: DataFrame, subtrahends: DataFrame,
+                ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``diffSeries(a, b, c, ...)``: the first series minus the
+    aligned-point sum of the rest. The subtrahend side aggregates in
+    exact integer micro-units before one equi-join on ts; missing
+    subtrahend points subtract nothing (graphite treats None as 0
+    here)."""
+    micro = F.round(F.col(value_col) * 1_000_000).cast("long")
+    sub = subtrahends.groupBy(ts_col).agg(F.sum(micro).alias("_sub_micro"))
+    return (
+        minuend.join(sub, ts_col, "left")
+        .select(
+            "metric", ts_col,
+            F.round(
+                F.col(value_col) - F.coalesce(F.col("_sub_micro"), F.lit(0)) / 1_000_000.0, 6
+            ).alias(value_col),
+        )
+    )
+
+
+def group_by_nodes(series: DataFrame, function: str, nodes: list,
+                   metric_col: str = "metric", ts_col: str = "ts",
+                   value_col: str = "value") -> DataFrame:
+    """graphite ``groupByNodes(series, func, *nodes)``: re-key every
+    series to the dot-join of several path segments, then aggregate
+    aligned points — the multi-node generalization of group_by_node,
+    still one projection + one partial/final agg."""
+    from graphouse_spark.operators.bucket import AGG_FUNCTIONS
+
+    try:
+        agg = AGG_FUNCTIONS[function]
+    except KeyError:
+        raise ValueError(f"unknown aggregation function {function!r}") from None
+    parts = F.split(F.col(metric_col), r"\.")
+    key = F.concat_ws(".", *[F.get(parts, int(n)) for n in nodes])
+    return (
+        series.withColumn(metric_col, key)
+        .groupBy(metric_col, ts_col)
+        .agg(F.round(agg(value_col), 6).alias(value_col))
+    )
+
+
+def count_series(series: DataFrame, ts_col: str = "ts",
+                 value_col: str = "value") -> DataFrame:
+    """graphite ``countSeries(series)``: how many series have a (non
+    null) point at each aligned timestamp — count skips nulls, exactly
+    graphite's len of non-None values."""
+    return series.groupBy(ts_col).agg(
+        F.count(value_col).alias("n_series")
+    )
+
+
+def aggregate_line(series: DataFrame, function: str = "avg",
+                   metric_col: str = "metric",
+                   value_col: str = "value") -> DataFrame:
+    """graphite ``aggregateLine(series, func)``: each series collapsed
+    to its scalar avg/min/max (the rendered constant line). One
+    partial+final agg; avg runs in exact micro-units."""
+    micro = F.round(F.col(value_col) * 1_000_000).cast("long")
+    aggs = {
+        "avg": (F.sum(micro) / F.count(value_col) / 1_000_000.0),
+        "min": F.min(value_col),
+        "max": F.max(value_col),
+    }
+    try:
+        expr = aggs[function]
+    except KeyError:
+        raise ValueError(f"aggregateLine supports {sorted(aggs)}, got {function!r}") from None
+    return series.groupBy(metric_col).agg(F.round(expr, 6).alias("line_value"))
+
+
+def sort_by_name(series: DataFrame, metric_col: str = "metric",
+                 ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``sortByName(series)``: rank series lexicographically.
+    The rank is computed on the DISTINCT metric set (tiny) and
+    broadcast back — the point table itself never passes through a
+    single-partition global window."""
+    names = series.select(metric_col).distinct()
+    w = Window.orderBy(metric_col)
+    ranked = names.withColumn("rank", F.row_number().over(w))
+    return (
+        series.join(F.broadcast(ranked), metric_col)
+        .select(metric_col, "rank", ts_col, value_col)
+    )
