@@ -2353,6 +2353,103 @@ def q_ev_entropy(spark, sf_dir):
     return out.select("event_type", F.round("entropy_bits", 6).alias("entropy_bits"))
 
 
+def q_ev_limit_by(spark, sf_dir):
+    """CH ``LIMIT 3 BY event_type``: top-3 events per type by value
+    (event_id tiebreak) — one bounded window rank, no global sort."""
+    from graphouse_spark.functions.chagg import limit_by
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "user_id", "value")
+    return limit_by(ev, ["event_type"], [F.desc("value"), F.asc("event_id")], 3)
+
+
+def q_ev_bit_ops(spark, sf_dir):
+    """CH groupBitAnd/Or/Xor over per-type user-id words."""
+    from graphouse_spark.functions.chagg import group_bit_ops
+
+    ev = _t(spark, sf_dir, "events")
+    return group_bit_ops(ev, ["event_type"], "user_id")
+
+
+def q_ev_moments(spark, sf_dir):
+    """CH skewPop/kurtPop per event_type from exact decimal(38,0)
+    integer-cent power sums — bit-identical on any partitioning."""
+    from graphouse_spark.functions.chagg import moment_stats
+
+    return moment_stats(_t(spark, sf_dir, "events"), ["event_type"], "value")
+
+
+def q_ev_corr(spark, sf_dir):
+    """CH corr/covarPop of (value, user_id) per event_type from exact
+    integer cross-moments."""
+    from graphouse_spark.functions.chagg import corr_stats
+
+    return corr_stats(_t(spark, sf_dir, "events"), ["event_type"], "value", "user_id")
+
+
+def q_ev_max_intersections(spark, sf_dir):
+    """CH maxIntersections(Position): peak concurrent 10-minute event
+    intervals per type — sweep line as one explode + window cumsum."""
+    from graphouse_spark.functions.chagg import max_intersections
+
+    ev = _events_sec(spark, sf_dir)
+    iv = ev.select(
+        "event_type",
+        F.col("ts_sec").alias("s"),
+        (F.col("ts_sec") + 600).alias("e"),
+    )
+    return max_intersections(iv, ["event_type"], "s", "e")
+
+
+def q_ev_interval_cover(spark, sf_dir):
+    """CH intervalLengthSum: covered seconds of the union of 10-minute
+    event intervals per type (gaps-and-islands, one window)."""
+    from graphouse_spark.functions.chagg import interval_length_sum
+
+    ev = _events_sec(spark, sf_dir)
+    iv = ev.select(
+        "event_type",
+        F.col("ts_sec").alias("s"),
+        (F.col("ts_sec") + 600).alias("e"),
+    )
+    return interval_length_sum(iv, ["event_type"], "s", "e")
+
+
+def q_ev_histogram(spark, sf_dir):
+    """CH histogram(10) per event_type with deterministic fixed-width
+    bins — integer-cent bin math, engine-exact (CH's adaptive bins are
+    row-order-dependent and unreproducible by design)."""
+    from graphouse_spark.functions.chagg import histogram_fixed
+
+    return histogram_fixed(_t(spark, sf_dir, "events"), ["event_type"], "value", 10)
+
+
+def q_ev_min_max_map(spark, sf_dir):
+    """CH minMap/maxMap: per day, user-decile -> min/max value as
+    aligned sorted arrays (csv-serialized for the hash compare)."""
+    from graphouse_spark.functions.chagg import min_max_map
+
+    ev = _events_sec(spark, sf_dir)
+    ev = ev.withColumn("day", F.col("ts_sec") - F.col("ts_sec") % DAY)
+    ev = ev.withColumn("decile", (F.col("user_id") % 10).cast("int"))
+    m = min_max_map(ev, ["day"], "decile", "value")
+    return m.select(
+        "day",
+        F.array_join(F.transform("keys", lambda k: k.cast("string")), ",").alias("keys_csv"),
+        F.array_join(F.transform("min_vals", lambda v: v.cast("string")), ",").alias("min_csv"),
+        F.array_join(F.transform("max_vals", lambda v: v.cast("string")), ",").alias("max_csv"),
+    )
+
+
+def q_ev_topk_weighted(spark, sf_dir):
+    """CH topKWeighted(10)(user, value): users ranked by exact summed
+    cents — TakeOrderedAndProject, per-partition heaps."""
+    from graphouse_spark.functions.chagg import top_k_weighted
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return top_k_weighted(ev, "user_id", cents, 10)
+
+
 def q_ev_delta_sum(spark, sf_dir):
     """CH deltaSum: per user, the summed positive deltas of the
     time-ordered value sequence (counter-increase extraction), in
@@ -2670,6 +2767,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_topk_users": q_ev_topk_users,
         "ev_sample_per_type": q_ev_sample_per_type,
         "ev_entropy": q_ev_entropy,
+        "ev_limit_by": q_ev_limit_by,
+        "ev_bit_ops": q_ev_bit_ops,
+        "ev_moments": q_ev_moments,
+        "ev_corr": q_ev_corr,
+        "ev_max_intersections": q_ev_max_intersections,
+        "ev_interval_cover": q_ev_interval_cover,
+        "ev_histogram": q_ev_histogram,
+        "ev_min_max_map": q_ev_min_max_map,
+        "ev_topk_weighted": q_ev_topk_weighted,
         "ev_delta_sum": q_ev_delta_sum,
         "ev_mode": q_ev_mode,
         "ev_bitmap_segments": q_ev_bitmap_segments,
@@ -4674,6 +4780,134 @@ def oracle_sql() -> dict[str, str]:
                        ) AS INTEGER) AS sample_rank
                 FROM events
             ) WHERE sample_rank <= 5
+        """,
+        "ev_limit_by": """
+            SELECT event_type, event_id, user_id, value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type ORDER BY value DESC, event_id ASC) <= 3
+        """,
+        "ev_bit_ops": """
+            SELECT event_type,
+                   bit_and(user_id) AS bits_and,
+                   bit_or(user_id) AS bits_or,
+                   bit_xor(user_id) AS bits_xor
+            FROM events GROUP BY 1
+        """,
+        "ev_moments": """
+            WITH m AS (
+                SELECT event_type, count(*) AS n,
+                       CAST(sum(x) AS DOUBLE) AS s1,
+                       CAST(sum(x*x) AS DOUBLE) AS s2,
+                       CAST(sum(x*x*x) AS DOUBLE) AS s3,
+                       CAST(sum(x*x*x*x) AS DOUBLE) AS s4
+                FROM (SELECT event_type,
+                             CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS x
+                      FROM events)
+                GROUP BY 1
+            )
+            SELECT event_type, n,
+                   round(CASE WHEN (s2/n/1e4 - pow(s1/n/1e2, 2)) > 0 THEN
+                       (s3/n/1e6 - 3*(s1/n/1e2)*(s2/n/1e4) + 2*pow(s1/n/1e2, 3))
+                       / pow(s2/n/1e4 - pow(s1/n/1e2, 2), 1.5) END, 6) AS skew_pop,
+                   round(CASE WHEN (s2/n/1e4 - pow(s1/n/1e2, 2)) > 0 THEN
+                       (s4/n/1e8 - 4*(s1/n/1e2)*(s3/n/1e6)
+                        + 6*pow(s1/n/1e2, 2)*(s2/n/1e4) - 3*pow(s1/n/1e2, 4))
+                       / pow(s2/n/1e4 - pow(s1/n/1e2, 2), 2) END, 6) AS kurt_pop
+            FROM m
+        """,
+        "ev_corr": """
+            WITH m AS (
+                SELECT event_type, count(*) AS n,
+                       CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                       CAST(sum(x*x) AS DOUBLE) AS sxx,
+                       CAST(sum(y*y) AS DOUBLE) AS syy,
+                       CAST(sum(x*y) AS DOUBLE) AS sxy
+                FROM (SELECT event_type,
+                             CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS x,
+                             CAST(user_id AS HUGEINT) AS y
+                      FROM events)
+                GROUP BY 1
+            )
+            SELECT event_type, n,
+                   round((sxy/n - sx*sy/(n*n)) / 100.0, 6) AS covar_pop,
+                   round(CASE WHEN (sxx/n - pow(sx/n, 2)) / 1e4
+                                   * (syy/n - pow(sy/n, 2)) > 0 THEN
+                       ((sxy/n - sx*sy/(n*n)) / 100.0)
+                       / sqrt((sxx/n - pow(sx/n, 2)) / 1e4
+                              * (syy/n - pow(sy/n, 2))) END, 6) AS corr
+            FROM m
+        """,
+        "ev_max_intersections": f"""
+            WITH iv AS (SELECT event_type, {ts_sec} AS s, {ts_sec} + 600 AS e
+                        FROM events),
+            b AS (
+                SELECT event_type, s AS pos, 1 AS delta FROM iv
+                UNION ALL
+                SELECT event_type, e AS pos, -1 AS delta FROM iv
+            ),
+            sw AS (
+                SELECT event_type, pos,
+                       sum(delta) OVER (PARTITION BY event_type
+                                        ORDER BY pos, delta
+                                        ROWS UNBOUNDED PRECEDING) AS open
+                FROM b
+            ),
+            mx AS (SELECT event_type, max(open) AS m FROM sw GROUP BY 1)
+            SELECT sw.event_type,
+                   CAST(mx.m AS BIGINT) AS max_intersections,
+                   min(sw.pos) AS max_position
+            FROM sw JOIN mx ON sw.event_type = mx.event_type AND sw.open = mx.m
+            GROUP BY 1, 2
+        """,
+        "ev_interval_cover": f"""
+            WITH iv AS (SELECT event_type, {ts_sec} AS s, {ts_sec} + 600 AS e
+                        FROM events),
+            t AS (
+                SELECT event_type, s, e,
+                       max(e) OVER (PARTITION BY event_type ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prior_end
+                FROM iv
+            )
+            SELECT event_type,
+                   sum(greatest(e - greatest(s, coalesce(prior_end, s)), 0))
+                       AS union_length,
+                   count(*) AS n_intervals
+            FROM t GROUP BY 1
+        """,
+        "ev_histogram": """
+            WITH x AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events),
+            b AS (SELECT event_type, min(c) AS lo, max(c) AS hi
+                  FROM x GROUP BY 1)
+            SELECT x.event_type,
+                   CAST(least(9, (x.c - b.lo) * 10 // (b.hi - b.lo + 1))
+                        AS INTEGER) AS bin,
+                   count(*) AS n,
+                   min(x.c) / 100.0 AS bin_min,
+                   max(x.c) / 100.0 AS bin_max
+            FROM x JOIN b ON x.event_type = b.event_type
+            GROUP BY 1, 2
+        """,
+        "ev_min_max_map": f"""
+            WITH per AS (
+                SELECT {ts_sec} - {ts_sec} % 86400 AS day,
+                       CAST(user_id % 10 AS INTEGER) AS k,
+                       min(value) AS mn, max(value) AS mx
+                FROM events GROUP BY 1, 2
+            )
+            SELECT day,
+                   string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS keys_csv,
+                   string_agg(CAST(mn AS VARCHAR), ',' ORDER BY k) AS min_csv,
+                   string_agg(CAST(mx AS VARCHAR), ',' ORDER BY k) AS max_csv
+            FROM per GROUP BY day
+        """,
+        "ev_topk_weighted": """
+            SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS total_weight
+            FROM events GROUP BY 1
+            ORDER BY total_weight DESC, user_id ASC LIMIT 10
         """,
         "ev_entropy": """
             WITH per AS (

@@ -263,3 +263,242 @@ def sample_per_group(df: DataFrame, group_cols: list[str], id_col: str,
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3 additions: LIMIT BY, bit aggregates, exact higher moments,
+# interval sweeps, integer-exact histograms, weighted heavy hitters
+# ---------------------------------------------------------------------------
+
+def limit_by(df: DataFrame, group_cols: list[str], order_cols: list,
+             n: int) -> DataFrame:
+    """CH ``LIMIT n BY key``: the first n rows per key in the given
+    order — the per-key twin of LIMIT.
+
+    One window rank over one shuffle. Unlike a global
+    orderBy().limit(), the partition key bounds each task's heap, so
+    hot keys cost n rows each, never a global sort. ``order_cols``
+    must be a deterministic total order (add a tiebreaker column) or
+    the result is ambiguous — CH has the same caveat.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def group_bit_ops(df: DataFrame, group_cols: list[str],
+                  value_col: str) -> DataFrame:
+    """CH ``groupBitAnd / groupBitOr / groupBitXor`` in one pass.
+
+    Spark has bit_and/bit_or/bit_xor builtins (partial+final, exact on
+    integers) — the only work is surfacing all three together the way
+    CH dashboards use them (feature-flag masks, permission bits).
+    """
+    v = F.col(value_col)
+    return df.groupBy(*group_cols).agg(
+        F.bit_and(v).alias("bits_and"),
+        F.bit_or(v).alias("bits_or"),
+        F.bit_xor(v).alias("bits_xor"),
+    )
+
+
+def moment_stats(df: DataFrame, group_cols: list[str], value_col: str,
+                 decimals: int = 2) -> DataFrame:
+    """CH ``skewPop`` / ``kurtPop``: population skewness and kurtosis
+    from EXACT integer power sums.
+
+    Values are scaled to integer units (10^decimals) and S1..S4
+    accumulate as decimal(38,0) — associative, so bit-identical on any
+    engine/partitioning; only the final scalar formula runs in floats.
+    Spark's builtin skewness/kurtosis stream float moments in data
+    order and cannot be oracled exactly. One partial+final agg.
+    """
+    unit = float(10 ** decimals)
+    x = F.round(F.col(value_col) * unit).cast("decimal(38,0)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(value_col).alias("__n"),
+        F.sum(x).cast("double").alias("__s1"),
+        F.sum(x * x).cast("double").alias("__s2"),
+        F.sum(x * x * x).cast("double").alias("__s3"),
+        F.sum(x * x * x * x).cast("double").alias("__s4"),
+    )
+    n = F.col("__n").cast("double")
+    m1 = F.col("__s1") / n / unit
+    m2 = F.col("__s2") / n / (unit ** 2)
+    m3 = F.col("__s3") / n / (unit ** 3)
+    m4 = F.col("__s4") / n / (unit ** 4)
+    var = m2 - m1 * m1
+    mu3 = m3 - 3 * m1 * m2 + 2 * m1 ** 3
+    mu4 = m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 ** 4
+    return agg.select(
+        *group_cols,
+        F.col("__n").alias("n"),
+        F.round(F.when(var > 0, mu3 / F.pow(var, 1.5)), 6).alias("skew_pop"),
+        F.round(F.when(var > 0, mu4 / (var * var)), 6).alias("kurt_pop"),
+    )
+
+
+def corr_stats(df: DataFrame, group_cols: list[str], x_col: str, y_col: str,
+               x_decimals: int = 2, y_decimals: int = 0) -> DataFrame:
+    """CH ``corr`` / ``covarPop`` from exact integer cross-moments —
+    same discipline as :func:`moment_stats`: decimal(38,0) sums of
+    scaled integers, float math only on the five final scalars."""
+    ux, uy = float(10 ** x_decimals), float(10 ** y_decimals)
+    x = F.round(F.col(x_col) * ux).cast("decimal(38,0)")
+    y = F.round(F.col(y_col) * uy).cast("decimal(38,0)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum(y).cast("double").alias("__sy"),
+        F.sum(x * x).cast("double").alias("__sxx"),
+        F.sum(y * y).cast("double").alias("__syy"),
+        F.sum(x * y).cast("double").alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    cov = (F.col("__sxy") / n - F.col("__sx") * F.col("__sy") / (n * n)) / (ux * uy)
+    vx = (F.col("__sxx") / n - (F.col("__sx") / n) ** 2) / (ux * ux)
+    vy = (F.col("__syy") / n - (F.col("__sy") / n) ** 2) / (uy * uy)
+    return agg.select(
+        *group_cols,
+        F.col("__n").alias("n"),
+        F.round(cov, 6).alias("covar_pop"),
+        F.round(F.when(vx * vy > 0, cov / F.sqrt(vx * vy)), 6).alias("corr"),
+    )
+
+
+def max_intersections(df: DataFrame, group_cols: list[str],
+                      start_col: str, end_col: str) -> DataFrame:
+    """CH ``maxIntersections`` / ``maxIntersectionsPosition``: the peak
+    number of simultaneously-open ``[start, end)`` intervals per group,
+    and the earliest position where the peak occurs.
+
+    Sweep line as a window cumsum: each interval explodes to (+1 at
+    start, -1 at end); boundaries order by (pos, delta) so an end at
+    the same position closes BEFORE a start opens (half-open
+    semantics). One explode + one window + one final agg."""
+    deltas = F.array(
+        F.struct(F.col(start_col).cast("long").alias("pos"), F.lit(1).alias("delta")),
+        F.struct(F.col(end_col).cast("long").alias("pos"), F.lit(-1).alias("delta")),
+    )
+    exploded = df.select(*group_cols, F.explode(deltas).alias("b")).select(
+        *group_cols, F.col("b.pos").alias("pos"), F.col("b.delta").alias("delta")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("pos", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = exploded.withColumn("open", F.sum("delta").over(w))
+    return swept.groupBy(*group_cols).agg(
+        F.max("open").alias("max_intersections"),
+        F.min_by("pos", F.struct(F.col("open") * -1, F.col("pos"))).alias(
+            "max_position"
+        ),
+    )
+
+
+def interval_length_sum(df: DataFrame, group_cols: list[str],
+                        start_col: str, end_col: str) -> DataFrame:
+    """CH ``intervalLengthSum``: total length of the UNION of possibly
+    overlapping ``[start, end)`` intervals per group.
+
+    Gaps-and-islands without a self-join: running max of prior ends
+    (one window), each interval contributes max(0, end - max(start,
+    running_end)). Exact integer arithmetic throughout."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(start_col), F.col(end_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_end = F.max(F.col(end_col).cast("long")).over(w)
+    covered_from = F.greatest(
+        F.col(start_col).cast("long"), F.coalesce(prior_end, F.lit(None))
+    )
+    contrib = F.greatest(F.col(end_col).cast("long") - covered_from, F.lit(0))
+    return (
+        df.withColumn("__c", contrib)
+        .groupBy(*group_cols)
+        .agg(F.sum("__c").alias("union_length"),
+             F.count(F.lit(1)).alias("n_intervals"))
+    )
+
+
+def histogram_fixed(df: DataFrame, group_cols: list[str], value_col: str,
+                    n_bins: int, decimals: int = 2) -> DataFrame:
+    """CH ``histogram(n)`` re-expressed with DETERMINISTIC fixed-width
+    bins (CH's adaptive bins depend on row order — unreproducible, so
+    a pipeline gate can't use them).
+
+    Bin edges come from per-group min/max computed in INTEGER units, and
+    the bin index is pure integer math — floor((v-min)*n / span) with a
+    top clamp — so the histogram is bit-identical on any engine. Two
+    chained aggs on a shared key prefix (bounds then counts), both with
+    map-side partials; the bounds side broadcasts back."""
+    unit = 10 ** decimals
+    x = F.round(F.col(value_col) * unit).cast("long")
+    tagged = df.select(*group_cols, x.alias("__x"))
+    bounds = tagged.groupBy(*group_cols).agg(
+        F.min("__x").alias("__lo"), F.max("__x").alias("__hi")
+    )
+    joined = tagged.join(F.broadcast(bounds), group_cols)
+    # integer division, never float-then-cast: double rounding behavior
+    # differs across engines (truncate vs round-half-even) right at bin
+    # boundaries, which is exactly where histogram bins live
+    bin_idx = F.least(
+        F.lit(n_bins - 1).cast("long"),
+        F.expr(f"((__x - __lo) * {n_bins}) div (__hi - __lo + 1)"),
+    )
+    return (
+        joined.withColumn("bin", bin_idx.cast("int"))
+        .groupBy(*group_cols, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.min("__x") / float(unit)).alias("bin_min"),
+            (F.max("__x") / float(unit)).alias("bin_max"),
+        )
+    )
+
+
+def min_max_map(df: DataFrame, group_cols: list[str], key_col: str,
+                value_col: str) -> DataFrame:
+    """CH ``minMap/maxMap``: key-wise min/max per group as aligned
+    sorted arrays — the order-insensitive siblings of :func:`sum_map`,
+    same flat-row two-level agg shape."""
+    per_key = (
+        df.groupBy(*group_cols, F.col(key_col).alias("__k"))
+        .agg(F.min(value_col).alias("__mn"), F.max(value_col).alias("__mx"))
+    )
+    pairs = F.sort_array(F.collect_list(F.struct("__k", "__mn", "__mx")))
+    return (
+        per_key.groupBy(*group_cols)
+        .agg(
+            F.transform(pairs, lambda p: p["__k"]).alias("keys"),
+            F.transform(pairs, lambda p: p["__mn"]).alias("min_vals"),
+            F.transform(pairs, lambda p: p["__mx"]).alias("max_vals"),
+        )
+    )
+
+
+def top_k_weighted(df: DataFrame, key_col: str, weight_col, k: int,
+                   group_cols: list[str] | None = None) -> DataFrame:
+    """CH ``topKWeighted(k)(key, weight)``, exact: keys ranked by summed
+    weight (ties broken by key asc for determinism).
+
+    Global form plans TakeOrderedAndProject (per-partition heaps, no
+    single-task sort); grouped form is one bounded window rank.
+    ``weight_col`` may be an expression — pass integer units for
+    cross-engine-exact totals."""
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    gcols = group_cols or []
+    totals = df.groupBy(*gcols, key_col).agg(F.sum(wcol).alias("total_weight"))
+    if not gcols:
+        return totals.orderBy(F.desc("total_weight"), F.asc(key_col)).limit(k)
+    w = Window.partitionBy(*gcols).orderBy(F.desc("total_weight"), F.asc(key_col))
+    return (
+        totals.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -129,3 +129,106 @@ def test_array_cum_diff_flat_rows(spark):
         for r in array_cum_diff(df, ["g"], ["t"], "v").collect()
     )
     assert got == [(1, 4, 4, None), (2, 1, 5, -3), (3, 5, 10, 4)]
+
+
+# --- round 3: LIMIT BY, bit aggs, moments, interval sweeps, histogram ---
+
+def _df3(spark):
+    rows = [("a", 5, 1.0), ("a", 3, 2.0), ("a", 6, 3.0), ("a", 1, 4.0), ("b", 7, 1.0)]
+    return spark.createDataFrame(rows, "k string, bits long, v double")
+
+
+def test_limit_by_per_key(spark):
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.functions.chagg import limit_by
+
+    out = limit_by(_df3(spark), ["k"], [F.desc("v"), F.asc("bits")], 2).collect()
+    got = {(r["k"], r["v"]) for r in out}
+    assert got == {("a", 4.0), ("a", 3.0), ("b", 1.0)}
+
+
+def test_group_bit_ops(spark):
+    from graphouse_spark.functions.chagg import group_bit_ops
+
+    out = {r["k"]: (r["bits_and"], r["bits_or"], r["bits_xor"])
+           for r in group_bit_ops(_df3(spark), ["k"], "bits").collect()}
+    assert out["a"] == (5 & 3 & 6 & 1, 5 | 3 | 6 | 1, 5 ^ 3 ^ 6 ^ 1)
+    assert out["b"] == (7, 7, 7)
+
+
+def test_moment_stats_hand_math(spark):
+    import statistics
+
+    from graphouse_spark.functions.chagg import moment_stats
+
+    # {1,2,3,4}: symmetric -> skew 0; kurtosis = m4/var^2
+    out = {r["k"]: r for r in moment_stats(_df3(spark), ["k"], "v").collect()}
+    vals = [1.0, 2.0, 3.0, 4.0]
+    mu = statistics.fmean(vals)
+    var = sum((v - mu) ** 2 for v in vals) / 4
+    m4 = sum((v - mu) ** 4 for v in vals) / 4
+    assert out["a"]["skew_pop"] == 0.0
+    assert out["a"]["kurt_pop"] == pytest.approx(m4 / var**2, abs=1e-6)
+    assert out["b"]["skew_pop"] is None  # single point: no variance
+
+
+def test_corr_perfect_line(spark):
+    from graphouse_spark.functions.chagg import corr_stats
+
+    rows = [("g", float(i), float(2 * i + 5)) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = corr_stats(df, ["g"], "x", "y", x_decimals=2, y_decimals=2).collect()[0]
+    assert out["corr"] == pytest.approx(1.0, abs=1e-6)
+    assert out["covar_pop"] == pytest.approx(2 * (99 / 12), abs=1e-4)  # 2*var(x)
+
+
+def test_max_intersections_and_cover(spark):
+    from graphouse_spark.functions.chagg import interval_length_sum, max_intersections
+
+    iv = spark.createDataFrame(
+        [("g", 1, 5), ("g", 2, 4), ("g", 3, 6), ("g", 10, 12),
+         ("h", 0, 2), ("h", 2, 4)],  # half-open: touching, never overlap
+        "g string, s long, e long")
+    mi = {r["g"]: (r["max_intersections"], r["max_position"])
+          for r in max_intersections(iv, ["g"], "s", "e").collect()}
+    assert mi["g"] == (3, 3)
+    assert mi["h"] == (1, 0)  # [0,2) closes before [2,4) opens
+
+    cov = {r["g"]: r["union_length"]
+           for r in interval_length_sum(iv, ["g"], "s", "e").collect()}
+    assert cov["g"] == 5 + 2  # [1,6) u [10,12)
+    assert cov["h"] == 4
+
+
+def test_histogram_fixed_exact_bins(spark):
+    from graphouse_spark.functions.chagg import histogram_fixed
+
+    rows = [("g", float(v)) for v in range(10)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["bin"]: (r["n"], r["bin_min"], r["bin_max"])
+           for r in histogram_fixed(df, ["g"], "v", 5).collect()}
+    assert out == {0: (2, 0.0, 1.0), 1: (2, 2.0, 3.0), 2: (2, 4.0, 5.0),
+                   3: (2, 6.0, 7.0), 4: (2, 8.0, 9.0)}
+
+
+def test_min_max_map_sorted_keys(spark):
+    from graphouse_spark.functions.chagg import min_max_map
+
+    out = min_max_map(_df3(spark), ["k"], "bits", "v").collect()
+    by_k = {r["k"]: r for r in out}
+    assert by_k["a"]["keys"] == [1, 3, 5, 6]
+    assert by_k["a"]["min_vals"] == [4.0, 2.0, 1.0, 3.0]
+    assert by_k["a"]["max_vals"] == [4.0, 2.0, 1.0, 3.0]
+
+
+def test_top_k_weighted_global_and_grouped(spark):
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.functions.chagg import top_k_weighted
+
+    df = _df3(spark)
+    top = top_k_weighted(df, "k", F.col("bits"), 1).collect()
+    assert [(r["k"], r["total_weight"]) for r in top] == [("a", 15)]
+    grouped = top_k_weighted(df, "bits", F.col("v"), 1, group_cols=["k"]).collect()
+    assert {(r["k"], r["bits"]) for r in grouped} == {("a", 1), ("b", 7)}
