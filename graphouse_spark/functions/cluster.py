@@ -96,7 +96,11 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         # of checkpointed cycles halves the loop's fixed cost. Convergence
         # reads only the SECOND step's _changed — if the latest step moved
         # nothing, the iteration is at its fixed point regardless of what
-        # the first step did.
+        # the first step did. NOTE: the pointer-jump self-join computes
+        # ``stepped`` twice (Catalyst does not dedupe the common subplan),
+        # so chaining MORE uncheckpointed steps per cycle doubles work
+        # per extra step (2^k recompute) — measured as a hang at 8 steps;
+        # two steps per checkpoint is the optimum for this shape.
         new_labels = propagate(propagate(labels).drop("_changed"))
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
