@@ -2098,8 +2098,15 @@ def q_gh_combinators(spark, sf_dir):
 def q_sketch_value_quantiles(spark, sf_dir):
     """Mergeable bfloat16-style quantile sketch (CH quantileBFloat16):
     daily sketches merged to per-type totals, p50/p95/p99 read from the
-    merged sketch. Rows-only (approximate by design; merge losslessness
-    and the 2^-8 error bound are unit-tested; exact twin: gh_percentiles)."""
+    merged sketch.
+
+    Correctness-gate shape (see q_sketch_daily_users): the sketch runs
+    IN the plan and its read is asserted against the exact
+    lower-discrete quantile computed alongside (|sketch - exact| <=
+    exact/128 — the 7-bit-mantissa quantization bound, unit-tested in
+    test_statistics). The output carries the exact quantiles + the
+    bound boolean, so the whole query hash-compares against a DuckDB
+    oracle emitting TRUE literals."""
     from graphouse_spark.functions.sketches import (
         merge_quantile_sketches,
         quantile_sketch_table,
@@ -2111,7 +2118,39 @@ def q_sketch_value_quantiles(spark, sf_dir):
     )
     daily = quantile_sketch_table(ev, ["event_type", "day"])
     merged = merge_quantile_sketches(daily, ["event_type"])
-    return sketch_quantiles(merged, ["event_type"], [0.5, 0.95, 0.99])
+    sk = sketch_quantiles(merged, ["event_type"], [0.5, 0.95, 0.99]).select(
+        "event_type", "p", F.col("value").alias("_sketch_q")
+    )
+    # exact lower-discrete quantile on integer cents: smallest value
+    # whose cumulative count reaches ceil(p * total) — engine-portable
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_val = (
+        _events_sec(spark, sf_dir)
+        .groupBy("event_type", cents.alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type").orderBy("_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = per_val.select(
+        "event_type", "_c",
+        F.sum("_cnt").over(wcum).alias("_cum"),
+        F.sum("_cnt").over(wtot).alias("_total"),
+    )
+    ps = spark.createDataFrame([(0.5,), (0.95,), (0.99,)], "p double")
+    exact = (
+        cum.crossJoin(F.broadcast(ps))
+        .filter(F.col("_cum") >= F.ceil(F.col("_total") * F.col("p")))
+        .groupBy("event_type", "p")
+        .agg((F.min("_c") / 100.0).alias("exact_q"))
+    )
+    return exact.join(sk, ["event_type", "p"]).select(
+        "event_type", "p", "exact_q",
+        (F.abs(F.col("_sketch_q") - F.col("exact_q"))
+         <= F.abs(F.col("exact_q")) / 128.0 + 1e-9).alias("sketch_ok"),
+    )
 
 
 def q_gh_rollup_navigate(spark, sf_dir):
@@ -2949,6 +2988,24 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    TRUE AS merge_ok
             FROM events GROUP BY 1
+        """,
+        "sketch_value_quantiles": f"""
+            WITH c AS (
+                SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+                       count(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            t AS (
+                SELECT event_type, c,
+                       sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+                       sum(cnt) OVER (PARTITION BY event_type) AS total
+                FROM c
+            ),
+            p(p) AS (VALUES (0.5), (0.95), (0.99))
+            SELECT event_type, p, min(c) / 100.0 AS exact_q, TRUE AS sketch_ok
+            FROM t CROSS JOIN p
+            WHERE cum >= ceil(total * p)
+            GROUP BY 1, 2
         """,
         "gh_dedup_rank": """
             SELECT user_id, event_type, value AS last_value, event_id AS updated
