@@ -2489,6 +2489,30 @@ def q_ev_topk_weighted(spark, sf_dir):
     return top_k_weighted(ev, "user_id", cents, 10)
 
 
+def q_ev_sequence_next(spark, sf_dir):
+    """CH sequenceNextNode('forward','first_match'): the event type
+    immediately after each user's earliest view->click chain match —
+    one shuffle, sorted-array fold."""
+    from graphouse_spark.functions.behavior import sequence_next_node
+
+    return sequence_next_node(_events_sec(spark, sf_dir), ["view", "click"])
+
+
+def q_ev_moving_window(spark, sf_dir):
+    """CH groupArrayMovingSum/MovingAvg(5) flattened to rows: per-user
+    trailing 5-event sum/mean in exact integer cents."""
+    from graphouse_spark.functions.chagg import group_array_moving
+
+    ev = _events_sec(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = group_array_moving(ev, ["user_id"], ["ts_sec", "event_id"], cents, 5)
+    return m.select(
+        "user_id", "ts_sec", "event_id",
+        F.round(F.col("moving_sum") / 100.0, 6).alias("moving_sum_value"),
+        F.round(F.col("moving_avg_units") / 100.0, 6).alias("moving_avg_value"),
+    )
+
+
 def q_ev_delta_sum(spark, sf_dir):
     """CH deltaSum: per user, the summed positive deltas of the
     time-ordered value sequence (counter-increase extraction), in
@@ -2815,6 +2839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_histogram": q_ev_histogram,
         "ev_min_max_map": q_ev_min_max_map,
         "ev_topk_weighted": q_ev_topk_weighted,
+        "ev_sequence_next": q_ev_sequence_next,
+        "ev_moving_window": q_ev_moving_window,
         "ev_delta_sum": q_ev_delta_sum,
         "ev_mode": q_ev_mode,
         "ev_bitmap_segments": q_ev_bitmap_segments,
@@ -4965,6 +4991,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS total_weight
             FROM events GROUP BY 1
             ORDER BY total_weight DESC, user_id ASC LIMIT 10
+        """,
+        "ev_sequence_next": f"""
+            WITH o AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY {ts_sec}, event_id) AS rn
+                FROM events
+            ),
+            r1 AS (SELECT user_id, min(rn) AS rn1 FROM o
+                   WHERE event_type = 'view' GROUP BY 1),
+            r2 AS (SELECT o.user_id, min(o.rn) AS rn2
+                   FROM o JOIN r1 USING (user_id)
+                   WHERE o.event_type = 'click' AND o.rn > r1.rn1 GROUP BY 1)
+            SELECT o.user_id, o.event_type AS next_event
+            FROM o JOIN r2 USING (user_id)
+            WHERE o.rn = r2.rn2 + 1
+        """,
+        "ev_moving_window": f"""
+            SELECT user_id, ts_sec, event_id,
+                   round(sum(c) OVER w / 100.0, 6) AS moving_sum_value,
+                   round((sum(c) OVER w / count(*) OVER w) / 100.0, 6)
+                       AS moving_avg_value
+            FROM (SELECT user_id, event_id, {ts_sec} AS ts_sec,
+                         CAST(round(value * 100) AS BIGINT) AS c
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
         "ev_entropy": """
             WITH per AS (

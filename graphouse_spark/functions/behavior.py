@@ -188,3 +188,64 @@ def sequence_count(events: DataFrame, type_chars: dict[str, str], pattern: str,
     return seq.select(
         user_col, F.regexp_count(F.col("_seq"), F.lit(pattern)).alias("n_matches")
     )
+
+
+def sequence_next_node(events: DataFrame, steps: list[str],
+                       ts_col: str = "ts_sec", user_col: str = "user_id",
+                       type_col: str = "event_type",
+                       id_col: str = "event_id") -> DataFrame:
+    """CH ``sequenceNextNode('forward', 'first_match')``: per user, the
+    event type that immediately FOLLOWS the earliest match of the event
+    chain in the user's ordered stream.
+
+    Single-shuffle shape (same as :func:`window_funnel`): collect each
+    user's stream sorted by the total order (ts, event_id), fold with
+    ``F.aggregate`` tracking (chain level, position of last match,
+    current position), then index the array at last_match + 1. Users
+    whose chain never completes, or completes on their final event,
+    produce no row (CH yields NULL there).
+    """
+    if not steps:
+        raise ValueError("steps must name at least one event type")
+    n = len(steps)
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    per_user = (
+        events.groupBy(user_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).cast("long").alias("ts"),
+                        F.col(id_col).cast("long").alias("eid"),
+                        F.col(type_col).alias("et"),
+                    )
+                )
+            ).alias("evs")
+        )
+    )
+    acc0 = F.struct(
+        F.lit(0).alias("level"),
+        F.lit(-1).alias("last_pos"),
+        F.lit(-1).alias("pos"),
+    )
+
+    def scan(acc, e):
+        pos = acc["pos"] + 1
+        advance = (acc["level"] < n) & (e["et"] == F.get(step_arr, acc["level"]))
+        return F.when(advance, F.struct(
+            (acc["level"] + 1).alias("level"), pos.alias("last_pos"), pos.alias("pos"))
+        ).otherwise(F.struct(
+            acc["level"].alias("level"), acc["last_pos"].alias("last_pos"), pos.alias("pos")))
+
+    state = F.aggregate("evs", acc0, scan)
+    # 1-indexed; try_ variant: a chain completing on the user's final
+    # event indexes past the array, which must yield null, not an
+    # ANSI out-of-bounds error
+    nxt = F.try_element_at("evs", state["last_pos"] + 2)
+    return (
+        per_user.select(
+            user_col,
+            F.when(state["level"] == n, nxt["et"]).alias("next_event"),
+        )
+        .filter(F.col("next_event").isNotNull())
+    )

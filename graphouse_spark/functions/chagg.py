@@ -502,3 +502,24 @@ def top_k_weighted(df: DataFrame, key_col: str, weight_col, k: int,
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def group_array_moving(df: DataFrame, group_cols: list[str], order_cols: list,
+                       value_col, window_points: int) -> DataFrame:
+    """CH ``groupArrayMovingSum/MovingAvg(k)`` flattened to rows: per
+    group in the given order, the k-point trailing sum and mean.
+
+    One window shuffle, both stats from the same ROWS frame. Pass an
+    integer-unit value expression for cross-engine-exact sums (the avg
+    divides the exact sum by the window's actual row count, so heads of
+    series shorter than k stay exact too)."""
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    w = (
+        Window.partitionBy(*group_cols).orderBy(*order_cols)
+        .rowsBetween(-(window_points - 1), Window.currentRow)
+    )
+    return df.select(
+        *group_cols, *[c if isinstance(c, str) else c for c in order_cols],
+        F.sum(val).over(w).alias("moving_sum"),
+        (F.sum(val).over(w) / F.count(F.lit(1)).over(w)).alias("moving_avg_units"),
+    )

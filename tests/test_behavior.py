@@ -102,3 +102,37 @@ def test_sequence_count_non_overlapping(spark):
     out = {r["user_id"]: r["n_matches"]
            for r in sequence_count(_ev(spark, rows), chars, "v[^p]*p").collect()}
     assert out == {1: 2, 2: 1, 3: 0}
+
+
+def test_sequence_next_node(spark):
+    from graphouse_spark.functions.behavior import sequence_next_node
+
+    rows = [
+        # u1: view -> click -> purchase: next after chain = purchase
+        (1, "view", 10, 1), (1, "click", 20, 2), (1, "purchase", 30, 3),
+        # u2: chain completes on the last event -> no row
+        (2, "view", 10, 4), (2, "click", 20, 5),
+        # u3: click before view only -> chain incomplete -> no row
+        (3, "click", 10, 6), (3, "view", 20, 7),
+        # u4: same-ts tie: click(id 9) then view(id 8)? order is (ts, id):
+        # view@10#8, click@10#9, signup@10#10 -> chain done at pos 1, next = signup
+        (4, "view", 10, 8), (4, "click", 10, 9), (4, "signup", 10, 10),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts_sec long, event_id long")
+    out = {r["user_id"]: r["next_event"]
+           for r in sequence_next_node(df, ["view", "click"]).collect()}
+    assert out == {1: "purchase", 4: "signup"}
+
+
+def test_group_array_moving_exact(spark):
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.functions.chagg import group_array_moving
+
+    rows = [("u", i, float(i + 1)) for i in range(5)]  # 1..5
+    df = spark.createDataFrame(rows, "u string, t long, v double")
+    out = {r["t"]: (r["moving_sum"], r["moving_avg_units"])
+           for r in group_array_moving(df, ["u"], ["t"], F.col("v"), 3).collect()}
+    assert out[0] == (1.0, 1.0)        # head shorter than k stays exact
+    assert out[1] == (3.0, 1.5)
+    assert out[4] == (12.0, 4.0)       # 3+4+5
