@@ -2392,6 +2392,15 @@ def q_ev_entropy(spark, sf_dir):
     return out.select("event_type", F.round("entropy_bits", 6).alias("entropy_bits"))
 
 
+def q_doc_duplicated_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2022 substring dedup
+    at 10-token window granularity, no suffix array): flag windows
+    shared by >= 2 docs, merge consecutive flags into maximal spans."""
+    from graphouse_spark.functions.text import duplicated_spans
+
+    return duplicated_spans(_t(spark, sf_dir, "documents"), n=10, min_docs=2)
+
+
 def q_ev_limit_by(spark, sf_dir):
     """CH ``LIMIT 3 BY event_type``: top-3 events per type by value
     (event_id tiebreak) — one bounded window rank, no global sort."""
@@ -2758,6 +2767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_train_split": q_doc_train_split,
         "doc_repetition": q_doc_repetition,
         "doc_chunk_dedup": q_doc_chunk_dedup,
+        "doc_duplicated_spans": q_doc_duplicated_spans,
         "doc_pii_stats": q_doc_pii_stats,
         "doc_resample_mix": q_doc_resample_mix,
         "doc_model_scores": q_doc_model_scores,
@@ -4304,6 +4314,41 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(bi.top_bi, 0) / greatest(coalesce(bi.n_bi, 0), 1), 6) AS top_bigram_frac,
                    round(uni.dup_uni / greatest(n.n_tokens, 1), 6) AS dup_unigram_frac
             FROM n JOIN uni USING (doc_id) LEFT JOIN bi USING (doc_id)
+        """,
+        "doc_duplicated_spans": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x != '') AS ts
+                FROM documents
+            ),
+            pg AS (
+                SELECT doc_id,
+                       unnest(range(greatest(len(ts) - 10 + 1, 0))) AS pos,
+                       ts
+                FROM toks
+            ),
+            grams AS (
+                SELECT doc_id, pos,
+                       substr(md5(array_to_string(ts[(pos + 1):(pos + 10)],
+                                                  chr(31))), 1, 16) AS gram
+                FROM pg
+            ),
+            hot AS (
+                SELECT gram FROM grams
+                GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+            ),
+            flagged AS (
+                SELECT g.doc_id, g.pos,
+                       g.pos - row_number() OVER (PARTITION BY g.doc_id
+                                                  ORDER BY g.pos) AS island
+                FROM grams g JOIN hot USING (gram)
+            )
+            SELECT doc_id,
+                   min(pos) AS span_start,
+                   max(pos) + 10 - 1 AS span_end,
+                   count(*) AS n_windows
+            FROM flagged GROUP BY doc_id, island
         """,
         "doc_chunk_dedup": r"""
             WITH toks AS (

@@ -450,3 +450,63 @@ def chunk_dedup(docs: DataFrame, chunk_tokens: int = 8, text_col: str = "text",
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
         )
     )
+
+
+def duplicated_spans(docs: DataFrame, n: int = 10, min_docs: int = 2,
+                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicated-substring spans across the corpus — the span
+    flavor of "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al. 2022), WITHOUT a suffix array: every length-n
+    token window that appears in >= ``min_docs`` distinct documents is
+    flagged, and per document, runs of consecutive flagged windows
+    merge into maximal spans.
+
+    Returns ``(doc_id, span_start, span_end, n_windows)`` — token
+    positions, inclusive, ``span_end`` covering the last window's full
+    n tokens.
+
+    Scale shape (all flat rows, no suffix structures):
+    1. tokens -> per-doc sliding n-gram hashes via ``transform`` over a
+       ``sequence`` (pure codegen, no explode yet);
+    2. posexplode -> (doc, pos, gram);
+    3. gram doc-frequency: one groupBy with map-side partials (hot
+       grams COMBINE, never skew a join);
+    4. flagged (gram df >= min_docs) positions join back co-keyed on
+       gram — broadcast when the flagged set is small, shuffle join
+       otherwise (Catalyst/AQE decides);
+    5. per-doc gaps-and-islands: pos - row_number() is constant within
+       a run of consecutive positions (one bounded window per doc).
+
+    The gram is an md5 prefix (engine-portable) of the joined window —
+    hash collisions can only over-flag a span (union of true spans),
+    the safe direction for a dedup filter.
+    """
+    toks = tokens_col(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.substring(
+            F.md5(F.concat_ws("\x1f", F.slice(toks, i + 1, n))), 1, 16
+        ),
+    )
+    pos_grams = (
+        docs.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+    )
+    gram_df = (
+        pos_grams.groupBy("gram")
+        .agg(F.count_distinct(id_col).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("gram")
+    )
+    flagged = pos_grams.join(gram_df, "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    island = (F.col("pos") - F.row_number().over(w)).alias("_island")
+    return (
+        flagged.select(F.col(id_col), F.col("pos"), island)
+        .groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("_island")
+    )

@@ -278,3 +278,34 @@ def test_dsir_table_is_md5_derived(spark):
               for b in range(8)]
     assert t == expect
     assert all(-1000 <= v <= 1000 for v in t)
+
+
+def test_duplicated_spans_merging_and_threshold(spark):
+    from graphouse_spark.functions.text import duplicated_spans
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog end one"),
+        (2, "prefix words the quick brown fox jumps over the lazy dog and more"),
+        (3, "totally unrelated text with nothing shared at all here ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+           for r in duplicated_spans(df, n=4, min_docs=2).collect()}
+    # 9 shared tokens -> 6 four-token windows, merged into ONE span
+    assert out[1] == (0, 8, 6)
+    assert out[2] == (2, 10, 6)   # same span, shifted by the 2-token prefix
+    assert 3 not in out           # nothing shared
+
+    # min_docs above the duplication level -> empty
+    assert duplicated_spans(df, n=4, min_docs=3).count() == 0
+
+    # two disjoint shared regions stay two spans
+    rows2 = [
+        (1, "alpha beta gamma delta X epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta Y epsilon zeta eta theta"),
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    spans = sorted((r["span_start"], r["span_end"])
+                   for r in duplicated_spans(df2, n=4, min_docs=2)
+                   .filter("doc_id = 1").collect())
+    assert spans == [(0, 3), (5, 8)]
