@@ -488,8 +488,14 @@ def duplicated_spans(docs: DataFrame, n: int = 10, min_docs: int = 2,
             F.md5(F.concat_ws("\x1f", F.slice(toks, i + 1, n))), 1, 16
         ),
     )
+    # the window-hash projection is CPU-heavy (len(doc) md5s per row);
+    # a small corpus arriving as one parquet file would otherwise run
+    # it single-task — spread docs across the cluster first (cheap:
+    # raw docs are tiny next to their exploded grams)
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     pos_grams = (
-        docs.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+        docs.repartition(n_parts)
+        .select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
     )
     gram_df = (
         pos_grams.groupBy("gram")

@@ -37,6 +37,33 @@ def build(spark, copies: int) -> None:
         big = big.unionByName(p)
     big.repartition(32).write.mode("overwrite").parquet(f"{OUT}/events.parquet")
 
+    # documents/embeddings too: the LLM-pipeline ops (dedup, ANN) are
+    # the surfaces whose scale posture matters most. doc_id offsets
+    # keep ids unique; texts/vectors repeat verbatim, so the near-dup
+    # ops see a WORSE-than-real duplication profile — a conservative
+    # stress (every doc gains copies-1 exact twins).
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    nd = docs.count()
+    dparts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * nd))
+        for i in range(copies)
+    ]
+    dbig = dparts[0]
+    for p in dparts[1:]:
+        dbig = dbig.unionByName(p)
+    dbig.repartition(32).write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    ne = emb.count()
+    eparts = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * ne))
+        for i in range(copies)
+    ]
+    ebig = eparts[0]
+    for p in eparts[1:]:
+        ebig = ebig.unionByName(p)
+    ebig.repartition(32).write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
+
 
 def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
@@ -44,9 +71,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     build(spark, copies)
 
-    # only events is scaled; every query below reads events alone
+    # queries must read ONLY tables the build step scaled
     names = ["gh_lww_dedup", "gh_bucket_agg", "gh_two_level_agg",
-             "gh_sliding_window", "gh_distinct_users", "gh_percentiles"]
+             "gh_sliding_window", "gh_distinct_users", "gh_percentiles",
+             "doc_exact_dedup", "doc_token_stats", "doc_chunk_dedup",
+             "doc_minhash_np", "doc_duplicated_spans",
+             "emb_cosine_topk_np", "emb_quantize"]
     qs = em.queries()
     print(f"{'query':24s} {'1x':>8s} {'x' + str(copies):>8s} {'ratio':>7s}")
     for name in names:
