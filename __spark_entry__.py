@@ -2401,6 +2401,21 @@ def q_doc_duplicated_spans(spark, sf_dir):
     return duplicated_spans(_t(spark, sf_dir, "documents"), n=10, min_docs=2)
 
 
+def q_ev_with_totals(spark, sf_dir):
+    """CH ``GROUP BY ... WITH TOTALS`` (and ROLLUP modifier): per
+    (type, day) sums plus per-type and grand-total rows from ONE
+    ``rollup`` aggregation — Catalyst's Expand feeds all three grouping
+    sets through a single shuffle, the exact TOTALS mechanics."""
+    ev = _events_sec(spark, sf_dir)
+    day = (F.col("ts_sec") - F.col("ts_sec") % DAY).alias("day")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select("event_type", day, cents.alias("_c"))
+        .rollup("event_type", "day")
+        .agg(F.sum("_c").alias("total_cents"), F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_ev_limit_by(spark, sf_dir):
     """CH ``LIMIT 3 BY event_type``: top-3 events per type by value
     (event_id tiebreak) — one bounded window rank, no global sort."""
@@ -2840,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_topk_users": q_ev_topk_users,
         "ev_sample_per_type": q_ev_sample_per_type,
         "ev_entropy": q_ev_entropy,
+        "ev_with_totals": q_ev_with_totals,
         "ev_limit_by": q_ev_limit_by,
         "ev_bit_ops": q_ev_bit_ops,
         "ev_moments": q_ev_moments,
@@ -4908,6 +4924,14 @@ def oracle_sql() -> dict[str, str]:
                        ) AS INTEGER) AS sample_rank
                 FROM events
             ) WHERE sample_rank <= 5
+        """,
+        "ev_with_totals": f"""
+            SELECT event_type,
+                   {ts_sec} - {ts_sec} % 86400 AS day,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+                   count(*) AS n
+            FROM events
+            GROUP BY ROLLUP (event_type, day)
         """,
         "ev_limit_by": """
             SELECT event_type, event_id, user_id, value

@@ -365,3 +365,75 @@ def streaming_dedup(records: DataFrame, ttl_seconds: int = 3600,
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming window funnel (CH windowFunnel over an unbounded stream)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("level", LongType()),
+        StructField("anchor", LongType()),
+        StructField("last", LongType()),
+    ]
+)
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("level", LongType()),
+        StructField("advanced_at", LongType()),
+    ]
+)
+
+
+def make_funnel_fn(steps: list, window_sec: int):
+    """(key, batches, state) -> level-advance events. Same greedy
+    semantics as ``functions.behavior.window_funnel`` (earliest step-1
+    anchors; each next step strictly later, within window of the
+    anchor), with per-user state carried across micro-batches. Events
+    are processed in event-time order WITHIN a batch; a cross-batch
+    straggler older than the carried state cannot rewind it (arrival-
+    order greediness — the streaming trade the batch twin doesn't
+    make; re-run the batch operator for the exact answer)."""
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        level, anchor, last = state.get if state.exists else (0, 0, 0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_sec")
+            for ts, et in zip(pdf["ts_sec"], pdf["event_type"]):
+                ts = int(ts)
+                if level == 0:
+                    if et == steps[0]:
+                        level, anchor, last = 1, ts, ts
+                        out.append((user, 1, ts))
+                elif level < len(steps) and et == steps[level] \
+                        and ts > last and ts <= anchor + window_sec:
+                    level += 1
+                    last = ts
+                    out.append((user, level, ts))
+        state.update((level, anchor, last))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in FUNNEL_OUTPUT_SCHEMA.fields])
+
+    return update
+
+
+def streaming_funnel(events: DataFrame, steps: list, window_sec: int) -> DataFrame:
+    """Streaming (user_id, ts_sec, event_type) -> append stream of
+    funnel level advances. State shards on user_id — the same key the
+    batch funnel shuffles on, so a 1000-executor stream spreads its
+    state with the data."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            make_funnel_fn(list(steps), window_sec),
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

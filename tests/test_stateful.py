@@ -217,3 +217,49 @@ def test_streaming_dedup_ttl(spark, tmp_path):
         assert len(a_rows) == 2 and a_rows[1]["first_ts"] == base + 2500
     finally:
         query.stop()
+
+
+@pytest.mark.slow
+def test_streaming_funnel_state_across_batches(spark, tmp_path):
+    from graphouse_spark.streaming.stateful import streaming_funnel
+
+    src = tmp_path / "fin"
+    src.mkdir()
+    schema = "user_id long, ts_sec long, event_type string"
+
+    def write(name, rows):
+        # one file per batch: deterministic micro-batch contents
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / name))
+
+    # batch 1: u1 view, u2 click only (no anchor -> no state advance)
+    write("b1", [(1, 100, "view"), (1, 150, "other"), (2, 100, "click")])
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out = streaming_funnel(stream, ["view", "click", "purchase"], 3600)
+    q = (
+        out.writeStream.format("memory").queryName("funnel_out")
+        .option("checkpointLocation", str(tmp_path / "fckpt"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {(r["user_id"], r["level"]) for r in spark.sql("SELECT * FROM funnel_out").collect()}
+        assert rows == {(1, 1)}
+
+        # batch 2: u1 click (advance vs carried state), u2 view (anchor)
+        write("b2", [(1, 200, "click"), (2, 300, "view")])
+        q.processAllAvailable()
+        rows = {(r["user_id"], r["level"], r["advanced_at"])
+                for r in spark.sql("SELECT * FROM funnel_out").collect()}
+        assert rows == {(1, 1, 100), (1, 2, 200), (2, 1, 300)}
+
+        # batch 3: u1 purchase OUTSIDE window -> no advance; u2 click inside
+        write("b3", [(1, 100 + 3601, "purchase"), (2, 350, "click")])
+        q.processAllAvailable()
+        rows = {(r["user_id"], r["level"]) for r in spark.sql("SELECT * FROM funnel_out").collect()}
+        assert rows == {(1, 1), (1, 2), (2, 1), (2, 2)}
+    finally:
+        q.stop()
