@@ -1,0 +1,128 @@
+"""ClickHouse mutations: ``ALTER TABLE ... DELETE / UPDATE WHERE`` for
+the parquet data lake.
+
+CH executes mutations as background part rewrites — every part that
+may contain matching rows is rewritten without (or with updated) rows,
+atomically swapped in. The Spark twin:
+
+1. prune: only date partitions whose rows can match are rewritten
+   (predicate on ``date`` prunes directly; otherwise a cheap matching-
+   partition scan finds them — the analog of CH's part-level predicate
+   analysis);
+2. rewrite each affected partition with the mutation applied, staged
+   to a sibling temp dir with the scan-optimized layout preserved
+   (sorted by (date, metric, timestamp));
+3. commit through the same rename-based partition protocol rollup
+   compaction uses (``operators/rollup._commit_partition``): readers
+   never see partial state, every crash point is recoverable by
+   ``recover_compaction``.
+
+Deletes are the GDPR/TTL workhorse of a training-data lake; updates
+cover backfill-style fixes. Both are idempotent — re-running a
+mutation whose predicate no longer matches rewrites nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphouse_spark.operators.rollup import (
+    _commit_partition,
+    _stage,
+    recover_compaction,
+)
+
+
+def _affected_dates(data: DataFrame, condition: Column) -> list:
+    """Date partitions that contain at least one matching row — one
+    aggregate scan with the predicate pushed down."""
+    return sorted(
+        r["date"] for r in
+        data.filter(condition).select("date").distinct().collect()
+    )
+
+
+def _rewrite_partitions(spark: SparkSession, data_path: str,
+                        transform, dates: list) -> list:
+    """Stage ``transform(partition_rows)`` for each date, then commit
+    via the atomic rename protocol. Returns rewritten dates."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    from graphouse_spark.sources.tables import read_data
+
+    if not dates:
+        return []
+    recover_compaction(data_path)
+    tmp_path = data_path.rstrip("/") + "_mutation_tmp"
+    data = read_data(spark, data_path)
+    subset = data.filter(F.col("date").isin([str(d) for d in dates]))
+    (
+        transform(subset)
+        .repartition("metric")
+        .sortWithinPartitions("date", "metric", "timestamp")
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(tmp_path)
+    )
+    rewritten = []
+    for d in dates:
+        src = Path(tmp_path) / f"date={d}"
+        stage = _stage(data_path, str(d))
+        shutil.rmtree(stage, ignore_errors=True)
+        if src.exists():
+            os.rename(src, stage)
+        else:
+            # every matching row of this partition was deleted: stage an
+            # empty partition dir so the commit removes the old data
+            os.makedirs(stage)
+        _commit_partition(data_path, str(d))
+        rewritten.append(str(d))
+    shutil.rmtree(tmp_path, ignore_errors=True)
+    return rewritten
+
+
+def delete_where(spark: SparkSession, data_path: str,
+                 condition: Column) -> list:
+    """CH ``ALTER TABLE data DELETE WHERE <condition>``: rewrite every
+    affected date partition without the matching rows. Returns the
+    rewritten partition dates (empty when nothing matched)."""
+    from graphouse_spark.sources.tables import read_data
+
+    dates = _affected_dates(read_data(spark, data_path), condition)
+    return _rewrite_partitions(
+        spark, data_path, lambda df: df.filter(~condition), dates
+    )
+
+
+def update_where(spark: SparkSession, data_path: str, condition: Column,
+                 assignments: dict) -> list:
+    """CH ``ALTER TABLE data UPDATE col = expr WHERE <condition>``:
+    rewrite affected partitions applying ``assignments`` (column ->
+    Column expression) to matching rows only. The partition column
+    itself cannot be assigned (CH has the same restriction)."""
+    if "date" in assignments:
+        raise ValueError("cannot UPDATE the partitioning column 'date'")
+    from graphouse_spark.sources.tables import read_data
+
+    dates = _affected_dates(read_data(spark, data_path), condition)
+
+    def apply(df: DataFrame) -> DataFrame:
+        for col, expr in assignments.items():
+            df = df.withColumn(col, F.when(condition, expr).otherwise(F.col(col)))
+        return df
+
+    return _rewrite_partitions(spark, data_path, apply, dates)
+
+
+def ttl_delete(spark: SparkSession, data_path: str, max_age_seconds: int,
+               now_seconds: int) -> list:
+    """CH table ``TTL timestamp + INTERVAL``: drop rows older than the
+    horizon. Whole partitions past the horizon are the common case and
+    the rewrite of one reduces to writing its surviving (empty) set."""
+    return delete_where(
+        spark, data_path,
+        F.col("timestamp") < F.lit(int(now_seconds - max_age_seconds)),
+    )
