@@ -482,12 +482,18 @@ def duplicated_spans(docs: DataFrame, n: int = 10, min_docs: int = 2,
     the safe direction for a dedup filter.
     """
     toks = tokens_col(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.substring(
-            F.md5(F.concat_ws("\x1f", F.slice(toks, i + 1, n))), 1, 16
+    # guard docs shorter than one window: sequence(0, size-n) would run
+    # DESCENDING for negative bounds (Spark generates [0, -1], whose
+    # slice(start=0) then throws) — short docs must yield no windows
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.substring(
+                F.md5(F.concat_ws("\x1f", F.slice(toks, i + 1, n))), 1, 16
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     # the window-hash projection is CPU-heavy (len(doc) md5s per row);
     # a small corpus arriving as one parquet file would otherwise run
     # it single-task — spread docs across the cluster first (cheap:

@@ -102,3 +102,53 @@ def test_chunk_dedup_matches_reference(spark, texts):
     got = {r["doc_id"]: (r["kept_text"], r["n_chunks"], r["n_kept"])
            for r in chunk_dedup(df, chunk_tokens=2).collect()}
     assert got == chunk_dedup_reference(texts, n=2)
+
+
+# --- duplicated_spans vs straight-line reference ---
+
+def spans_reference(docs, n, min_docs):
+    """Brute-force: window -> docs map, flag, merge consecutive flags."""
+    toks = {d: t.lower().split() for d, t in docs}
+    wins = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - n + 1):
+            wins.setdefault(tuple(ts[i:i + n]), set()).add(d)
+    hot = {w for w, ds in wins.items() if len(ds) >= min_docs}
+    out = set()
+    for d, ts in toks.items():
+        flagged = [i for i in range(len(ts) - n + 1) if tuple(ts[i:i + n]) in hot]
+        if not flagged:
+            continue
+        start = prev = flagged[0]
+        cnt = 1
+        for p in flagged[1:]:
+            if p == prev + 1:
+                prev = p
+                cnt += 1
+            else:
+                out.add((d, start, prev + n - 1, cnt))
+                start = prev = p
+                cnt = 1
+        out.add((d, start, prev + n - 1, cnt))
+    return out
+
+
+words_strategy = st.lists(
+    st.lists(st.sampled_from(list("abcdef")), min_size=0, max_size=18)
+    .map(lambda ws: " ".join(ws)),
+    min_size=2, max_size=5,
+)
+
+
+@pytest.mark.slow
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=words_strategy, n=st.sampled_from([2, 3]))
+def test_duplicated_spans_matches_reference(spark, texts, n):
+    from graphouse_spark.functions.text import duplicated_spans
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+           for r in duplicated_spans(df, n=n, min_docs=2).collect()}
+    assert got == spans_reference(docs, n, 2)
