@@ -2401,6 +2401,48 @@ def q_doc_duplicated_spans(spark, sf_dir):
     return duplicated_spans(_t(spark, sf_dir, "documents"), n=10, min_docs=2)
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL image decode end-to-end: per doc_id, a 24-bit BMP or binary
+    PPM is BUILT byte-by-byte (dimensions/color derived from doc_id),
+    then PARSED back by the codec-free decoders
+    (functions/multimodal.decode_assets). The oracle predicts the
+    decoded metadata from doc_id arithmetic alone — if the writer or
+    the parser mishandled one byte, stride, or padding rule, the
+    round-trip would not match."""
+    import pandas as pd
+
+    from graphouse_spark.functions.multimodal import decode_assets
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 64)
+
+    def synth(batches):
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, c = did % 7 + 1, did % 5 + 1, did % 256
+                if did % 2 == 0:
+                    row = bytes((c, c, c)) * w
+                    pad = b"\x00" * ((4 - (w * 3) % 4) % 4)
+                    px = (row + pad) * h
+                    hdr = 14 + 40
+                    payload = (b"BM" + struct.pack("<IHHI", hdr + len(px), 0, 0, hdr)
+                               + struct.pack("<iiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                             len(px), 2835, 2835, 0, 0) + px)
+                else:
+                    payload = f"P6\n{w} {h}\n255\n".encode() + bytes([c]) * (w * h * 3)
+                rows.append((did, "image", payload))
+            yield pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+    assets = ids.mapInPandas(synth, "asset_id long, modality string, payload binary")
+    return decode_assets(assets).select(
+        "asset_id", "format", "width", "height",
+        F.round("mean_value", 6).alias("mean_value"),
+    )
+
+
 def q_ev_with_totals(spark, sf_dir):
     """CH ``GROUP BY ... WITH TOTALS`` (and ROLLUP modifier): per
     (type, day) sums plus per-type and grand-total rows from ONE
@@ -2855,6 +2897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_topk_users": q_ev_topk_users,
         "ev_sample_per_type": q_ev_sample_per_type,
         "ev_entropy": q_ev_entropy,
+        "multimodal_decode": q_multimodal_decode,
         "ev_with_totals": q_ev_with_totals,
         "ev_limit_by": q_ev_limit_by,
         "ev_bit_ops": q_ev_bit_ops,
@@ -4924,6 +4967,14 @@ def oracle_sql() -> dict[str, str]:
                        ) AS INTEGER) AS sample_rank
                 FROM events
             ) WHERE sample_rank <= 5
+        """,
+        "multimodal_decode": """
+            SELECT doc_id AS asset_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+                   CAST(doc_id % 7 + 1 AS INTEGER) AS width,
+                   CAST(doc_id % 5 + 1 AS INTEGER) AS height,
+                   round(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_value
+            FROM documents WHERE doc_id < 64
         """,
         "ev_with_totals": f"""
             SELECT event_type,

@@ -171,3 +171,142 @@ def resize_images(assets: DataFrame, width: int = 224, height: int = 224,
                                              "width", "height", "n_bytes"])
 
     return assets.mapInPandas(run, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders for codec-free formats. The container has no image/audio
+# libraries, but PCM WAV, BMP and PPM need none: stdlib `wave` + numpy
+# byte math decode them exactly. JPEG/PNG/MP4 remain honestly stubbed.
+# ---------------------------------------------------------------------------
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("format", StringType(), True),   # wav|bmp|ppm|unknown
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("mean_value", DoubleType(), True),  # mean pixel / sample
+        StructField("rms", DoubleType(), True),         # audio energy
+    ]
+)
+
+
+def _decode_wav(payload: bytes) -> dict:
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch, sw, rate, n_frames = w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        raw = w.readframes(n_frames)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dtype is None:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sw == 1:
+        samples -= 128.0  # 8-bit WAV is unsigned
+    return {
+        "format": "wav", "n_channels": n_ch, "sample_rate": rate,
+        "duration_ms": int(n_frames * 1000 / rate) if rate else None,
+        "mean_value": float(samples.mean()) if samples.size else None,
+        "rms": float(np.sqrt((samples ** 2).mean())) if samples.size else None,
+    }
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    px = np.frombuffer(payload, dtype=np.uint8, offset=data_off,
+                       count=row_bytes * abs(h))
+    px = px.reshape(abs(h), row_bytes)[:, : w * 3].astype(np.float64)
+    return {
+        "format": "bmp", "width": int(w), "height": int(abs(h)),
+        "mean_value": float(px.mean()) if px.size else None,
+    }
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM")
+    # header: P6 <w> <h> <maxval> then one whitespace byte, then pixels
+    fields, i = [], 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, _maxval = fields
+    px = np.frombuffer(payload, dtype=np.uint8, offset=i, count=w * h * 3)
+    return {
+        "format": "ppm", "width": w, "height": h,
+        "mean_value": float(px.astype(np.float64).mean()) if px.size else None,
+    }
+
+
+def decode_payload(payload: bytes) -> dict:
+    """Sniff + decode one payload. Real for RIFF/WAVE, BM (24-bit), P6;
+    ``{"format": "unknown"}`` otherwise (the caller decides whether to
+    fall back to the stub features or fail)."""
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return _decode_wav(payload)
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
+        if payload[:2] == b"P6":
+            return _decode_ppm(payload)
+    except Exception:
+        return {"format": "unknown"}
+    return {"format": "unknown"}
+
+
+def decode_assets(assets: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode for codec-free formats (PCM WAV,
+    24-bit BMP, binary PPM); other payloads pass through with
+    format='unknown'. Same mapInPandas shape as the stubbed
+    feature extractor — swap-in proof that the plumbing carries a true
+    codec when one is available."""
+
+    cols = [f.name for f in DECODE_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                meta = decode_payload(bytes(r["payload"])) if r["payload"] is not None \
+                    else {"format": None}
+                rows.append((
+                    r["asset_id"], r["modality"], meta.get("format"),
+                    meta.get("width"), meta.get("height"),
+                    meta.get("n_channels"), meta.get("sample_rate"),
+                    meta.get("duration_ms"), meta.get("mean_value"),
+                    meta.get("rms"),
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.mapInPandas(run, DECODE_SCHEMA)
