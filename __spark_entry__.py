@@ -1335,6 +1335,25 @@ def q_join_semi(spark, sf_dir):
     )
 
 
+def q_join_any(spark, sf_dir):
+    """CH ANY LEFT JOIN: each customer with its FIRST order (earliest
+    orderdate, orderkey tiebreak) — right side collapses to one row
+    per key BEFORE the join shuffle."""
+    from graphouse_spark.operators.joins import any_join
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_orderdate"
+    )
+    return any_join(
+        cust, orders, "c_custkey", [F.asc("o_orderdate"), F.asc("o_orderkey")]
+    ).select(
+        "c_custkey", "c_name",
+        F.col("o_orderkey").alias("first_order_key"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_order_date"),
+    )
+
+
 def q_join_anti(spark, sf_dir):
     """Anti-join: customers with no orders in 2001."""
     cust = _t(spark, sf_dir, "customer")
@@ -2807,6 +2826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_summarize": q_ts_summarize,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
+        "join_any": q_join_any,
         "set_ops": q_set_ops,
         "window_rank": q_window_rank,
         "collect_sorted": q_collect_sorted,
@@ -4109,6 +4129,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM orders
                 WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01'
             )
+        """,
+        "join_any": """
+            WITH first_orders AS (
+                SELECT o_custkey AS c_custkey, o_orderkey, o_orderdate
+                FROM orders
+                QUALIFY row_number() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate ASC, o_orderkey ASC) = 1
+            )
+            SELECT c.c_custkey, c.c_name,
+                   f.o_orderkey AS first_order_key,
+                   strftime(f.o_orderdate, '%Y-%m-%d') AS first_order_date
+            FROM customer c LEFT JOIN first_orders f USING (c_custkey)
         """,
         "set_ops": """
             SELECT nationkey, 'both' AS side FROM (

@@ -113,3 +113,22 @@ def test_salted_join_equals_plain_join(spark):
         got = salted_join(big, small, ["k"], how=how).collect()
         want = big.join(small, ["k"], how).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, want)), how
+
+
+def test_any_join_first_match_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.operators.joins import any_join
+
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, lv string")
+    right = spark.createDataFrame(
+        [(1, 30, "late"), (1, 10, "first"), (1, 10, "first-dup"), (2, 5, "only")],
+        "k long, ord long, rv string")
+    out = {r["k"]: r["rv"] for r in
+           any_join(left, right, "k", [F.asc("ord"), F.asc("rv")]).collect()}
+    # exactly one right row per key; ties broken by the full order
+    assert out == {1: "first", 2: "only", 3: None}
+    assert any_join(left, right, "k", [F.asc("ord"), F.asc("rv")]).count() == 3
+    # inner strictness drops unmatched left rows
+    inner = any_join(left, right, "k", [F.asc("ord"), F.asc("rv")], how="inner")
+    assert inner.count() == 2
