@@ -67,6 +67,13 @@ EXTENDED_QUERIES = [
     "ev_sum_map",          # CH sumMap as flat-row two-level agg
     "sketch_value_quantiles",  # mergeable bfloat16 quantile sketch
     "ts_ema",              # truncated EMA, exact rational integer weights
+    # round-3 operators
+    "doc_duplicated_spans",    # corpus-wide exact substring spans
+    "ev_max_intersections",    # sweep-line concurrency peak
+    "ev_moments",              # exact-decimal skew/kurtosis
+    "ev_sequence_next",        # sorted-array chain scan
+    "multimodal_decode",       # byte-built image round-trip decode
+    "join_any",                # ANY-strictness first-match join
 ]
 
 

@@ -206,6 +206,15 @@ _REGISTRY = {
     "aggregateLine": lambda df, fn="avg": ts.aggregate_line(df, str(fn)).select(
         "metric", F.lit(0).cast("long").alias("ts"),
         F.col("line_value").alias("value")),
+    "minSeries": lambda df: _canon(ts.combine_series(df), "min_value", "minSeries"),
+    "maxSeries": lambda df: _canon(ts.combine_series(df), "max_value", "maxSeries"),
+    "rangeOfSeries": lambda df: _canon(
+        ts.combine_series(df), "range_value", "rangeOfSeries"),
+    # the *WithWildcards family is groupByNodes with the kept nodes
+    "sumSeriesWithWildcards": lambda df, *nodes: ts.group_by_nodes(
+        df, "sum", list(nodes)),
+    "averageSeriesWithWildcards": lambda df, *nodes: ts.group_by_nodes(
+        df, "avg", list(nodes)),
 }
 
 
