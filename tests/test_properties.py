@@ -94,3 +94,17 @@ def test_select_status_closed_and_stable(old, new):
     assert out in (old, new)
     # applying the same request twice changes nothing more
     assert select_status(out, new) == out
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(min_size=0, max_size=60))
+def test_target_parser_never_crashes_unexpectedly(target):
+    """The render-target parser either parses or raises ValueError —
+    never an unhandled exception (the HTTP layer maps ValueError to
+    400; anything else would 500)."""
+    from graphouse_spark.functions.target import parse_target
+
+    try:
+        parse_target(target)
+    except ValueError:
+        pass
