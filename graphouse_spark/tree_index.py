@@ -31,6 +31,7 @@ import time
 from typing import Callable, Iterable
 
 from graphouse_spark.globs import compile_level_glob, contains_expressions
+from graphouse_spark.paths import get_last_level_name
 from graphouse_spark.paths import is_dir as _is_dir
 from graphouse_spark.paths import split_to_levels
 from graphouse_spark.status import MetricStatus, select_status
@@ -340,3 +341,69 @@ class MetricTree:
             return len(d.metrics) + sum(count(c) for c in d.dirs.values())
 
         return count(self.root)
+
+
+class LazyMetricTree(MetricTree):
+    """CH-style lazy-load serving mode: directories materialize their
+    children on FIRST touch through a loader callback.
+
+    This is the mode that makes X6 request coalescing load-bearing
+    (MetricSearch.java:193-200 wires its tree to DirContentBatcher the
+    same way): pass ``DirContentBatcher(load_dirs_content...).load`` as
+    the loader and concurrent cache misses for different dirs coalesce
+    into one batched metrics-table scan instead of one Spark job each.
+
+    ``loader(dir_full_name) -> [(child_full_name, status), ...]`` where
+    ``dir_full_name`` is '' for the root and keeps the trailing dot
+    otherwise (the ``parent`` column of the metrics table). Search,
+    cached search, and mutation all force the path they walk; dirs
+    never visited are never loaded — a glob of one subtree touches one
+    subtree, exactly the reference's cold-cache behavior.
+    """
+
+    def __init__(self, loader, max_subdirs_per_dir: int = -1,
+                 max_metrics_per_dir: int = -1) -> None:
+        super().__init__(max_subdirs_per_dir, max_metrics_per_dir)
+        self._loader = loader
+        self._loaded: set[int] = set()  # id(_Dir) -> children materialized
+
+    # -- lazy materialization --
+    def _ensure_loaded(self, d: _Dir) -> None:
+        if id(d) in self._loaded:
+            return
+        self._loaded.add(id(d))  # before inserting: inserts must not re-enter
+        # the metrics table stores '' as the root's parent (export_rows
+        # writes the same), while root.full_name renders as '.'
+        dir_name = "" if d.is_root() else d.full_name
+        for name, status in sorted(self._loader(dir_name)):
+            st = MetricStatus(status)
+            level = get_last_level_name(name)
+            if _is_dir(name):
+                child = d.get_or_create_dir(level, st, self.max_subdirs)
+            else:
+                child = d.get_or_create_metric(level, st, self.max_metrics)
+            if child is not None:
+                child.set_status(select_status(child.status, st))
+
+    def _search(self, d: "_Dir | None", levels: list[str], idx: int, out: list[str]) -> None:
+        if d is not None:
+            self._ensure_loaded(d)
+        super()._search(d, levels, idx, out)
+
+    def _search_cached(self, d: "_Dir | None", levels: list[str], idx: int, out: list[str]) -> None:
+        if d is not None:
+            self._ensure_loaded(d)
+        super()._search_cached(d, levels, idx, out)
+
+    def modify(self, metric: str, status: MetricStatus) -> "_Node | None":
+        # force the walked path first so BAN gates, limits and existing
+        # children apply exactly as in the eager tree
+        d: "_Dir | None" = self.root
+        for level in split_to_levels(metric)[:-1]:
+            if d is None:
+                break
+            self._ensure_loaded(d)
+            d = d.dirs.get(level)
+        if d is not None:
+            self._ensure_loaded(d)
+        return super().modify(metric, status)

@@ -172,3 +172,97 @@ def test_search_cached_ignores_visibility():
     assert t.search("five_sec.*") == []
     assert sorted(t.search_cached("five_sec.*")) == ["five_sec.int_8742."]
     assert sorted(t.search_cached("five_sec.int_8742.*")) == ["five_sec.int_8742.x1"]
+
+
+# --- lazy-load serving mode (wired to the X6 batcher) ---
+
+def _lazy_corpus():
+    """dir full name -> [(child full name, status)] — two subtrees."""
+    return {
+        "": [("one_min.", "SIMPLE"), ("five_min.", "SIMPLE")],
+        "one_min.": [("one_min.a.", "SIMPLE"), ("one_min.m1", "SIMPLE")],
+        "one_min.a.": [("one_min.a.x", "SIMPLE"), ("one_min.a.y", "BAN")],
+        "five_min.": [("five_min.m2", "SIMPLE")],
+    }
+
+
+def test_lazy_tree_loads_only_touched_subtrees():
+    from graphouse_spark.tree_index import LazyMetricTree
+
+    corpus = _lazy_corpus()
+    calls = []
+
+    def loader(dirname):
+        calls.append(dirname)
+        return corpus.get(dirname, [])
+
+    t = LazyMetricTree(loader)
+    # a one_min glob must never load five_min.'s children
+    assert t.search("one_min.a.*") == ["one_min.a.x"]  # BAN invisible
+    assert "five_min." not in calls
+    assert calls.count("one_min.a.") == 1
+    # repeat search: everything cached, no new loader calls
+    n = len(calls)
+    assert t.search("one_min.a.*") == ["one_min.a.x"]
+    assert len(calls) == n
+
+    # root glob now loads the other subtree
+    assert sorted(t.search("*.*")) == ["one_min.a.", "one_min.m1", "five_min.m2"] \
+        or sorted(t.search("*.*")) == sorted(["one_min.a.", "one_min.m1", "five_min.m2"])
+    assert "five_min." in calls
+
+
+def test_lazy_tree_matches_eager_results():
+    from graphouse_spark.tree_index import LazyMetricTree, MetricTree
+
+    corpus = _lazy_corpus()
+    lazy = LazyMetricTree(lambda d: corpus.get(d, []))
+    eager = MetricTree()
+    for rows in corpus.values():
+        eager.load_rows(sorted(rows))
+    for q in ["*", "*.*", "one_min.*", "one_min.a.*", "one_min.a.x", "{one_min,five_min}.*"]:
+        assert lazy.search(q) == eager.search(q), q
+        assert lazy.search_cached(q) == eager.search_cached(q), q
+
+
+def test_lazy_tree_modify_respects_loaded_state():
+    from graphouse_spark.status import MetricStatus
+    from graphouse_spark.tree_index import LazyMetricTree
+
+    corpus = _lazy_corpus()
+    t = LazyMetricTree(lambda d: corpus.get(d, []))
+    # BAN status loaded from the table blocks descendant creation
+    t.search("one_min.a.*")
+    assert t.modify("one_min.a.y", MetricStatus.SIMPLE) is None or \
+        t.modify("one_min.a.y", MetricStatus.SIMPLE).status is MetricStatus.BAN
+    # a brand-new metric lands next to lazily-loaded siblings, no dupes
+    node = t.modify("one_min.a.z", MetricStatus.APPROVED)
+    assert node is not None and node.full_name == "one_min.a.z"
+    assert sorted(t.search("one_min.a.*")) == ["one_min.a.x", "one_min.a.z"]
+
+
+def test_lazy_tree_through_batcher(spark, tmp_path):
+    """End-to-end: lazy tree -> DirContentBatcher -> one batched
+    metrics-table scan serves concurrent dir loads."""
+    from graphouse_spark.api.batcher import DirContentBatcher, load_dirs_content
+    from graphouse_spark.sources.tables import write_metrics
+    from graphouse_spark.tree_index import LazyMetricTree
+
+    rows = [
+        ("one_min.", 1, "", "SIMPLE"),
+        ("one_min.a.", 2, "one_min.", "SIMPLE"),
+        ("one_min.a.x", 3, "one_min.a.", "SIMPLE"),
+        ("one_min.a.y", 3, "one_min.a.", "SIMPLE"),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, level int, parent string, status string"
+    ).selectExpr("*", "current_timestamp() AS updated")
+    path = str(tmp_path / "metrics")
+    write_metrics(df, path)
+
+    batcher = DirContentBatcher(
+        lambda dirs: load_dirs_content(spark, path, dirs),
+        max_parallel=2, batch_aggregation_ms=20,
+    )
+    t = LazyMetricTree(batcher.load)
+    assert t.search("one_min.a.*") == ["one_min.a.x", "one_min.a.y"]
