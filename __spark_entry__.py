@@ -2420,6 +2420,33 @@ def q_doc_duplicated_spans(spark, sf_dir):
     return duplicated_spans(_t(spark, sf_dir, "documents"), n=10, min_docs=2)
 
 
+def q_gh_ch_dialect(spark, sf_dir):
+    """ClickHouse-dialect SQL end-to-end: the user's CH spellings
+    (toStartOfFiveMinutes, toDayOfWeek, intDiv) run verbatim through
+    spark.sql via SQL scalar UDFs (chdialect.py) — pure Catalyst
+    expressions, zero Python in the plan."""
+    from graphouse_spark.chdialect import register_ch_dialect
+    from graphouse_spark.sources.tables import register_corpus
+
+    register_ch_dialect(spark)
+    _t(spark, sf_dir, "events")  # pins session confs for the view read
+    register_corpus(spark, sf_dir, ("events",))
+    return spark.sql("""
+        SELECT event_type, ts,
+               count(*) AS n,
+               round(sum(c) / (count(*) * 100.0D), 6) AS avg_value,
+               toDayOfWeek(ts) AS dow,
+               intDiv(ts, 86400) AS epoch_day
+        FROM (
+            SELECT event_type,
+                   toStartOfFiveMinutes(ts_sec) AS ts,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events_sec
+        )
+        GROUP BY event_type, ts
+    """)
+
+
 def q_multimodal_decode(spark, sf_dir):
     """REAL image decode end-to-end: per doc_id, a 24-bit BMP or binary
     PPM is BUILT byte-by-byte (dimensions/color derived from doc_id),
@@ -2917,6 +2944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_topk_users": q_ev_topk_users,
         "ev_sample_per_type": q_ev_sample_per_type,
         "ev_entropy": q_ev_entropy,
+        "gh_ch_dialect": q_gh_ch_dialect,
         "multimodal_decode": q_multimodal_decode,
         "ev_with_totals": q_ev_with_totals,
         "ev_limit_by": q_ev_limit_by,
@@ -5000,6 +5028,20 @@ def oracle_sql() -> dict[str, str]:
                        ) AS INTEGER) AS sample_rank
                 FROM events
             ) WHERE sample_rank <= 5
+        """,
+        "gh_ch_dialect": f"""
+            SELECT event_type, ts,
+                   count(*) AS n,
+                   round(sum(c) / (count(*) * 100.0), 6) AS avg_value,
+                   CAST(isodow(to_timestamp(ts)) AS INT) AS dow,
+                   ts // 86400 AS epoch_day
+            FROM (
+                SELECT event_type,
+                       {ts_sec} - {ts_sec} % 300 AS ts,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events
+            )
+            GROUP BY event_type, ts
         """,
         "multimodal_decode": """
             SELECT doc_id AS asset_id,

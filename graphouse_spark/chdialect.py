@@ -1,0 +1,109 @@
+"""ClickHouse SQL dialect shim: CH function names as Spark SQL UDFs.
+
+Users of the reference write ClickHouse SQL (`toStartOfFiveMinutes`,
+`intDiv`, `if`, `has`, ...). Spark 4's SQL scalar UDFs (`CREATE
+FUNCTION ... RETURN <expr>`) let those names resolve natively — each
+body is a pure Catalyst expression, so queries stay inside whole-stage
+codegen with zero Python involvement; this is a PARSE-level shim, not
+an execution layer.
+
+Aggregate functions cannot be aliased this way (SQL UDFs are scalar);
+:data:`AGGREGATE_EQUIVALENTS` documents the mechanical rewrites, which
+are all built-ins (``argMax -> max_by`` etc.). The flagship read path
+already implements the semantic ones (FINAL -> read-time LWW dedup,
+GraphiteMergeTree -> rollup job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+#: CH scalar function -> (SQL UDF signature, expression body).
+#: Time helpers take epoch SECONDS (the engine's canonical ts), like
+#: the corpus-wide ``events_sec`` view exposes.
+CH_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
+    "toStartOfMinute": ("(ts BIGINT) RETURNS BIGINT", "ts - ts % 60"),
+    "toStartOfFiveMinutes": ("(ts BIGINT) RETURNS BIGINT", "ts - ts % 300"),
+    "toStartOfFifteenMinutes": ("(ts BIGINT) RETURNS BIGINT", "ts - ts % 900"),
+    "toStartOfHour": ("(ts BIGINT) RETURNS BIGINT", "ts - ts % 3600"),
+    "toStartOfDay": ("(ts BIGINT) RETURNS BIGINT", "ts - ts % 86400"),
+    # CH toMonday returns a date; epoch-seconds twin: Monday 00:00 UTC.
+    # epoch day 0 (1970-01-01) was a Thursday -> offset 3 days.
+    "toMonday": ("(ts BIGINT) RETURNS BIGINT",
+                 "ts - ((ts div 86400 + 3) % 7) * 86400 - ts % 86400"),
+    "toStartOfInterval": ("(ts BIGINT, step BIGINT) RETURNS BIGINT",
+                          "ts - ts % step"),
+    "toDate": ("(ts BIGINT) RETURNS DATE",
+               "to_date(from_unixtime(ts))"),
+    "toDateTime": ("(ts BIGINT) RETURNS TIMESTAMP", "to_timestamp(ts)"),
+    "toYYYYMM": ("(ts BIGINT) RETURNS INT",
+                 "CAST(date_format(to_timestamp(ts), 'yyyyMM') AS INT)"),
+    "toYear": ("(ts BIGINT) RETURNS INT", "year(to_timestamp(ts))"),
+    "toMonth": ("(ts BIGINT) RETURNS INT", "month(to_timestamp(ts))"),
+    "toHour": ("(ts BIGINT) RETURNS INT", "hour(to_timestamp(ts))"),
+    "toMinute": ("(ts BIGINT) RETURNS INT", "minute(to_timestamp(ts))"),
+    # CH: Monday=1..Sunday=7; Spark dayofweek: Sunday=1..Saturday=7
+    "toDayOfWeek": ("(ts BIGINT) RETURNS INT",
+                    "((dayofweek(to_timestamp(ts)) + 5) % 7) + 1"),
+    "intDiv": ("(a BIGINT, b BIGINT) RETURNS BIGINT", "a div b"),
+    "intDivOrZero": ("(a BIGINT, b BIGINT) RETURNS BIGINT",
+                     "CASE WHEN b = 0 THEN 0 ELSE a div b END"),
+    "modulo": ("(a BIGINT, b BIGINT) RETURNS BIGINT", "a % b"),
+    "plus": ("(a DOUBLE, b DOUBLE) RETURNS DOUBLE", "a + b"),
+    "minus": ("(a DOUBLE, b DOUBLE) RETURNS DOUBLE", "a - b"),
+    "multiIf": ("(c1 BOOLEAN, v1 DOUBLE, c2 BOOLEAN, v2 DOUBLE, d DOUBLE) "
+                "RETURNS DOUBLE",
+                "CASE WHEN c1 THEN v1 WHEN c2 THEN v2 ELSE d END"),
+    "empty": ("(s STRING) RETURNS BOOLEAN", "s IS NULL OR s = ''"),
+    "notEmpty": ("(s STRING) RETURNS BOOLEAN", "s IS NOT NULL AND s != ''"),
+    "splitByChar": ("(sep STRING, s STRING) RETURNS ARRAY<STRING>",
+                    "split(s, concat('\\\\Q', sep, '\\\\E'))"),
+    "arrayStringConcat": ("(a ARRAY<STRING>, sep STRING) RETURNS STRING",
+                          "array_join(a, sep)"),
+    "has": ("(a ARRAY<STRING>, x STRING) RETURNS BOOLEAN",
+            "array_contains(a, x)"),
+    "arrayElement": ("(a ARRAY<STRING>, i INT) RETURNS STRING",
+                     "try_element_at(a, i)"),
+    "lengthUTF8": ("(s STRING) RETURNS INT", "char_length(s)"),
+    "match": ("(s STRING, re STRING) RETURNS BOOLEAN", "s RLIKE re"),
+    "positionCaseInsensitive": ("(s STRING, sub STRING) RETURNS INT",
+                                "instr(lower(s), lower(sub))"),
+}
+
+#: CH aggregate -> native Spark SQL aggregate (documented rewrites;
+#: aggregates cannot be SQL-UDF'd, and these are all built in anyway)
+AGGREGATE_EQUIVALENTS: dict[str, str] = {
+    "argMax(v, o)": "max_by(v, o)",
+    "argMin(v, o)": "min_by(v, o)",
+    "uniq(x)": "approx_count_distinct(x)",
+    "uniqExact(x)": "count(DISTINCT x)",
+    "quantile(p)(x)": "percentile(x, p)",
+    "quantileExact(p)(x)": "percentile(x, p)",
+    "median(x)": "percentile(x, 0.5)",
+    "any(x)": "any_value(x)",
+    "anyLast(x)": "max_by(x, <order>)",
+    "groupArray(x)": "collect_list(x)",
+    "groupUniqArray(x)": "collect_set(x)",
+    "countIf(c)": "count_if(c)",
+    "sumIf(x, c)": "sum(CASE WHEN c THEN x END)",
+    "corr(x, y)": "corr(x, y)",
+    "varPop(x)": "var_pop(x)",
+    "stddevPop(x)": "stddev_pop(x)",
+    "topK(k)(x)": "graphouse_spark.functions.chagg.approx_top_k",
+    "sumMap(k, v)": "graphouse_spark.functions.chagg.sum_map",
+    "windowFunnel(w)(t, ...)": "graphouse_spark.functions.behavior.window_funnel",
+}
+
+
+def register_ch_dialect(spark: SparkSession) -> int:
+    """Register every CH scalar shim as a temporary SQL function.
+
+    Idempotent (``CREATE OR REPLACE``); returns how many functions are
+    live. After this, ``spark.sql`` accepts the CH spellings anywhere
+    an expression goes — and ``EXPLAIN`` shows them inlined into the
+    plan (no UDF call nodes)."""
+    for name, (signature, body) in CH_SQL_FUNCTIONS.items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{signature} RETURN {body}"
+        )
+    return len(CH_SQL_FUNCTIONS)

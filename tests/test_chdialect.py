@@ -1,0 +1,51 @@
+"""ClickHouse SQL dialect shim: CH spellings resolve as pure Catalyst
+expressions (SQL scalar UDFs) — correctness + no-Python-in-plan."""
+
+import pytest
+
+from graphouse_spark.chdialect import CH_SQL_FUNCTIONS, register_ch_dialect
+
+
+@pytest.fixture(scope="module", autouse=True)
+def dialect(spark):
+    assert register_ch_dialect(spark) == len(CH_SQL_FUNCTIONS)
+    # idempotent re-registration
+    register_ch_dialect(spark)
+
+
+def test_time_helpers(spark):
+    one = lambda sql: spark.sql(f"SELECT {sql}").collect()[0][0]  # noqa: E731
+    jan1 = 1704067200  # 2024-01-01 00:00 UTC, a Monday
+    assert one(f"toStartOfFiveMinutes({jan1} + 333)") == jan1 + 300
+    assert one(f"toStartOfHour({jan1} + 3999)") == jan1 + 3600
+    assert one(f"toStartOfDay({jan1} + 86399)") == jan1
+    assert one(f"toMonday({jan1} + 3 * 86400 + 7)") == jan1  # Thursday -> that Monday
+    assert one(f"toDayOfWeek({jan1})") == 1  # CH: Monday = 1
+    assert one(f"toDayOfWeek({jan1} + 6 * 86400)") == 7  # Sunday = 7
+    assert one(f"toYYYYMM({jan1})") == 202401
+    assert str(one(f"toDate({jan1})")) == "2024-01-01"
+    assert one(f"toStartOfInterval({jan1} + 1234, 600)") == jan1 + 1200
+
+
+def test_scalar_helpers(spark):
+    one = lambda sql: spark.sql(f"SELECT {sql}").collect()[0][0]  # noqa: E731
+    assert one("intDiv(7, 2)") == 3
+    assert one("intDivOrZero(7, 0)") == 0
+    assert one("splitByChar('.', 'a.b.c')") == ["a", "b", "c"]
+    assert one("arrayStringConcat(splitByChar('.', 'a.b'), '/')") == "a/b"
+    assert one("has(splitByChar('.', 'a.b'), 'a')") is True
+    assert one("arrayElement(splitByChar('.', 'a.b'), 99)") is None
+    assert one("empty('')") is True and one("notEmpty('x')") is True
+    assert one("match('one_min.srv', '^one_')") is True
+    assert one("multiIf(1 > 2, 1.0, 2 > 1, 2.0, 3.0)") == 2.0
+
+
+def test_dialect_stays_jvm_side(spark):
+    """The shim is parse-level: the physical plan must show plain
+    expressions, no BatchEvalPython / ArrowEvalPython nodes."""
+    df = spark.range(100).selectExpr(
+        "toStartOfFiveMinutes(id + 1704067200) AS b", "intDiv(id, 7) AS d"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert df.count() == 100
