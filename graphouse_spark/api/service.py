@@ -38,7 +38,8 @@ class GraphouseService:
                  max_points_per_metric: int = -1,
                  max_subdirs_per_dir: int = -1, max_metrics_per_dir: int = -1,
                  max_metrics_per_query: int = -1,
-                 index_path: str | None = None) -> None:
+                 index_path: str | None = None,
+                 lazy_tree: bool = False) -> None:
         self.spark = spark
         self.data_path = data_path
         self.metrics_path = metrics_path
@@ -49,11 +50,26 @@ class GraphouseService:
             self.provider, max_points_per_metric,
             data_path=data_path, index_path=index_path,
         )
-        self.tree = MetricTree(max_subdirs_per_dir, max_metrics_per_dir)
+        if lazy_tree:
+            # CH-style cold start: no bootstrap scan; directories load
+            # on first touch through the X6 batcher, so concurrent
+            # cache misses share one metrics-table query
+            # (MetricSearch.java:193-200 wiring)
+            from graphouse_spark.api.batcher import DirContentBatcher, load_dirs_content
+            from graphouse_spark.tree_index import LazyMetricTree
+
+            batcher = DirContentBatcher(
+                lambda dirs: load_dirs_content(spark, metrics_path, dirs)
+            )
+            self.tree = LazyMetricTree(
+                batcher.load, max_subdirs_per_dir, max_metrics_per_dir
+            )
+        else:
+            self.tree = MetricTree(max_subdirs_per_dir, max_metrics_per_dir)
         # graphouse.metric-data.max-metrics-per-query (-1 = unlimited);
         # exceeding it gets HTTP 413 (MetricDataServiceServlet.java:58-64)
         self.max_metrics_per_query = max_metrics_per_query
-        self._loaded = False
+        self._loaded = lazy_tree  # lazy mode serves immediately
 
     # -- bootstrap (S8: full scan, latest status per name) --
     def load_tree(self) -> int:

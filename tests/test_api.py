@@ -87,3 +87,34 @@ def test_modify_503_before_load(spark, tmp_path):
         svc.modify("one_min.srv1.", "BAN")
     with pytest.raises(RuntimeError):
         svc.ban("one_min.srv1.")
+
+
+def test_lazy_service_serves_without_bootstrap(spark, tmp_path):
+    """lazy_tree=True answers /search and /metricData with NO load_tree
+    bootstrap scan — dirs materialize on demand via the X6 batcher."""
+    from graphouse_spark.api.service import GraphouseService
+    from graphouse_spark.sources.tables import write_data, write_metrics
+    from pyspark.sql import functions as F
+
+    base = 1_542_199_500
+    data_path, metrics_path = str(tmp_path / "data"), str(tmp_path / "metrics")
+    pts = [("one_min.srv1.cpu", float(i + 1), base + i * 60, 1) for i in range(3)]
+    write_data(spark.createDataFrame(
+        pts, "metric string, value double, timestamp long, updated long"), data_path)
+    rows = [
+        ("one_min.", 1, "", "SIMPLE"),
+        ("one_min.srv1.", 2, "one_min.", "SIMPLE"),
+        ("one_min.srv1.cpu", 3, "one_min.srv1.", "SIMPLE"),
+        ("one_min.srv2.", 2, "one_min.", "SIMPLE"),
+        ("one_min.srv2.cpu", 3, "one_min.srv2.", "HIDDEN"),
+    ]
+    write_metrics(spark.createDataFrame(
+        rows, "name string, level int, parent string, status string"
+    ).withColumn("updated", F.current_timestamp()), metrics_path)
+
+    svc = GraphouseService(spark, data_path, metrics_path, lazy_tree=True)
+    # no load_tree() call anywhere:
+    assert svc.search("one_min.srv1.*") == "one_min.srv1.cpu"
+    assert svc.search("one_min.srv2.*") == ""  # HIDDEN invisible
+    out = svc.metric_data(["one_min.srv1.cpu"], base, base + 180, now_seconds=base + 180)
+    assert out["one_min.srv1.cpu"]["points"] == [1.0, 2.0, 3.0]
