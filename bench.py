@@ -99,12 +99,18 @@ def main() -> None:
         for name in names:
             fn = queries[name]
             fn(spark, sf_dir).count()  # compile + warm
-            # drop any intra-query persist() results: the timed run must
-            # recompute the full pipeline, not read its predecessor's cache
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            # two timed executions, keep the MIN: this host shows heavy
+            # noisy-neighbor variance (the same plan measured 2-3x apart
+            # minutes apart); min-of-N is the standard noise-robust
+            # steady-state estimator. Each execution recomputes the full
+            # pipeline — clearCache drops intra-query persist() results.
+            best, n = float("inf"), 0
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
             print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         return timings
 
