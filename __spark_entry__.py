@@ -2721,6 +2721,17 @@ def q_doc_bloom_membership(spark, sf_dir):
     return bloom_probe(ev, "key", words).select("doc_id", "is_member")
 
 
+def q_doc_lm_perplexity(spark, sf_dir):
+    """CCNet-style corpus-LM quality signal: add-alpha bigram LM
+    trained on the corpus in two aggregates, every document scored by
+    its mean transition NLL / perplexity (Wenzek et al. 2020 use a
+    pretrained KenLM; the engine-native twin trains and scores in one
+    plan)."""
+    from graphouse_spark.functions.text import ngram_lm_scores
+
+    return ngram_lm_scores(_t(spark, sf_dir, "documents"), alpha=0.5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the /metricData read path end-to-end on sf0.001.
 
@@ -2889,6 +2900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_corpus_pipeline": q_doc_corpus_pipeline,
         "emb_quantize": q_emb_quantize,
         "doc_lang_id": q_doc_lang_id,
+        "doc_lm_perplexity": q_doc_lm_perplexity,
         "emb_cosine_pairs": q_emb_cosine_pairs,
         "doc_minhash_neardup": q_doc_minhash_neardup,
         "doc_simhash": q_doc_simhash,
@@ -4779,6 +4791,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang AS lang_pred, h AS lang_hits
             FROM hits
             QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang DESC) = 1
+        """,
+        "doc_lm_perplexity": r"""
+            WITH toks AS (
+                SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS t
+                FROM documents
+            ),
+            bigrams AS (
+                SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2 FROM toks
+            ),
+            tokens AS (SELECT doc_id, unnest(t) AS token FROM toks),
+            uni AS (SELECT token AS w1, count(*) AS c1 FROM tokens GROUP BY 1),
+            bi AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY 1, 2),
+            vocab AS (SELECT count(*) AS v FROM uni),
+            scored AS (
+                SELECT b.doc_id, count(*) AS nb,
+                       avg(-ln((c12 + 0.5) / (c1 + 0.5 * vocab.v))) AS avg_nll
+                FROM bigrams b JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(nb, 0) AS INTEGER) AS n_bigrams,
+                   round(avg_nll, 6) AS avg_nll,
+                   round(exp(avg_nll), 6) AS ppl
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
         """,
         "emb_cosine_pairs": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

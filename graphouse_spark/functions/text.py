@@ -522,3 +522,73 @@ def duplicated_spans(docs: DataFrame, n: int = 10, min_docs: int = 2,
         )
         .drop("_island")
     )
+
+
+def ngram_lm_scores(docs: DataFrame, alpha: float = 0.5,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Bigram language-model perplexity per document — the CCNet-style
+    "train an n-gram LM on the corpus, score every document" quality
+    signal (Wenzek et al. 2020 score with a KenLM model; the model
+    here is an add-alpha bigram LM trained on the SAME corpus in two
+    aggregates, so the whole operator stays inside the engine).
+
+    P(w2 | w1) = (C(w1,w2) + alpha) / (C(w1) + alpha * V)
+
+    where counts come from the full corpus and V is the corpus
+    vocabulary size. Per document: n_bigrams, avg_nll (mean negative
+    log-likelihood over its bigram transitions), ppl = exp(avg_nll).
+    Documents with < 2 tokens score null (no transitions).
+
+    Plan shape (scales as three corpus passes, never pairwise):
+    1. one posexplode-free bigram extraction per doc — ``arrays_zip``
+       of the token array against its shift, a per-row projection;
+    2. corpus model = two aggregates over the exploded bigrams/tokens
+       (map-side partial combine; the model tables are vocabulary- and
+       vocabulary²-bounded, orders of magnitude under the corpus);
+    3. score join: doc bigram occurrences ⋈ bigram counts ⋈ unigram
+       counts — model sides are broadcast when small, AQE decides
+       otherwise — then one groupBy(doc) average.
+
+    Floats: ln/exp are computed in double and rounded to 6 decimals;
+    the per-doc mean sums ~doc-length terms, so the last ulp can
+    differ between engines/partitionings — round(6) absorbs it (same
+    tolerance posture as shannon_entropy, documented there).
+    """
+    toks = tokens_col(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    pairs = F.expr(
+        "CASE WHEN size(_toks) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(_toks) - 1), "
+        "     i -> struct(_toks[i-1] AS w1, _toks[i] AS w2)) END"
+    )
+    bigrams = base.select(
+        F.col(id_col), F.explode(pairs).alias("_bg")
+    ).select(F.col(id_col), F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    tokens = base.select(F.col(id_col), F.explode("_toks").alias("token"))
+    uni = tokens.groupBy(F.col("token").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    vocab = uni.select(F.count(F.lit(1)).alias("v"))
+    nll = -F.log(
+        (F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v"))
+    )
+    scored = (
+        bigrams.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(nll).alias("_avg_nll"),
+        )
+    )
+    # docs with < 2 tokens have no bigram rows — restore them with nulls
+    return (
+        docs.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("int").alias("n_bigrams"),
+            F.round(F.col("_avg_nll"), 6).alias("avg_nll"),
+            F.round(F.exp(F.col("_avg_nll")), 6).alias("ppl"),
+        )
+    )
