@@ -2447,6 +2447,39 @@ def q_gh_ch_dialect(spark, sf_dir):
     """)
 
 
+def q_doc_url_funcs(spark, sf_dir):
+    """ClickHouse URL-function family end-to-end: deterministic URLs
+    derived from the documents table, parsed with the CH spellings
+    (domain/topLevelDomain/path/extractURLParameter/...) registered as
+    SQL scalar UDFs — pure regexp Catalyst expressions, replayed by
+    the oracle with the identical regexes (chdialect.CH_URL_FUNCTIONS)."""
+    from graphouse_spark.chdialect import register_ch_dialect
+
+    register_ch_dialect(spark)
+    docs = _t(spark, sf_dir, "documents")
+    docs.select("doc_id", "lang", "source").createOrReplaceTempView("_url_docs")
+    return spark.sql("""
+        SELECT doc_id, url,
+               domain(url) AS host,
+               domainWithoutWWW(url) AS host_nw,
+               topLevelDomain(url) AS tld,
+               port(url) AS port,
+               path(url) AS path,
+               queryString(url) AS qs,
+               extractURLParameter(url, 'lang') AS p_lang,
+               fragment(url) AS frag,
+               cutQueryStringAndFragment(url) AS base_url
+        FROM (
+            SELECT doc_id,
+                   concat('https://www.', source, '.example.com',
+                          CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END,
+                          '/docs/d', doc_id, '?lang=', lang, '&v=', doc_id % 7,
+                          '#sec', doc_id % 3) AS url
+            FROM _url_docs
+        )
+    """)
+
+
 def q_multimodal_decode(spark, sf_dir):
     """REAL image decode end-to-end: per doc_id, a 24-bit BMP or binary
     PPM is BUILT byte-by-byte (dimensions/color derived from doc_id),
@@ -2957,6 +2990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sample_per_type": q_ev_sample_per_type,
         "ev_entropy": q_ev_entropy,
         "gh_ch_dialect": q_gh_ch_dialect,
+        "doc_url_funcs": q_doc_url_funcs,
         "multimodal_decode": q_multimodal_decode,
         "ev_with_totals": q_ev_with_totals,
         "ev_limit_by": q_ev_limit_by,
@@ -5078,6 +5112,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             GROUP BY event_type, ts
+        """,
+        "doc_url_funcs": r"""
+            WITH u AS (
+                SELECT doc_id,
+                       concat('https://www.', source, '.example.com',
+                              CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END,
+                              '/docs/d', doc_id, '?lang=', lang, '&v=', doc_id % 7,
+                              '#sec', doc_id % 3) AS url
+                FROM documents
+            )
+            SELECT doc_id, url,
+                   regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.\-]*://)?(?:[^/@?#]*@)?([^/:?#]+)', 1) AS host,
+                   regexp_replace(regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.\-]*://)?(?:[^/@?#]*@)?([^/:?#]+)', 1), '^www\.', '') AS host_nw,
+                   regexp_extract(regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.\-]*://)?(?:[^/@?#]*@)?([^/:?#]+)', 1), '\.([a-zA-Z][a-zA-Z0-9\-]*)$', 1) AS tld,
+                   CAST(coalesce(nullif(regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.\-]*://)?(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)', 1), ''), '0') AS INTEGER) AS port,
+                   regexp_extract(regexp_replace(url, '^(?:[a-zA-Z][a-zA-Z0-9+.\-]*://)?[^/?#]*', ''), '^(/[^?#]*)', 1) AS path,
+                   regexp_extract(url, '\?([^#]*)', 1) AS qs,
+                   regexp_extract(url, concat('[?&]', 'lang', '=([^&#]*)'), 1) AS p_lang,
+                   regexp_extract(url, '#(.*)$', 1) AS frag,
+                   regexp_replace(url, '[\?#].*$', '') AS base_url
+            FROM u
         """,
         "multimodal_decode": """
             SELECT doc_id AS asset_id,

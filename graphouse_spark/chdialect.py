@@ -70,6 +70,58 @@ CH_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
                                 "instr(lower(s), lower(sub))"),
 }
 
+#: ClickHouse URL-function family (domain/path/cutWWW/...), the
+#: workhorse of CH web-log and web-corpus pipelines. Bodies are pure
+#: regexp expressions — NOT java.net.URI parsing — both so they stay
+#: inside whole-stage codegen and so an external engine (the DuckDB
+#: oracle) can replay them with the same regexes. Like ClickHouse,
+#: these are lenient: no-match returns '' rather than erroring.
+#: URL shape assumed: [scheme://][user@]host[:port][/path][?query][#frag]
+CH_URL_FUNCTIONS: dict[str, tuple[str, str]] = {
+    "protocol": ("(url STRING) RETURNS STRING",
+                 r"regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1)"),
+    "domain": ("(url STRING) RETURNS STRING",
+               r"regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.\\-]*://)?(?:[^/@?#]*@)?([^/:?#]+)', 1)"),
+    "domainWithoutWWW": (
+        "(url STRING) RETURNS STRING",
+        r"regexp_replace(regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.\\-]*://)?(?:[^/@?#]*@)?([^/:?#]+)', 1),"
+        r" '^www\\.', '')"),
+    "topLevelDomain": (
+        "(url STRING) RETURNS STRING",
+        r"regexp_extract(regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.\\-]*://)?(?:[^/@?#]*@)?([^/:?#]+)', 1),"
+        r" '\\.([a-zA-Z][a-zA-Z0-9\\-]*)$', 1)"),
+    "port": ("(url STRING) RETURNS INT",
+             r"CAST(coalesce(nullif(regexp_extract(url,"
+             r" '^(?:[a-zA-Z][a-zA-Z0-9+.\\-]*://)?(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)', 1), ''), '0') AS INT)"),
+    # strip scheme+authority first, then read the path: a single regex
+    # like '^(scheme://)?host(/path)' backtracks on host-only URLs in
+    # Java (matching '//h' as the path) and RE2 has no possessive
+    # quantifiers to forbid it — the two-step form is unambiguous in
+    # both engines
+    "path": ("(url STRING) RETURNS STRING",
+             r"regexp_extract(regexp_replace(url,"
+             r" '^(?:[a-zA-Z][a-zA-Z0-9+.\\-]*://)?[^/?#]*', ''), '^(/[^?#]*)', 1)"),
+    "pathFull": ("(url STRING) RETURNS STRING",
+                 r"regexp_extract(regexp_replace(url,"
+                 r" '^(?:[a-zA-Z][a-zA-Z0-9+.\\-]*://)?[^/?#]*', ''), '^(/.*)$', 1)"),
+    "queryString": ("(url STRING) RETURNS STRING",
+                    r"regexp_extract(url, '\\?([^#]*)', 1)"),
+    "fragment": ("(url STRING) RETURNS STRING", r"regexp_extract(url, '#(.*)$', 1)"),
+    "extractURLParameter": (
+        "(url STRING, name STRING) RETURNS STRING",
+        r"regexp_extract(url, concat('[?&]', name, '=([^&#]*)'), 1)"),
+    "cutQueryString": ("(url STRING) RETURNS STRING",
+                       r"regexp_replace(url, '\\?[^#]*', '')"),
+    "cutFragment": ("(url STRING) RETURNS STRING", r"regexp_replace(url, '#.*$', '')"),
+    "cutQueryStringAndFragment": ("(url STRING) RETURNS STRING",
+                                  r"regexp_replace(url, '[\\?#].*$', '')"),
+    # group backrefs differ between engines ($1 vs \1) — compose two
+    # backref-free replaces instead so the oracle regex is identical
+    "cutWWW": ("(url STRING) RETURNS STRING",
+               r"regexp_replace(regexp_replace(url, '^www\\.', ''), '://www\\.', '://')"),
+}
+
+
 #: CH aggregate -> native Spark SQL aggregate (documented rewrites;
 #: aggregates cannot be SQL-UDF'd, and these are all built in anyway)
 AGGREGATE_EQUIVALENTS: dict[str, str] = {
@@ -102,8 +154,11 @@ def register_ch_dialect(spark: SparkSession) -> int:
     live. After this, ``spark.sql`` accepts the CH spellings anywhere
     an expression goes — and ``EXPLAIN`` shows them inlined into the
     plan (no UDF call nodes)."""
-    for name, (signature, body) in CH_SQL_FUNCTIONS.items():
-        spark.sql(
-            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{signature} RETURN {body}"
-        )
-    return len(CH_SQL_FUNCTIONS)
+    registered = 0
+    for family in (CH_SQL_FUNCTIONS, CH_URL_FUNCTIONS):
+        for name, (signature, body) in family.items():
+            spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{signature} RETURN {body}"
+            )
+            registered += 1
+    return registered

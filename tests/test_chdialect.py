@@ -3,12 +3,16 @@ expressions (SQL scalar UDFs) — correctness + no-Python-in-plan."""
 
 import pytest
 
-from graphouse_spark.chdialect import CH_SQL_FUNCTIONS, register_ch_dialect
+from graphouse_spark.chdialect import (
+    CH_SQL_FUNCTIONS,
+    CH_URL_FUNCTIONS,
+    register_ch_dialect,
+)
 
 
 @pytest.fixture(scope="module", autouse=True)
 def dialect(spark):
-    assert register_ch_dialect(spark) == len(CH_SQL_FUNCTIONS)
+    assert register_ch_dialect(spark) == len(CH_SQL_FUNCTIONS) + len(CH_URL_FUNCTIONS)
     # idempotent re-registration
     register_ch_dialect(spark)
 
@@ -49,3 +53,39 @@ def test_dialect_stays_jvm_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
     assert df.count() == 100
+
+
+def test_url_functions(spark):
+    one = lambda sql: spark.sql(f"SELECT {sql}").collect()[0][0]  # noqa: E731
+    url = "'https://www.sub.example.com:8443/docs/d17?lang=en&v=3#sec2'"
+    assert one(f"protocol({url})") == "https"
+    assert one(f"domain({url})") == "www.sub.example.com"
+    assert one(f"domainWithoutWWW({url})") == "sub.example.com"
+    assert one(f"topLevelDomain({url})") == "com"
+    assert one(f"port({url})") == 8443
+    assert one(f"path({url})") == "/docs/d17"
+    assert one(f"pathFull({url})") == "/docs/d17?lang=en&v=3#sec2"
+    assert one(f"queryString({url})") == "lang=en&v=3"
+    assert one(f"fragment({url})") == "sec2"
+    assert one(f"extractURLParameter({url}, 'v')") == "3"
+    assert one(f"extractURLParameter({url}, 'lang')") == "en"
+    assert one(f"cutQueryString({url})") == "https://www.sub.example.com:8443/docs/d17#sec2"
+    assert one(f"cutFragment({url})") == "https://www.sub.example.com:8443/docs/d17?lang=en&v=3"
+    assert one(f"cutQueryStringAndFragment({url})") == "https://www.sub.example.com:8443/docs/d17"
+    assert one(f"cutWWW({url})") == "https://sub.example.com:8443/docs/d17?lang=en&v=3#sec2"
+
+
+def test_url_functions_edges(spark):
+    """Lenient CH semantics on degenerate inputs — '' not errors; no
+    host-as-path backtracking on path-less URLs."""
+    one = lambda sql: spark.sql(f"SELECT {sql}").collect()[0][0]  # noqa: E731
+    assert one("domain('example.com/x')") == "example.com"      # schemeless
+    assert one("path('http://h')") == ""                        # no path != '//h'
+    assert one("pathFull('http://h')") == ""
+    assert one("port('http://h/p')") == 0                       # default port
+    assert one("topLevelDomain('http://localhost/x')") == ""    # dotless host
+    assert one("protocol('example.com')") == ""
+    assert one("queryString('http://h/p')") == ""
+    assert one("extractURLParameter('http://h/p?a=1', 'b')") == ""
+    assert one("cutWWW('www.example.com/a')") == "example.com/a"
+    assert one("domain('https://user@host.io/x')") == "host.io"  # userinfo
