@@ -2236,6 +2236,51 @@ def q_ts_filter_family(spark, sf_dir):
     return minimum_below(maximum_above(_series(spark, sf_dir), 345.0), 40.0)
 
 
+def q_ts_select_series(spark, sf_dir):
+    """graphite round 7 generics composed: highest(series, 3, current)
+    -> filterSeries(average > 49) — the one-plan-shape selector/filter
+    family behind highestAverage/lowestCurrent/averageAbove/... (agg,
+    TakeOrderedAndProject top-N, broadcast semi-join back)."""
+    from graphouse_spark.functions.timeseries import filter_series, select_series_by
+
+    return filter_series(
+        select_series_by(_series(spark, sf_dir), "current", 3), "average", ">", 49.0
+    )
+
+
+def q_ts_alias_limit(spark, sf_dir):
+    """graphite alias family + limit + scalar transforms: dotted names
+    -> aliasByMetric (last node) -> limit(3) by name -> round(1) ->
+    sigmoid; every step a projection or broadcast semi-join."""
+    from graphouse_spark.functions.timeseries import (
+        alias_by_metric,
+        limit_series,
+        round_series,
+        sigmoid_series,
+    )
+
+    s = _series(spark, sf_dir).withColumn(
+        "metric", F.concat(F.lit("events."), F.col("metric"))
+    )
+    return sigmoid_series(round_series(limit_series(alias_by_metric(s), 3), 1))
+
+
+def q_ts_fallback_nonnull(spark, sf_dir):
+    """graphite fallbackSeries + removeAboveValue + isNonNull: an empty
+    primary falls back declaratively (broadcast one-row count, no
+    driver action), points above 100 null out, isNonNull maps the grid
+    to 0/1."""
+    from graphouse_spark.functions.timeseries import (
+        fallback_series,
+        is_non_null,
+        remove_above_value,
+    )
+
+    s = _series(spark, sf_dir)
+    empty = s.filter(F.col("value") < -1e9)
+    return is_non_null(remove_above_value(fallback_series(empty, s), 100.0))
+
+
 def q_ts_shift_family(spark, sf_dir):
     """graphite delay(series, 2) over timeSlice(start, +3d): null
     outside the slice, then a 2-point lag per series."""
@@ -2973,6 +3018,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_smart_summarize": q_ts_smart_summarize,
         "ts_most_deviant": q_ts_most_deviant,
         "ts_filter_family": q_ts_filter_family,
+        "ts_select_series": q_ts_select_series,
+        "ts_alias_limit": q_ts_alias_limit,
+        "ts_fallback_nonnull": q_ts_fallback_nonnull,
         "ts_shift_family": q_ts_shift_family,
         "ts_pow_family": q_ts_pow_family,
         "ts_filter_family2": q_ts_filter_family2,
@@ -4937,6 +4985,35 @@ def oracle_sql() -> dict[str, str]:
                    6) AS ema
             FROM f
         """.replace("{series}", _SERIES_SQL),
+        "ts_select_series": f"""
+            WITH s AS ({_SERIES_SQL}),
+            top3 AS (
+                SELECT metric FROM (
+                    SELECT metric, arg_max(value, ts) AS cur FROM s GROUP BY 1
+                ) ORDER BY cur DESC, metric ASC LIMIT 3
+            ),
+            kept AS (SELECT s.* FROM s JOIN top3 USING (metric)),
+            filt AS (SELECT metric FROM kept GROUP BY metric HAVING avg(value) > 49.0)
+            SELECT kept.* FROM kept JOIN filt USING (metric)
+        """,
+        "ts_alias_limit": f"""
+            WITH s AS ({_SERIES_SQL}),
+            renamed AS (
+                SELECT (string_split('events.' || metric, '.'))[-1] AS metric, ts, value
+                FROM s
+            ),
+            top3 AS (
+                SELECT DISTINCT metric FROM renamed ORDER BY metric ASC LIMIT 3
+            )
+            SELECT r.metric, r.ts,
+                   round(1.0 / (1.0 + exp(-round(r.value, 1))), 6) AS value
+            FROM renamed r JOIN top3 USING (metric)
+        """,
+        "ts_fallback_nonnull": f"""
+            SELECT metric, ts,
+                   CASE WHEN value <= 100.0 THEN 1.0 ELSE 0.0 END AS value
+            FROM ({_SERIES_SQL})
+        """,
         "ts_offset_to_zero": f"""
             SELECT metric, ts,
                    round(value - min(value) OVER (PARTITION BY metric), 6) AS value

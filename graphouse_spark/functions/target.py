@@ -215,6 +215,40 @@ _REGISTRY = {
         df, "sum", list(nodes)),
     "averageSeriesWithWildcards": lambda df, *nodes: ts.group_by_nodes(
         df, "avg", list(nodes)),
+    # round 7: generic selector/filter family + scalar transforms
+    "alias": lambda df, name: ts.alias_series(df, str(name)),
+    "aliasByMetric": lambda df: ts.alias_by_metric(df),
+    "highest": lambda df, n=1, fn="average": ts.select_series_by(df, str(fn), int(n)),
+    "lowest": lambda df, n=1, fn="average": ts.select_series_by(
+        df, str(fn), int(n), lowest=True),
+    "highestAverage": lambda df, n: ts.select_series_by(df, "average", int(n)),
+    "lowestAverage": lambda df, n: ts.select_series_by(df, "average", int(n), lowest=True),
+    "highestCurrent": lambda df, n: ts.select_series_by(df, "current", int(n)),
+    "lowestCurrent": lambda df, n: ts.select_series_by(df, "current", int(n), lowest=True),
+    "filterSeries": lambda df, fn, op, t: ts.filter_series(df, str(fn), str(op), float(t)),
+    "limit": lambda df, n: ts.limit_series(df, int(n)),
+    "removeEmptySeries": lambda df: ts.remove_empty_series(df),
+    "fallbackSeries": lambda df, alt: ts.fallback_series(df, alt),
+    "isNonNull": lambda df: ts.is_non_null(df),
+    "round": lambda df, p=0: ts.round_series(df, int(p)),
+    "sigmoid": lambda df: ts.sigmoid_series(df),
+    "add": lambda df, c: ts.offset_series(df, float(c)),
+    "percentileOfSeries": lambda df, p: _canon(
+        ts.percentile_of_series(df, float(p) / 100.0), "pct_value", "percentileOfSeries"),
+    "stdev": lambda df, n: _canon(ts.moving_stddev(df, int(n)), "mov_stddev"),
+    "minMax": lambda df: _canon(ts.min_max_normalize(df), "norm"),
+    "weightedAverage": lambda avg_df, w_df: _canon(
+        ts.weighted_average(avg_df, w_df.select(
+            "metric", "ts", F.col("value").alias("weight"))),
+        "wavg", "weightedAverage"),
+    "holtWintersForecast": lambda df: _canon(
+        ts.holt_winters_forecast(df), "forecast"),
+    "holtWintersConfidenceUpper": lambda df: _canon(
+        ts.holt_winters_bands(df), "upper_band"),
+    "holtWintersConfidenceLower": lambda df: _canon(
+        ts.holt_winters_bands(df), "lower_band"),
+    "holtWintersAberration": lambda df: _canon(
+        ts.holt_winters_bands(df), "aberration"),
 }
 
 

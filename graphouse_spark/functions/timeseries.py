@@ -1140,3 +1140,154 @@ def sort_by_name(series: DataFrame, metric_col: str = "metric",
         series.join(F.broadcast(ranked), metric_col)
         .select(metric_col, "rank", ts_col, value_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# graphite function family, round 7: generic selectors / filters / scalars
+# ---------------------------------------------------------------------------
+
+#: per-series statistics shared by the generic selector and filter —
+#: the consolidation names graphite's highest()/lowest()/filterSeries()
+#: accept. "current" = the latest non-null point (max_by ts).
+SERIES_STATS = {
+    "average": lambda v, t: F.avg(v),
+    "avg": lambda v, t: F.avg(v),
+    "max": lambda v, t: F.max(v),
+    "min": lambda v, t: F.min(v),
+    "sum": lambda v, t: F.sum(v),
+    "total": lambda v, t: F.sum(v),
+    "current": lambda v, t: F.max_by(v, t),
+    "last": lambda v, t: F.max_by(v, t),
+    "count": lambda v, t: F.count(v).cast("double"),
+}
+
+
+def _series_stat(function: str, value_col: str, ts_col: str):
+    try:
+        return SERIES_STATS[function](value_col, ts_col)
+    except KeyError:
+        raise ValueError(
+            f"unknown series statistic {function!r}; supported: {sorted(SERIES_STATS)}"
+        ) from None
+
+
+def select_series_by(series: DataFrame, function: str = "average", n: int = 5,
+                     lowest: bool = False, metric_col: str = "metric",
+                     ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """The generic form of graphite's ``highest(series, n, func)`` /
+    ``lowest(series, n, func)`` family: keep the N series whose
+    per-series statistic ranks highest (or lowest), full series out.
+
+    ``highestAverage = (average, desc)``, ``lowestCurrent = (current,
+    asc)``, ``highestMax = (max, desc)`` and so on — one plan shape
+    for the whole family: per-series partial+final agg, top-N via
+    ``orderBy().limit(n)`` (TakeOrderedAndProject — per-partition
+    heaps, no global window funnel), winners broadcast back as a
+    semi-join so the big side never reshuffles (same scale posture as
+    :func:`highest_max`). Name-asc tiebreak for determinism.
+    """
+    stat = _series_stat(function, value_col, ts_col)
+    ranked = series.groupBy(metric_col).agg(stat.alias("_s"))
+    order = F.asc("_s") if lowest else F.desc("_s")
+    top = ranked.orderBy(order, F.asc(metric_col)).limit(n)
+    return series.join(
+        F.broadcast(top.select(metric_col)), metric_col, "left_semi"
+    ).select(metric_col, ts_col, value_col)
+
+
+def filter_series(series: DataFrame, function: str, operator: str, threshold: float,
+                  metric_col: str = "metric", ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """graphite ``filterSeries(seriesList, func, operator, threshold)``:
+    the generic predicate behind averageAbove/maximumBelow/...: keep
+    series whose per-series statistic satisfies ``stat <op>
+    threshold``. Same agg + broadcast-semi-join shape as the selector.
+    """
+    ops = {
+        ">": lambda c: c > threshold,
+        ">=": lambda c: c >= threshold,
+        "<": lambda c: c < threshold,
+        "<=": lambda c: c <= threshold,
+        "=": lambda c: c == threshold,
+        "!=": lambda c: c != threshold,
+    }
+    try:
+        pred = ops[operator]
+    except KeyError:
+        raise ValueError(f"unknown operator {operator!r}; supported: {sorted(ops)}") from None
+    stat = _series_stat(function, value_col, ts_col)
+    keep = series.groupBy(metric_col).agg(stat.alias("_s")).filter(pred(F.col("_s")))
+    return series.join(
+        F.broadcast(keep.select(metric_col)), metric_col, "left_semi"
+    ).select(metric_col, ts_col, value_col)
+
+
+def limit_series(series: DataFrame, n: int, metric_col: str = "metric",
+                 ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``limit(series, n)``: the first N series in name order
+    (graphite takes request order; name order is its deterministic
+    engine-side analog)."""
+    top = series.select(metric_col).distinct().orderBy(F.asc(metric_col)).limit(n)
+    return series.join(
+        F.broadcast(top), metric_col, "left_semi"
+    ).select(metric_col, ts_col, value_col)
+
+
+def remove_empty_series(series: DataFrame, metric_col: str = "metric",
+                        ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``removeEmptySeries``: drop series whose every point is
+    null (count(value) ignores nulls — one agg + semi-join back)."""
+    keep = (
+        series.groupBy(metric_col)
+        .agg(F.count(value_col).alias("_nn"))
+        .filter(F.col("_nn") > 0)
+    )
+    return series.join(
+        F.broadcast(keep.select(metric_col)), metric_col, "left_semi"
+    ).select(metric_col, ts_col, value_col)
+
+
+def fallback_series(series: DataFrame, fallback: DataFrame) -> DataFrame:
+    """graphite ``fallbackSeries(series, fallback)``: the fallback shows
+    only when the primary is EMPTY. The emptiness test enters the plan
+    as a broadcast one-row count — declarative, no driver-side action.
+    """
+    n = series.select(F.count(F.lit(1)).alias("_n"))
+    primary = series.crossJoin(F.broadcast(n)).filter(F.col("_n") > 0).drop("_n")
+    alt = fallback.crossJoin(F.broadcast(n)).filter(F.col("_n") == 0).drop("_n")
+    return primary.unionByName(alt)
+
+
+def alias_series(series: DataFrame, name: str,
+                 metric_col: str = "metric") -> DataFrame:
+    """graphite ``alias(series, name)``: rename every series."""
+    return series.withColumn(metric_col, F.lit(name))
+
+
+def alias_by_metric(series: DataFrame, metric_col: str = "metric") -> DataFrame:
+    """graphite ``aliasByMetric``: keep only the last dotted node."""
+    return series.withColumn(
+        metric_col, F.element_at(F.split(F.col(metric_col), r"\."), -1)
+    )
+
+
+def is_non_null(series: DataFrame, value_col: str = "value") -> DataFrame:
+    """graphite ``isNonNull``: 1 where a point exists, 0 where null."""
+    return series.withColumn(
+        value_col, F.when(F.col(value_col).isNotNull(), 1.0).otherwise(0.0)
+    )
+
+
+def round_series(series: DataFrame, precision: int = 0,
+                 value_col: str = "value") -> DataFrame:
+    """graphite ``round(series, precision)``."""
+    return series.withColumn(value_col, F.round(F.col(value_col), precision))
+
+
+def sigmoid_series(series: DataFrame, value_col: str = "value") -> DataFrame:
+    """graphite ``sigmoid``: 1 / (1 + e^-x), rounded to 6 for
+    engine-portable output."""
+    v = F.col(value_col)
+    return series.withColumn(
+        value_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-v)), 6)
+    )

@@ -1,0 +1,115 @@
+"""Graphite round-7: the generic selector/filter family
+(highest/lowest/filterSeries/limit), alias family, fallbackSeries,
+removeEmptySeries, and scalar transforms — plus their render-target
+registry entries."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphouse_spark.functions.target import evaluate_target
+from graphouse_spark.functions.timeseries import (
+    alias_by_metric,
+    alias_series,
+    fallback_series,
+    filter_series,
+    is_non_null,
+    limit_series,
+    remove_above_value,
+    remove_empty_series,
+    round_series,
+    select_series_by,
+    sigmoid_series,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "metric string, ts long, value double")
+
+
+@pytest.fixture()
+def series(spark):
+    # a: 1..4 (mean 2.5, current 4); b: 10..40 (mean 25, current 40);
+    # c: 100,100,100,1 (mean 75.25, current 1)
+    rows = []
+    for i, v in enumerate([1.0, 2.0, 3.0, 4.0]):
+        rows.append(("s.a", i * 60, v))
+    for i, v in enumerate([10.0, 20.0, 30.0, 40.0]):
+        rows.append(("s.b", i * 60, v))
+    for i, v in enumerate([100.0, 100.0, 100.0, 1.0]):
+        rows.append(("s.c", i * 60, v))
+    return _mk(spark, rows)
+
+
+def _metrics(df):
+    return {r["metric"] for r in df.select("metric").distinct().collect()}
+
+
+def test_select_series_by_stats(series):
+    assert _metrics(select_series_by(series, "average", 1)) == {"s.c"}
+    assert _metrics(select_series_by(series, "average", 2)) == {"s.b", "s.c"}
+    assert _metrics(select_series_by(series, "current", 1)) == {"s.b"}
+    assert _metrics(select_series_by(series, "current", 1, lowest=True)) == {"s.c"}
+    assert _metrics(select_series_by(series, "max", 1, lowest=True)) == {"s.a"}
+    # full series come back, not just names
+    assert select_series_by(series, "average", 1).count() == 4
+    with pytest.raises(ValueError, match="unknown series statistic"):
+        select_series_by(series, "nope", 1).collect()
+
+
+def test_filter_series_ops(series):
+    assert _metrics(filter_series(series, "average", ">", 20.0)) == {"s.b", "s.c"}
+    assert _metrics(filter_series(series, "current", "<=", 4.0)) == {"s.a", "s.c"}
+    assert _metrics(filter_series(series, "min", "=", 1.0)) == {"s.a", "s.c"}
+    assert _metrics(filter_series(series, "sum", "!=", 10.0)) == {"s.b", "s.c"}
+    with pytest.raises(ValueError, match="unknown operator"):
+        filter_series(series, "average", "~", 1.0).collect()
+
+
+def test_limit_and_remove_empty(spark, series):
+    assert _metrics(limit_series(series, 2)) == {"s.a", "s.b"}  # name order
+    with_null = series.withColumn(
+        "value", F.when(F.col("metric") != "s.a", F.col("value"))
+    )
+    assert _metrics(remove_empty_series(with_null)) == {"s.b", "s.c"}
+
+
+def test_fallback_series(spark, series):
+    empty = series.filter(F.col("value") < -1)
+    # empty primary -> fallback shows
+    assert fallback_series(empty, series).count() == 12
+    # non-empty primary -> fallback hidden
+    only_a = series.filter(F.col("metric") == "s.a")
+    out = fallback_series(only_a, series)
+    assert _metrics(out) == {"s.a"} and out.count() == 4
+
+
+def test_alias_family(series):
+    assert _metrics(alias_series(series, "x")) == {"x"}
+    assert _metrics(alias_by_metric(series)) == {"a", "b", "c"}
+
+
+def test_scalar_transforms(spark):
+    s = _mk(spark, [("m", 0, 0.0), ("m", 60, 149.6), ("m", 120, None)])
+    nn = {r["ts"]: r["value"] for r in is_non_null(s).collect()}
+    assert nn == {0: 1.0, 60: 1.0, 120: 0.0}
+    r = {r["ts"]: r["value"] for r in round_series(s, 0).collect()}
+    assert r[60] == 150.0
+    sig = {r["ts"]: r["value"] for r in sigmoid_series(s).collect()}
+    assert sig[0] == 0.5 and sig[120] is None
+    nulled = remove_above_value(s, 100.0)
+    assert {r["ts"]: r["value"] for r in nulled.collect()}[60] is None
+
+
+def test_render_targets_round7(series):
+    out = evaluate_target(series, "highestAverage(s.*, 1)")
+    assert _metrics(out) == {"s.c"}
+    out = evaluate_target(series, "lowestCurrent(s.*, 1)")
+    assert _metrics(out) == {"s.c"}
+    out = evaluate_target(series, "filterSeries(s.*, 'average', '>', 20)")
+    assert _metrics(out) == {"s.b", "s.c"}
+    out = evaluate_target(series, "limit(aliasByMetric(s.*), 2)")
+    assert _metrics(out) == {"a", "b"}
+    out = evaluate_target(series, "sigmoid(round(alias(s.a, 'zero'), 0))")
+    assert _metrics(out) == {"zero"}
+    out = evaluate_target(series, "fallbackSeries(s.z, s.a)")
+    assert out.count() == 4
