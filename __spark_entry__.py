@@ -2492,6 +2492,29 @@ def q_gh_ch_dialect(spark, sf_dir):
     """)
 
 
+def q_ev_json_dialect(spark, sf_dir):
+    """ClickHouse JSON-function family verbatim over the semi-structured
+    props column: JSONHas / JSONExtractInt / JSONExtractFloat /
+    JSONLength as SQL scalar UDFs (chdialect.CH_JSON_FUNCTIONS) —
+    Jackson-backed Catalyst expressions, zero Python in the plan."""
+    from graphouse_spark.chdialect import register_ch_dialect
+    from graphouse_spark.sources.tables import register_corpus
+
+    register_ch_dialect(spark)
+    _t(spark, sf_dir, "events")  # pins session confs for the view read
+    register_corpus(spark, sf_dir, ("events",))
+    return spark.sql("""
+        SELECT event_type,
+               count_if(JSONHas(props, 'k')) AS n_has,
+               sum(JSONExtractInt(props, 'k')) AS sum_k,
+               round(avg(JSONExtractFloat(props, 'k')), 6) AS avg_k,
+               count_if(JSONExtractInt(props, 'k') > 50) AS n_big,
+               max(JSONLength(props)) AS max_keys
+        FROM events
+        GROUP BY event_type
+    """)
+
+
 def q_doc_url_funcs(spark, sf_dir):
     """ClickHouse URL-function family end-to-end: deterministic URLs
     derived from the documents table, parsed with the CH spellings
@@ -3039,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_entropy": q_ev_entropy,
         "gh_ch_dialect": q_gh_ch_dialect,
         "doc_url_funcs": q_doc_url_funcs,
+        "ev_json_dialect": q_ev_json_dialect,
         "multimodal_decode": q_multimodal_decode,
         "ev_with_totals": q_ev_with_totals,
         "ev_limit_by": q_ev_limit_by,
@@ -5189,6 +5213,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             GROUP BY event_type, ts
+        """,
+        "ev_json_dialect": """
+            SELECT event_type,
+                   count(*) FILTER (json_extract_string(props, '$.k') IS NOT NULL) AS n_has,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+                   count(*) FILTER (CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS n_big,
+                   CAST(max(len(json_keys(props))) AS INTEGER) AS max_keys
+            FROM events
+            GROUP BY event_type
         """,
         "doc_url_funcs": r"""
             WITH u AS (

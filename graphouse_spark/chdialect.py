@@ -122,6 +122,41 @@ CH_URL_FUNCTIONS: dict[str, tuple[str, str]] = {
 }
 
 
+#: ClickHouse JSON-function family over string-typed JSON columns
+#: (the ``props``-style semi-structured payload every CH event table
+#: carries). Bodies route through ``get_json_object`` /
+#: ``json_object_keys`` — JVM-side Jackson parsing inside codegen.
+#: Lenient like CH: malformed JSON or a missing key yields NULL (CH
+#: returns 0/'' defaults for JSONExtract*; the NULL posture is kept
+#: deliberately because it composes with SQL aggregates — documented
+#: deviation). The simpleJSON*/visitParam* spellings alias the same
+#: bodies (CH's fast-path parser is an engine detail, not semantics).
+CH_JSON_FUNCTIONS: dict[str, tuple[str, str]] = {
+    "JSONHas": ("(j STRING, k STRING) RETURNS BOOLEAN",
+                "get_json_object(j, concat('$.', k)) IS NOT NULL"),
+    "JSONExtractInt": ("(j STRING, k STRING) RETURNS BIGINT",
+                       "CAST(get_json_object(j, concat('$.', k)) AS BIGINT)"),
+    "JSONExtractFloat": ("(j STRING, k STRING) RETURNS DOUBLE",
+                         "CAST(get_json_object(j, concat('$.', k)) AS DOUBLE)"),
+    "JSONExtractString": ("(j STRING, k STRING) RETURNS STRING",
+                          "get_json_object(j, concat('$.', k))"),
+    "JSONExtractBool": ("(j STRING, k STRING) RETURNS BOOLEAN",
+                        "CAST(get_json_object(j, concat('$.', k)) AS BOOLEAN)"),
+    "JSONLength": ("(j STRING) RETURNS INT", "size(json_object_keys(j))"),
+    "JSONExtractKeys": ("(j STRING) RETURNS ARRAY<STRING>", "json_object_keys(j)"),
+    "simpleJSONHas": ("(j STRING, k STRING) RETURNS BOOLEAN",
+                      "get_json_object(j, concat('$.', k)) IS NOT NULL"),
+    "simpleJSONExtractInt": ("(j STRING, k STRING) RETURNS BIGINT",
+                             "CAST(get_json_object(j, concat('$.', k)) AS BIGINT)"),
+    "simpleJSONExtractString": ("(j STRING, k STRING) RETURNS STRING",
+                                "get_json_object(j, concat('$.', k))"),
+    "visitParamHas": ("(j STRING, k STRING) RETURNS BOOLEAN",
+                      "get_json_object(j, concat('$.', k)) IS NOT NULL"),
+    "visitParamExtractInt": ("(j STRING, k STRING) RETURNS BIGINT",
+                             "CAST(get_json_object(j, concat('$.', k)) AS BIGINT)"),
+}
+
+
 #: CH aggregate -> native Spark SQL aggregate (documented rewrites;
 #: aggregates cannot be SQL-UDF'd, and these are all built in anyway)
 AGGREGATE_EQUIVALENTS: dict[str, str] = {
@@ -155,7 +190,7 @@ def register_ch_dialect(spark: SparkSession) -> int:
     an expression goes — and ``EXPLAIN`` shows them inlined into the
     plan (no UDF call nodes)."""
     registered = 0
-    for family in (CH_SQL_FUNCTIONS, CH_URL_FUNCTIONS):
+    for family in (CH_SQL_FUNCTIONS, CH_URL_FUNCTIONS, CH_JSON_FUNCTIONS):
         for name, (signature, body) in family.items():
             spark.sql(
                 f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{signature} RETURN {body}"

@@ -4,6 +4,7 @@ expressions (SQL scalar UDFs) — correctness + no-Python-in-plan."""
 import pytest
 
 from graphouse_spark.chdialect import (
+    CH_JSON_FUNCTIONS,
     CH_SQL_FUNCTIONS,
     CH_URL_FUNCTIONS,
     register_ch_dialect,
@@ -12,7 +13,8 @@ from graphouse_spark.chdialect import (
 
 @pytest.fixture(scope="module", autouse=True)
 def dialect(spark):
-    assert register_ch_dialect(spark) == len(CH_SQL_FUNCTIONS) + len(CH_URL_FUNCTIONS)
+    expected = len(CH_SQL_FUNCTIONS) + len(CH_URL_FUNCTIONS) + len(CH_JSON_FUNCTIONS)
+    assert register_ch_dialect(spark) == expected
     # idempotent re-registration
     register_ch_dialect(spark)
 
@@ -89,3 +91,21 @@ def test_url_functions_edges(spark):
     assert one("extractURLParameter('http://h/p?a=1', 'b')") == ""
     assert one("cutWWW('www.example.com/a')") == "example.com/a"
     assert one("domain('https://user@host.io/x')") == "host.io"  # userinfo
+
+
+def test_json_functions(spark):
+    one = lambda sql: spark.sql(f"SELECT {sql}").collect()[0][0]  # noqa: E731
+    j = """'{"k": 69, "name": "x", "on": true}'"""
+    assert one(f"JSONHas({j}, 'k')") is True
+    assert one(f"JSONHas({j}, 'missing')") is False
+    assert one(f"JSONExtractInt({j}, 'k')") == 69
+    assert one(f"JSONExtractFloat({j}, 'k')") == 69.0
+    assert one(f"JSONExtractString({j}, 'name')") == "x"
+    assert one(f"JSONExtractBool({j}, 'on')") is True
+    assert one(f"JSONLength({j})") == 3
+    assert one(f"JSONExtractKeys({j})") == ["k", "name", "on"]
+    assert one(f"visitParamExtractInt({j}, 'k')") == 69
+    assert one(f"simpleJSONHas({j}, 'name')") is True
+    # lenient on malformed/missing (documented NULL posture)
+    assert one("JSONExtractInt('not json', 'k')") is None
+    assert one("JSONLength('nope')") is None
