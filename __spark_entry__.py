@@ -1706,6 +1706,18 @@ def q_emb_cosine_topk_np(spark, sf_dir):
     return cosine_topk_vectorized(emb, queries, k=3)
 
 
+def q_emb_twostage_topk(spark, sf_dir):
+    """Coarse-to-fine exact retrieval (Matryoshka-truncation serving
+    shape): 16-dim prefix cosine shortlists 50 per query, full 64-dim
+    cosine re-ranks to top-3. Deterministic both stages, so recall
+    behavior itself is oracle-replayed."""
+    from graphouse_spark.functions.similarity import two_stage_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return two_stage_topk(emb, queries, k=3, coarse_dims=16, shortlist=50)
+
+
 def q_emb_ivf_topk(spark, sf_dir):
     """IVF ANN (no SQL oracle: approximate, cluster-dependent)."""
     from graphouse_spark.functions.similarity import ivf_index, ivf_topk
@@ -3016,6 +3028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk_np": q_emb_cosine_topk_np,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_twostage_topk": q_emb_twostage_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_meta": q_multimodal_meta,
         "ts_moving_stats": q_ts_moving_stats,
@@ -4938,6 +4951,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS content_md5
             FROM documents
+        """,
+        "emb_twostage_topk": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       (embedding::DOUBLE[])[1:16] AS cv
+                FROM embeddings
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qv, cv AS qcv FROM e WHERE vec_id < 5),
+            s1 AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id, e.v AS nv, q.qv,
+                       list_dot_product(q.qcv, e.cv)
+                       / (sqrt(list_dot_product(q.qcv, q.qcv))
+                          * sqrt(list_dot_product(e.cv, e.cv))) AS coarse
+                FROM e JOIN q ON e.vec_id != q.query_id
+            ),
+            short AS (
+                SELECT query_id, neighbor_id, nv, qv FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY query_id ORDER BY coarse DESC, neighbor_id ASC
+                    ) AS r1 FROM s1
+                ) WHERE r1 <= 50
+            ),
+            rescored AS (
+                SELECT query_id, neighbor_id,
+                       list_dot_product(qv, nv)
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(nv, nv))) AS fc
+                FROM short
+            )
+            SELECT query_id, neighbor_id, round(fc, 6) AS cosine,
+                   CAST(rank AS INTEGER) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY fc DESC, neighbor_id ASC
+                ) AS rank FROM rescored
+            ) WHERE rank <= 3
         """,
         "emb_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),

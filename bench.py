@@ -74,6 +74,11 @@ EXTENDED_QUERIES = [
     "ev_sequence_next",        # sorted-array chain scan
     "multimodal_decode",       # byte-built image round-trip decode
     "join_any",                # ANY-strictness first-match join
+    # round-3 continuation
+    "doc_lm_perplexity",       # corpus-trained bigram-LM quality scores
+    "doc_url_funcs",           # CH URL-function family (regexp dialect)
+    "ev_json_dialect",         # CH JSON-function family over props
+    "ts_select_series",        # graphite generic selector+filter
 ]
 
 

@@ -642,3 +642,64 @@ def semdedup(embeddings: DataFrame, n_clusters: int = 16, threshold: float = 0.9
         .distinct()
     )
     return assigned.join(dropped, id_col, "left_anti")
+
+
+def two_stage_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                   coarse_dims: int = 16, shortlist: int = 100,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Coarse-to-fine retrieval: rank by the first ``coarse_dims``
+    dimensions to a per-query ``shortlist``, then re-rank the
+    shortlist with full-dimension cosine — the Matryoshka-truncation
+    serving pattern (Kusupati et al. 2022): the cheap prefix scan does
+    the data-volume work, the expensive exact score touches only
+    ``shortlist`` rows per query.
+
+    At 100 TB the stage-1 scan reads ``coarse_dims/dim`` of the vector
+    bytes per pair (a column-pruned prefix if vectors are stored
+    dimension-sliced) and stage 2 is bounded by shortlist * queries —
+    independent of corpus size. Both stages are deterministic
+    (value-desc, id-asc ranking), so the whole operator — including
+    its recall behavior — replays exactly in the SQL oracle.
+
+    Norms are hoisted to per-row projections (interpreted HOF lambdas
+    see no CSE — same rationale as :func:`cosine_topk`).
+    """
+    full = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    coarse = F.transform(
+        F.slice(F.col(vec_col), 1, coarse_dims), lambda x: x.cast("double")
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            full.alias("_qfull"), coarse.alias("_qcoarse"),
+        )
+        .withColumn("_qn", _norm(F.col("_qfull")))
+        .withColumn("_qcn", _norm(F.col("_qcoarse")))
+    )
+    c = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            full.alias("_cfull"), coarse.alias("_ccoarse"),
+        )
+        .withColumn("_cn", _norm(F.col("_cfull")))
+        .withColumn("_ccn", _norm(F.col("_ccoarse")))
+    )
+    coarse_cos = _dot(F.col("_qcoarse"), F.col("_ccoarse")) / (F.col("_qcn") * F.col("_ccn"))
+    stage1 = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_coarse", coarse_cos)
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("_coarse"), F.asc("neighbor_id"))
+    short = stage1.withColumn("_r1", F.row_number().over(w1)).filter(F.col("_r1") <= shortlist)
+    full_cos = _dot(F.col("_qfull"), F.col("_cfull")) / (F.col("_qn") * F.col("_cn"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("_full"), F.asc("neighbor_id"))
+    return (
+        short.withColumn("_full", full_cos)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round(F.col("_full"), 6).alias("cosine"), "rank",
+        )
+    )

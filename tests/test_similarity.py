@@ -207,3 +207,34 @@ def test_semdedup_deterministic_across_partitioning(spark):
     a = sorted(r["vec_id"] for r in semdedup(emb, n_clusters=4, threshold=0.98).collect())
     b = sorted(r["vec_id"] for r in semdedup(emb.repartition(13), n_clusters=4, threshold=0.98).collect())
     assert a == b
+
+
+def test_two_stage_topk(spark, emb):
+    from graphouse_spark.functions.similarity import two_stage_topk
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = pairs(cosine_topk(emb, queries, k=3).collect())
+    n = emb.count()
+    # shortlist covering the whole corpus degenerates to exact search
+    full = two_stage_topk(emb, queries, k=3, coarse_dims=16, shortlist=n)
+    assert pairs(full.collect()) == exact
+    # exact cosines survive the re-rank unchanged
+    ec = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+          for r in cosine_topk(emb, queries, k=3).collect()}
+    fc = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in full.collect()}
+    assert ec == fc
+    # recall is monotone in shortlist size (a superset shortlist can
+    # only add exact members to the re-rank pool). Absolute recall on
+    # THIS corpus is weak by construction: the synthetic embeddings
+    # are i.i.d. random, so the 16-dim prefix is maximally
+    # uninformative about the full-64 cosine — the worst case for
+    # prefix truncation; real Matryoshka-trained embeddings front-load
+    # the signal.
+    r = {}
+    for sl in (10, 100):
+        approx = pairs(
+            two_stage_topk(emb, queries, k=3, coarse_dims=16, shortlist=sl).collect()
+        )
+        r[sl] = len(exact & approx) / len(exact)
+    assert r[10] <= r[100]
+    assert r[100] >= 0.5, f"recall {r}"
