@@ -68,6 +68,31 @@ CH_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
     "match": ("(s STRING, re STRING) RETURNS BOOLEAN", "s RLIKE re"),
     "positionCaseInsensitive": ("(s STRING, sub STRING) RETURNS INT",
                                 "instr(lower(s), lower(sub))"),
+    # string / encoding / math batch. Spellings Spark already has as
+    # built-ins resolve natively because SQL function names are
+    # case-insensitive — startsWith/endsWith/hex/log2/cbrt/pi/e need
+    # NO shim (and cannot be shadowed by a SQL UDF); only the
+    # genuinely missing names are registered here. CAVEAT: built-in
+    # ``position(needle, haystack)`` takes CH's arguments REVERSED
+    # and cannot be shadowed — CH code should use ``positionUTF8``
+    # (shimmed below, CH order) or ``instr``.
+    "positionUTF8": ("(s STRING, sub STRING) RETURNS INT", "instr(s, sub)"),
+    "leftPad": ("(s STRING, n INT, p STRING) RETURNS STRING", "lpad(s, n, p)"),
+    "rightPad": ("(s STRING, n INT, p STRING) RETURNS STRING", "rpad(s, n, p)"),
+    "trimBoth": ("(s STRING) RETURNS STRING", "trim(s)"),
+    "substringUTF8": ("(s STRING, p INT, n INT) RETURNS STRING", "substring(s, p, n)"),
+    "reverseUTF8": ("(s STRING) RETURNS STRING", "reverse(s)"),
+    "base64Encode": ("(s STRING) RETURNS STRING", "base64(CAST(s AS BINARY))"),
+    "base64Decode": ("(s STRING) RETURNS STRING", "CAST(unbase64(s) AS STRING)"),
+    "bitCount": ("(x BIGINT) RETURNS INT", "bit_count(x)"),
+    "intExp2": ("(n INT) RETURNS BIGINT", "CAST(1 AS BIGINT) << n"),
+    "greatCircleDistance": (
+        "(lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE) RETURNS DOUBLE",
+        # haversine on the CH-documented 6372797.56 m mean-Earth radius
+        "2 * 6372797.56085 * asin(sqrt("
+        " pow(sin(radians(lat2 - lat1) / 2), 2)"
+        " + cos(radians(lat1)) * cos(radians(lat2))"
+        "   * pow(sin(radians(lon2 - lon1) / 2), 2)))"),
 }
 
 #: ClickHouse URL-function family (domain/path/cutWWW/...), the

@@ -109,3 +109,33 @@ def test_json_functions(spark):
     # lenient on malformed/missing (documented NULL posture)
     assert one("JSONExtractInt('not json', 'k')") is None
     assert one("JSONLength('nope')") is None
+
+
+def test_string_math_batch(spark):
+    one = lambda sql: spark.sql(f"SELECT {sql}").collect()[0][0]  # noqa: E731
+    # CH spellings Spark already has resolve natively (names are
+    # case-insensitive): no shim registered, still valid CH SQL here.
+    # position() is the documented exception: Spark's built-in takes
+    # (needle, haystack) — CH argument order — reversed; positionUTF8
+    # carries the CH order.
+    assert one("position('ll', 'hello')") == 3   # Spark arg order
+    assert one("positionUTF8('hello', 'll')") == 3  # CH arg order
+    assert one("startsWith('one_min.srv', 'one_')") is True
+    assert one("endsWith('metric.count', 'count')") is True
+    assert one("hex(255)") == "FF"
+    assert one("log2(8.0)") == 3.0
+    assert abs(one("cbrt(27.0)") - 3.0) < 1e-12
+    assert abs(one("e()") - 2.718281828) < 1e-6
+    assert abs(one("pi()") - 3.14159265) < 1e-6
+    # shimmed names
+    assert one("leftPad('7', 3, '0')") == "007"
+    assert one("rightPad('ab', 4, '.')") == "ab.."
+    assert one("trimBoth('  x ')") == "x"
+    assert one("substringUTF8('abcdef', 2, 3)") == "bcd"
+    assert one("reverseUTF8('abc')") == "cba"
+    assert one("base64Decode(base64Encode('graph'))") == "graph"
+    assert one("bitCount(7)") == 3
+    assert one("intExp2(40)") == 1 << 40
+    # Moscow -> St Petersburg ~ 634 km, CH doc example ballpark
+    d = one("greatCircleDistance(37.6173, 55.7558, 30.3351, 59.9343)")
+    assert 600_000 < d < 670_000
