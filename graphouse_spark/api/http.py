@@ -83,6 +83,22 @@ def make_handler(service: GraphouseService):
                     self._send(200, service.search(params.get("query", "")))
                 elif route == "/searchCachedMetrics":
                     self._send(200, service.search_cached(params.get("query", "")))
+                elif route == "/render":
+                    # graphite-web render API (format=json only): target
+                    # repeats like graphite's (multiple target params)
+                    targets = parse_qs(parsed.query, keep_blank_values=True).get("target", [])
+                    if not targets:
+                        self._send(400, "target parameter required")
+                        return
+                    fmt = params.get("format", "json")
+                    if fmt != "json":
+                        self._send(400, f"unsupported format {fmt!r} (json only)")
+                        return
+                    start = int(params["from"])
+                    end = int(params["until"])
+                    req_key = params.get("reqKey") or None
+                    self._send(200, service.render_json(
+                        targets, start, end, req_key=req_key), "application/json")
                 elif route in MULTI_STATUS:
                     self._multi_modify(route, params)
                 elif route in ("/ban", "/approve", "/hide"):

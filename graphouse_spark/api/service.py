@@ -125,6 +125,73 @@ class GraphouseService:
         """Cancel every Spark job started under ``req_key``."""
         self.spark.sparkContext.cancelJobGroup(req_key)
 
+    # -- /render (beyond-reference: graphite-web's render API engine-side) --
+    def render(self, targets: list[str] | str, start: int, end: int,
+               now_seconds: int | None = None,
+               req_key: str | None = None) -> list[dict]:
+        """graphite-web ``/render?format=json`` served by the engine.
+
+        The reference only finds+fetches raw series and leaves every
+        transform to graphite-web's python renderer (graphouse.py is a
+        fetch adapter). Here the full target expression — nested
+        function calls included — compiles to ONE Catalyst plan over
+        the pruned scan (functions/target.py registry, 80+ functions),
+        and only the final rendered points leave the engine. Returns
+        graphite's wire shape:
+        ``[{"target": name, "datapoints": [[value|null, ts], ...]}]``.
+        """
+        import math as _math
+
+        from graphouse_spark.functions.target import (
+            collect_series_globs,
+            evaluate_target,
+        )
+
+        if isinstance(targets, str):
+            targets = [targets]
+        if not self._loaded:
+            raise RuntimeError("metric tree not loaded yet (the reference returns 503)")
+
+        def run() -> list[dict]:
+            data = read_data(self.spark, self.data_path)
+            out: list[dict] = []
+            for target in targets:
+                names: list[str] = []
+                seen: set[str] = set()
+                for g in collect_series_globs(target):
+                    for m in self.tree.search(g):
+                        if not m.endswith(".") and m not in seen:
+                            seen.add(m)
+                            names.append(m)
+                frame = self.data_service.base_series(
+                    self.spark, data, names, start, end, now_seconds
+                )
+                by_metric: dict[str, list] = {}
+                for r in evaluate_target(frame, target).collect():
+                    by_metric.setdefault(r["metric"], []).append((r["ts"], r["value"]))
+                for m in sorted(by_metric):
+                    pts = sorted(by_metric[m])
+                    out.append({
+                        "target": m,
+                        "datapoints": [
+                            [None if v is None or not _math.isfinite(v) else v, t]
+                            for t, v in pts
+                        ],
+                    })
+            return out
+
+        if req_key:
+            sc = self.spark.sparkContext
+            sc.setJobGroup(req_key, f"/render reqKey={req_key}", interruptOnCancel=True)
+            try:
+                return run()
+            finally:
+                sc.setJobGroup(None, None)
+        return run()
+
+    def render_json(self, *args, **kwargs) -> str:
+        return json.dumps(self.render(*args, **kwargs))
+
     def _metric_data(self, patterns: list[str], start: int, end: int,
                      now_seconds: int | None = None) -> dict:
         # literals also route through search (MetricDataService.java:86-98):

@@ -296,3 +296,28 @@ def evaluate_target(series: DataFrame, target: str,
         raise ValueError(f"a literal {node!r} is not a series")
 
     return ev(tree)
+
+
+def collect_series_globs(target: str) -> list[str]:
+    """Every path glob the target will evaluate as a SERIES — the set a
+    server must fetch before :func:`evaluate_target` can run. Mirrors
+    the evaluator's argument rule exactly: the head argument of a call
+    is always a series; a later bare single-segment identifier is a
+    keyword, not a series; the top-level node always is one.
+    """
+    tree = parse_target(target)
+    out: list[str] = []
+
+    def walk(node, head: bool):
+        if isinstance(node, Path):
+            if head or not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", node.glob):
+                if node.glob not in out:
+                    out.append(node.glob)
+            return
+        if isinstance(node, Call):
+            for i, a in enumerate(node.args):
+                if isinstance(a, (Call, Path)):
+                    walk(a, head=(i == 0))
+
+    walk(tree, head=True)
+    return out

@@ -179,3 +179,40 @@ class MetricDataService:
 
     def get_data_json(self, *args, **kwargs) -> str:
         return json.dumps(self.get_data(*args, **kwargs))
+
+    def base_series(self, spark: SparkSession, data: DataFrame,
+                    metric_names: list[str], start: int, end: int,
+                    now_seconds: int | None = None) -> DataFrame:
+        """Gap-filled canonical (metric, ts, value) frame — the base a
+        render-function tree evaluates over (/render serving path).
+
+        Same per-retention-function grouping and zonemap pruning as
+        :meth:`get_data`, but the groups UNION into one frame instead
+        of serializing: graphite datapoints carry their own timestamps,
+        so mixed per-group steps coexist in a single result.
+        """
+        if not metric_names:
+            return spark.createDataFrame([], "metric string, ts long, value double")
+        groups: dict[str, list[str]] = defaultdict(list)
+        for name in metric_names:
+            groups[self.provider.get_retention(name).function].append(name)
+        plan = [
+            (fn, names, self.query_params(names, start, end, now_seconds))
+            for fn, names in groups.items()
+        ]
+        pruned = self._pruned_source(
+            spark, metric_names,
+            min(p.start_time_seconds for _, _, p in plan),
+            max(p.end_time_seconds for _, _, p in plan),
+        )
+        if pruned is not None:
+            data = pruned
+        frames = [
+            metric_series(spark, data, names, p.start_time_seconds,
+                          p.end_time_seconds, p.step_seconds, fn)
+            for fn, names, p in plan
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out

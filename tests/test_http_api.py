@@ -196,3 +196,40 @@ def test_req_key_scopes_spark_job_group(server, spark):
     code, body = post(port, path, metrics="one_min.srv1.cpu")
     assert code == 200
     assert json.loads(body)["one_min.srv1.cpu"]["points"] == [1.0, 2.0, 3.0]
+
+
+def test_render_endpoint(server):
+    """/render evaluates the full target expression engine-side and
+    returns graphite's [{"target", "datapoints": [[v, ts], ...]}]."""
+    svc, http, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    # raw series: both metrics, three points each
+    code, body = get(port, f"/render?target=one_min.*.cpu&from={BASE}&until={BASE + 180}")
+    assert code == 200
+    out = json.loads(body)
+    assert [s["target"] for s in out] == ["one_min.srv1.cpu", "one_min.srv2.cpu"]
+    assert out[0]["datapoints"] == [[1.0, BASE], [2.0, BASE + 60], [3.0, BASE + 120]]
+    # a function tree: sumSeries collapses both series into one
+    tgt = urllib.parse.quote("sumSeries(one_min.*.cpu)")
+    code, body = get(port, f"/render?target={tgt}&from={BASE}&until={BASE + 180}")
+    assert code == 200
+    out = json.loads(body)
+    assert len(out) == 1 and out[0]["target"] == "sumSeries"
+    assert out[0]["datapoints"] == [[2.0, BASE], [4.0, BASE + 60], [6.0, BASE + 120]]
+    # multiple target params, graphite style
+    code, body = get(
+        port,
+        f"/render?target=one_min.srv1.cpu&target={tgt}&from={BASE}&until={BASE + 180}",
+    )
+    assert code == 200
+    assert [s["target"] for s in json.loads(body)] == ["one_min.srv1.cpu", "sumSeries"]
+    # contract errors
+    code, _ = get(port, f"/render?from={BASE}&until={BASE + 180}")
+    assert code == 400
+    code, _ = get(port, f"/render?target=x&from={BASE}&until={BASE + 180}&format=png")
+    assert code == 400
+    # unknown function names read as 400 (ValueError from the registry)
+    bad = urllib.parse.quote("noSuchFn(one_min.srv1.cpu)")
+    code, _ = get(port, f"/render?target={bad}&from={BASE}&until={BASE + 180}")
+    assert code == 400
