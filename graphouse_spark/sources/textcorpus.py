@@ -104,3 +104,27 @@ def write_documents(docs: DataFrame, path: str, fmt: str = "parquet",
         w.option("header", "true").csv(path)
     else:
         raise ValueError(f"fmt must be parquet|jsonl|csv, got {fmt!r}")
+
+
+def stream_documents(spark: SparkSession, path: str,
+                     schema: T.StructType = DOCUMENTS_SCHEMA,
+                     ) -> tuple[DataFrame, DataFrame]:
+    """Streaming JSONL corpus tail: the same parse/quarantine split as
+    :func:`read_documents`, unbounded — files landing in ``path`` are
+    ingested as they appear (the corpus-side analog of the graphite
+    socket ingest: same hygiene contract, file-arrival instead of TCP).
+
+    Returns streaming ``(docs, rejects)``. Drive with
+    ``trigger(availableNow=True)`` for batch-style catch-up or a
+    processing-time trigger for a live tail; both frames compose with
+    the streaming dedup/rollup operators downstream.
+    """
+    wide = _with_corrupt(schema)
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT}
+    lines = spark.readStream.text(path).select(F.col("value").alias("raw"))
+    parsed = lines.select("raw", F.from_json("raw", wide, opts).alias("_rec"))
+    docs = parsed.filter(F.col(f"_rec.{_CORRUPT}").isNull()).select(
+        *[F.col(f"_rec.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    rejects = parsed.filter(F.col(f"_rec.{_CORRUPT}").isNotNull()).select("raw")
+    return docs, rejects

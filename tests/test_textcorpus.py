@@ -83,3 +83,30 @@ def test_jsonl_roundtrip(spark, tmp_path, jsonl_dir):
 def test_bad_format(spark):
     with pytest.raises(ValueError, match="fmt must be"):
         read_documents(spark, "/tmp/x", fmt="orc2")
+
+
+def test_stream_documents_availablenow(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": "x", "lang": "en", "source": "s", "n_chars": 1})
+        + "\nbroken{{\n"
+    )
+    (src / "b.jsonl").write_text(
+        json.dumps({"doc_id": 2, "text": "y", "lang": "de", "source": "s", "n_chars": 1})
+        + "\n"
+    )
+    from graphouse_spark.sources.textcorpus import stream_documents
+
+    docs, rejects = stream_documents(spark, str(src))
+    assert docs.isStreaming and rejects.isStreaming
+    qd = docs.writeStream.format("memory").queryName("tc_docs") \
+        .trigger(availableNow=True).start()
+    qr = rejects.writeStream.format("memory").queryName("tc_rejects") \
+        .trigger(availableNow=True).start()
+    qd.awaitTermination(120)
+    qr.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM tc_docs").collect()}
+    assert got == {1, 2}
+    raws = [r["raw"] for r in spark.sql("SELECT * FROM tc_rejects").collect()]
+    assert raws == ["broken{{"]
