@@ -83,6 +83,13 @@ def make_handler(service: GraphouseService):
                     self._send(200, service.search(params.get("query", "")))
                 elif route == "/searchCachedMetrics":
                     self._send(200, service.search_cached(params.get("query", "")))
+                elif route == "/metrics/find":
+                    # graphite-web finder API; format=treejson (default)
+                    q = params.get("query", "")
+                    if not q:
+                        self._send(400, "query parameter required")
+                        return
+                    self._send(200, service.find_nodes_json(q), "application/json")
                 elif route == "/render":
                     # graphite-web render API (format=json only): target
                     # repeats like graphite's (multiple target params)

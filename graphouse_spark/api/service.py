@@ -192,6 +192,35 @@ class GraphouseService:
     def render_json(self, *args, **kwargs) -> str:
         return json.dumps(self.render(*args, **kwargs))
 
+    # -- /metrics/find (graphite-web finder JSON, beyond-reference) --
+    def find_nodes(self, query: str) -> list[dict]:
+        """graphite-web ``/metrics/find?format=treejson`` node list.
+
+        The plugin implements find by round-tripping ``/search`` text
+        and re-deriving leaf/branch from the trailing dot
+        (graphouse.py:202-225); serving the JSON shape directly lets a
+        dashboard talk to the engine with no plugin in between.
+        ``leaf``/``expandable`` follow the trailing-dot convention;
+        ``id`` is the full path, ``text`` the last segment.
+        """
+        if not self._loaded:
+            raise RuntimeError("metric tree not loaded yet (the reference returns 503)")
+        out = []
+        for m in self.tree.search(query):
+            is_dir = m.endswith(".")
+            path = m[:-1] if is_dir else m
+            out.append({
+                "id": path,
+                "text": path.rsplit(".", 1)[-1],
+                "leaf": 0 if is_dir else 1,
+                "expandable": 1 if is_dir else 0,
+                "allowChildren": 1 if is_dir else 0,
+            })
+        return out
+
+    def find_nodes_json(self, query: str) -> str:
+        return json.dumps(self.find_nodes(query))
+
     def _metric_data(self, patterns: list[str], start: int, end: int,
                      now_seconds: int | None = None) -> dict:
         # literals also route through search (MetricDataService.java:86-98):

@@ -233,3 +233,23 @@ def test_render_endpoint(server):
     bad = urllib.parse.quote("noSuchFn(one_min.srv1.cpu)")
     code, _ = get(port, f"/render?target={bad}&from={BASE}&until={BASE + 180}")
     assert code == 400
+
+
+def test_metrics_find_endpoint(server):
+    """/metrics/find serves the graphite-web finder JSON directly."""
+    svc, http, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    code, body = get(port, "/metrics/find?query=one_min.*")
+    assert code == 200
+    nodes = json.loads(body)
+    by_id = {n["id"]: n for n in nodes}
+    assert "one_min.srv1" in by_id and by_id["one_min.srv1"]["leaf"] == 0
+    assert by_id["one_min.srv1"]["expandable"] == 1
+    assert by_id["one_min.srv1"]["text"] == "srv1"
+    code, body = get(port, "/metrics/find?query=one_min.srv1.*")
+    leaf = json.loads(body)
+    assert [n["id"] for n in leaf] == ["one_min.srv1.cpu"]
+    assert leaf[0]["leaf"] == 1 and leaf[0]["allowChildren"] == 0
+    code, _ = get(port, "/metrics/find")
+    assert code == 400
