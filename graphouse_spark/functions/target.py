@@ -249,6 +249,11 @@ _REGISTRY = {
         ts.holt_winters_bands(df), "lower_band"),
     "holtWintersAberration": lambda df: _canon(
         ts.holt_winters_bands(df), "aberration"),
+    "aggregate": lambda df, fn="sum": _canon(
+        ts.aggregate_series(df, str(fn)).select(
+            "ts", F.col("value")), "value", "aggregate"),
+    "group": lambda *dfs: ts.group_series(*dfs),
+    "substr": lambda df, a=0, b=0: ts.substr_series(df, int(a), int(b)),
 }
 
 

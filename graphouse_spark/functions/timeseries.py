@@ -1291,3 +1291,63 @@ def sigmoid_series(series: DataFrame, value_col: str = "value") -> DataFrame:
     return series.withColumn(
         value_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-v)), 6)
     )
+
+
+def aggregate_series(series: DataFrame, function: str = "sum",
+                     ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``aggregate(seriesList, func)``: collapse all series
+    into one by applying ``func`` across the aligned points — the
+    generic spelling of sumSeries/averageSeries/minSeries/... (one
+    partial+final agg per call, same plan shape for every function).
+    Returns (ts, value)."""
+    aggs = {
+        "sum": F.sum(value_col),
+        "total": F.sum(value_col),
+        "average": F.avg(value_col),
+        "avg": F.avg(value_col),
+        "min": F.min(value_col),
+        "max": F.max(value_col),
+        "count": F.count(value_col).cast("double"),
+        "range": F.max(value_col) - F.min(value_col),
+        "rangeOf": F.max(value_col) - F.min(value_col),
+        "last": F.max_by(value_col, ts_col),
+        "current": F.max_by(value_col, ts_col),
+        "median": F.percentile(value_col, F.lit(0.5)),
+    }
+    try:
+        agg = aggs[function]
+    except KeyError:
+        raise ValueError(
+            f"unknown aggregate function {function!r}; supported: {sorted(aggs)}"
+        ) from None
+    return series.groupBy(ts_col).agg(F.round(agg, 6).alias(value_col))
+
+
+def group_series(*series_lists: DataFrame) -> DataFrame:
+    """graphite ``group(*seriesLists)``: the plain union of several
+    evaluated series lists (name-preserving; duplicate series appear
+    twice, exactly like graphite)."""
+    if not series_lists:
+        raise ValueError("group needs at least one series list")
+    out = series_lists[0]
+    for s in series_lists[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def substr_series(series: DataFrame, start: int, stop: int = 0,
+                  metric_col: str = "metric") -> DataFrame:
+    """graphite ``substr(series, start, stop)``: keep dotted path nodes
+    ``[start:stop]`` (0-based, stop=0 means to the end) as the series
+    name."""
+    parts = F.split(F.col(metric_col), r"\.")
+    n = F.size(parts)
+    begin = F.lit(start + 1) if start >= 0 else n + F.lit(start + 1)
+    if stop == 0:
+        length = n - begin + 1
+    elif stop > 0:
+        length = F.lit(stop) - begin + 1
+    else:
+        length = n + F.lit(stop) - begin + 1
+    renamed = F.array_join(F.slice(parts, begin, F.greatest(length, F.lit(0))), ".")
+    return series.withColumn(metric_col, renamed)

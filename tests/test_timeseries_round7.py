@@ -113,3 +113,40 @@ def test_render_targets_round7(series):
     assert _metrics(out) == {"zero"}
     out = evaluate_target(series, "fallbackSeries(s.z, s.a)")
     assert out.count() == 4
+
+
+def test_aggregate_group_substr(spark, series):
+    from graphouse_spark.functions.timeseries import (
+        aggregate_series,
+        group_series,
+        substr_series,
+    )
+
+    agg = {r["ts"]: r["value"] for r in aggregate_series(series, "max").collect()}
+    assert agg[0] == 100.0 and agg[180] == 40.0  # c drops to 1 at ts=180
+    rng = {r["ts"]: r["value"] for r in aggregate_series(series, "range").collect()}
+    assert rng[0] == 99.0  # 100 - 1
+    med = {r["ts"]: r["value"] for r in aggregate_series(series, "median").collect()}
+    assert med[0] == 10.0
+    with pytest.raises(ValueError, match="unknown aggregate"):
+        aggregate_series(series, "nope").collect()
+
+    a = series.filter(F.col("metric") == "s.a")
+    b = series.filter(F.col("metric") == "s.b")
+    assert group_series(a, b).count() == 8
+    with pytest.raises(ValueError, match="at least one"):
+        group_series()
+
+    assert _metrics(substr_series(series, 1)) == {"a", "b", "c"}
+    assert _metrics(substr_series(series, 0, 1)) == {"s"}
+    assert _metrics(substr_series(series, -1)) == {"a", "b", "c"}
+
+
+def test_render_targets_aggregate_group(series):
+    out = evaluate_target(series, "aggregate(s.*, 'min')")
+    vals = {r["ts"]: r["value"] for r in out.collect()}
+    assert vals[0] == 1.0 and _metrics(out) == {"aggregate"}
+    out = evaluate_target(series, "group(s.a, s.b)")
+    assert out.count() == 8
+    out = evaluate_target(series, "substr(s.*, 1, 2)")
+    assert _metrics(out) == {"a", "b", "c"}
