@@ -32,10 +32,12 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from graphouse_spark.api.service import GraphouseService
+from graphouse_spark.queryparams import parse_render_time
 
 MULTI_STATUS = {"/multiBan": "BAN", "/multiApprove": "APPROVED", "/multiHide": "HIDDEN"}
 
@@ -92,7 +94,8 @@ def make_handler(service: GraphouseService):
                     self._send(200, service.find_nodes_json(q), "application/json")
                 elif route == "/render":
                     # graphite-web render API (format=json only): target
-                    # repeats like graphite's (multiple target params)
+                    # repeats like graphite's (multiple target params);
+                    # from/until accept epoch, now, and -Nunit relative
                     targets = parse_qs(parsed.query, keep_blank_values=True).get("target", [])
                     if not targets:
                         self._send(400, "target parameter required")
@@ -101,11 +104,23 @@ def make_handler(service: GraphouseService):
                     if fmt != "json":
                         self._send(400, f"unsupported format {fmt!r} (json only)")
                         return
-                    start = int(params["from"])
-                    end = int(params["until"])
+                    now = int(params.get("now", time.time()))
+                    start = parse_render_time(params["from"], now)
+                    end = parse_render_time(params.get("until", "now"), now)
+                    mdp = int(params["maxDataPoints"]) if "maxDataPoints" in params else None
                     req_key = params.get("reqKey") or None
                     self._send(200, service.render_json(
-                        targets, start, end, req_key=req_key), "application/json")
+                        targets, start, end, req_key=req_key,
+                        max_data_points=mdp), "application/json")
+                elif route == "/explain":
+                    target = params.get("target", "")
+                    if not target:
+                        self._send(400, "target parameter required")
+                        return
+                    now = int(params.get("now", time.time()))
+                    start = parse_render_time(params["from"], now)
+                    end = parse_render_time(params.get("until", "now"), now)
+                    self._send(200, service.explain_target(target, start, end))
                 elif route in MULTI_STATUS:
                     self._multi_modify(route, params)
                 elif route in ("/ban", "/approve", "/hide"):

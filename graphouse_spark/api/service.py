@@ -20,6 +20,8 @@ reference performs (tree + UpdateMetricQueueService).
 
 from __future__ import annotations
 
+import contextlib
+import io
 import json
 
 from pyspark.sql import SparkSession
@@ -128,7 +130,8 @@ class GraphouseService:
     # -- /render (beyond-reference: graphite-web's render API engine-side) --
     def render(self, targets: list[str] | str, start: int, end: int,
                now_seconds: int | None = None,
-               req_key: str | None = None) -> list[dict]:
+               req_key: str | None = None,
+               max_data_points: int | None = None) -> list[dict]:
         """graphite-web ``/render?format=json`` served by the engine.
 
         The reference only finds+fetches raw series and leaves every
@@ -166,8 +169,34 @@ class GraphouseService:
                 frame = self.data_service.base_series(
                     self.spark, data, names, start, end, now_seconds
                 )
+                evaluated = evaluate_target(frame, target)
+                if max_data_points and names:
+                    # graphite's maxDataPoints: consolidate IN the
+                    # engine (average, step snapped to a multiple of
+                    # the retention step) so only the reduced series
+                    # ever leaves the cluster — at 100 TB this is the
+                    # difference between shipping millions of points
+                    # to a dashboard and shipping max_data_points
+                    base = self.data_service.query_params(
+                        names, start, end, now_seconds
+                    ).step_seconds
+                    span = end - start
+                    if span > max_data_points * base:
+                        from pyspark.sql import functions as F
+
+                        step_out = int(base * -(-span // (max_data_points * base)))
+                        # request-start-anchored buckets (graphite
+                        # consolidates on the request grid, not epoch)
+                        bucket = (
+                            F.lit(start)
+                            + ((F.col("ts") - F.lit(start)) / step_out).cast("long")
+                            * step_out
+                        ).alias("ts")
+                        evaluated = evaluated.groupBy("metric", bucket).agg(
+                            F.round(F.avg("value"), 6).alias("value")
+                        )
                 by_metric: dict[str, list] = {}
-                for r in evaluate_target(frame, target).collect():
+                for r in evaluated.collect():
                     by_metric.setdefault(r["metric"], []).append((r["ts"], r["value"]))
                 for m in sorted(by_metric):
                     pts = sorted(by_metric[m])
@@ -191,6 +220,36 @@ class GraphouseService:
 
     def render_json(self, *args, **kwargs) -> str:
         return json.dumps(self.render(*args, **kwargs))
+
+    def explain_target(self, target: str, start: int, end: int,
+                       now_seconds: int | None = None) -> str:
+        """The formatted Spark physical plan a render target compiles
+        to — ClickHouse's EXPLAIN for the graphite surface. Shows
+        PushedFilters/PartitionFilters and WholeStageCodegen spans
+        without executing anything."""
+        from graphouse_spark.functions.target import (
+            collect_series_globs,
+            evaluate_target,
+        )
+
+        if not self._loaded:
+            raise RuntimeError("metric tree not loaded yet (the reference returns 503)")
+        names: list[str] = []
+        seen: set[str] = set()
+        for g in collect_series_globs(target):
+            for m in self.tree.search(g):
+                if not m.endswith(".") and m not in seen:
+                    seen.add(m)
+                    names.append(m)
+        data = read_data(self.spark, self.data_path)
+        frame = self.data_service.base_series(
+            self.spark, data, names, start, end, now_seconds
+        )
+        df = evaluate_target(frame, target)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
 
     # -- /metrics/find (graphite-web finder JSON, beyond-reference) --
     def find_nodes(self, query: str) -> list[dict]:

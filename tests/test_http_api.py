@@ -253,3 +253,36 @@ def test_metrics_find_endpoint(server):
     assert leaf[0]["leaf"] == 1 and leaf[0]["allowChildren"] == 0
     code, _ = get(port, "/metrics/find")
     assert code == 400
+
+
+def test_render_relative_time_maxdatapoints_explain(server):
+    svc, http, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    # relative from/until against a pinned now
+    now = BASE + 180
+    code, body = get(
+        port, f"/render?target=one_min.srv1.cpu&from=-3min&until=now&now={now}"
+    )
+    assert code == 200
+    out = json.loads(body)
+    assert out[0]["datapoints"] == [[1.0, BASE], [2.0, BASE + 60], [3.0, BASE + 120]]
+    # maxDataPoints consolidates in the engine: 3 points -> 2 buckets
+    code, body = get(
+        port,
+        f"/render?target=one_min.srv1.cpu&from={BASE}&until={BASE + 180}&maxDataPoints=2",
+    )
+    assert code == 200
+    pts = json.loads(body)[0]["datapoints"]
+    assert len(pts) == 2
+    assert pts[0][0] == 1.5  # avg(1, 2) in the first 120s bucket
+    assert pts[1][0] == 3.0
+    # bad time spec is a 400
+    code, _ = get(port, "/render?target=x&from=yesterday&until=now")
+    assert code == 400
+    # /explain returns a formatted physical plan, not data
+    code, body = get(
+        port, f"/explain?target=sumSeries(one_min.*.cpu)&from={BASE}&until={BASE + 180}"
+    )
+    assert code == 200
+    assert "Physical Plan" in body and "HashAggregate" in body
