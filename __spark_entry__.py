@@ -2504,6 +2504,18 @@ def q_gh_ch_dialect(spark, sf_dir):
     """)
 
 
+def q_ev_weighted_quantiles(spark, sf_dir):
+    """CH quantileExactWeighted: per-type weighted median/p90 with a
+    deterministic integer weight (user_id%3+1). The oracle replicates
+    each row weight times and takes the plain exact quantile — proving
+    the weighted aggregate == replicate-then-quantile semantics."""
+    from graphouse_spark.functions.chagg import weighted_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("w", (F.col("user_id") % 3 + 1).cast("int"))
+    return weighted_quantiles(ev, ["event_type"], "value", "w", [0.5, 0.9])
+
+
 def q_ev_json_dialect(spark, sf_dir):
     """ClickHouse JSON-function family verbatim over the semi-structured
     props column: JSONHas / JSONExtractInt / JSONExtractFloat /
@@ -3076,6 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gh_ch_dialect": q_gh_ch_dialect,
         "doc_url_funcs": q_doc_url_funcs,
         "ev_json_dialect": q_ev_json_dialect,
+        "ev_weighted_quantiles": q_ev_weighted_quantiles,
         "multimodal_decode": q_multimodal_decode,
         "ev_with_totals": q_ev_with_totals,
         "ev_limit_by": q_ev_limit_by,
@@ -5262,6 +5275,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             GROUP BY event_type, ts
+        """,
+        "ev_weighted_quantiles": """
+            WITH expanded AS (
+                SELECT event_type, value, CAST(user_id % 3 + 1 AS INTEGER) AS w
+                FROM events
+            ),
+            replicated AS (
+                SELECT event_type, value
+                FROM expanded, unnest(range(w)) AS r(i)
+            )
+            SELECT e.event_type,
+                   round(quantile_cont(r.value, 0.5), 6) AS q_0_5,
+                   round(quantile_cont(r.value, 0.9), 6) AS q_0_9,
+                   t.total_weight
+            FROM replicated r
+            JOIN (SELECT event_type, sum(w) AS total_weight FROM expanded GROUP BY 1) t
+              USING (event_type)
+            JOIN (SELECT DISTINCT event_type FROM expanded) e USING (event_type)
+            GROUP BY e.event_type, t.total_weight
         """,
         "ev_json_dialect": """
             SELECT event_type,

@@ -523,3 +523,21 @@ def group_array_moving(df: DataFrame, group_cols: list[str], order_cols: list,
         F.sum(val).over(w).alias("moving_sum"),
         (F.sum(val).over(w) / F.count(F.lit(1)).over(w)).alias("moving_avg_units"),
     )
+
+
+def weighted_quantiles(df: DataFrame, group_cols: list[str], value_col: str,
+                       weight_col, ps: list[float]) -> DataFrame:
+    """CH ``quantileExactWeighted(p)(x, w)``: exact interpolated
+    quantiles where each row counts ``w`` times.
+
+    Built-in ``percentile(x, p, frequency)`` — the JVM aggregate holds
+    (value -> weight) pairs, so memory tracks DISTINCT values per
+    group, not total weight; identical semantics to replicating each
+    row w times without the blow-up. Emits one ``q_<p>`` column per
+    requested quantile plus the total weight.
+    """
+    w = weight_col if not isinstance(weight_col, str) else F.col(weight_col)
+    arr = F.percentile(F.col(value_col), F.array(*[F.lit(p) for p in ps]), w)
+    aggs = [F.round(arr[i], 6).alias(f"q_{str(p).replace('.', '_')}")
+            for i, p in enumerate(ps)]
+    return df.groupBy(*group_cols).agg(*aggs, F.sum(w).alias("total_weight"))
