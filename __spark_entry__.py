@@ -2846,6 +2846,22 @@ def q_doc_bloom_membership(spark, sf_dir):
     return bloom_probe(ev, "key", words).select("doc_id", "is_member")
 
 
+def q_doc_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocabulary learning (Sennrich et al. 2016): the
+    tokenizer-training step of an LLM pipeline. One corpus pass to the
+    word-frequency table, then vocab-sized pair-count rounds. No SQL
+    oracle (iterative, driver-decided argmax per round — same posture
+    as IVF Lloyd); determinism + parity are pinned by the pure-Python
+    reference replay in tests/test_bpe.py."""
+    from graphouse_spark.functions.bpe import learn_bpe
+
+    merges = learn_bpe(_t(spark, sf_dir, "documents"), n_merges=12)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string, merged string",
+    )
+
+
 def q_doc_lm_perplexity(spark, sf_dir):
     """CCNet-style corpus-LM quality signal: add-alpha bigram LM
     trained on the corpus in two aggregates, every document scored by
@@ -3026,6 +3042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": q_emb_quantize,
         "doc_lang_id": q_doc_lang_id,
         "doc_lm_perplexity": q_doc_lm_perplexity,
+        "doc_bpe_merges": q_doc_bpe_merges,
         "emb_cosine_pairs": q_emb_cosine_pairs,
         "doc_minhash_neardup": q_doc_minhash_neardup,
         "doc_simhash": q_doc_simhash,

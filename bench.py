@@ -79,6 +79,8 @@ EXTENDED_QUERIES = [
     "doc_url_funcs",           # CH URL-function family (regexp dialect)
     "ev_json_dialect",         # CH JSON-function family over props
     "ts_select_series",        # graphite generic selector+filter
+    "ev_weighted_quantiles",   # CH quantileExactWeighted
+    "emb_twostage_topk",       # Matryoshka coarse-to-fine retrieval
 ]
 
 
