@@ -2504,6 +2504,24 @@ def q_gh_ch_dialect(spark, sf_dir):
     """)
 
 
+def q_ev_funnel_latency(spark, sf_dir):
+    """Time-to-convert distribution for the full view->click->purchase
+    funnel (1h window): count, mean, exact p50/p90 of per-user
+    latency. The greedy fold == filtered-min chain equivalence makes
+    the latency SQL-replayable."""
+    from graphouse_spark.functions.behavior import funnel_latency
+
+    lat = funnel_latency(
+        _events_sec(spark, sf_dir), ["view", "click", "purchase"], 3600
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.avg("latency_sec"), 6).alias("avg_latency"),
+        F.round(F.percentile("latency_sec", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("latency_sec", F.lit(0.9)), 6).alias("p90"),
+    )
+
+
 def q_ev_weighted_quantiles(spark, sf_dir):
     """CH quantileExactWeighted: per-type weighted median/p90 with a
     deterministic integer weight (user_id%3+1). The oracle replicates
@@ -3106,6 +3124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_funcs": q_doc_url_funcs,
         "ev_json_dialect": q_ev_json_dialect,
         "ev_weighted_quantiles": q_ev_weighted_quantiles,
+        "ev_funnel_latency": q_ev_funnel_latency,
         "multimodal_decode": q_multimodal_decode,
         "ev_with_totals": q_ev_with_totals,
         "ev_limit_by": q_ev_limit_by,
@@ -5292,6 +5311,39 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             GROUP BY event_type, ts
+        """,
+        "ev_funnel_latency": """
+            WITH e AS (
+                SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_type
+                FROM events
+            ),
+            s1 AS (
+                SELECT user_id, min(ts_sec) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.ts_sec) AS t2
+                FROM e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click'
+                  AND e.ts_sec > s1.t1 AND e.ts_sec <= s1.t1 + 3600
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, min(e.ts_sec) AS t3
+                FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase'
+                  AND e.ts_sec > s2.t2 AND e.ts_sec <= s1.t1 + 3600
+                GROUP BY e.user_id
+            ),
+            lat AS (
+                SELECT s3.user_id, s3.t3 - s1.t1 AS latency_sec
+                FROM s3 JOIN s1 USING (user_id)
+            )
+            SELECT count(*) AS n_converted,
+                   round(avg(latency_sec), 6) AS avg_latency,
+                   round(quantile_cont(latency_sec, 0.5), 6) AS p50,
+                   round(quantile_cont(latency_sec, 0.9), 6) AS p90
+            FROM lat
         """,
         "ev_weighted_quantiles": """
             WITH expanded AS (

@@ -249,3 +249,69 @@ def sequence_next_node(events: DataFrame, steps: list[str],
         )
         .filter(F.col("next_event").isNotNull())
     )
+
+
+def funnel_latency(events: DataFrame, steps: list[str], window_sec: int,
+                   ts_col: str = "ts_sec", user_col: str = "user_id",
+                   type_col: str = "event_type") -> DataFrame:
+    """Per-user time-to-convert for FULL funnel completions: the same
+    single-shuffle sorted-array fold as :func:`window_funnel`, keeping
+    the (anchor, last) state — latency = last-step ts − anchor ts.
+
+    Returns ``(user_col, latency_sec)`` only for users who completed
+    every step inside the window. The greedy first-match fold equals
+    the filtered-min chain (the equivalence the window_funnel oracle
+    pins), so latency is SQL-replayable too.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel latency needs at least two steps")
+    n = len(steps)
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    per_user = (
+        events.filter(F.col(type_col).isin(list(set(steps))))
+        .groupBy(user_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).cast("long").alias("ts"),
+                        F.col(type_col).alias("et"),
+                    )
+                )
+            ).alias("evs")
+        )
+    )
+    acc0 = F.struct(
+        F.lit(0).alias("level"),
+        F.lit(0).cast("long").alias("anchor"),
+        F.lit(0).cast("long").alias("last"),
+    )
+
+    def scan(acc, e):
+        first = (acc["level"] == 0) & (e["et"] == F.lit(steps[0]))
+        advance = (
+            (acc["level"] > 0)
+            & (acc["level"] < n)
+            & (e["et"] == F.get(step_arr, acc["level"]))
+            & (e["ts"] > acc["last"])
+            & (e["ts"] <= acc["anchor"] + window_sec)
+        )
+        return (
+            F.when(first, F.struct(
+                F.lit(1).alias("level"), e["ts"].alias("anchor"), e["ts"].alias("last")))
+            .when(advance, F.struct(
+                (acc["level"] + 1).alias("level"),
+                acc["anchor"].alias("anchor"), e["ts"].alias("last")))
+            .otherwise(acc)
+        )
+
+    state = F.aggregate("evs", acc0, scan)
+    return (
+        per_user.select(
+            user_col,
+            state["level"].alias("_lvl"),
+            (state["last"] - state["anchor"]).alias("latency_sec"),
+        )
+        .filter(F.col("_lvl") == n)
+        .drop("_lvl")
+    )

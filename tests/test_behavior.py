@@ -136,3 +136,24 @@ def test_group_array_moving_exact(spark):
     assert out[0] == (1.0, 1.0)        # head shorter than k stays exact
     assert out[1] == (3.0, 1.5)
     assert out[4] == (12.0, 4.0)       # 3+4+5
+
+
+def test_funnel_latency(spark):
+    from graphouse_spark.functions.behavior import funnel_latency
+
+    rows = [
+        # u1 completes A->B->C: anchor 100, last 160 -> latency 60
+        (1, 100, "A"), (1, 130, "B"), (1, 160, "C"),
+        # u2 stalls at B
+        (2, 100, "A"), (2, 150, "B"),
+        # u3 completes but C lands outside the window
+        (3, 100, "A"), (3, 150, "B"), (3, 100 + 4000, "C"),
+        # u4 completes with a later, faster retry ignored (first-match)
+        (4, 0, "A"), (4, 10, "B"), (4, 50, "C"), (4, 60, "C"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_sec long, event_type string")
+    out = {r["user_id"]: r["latency_sec"]
+           for r in funnel_latency(ev, ["A", "B", "C"], 3600).collect()}
+    assert out == {1: 60, 4: 50}
+    with pytest.raises(ValueError, match="at least two"):
+        funnel_latency(ev, ["A"], 3600)

@@ -76,7 +76,9 @@ def main() -> None:
              "gh_sliding_window", "gh_distinct_users", "gh_percentiles",
              "doc_exact_dedup", "doc_token_stats", "doc_chunk_dedup",
              "doc_minhash_np", "doc_duplicated_spans",
-             "emb_cosine_topk_np", "emb_quantize"]
+             "emb_cosine_topk_np", "emb_quantize",
+             "doc_lm_perplexity", "emb_twostage_topk",
+             "ev_weighted_quantiles", "doc_url_funcs"]
     qs = em.queries()
     print(f"{'query':24s} {'1x':>8s} {'x' + str(copies):>8s} {'ratio':>7s}")
     for name in names:
