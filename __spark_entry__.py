@@ -2864,6 +2864,36 @@ def q_doc_bloom_membership(spark, sf_dir):
     return bloom_probe(ev, "key", words).select("doc_id", "is_member")
 
 
+def q_doc_ppl_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail split: documents bucketed by corpus
+    perplexity terciles (Wenzek et al. 2020 keep 'head' as highest
+    quality). Thresholds enter the plan as a broadcast one-row
+    aggregate — no driver collect."""
+    from graphouse_spark.functions.text import ngram_lm_scores
+
+    scores = ngram_lm_scores(_t(spark, sf_dir, "documents"), alpha=0.5) \
+        .filter(F.col("avg_nll").isNotNull())
+    thr = scores.agg(
+        F.percentile("avg_nll", F.lit(1.0 / 3)).alias("t1"),
+        F.percentile("avg_nll", F.lit(2.0 / 3)).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("avg_nll") <= F.col("t1"), "head")
+        .when(F.col("avg_nll") <= F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scores.crossJoin(F.broadcast(thr))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ppl"), 6).alias("avg_ppl"),
+            F.round(F.min("ppl"), 6).alias("min_ppl"),
+            F.round(F.max("ppl"), 6).alias("max_ppl"),
+        )
+    )
+
+
 def q_doc_bpe_merges(spark, sf_dir):
     """Distributed BPE vocabulary learning (Sennrich et al. 2016): the
     tokenizer-training step of an LLM pipeline. One corpus pass to the
@@ -3061,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "doc_bpe_merges": q_doc_bpe_merges,
+        "doc_ppl_buckets": q_doc_ppl_buckets,
         "emb_cosine_pairs": q_emb_cosine_pairs,
         "doc_minhash_neardup": q_doc_minhash_neardup,
         "doc_simhash": q_doc_simhash,
@@ -4983,6 +5014,42 @@ def oracle_sql() -> dict[str, str]:
                    round(avg_nll, 6) AS avg_nll,
                    round(exp(avg_nll), 6) AS ppl
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        "doc_ppl_buckets": r"""
+            WITH toks AS (
+                SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS t
+                FROM documents
+            ),
+            bigrams AS (
+                SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2 FROM toks
+            ),
+            tokens AS (SELECT doc_id, unnest(t) AS token FROM toks),
+            uni AS (SELECT token AS w1, count(*) AS c1 FROM tokens GROUP BY 1),
+            bi AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY 1, 2),
+            vocab AS (SELECT count(*) AS v FROM uni),
+            scored AS (
+                SELECT b.doc_id,
+                       avg(-ln((c12 + 0.5) / (c1 + 0.5 * vocab.v))) AS raw_nll
+                FROM bigrams b JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab
+                GROUP BY 1
+            ),
+            sc AS (
+                SELECT doc_id, round(raw_nll, 6) AS a, round(exp(raw_nll), 6) AS p
+                FROM scored
+            ),
+            thr AS (
+                SELECT quantile_cont(a, 1.0/3) AS t1, quantile_cont(a, 2.0/3) AS t2
+                FROM sc
+            )
+            SELECT CASE WHEN a <= t1 THEN 'head'
+                        WHEN a <= t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+                   count(*) AS n_docs,
+                   round(avg(p), 6) AS avg_ppl,
+                   round(min(p), 6) AS min_ppl,
+                   round(max(p), 6) AS max_ppl
+            FROM sc CROSS JOIN thr
+            GROUP BY 1
         """,
         "emb_cosine_pairs": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
