@@ -206,6 +206,39 @@ AGGREGATE_EQUIVALENTS: dict[str, str] = {
     "windowFunnel(w)(t, ...)": "graphouse_spark.functions.behavior.window_funnel",
 }
 
+#: CH array-function family -> Spark SQL equivalent. These CANNOT be
+#: SQL-UDF shims: CH's array functions are generic over element type
+#: (SQL UDFs are monomorphic) and most take lambdas (unsupported in
+#: SQL UDF bodies) — and CH puts the lambda FIRST (``arrayMap(x ->
+#: f(x), arr)``) where Spark puts it last. The rewrites are mechanical:
+ARRAY_EQUIVALENTS: dict[str, str] = {
+    "arrayJoin(a)": "explode(a)  -- CH's row-multiplying form; posexplode for arrayEnumerate pairing",
+    "arrayMap(x -> f, a)": "transform(a, x -> f)",
+    "arrayFilter(x -> p, a)": "filter(a, x -> p)",
+    "arrayExists(x -> p, a)": "exists(a, x -> p)",
+    "arrayAll(x -> p, a)": "forall(a, x -> p)",
+    "arrayReduce('agg', a)": "aggregate(a, init, (acc, x) -> ...) or explode+agg",
+    "arraySum(a)": "aggregate(a, 0D, (acc, x) -> acc + x)",
+    "arraySort(a)": "array_sort(a)",
+    "arrayReverseSort(a)": "reverse(array_sort(a))",
+    "arrayDistinct(a)": "array_distinct(a)",
+    "arrayUniq(a)": "size(array_distinct(a))",
+    "arrayEnumerate(a)": "sequence(1, size(a))  -- or posexplode(a) for (pos, x) rows",
+    "arrayConcat(a, b)": "concat(a, b)",
+    "arrayFlatten(a)": "flatten(a)",
+    "arrayZip(a, b)": "arrays_zip(a, b)",
+    "arraySlice(a, o, l)": "slice(a, o, l)",
+    "arrayResize/arrayWithConstant": "array_repeat + concat",
+    "has(a, x)": "array_contains(a, x)  -- also registered as a STRING-array SQL UDF",
+    "hasAll(a, b)": "size(array_except(b, a)) = 0",
+    "hasAny(a, b)": "arrays_overlap(a, b)",
+    "indexOf(a, x)": "array_position(a, x)",
+    "countEqual(a, x)": "size(filter(a, e -> e = x))",
+    "range(n)": "sequence(0, n - 1)",
+    "groupArray(x)": "collect_list(x)",
+    "groupUniqArray(x)": "collect_set(x)",
+}
+
 
 def register_ch_dialect(spark: SparkSession) -> int:
     """Register every CH scalar shim as a temporary SQL function.

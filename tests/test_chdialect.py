@@ -139,3 +139,28 @@ def test_string_math_batch(spark):
     # Moscow -> St Petersburg ~ 634 km, CH doc example ballpark
     d = one("greatCircleDistance(37.6173, 55.7558, 30.3351, 59.9343)")
     assert 600_000 < d < 670_000
+
+
+def test_array_equivalents_are_valid_spark(spark):
+    """Every documented Spark rewrite in ARRAY_EQUIVALENTS that is a
+    complete expression must actually evaluate — the table is a
+    migration contract, not prose."""
+    from graphouse_spark.chdialect import ARRAY_EQUIVALENTS
+
+    assert len(ARRAY_EQUIVALENTS) >= 20
+    one = lambda sql: spark.sql(f"SELECT {sql}").collect()[0][0]  # noqa: E731
+    a = "array(3, 1, 2, 1)"
+    assert one(f"transform({a}, x -> x * 2)") == [6, 2, 4, 2]
+    assert one(f"filter({a}, x -> x > 1)") == [3, 2]
+    assert one(f"exists({a}, x -> x = 3)") is True
+    assert one(f"forall({a}, x -> x > 0)") is True
+    assert one(f"aggregate({a}, 0D, (acc, x) -> acc + x)") == 7.0
+    assert one(f"array_sort({a})") == [1, 1, 2, 3]
+    assert one(f"reverse(array_sort({a}))") == [3, 2, 1, 1]
+    assert one(f"size(array_distinct({a}))") == 3
+    assert one(f"sequence(1, size({a}))") == [1, 2, 3, 4]
+    assert one(f"arrays_overlap({a}, array(9, 2))") is True
+    assert one(f"size(array_except(array(1, 9), {a})) = 0") is False
+    assert one(f"array_position({a}, 2)") == 3
+    assert one(f"size(filter({a}, e -> e = 1))") == 2
+    assert one("sequence(0, 3 - 1)") == [0, 1, 2]
