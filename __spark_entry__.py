@@ -2504,6 +2504,31 @@ def q_gh_ch_dialect(spark, sf_dir):
     """)
 
 
+def q_sketch_audience_overlap(spark, sf_dir):
+    """Audience intersection |view ∩ purchase| by inclusion-exclusion
+    over mergeable HLL sketches — "users who did X AND Y" without a
+    user-id join or raw re-scan. Same CI shape as the other sketch
+    queries: exact twins + in-plan bound booleans; the oracle emits
+    TRUE literals, so a blown bound flips the hash."""
+    from graphouse_spark.functions.sketches import audience_overlap
+
+    out = audience_overlap(_events_sec(spark, sf_dir), "view", "purchase")
+    tol = 0.06
+    return out.select(
+        "exact_a", "exact_b", "exact_union", "exact_intersection",
+        (F.abs(F.col("approx_a") - F.col("exact_a"))
+         <= tol * F.col("exact_a")).alias("a_ok"),
+        (F.abs(F.col("approx_b") - F.col("exact_b"))
+         <= tol * F.col("exact_b")).alias("b_ok"),
+        (F.abs(F.col("approx_union") - F.col("exact_union"))
+         <= tol * F.col("exact_union")).alias("union_ok"),
+        # inclusion-exclusion compounds three estimates: bound on the
+        # UNION's scale (the error driver), floored for tiny corpora
+        (F.abs(F.col("approx_intersection") - F.col("exact_intersection"))
+         <= F.greatest(3 * tol * F.col("exact_union"), F.lit(5.0))).alias("inter_ok"),
+    )
+
+
 def q_ev_funnel_latency(spark, sf_dir):
     """Time-to-convert distribution for the full view->click->purchase
     funnel (1h window): count, mean, exact p50/p90 of per-user
@@ -3156,6 +3181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_json_dialect": q_ev_json_dialect,
         "ev_weighted_quantiles": q_ev_weighted_quantiles,
         "ev_funnel_latency": q_ev_funnel_latency,
+        "sketch_audience_overlap": q_sketch_audience_overlap,
         "multimodal_decode": q_multimodal_decode,
         "ev_with_totals": q_ev_with_totals,
         "ev_limit_by": q_ev_limit_by,
@@ -5378,6 +5404,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             GROUP BY event_type, ts
+        """,
+        "sketch_audience_overlap": """
+            SELECT count(DISTINCT user_id) FILTER (event_type = 'view') AS exact_a,
+                   count(DISTINCT user_id) FILTER (event_type = 'purchase') AS exact_b,
+                   count(DISTINCT user_id) AS exact_union,
+                   count(DISTINCT user_id) FILTER (event_type = 'view')
+                   + count(DISTINCT user_id) FILTER (event_type = 'purchase')
+                   - count(DISTINCT user_id) AS exact_intersection,
+                   TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS inter_ok
+            FROM events
+            WHERE event_type IN ('view', 'purchase')
         """,
         "ev_funnel_latency": """
             WITH e AS (
