@@ -2919,6 +2919,35 @@ def q_doc_ppl_buckets(spark, sf_dir):
     )
 
 
+def q_doc_corpus_pipeline_v2(spark, sf_dir):
+    """Corpus pipeline v2 — the CCNet-flavored composition: exact
+    dedup (keep min doc per content hash) -> bigram-LM perplexity gate
+    (drop the worst tercile, CCNet's tail) -> deterministic 50%
+    hash-sample -> per-source summary. Proves the round-3 quality ops
+    compose into one lazy plan; every stage is independently oracled."""
+    from graphouse_spark.functions.dedup import exact_duplicates
+    from graphouse_spark.functions.sampling import hash_sample
+    from graphouse_spark.functions.text import ngram_lm_scores, tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    keep = exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
+    uniq = docs.join(keep, "doc_id", "left_semi")
+    scores = ngram_lm_scores(uniq, alpha=0.5).filter(F.col("avg_nll").isNotNull())
+    thr = scores.agg(F.percentile("avg_nll", F.lit(2.0 / 3)).alias("t2"))
+    good = (
+        scores.crossJoin(F.broadcast(thr))
+        .filter(F.col("avg_nll") <= F.col("t2"))
+        .select("doc_id", "ppl")
+    )
+    gated = uniq.join(good, "doc_id")
+    sampled = hash_sample(gated, "doc_id", 0.5, salt="v2")
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col(F.col("text")))).alias("sum_tokens"),
+        F.round(F.avg("ppl"), 6).alias("avg_ppl"),
+    )
+
+
 def q_doc_bpe_merges(spark, sf_dir):
     """Distributed BPE vocabulary learning (Sennrich et al. 2016): the
     tokenizer-training step of an LLM pipeline. One corpus pass to the
@@ -3117,6 +3146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "doc_bpe_merges": q_doc_bpe_merges,
         "doc_ppl_buckets": q_doc_ppl_buckets,
+        "doc_corpus_pipeline_v2": q_doc_corpus_pipeline_v2,
         "emb_cosine_pairs": q_emb_cosine_pairs,
         "doc_minhash_neardup": q_doc_minhash_neardup,
         "doc_simhash": q_doc_simhash,
@@ -5040,6 +5070,47 @@ def oracle_sql() -> dict[str, str]:
                    round(avg_nll, 6) AS avg_nll,
                    round(exp(avg_nll), 6) AS ppl
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        "doc_corpus_pipeline_v2": r"""
+            WITH keepids AS (
+                SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ),
+            uniq AS (SELECT d.* FROM documents d JOIN keepids USING (doc_id)),
+            toks AS (
+                SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS t
+                FROM uniq
+            ),
+            bigrams AS (
+                SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2 FROM toks
+            ),
+            tokens AS (SELECT doc_id, unnest(t) AS token FROM toks),
+            uni AS (SELECT token AS w1, count(*) AS c1 FROM tokens GROUP BY 1),
+            bi AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY 1, 2),
+            vocab AS (SELECT count(*) AS v FROM uni),
+            scored AS (
+                SELECT b.doc_id, avg(-ln((c12 + 0.5) / (c1 + 0.5 * vocab.v))) AS raw_nll
+                FROM bigrams b JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab
+                GROUP BY 1
+            ),
+            sc AS (
+                SELECT doc_id, round(raw_nll, 6) AS a, round(exp(raw_nll), 6) AS ppl
+                FROM scored
+            ),
+            thr AS (SELECT quantile_cont(a, 2.0/3) AS t2 FROM sc),
+            good AS (
+                SELECT doc_id, ppl FROM sc CROSS JOIN thr WHERE a <= t2
+            ),
+            sampled AS (
+                SELECT u.source, u.text, g.ppl
+                FROM uniq u JOIN good g USING (doc_id)
+                WHERE CAST(concat('0x', substr(md5('v2' || CAST(u.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                      % 10000 < 5000
+            )
+            SELECT source, count(*) AS n_docs,
+                   sum(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t != ''))) AS sum_tokens,
+                   round(avg(ppl), 6) AS avg_ppl
+            FROM sampled
+            GROUP BY source
         """,
         "doc_ppl_buckets": r"""
             WITH toks AS (
