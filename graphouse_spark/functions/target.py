@@ -126,6 +126,27 @@ def _derivative(df: DataFrame) -> DataFrame:
     )
 
 
+def _shift_seconds(spec) -> int:
+    """graphite timeShift interval -> the engine's signed data shift.
+
+    Raw numbers pass through (engine-native: positive moves data into
+    the future). Graphite strings invert: a bare ``'1d'`` (graphite
+    defaults it negative) shows YESTERDAY's data at today's
+    timestamps — i.e. the data itself moves +86400; an explicit
+    ``'+1d'`` shows tomorrow's data, data moves -86400.
+    """
+    if isinstance(spec, (int, float)):
+        return int(spec)
+    from graphouse_spark.queryparams import parse_render_time
+
+    s = str(spec).strip()
+    if s.startswith("+"):
+        return parse_render_time("-" + s[1:], 0)  # future view: data backward
+    if not s.startswith("-"):
+        s = "-" + s
+    return -parse_render_time(s, 0)  # past view: data forward
+
+
 #: name -> callable (series_df, *literal_args) -> canonical frame — the
 #: engine side of graphite-web's function registry. Every entry returns
 #: (metric, ts, value) so arbitrary nesting composes.
@@ -142,7 +163,7 @@ _REGISTRY = {
     "offset": lambda df, k: ts.offset_series(df, float(k)),
     "offsetToZero": lambda df: ts.offset_to_zero(df),
     "absolute": lambda df: ts.absolute_series(df),
-    "timeShift": lambda df, sec: ts.time_shift(df, int(sec)),
+    "timeShift": lambda df, spec: ts.time_shift(df, _shift_seconds(spec)),
     "summarize": lambda df, sec, fn="sum": ts.summarize(df, int(sec), str(fn)),
     "highestMax": lambda df, n: ts.highest_max(df, int(n)).select("metric", "ts", "value"),
     "removeAboveValue": lambda df, v: ts.remove_above_value(df, float(v)),
@@ -249,6 +270,9 @@ _REGISTRY = {
         ts.holt_winters_bands(df), "lower_band"),
     "holtWintersAberration": lambda df: _canon(
         ts.holt_winters_bands(df), "aberration"),
+    "movingMin": lambda df, n: _canon(ts.moving_stats(df, int(n)), "mov_min"),
+    "movingMax": lambda df, n: _canon(ts.moving_stats(df, int(n)), "mov_max"),
+    "movingSum": lambda df, n: _canon(ts.moving_stats(df, int(n)), "mov_sum"),
     "aggregate": lambda df, fn="sum": _canon(
         ts.aggregate_series(df, str(fn)).select(
             "ts", F.col("value")), "value", "aggregate"),

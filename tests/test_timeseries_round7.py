@@ -150,3 +150,24 @@ def test_render_targets_aggregate_group(series):
     assert out.count() == 8
     out = evaluate_target(series, "substr(s.*, 1, 2)")
     assert _metrics(out) == {"a", "b", "c"}
+
+
+def test_moving_registry_and_timeshift_strings(series):
+    out = evaluate_target(series, "movingMax(s.a, 2)")
+    vals = {r["ts"]: r["value"] for r in out.collect()}
+    assert vals == {0: 1.0, 60: 2.0, 120: 3.0, 180: 4.0}
+    out = evaluate_target(series, "movingSum(s.a, 2)")
+    vals = {r["ts"]: r["value"] for r in out.collect()}
+    assert vals[180] == 7.0  # 3 + 4
+    out = evaluate_target(series, "movingMin(s.b, 3)")
+    assert {r["ts"]: r["value"] for r in out.collect()}[180] == 20.0
+    # graphite string intervals: '1min' shows the PAST (data forward)
+    out = evaluate_target(series, "timeShift(s.a, '1min')")
+    vals = {r["ts"]: r["value"] for r in out.collect()}
+    assert vals[60] == 1.0 and vals[240] == 4.0
+    out = evaluate_target(series, "timeShift(s.a, '+1min')")
+    vals = {r["ts"]: r["value"] for r in out.collect()}
+    assert vals[-60] == 1.0
+    # raw seconds stay engine-native (positive = future)
+    out = evaluate_target(series, "timeShift(s.a, 60)")
+    assert {r["ts"]: r["value"] for r in out.collect()}[60] == 1.0
