@@ -2964,6 +2964,15 @@ def q_doc_bpe_merges(spark, sf_dir):
     )
 
 
+def q_doc_langid_ngram(spark, sf_dir):
+    """Cavnar-Trenkle n-gram profile language ID trained on the corpus
+    labels: per-language top-50 char trigrams, docs classified by
+    profile overlap; emits prediction + correctness vs the label."""
+    from graphouse_spark.functions.text import ngram_language_id
+
+    return ngram_language_id(_t(spark, sf_dir, "documents"), n=3, profile_k=50)
+
+
 def q_doc_lm_perplexity(spark, sf_dir):
     """CCNet-style corpus-LM quality signal: add-alpha bigram LM
     trained on the corpus in two aggregates, every document scored by
@@ -3144,6 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": q_emb_quantize,
         "doc_lang_id": q_doc_lang_id,
         "doc_lm_perplexity": q_doc_lm_perplexity,
+        "doc_langid_ngram": q_doc_langid_ngram,
         "doc_bpe_merges": q_doc_bpe_merges,
         "doc_ppl_buckets": q_doc_ppl_buckets,
         "doc_corpus_pipeline_v2": q_doc_corpus_pipeline_v2,
@@ -5046,6 +5056,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang AS lang_pred, h AS lang_hits
             FROM hits
             QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang DESC) = 1
+        """,
+        "doc_langid_ngram": r"""
+            WITH d AS (
+                SELECT doc_id, lang,
+                       regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, lang,
+                       unnest(list_transform(range(1, greatest(len(s) - 2, 1) + 1),
+                                             i -> substr(s, CAST(i AS INTEGER), 3))) AS gram
+                FROM d
+            ),
+            prof AS (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+            profile AS (
+                SELECT lang AS plang, gram FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY lang ORDER BY cnt DESC, gram ASC) AS rk
+                    FROM prof
+                ) WHERE rk <= 50
+            ),
+            docg AS (SELECT DISTINCT doc_id, lang, gram FROM g),
+            ov AS (
+                SELECT doc_id, lang, plang, count(*) AS overlap
+                FROM docg JOIN profile USING (gram)
+                GROUP BY 1, 2, 3
+            )
+            SELECT doc_id, plang AS lang_pred,
+                   CAST(overlap AS INTEGER) AS overlap,
+                   plang = lang AS is_correct
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY overlap DESC, plang ASC) AS rk
+                FROM ov
+            ) WHERE rk = 1
         """,
         "doc_lm_perplexity": r"""
             WITH toks AS (

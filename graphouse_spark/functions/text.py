@@ -592,3 +592,60 @@ def ngram_lm_scores(docs: DataFrame, alpha: float = 0.5,
             F.round(F.exp(F.col("_avg_nll")), 6).alias("ppl"),
         )
     )
+
+
+def ngram_language_id(docs: DataFrame, n: int = 3, profile_k: int = 50,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      lang_col: str = "lang") -> DataFrame:
+    """Character-n-gram profile language ID (Cavnar & Trenkle 1994,
+    "N-Gram-Based Text Categorization"), trained on the corpus's own
+    labels: per-language top-``profile_k`` character n-grams by
+    frequency form the profile; a document scores each language by how
+    many of its distinct n-grams hit that profile, highest overlap
+    wins (ties break to the lexicographically first language).
+
+    Returns (id, lang_pred, overlap, is_correct vs the stored label).
+
+    Plan shape: profile = one explode + count + bounded per-language
+    window rank (vocabulary-sized); scoring = distinct-gram explode ⋈
+    broadcast profile (languages x k rows) + one argmax aggregation —
+    every stage map-side-combining, nothing pairwise.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    k_grams = F.greatest(F.length(norm) - (n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), k_grams), lambda i: F.substr(norm, i, F.lit(n))
+    )
+    # language profiles: term frequency over ALL occurrences
+    prof_counts = (
+        docs.select(F.col(lang_col), F.explode(grams).alias("gram"))
+        .groupBy(lang_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(lang_col).orderBy(F.desc("cnt"), F.asc("gram"))
+    profile = (
+        prof_counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= profile_k)
+        .select(F.col(lang_col).alias("_plang"), "gram")
+    )
+    # document side: DISTINCT grams (set overlap, not weighted)
+    doc_grams = docs.select(
+        F.col(id_col), F.col(lang_col),
+        F.explode(F.array_distinct(grams)).alias("gram"),
+    )
+    overlaps = (
+        doc_grams.join(F.broadcast(profile), "gram")
+        .groupBy(id_col, lang_col, "_plang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w2 = Window.partitionBy(id_col).orderBy(F.desc("overlap"), F.asc("_plang"))
+    return (
+        overlaps.withColumn("_rk", F.row_number().over(w2))
+        .filter(F.col("_rk") == 1)
+        .select(
+            id_col,
+            F.col("_plang").alias("lang_pred"),
+            F.col("overlap").cast("int").alias("overlap"),
+            (F.col("_plang") == F.col(lang_col)).alias("is_correct"),
+        )
+    )
