@@ -147,3 +147,69 @@ def compact_metrics(spark: SparkSession, path: str, out_path: str) -> None:
 
     latest = latest_status(read_metrics(spark, path))
     write_metrics(latest, out_path, mode="overwrite")
+
+
+def table_stats(spark: SparkSession, path: str) -> DataFrame:
+    """``system.parts`` analog: one row per data file with its
+    partition, row count, byte size, and (metric, timestamp) min/max —
+    the zonemap-shaped metadata every storage decision reads.
+
+    Row counts and column ranges come from ONE distributed pass
+    grouped by ``input_file_name()``; byte sizes come from the
+    filesystem listing (driver-side, file-count-bounded — the same
+    scale class as ClickHouse's parts table itself). Feeds
+    :func:`compaction_candidates` and ad-hoc operability queries
+    ("which partitions are fragmented", "is the sort clustering
+    holding").
+    """
+    df = read_data(spark, path)
+    per_file = (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.first("date").alias("date"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("metric").alias("min_metric"),
+            F.max("metric").alias("max_metric"),
+            F.min("timestamp").alias("min_ts"),
+            F.max("timestamp").alias("max_ts"),
+        )
+    )
+    import os
+
+    sizes = []
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                full = os.path.join(root, fn)
+                sizes.append((full, os.path.getsize(full)))
+    size_df = spark.createDataFrame(sizes, "file string, bytes long") if sizes \
+        else spark.createDataFrame([], "file string, bytes long")
+    # input_file_name returns a file:// URI; our layout writes only
+    # URI-safe characters, so stripping the scheme aligns the keys
+    # (pure expression — no Python in the plan)
+    norm = F.regexp_replace(F.col("file"), "^file:/+", "/")
+    joined = per_file.withColumn("_p", norm).drop("file").join(
+        size_df.withColumn("_p", norm).drop("file"), "_p", "left"
+    )
+    return joined.select(
+        F.col("_p").alias("file"), "date", "n_rows", "bytes",
+        "min_metric", "max_metric", "min_ts", "max_ts",
+    )
+
+
+def compaction_candidates(stats: DataFrame, small_bytes: int = 8 * 1024 * 1024,
+                          min_files: int = 4) -> DataFrame:
+    """Partitions whose small-file count says "compact me": at least
+    ``min_files`` files under ``small_bytes`` — the input the rollup/
+    OPTIMIZE job consumes to pick targets instead of rewriting
+    everything."""
+    return (
+        stats.filter(F.col("bytes") < small_bytes)
+        .groupBy("date")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_files"),
+            F.sum("bytes").alias("small_bytes_total"),
+            F.sum("n_rows").alias("rows_affected"),
+        )
+        .filter(F.col("n_small_files") >= min_files)
+    )

@@ -268,3 +268,34 @@ def test_register_corpus_sql_front_door(spark):
         "SELECT count(*) AS n, min(ts_sec) AS first_sec FROM events_sec"
     ).collect()[0]
     assert row["n"] > 0 and row["first_sec"] >= 1704067200
+
+
+def test_table_stats_and_compaction_candidates(spark, tmp_path):
+    """system.parts analog: per-file rows/bytes/ranges; fragmented
+    partitions surface as compaction candidates."""
+    from graphouse_spark.sources.tables import (
+        compaction_candidates,
+        table_stats,
+        write_data,
+    )
+
+    base = 1_542_199_500
+    rows = [(f"m.{i % 3}", float(i), base + i * 60, base) for i in range(300)]
+    df = spark.createDataFrame(rows, "metric string, value double, timestamp long, updated long")
+    path = str(tmp_path / "parts")
+    write_data(df, path, target_partitions=6)  # several small files
+    stats = table_stats(spark, path).collect()
+    assert len(stats) >= 1
+    total_rows = sum(r["n_rows"] for r in stats)
+    assert total_rows == 300
+    for r in stats:
+        assert r["bytes"] is not None and r["bytes"] > 0
+        assert r["min_metric"] <= r["max_metric"]
+        assert r["min_ts"] <= r["max_ts"]
+        assert str(r["date"]) != ""
+    cands = compaction_candidates(
+        table_stats(spark, path), small_bytes=1 << 30, min_files=2
+    ).collect()
+    # every partition here is tiny -> all flagged at a 1 GiB threshold
+    assert cands and all(c["n_small_files"] >= 2 for c in cands)
+    assert sum(c["rows_affected"] for c in cands) == 300
