@@ -2964,6 +2964,21 @@ def q_doc_bpe_merges(spark, sf_dir):
     )
 
 
+def q_doc_pooled_embed(spark, sf_dir):
+    """Long-doc embedding by chunk-and-pool: 8-token chunks through the
+    Arrow-batched (portable-stub) encoder, mean-pooled per dimension —
+    the standard context-limited-encoder recipe, end-to-end oracled."""
+    from graphouse_spark.functions.inference import pooled_doc_embeddings
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    out = pooled_doc_embeddings(docs, chunk_tokens=8, dim=16)
+    # flat (doc, dim, component) rows: scalar columns hash-compare
+    # portably across engines (array cells don't)
+    return out.select(
+        "doc_id", "n_chunks", F.posexplode("embedding").alias("pos", "component")
+    )
+
+
 def q_doc_langid_ngram(spark, sf_dir):
     """Cavnar-Trenkle n-gram profile language ID trained on the corpus
     labels: per-language top-50 char trigrams, docs classified by
@@ -3154,6 +3169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "doc_langid_ngram": q_doc_langid_ngram,
+        "doc_pooled_embed": q_doc_pooled_embed,
         "doc_bpe_merges": q_doc_bpe_merges,
         "doc_ppl_buckets": q_doc_ppl_buckets,
         "doc_corpus_pipeline_v2": q_doc_corpus_pipeline_v2,
@@ -5056,6 +5072,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang AS lang_pred, h AS lang_hits
             FROM hits
             QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang DESC) = 1
+        """,
+        "doc_pooled_embed": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS t
+                FROM documents WHERE doc_id < 50
+            ),
+            nch AS (
+                SELECT doc_id, t,
+                       greatest(CAST(ceil(len(t) / 8.0) AS INTEGER), 1) AS nc
+                FROM toks
+            ),
+            chunks AS (
+                SELECT doc_id, nc,
+                       unnest(list_transform(range(nc),
+                           i -> array_to_string(t[CAST(i*8+1 AS INTEGER):CAST((i+1)*8 AS INTEGER)], ' '))) AS chunk
+                FROM nch
+            ),
+            dims AS (SELECT CAST(unnest(range(16)) AS INTEGER) AS pos),
+            comp AS (
+                SELECT c.doc_id, d.pos,
+                       (CAST(concat('0x', substr(md5(c.chunk || ':' || CAST(d.pos AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 2000 - 1000) / 1000.0 AS comp
+                FROM chunks c CROSS JOIN dims d
+            ),
+            pooled AS (
+                SELECT doc_id, pos, round(avg(comp), 6) AS c
+                FROM comp GROUP BY 1, 2
+            )
+            SELECT p.doc_id,
+                   CAST(n.nc AS INTEGER) AS n_chunks,
+                   p.pos, p.c AS component
+            FROM pooled p JOIN nch n USING (doc_id)
         """,
         "doc_langid_ngram": r"""
             WITH d AS (

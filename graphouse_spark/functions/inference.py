@@ -28,6 +28,7 @@ from typing import Callable, Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def stub_perplexity(texts: "pd.Series") -> "pd.Series":
@@ -128,3 +129,62 @@ def embed_texts(docs: DataFrame, dim: int = 16,
     return docs.select(id_col, text_col).mapInPandas(
         kernel, f"{id_col} long, embedding array<double>"
     )
+
+
+def pooled_doc_embeddings(docs: DataFrame, chunk_tokens: int = 8, dim: int = 16,
+                          embedder: Callable[["pd.Series"], "pd.DataFrame"] | None = None,
+                          text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Long-document embeddings by chunk-and-pool: split each doc into
+    non-overlapping ``chunk_tokens``-token chunks, embed every chunk
+    (Arrow-batched; encoders have context limits — chunking is how
+    long documents actually get embedded), mean-pool per dimension.
+
+    Plan shape: chunking is a per-row projection; the embed kernel
+    sees (doc, chunk) rows — batch size grows with corpus size, never
+    with document length skew; pooling is posexplode + one
+    (doc, dim)-keyed aggregate with map-side partials. Output
+    (id, n_chunks, embedding array<double>) matches the embeddings
+    corpus schema, so the ANN/SemDeDup operators consume it unchanged.
+
+    The default embedder is the portable md5 stub — the whole
+    chunk -> embed -> pool pipeline is oracle-checkable; a real
+    encoder slots in with the same batch signature.
+    """
+    import pandas as pd  # noqa: F811
+
+    fn = embedder or (lambda s: stub_embedding(s, dim))
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    n_chunks = F.greatest(F.ceil(F.size(toks) / F.lit(chunk_tokens)), F.lit(1)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "),
+    )
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            out = fn(pdf["chunk_text"])
+            out.insert(0, id_col, pdf[id_col].values)
+            out.insert(1, "chunk_idx", pdf["chunk_idx"].values)
+            yield out
+
+    emb = exploded.mapInPandas(
+        kernel, f"{id_col} long, chunk_idx int, embedding array<double>"
+    )
+    per_dim = (
+        emb.select(id_col, F.posexplode("embedding").alias("pos", "comp"))
+        .groupBy(id_col, "pos")
+        .agg(F.round(F.avg("comp"), 6).alias("c"))
+    )
+    counts = emb.groupBy(id_col).agg(F.count(F.lit(1)).cast("int").alias("n_chunks"))
+    pooled = (
+        per_dim.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("embedding")
+        )
+    )
+    return counts.join(pooled, id_col).select(id_col, "n_chunks", "embedding")
