@@ -81,6 +81,12 @@ EXTENDED_QUERIES = [
     "ts_select_series",        # graphite generic selector+filter
     "ev_weighted_quantiles",   # CH quantileExactWeighted
     "emb_twostage_topk",       # Matryoshka coarse-to-fine retrieval
+    "ev_funnel_latency",       # time-to-convert distribution
+    "doc_ppl_buckets",         # CCNet head/middle/tail perplexity split
+    "doc_corpus_pipeline_v2",  # dedup -> LM gate -> sample, one plan
+    "doc_langid_ngram",        # Cavnar-Trenkle trigram profiles
+    "doc_pooled_embed",        # chunk-and-pool long-doc embeddings
+    "sketch_audience_overlap", # HLL inclusion-exclusion intersection
 ]
 
 
@@ -101,18 +107,21 @@ def main() -> None:
     # whole-stage-codegen compilation + JIT (~0.5-2 s per novel plan —
     # at sf<=0.1 that fixed cost dwarfs the actual compute); the second
     # run is the steady-state number a long-lived cluster sees.
-    def run_set(names: list[str]) -> dict[str, float]:
+    def run_set(names: list[str], repeats: int = 1) -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in names:
             fn = queries[name]
             fn(spark, sf_dir).count()  # compile + warm
-            # two timed executions, keep the MIN: this host shows heavy
+            # timed executions, keep the MIN: this host shows heavy
             # noisy-neighbor variance (the same plan measured 2-3x apart
             # minutes apart); min-of-N is the standard noise-robust
-            # steady-state estimator. Each execution recomputes the full
-            # pipeline — clearCache drops intra-query persist() results.
+            # steady-state estimator. The graded headline basket runs
+            # twice; the informational extended set once to keep total
+            # bench wall time bounded as it grows. Each execution
+            # recomputes the full pipeline — clearCache drops
+            # intra-query persist() results.
             best, n = float("inf"), 0
-            for _ in range(2):
+            for _ in range(repeats):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
@@ -121,7 +130,7 @@ def main() -> None:
             print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         return timings
 
-    timings = run_set(BENCH_QUERIES)
+    timings = run_set(BENCH_QUERIES, repeats=2)
     extended = run_set(EXTENDED_QUERIES)
 
     print(json.dumps({
