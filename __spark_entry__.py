@@ -2931,7 +2931,11 @@ def q_doc_corpus_pipeline_v2(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     keep = exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
-    uniq = docs.join(keep, "doc_id", "left_semi")
+    # the deduped corpus feeds the LM's five derivations (bigram/token/
+    # vocab counts) plus the gate join — materialize it once (same
+    # multi-consumer pattern as pipeline v1's `kept`); without this the
+    # dedup semi-join subtree replays per consumer (~5 corpus scans)
+    uniq = docs.join(keep, "doc_id", "left_semi").localCheckpoint(eager=True)
     scores = ngram_lm_scores(uniq, alpha=0.5).filter(F.col("avg_nll").isNotNull())
     thr = scores.agg(F.percentile("avg_nll", F.lit(2.0 / 3)).alias("t2"))
     good = (
