@@ -611,14 +611,24 @@ def ngram_language_id(docs: DataFrame, n: int = 3, profile_k: int = 50,
     broadcast profile (languages x k rows) + one argmax aggregation —
     every stage map-side-combining, nothing pairwise.
     """
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    k_grams = F.greatest(F.length(norm) - (n - 1), F.lit(1))
+    # the normalized string MUST be a projected column, not a
+    # subexpression of the gram lambda: higher-order-function lambdas
+    # see no CSE, so an inline regexp_replace would re-normalize the
+    # whole document once PER POSITION (measured 25x slower)
+    # single-file corpora would run the gram projection as one task —
+    # spread first (cheap: raw docs are tiny next to their grams)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.repartition(par).select(
+        F.col(id_col), F.col(lang_col),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_s"),
+    )
+    k_grams = F.greatest(F.length("_s") - (n - 1), F.lit(1))
     grams = F.transform(
-        F.sequence(F.lit(1), k_grams), lambda i: F.substr(norm, i, F.lit(n))
+        F.sequence(F.lit(1), k_grams), lambda i: F.substr(F.col("_s"), i, F.lit(n))
     )
     # language profiles: term frequency over ALL occurrences
     prof_counts = (
-        docs.select(F.col(lang_col), F.explode(grams).alias("gram"))
+        base.select(F.col(lang_col), F.explode(grams).alias("gram"))
         .groupBy(lang_col, "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -629,7 +639,7 @@ def ngram_language_id(docs: DataFrame, n: int = 3, profile_k: int = 50,
         .select(F.col(lang_col).alias("_plang"), "gram")
     )
     # document side: DISTINCT grams (set overlap, not weighted)
-    doc_grams = docs.select(
+    doc_grams = base.select(
         F.col(id_col), F.col(lang_col),
         F.explode(F.array_distinct(grams)).alias("gram"),
     )
