@@ -157,7 +157,8 @@ _REGISTRY = {
     "averageSeries": lambda df: _canon(ts.stddev_series(df), "avg_value", "averageSeries"),
     "keepLastValue": lambda df: _canon(ts.keep_last_value(df), "filled_value"),
     "derivative": _derivative,
-    "nonNegativeDerivative": lambda df: _canon(ts.non_negative_derivative(df), "rate"),
+    "nonNegativeDerivative": lambda df, mv=None: _canon(
+        ts.non_negative_derivative(df, None if mv is None else float(mv)), "rate"),
     "perSecond": lambda df: _canon(ts.per_second(df), "rate"),
     "scale": lambda df, k: ts.scale_series(df, float(k)),
     "offset": lambda df, k: ts.offset_series(df, float(k)),

@@ -50,15 +50,24 @@ def running_total(series: DataFrame, metric_col: str = "metric",
     )
 
 
-def non_negative_derivative(series: DataFrame, metric_col: str = "metric",
+def non_negative_derivative(series: DataFrame, max_value: float | None = None,
+                            metric_col: str = "metric",
                             ts_col: str = "ts", value_col: str = "value") -> DataFrame:
-    """graphite ``nonNegativeDerivative``: per-second rate of a counter,
-    null where the counter reset (value decreased) — graphite emits
-    None there rather than a negative spike."""
+    """graphite ``nonNegativeDerivative(series[, maxValue])``: per-second
+    rate of a counter, null where the counter reset (value decreased) —
+    graphite emits None there rather than a negative spike. With
+    ``maxValue`` a decrease reads as counter WRAP and the delta is
+    recovered as ``max_value - prev + curr`` (same recovery as
+    :func:`per_second`)."""
     w = Window.partitionBy(metric_col).orderBy(ts_col)
-    dv = F.col(value_col) - F.lag(value_col).over(w)
+    prev = F.lag(value_col).over(w)
+    dv = F.col(value_col) - prev
     dt = F.col(ts_col) - F.lag(ts_col).over(w)
-    rate = F.when((dv >= 0) & (dt > 0), F.round(dv / dt, 6))
+    if max_value is not None:
+        dv = F.when(dv >= 0, dv).otherwise(F.lit(max_value) - prev + F.col(value_col))
+        rate = F.when(dt > 0, F.round(dv / dt, 6))
+    else:
+        rate = F.when((dv >= 0) & (dt > 0), F.round(dv / dt, 6))
     return series.select(metric_col, ts_col, rate.alias("rate"))
 
 

@@ -171,3 +171,17 @@ def test_moving_registry_and_timeshift_strings(series):
     # raw seconds stay engine-native (positive = future)
     out = evaluate_target(series, "timeShift(s.a, 60)")
     assert {r["ts"]: r["value"] for r in out.collect()}[60] == 1.0
+
+
+def test_nn_derivative_counter_wrap(spark):
+    from graphouse_spark.functions.timeseries import non_negative_derivative
+
+    # 8-bit counter wraps at 255: 250 -> 4 recovers as 255-250+4 = 9 over 60s
+    s = _mk(spark, [("c", 0, 100.0), ("c", 60, 250.0), ("c", 120, 4.0)])
+    plain = {r["ts"]: r["rate"] for r in non_negative_derivative(s).collect()}
+    assert plain[60] == 2.5 and plain[120] is None  # reset -> null
+    wrapped = {r["ts"]: r["rate"]
+               for r in non_negative_derivative(s, max_value=255.0).collect()}
+    assert wrapped[120] == round((255.0 - 250.0 + 4.0 + 0.0) / 60, 6)
+    out = evaluate_target(s, "nonNegativeDerivative(c, 255)")
+    assert {r["ts"]: r["value"] for r in out.collect()}[120] == wrapped[120]
