@@ -378,3 +378,43 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def incremental_exact_dedup(new_docs: DataFrame, manifest_path: str,
+                            text_col: str = "text", id_col: str = "doc_id"):
+    """Cross-batch exact dedup against a persisted content-hash
+    manifest — the shape every INCREMENTAL ingestion pipeline needs:
+    batch N+1 must not re-admit content batch N already accepted,
+    without ever re-scanning prior batches' text.
+
+    Returns ``(fresh, n_prior)``: the subset of ``new_docs`` whose
+    content hash is neither in the manifest nor earlier in this batch
+    (in-batch ties keep the min id), and the prior-manifest size. The
+    accepted hashes are APPENDED to the manifest before returning —
+    append-only parquet, so a crashed-and-retried batch only re-appends
+    the same hashes and the read-side ``distinct`` keeps replays
+    harmless (same idempotence posture as the ingest path).
+
+    At 100 TB the manifest is a hash column, orders of magnitude under
+    the corpus; the anti-join shuffles on the hash (or broadcasts when
+    the manifest is small — AQE decides), and text never leaves the
+    current batch. The streaming twin with TTL state is
+    ``streaming/stateful.streaming_dedup``.
+    """
+    spark = new_docs.sparkSession
+    try:
+        seen = spark.read.parquet(manifest_path).select("md5").distinct()
+        n_prior = seen.count()
+    except Exception:  # first batch: no manifest yet
+        seen = spark.createDataFrame([], "md5 string")
+        n_prior = 0
+    hashed = new_docs.withColumn("_md5", F.md5(F.col(text_col)))
+    novel = hashed.join(seen.withColumnRenamed("md5", "_md5"), "_md5", "left_anti")
+    keep_ids = novel.groupBy("_md5").agg(F.min(id_col).alias(id_col)).select(id_col)
+    fresh = novel.join(keep_ids, id_col, "left_semi").drop("_md5")
+    (
+        hashed.select(F.col("_md5").alias("md5")).distinct()
+        .join(seen, "md5", "left_anti")
+        .write.mode("append").parquet(manifest_path)
+    )
+    return fresh, n_prior

@@ -309,3 +309,31 @@ def test_duplicated_spans_merging_and_threshold(spark):
                    for r in duplicated_spans(df2, n=4, min_docs=2)
                    .filter("doc_id = 1").collect())
     assert spans == [(0, 3), (5, 8)]
+
+
+def test_incremental_exact_dedup(spark, tmp_path):
+    """Cross-batch manifest dedup: later batches never re-admit content;
+    in-batch dups keep min id; replays are harmless."""
+    from graphouse_spark.functions.dedup import incremental_exact_dedup
+
+    manifest = str(tmp_path / "manifest")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    b1 = mk([(1, "alpha"), (2, "beta"), (3, "alpha")])  # 3 = in-batch dup
+    fresh1, prior1 = incremental_exact_dedup(b1, manifest)
+    assert prior1 == 0
+    assert {r["doc_id"] for r in fresh1.collect()} == {1, 2}
+
+    b2 = mk([(10, "alpha"), (11, "gamma"), (12, "beta"), (13, "gamma")])
+    fresh2, prior2 = incremental_exact_dedup(b2, manifest)
+    assert prior2 == 2
+    assert {r["doc_id"] for r in fresh2.collect()} == {11}
+
+    # replaying batch 2 admits nothing and leaves the manifest sane
+    fresh3, prior3 = incremental_exact_dedup(b2, manifest)
+    assert prior3 == 3
+    assert fresh3.count() == 0
+    n_hashes = spark.read.parquet(manifest).select("md5").distinct().count()
+    assert n_hashes == 3  # alpha, beta, gamma
