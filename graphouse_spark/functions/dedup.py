@@ -210,7 +210,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 
 def minhash_near_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                             threshold: float = 0.7, num_hashes: int = 64,
-                            bands: int = 16, shingle_n: int = 3,
+                            bands: int | None = None, shingle_n: int = 3,
                             hash_fn: str = "xxhash64",
                             strategy: str = "engine") -> DataFrame:
     """End-to-end MinHash LSH: candidates verified by signature similarity.
@@ -218,11 +218,19 @@ def minhash_near_duplicates(docs: DataFrame, text_col: str = "text", id_col: str
     Returns (id_a, id_b, est_jaccard) for pairs whose estimated
     Jaccard (fraction of equal minhashes) >= threshold.
 
+    ``bands=None`` auto-tunes the banding from the threshold via the
+    LSH S-curve (:func:`lsh_tune`) — the band count where the collision
+    probability inflects at ~threshold, so recall concentrates exactly
+    where the verify step keeps pairs (t=0.5 with 64 hashes tunes to
+    the classic 16x4).
+
     ``strategy='engine'`` computes signatures with the Catalyst fold
     (pure JVM, hash_fn selectable); ``strategy='arrow'`` uses the
     vectorized numpy kernel (md5 family, bit-identical to
     ``hash_fn='md5'`` — faster when shingle counts per doc are large).
     """
+    if bands is None:
+        bands, _ = lsh_tune(num_hashes, threshold)
     rows_per_band = num_hashes // bands
     # hashing is CPU-bound per row: spread small single-file inputs over
     # all cores before computing, and persist — the signature subtree
@@ -418,3 +426,29 @@ def incremental_exact_dedup(new_docs: DataFrame, manifest_path: str,
         .write.mode("append").parquet(manifest_path)
     )
     return fresh, n_prior
+
+
+def lsh_tune(num_hashes: int, threshold: float) -> tuple[int, int]:
+    """Pick the (bands, rows_per_band) factorization of ``num_hashes``
+    whose LSH S-curve threshold best matches the target Jaccard.
+
+    The probability two items with similarity s share a band bucket is
+    1 - (1 - s^r)^b, whose inflection sits at ~(1/b)^(1/r) (MMDS ch.3)
+    — choose the divisor pair minimizing the distance to ``threshold``
+    (ties prefer MORE bands: more bands = higher recall at the target,
+    at the cost of more candidate pairs). 64 hashes at t=0.5 tunes to
+    (16, 4), exactly the classic default.
+    """
+    if not 0 < threshold < 1:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    best: tuple[float, int, int] | None = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        t = (1.0 / b) ** (1.0 / r)
+        key = (abs(t - threshold), -b)
+        if best is None or key < (best[0], -best[1]):
+            best = (abs(t - threshold), b, r)
+    assert best is not None
+    return best[1], best[2]

@@ -337,3 +337,22 @@ def test_incremental_exact_dedup(spark, tmp_path):
     assert fresh3.count() == 0
     n_hashes = spark.read.parquet(manifest).select("md5").distinct().count()
     assert n_hashes == 3  # alpha, beta, gamma
+
+
+def test_lsh_tune():
+    from graphouse_spark.functions.dedup import lsh_tune
+
+    assert lsh_tune(64, 0.5) == (16, 4)     # (1/16)^(1/4) = 0.5 exactly
+    assert lsh_tune(128, 0.5) == (32, 4)    # (1/32)^(1/4) ~ 0.42... check below
+    for n, t in [(64, 0.3), (64, 0.8), (128, 0.9), (100, 0.6)]:
+        b, r = lsh_tune(n, t)
+        assert b * r == n
+        curve_t = (1.0 / b) ** (1.0 / r)
+        # no other factorization sits closer to the target
+        for b2 in range(1, n + 1):
+            if n % b2 == 0:
+                t2 = (1.0 / b2) ** (1.0 / (n // b2))
+                assert abs(curve_t - t) <= abs(t2 - t) + 1e-12
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        lsh_tune(64, 1.5)
