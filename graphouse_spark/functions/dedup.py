@@ -452,3 +452,101 @@ def lsh_tune(num_hashes: int, threshold: float) -> tuple[int, int]:
             best = (abs(t - threshold), b, r)
     assert best is not None
     return best[1], best[2]
+
+
+def incremental_minhash_dedup(new_docs: DataFrame, index_path: str,
+                              threshold: float = 0.7, num_hashes: int = 64,
+                              shingle_n: int = 3,
+                              text_col: str = "text", id_col: str = "doc_id"):
+    """Cross-batch NEAR-dup suppression against a persisted LSH index —
+    the incremental form of :func:`minhash_near_duplicates`: batch N+1
+    drops documents near-duplicating anything ALREADY ACCEPTED, without
+    re-scanning prior batches' text.
+
+    The index persists two tables under ``index_path``:
+    ``bands/`` (band, bucket, doc_id) and ``sigs/`` (doc_id, signature)
+    — band keys find candidates (equi-join, pair cost tracks true
+    collisions), signatures verify them exactly like the one-shot
+    pipeline. Accepted docs append their rows; append-only + distinct
+    on read keeps crashed-batch replays harmless (same contract as
+    :func:`incremental_exact_dedup`).
+
+    In-batch near-dups also resolve (min id wins). Uses the md5 hash
+    family so the index is portable across engines/systems. Banding
+    auto-tunes from the threshold. Returns ``(fresh, n_indexed)``.
+    """
+    spark = new_docs.sparkSession
+    bands, rows_per_band = lsh_tune(num_hashes, threshold)
+    try:
+        old_bands = spark.read.parquet(f"{index_path}/bands").distinct()
+        old_sigs = spark.read.parquet(f"{index_path}/sigs").distinct()
+        n_indexed = old_sigs.count()
+    except Exception:
+        old_bands = spark.createDataFrame([], "band int, bucket long, doc_id long")
+        old_sigs = spark.createDataFrame([], "doc_id long, signature array<long>")
+        n_indexed = 0
+
+    par = spark.sparkContext.defaultParallelism
+    sigs = minhash_signatures(
+        new_docs.repartition(par), text_col, id_col, num_hashes, shingle_n, "md5"
+    ).persist()
+    new_bands = _band_rows(sigs, id_col, bands, rows_per_band)
+
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e))
+        / F.lit(float(num_hashes))
+    )
+    # vs the index: candidate (new, old) pairs -> verify -> suppressed new ids
+    cross = (
+        new_bands.join(old_bands.withColumnRenamed("doc_id", "_old"), ["band", "bucket"])
+        .select(F.col(id_col), F.col("_old")).distinct()
+        .join(sigs.select(F.col(id_col), F.col("signature").alias("sig_a")), id_col)
+        .join(old_sigs.select(F.col("doc_id").alias("_old"),
+                              F.col("signature").alias("sig_b")), "_old")
+        .filter(F.round(est, 6) >= threshold)
+        .select(id_col).distinct()
+    )
+    # within the batch: one-shot candidates, min id survives each pair
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    in_batch = (
+        lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+        .join(a, "id_a").join(b, "id_b")
+        .filter(F.round(est, 6) >= threshold)
+        .select(F.col("id_b").alias(id_col)).distinct()  # id_a < id_b: min wins
+    )
+    suppressed = cross.unionByName(in_batch).distinct()
+    fresh = new_docs.join(suppressed, id_col, "left_anti")
+
+    accepted_sigs = sigs.join(fresh.select(id_col), id_col, "left_semi")
+    accepted_sigs.write.mode("append").parquet(f"{index_path}/sigs")
+    _band_rows(accepted_sigs, id_col, bands, rows_per_band) \
+        .write.mode("append").parquet(f"{index_path}/bands")
+    sigs.unpersist()
+    return fresh, n_indexed
+
+
+def _band_rows(signatures: DataFrame, id_col: str,
+               bands: int, rows_per_band: int) -> DataFrame:
+    """(band, bucket, id) rows — the exploded LSH index representation
+    shared by the one-shot self-join and the persisted index."""
+    buckets = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("bucket"),
+            ),
+        )
+    )
+    return signatures.select(F.col(id_col), buckets.alias("bb")).select(
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), id_col
+    )

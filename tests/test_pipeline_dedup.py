@@ -356,3 +356,35 @@ def test_lsh_tune():
     import pytest as _pt
     with _pt.raises(ValueError):
         lsh_tune(64, 1.5)
+
+
+def test_incremental_minhash_dedup(spark, tmp_path):
+    """Cross-batch near-dup: batch 2 drops docs near-duplicating batch 1
+    content (without re-reading batch 1 text); in-batch min id wins;
+    replays admit nothing new."""
+    from graphouse_spark.functions.dedup import incremental_minhash_dedup
+
+    idx = str(tmp_path / "lsh_index")
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")          # 1-token edit: near-dup
+    far = "completely different words about spark engines and parquet files"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    b1 = mk([(1, base), (2, near), (3, far)])
+    fresh1, n1 = incremental_minhash_dedup(b1, idx, threshold=0.5)
+    assert n1 == 0
+    assert {r["doc_id"] for r in fresh1.collect()} == {1, 3}  # 2 ~ 1, min wins
+
+    # batch 2: another near-dup of base + genuinely new content
+    b2 = mk([(10, base.replace("dog", "cat")),
+             (11, "fresh unseen sentence with novel vocabulary entirely")])
+    fresh2, n2 = incremental_minhash_dedup(b2, idx, threshold=0.5)
+    assert n2 == 2
+    assert {r["doc_id"] for r in fresh2.collect()} == {11}
+
+    # replay of batch 2: 11's content is now indexed -> nothing fresh
+    fresh3, n3 = incremental_minhash_dedup(b2, idx, threshold=0.5)
+    assert n3 == 3
+    assert fresh3.count() == 0
