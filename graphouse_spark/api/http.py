@@ -101,17 +101,27 @@ def make_handler(service: GraphouseService):
                         self._send(400, "target parameter required")
                         return
                     fmt = params.get("format", "json")
-                    if fmt != "json":
-                        self._send(400, f"unsupported format {fmt!r} (json only)")
+                    if fmt not in ("json", "csv"):
+                        self._send(400, f"unsupported format {fmt!r} (json or csv)")
                         return
                     now = int(params.get("now", time.time()))
                     start = parse_render_time(params["from"], now)
                     end = parse_render_time(params.get("until", "now"), now)
                     mdp = int(params["maxDataPoints"]) if "maxDataPoints" in params else None
                     req_key = params.get("reqKey") or None
-                    self._send(200, service.render_json(
-                        targets, start, end, req_key=req_key,
-                        max_data_points=mdp), "application/json")
+                    series = service.render(targets, start, end, req_key=req_key,
+                                            max_data_points=mdp)
+                    if fmt == "csv":
+                        # graphite csv: target,datetime,value per point
+                        lines = []
+                        for s in series:
+                            for v, ts in s["datapoints"]:
+                                dt = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime(ts))
+                                lines.append(
+                                    f"{s['target']},{dt},{'' if v is None else v}")
+                        self._send(200, "\n".join(lines) + "\n", "text/csv")
+                    else:
+                        self._send(200, json.dumps(series), "application/json")
                 elif route == "/explain":
                     target = params.get("target", "")
                     if not target:

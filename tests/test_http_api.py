@@ -286,3 +286,19 @@ def test_render_relative_time_maxdatapoints_explain(server):
     )
     assert code == 200
     assert "Physical Plan" in body and "HashAggregate" in body
+
+
+def test_render_csv_format(server):
+    svc, http, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    code, body = get(
+        port,
+        f"/render?target=one_min.srv1.cpu&from={BASE}&until={BASE + 180}&format=csv",
+    )
+    assert code == 200
+    lines = body.strip().split("\n")
+    assert len(lines) == 3
+    assert lines[0] == "one_min.srv1.cpu,2018-11-14 12:45:00,1.0"
+    code, _ = get(port, f"/render?target=x&from={BASE}&until={BASE+60}&format=png")
+    assert code == 400
