@@ -2907,12 +2907,15 @@ def q_doc_ppl_buckets(spark, sf_dir):
         .when(F.col("avg_nll") <= F.col("t2"), "middle")
         .otherwise("tail")
     )
+    # exact micro-unit mean (float avg is shuffle-arrival-order
+    # dependent under load; min/max are order-free)
+    micro = F.round(F.col("ppl") * 1e6).cast("long")
     return (
         scores.crossJoin(F.broadcast(thr))
         .groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("ppl"), 6).alias("avg_ppl"),
+            F.round(F.sum(micro) / (F.count(F.lit(1)) * 1e6), 6).alias("avg_ppl"),
             F.round(F.min("ppl"), 6).alias("min_ppl"),
             F.round(F.max("ppl"), 6).alias("max_ppl"),
         )
@@ -2945,10 +2948,14 @@ def q_doc_corpus_pipeline_v2(spark, sf_dir):
     )
     gated = uniq.join(good, "doc_id")
     sampled = hash_sample(gated, "doc_id", 0.5, salt="v2")
+    # exact micro-unit accumulation: float avg merges partial sums in
+    # shuffle-fetch arrival order (load-dependent), and one ulp across
+    # a round-6 boundary flips the oracle hash — integer sums don't
+    micro = F.round(F.col("ppl") * 1e6).cast("long")
     return sampled.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens_col(F.col("text")))).alias("sum_tokens"),
-        F.round(F.avg("ppl"), 6).alias("avg_ppl"),
+        F.round(F.sum(micro) / (F.count(F.lit(1)) * 1e6), 6).alias("avg_ppl"),
     )
 
 
@@ -5159,14 +5166,14 @@ def oracle_sql() -> dict[str, str]:
             vocab AS (SELECT count(*) AS v FROM uni),
             scored AS (
                 SELECT b.doc_id, count(*) AS nb,
-                       avg(-ln((c12 + 0.5) / (c1 + 0.5 * vocab.v))) AS avg_nll
+                       sum(CAST(round(-ln((c12 + 0.5) / (c1 + 0.5 * vocab.v)) * 1e9) AS BIGINT)) AS sum_nano
                 FROM bigrams b JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab
                 GROUP BY 1
             )
             SELECT d.doc_id,
                    CAST(coalesce(nb, 0) AS INTEGER) AS n_bigrams,
-                   round(avg_nll, 6) AS avg_nll,
-                   round(exp(avg_nll), 6) AS ppl
+                   round(sum_nano / (nb * 1e9), 6) AS avg_nll,
+                   round(exp(sum_nano / (nb * 1e9)), 6) AS ppl
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
         """,
         "doc_corpus_pipeline_v2": r"""
@@ -5186,12 +5193,14 @@ def oracle_sql() -> dict[str, str]:
             bi AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY 1, 2),
             vocab AS (SELECT count(*) AS v FROM uni),
             scored AS (
-                SELECT b.doc_id, avg(-ln((c12 + 0.5) / (c1 + 0.5 * vocab.v))) AS raw_nll
+                SELECT b.doc_id, count(*) AS nb,
+                       sum(CAST(round(-ln((c12 + 0.5) / (c1 + 0.5 * vocab.v)) * 1e9) AS BIGINT)) AS sum_nano
                 FROM bigrams b JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab
                 GROUP BY 1
             ),
             sc AS (
-                SELECT doc_id, round(raw_nll, 6) AS a, round(exp(raw_nll), 6) AS ppl
+                SELECT doc_id, round(sum_nano / (nb * 1e9), 6) AS a,
+                       round(exp(sum_nano / (nb * 1e9)), 6) AS ppl
                 FROM scored
             ),
             thr AS (SELECT quantile_cont(a, 2.0/3) AS t2 FROM sc),
@@ -5206,7 +5215,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, count(*) AS n_docs,
                    sum(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t != ''))) AS sum_tokens,
-                   round(avg(ppl), 6) AS avg_ppl
+                   round(sum(CAST(round(ppl * 1e6) AS BIGINT)) / (count(*) * 1e6), 6) AS avg_ppl
             FROM sampled
             GROUP BY source
         """,
@@ -5223,13 +5232,14 @@ def oracle_sql() -> dict[str, str]:
             bi AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY 1, 2),
             vocab AS (SELECT count(*) AS v FROM uni),
             scored AS (
-                SELECT b.doc_id,
-                       avg(-ln((c12 + 0.5) / (c1 + 0.5 * vocab.v))) AS raw_nll
+                SELECT b.doc_id, count(*) AS nb,
+                       sum(CAST(round(-ln((c12 + 0.5) / (c1 + 0.5 * vocab.v)) * 1e9) AS BIGINT)) AS sum_nano
                 FROM bigrams b JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab
                 GROUP BY 1
             ),
             sc AS (
-                SELECT doc_id, round(raw_nll, 6) AS a, round(exp(raw_nll), 6) AS p
+                SELECT doc_id, round(sum_nano / (nb * 1e9), 6) AS a,
+                       round(exp(sum_nano / (nb * 1e9)), 6) AS p
                 FROM scored
             ),
             thr AS (
@@ -5240,7 +5250,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN a <= t2 THEN 'middle'
                         ELSE 'tail' END AS bucket,
                    count(*) AS n_docs,
-                   round(avg(p), 6) AS avg_ppl,
+                   round(sum(CAST(round(p * 1e6) AS BIGINT)) / (count(*) * 1e6), 6) AS avg_ppl,
                    round(min(p), 6) AS min_ppl,
                    round(max(p), 6) AS max_ppl
             FROM sc CROSS JOIN thr

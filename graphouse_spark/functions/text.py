@@ -549,10 +549,13 @@ def ngram_lm_scores(docs: DataFrame, alpha: float = 0.5,
        counts — model sides are broadcast when small, AQE decides
        otherwise — then one groupBy(doc) average.
 
-    Floats: ln/exp are computed in double and rounded to 6 decimals;
-    the per-doc mean sums ~doc-length terms, so the last ulp can
-    differ between engines/partitionings — round(6) absorbs it (same
-    tolerance posture as shannon_entropy, documented there).
+    Floats: each transition's -ln P rounds to NANO-units (9 decimals)
+    and accumulates as an exact integer sum — float summation order
+    varies with shuffle-fetch arrival under load, and a mean that
+    drifts one ulp across a round-6 boundary flips the oracle hash
+    (observed in practice); integer sums are associative, so the mean
+    is bit-stable on every engine/partitioning/load. ln itself agrees
+    across engines to ~1 ulp, far inside the nano grid.
     """
     toks = tokens_col(F.col(text_col))
     base = docs.select(F.col(id_col), toks.alias("_toks"))
@@ -571,6 +574,7 @@ def ngram_lm_scores(docs: DataFrame, alpha: float = 0.5,
     nll = -F.log(
         (F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v"))
     )
+    nll_nano = F.round(nll * 1e9).cast("long")
     scored = (
         bigrams.join(bi, ["w1", "w2"])
         .join(uni, "w1")
@@ -578,18 +582,26 @@ def ngram_lm_scores(docs: DataFrame, alpha: float = 0.5,
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.avg(nll).alias("_avg_nll"),
+            F.sum(nll_nano).alias("_sum_nano"),
         )
     )
+    avg_raw = F.col("_sum_nano") / (F.col("n_bigrams") * 1e9)
     # docs with < 2 tokens have no bigram rows — restore them with nulls
     return (
         docs.select(F.col(id_col))
-        .join(scored, id_col, "left")
+        .join(
+            scored.select(
+                id_col, "n_bigrams",
+                F.round(avg_raw, 6).alias("_avg"),
+                F.round(F.exp(avg_raw), 6).alias("_ppl"),
+            ),
+            id_col, "left",
+        )
         .select(
             id_col,
             F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("int").alias("n_bigrams"),
-            F.round(F.col("_avg_nll"), 6).alias("avg_nll"),
-            F.round(F.exp(F.col("_avg_nll")), 6).alias("ppl"),
+            F.col("_avg").alias("avg_nll"),
+            F.col("_ppl").alias("ppl"),
         )
     )
 
