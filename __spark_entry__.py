@@ -3010,6 +3010,58 @@ def q_doc_lm_perplexity(spark, sf_dir):
     return ngram_lm_scores(_t(spark, sf_dir, "documents"), alpha=0.5)
 
 
+def q_ts_linreg_line(spark, sf_dir):
+    """graphite linearRegression RENDER semantics: the fitted OLS line
+    evaluated at every native timestamp (the analysis twin
+    ts_linear_regression emits slope/intercept). Exact integer moment
+    sums -> identical closed-form double math on both engines."""
+    from graphouse_spark.functions.timeseries import linear_regression_line
+
+    return linear_regression_line(_series(spark, sf_dir)).orderBy("metric", "ts")
+
+
+def q_ts_series_lists(spark, sf_dir):
+    """graphite divideSeriesLists: Nth series of list A paired with the
+    Nth of list B by name rank, point-wise divide (plus the sum
+    variant) — rank from a distinct-names window, one equi-join on
+    (rank, ts)."""
+    from graphouse_spark.functions.timeseries import series_lists_op
+
+    s = _series(spark, sf_dir)
+    a = s.filter(F.col("metric").rlike("^(click|error)$"))
+    b = s.filter(F.col("metric").rlike("^(purchase|view)$"))
+    div = series_lists_op(a, b, "divide")
+    add = series_lists_op(a, b, "sum")
+    return (
+        div.select("metric", "ts", "value")
+        .unionByName(add.select("metric", "ts", "value"))
+        .orderBy("metric", "ts")
+    )
+
+
+def q_ts_remove_between_pctl(spark, sf_dir):
+    """graphite removeBetweenPercentile(series, 80): keep series with at
+    least one point outside the per-timestamp 20th..80th percentile
+    band across series (per-ts window percentiles, broadcast semi-join
+    back)."""
+    from graphouse_spark.functions.timeseries import remove_between_percentile
+
+    return remove_between_percentile(_series(spark, sf_dir), 80.0).orderBy(
+        "metric", "ts")
+
+
+def q_ts_generators(spark, sf_dir):
+    """graphite render generators: timeFunction grid + constantLine /
+    threshold guide lines, window bounds taken from the rendered
+    frame (engine analog of requestContext start/end)."""
+    from graphouse_spark.functions.timeseries import constant_line, time_function
+
+    s = _series(spark, sf_dir)
+    grid = time_function(s, "Time", 3600)
+    cap = constant_line(s, 250.0, "cap")
+    return grid.unionByName(cap).orderBy("metric", "ts")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the /metricData read path end-to-end on sf0.001.
 
@@ -3211,6 +3263,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_combine": q_ts_combine,
         "ts_integral_daily": q_ts_integral_daily,
         "ts_changed": q_ts_changed,
+        "ts_linreg_line": q_ts_linreg_line,
+        "ts_series_lists": q_ts_series_lists,
+        "ts_remove_between_pctl": q_ts_remove_between_pctl,
+        "ts_generators": q_ts_generators,
         "doc_repetition": q_doc_repetition,
         "doc_source_rebalance": q_doc_source_rebalance,
         "emb_label_centroids": q_emb_label_centroids,
@@ -4271,6 +4327,87 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) / 1000000.0 AS running_value
             FROM ({_SERIES_SQL})
+        """,
+        "ts_linreg_line": f"""
+            WITH xy AS (
+                SELECT metric, ts,
+                       CAST(ts - min(ts) OVER (PARTITION BY metric) AS HUGEINT) AS x,
+                       CAST(round(value * 1000000) AS HUGEINT) AS y
+                FROM ({_SERIES_SQL})
+            ),
+            m AS (
+                SELECT metric,
+                       CAST(count(*) AS HUGEINT) AS n,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy, sum(x * x) AS sxx
+                FROM xy GROUP BY metric
+            )
+            SELECT xy.metric, xy.ts,
+                   round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                         THEN ((CAST(sy AS DOUBLE)
+                                - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                               + CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+                                 * CAST(xy.x AS DOUBLE)) / 1000000.0
+                         ELSE CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+                    END, 6) AS value
+            FROM xy JOIN m USING (metric)
+            ORDER BY metric, ts
+        """,
+        "ts_series_lists": f"""
+            WITH s AS ({_SERIES_SQL}),
+            a AS (SELECT * FROM s WHERE regexp_matches(metric, '^(click|error)$')),
+            b AS (SELECT * FROM s WHERE regexp_matches(metric, '^(purchase|view)$')),
+            ra AS (SELECT metric, row_number() OVER (ORDER BY metric) AS rnk
+                   FROM (SELECT DISTINCT metric FROM a)),
+            rb AS (SELECT metric, row_number() OVER (ORDER BY metric) AS rnk
+                   FROM (SELECT DISTINCT metric FROM b)),
+            aj AS (SELECT ra.rnk, a.ts, a.metric AS am, a.value AS av
+                   FROM a JOIN ra USING (metric)),
+            bj AS (SELECT rb.rnk, b.ts, b.metric AS bm, b.value AS bv
+                   FROM b JOIN rb USING (metric)),
+            j AS (SELECT * FROM aj JOIN bj USING (rnk, ts))
+            SELECT * FROM (
+                SELECT 'divideSeries(' || am || ',' || bm || ')' AS metric, ts,
+                       CASE WHEN bv != 0 THEN round(av / bv, 6) END AS value
+                FROM j
+                UNION ALL
+                SELECT 'sumSeries(' || am || ',' || bm || ')' AS metric, ts,
+                       round(av + bv, 6) AS value
+                FROM j
+            ) ORDER BY metric, ts
+        """,
+        "ts_remove_between_pctl": f"""
+            WITH s AS ({_SERIES_SQL}),
+            banded AS (
+                SELECT metric, ts, value,
+                       quantile_cont(value, 0.2) OVER (PARTITION BY ts) AS lo,
+                       quantile_cont(value, 0.8) OVER (PARTITION BY ts) AS hi
+                FROM s
+            ),
+            keep AS (
+                SELECT metric FROM banded GROUP BY metric
+                HAVING max(CASE WHEN NOT (value > lo AND value < hi)
+                                THEN 1 ELSE 0 END) = 1
+            )
+            SELECT s.metric, s.ts, s.value
+            FROM s JOIN keep USING (metric)
+            ORDER BY metric, ts
+        """,
+        "ts_generators": f"""
+            WITH s AS ({_SERIES_SQL}),
+            b AS (SELECT min(ts) AS t0, max(ts) AS t1 FROM s)
+            SELECT * FROM (
+                SELECT 'Time' AS metric, CAST(g AS BIGINT) AS ts,
+                       CAST(g AS DOUBLE) AS value
+                FROM (SELECT unnest(generate_series(t0, t1, 3600)) AS g FROM b)
+                UNION ALL
+                SELECT DISTINCT 'cap' AS metric, ts, 250.0 AS value FROM (
+                    SELECT t0 AS ts FROM b
+                    UNION ALL SELECT CAST(floor((t0 + t1) / 2) AS BIGINT) FROM b
+                    UNION ALL SELECT t1 FROM b
+                )
+            ) ORDER BY metric, ts
         """,
         "ts_changed": f"""
             SELECT metric, ts,

@@ -170,6 +170,18 @@ class GraphouseService:
                     self.spark, data, names, start, end, now_seconds
                 )
                 evaluated = evaluate_target(frame, target)
+                # consolidateBy tag (round 8): the evaluator leaves a
+                # literal column naming the reduction function; read it
+                # (bounded 1-row action, only when present) and strip it
+                consolidation = "average"
+                from graphouse_spark.functions.timeseries import (
+                    CONSOLIDATE_COL, consolidation_agg,
+                )
+                if CONSOLIDATE_COL in evaluated.columns:
+                    tag = evaluated.select(CONSOLIDATE_COL).limit(1).collect()
+                    if tag:
+                        consolidation = tag[0][0]
+                    evaluated = evaluated.drop(CONSOLIDATE_COL)
                 if max_data_points and names:
                     # graphite's maxDataPoints: consolidate IN the
                     # engine (average, step snapped to a multiple of
@@ -193,7 +205,7 @@ class GraphouseService:
                             * step_out
                         ).alias("ts")
                         evaluated = evaluated.groupBy("metric", bucket).agg(
-                            F.round(F.avg("value"), 6).alias("value")
+                            consolidation_agg(consolidation).alias("value")
                         )
                 by_metric: dict[str, list] = {}
                 for r in evaluated.collect():

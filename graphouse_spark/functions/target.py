@@ -219,7 +219,9 @@ _REGISTRY = {
     "delay": lambda df, n: ts.delay_series(df, int(n)),
     "squareRoot": lambda df: _canon(ts.pow_family(df), "root"),
     "invert": lambda df: _canon(ts.pow_family(df), "inverted"),
-    "pow": lambda df, p=2: _canon(ts.pow_family(df), "squared"),
+    # real exponent (round 8): pow(series, 2.5) obeys safePow's
+    # math-error -> None domain rule, not just the squared fast path
+    "pow": lambda df, p=2: ts.pow_series(df, float(p)),
     "grep": lambda df, pat: ts.grep_series(df, str(pat)),
     "exclude": lambda df, pat: ts.exclude_series(df, str(pat)),
     "aliasSub": lambda df, pat, rep: ts.alias_sub(df, str(pat), str(rep)),
@@ -279,6 +281,69 @@ _REGISTRY = {
             "ts", F.col("value")), "value", "aggregate"),
     "group": lambda *dfs: ts.group_series(*dfs),
     "substr": lambda df, a=0, b=0: ts.substr_series(df, int(a), int(b)),
+    # round 8: regression/fit, generic sorts/moving window, percentile
+    # pruning, series-list pairwise arithmetic, generators, consolidation
+    # tagging, legend decoration, display pass-throughs
+    "linearRegression": lambda df: ts.linear_regression_line(df),
+    "logit": lambda df: ts.logit_series(df),
+    "movingWindow": lambda df, n, fn="average": _canon(
+        ts.moving_window(df, int(n), str(fn)), "value"),
+    "sortBy": lambda df, fn="average", rev=False: ts.sort_by(
+        df, str(fn), str(rev).lower() in ("true", "1")),
+    "sortByMinima": lambda df: ts.sort_by_minima(df),
+    "unique": lambda df: ts.unique_series(df),
+    "averageOutsidePercentile": lambda df, n: ts.average_outside_percentile(df, float(n)),
+    "removeBetweenPercentile": lambda df, n: ts.remove_between_percentile(df, float(n)),
+    "stddevSeries": lambda df: _canon(
+        ts.stddev_series(df), "stddev_value", "stddevSeries"),
+    "divideSeriesLists": lambda a, b: ts.series_lists_op(a, b, "divide"),
+    "sumSeriesLists": lambda a, b: ts.series_lists_op(a, b, "sum"),
+    "diffSeriesLists": lambda a, b: ts.series_lists_op(a, b, "diff"),
+    "multiplySeriesLists": lambda a, b: ts.series_lists_op(a, b, "multiply"),
+    "consolidateBy": lambda df, fn: ts.consolidate_by(df, str(fn)),
+    "cumulative": lambda df: ts.consolidate_by(df, "sum"),
+    "cactiStyle": lambda df: ts.cacti_style(df),
+    "legendValue": lambda df, *fns: ts.legend_value(df, *[str(f) for f in fns]),
+    "holtWintersConfidenceArea": lambda df, delta=3.0:
+        ts.holt_winters_confidence_area(df, float(delta)),
+    # display-attribute pass-throughs: color/line style/axis placement
+    # are renderer concerns — the engine returns the data unchanged so
+    # dashboard targets that use them still compile to one plan. The
+    # literal args are accepted and discarded (graphite-web consumes
+    # them at draw time, after the data pipeline this engine replaces).
+    "color": lambda df, c: df.select("metric", "ts", "value"),
+    "alpha": lambda df, a: df.select("metric", "ts", "value"),
+    "lineWidth": lambda df, w: df.select("metric", "ts", "value"),
+    "dashed": lambda df, n=5: df.select("metric", "ts", "value"),
+    "drawAsInfinite": lambda df: df.select("metric", "ts", "value"),
+    "secondYAxis": lambda df: df.select("metric", "ts", "value"),
+    "stacked": lambda df, name=None: df.select("metric", "ts", "value"),
+    "areaBetween": lambda df: df.select("metric", "ts", "value"),
+    "setXFilesFactor": lambda df, x: df.select("metric", "ts", "value"),
+    "xFilesFactor": lambda df, x: df.select("metric", "ts", "value"),
+}
+
+#: functions whose FIRST argument is a literal, not a series: the
+#: evaluator injects the base selection frame so the generator can
+#: derive the render window (graphite uses requestContext start/end;
+#: the engine analog is the frame's ts bounds).
+_GENERATORS = {
+    "constantLine": lambda base, v: ts.constant_line(base, float(v)),
+    "threshold": lambda base, v, label=None: ts.constant_line(
+        base, float(v), None if label is None else str(label)),
+    "identity": lambda base, name="identity", step=60: ts.time_function(
+        base, str(name), int(step)),
+    "time": lambda base, name="Time", step=60: ts.time_function(
+        base, str(name), int(step)),
+    "timeFunction": lambda base, name="Time", step=60: ts.time_function(
+        base, str(name), int(step)),
+}
+
+#: functions needing the BASE frame in addition to their evaluated head
+#: (they fetch series the head selection did not include).
+_NEEDS_BASE = {
+    "useSeriesAbove": lambda head, base, v, search, replace:
+        ts.use_series_above(head, base, float(v), str(search), str(replace)),
 }
 
 
@@ -301,10 +366,18 @@ def evaluate_target(series: DataFrame, target: str,
                 return series.filter(F.lit(False))
             return series.filter(F.col(metric_col).rlike(rx))
         if isinstance(node, Call):
-            if node.name not in _REGISTRY:
+            if node.name in _GENERATORS:
+                # literal-first generators: the series frame they see is
+                # the BASE selection (render-window bounds), args pass
+                # through as literals (a bare identifier is a string)
+                lits = [
+                    a.glob if isinstance(a, Path) else a for a in node.args
+                ]
+                return _GENERATORS[node.name](series, *lits)
+            if node.name not in _REGISTRY and node.name not in _NEEDS_BASE:
                 raise ValueError(
                     f"unsupported function {node.name!r}; engine-side set: "
-                    f"{sorted(_REGISTRY)}"
+                    f"{sorted(set(_REGISTRY) | set(_GENERATORS) | set(_NEEDS_BASE))}"
                 )
             if not node.args:
                 raise ValueError(f"{node.name} needs a series argument")
@@ -322,6 +395,8 @@ def evaluate_target(series: DataFrame, target: str,
                 else a
                 for a in node.args[1:]
             ]
+            if node.name in _NEEDS_BASE:
+                return _NEEDS_BASE[node.name](head, series, *rest)
             return _REGISTRY[node.name](head, *rest)
         raise ValueError(f"a literal {node!r} is not a series")
 
@@ -345,6 +420,8 @@ def collect_series_globs(target: str) -> list[str]:
                     out.append(node.glob)
             return
         if isinstance(node, Call):
+            if node.name in _GENERATORS:
+                return  # literal-first: no arg is ever a series
             for i, a in enumerate(node.args):
                 if isinstance(a, (Call, Path)):
                     walk(a, head=(i == 0))

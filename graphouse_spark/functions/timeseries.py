@@ -1360,3 +1360,432 @@ def substr_series(series: DataFrame, start: int, stop: int = 0,
         length = n + F.lit(stop) - begin + 1
     renamed = F.array_join(F.slice(parts, begin, F.greatest(length, F.lit(0))), ".")
     return series.withColumn(metric_col, renamed)
+
+
+# --------------------------------------------------------------------------
+# round 8: regression/fit, generic sorts, percentile pruning, series-list
+# pairwise arithmetic, render-grid generators, consolidation tagging, and
+# the legend/display family (reference serves raw points and leaves ALL of
+# these to graphite-web's render/functions.py post-fetch; here each is one
+# Catalyst plan over every series at once).
+
+
+def linear_regression_line(series: DataFrame, metric_col: str = "metric",
+                      ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``linearRegression(series)``: per-series ordinary
+    least-squares fit, evaluated at every native timestamp.
+
+    graphite-web (render/functions.py ``linearRegressionAnalysis``)
+    fits one python list at a time post-fetch; here the fit is one
+    partial+final aggregation over EVERY series at once and the line
+    is a projection — the per-series loop disappears.
+
+    Engine-portable math: x re-anchors to the series' first timestamp
+    (exact long arithmetic, keeps magnitudes small), y accumulates
+    exact integer micro-units, and the closed-form slope/intercept
+    runs on identical integer sums on any engine/partitioning:
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+
+    All five sums are integers in decimal(38,0) (DuckDB: HUGEINT), so
+    the only float ops are the final two divisions — bit-identical
+    everywhere. Null slope (constant x: single point) yields the mean.
+    """
+    w = Window.partitionBy(metric_col)
+    anchored = series.select(
+        metric_col, ts_col, value_col,
+        (F.col(ts_col) - F.min(ts_col).over(w)).alias("_x"),
+        F.round(F.col(value_col) * 1_000_000).cast("decimal(38,0)").alias("_y"),
+    )
+    x = F.col("_x").cast("decimal(38,0)")
+    sums = anchored.groupBy(metric_col).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(x * F.col("_y")).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    num = (n * F.col("_sxy") - sx * sy).cast("double")
+    den = (n * F.col("_sxx") - sx * sx).cast("double")
+    slope = F.when(den > 0, num / den)
+    intercept = (sy.cast("double") - slope * sx.cast("double")) / n.cast("double")
+    fitted = F.when(
+        slope.isNotNull(),
+        (intercept + slope * F.col("_x").cast("double")) / 1_000_000.0,
+    ).otherwise(sy.cast("double") / n.cast("double") / 1_000_000.0)
+    return (
+        anchored.join(F.broadcast(sums), metric_col)
+        .select(metric_col, ts_col, F.round(fitted, 6).alias(value_col))
+    )
+
+
+def pow_series(series: DataFrame, exponent: float, metric_col: str = "metric",
+               ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``pow(series, e)`` with a REAL exponent: graphite's
+    safePow returns None on any math error, so negative bases under a
+    fractional exponent and 0 under a negative exponent null out; every
+    defined case is the correctly-rounded IEEE ``pow``."""
+    p = float(exponent)
+    v = F.col(value_col)
+    ok = F.lit(True) if p == int(p) else (v >= 0)
+    if p < 0:
+        ok = ok & (v != 0)
+    return series.withColumn(
+        value_col, F.when(ok, F.round(F.pow(v, F.lit(p)), 6))
+    )
+
+
+def logit_series(series: DataFrame, metric_col: str = "metric",
+                 ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``logit(series)``: ln(v / (1-v)); outside (0, 1) the
+    math errors and graphite emits None, so those points null out."""
+    v = F.col(value_col)
+    return series.withColumn(
+        value_col,
+        F.when((v > 0) & (v < 1), F.round(F.log(v / (F.lit(1.0) - v)), 6)),
+    )
+
+
+def moving_window(series: DataFrame, window_points: int, function: str = "average",
+                  metric_col: str = "metric", ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """graphite ``movingWindow(series, n, func)`` — the generic form
+    behind movingAverage/Min/Max/Sum/Median: one ROWS-frame window
+    pass, the statistic picked by name (same single-shuffle shape for
+    the whole family)."""
+    w = (
+        Window.partitionBy(metric_col)
+        .orderBy(ts_col)
+        .rowsBetween(-(window_points - 1), Window.currentRow)
+    )
+    micro = F.round(F.col(value_col) * 1_000_000).cast("long")
+    stats = {
+        "average": F.round(F.sum(micro).over(w) / (F.count(value_col).over(w) * 1_000_000.0), 6),
+        "avg": None,  # alias, filled below
+        "median": F.round(F.percentile(value_col, F.lit(0.5)).over(w), 6),
+        "min": F.min(value_col).over(w),
+        "max": F.max(value_col).over(w),
+        "sum": F.sum(micro).over(w) / 1_000_000.0,
+        "count": F.count(value_col).over(w).cast("double"),
+        "last": F.last(value_col, ignorenulls=True).over(w),
+    }
+    stats["avg"] = stats["average"]
+    if function not in stats:
+        raise ValueError(
+            f"unknown moving statistic {function!r}; supported: {sorted(stats)}")
+    return series.select(metric_col, ts_col, stats[function].alias(value_col))
+
+
+def sort_by(series: DataFrame, function: str = "average", reverse: bool = False,
+            metric_col: str = "metric", ts_col: str = "ts",
+            value_col: str = "value") -> DataFrame:
+    """graphite ``sortBy(series, func, reverse)``: every series kept,
+    ordered by the per-series statistic (ascending by default, like
+    graphite). Same agg + broadcast-join shape as the selector family,
+    with the output ordered for the renderer; name-asc tiebreak."""
+    stat = _series_stat(function, value_col, ts_col)
+    ranked = series.groupBy(metric_col).agg(stat.alias("_s"))
+    order = F.desc("_s") if reverse else F.asc("_s")
+    return (
+        series.join(F.broadcast(ranked), metric_col)
+        .orderBy(order, F.asc(metric_col), F.asc(ts_col))
+        .select(metric_col, ts_col, value_col)
+    )
+
+
+def sort_by_minima(series: DataFrame, metric_col: str = "metric",
+                   ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``sortByMinima``: series whose maximum is positive,
+    ordered by their minimum ascending (render/functions.py filters
+    ``max(series) > 0`` first — kept, it is load-bearing there)."""
+    ranked = (
+        series.groupBy(metric_col)
+        .agg(F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx"))
+        .filter(F.col("_mx") > 0)
+    )
+    return (
+        series.join(F.broadcast(ranked), metric_col)
+        .orderBy(F.asc("_mn"), F.asc(metric_col), F.asc(ts_col))
+        .select(metric_col, ts_col, value_col)
+    )
+
+
+def unique_series(series: DataFrame, metric_col: str = "metric",
+                  ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``unique(seriesLists...)``: after ``group()`` unions,
+    the same series may appear twice; keep one copy of each point.
+    Duplicate copies carry identical values, so a distinct on the full
+    row is exact (no arbitrary keep-first tie to worry about)."""
+    return series.select(metric_col, ts_col, value_col).distinct()
+
+
+def remove_between_percentile(series: DataFrame, n: float,
+                              metric_col: str = "metric", ts_col: str = "ts",
+                              value_col: str = "value") -> DataFrame:
+    """graphite ``removeBetweenPercentile(series, n)``: keep series
+    having at least one point OUTSIDE the per-timestamp
+    (100-n)th..nth percentile band across series (render/functions.py
+    transposes the series matrix; here it is a per-ts window)."""
+    p = float(n)
+    if p < 50:
+        p = 100 - p
+    w = Window.partitionBy(ts_col)
+    lo = F.percentile(value_col, F.lit((100 - p) / 100.0)).over(w)
+    hi = F.percentile(value_col, F.lit(p / 100.0)).over(w)
+    outside = ~((F.col(value_col) > lo) & (F.col(value_col) < hi))
+    keep = (
+        series.withColumn("_out", outside)
+        .groupBy(metric_col)
+        .agg(F.max("_out").alias("_any"))
+        .filter(F.col("_any"))
+        .select(metric_col)
+    )
+    return series.join(F.broadcast(keep), metric_col, "left_semi").select(
+        metric_col, ts_col, value_col
+    )
+
+
+def use_series_above(series: DataFrame, base: DataFrame, value: float,
+                     search: str, replace: str, metric_col: str = "metric",
+                     ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``useSeriesAbove(series, value, search, replace)``: for
+    each series whose MAX exceeds ``value``, rewrite its name
+    (regex search -> replace) and return the series with that new name
+    from the base frame (the classic "if requests are high, show the
+    corresponding latency" pivot). One tiny agg produces the rewritten
+    name set; the base frame filters by broadcast semi-join."""
+    wanted = (
+        series.groupBy(metric_col)
+        .agg(F.max(value_col).alias("_mx"))
+        .filter(F.col("_mx") > float(value))
+        .select(F.regexp_replace(metric_col, search, replace).alias(metric_col))
+        .distinct()
+    )
+    return base.join(F.broadcast(wanted), metric_col, "left_semi").select(
+        metric_col, ts_col, value_col
+    )
+
+
+def series_lists_op(a: DataFrame, b: DataFrame, op: str,
+                    metric_col: str = "metric", ts_col: str = "ts",
+                    value_col: str = "value") -> DataFrame:
+    """graphite ``divideSeriesLists`` / ``sumSeriesLists`` /
+    ``diffSeriesLists`` / ``multiplySeriesLists``: pair the Nth series
+    of list A with the Nth of list B and combine point-wise.
+
+    graphite pairs by fetch position; the engine's deterministic
+    analog is name rank (the tree search returns sorted names). Ranks
+    come from a row_number over each side's DISTINCT names — a
+    handful of rows, so the single-partition window is fine — then
+    one equi-join on (rank, ts). Unpaired ranks drop (graphite raises
+    on length mismatch; documented deviation, same spirit as
+    ``limit``'s name-order analog). Division by zero nulls, matching
+    safeDiv.
+    """
+    ops = {
+        "divide": lambda x, y: F.when(y != 0, F.round(x / y, 6)),
+        "sum": lambda x, y: F.round(x + y, 6),
+        "diff": lambda x, y: F.round(x - y, 6),
+        "multiply": lambda x, y: F.round(x * y, 6),
+    }
+    names = {"divide": "divideSeries", "sum": "sumSeries",
+             "diff": "diffSeries", "multiply": "multiplySeries"}
+    try:
+        combine = ops[op]
+    except KeyError:
+        raise ValueError(f"unknown list op {op!r}; supported: {sorted(ops)}") from None
+    rank_w = Window.orderBy(metric_col)
+
+    def ranked(df, side):
+        r = (
+            df.select(metric_col).distinct()
+            .select(metric_col, F.row_number().over(rank_w).alias("_rank"))
+        )
+        return df.join(F.broadcast(r), metric_col).select(
+            F.col(metric_col).alias(f"_{side}_name"), F.col("_rank"),
+            F.col(ts_col), F.col(value_col).alias(f"_{side}_v"),
+        )
+
+    joined = ranked(a, "a").join(ranked(b, "b"), ["_rank", ts_col])
+    return joined.select(
+        F.concat(F.lit(names[op] + "("), "_a_name", F.lit(","),
+                 "_b_name", F.lit(")")).alias(metric_col),
+        F.col(ts_col),
+        combine(F.col("_a_v"), F.col("_b_v")).alias(value_col),
+    )
+
+
+def time_function(base: DataFrame, name: str = "Time", step: int = 60,
+                  metric_col: str = "metric", ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """graphite ``timeFunction(name, step)`` / ``identity(name)``: a
+    synthetic series whose value IS its timestamp.
+
+    graphite generates the grid from the request window; the engine
+    analog takes the window from the frame being rendered (min/max ts
+    of the base selection — one tiny agg) and explodes a sequence:
+    no driver-side loop, the grid is built executor-side."""
+    bounds = base.select(
+        F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1")
+    ).filter(F.col("_t0").isNotNull())
+    return bounds.select(
+        F.explode(F.sequence("_t0", "_t1", F.lit(int(step)))).alias(ts_col)
+    ).select(
+        F.lit(name).alias(metric_col),
+        F.col(ts_col),
+        F.col(ts_col).cast("double").alias(value_col),
+    )
+
+
+def constant_line(base: DataFrame, value: float, name: str | None = None,
+                  metric_col: str = "metric", ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """graphite ``constantLine(value)`` / ``threshold(value, label)``:
+    a flat guide line across the render window. graphite emits three
+    points (start, midpoint, end) so the renderer can draw it at any
+    width; the engine does the same from the base frame's bounds."""
+    v = float(value)
+    label = str(v) if name is None else str(name)
+    bounds = base.select(
+        F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1")
+    ).filter(F.col("_t0").isNotNull())
+    return bounds.select(
+        F.explode(
+            F.array(
+                F.col("_t0"),
+                ((F.col("_t0") + F.col("_t1")) / 2).cast("long"),
+                F.col("_t1"),
+            )
+        ).alias(ts_col)
+    ).select(
+        F.lit(label).alias(metric_col),
+        F.col(ts_col),
+        F.lit(v).alias(value_col),
+    ).distinct()
+
+
+#: consolidation tag column: consolidateBy rides the frame as a literal
+#: column so it survives the evaluator's composition; the /render
+#: maxDataPoints reducer honors it and strips it before output.
+CONSOLIDATE_COL = "__consolidate"
+
+CONSOLIDATIONS = ("average", "avg", "sum", "min", "max", "first", "last")
+
+
+def consolidate_by(series: DataFrame, function: str,
+                   metric_col: str = "metric") -> DataFrame:
+    """graphite ``consolidateBy(series, fn)``: tag the series with the
+    consolidation function maxDataPoints reduction must use (default
+    average). The tag is a literal column — zero cost in the plan,
+    read back by the render service only when reduction triggers.
+    ``cumulative(series)`` is ``consolidateBy(series, 'sum')``."""
+    fn = str(function)
+    if fn not in CONSOLIDATIONS:
+        raise ValueError(
+            f"unknown consolidation {fn!r}; supported: {sorted(CONSOLIDATIONS)}")
+    return series.withColumn(CONSOLIDATE_COL, F.lit(fn))
+
+
+def consolidation_agg(function: str, value_col: str = "value",
+                      ts_col: str = "ts"):
+    """The aggregate expression a consolidation name maps to, used by
+    the render service's maxDataPoints bucket reduction."""
+    fns = {
+        "average": F.round(F.avg(value_col), 6),
+        "avg": F.round(F.avg(value_col), 6),
+        "sum": F.round(F.sum(value_col), 6),
+        "min": F.min(value_col),
+        "max": F.max(value_col),
+        "first": F.min_by(value_col, ts_col),
+        "last": F.max_by(value_col, ts_col),
+    }
+    return fns[function]
+
+
+def _fmt2(col):
+    """Two-decimal legend formatting (printf-style, null -> 'nan' like
+    graphite's cactiStyle on empty series)."""
+    return F.coalesce(F.format_string("%.2f", F.round(col, 2)), F.lit("nan"))
+
+
+def cacti_style(series: DataFrame, metric_col: str = "metric",
+                ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``cactiStyle(series)``: append "Current / Max / Min"
+    readouts to every legend name. One unbounded window per series
+    (current = last non-null point), no second scan."""
+    w = Window.partitionBy(metric_col)
+    wo = (
+        Window.partitionBy(metric_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cur = F.last(value_col, ignorenulls=True).over(wo)
+    renamed = F.concat_ws(
+        " ",
+        F.col(metric_col),
+        F.concat(F.lit("Current:"), _fmt2(cur)),
+        F.concat(F.lit("Max:"), _fmt2(F.max(value_col).over(w))),
+        F.concat(F.lit("Min:"), _fmt2(F.min(value_col).over(w))),
+    )
+    return series.select(
+        renamed.alias(metric_col), F.col(ts_col), F.col(value_col)
+    )
+
+
+def legend_value(series: DataFrame, *functions: str, metric_col: str = "metric",
+                 ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``legendValue(series, 'avg', 'max', ...)``: append one
+    "(fn: x)" readout per requested statistic to the legend name.
+    Statistics reuse the selector family's SERIES_STATS registry, so
+    the supported names match graphite's (avg/min/max/current/total);
+    all of them compute in ONE window pass."""
+    w = Window.partitionBy(metric_col)
+    wo = (
+        Window.partitionBy(metric_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    per_fn = {
+        "avg": F.avg(value_col).over(w),
+        "average": F.avg(value_col).over(w),
+        "min": F.min(value_col).over(w),
+        "max": F.max(value_col).over(w),
+        "total": F.sum(value_col).over(w),
+        "sum": F.sum(value_col).over(w),
+        "current": F.last(value_col, ignorenulls=True).over(wo),
+        "last": F.last(value_col, ignorenulls=True).over(wo),
+        "count": F.count(value_col).over(w).cast("double"),
+    }
+    parts = [F.col(metric_col)]
+    for fn in functions:
+        fn = str(fn)
+        if fn not in per_fn:
+            raise ValueError(
+                f"unknown legend statistic {fn!r}; supported: {sorted(per_fn)}")
+        parts.append(F.concat(F.lit(f"({fn}: "), _fmt2(per_fn[fn]), F.lit(")")))
+    return series.select(
+        F.concat_ws(" ", *parts).alias(metric_col), F.col(ts_col), F.col(value_col)
+    )
+
+
+def holt_winters_confidence_area(series: DataFrame, delta: float = 3.0,
+                                 metric_col: str = "metric", ts_col: str = "ts",
+                                 value_col: str = "value") -> DataFrame:
+    """graphite ``holtWintersConfidenceArea``: both confidence bands as
+    two stacked series (renderer fills between them). One bands pass,
+    one explode — no second forecast run."""
+    bands = holt_winters_bands(series, delta, metric_col, ts_col, value_col)
+    pair = F.array(
+        F.struct(F.lit("holtWintersConfidenceUpper").alias("_side"),
+                 F.col("upper_band").alias("_v")),
+        F.struct(F.lit("holtWintersConfidenceLower").alias("_side"),
+                 F.col("lower_band").alias("_v")),
+    )
+    return bands.select(
+        metric_col, ts_col, F.explode(pair).alias("_b")
+    ).select(
+        F.concat(F.col("_b._side"), F.lit("("), F.col(metric_col), F.lit(")")).alias(metric_col),
+        F.col(ts_col),
+        F.col("_b._v").alias(value_col),
+    )

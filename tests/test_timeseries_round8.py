@@ -1,0 +1,286 @@
+"""Graphite round-8: linearRegression, real pow/logit, movingWindow,
+generic sortBy family, percentile pruning, series-list pairwise
+arithmetic, render-grid generators, consolidateBy tagging, and the
+legend/display family — plus their render-target registry entries."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphouse_spark.functions.target import collect_series_globs, evaluate_target
+from graphouse_spark.functions.timeseries import (
+    average_outside_percentile,
+    cacti_style,
+    consolidate_by,
+    constant_line,
+    holt_winters_confidence_area,
+    legend_value,
+    linear_regression_line,
+    logit_series,
+    moving_window,
+    pow_series,
+    remove_between_percentile,
+    series_lists_op,
+    sort_by,
+    sort_by_minima,
+    time_function,
+    unique_series,
+    use_series_above,
+    CONSOLIDATE_COL,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "metric string, ts long, value double")
+
+
+@pytest.fixture()
+def series(spark):
+    rows = []
+    for i, v in enumerate([1.0, 2.0, 3.0, 4.0]):
+        rows.append(("s.a", 1000 + i * 60, v))
+    for i, v in enumerate([10.0, 20.0, 30.0, 40.0]):
+        rows.append(("s.b", 1000 + i * 60, v))
+    for i, v in enumerate([100.0, 100.0, 100.0, 1.0]):
+        rows.append(("s.c", 1000 + i * 60, v))
+    return _mk(spark, rows)
+
+
+def _metrics(df):
+    return {r["metric"] for r in df.select("metric").distinct().collect()}
+
+
+def _points(df, metric):
+    return {
+        r["ts"]: r["value"] for r in df.filter(F.col("metric") == metric).collect()
+    }
+
+
+# ---------------------------------------------------------------- fits
+
+
+def test_linear_regression_exact_line(series):
+    # s.a is exactly linear: v = 1 + i -> fitted values reproduce it
+    got = _points(linear_regression_line(series), "s.a")
+    assert got == {1000: 1.0, 1060: 2.0, 1120: 3.0, 1180: 4.0}
+
+
+def test_linear_regression_flat_series(spark):
+    df = _mk(spark, [("m", 0, 5.0), ("m", 60, 5.0), ("m", 120, 5.0)])
+    assert set(_points(linear_regression_line(df), "m").values()) == {5.0}
+
+
+def test_linear_regression_single_point_is_mean(spark):
+    df = _mk(spark, [("m", 0, 7.0)])
+    assert _points(linear_regression_line(df), "m") == {0: 7.0}
+
+
+def test_linear_regression_least_squares(spark):
+    # y = [0, 1, 1]: slope = 0.5, intercept = 1/6 (hand OLS over x=0,1,2)
+    df = _mk(spark, [("m", 0, 0.0), ("m", 1, 1.0), ("m", 2, 1.0)])
+    got = _points(linear_regression_line(df), "m")
+    assert got[0] == pytest.approx(1 / 6, abs=1e-6)
+    assert got[1] == pytest.approx(1 / 6 + 0.5, abs=1e-6)
+    assert got[2] == pytest.approx(1 / 6 + 1.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------- scalars
+
+
+def test_pow_real_exponent_and_domain(spark):
+    df = _mk(spark, [("m", 0, 4.0), ("m", 1, -4.0), ("m", 2, 0.0)])
+    got = _points(pow_series(df, 0.5), "m")
+    assert got[0] == 2.0 and got[1] is None and got[2] == 0.0
+    got = _points(pow_series(df, -1.0), "m")
+    assert got[0] == 0.25 and got[1] == -0.25 and got[2] is None
+    got = _points(pow_series(df, 3.0), "m")
+    assert got[0] == 64.0 and got[1] == -64.0 and got[2] == 0.0
+
+
+def test_logit_domain(spark):
+    df = _mk(spark, [("m", 0, 0.5), ("m", 1, 0.75), ("m", 2, 1.0), ("m", 3, -0.5)])
+    got = _points(logit_series(df), "m")
+    assert got[0] == 0.0
+    assert got[1] == pytest.approx(math.log(3), abs=1e-6)
+    assert got[2] is None and got[3] is None
+
+
+def test_moving_window_matches_named_variants(series):
+    avg = _points(moving_window(series, 2, "average"), "s.b")
+    assert avg == {1000: 10.0, 1060: 15.0, 1120: 25.0, 1180: 35.0}
+    mx = _points(moving_window(series, 2, "max"), "s.b")
+    assert mx[1180] == 40.0
+    with pytest.raises(ValueError):
+        moving_window(series, 2, "nope")
+
+
+# ---------------------------------------------------------------- sorts
+
+
+def test_sort_by_orders_series(series):
+    got = sort_by(series, "average").select("metric").collect()
+    order = list(dict.fromkeys(r["metric"] for r in got))
+    assert order == ["s.a", "s.b", "s.c"]
+    got = sort_by(series, "average", reverse=True).select("metric").collect()
+    order = list(dict.fromkeys(r["metric"] for r in got))
+    assert order == ["s.c", "s.b", "s.a"]
+
+
+def test_sort_by_minima_filters_nonpositive_max(spark):
+    rows = [("p", 0, 5.0), ("p", 60, 3.0), ("q", 0, 1.0), ("q", 60, 9.0),
+            ("neg", 0, -5.0), ("neg", 60, -1.0)]
+    got = sort_by_minima(_mk(spark, rows))
+    order = list(dict.fromkeys(r["metric"] for r in got.collect()))
+    assert order == ["q", "p"]  # min 1 < min 3; 'neg' dropped (max <= 0)
+
+
+def test_unique_drops_duplicate_copies(series):
+    doubled = series.unionByName(series)
+    assert unique_series(doubled).count() == series.count()
+
+
+# ------------------------------------------------------- percentile prune
+
+
+def test_average_outside_percentile(spark):
+    # averages 1..10; n=80 keeps series outside the 20th..80th band
+    rows = [(f"m{i:02d}", 0, float(i)) for i in range(1, 11)]
+    got = _metrics(average_outside_percentile(_mk(spark, rows), 80))
+    assert got == {"m01", "m02", "m09", "m10"}
+    # n below 50 mirrors to 100-n (graphite rule)
+    got2 = _metrics(average_outside_percentile(_mk(spark, rows), 20))
+    assert got2 == got
+
+
+def test_remove_between_percentile(spark):
+    # at every ts, 'mid' sits strictly inside the band; extremes stay
+    rows = []
+    for t in (0, 60):
+        rows += [("low", t, 0.0), ("mid1", t, 5.0), ("mid2", t, 5.5),
+                 ("mid3", t, 6.0), ("high", t, 100.0)]
+    got = _metrics(remove_between_percentile(_mk(spark, rows), 80))
+    assert got == {"low", "high"}
+
+
+# ---------------------------------------------------------- series lists
+
+
+def test_series_lists_pairwise_ops(spark):
+    a = _mk(spark, [("a.x", 0, 10.0), ("a.x", 60, 20.0), ("a.y", 0, 9.0)])
+    b = _mk(spark, [("b.x", 0, 2.0), ("b.x", 60, 4.0), ("b.y", 0, 3.0)])
+    div = series_lists_op(a, b, "divide").collect()
+    got = {(r["metric"], r["ts"]): r["value"] for r in div}
+    assert got == {
+        ("divideSeries(a.x,b.x)", 0): 5.0,
+        ("divideSeries(a.x,b.x)", 60): 5.0,
+        ("divideSeries(a.y,b.y)", 0): 3.0,
+    }
+    s = series_lists_op(a, b, "sum").collect()
+    assert {(r["metric"], r["ts"]): r["value"] for r in s} == {
+        ("sumSeries(a.x,b.x)", 0): 12.0,
+        ("sumSeries(a.x,b.x)", 60): 24.0,
+        ("sumSeries(a.y,b.y)", 0): 12.0,
+    }
+
+
+def test_series_lists_divide_by_zero_nulls(spark):
+    a = _mk(spark, [("a.x", 0, 10.0)])
+    b = _mk(spark, [("b.x", 0, 0.0)])
+    [r] = series_lists_op(a, b, "divide").collect()
+    assert r["value"] is None
+
+
+def test_use_series_above(spark):
+    reqs = [("reqs.w1", 0, 150.0), ("reqs.w1", 60, 120.0), ("reqs.w2", 0, 10.0)]
+    lat = [("lat.w1", 0, 0.9), ("lat.w2", 0, 0.1)]
+    base = _mk(spark, reqs + lat)
+    sel = base.filter(F.col("metric").startswith("reqs."))
+    got = use_series_above(sel, base, 100.0, "^reqs", "lat")
+    assert _metrics(got) == {"lat.w1"}
+
+
+# ------------------------------------------------------------- generators
+
+
+def test_time_function_grid_from_base(series):
+    got = time_function(series, "Time", 60)
+    pts = _points(got, "Time")
+    assert min(pts) == 1000 and max(pts) == 1180 and len(pts) == 4
+    assert all(pts[t] == float(t) for t in pts)
+
+
+def test_constant_line_three_points(series):
+    got = constant_line(series, 42.0).collect()
+    assert {r["ts"] for r in got} == {1000, 1090, 1180}
+    assert all(r["value"] == 42.0 and r["metric"] == "42.0" for r in got)
+    labeled = constant_line(series, 42.0, "limit").collect()
+    assert all(r["metric"] == "limit" for r in labeled)
+
+
+def test_generator_registry_entries(series):
+    got = evaluate_target(series, "threshold(40, 'cap')")
+    assert _metrics(got) == {"cap"}
+    got = evaluate_target(series, "timeFunction('t', 120)")
+    assert {r["ts"] for r in got.collect()} == {1000, 1120}
+    # generators never contribute fetch globs
+    assert collect_series_globs("threshold(40, 'cap')") == []
+    assert collect_series_globs("group(s.a, identity(x))") == ["s.a"]
+
+
+# ----------------------------------------------------------- consolidation
+
+
+def test_consolidate_by_tags_frame(series):
+    tagged = consolidate_by(series, "max")
+    assert CONSOLIDATE_COL in tagged.columns
+    assert tagged.select(CONSOLIDATE_COL).first()[0] == "max"
+    with pytest.raises(ValueError):
+        consolidate_by(series, "bogus")
+    via_target = evaluate_target(series, "cumulative(s.a)")
+    assert via_target.select(CONSOLIDATE_COL).first()[0] == "sum"
+
+
+# ------------------------------------------------------------ legend family
+
+
+def test_cacti_style_names(spark):
+    df = _mk(spark, [("m", 0, 1.0), ("m", 60, 3.0)])
+    [name] = _metrics(cacti_style(df))
+    assert name == "m Current:3.00 Max:3.00 Min:1.00"
+
+
+def test_legend_value_names(spark):
+    df = _mk(spark, [("m", 0, 1.0), ("m", 60, 3.0)])
+    [name] = _metrics(legend_value(df, "avg", "max"))
+    assert name == "m (avg: 2.00) (max: 3.00)"
+    with pytest.raises(ValueError):
+        legend_value(df, "nope").collect()
+
+
+def test_holt_winters_confidence_area_two_bands(spark):
+    rows = [("m", i * 60, 10.0 + (i % 3)) for i in range(20)]
+    got = holt_winters_confidence_area(_mk(spark, rows))
+    ms = _metrics(got)
+    assert ms == {"holtWintersConfidenceUpper(m)", "holtWintersConfidenceLower(m)"}
+    assert got.count() == 40
+
+
+# ----------------------------------------------------- registry round-trip
+
+
+def test_round8_registry_entries(series):
+    assert _metrics(evaluate_target(series, "sortByMinima(s.*)")) == {
+        "s.a", "s.b", "s.c"}
+    got = evaluate_target(series, "pow(s.a, 0.5)")
+    assert _points(got, "s.a")[1180] == 2.0
+    got = evaluate_target(series, "linearRegression(s.b)")
+    assert _points(got, "s.b")[1180] == 40.0
+    got = evaluate_target(series, "divideSeriesLists(s.a, s.b)")
+    assert _metrics(got) == {"divideSeries(s.a,s.b)"}
+    got = evaluate_target(series, "color(s.a, 'red')")
+    assert _points(got, "s.a") == _points(series, "s.a")
+    got = evaluate_target(series, "useSeriesAbove(s.c, 99, 'c$', 'a')")
+    assert _metrics(got) == {"s.a"}
+    got = evaluate_target(series, "averageOutsidePercentile(s.*, 90)")
+    assert _metrics(got) == {"s.a", "s.c"}
