@@ -3062,6 +3062,30 @@ def q_ts_generators(spark, sf_dir):
     return grid.unionByName(cap).orderBy("metric", "ts")
 
 
+def q_ts_map_reduce(spark, sf_dir):
+    """graphite mapSeries/reduceSeries without the list-of-lists: the
+    map group IS the name prefix, so the reduce is ONE equi-join on
+    (prefix, ts). Here per-type sum and count series reduce to the
+    mean via divideSeries."""
+    from graphouse_spark.functions.timeseries import reduce_series
+
+    ev = _events_sec(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = ev.groupBy(
+        F.col("event_type").alias("etype"),
+        (F.col("ts_sec") - F.col("ts_sec") % 3600).alias("ts"),
+    ).agg(F.sum(cents).alias("_c"), F.count(F.lit(1)).alias("_n"))
+    sums = agg.select(
+        F.concat(F.lit("ev."), "etype", F.lit(".sum")).alias("metric"),
+        "ts", (F.col("_c") / 100.0).alias("value"))
+    cnts = agg.select(
+        F.concat(F.lit("ev."), "etype", F.lit(".cnt")).alias("metric"),
+        "ts", F.col("_n").cast("double").alias("value"))
+    return reduce_series(
+        sums.unionByName(cnts), "divideSeries", 2, "sum", "cnt"
+    ).orderBy("metric", "ts")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the /metricData read path end-to-end on sf0.001.
 
@@ -3267,6 +3291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_series_lists": q_ts_series_lists,
         "ts_remove_between_pctl": q_ts_remove_between_pctl,
         "ts_generators": q_ts_generators,
+        "ts_map_reduce": q_ts_map_reduce,
         "doc_repetition": q_doc_repetition,
         "doc_source_rebalance": q_doc_source_rebalance,
         "emb_label_centroids": q_emb_label_centroids,
@@ -4408,6 +4433,22 @@ def oracle_sql() -> dict[str, str]:
                     UNION ALL SELECT t1 FROM b
                 )
             ) ORDER BY metric, ts
+        """,
+        "ts_map_reduce": """
+            WITH agg AS (
+                SELECT event_type AS etype,
+                       ts_sec - ts_sec % 3600 AS ts,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS c,
+                       count(*) AS n
+                FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+                      FROM events)
+                GROUP BY 1, 2
+            )
+            SELECT 'ev.' || etype || '.reduce.divideSeries' AS metric, ts,
+                   CASE WHEN CAST(n AS DOUBLE) != 0
+                        THEN round((c / 100.0) / CAST(n AS DOUBLE), 6) END AS value
+            FROM agg
+            ORDER BY metric, ts
         """,
         "ts_changed": f"""
             SELECT metric, ts,

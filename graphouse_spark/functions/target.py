@@ -321,6 +321,13 @@ _REGISTRY = {
     "areaBetween": lambda df: df.select("metric", "ts", "value"),
     "setXFilesFactor": lambda df, x: df.select("metric", "ts", "value"),
     "xFilesFactor": lambda df, x: df.select("metric", "ts", "value"),
+    # mapSeries is a pass-through: graphite materializes a python
+    # list-of-lists; here the map grouping IS the shared name prefix,
+    # so reduceSeries reads it straight off the names (one equi-join /
+    # aggregation — see timeseries.reduce_series)
+    "mapSeries": lambda df, *nodes: df.select("metric", "ts", "value"),
+    "reduceSeries": lambda df, fn, node, *ms: ts.reduce_series(
+        df, str(fn), int(node), *[str(m) for m in ms]),
 }
 
 #: functions whose FIRST argument is a literal, not a series: the
@@ -366,6 +373,41 @@ def evaluate_target(series: DataFrame, target: str,
                 return series.filter(F.lit(False))
             return series.filter(F.col(metric_col).rlike(rx))
         if isinstance(node, Call):
+            if node.name == "applyByNode":
+                # graphite applyByNode(series, n, template[, newName]):
+                # evaluate the template once per distinct node-prefix.
+                # The prefix set is collected to the driver — BOUNDED by
+                # the number of series in the render selection (graphite
+                # runs the identical per-series python loop post-fetch);
+                # each prefix contributes one branch to a single union
+                # plan, so execution stays fully distributed.
+                head = ev(node.args[0])
+                n = int(node.args[1])
+                template = node.args[2].glob if isinstance(node.args[2], Path) \
+                    else str(node.args[2])
+                newname = None
+                if len(node.args) > 3:
+                    newname = node.args[3].glob if isinstance(node.args[3], Path) \
+                        else str(node.args[3])
+                prefix = F.array_join(
+                    F.slice(F.split(F.col(metric_col), r"\."), 1, n + 1), ".")
+                prefixes = sorted(
+                    r["_p"] for r in
+                    head.select(prefix.alias("_p")).distinct().collect()
+                )
+                outs = []
+                for p in prefixes:
+                    sub = ev(parse_target(template.replace("%", p)))
+                    label = (newname or template).replace("%", p)
+                    outs.append(sub.select(
+                        F.lit(label).alias("metric"), "ts", "value"))
+                if not outs:
+                    return series.filter(F.lit(False)).select(
+                        F.col(metric_col).alias("metric"), "ts", "value")
+                out = outs[0]
+                for s in outs[1:]:
+                    out = out.unionByName(s)
+                return out
             if node.name in _GENERATORS:
                 # literal-first generators: the series frame they see is
                 # the BASE selection (render-window bounds), args pass
@@ -422,6 +464,21 @@ def collect_series_globs(target: str) -> list[str]:
         if isinstance(node, Call):
             if node.name in _GENERATORS:
                 return  # literal-first: no arg is ever a series
+            if node.name == "applyByNode" and len(node.args) >= 3:
+                # the template's series come from substituting the head
+                # glob's node prefix for '%' — statically derivable, so
+                # the server can prefetch them like any other glob
+                walk(node.args[0], head=True)
+                if isinstance(node.args[0], Path):
+                    n = int(node.args[1])
+                    pfx = ".".join(node.args[0].glob.split(".")[: n + 1])
+                    template = node.args[2].glob if isinstance(node.args[2], Path) \
+                        else str(node.args[2])
+                    try:
+                        walk(parse_target(template.replace("%", pfx)), head=True)
+                    except ValueError:
+                        pass  # malformed template surfaces at evaluate time
+                return
             for i, a in enumerate(node.args):
                 if isinstance(a, (Call, Path)):
                     walk(a, head=(i == 0))

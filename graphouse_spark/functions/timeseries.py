@@ -1789,3 +1789,63 @@ def holt_winters_confidence_area(series: DataFrame, delta: float = 3.0,
         F.col(ts_col),
         F.col("_b._v").alias(value_col),
     )
+
+
+def reduce_series(series: DataFrame, function: str, reduce_node: int,
+                  *matchers: str, metric_col: str = "metric",
+                  ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``reduceSeries(mapSeries(glob, mapNodes...), fn,
+    reduceNode, matcher...)``: within each map group, combine the
+    member series named by the matchers at ``reduceNode``.
+
+    graphite materializes a python list-of-lists (mapSeries) and loops
+    a reducer over each group; the engine needs NEITHER — the map
+    grouping IS the shared name prefix, so the whole reduce is one
+    equi-join (binary reducers) or one aggregation (sumSeries) on
+    (prefix, ts). Results are named ``prefix.reduce.fn`` exactly like
+    graphite-web so downstream aliasByNode composes identically.
+
+    Supported reducers: asPercent / divideSeries / diffSeries (exactly
+    two matchers: numerator, denominator) and sumSeries /
+    averageSeries (any number of matchers).
+    """
+    parts = F.split(F.col(metric_col), r"\.")
+    key = F.array_join(F.slice(parts, 1, int(reduce_node)), ".")
+    node_val = F.element_at(parts, int(reduce_node) + 1)
+    out_name = F.concat(F.col("_key"), F.lit(f".reduce.{function}"))
+    tagged = series.select(
+        key.alias("_key"), node_val.alias("_node"),
+        F.col(ts_col), F.col(value_col),
+    )
+    if function in ("sumSeries", "averageSeries"):
+        matched = tagged.filter(F.col("_node").isin(list(matchers)))
+        micro = F.round(F.col(value_col) * 1_000_000).cast("long")
+        agg = (
+            F.sum(micro) / 1_000_000.0 if function == "sumSeries"
+            else F.round(F.sum(micro) / (F.count(value_col) * 1_000_000.0), 6)
+        )
+        return (
+            matched.groupBy("_key", ts_col)
+            .agg(agg.alias(value_col))
+            .select(out_name.alias(metric_col), ts_col, value_col)
+        )
+    binary = {
+        "asPercent": lambda a, b: F.when(b != 0, F.round(a / b * 100.0, 6)),
+        "divideSeries": lambda a, b: F.when(b != 0, F.round(a / b, 6)),
+        "diffSeries": lambda a, b: F.round(a - b, 6),
+    }
+    if function not in binary:
+        raise ValueError(
+            f"unknown reducer {function!r}; supported: "
+            f"{sorted(binary) + ['sumSeries', 'averageSeries']}")
+    if len(matchers) != 2:
+        raise ValueError(f"{function} needs exactly 2 matchers, got {matchers!r}")
+    a = tagged.filter(F.col("_node") == matchers[0]).select(
+        "_key", ts_col, F.col(value_col).alias("_a"))
+    b = tagged.filter(F.col("_node") == matchers[1]).select(
+        "_key", ts_col, F.col(value_col).alias("_b"))
+    return a.join(b, ["_key", ts_col]).select(
+        out_name.alias(metric_col),
+        F.col(ts_col),
+        binary[function](F.col("_a"), F.col("_b")).alias(value_col),
+    )

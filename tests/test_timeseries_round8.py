@@ -284,3 +284,69 @@ def test_round8_registry_entries(series):
     assert _metrics(got) == {"s.a"}
     got = evaluate_target(series, "averageOutsidePercentile(s.*, 90)")
     assert _metrics(got) == {"s.a", "s.c"}
+
+
+# ------------------------------------------------- map/reduce/applyByNode
+
+
+@pytest.fixture()
+def disks(spark):
+    rows = []
+    for host, used, total in [("h1", 30.0, 100.0), ("h2", 60.0, 80.0)]:
+        for t in (0, 60):
+            rows.append((f"servers.{host}.disk.used", t, used))
+            rows.append((f"servers.{host}.disk.total", t, total))
+    return _mk(spark, rows)
+
+
+def test_reduce_series_as_percent(disks):
+    from graphouse_spark.functions.timeseries import reduce_series
+
+    got = reduce_series(disks, "asPercent", 3, "used", "total")
+    by = {(r["metric"], r["ts"]): r["value"] for r in got.collect()}
+    assert by[("servers.h1.disk.reduce.asPercent", 0)] == 30.0
+    assert by[("servers.h2.disk.reduce.asPercent", 60)] == 75.0
+    assert len(by) == 4
+
+
+def test_reduce_series_sum_and_errors(disks):
+    from graphouse_spark.functions.timeseries import reduce_series
+
+    got = reduce_series(disks, "sumSeries", 3, "used", "total")
+    by = {(r["metric"], r["ts"]): r["value"] for r in got.collect()}
+    assert by[("servers.h1.disk.reduce.sumSeries", 0)] == 130.0
+    with pytest.raises(ValueError):
+        reduce_series(disks, "nope", 3, "a", "b")
+    with pytest.raises(ValueError):
+        reduce_series(disks, "asPercent", 3, "only_one")
+
+
+def test_reduce_series_via_target(disks):
+    got = evaluate_target(
+        disks,
+        "reduceSeries(mapSeries(servers.*.disk.*, 1), 'divideSeries', 3, 'used', 'total')",
+    )
+    by = {(r["metric"], r["ts"]): r["value"] for r in got.collect()}
+    assert by[("servers.h1.disk.reduce.divideSeries", 0)] == 0.3
+
+
+def test_apply_by_node(disks):
+    got = evaluate_target(
+        disks,
+        "applyByNode(servers.*.disk.used, 1, 'divideSeries(%.disk.used, %.disk.total)')",
+    )
+    by = {(r["metric"], r["ts"]): r["value"] for r in got.collect()}
+    assert by[("divideSeries(servers.h1.disk.used, servers.h1.disk.total)", 0)] == 0.3
+    assert by[("divideSeries(servers.h2.disk.used, servers.h2.disk.total)", 60)] == 0.75
+    assert len(by) == 4
+
+
+def test_apply_by_node_newname_and_globs(disks):
+    got = evaluate_target(
+        disks,
+        "applyByNode(servers.*.disk.used, 1, 'divideSeries(%.disk.used, %.disk.total)', '%.pct')",
+    )
+    assert _metrics(got) == {"servers.h1.pct", "servers.h2.pct"}
+    globs = collect_series_globs(
+        "applyByNode(servers.*.disk.used, 1, 'divideSeries(%.disk.used, %.disk.total)')")
+    assert globs == ["servers.*.disk.used", "servers.*.disk.total"]
