@@ -328,6 +328,12 @@ _REGISTRY = {
     "mapSeries": lambda df, *nodes: df.select("metric", "ts", "value"),
     "reduceSeries": lambda df, fn, node, *ms: ts.reduce_series(
         df, str(fn), int(node), *[str(m) for m in ms]),
+    # round 9: the native-step rate rescale, the node-dropping
+    # aggregate, and the pairwise power fold
+    "scaleToSeconds": lambda df, sec: ts.scale_to_seconds(df, int(sec)),
+    "aggregateWithWildcards": lambda df, fn, *nodes:
+        ts.aggregate_with_wildcards(df, str(fn), *[int(n) for n in nodes]),
+    "powSeries": lambda df: ts.pow_series_pairwise(df),
 }
 
 #: functions whose FIRST argument is a literal, not a series: the
@@ -344,6 +350,12 @@ _GENERATORS = {
         base, str(name), int(step)),
     "timeFunction": lambda base, name="Time", step=60: ts.time_function(
         base, str(name), int(step)),
+    "sinFunction": lambda base, name="sin", amplitude=1.0, step=60:
+        ts.sin_function(base, str(name), float(amplitude), int(step)),
+    "randomWalk": lambda base, name="randomWalk", step=60:
+        ts.random_walk_function(base, str(name), int(step)),
+    "randomWalkFunction": lambda base, name="randomWalk", step=60:
+        ts.random_walk_function(base, str(name), int(step)),
 }
 
 #: functions needing the BASE frame in addition to their evaluated head

@@ -1849,3 +1849,117 @@ def reduce_series(series: DataFrame, function: str, reduce_node: int,
         F.col(ts_col),
         binary[function](F.col("_a"), F.col("_b")).alias(value_col),
     )
+
+
+def scale_to_seconds(series: DataFrame, seconds: int,
+                     metric_col: str = "metric", ts_col: str = "ts",
+                     value_col: str = "value") -> DataFrame:
+    """graphite ``scaleToSeconds(series, seconds)``: re-express each
+    point as a per-``seconds`` rate using the series' NATIVE step.
+
+    graphite reads the step off the fetched series object; the engine
+    derives it per series as the minimum positive timestamp delta (one
+    lag + one min window — robust to gaps, where the modal delta would
+    need a heavier two-level count). Single-point series null out
+    (graphite would divide by the request step; without points there
+    is no defensible step — documented deviation).
+    """
+    w = Window.partitionBy(metric_col).orderBy(ts_col)
+    wall = Window.partitionBy(metric_col)
+    delta = F.col(ts_col) - F.lag(ts_col).over(w)
+    with_step = series.withColumn(
+        "_step", F.min(F.when(delta > 0, delta)).over(wall)
+    )
+    factor = F.lit(float(seconds)) / F.col("_step")
+    return with_step.select(
+        metric_col, ts_col,
+        F.round(F.col(value_col) * factor, 6).alias(value_col),
+    )
+
+
+def aggregate_with_wildcards(series: DataFrame, function: str, *wildcard_nodes: int,
+                             metric_col: str = "metric", ts_col: str = "ts",
+                             value_col: str = "value") -> DataFrame:
+    """graphite ``aggregateWithWildcards(series, fn, *nodes)``: drop the
+    given path nodes from every name, then aggregate series that
+    collapse to the same name — the complement of groupByNodes (which
+    KEEPS nodes). Same single projection + partial/final agg shape."""
+    from graphouse_spark.operators.bucket import AGG_FUNCTIONS
+
+    if function not in AGG_FUNCTIONS:
+        raise ValueError(
+            f"unknown aggregate {function!r}; supported: {sorted(AGG_FUNCTIONS)}")
+    drop = sorted({int(n) for n in wildcard_nodes})
+    parts = F.split(F.col(metric_col), r"\.")
+    # F.filter's index lambda: keep segments whose position is not dropped
+    kept = F.filter(parts, lambda seg, i: ~F.array_contains(
+        F.array(*[F.lit(n) for n in drop]), i))
+    renamed = F.array_join(kept, ".")
+    return (
+        series.select(renamed.alias(metric_col), F.col(ts_col), F.col(value_col))
+        .groupBy(metric_col, ts_col)
+        .agg(AGG_FUNCTIONS[function](value_col).alias(value_col))
+    )
+
+
+def pow_series_pairwise(series: DataFrame, ts_col: str = "ts",
+                        value_col: str = "value",
+                        metric_col: str = "metric") -> DataFrame:
+    """graphite ``powSeries(*series)``: aligned-point LEFT-FOLD power
+    a ^ b ^ c (graphite folds in list order; the engine's deterministic
+    order is name order via aggregate over a name-sorted collect).
+    Math errors null the point like safePow."""
+    folded = F.aggregate(
+        F.expr(f"array_sort(collect_list(struct({metric_col}, {value_col})))"),
+        F.lit(None).cast("double"),
+        lambda acc, s: F.when(acc.isNull(), s[value_col]).otherwise(
+            F.when(
+                (acc >= 0) | (s[value_col] == F.round(s[value_col], 0)),
+                F.pow(acc, s[value_col]),
+            )
+        ),
+    )
+    out = series.groupBy(ts_col).agg(F.round(folded, 6).alias(value_col))
+    return out.select(
+        F.lit("powSeries").alias(metric_col), F.col(ts_col),
+        F.when(~F.isnan(F.col(value_col)), F.col(value_col)).alias(value_col),
+    )
+
+
+def sin_function(base: DataFrame, name: str = "sin", amplitude: float = 1.0,
+                 step: int = 60, metric_col: str = "metric",
+                 ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``sinFunction(name, amplitude, step)``: synthetic
+    sin(ts) * amplitude over the render window grid (same frame-bounds
+    grid rule as :func:`time_function`)."""
+    grid = time_function(base, name, step, metric_col, ts_col, value_col)
+    return grid.select(
+        metric_col, ts_col,
+        F.round(F.sin(F.col(ts_col).cast("double")) * float(amplitude), 6)
+        .alias(value_col),
+    )
+
+
+def random_walk_function(base: DataFrame, name: str = "randomWalk",
+                         step: int = 60, metric_col: str = "metric",
+                         ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``randomWalkFunction(name, step)``: a random walk over
+    the render grid. graphite draws ``random.random() - 0.5`` per step;
+    the engine uses a DETERMINISTIC portable generator — md5(ts) mapped
+    to [-0.5, 0.5) then a running sum — so results replay identically
+    across runs, engines, and partitionings (true RNG in a distributed
+    plan would break the oracle/replay posture everywhere else).
+    """
+    grid = time_function(base, name, step, metric_col, ts_col, value_col)
+    # 60-bit md5 prefix -> uniform [0,1) -> centered step
+    u = (
+        F.conv(F.substring(F.md5(F.col(ts_col).cast("string")), 1, 15), 16, 10)
+        .cast("double") / float(16 ** 15)
+    )
+    w = Window.partitionBy(metric_col).orderBy(ts_col)
+    return grid.select(
+        metric_col, ts_col, (u - 0.5).alias("_step")
+    ).select(
+        metric_col, ts_col,
+        F.round(F.sum("_step").over(w), 6).alias(value_col),
+    )

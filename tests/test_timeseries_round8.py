@@ -350,3 +350,65 @@ def test_apply_by_node_newname_and_globs(disks):
     globs = collect_series_globs(
         "applyByNode(servers.*.disk.used, 1, 'divideSeries(%.disk.used, %.disk.total)')")
     assert globs == ["servers.*.disk.used", "servers.*.disk.total"]
+
+
+# ----------------------------------------------------------- round 9 tail
+
+
+def test_scale_to_seconds(spark):
+    from graphouse_spark.functions.timeseries import scale_to_seconds
+
+    # 60s-step series, rescale to per-second: value / 60
+    df = _mk(spark, [("m", 0, 60.0), ("m", 60, 120.0), ("m", 120, 6.0)])
+    got = _points(scale_to_seconds(df, 1), "m")
+    assert got == {0: 1.0, 60: 2.0, 120: 0.1}
+    # and to per-minute on a 300s-step series: value * 60/300
+    df5 = _mk(spark, [("m", 0, 10.0), ("m", 300, 20.0)])
+    assert _points(scale_to_seconds(df5, 60), "m") == {0: 2.0, 300: 4.0}
+
+
+def test_aggregate_with_wildcards(spark):
+    from graphouse_spark.functions.timeseries import aggregate_with_wildcards
+
+    rows = [("a.h1.cpu", 0, 1.0), ("a.h2.cpu", 0, 3.0), ("a.h1.mem", 0, 10.0)]
+    got = aggregate_with_wildcards(_mk(spark, rows), "sum", 1)
+    by = {(r["metric"], r["ts"]): r["value"] for r in got.collect()}
+    assert by == {("a.cpu", 0): 4.0, ("a.mem", 0): 10.0}
+    with pytest.raises(ValueError):
+        aggregate_with_wildcards(_mk(spark, rows), "nope", 1)
+
+
+def test_pow_series_pairwise(spark):
+    from graphouse_spark.functions.timeseries import pow_series_pairwise
+
+    rows = [("a", 0, 2.0), ("b", 0, 3.0), ("a", 60, 4.0), ("b", 60, 0.5)]
+    got = {r["ts"]: r["value"] for r in pow_series_pairwise(_mk(spark, rows)).collect()}
+    assert got[0] == 8.0 and got[60] == 2.0
+    # negative base under fractional exponent nulls (safePow)
+    neg = [("a", 0, -4.0), ("b", 0, 0.5)]
+    [r] = pow_series_pairwise(_mk(spark, neg)).collect()
+    assert r["value"] is None
+
+
+def test_sin_and_random_walk_generators(series):
+    from graphouse_spark.functions.timeseries import (
+        random_walk_function, sin_function)
+
+    got = _points(sin_function(series, "s", 2.0, 60), "s")
+    assert got[1000] == pytest.approx(2.0 * math.sin(1000), abs=1e-6)
+    walk = random_walk_function(series, "w", 60)
+    pts = _points(walk, "w")
+    assert len(pts) == 4 and all(-2.0 < v < 2.0 for v in pts.values())
+    # deterministic: a second evaluation replays identically
+    assert _points(random_walk_function(series, "w", 60), "w") == pts
+    via = evaluate_target(series, "randomWalk('w', 60)")
+    assert _points(via, "w") == pts
+
+
+def test_round9_registry(series):
+    got = evaluate_target(series, "scaleToSeconds(s.a, 1)")
+    assert _points(got, "s.a")[1060] == pytest.approx(2 / 60, abs=1e-6)
+    got = evaluate_target(series, "aggregateWithWildcards(s.*, 'sum', 1)")
+    assert _points(got, "s")[1000] == 111.0
+    got = evaluate_target(series, "powSeries(s.a)")
+    assert got.count() == 4
