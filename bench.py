@@ -87,6 +87,11 @@ EXTENDED_QUERIES = [
     "doc_langid_ngram",        # Cavnar-Trenkle trigram profiles
     "doc_pooled_embed",        # chunk-and-pool long-doc embeddings
     "sketch_audience_overlap", # HLL inclusion-exclusion intersection
+    # graphite rounds 8-9
+    "ts_linreg_line",          # per-series OLS fit line
+    "ts_series_lists",         # rank-paired divide/sumSeriesLists
+    "ts_remove_between_pctl",  # per-ts percentile band prune
+    "ts_map_reduce",           # reduceSeries as one equi-join
 ]
 
 

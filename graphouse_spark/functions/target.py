@@ -170,7 +170,7 @@ _REGISTRY = {
     "removeAboveValue": lambda df, v: ts.remove_above_value(df, float(v)),
     "removeBelowValue": lambda df, v: ts.remove_below_value(df, float(v)),
     "transformNull": lambda df, v=0.0: ts.transform_null(df, float(v)),
-    "aliasByNode": lambda df, n: ts.alias_by_node(df, int(n)),
+    "aliasByNode": lambda df, *ns: ts.alias_by_node(df, *[int(n) for n in ns]),
     "exponentialMovingAverage": lambda df, n: _canon(
         ts.exponential_moving_average(df, int(n)), "ema"),
     "logarithm": lambda df, base=10.0: ts.log_series(df, float(base)),
@@ -300,6 +300,10 @@ _REGISTRY = {
     "sumSeriesLists": lambda a, b: ts.series_lists_op(a, b, "sum"),
     "diffSeriesLists": lambda a, b: ts.series_lists_op(a, b, "diff"),
     "multiplySeriesLists": lambda a, b: ts.series_lists_op(a, b, "multiply"),
+    "aggregateSeriesLists": lambda a, b, fn="sum": ts.series_lists_op(
+        a, b, {"sum": "sum", "diff": "diff", "multiply": "multiply",
+               "divide": "divide", "avg": "average",
+               "average": "average"}[str(fn)]),
     "consolidateBy": lambda df, fn: ts.consolidate_by(df, str(fn)),
     "cumulative": lambda df: ts.consolidate_by(df, "sum"),
     "cactiStyle": lambda df: ts.cacti_style(df),

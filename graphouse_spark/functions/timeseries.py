@@ -105,13 +105,18 @@ def percentile_of_series(series: DataFrame, p: float = 0.95,
     )
 
 
-def alias_by_node(series: DataFrame, node: int,
+def alias_by_node(series: DataFrame, *nodes: int,
                   metric_col: str = "metric") -> DataFrame:
-    """graphite ``aliasByNode``: rename each series to its Nth dotted
-    path segment (0-based, negatives from the end)."""
+    """graphite ``aliasByNode(series, *nodes)``: rename each series to
+    the dot-join of the selected path segments (0-based, negatives
+    from the end; graphite accepts any number of nodes)."""
     parts = F.split(F.col(metric_col), r"\.")
-    idx = F.lit(node + 1) if node >= 0 else F.size(parts) + (node + 1)
-    renamed = F.element_at(parts, idx)
+
+    def seg(node: int):
+        idx = F.lit(node + 1) if node >= 0 else F.size(parts) + (node + 1)
+        return F.element_at(parts, idx)
+
+    renamed = F.concat_ws(".", *[seg(int(n)) for n in nodes])
     return series.withColumn(metric_col, renamed)
 
 
@@ -323,7 +328,7 @@ def group_by_node(series: DataFrame, node: int, function: str = "sum",
         agg = AGG_FUNCTIONS[function]
     except KeyError:
         raise ValueError(f"unknown aggregation function {function!r}") from None
-    rekeyed = alias_by_node(series, node, metric_col)
+    rekeyed = alias_by_node(series, node, metric_col=metric_col)
     return (
         rekeyed.groupBy(metric_col, ts_col)
         .agg(F.round(agg(value_col), 6).alias(value_col))
@@ -1588,9 +1593,11 @@ def series_lists_op(a: DataFrame, b: DataFrame, op: str,
         "sum": lambda x, y: F.round(x + y, 6),
         "diff": lambda x, y: F.round(x - y, 6),
         "multiply": lambda x, y: F.round(x * y, 6),
+        "average": lambda x, y: F.round((x + y) / 2.0, 6),
     }
     names = {"divide": "divideSeries", "sum": "sumSeries",
-             "diff": "diffSeries", "multiply": "multiplySeries"}
+             "diff": "diffSeries", "multiply": "multiplySeries",
+             "average": "averageSeries"}
     try:
         combine = ops[op]
     except KeyError:

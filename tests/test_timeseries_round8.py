@@ -412,3 +412,26 @@ def test_round9_registry(series):
     assert _points(got, "s")[1000] == 111.0
     got = evaluate_target(series, "powSeries(s.a)")
     assert got.count() == 4
+
+
+def test_alias_by_node_multi(spark):
+    from graphouse_spark.functions.timeseries import alias_by_node
+
+    df = _mk(spark, [("a.h1.cpu.user", 0, 1.0)])
+    assert _metrics(alias_by_node(df, 1, 2)) == {"h1.cpu"}
+    assert _metrics(alias_by_node(df, 1, -1)) == {"h1.user"}
+    assert _metrics(evaluate_target(df, "aliasByNode(a.*.*.*, 1, 2)")) == {"h1.cpu"}
+
+
+def test_aggregate_series_lists(spark):
+    a = _mk(spark, [("a.x", 0, 10.0), ("a.y", 0, 8.0)])
+    b = _mk(spark, [("b.x", 0, 2.0), ("b.y", 0, 4.0)])
+    both = a.unionByName(b)
+
+    def run(fn):
+        got = evaluate_target(both, f"aggregateSeriesLists(a.*, b.*, '{fn}')")
+        return {(r["metric"], r["ts"]): r["value"] for r in got.collect()}
+
+    assert run("avg") == {("averageSeries(a.x,b.x)", 0): 6.0,
+                          ("averageSeries(a.y,b.y)", 0): 6.0}
+    assert run("diff")[("diffSeries(a.x,b.x)", 0)] == 8.0
