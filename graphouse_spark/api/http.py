@@ -55,6 +55,14 @@ def make_handler(service: GraphouseService):
             self.end_headers()
             self.wfile.write(data)
 
+        def _send_bytes(self, code: int, data: bytes,
+                        content_type: str = "application/pickle") -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
         def _form(self) -> dict:
             length = int(self.headers.get("Content-Length", "0"))
             raw = self.rfile.read(length).decode("utf-8") if length else ""
@@ -91,6 +99,10 @@ def make_handler(service: GraphouseService):
                     if not q:
                         self._send(400, "query parameter required")
                         return
+                    if params.get("format") == "pickle":
+                        # remote-finder protocol (graphite-web federation)
+                        self._send_bytes(200, service.find_pickle(q))
+                        return
                     self._send(200, service.find_nodes_json(q), "application/json")
                 elif route == "/render":
                     # graphite-web render API (format=json only): target
@@ -101,14 +113,21 @@ def make_handler(service: GraphouseService):
                         self._send(400, "target parameter required")
                         return
                     fmt = params.get("format", "json")
-                    if fmt not in ("json", "csv"):
-                        self._send(400, f"unsupported format {fmt!r} (json or csv)")
+                    if fmt not in ("json", "csv", "pickle"):
+                        self._send(400,
+                                   f"unsupported format {fmt!r} (json, csv or pickle)")
                         return
                     now = int(params.get("now", time.time()))
                     start = parse_render_time(params["from"], now)
                     end = parse_render_time(params.get("until", "now"), now)
                     mdp = int(params["maxDataPoints"]) if "maxDataPoints" in params else None
                     req_key = params.get("reqKey") or None
+                    if fmt == "pickle":
+                        # graphite-web CLUSTER_SERVERS member protocol
+                        self._send_bytes(200, service.render_pickle(
+                            targets, start, end, req_key=req_key,
+                            max_data_points=mdp))
+                        return
                     series = service.render(targets, start, end, req_key=req_key,
                                             max_data_points=mdp)
                     if fmt == "csv":

@@ -233,6 +233,54 @@ class GraphouseService:
     def render_json(self, *args, **kwargs) -> str:
         return json.dumps(self.render(*args, **kwargs))
 
+    def render_pickle(self, *args, **kwargs) -> bytes:
+        """graphite-web REMOTE-backend payload: ``/render?format=pickle``.
+
+        This is the wire format graphite-web's RemoteReader speaks to
+        CLUSTER_SERVERS members, so serving it makes the engine a
+        drop-in federation backend for a stock graphite-web frontend
+        (the reference integrates as a local storage FINDER instead —
+        graphouse.py:119-160 — which requires installing its plugin).
+
+        Each series re-grids to the remote shape (name, start, end,
+        step, values): step is the series' smallest positive timestamp
+        delta, gaps become None. Pickle protocol 2 for graphite-web's
+        py2-era compatibility floor.
+        """
+        import pickle
+
+        out = []
+        for s in self.render(*args, **kwargs):
+            pts = sorted((ts, v) for v, ts in s["datapoints"])
+            if not pts:
+                continue
+            tss = [t for t, _ in pts]
+            deltas = [b - a for a, b in zip(tss, tss[1:]) if b > a]
+            step = min(deltas) if deltas else 60
+            t0, t1 = tss[0], tss[-1] + step
+            lookup = dict(pts)
+            out.append({
+                "name": s["target"],
+                "pathExpression": s["target"],
+                "start": t0, "end": t1, "step": step,
+                "values": [lookup.get(t) for t in range(t0, t1, step)],
+            })
+        return pickle.dumps(out, protocol=2)
+
+    def find_pickle(self, query: str) -> bytes:
+        """``/metrics/find?format=pickle`` — the remote-finder twin of
+        :meth:`find_nodes`: a pickled list of
+        ``{metric_path, isLeaf, intervals}`` dicts (RemoteFinder's
+        expected node shape; intervals empty — the engine serves any
+        requested range and prunes at scan time)."""
+        import pickle
+
+        nodes = [
+            {"metric_path": n["id"], "isLeaf": bool(n["leaf"]), "intervals": []}
+            for n in self.find_nodes(query)
+        ]
+        return pickle.dumps(nodes, protocol=2)
+
     def explain_target(self, target: str, start: int, end: int,
                        now_seconds: int | None = None) -> str:
         """The formatted Spark physical plan a render target compiles

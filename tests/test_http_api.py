@@ -302,3 +302,45 @@ def test_render_csv_format(server):
     assert lines[0] == "one_min.srv1.cpu,2018-11-14 12:45:00,1.0"
     code, _ = get(port, f"/render?target=x&from={BASE}&until={BASE+60}&format=png")
     assert code == 400
+
+
+def get_bytes(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=30) as resp:
+        return resp.status, resp.read()
+
+
+def test_render_pickle_remote_protocol(server):
+    """format=pickle speaks graphite-web's CLUSTER_SERVERS member
+    protocol: a pickled list of re-gridded
+    (name, start, end, step, values) series dicts."""
+    import pickle
+
+    svc, http, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    code, raw = get_bytes(
+        port,
+        f"/render?target=one_min.srv1.cpu&from={BASE}&until={BASE + 180}&format=pickle",
+    )
+    assert code == 200
+    [s] = pickle.loads(raw)
+    assert s["name"] == "one_min.srv1.cpu"
+    assert s["step"] == 60 and s["start"] == BASE and s["end"] == BASE + 180
+    assert s["values"] == [1.0, 2.0, 3.0]
+    assert (s["end"] - s["start"]) // s["step"] == len(s["values"])
+
+
+def test_metrics_find_pickle_remote_protocol(server):
+    import pickle
+
+    svc, http, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    code, raw = get_bytes(port, "/metrics/find?query=one_min.*&format=pickle")
+    assert code == 200
+    nodes = pickle.loads(raw)
+    assert {n["metric_path"] for n in nodes} == {"one_min.srv1", "one_min.srv2"}
+    assert all(n["isLeaf"] is False and n["intervals"] == [] for n in nodes)
+    code, raw = get_bytes(port, "/metrics/find?query=one_min.srv1.cpu&format=pickle")
+    [leaf] = pickle.loads(raw)
+    assert leaf["isLeaf"] is True and leaf["metric_path"] == "one_min.srv1.cpu"
