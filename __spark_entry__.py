@@ -3086,6 +3086,17 @@ def q_ts_map_reduce(spark, sf_dir):
     ).orderBy("metric", "ts")
 
 
+def q_ts_lttb(spark, sf_dir):
+    """CH largestTriangleThreeBuckets: shape-preserving downsample to
+    ~50 points per series — parallel variant (neighbor-bucket centroid
+    anchors), two window passes, exact integer centroid sums so the
+    per-bucket area argmax is bit-stable (functions/timeseries.py
+    lttb_downsample; the sequential exact twin is an Arrow kernel)."""
+    from graphouse_spark.functions.timeseries import lttb_downsample
+
+    return lttb_downsample(_series(spark, sf_dir), 50).orderBy("metric", "ts")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the /metricData read path end-to-end on sf0.001.
 
@@ -3292,6 +3303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_remove_between_pctl": q_ts_remove_between_pctl,
         "ts_generators": q_ts_generators,
         "ts_map_reduce": q_ts_map_reduce,
+        "ts_lttb": q_ts_lttb,
         "doc_repetition": q_doc_repetition,
         "doc_source_rebalance": q_doc_source_rebalance,
         "emb_label_centroids": q_emb_label_centroids,
@@ -4433,6 +4445,53 @@ def oracle_sql() -> dict[str, str]:
                     UNION ALL SELECT t1 FROM b
                 )
             ) ORDER BY metric, ts
+        """,
+        "ts_lttb": f"""
+            WITH s AS ({_SERIES_SQL}),
+            staged AS (
+                SELECT metric, ts, value,
+                       CASE WHEN ts = min(ts) OVER (PARTITION BY metric) THEN -1
+                            WHEN ts = max(ts) OVER (PARTITION BY metric) THEN 48
+                            ELSE least(
+                                CAST(floor(
+                                    CAST(ts - min(ts) OVER (PARTITION BY metric) AS DOUBLE)
+                                    / CAST(max(ts) OVER (PARTITION BY metric)
+                                           - min(ts) OVER (PARTITION BY metric) AS DOUBLE)
+                                    * 48.0) AS BIGINT),
+                                47)
+                       END AS b
+                FROM s
+            ),
+            stats AS (
+                SELECT metric, ts, value, b,
+                       CAST(sum(ts) OVER w AS DOUBLE)
+                           / CAST(count(*) OVER w AS DOUBLE) AS bt,
+                       CAST(sum(CAST(round(value * 1000000) AS HUGEINT)) OVER w AS DOUBLE)
+                           / (CAST(count(*) OVER w AS DOUBLE) * 1000000.0) AS bv
+                FROM staged
+                WINDOW w AS (PARTITION BY metric, b)
+            ),
+            per_bucket AS (SELECT DISTINCT metric, b, bt, bv FROM stats),
+            neigh AS (
+                SELECT metric, b,
+                       lag(bt) OVER wo AS pt, lag(bv) OVER wo AS pv,
+                       lead(bt) OVER wo AS nt, lead(bv) OVER wo AS nv
+                FROM per_bucket
+                WINDOW wo AS (PARTITION BY metric ORDER BY b)
+            ),
+            ranked AS (
+                SELECT st.metric, st.ts, st.value, st.b,
+                       row_number() OVER (
+                           PARTITION BY st.metric, st.b
+                           ORDER BY abs((n.pt - n.nt) * (st.value - n.pv)
+                                        - (n.pt - CAST(st.ts AS DOUBLE)) * (n.nv - n.pv))
+                                    DESC NULLS LAST,
+                                    st.ts ASC) AS rn
+                FROM stats st JOIN neigh n USING (metric, b)
+            )
+            SELECT metric, ts, value FROM ranked
+            WHERE b = -1 OR b = 48 OR rn = 1
+            ORDER BY metric, ts
         """,
         "ts_map_reduce": """
             WITH agg AS (

@@ -335,6 +335,9 @@ _REGISTRY = {
     # round 9: the native-step rate rescale, the node-dropping
     # aggregate, and the pairwise power fold
     "scaleToSeconds": lambda df, sec: ts.scale_to_seconds(df, int(sec)),
+    # ClickHouse largestTriangleThreeBuckets surfaced for dashboards:
+    # the shape-preserving alternative to maxDataPoints' average
+    "lttb": lambda df, n: ts.lttb_downsample(df, int(n)),
     "aggregateWithWildcards": lambda df, fn, *nodes:
         ts.aggregate_with_wildcards(df, str(fn), *[int(n) for n in nodes]),
     "powSeries": lambda df: ts.pow_series_pairwise(df),

@@ -1970,3 +1970,122 @@ def random_walk_function(base: DataFrame, name: str = "randomWalk",
         metric_col, ts_col,
         F.round(F.sum("_step").over(w), 6).alias(value_col),
     )
+
+
+def lttb_downsample(series: DataFrame, n_buckets: int,
+                    metric_col: str = "metric", ts_col: str = "ts",
+                    value_col: str = "value") -> DataFrame:
+    """ClickHouse ``largestTriangleThreeBuckets(n)(t, v)``: downsample
+    each series to ~n visually-representative points (Steinarsson's
+    LTTB — the point per bucket that maximizes the triangle area with
+    its neighbors keeps peaks/valleys a plain bucket-average erases).
+
+    TRUE LTTB anchors each triangle at the PREVIOUSLY SELECTED point —
+    a sequential chain per series (see :func:`lttb_downsample_exact`).
+    This variant substitutes the previous bucket's AVERAGE, the
+    standard parallelization: every bucket scores independently, so
+    the whole downsample is two window passes — no per-series
+    sequential scan, no Python. First/last points are always kept
+    (both algorithms pin them). Deterministic tiebreak: max area,
+    then earliest timestamp.
+    """
+    if n_buckets < 3:
+        raise ValueError("n_buckets must be >= 3 (first + interior + last)")
+    w = Window.partitionBy(metric_col)
+    t0, t1 = F.min(ts_col).over(w), F.max(ts_col).over(w)
+    nb = F.lit(int(n_buckets) - 2)
+    span = (t1 - t0).cast("double")
+    # interior buckets over (t0, t1); endpoints get their own ids
+    bucket = F.when(F.col(ts_col) == t0, F.lit(-1)).when(
+        F.col(ts_col) == t1, nb
+    ).otherwise(
+        F.least(
+            ((F.col(ts_col) - t0).cast("double") / span * nb.cast("double"))
+            .cast("long"),
+            nb - 1,
+        )
+    )
+    staged = series.select(
+        metric_col, ts_col, value_col, bucket.alias("_b")
+    )
+    wb = Window.partitionBy(metric_col, "_b")
+    # centroids via exact integer sums (ts long, value micro-units):
+    # float avg merges in partition order, and a one-ulp centroid
+    # wobble can flip the per-bucket area argmax under the oracle gate
+    micro = F.round(F.col(value_col) * 1_000_000).cast("decimal(38,0)")
+    cnt = F.count(F.lit(1)).over(wb).cast("double")
+    avg_t = F.sum(ts_col).over(wb).cast("double") / cnt
+    avg_v = F.sum(micro).over(wb).cast("double") / (cnt * 1_000_000.0)
+    stats = staged.select(
+        metric_col, ts_col, value_col, "_b",
+        avg_t.alias("_bt"), avg_v.alias("_bv"),
+    )
+    wo = Window.partitionBy(metric_col).orderBy("_b")
+    # one row per (metric, bucket): neighbor-bucket centroids
+    per_bucket = stats.select(metric_col, "_b", "_bt", "_bv").distinct()
+    neigh = per_bucket.select(
+        metric_col, "_b",
+        F.lag("_bt").over(wo).alias("_pt"), F.lag("_bv").over(wo).alias("_pv"),
+        F.lead("_bt").over(wo).alias("_nt"), F.lead("_bv").over(wo).alias("_nv"),
+    )
+    joined = stats.join(neigh, [metric_col, "_b"])
+    t = F.col(ts_col).cast("double")
+    v = F.col(value_col)
+    area = F.abs(
+        (F.col("_pt") - F.col("_nt")) * (v - F.col("_pv"))
+        - (F.col("_pt") - t) * (F.col("_nv") - F.col("_pv"))
+    )
+    wr = (
+        Window.partitionBy(metric_col, "_b")
+        .orderBy(F.desc_nulls_last("_area"), F.asc(ts_col))
+    )
+    ranked = joined.withColumn("_area", area).withColumn(
+        "_rn", F.row_number().over(wr))
+    keep = (F.col("_b") == -1) | (F.col("_b") == int(n_buckets) - 2) | (F.col("_rn") == 1)
+    return ranked.filter(keep).select(metric_col, ts_col, value_col)
+
+
+def lttb_downsample_exact(series: DataFrame, n_buckets: int,
+                          metric_col: str = "metric", ts_col: str = "ts",
+                          value_col: str = "value") -> DataFrame:
+    """TRUE sequential LTTB (previous SELECTED point anchors each
+    triangle), as a per-series Arrow kernel: ``applyInPandas`` over the
+    metric key, numpy inside. A rendered series is bounded (the whole
+    point is that it fits a chart), so per-group memory is small; use
+    :func:`lttb_downsample` when the anchor approximation is
+    acceptable and zero Python is wanted."""
+    import pandas as pd
+
+    if n_buckets < 3:
+        raise ValueError("n_buckets must be >= 3")
+    schema = series.select(metric_col, ts_col, value_col).schema
+
+    def one(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        n = len(pdf)
+        if n <= n_buckets:
+            return pdf[[metric_col, ts_col, value_col]]
+        t = pdf[ts_col].to_numpy(dtype="float64")
+        v = pdf[value_col].to_numpy(dtype="float64")
+        # Steinarsson's bucketing: indexes split evenly over (1, n-1)
+        edges = np.linspace(1, n - 1, n_buckets - 1).astype(int)
+        chosen = [0]
+        for i in range(n_buckets - 2):
+            lo, hi = edges[i], edges[i + 1]
+            nxt_lo, nxt_hi = (edges[i + 1], n) if i == n_buckets - 3 else (
+                edges[i + 1], edges[i + 2])
+            ax, ay = t[chosen[-1]], v[chosen[-1]]
+            cx, cy = t[nxt_lo:nxt_hi].mean(), v[nxt_lo:nxt_hi].mean()
+            areas = np.abs(
+                (ax - cx) * (v[lo:hi] - ay) - (ax - t[lo:hi]) * (cy - ay))
+            chosen.append(lo + int(areas.argmax()))
+        chosen.append(n - 1)
+        return pdf.iloc[chosen][[metric_col, ts_col, value_col]]
+
+    return (
+        series.select(metric_col, ts_col, value_col)
+        .groupBy(metric_col)
+        .applyInPandas(one, schema)
+    )

@@ -435,3 +435,58 @@ def test_aggregate_series_lists(spark):
     assert run("avg") == {("averageSeries(a.x,b.x)", 0): 6.0,
                           ("averageSeries(a.y,b.y)", 0): 6.0}
     assert run("diff")[("diffSeries(a.x,b.x)", 0)] == 8.0
+
+
+# ------------------------------------------------------------------ LTTB
+
+
+def _spiky(spark, n=400):
+    import math as _m
+    rows = []
+    for i in range(n):
+        v = round(10.0 + 2.0 * _m.sin(i / 7.0), 2)
+        if i == 217:
+            v = 99.0  # sharp spike LTTB must keep
+        rows.append(("m", 1000 + i * 60, v))
+    return _mk(spark, rows)
+
+
+def test_lttb_parallel_keeps_shape(spark):
+    from graphouse_spark.functions.timeseries import lttb_downsample
+
+    src = _spiky(spark)
+    got = lttb_downsample(src, 40).collect()
+    ts = sorted(r["ts"] for r in got)
+    vals = {r["ts"]: r["value"] for r in got}
+    assert len(got) == 40
+    assert ts[0] == 1000 and ts[-1] == 1000 + 399 * 60  # endpoints pinned
+    assert 99.0 in vals.values()                         # spike survives
+    orig = {(r["metric"], r["ts"], r["value"]) for r in src.collect()}
+    assert all((r["metric"], r["ts"], r["value"]) in orig for r in got)
+    with pytest.raises(ValueError):
+        lttb_downsample(src, 2)
+
+
+def test_lttb_exact_keeps_shape_and_bounds(spark):
+    from graphouse_spark.functions.timeseries import lttb_downsample_exact
+
+    src = _spiky(spark)
+    got = lttb_downsample_exact(src, 40).collect()
+    ts = sorted(r["ts"] for r in got)
+    vals = {r["ts"]: r["value"] for r in got}
+    assert len(got) == 40
+    assert ts[0] == 1000 and ts[-1] == 1000 + 399 * 60
+    assert 99.0 in vals.values()
+    # short series pass through untouched
+    short = _mk(spark, [("m", i * 60, float(i)) for i in range(5)])
+    assert lttb_downsample_exact(short, 40).count() == 5
+
+
+def test_lttb_small_buckets_and_multiseries(spark):
+    from graphouse_spark.functions.timeseries import lttb_downsample
+
+    rows = [("a", i * 60, float(i % 7)) for i in range(50)]
+    rows += [("b", i * 60, float((i * 3) % 11)) for i in range(50)]
+    got = lttb_downsample(_mk(spark, rows), 10)
+    per = {m: c for m, c in got.groupBy("metric").count().collect()}
+    assert per == {"a": 10, "b": 10}
