@@ -84,6 +84,26 @@ def run_index_update(spark: SparkSession, data_path: str, index_path: str,
     return idx.count()
 
 
+def run_bloom_update(spark: SparkSession, data_path: str, index_path: str,
+                     col: str = "metric", fpp: float = 0.01) -> int:
+    """Refresh the bloom sidecar (`<index_path>_bloom`) the same way:
+    never-seen files get their metric column read, dead files drop.
+    Returns the bloom row count (one per live data file)."""
+    import os
+
+    from graphouse_spark.sources import skipping
+
+    bloom_path = index_path.rstrip("/") + "_bloom"
+    if os.path.exists(bloom_path):
+        existing = skipping.read_bloom_index(spark, bloom_path)
+        idx = skipping.update_bloom_index(spark, data_path, existing, col, fpp)
+    else:
+        idx = skipping.build_bloom_index(spark, data_path, col, fpp)
+    idx = idx.localCheckpoint()
+    skipping.write_bloom_index(idx, bloom_path)
+    return idx.count()
+
+
 def run_all(spark: SparkSession, data_path: str, metrics_path: str,
             provider: CombinedRetentionProvider | None = None,
             now_seconds: int | None = None,
@@ -98,4 +118,5 @@ def run_all(spark: SparkSession, data_path: str, metrics_path: str,
     report = {"autohidden": hidden, "rolled_partitions": rolled, "metrics_rows": compacted}
     if index_path is not None:
         report["zonemap_rows"] = run_index_update(spark, data_path, index_path)
+        report["bloom_rows"] = run_bloom_update(spark, data_path, index_path)
     return report

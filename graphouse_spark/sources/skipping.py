@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -239,6 +240,15 @@ def read_pruned_data(spark: SparkSession, data_path: str, index_path: str,
     try:
         index = read_file_index(spark, index_path)
         files = prune_files_for_query(index, metric_names, start, end)
+        # bloom sidecar (built by maintenance alongside the zonemap):
+        # membership-prunes the range survivors. Files the bloom has
+        # never indexed stay — may-contain discipline throughout.
+        bloom_path = index_path.rstrip("/") + "_bloom"
+        if files and os.path.isdir(bloom_path):
+            blooms = read_bloom_index(spark, bloom_path)
+            indexed = {r["file"] for r in blooms.select("file").distinct().collect()}
+            may = set(prune_files_bloom(blooms, metric_names))
+            files = [f for f in files if f not in indexed or f in may]
     except Exception:
         return None  # unreadable/corrupt index must never fail a read
     if not files:
@@ -262,3 +272,158 @@ def prune_files_multi(index: DataFrame, predicates: list[tuple]) -> list[str]:
         s = set(prune_files(index, col, lo, hi))
         survivors = s if survivors is None else survivors & s
     return sorted(survivors or [])
+
+
+# ---------------------------------------------------------------- bloom
+# ClickHouse `bloom_filter` skip-index analog. The zonemap answers
+# RANGE questions (metric between zone min/max); a file whose metric
+# zone spans a wide lexicographic band still survives an IN-list probe
+# for names it does not contain. The bloom sidecar answers the
+# MEMBERSHIP question: one filter per file over its distinct metric
+# names, so a scattered IN-list prunes to the files that may actually
+# hold the requested series. Same contract as every skip structure
+# here: may-contain, never must-contain — a stale/missing/corrupt
+# bloom only over-reads.
+
+BLOOM_SCHEMA = "file string, column string, n long, m long, k int, bits binary"
+
+
+#: upper bound on probes per element: k = round(m/n * ln2) maxes out at
+#: n=1 with the 64-bit floor (k = 44); 64 leaves headroom
+_BLOOM_K_MAX = 64
+
+
+def _bloom_digests(name: str, k: int) -> list[int]:
+    """k INDEPENDENT portable hashes (md5 of ``name#i``).
+
+    Not Kirsch-Mitzenmacher double hashing on purpose: with the
+    filter sized to a byte boundary, ``(h1 + i*h2) mod m`` probes an
+    arithmetic progression modulo ~2^b — two names whose strides
+    collide mod m share most of their positions, and measured false
+    positives ran ~1000x the target rate. Independent digests restore
+    the textbook bound; md5 keeps every position engine-portable.
+    """
+    import hashlib
+
+    return [
+        int.from_bytes(hashlib.md5(f"{name}#{i}".encode("utf-8")).digest()[:8], "big")
+        for i in range(k)
+    ]
+
+
+def build_bloom_index(spark: SparkSession, table_path: str,
+                      col: str = "metric", fpp: float = 0.01) -> DataFrame:
+    """One bloom filter per data file over its DISTINCT ``col`` values.
+
+    Distributed like :func:`build_file_index`: the FILE LIST is
+    parallelized; each task reads ONLY the indexed column (a
+    dictionary-encoded parquet string column — a fraction of the file)
+    and emits (n, m, k, bits). m/k are sized per file from its own
+    distinct count at the requested false-positive rate, so small
+    files carry small filters.
+    """
+    return _bloom_for_files(spark, _data_files(table_path), col, fpp)
+
+
+def update_bloom_index(spark: SparkSession, table_path: str,
+                       existing: DataFrame, col: str = "metric",
+                       fpp: float = 0.01) -> DataFrame:
+    """Incremental bloom maintenance — same append-mostly contract as
+    :func:`update_file_index`: only never-seen files are read, rows for
+    dead files drop."""
+    current = set(_data_files(table_path))
+    known = {r[0] for r in existing.select("file").distinct().collect()}
+    kept = existing.filter(
+        F.col("file").isin(list(current)) if current else F.lit(False))
+    new_files = sorted(current - known)
+    if not new_files:
+        return kept
+    return kept.unionByName(_bloom_for_files(spark, new_files, col, fpp))
+
+
+def _bloom_for_files(spark: SparkSession, files: list[str],
+                     col: str, fpp: float) -> DataFrame:
+    import math as _math
+
+    n_slices = max(1, min(len(files) or 1, spark.sparkContext.defaultParallelism))
+
+    def blooms(paths):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        for p in paths:
+            try:
+                tab = pq.read_table(p, columns=[col])
+            except Exception:
+                continue  # unreadable file -> no row -> caller keeps it
+            uniq = {v for v in tab.column(0).to_pylist() if v is not None}
+            n = max(1, len(uniq))
+            m = max(64, int(_math.ceil(-n * _math.log(fpp) / (_math.log(2) ** 2))))
+            m = (m + 7) // 8 * 8
+            k = max(1, round(m / n * _math.log(2)))
+            k = min(k, _BLOOM_K_MAX)
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            for name in uniq:
+                for d in _bloom_digests(name, k):
+                    pos = d % m
+                    bits[pos >> 3] |= 1 << (pos & 7)
+            yield (p, col, n, m, k, bits.tobytes())
+
+    rdd = spark.sparkContext.parallelize(files, n_slices).mapPartitions(blooms)
+    return spark.createDataFrame(rdd, BLOOM_SCHEMA)
+
+
+def write_bloom_index(index: DataFrame, index_path: str) -> None:
+    index.coalesce(1).write.mode("overwrite").parquet(index_path)
+
+
+def read_bloom_index(spark: SparkSession, index_path: str) -> DataFrame:
+    return spark.read.schema(BLOOM_SCHEMA).parquet(index_path)
+
+
+def prune_files_bloom(bloom_index: DataFrame, names: list[str],
+                      col: str = "metric") -> list[str]:
+    """Files whose bloom may contain ANY of ``names``.
+
+    The membership probe runs DISTRIBUTED over the index frame (one
+    row per file) in an Arrow kernel — only surviving file paths reach
+    the driver, so a million-file lake prunes without a driver-side
+    bloom materialization. The (h1, h2) bases for the probe names are
+    computed once here; each task folds them against its files' local
+    (m, k, bits).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # digests precomputed ONCE here for the max probe count; each file
+    # row uses its own k-prefix and modulus
+    bases = [_bloom_digests(n, _BLOOM_K_MAX) for n in names]
+
+    @pandas_udf("boolean")
+    def may_contain(m_s: pd.Series, k_s: pd.Series,
+                    bits_s: pd.Series) -> pd.Series:
+        out = []
+        for m, k, bits in zip(m_s, k_s, bits_s):
+            if bits is None or m is None or m <= 0:
+                out.append(True)  # unusable row: conservative keep
+                continue
+            # numpy int64 coerces a >63-bit python hash through float64
+            # under %, silently corrupting positions — force python ints
+            m, k = int(m), int(k)
+            hit = False
+            for digests in bases:
+                if all(
+                    bits[(d % m) >> 3] & (1 << ((d % m) & 7))
+                    for d in digests[:k]
+                ):
+                    hit = True
+                    break
+            out.append(hit)
+        return pd.Series(out)
+
+    survivors = (
+        bloom_index.filter(F.col("column") == col)
+        .filter(may_contain(F.col("m"), F.col("k"), F.col("bits")))
+        .select("file")
+        .collect()
+    )
+    return sorted(r["file"] for r in survivors)

@@ -154,3 +154,81 @@ def test_metricdata_read_path_uses_zonemap(spark, lake, tmp_path):
     ghost = MetricDataService(data_path=lake, index_path=str(tmp_path / "nope"))
     assert ghost._pruned_source(spark, names, start, end) is None
     assert ghost.get_data(spark, data, names, start, end, now_seconds=end) == r_full
+
+
+# ----------------------------------------------------------------- bloom
+
+
+def test_bloom_index_no_false_negatives_and_prunes(spark, lake):
+    from graphouse_spark.sources.skipping import (
+        build_bloom_index, prune_files_bloom)
+
+    blooms = build_bloom_index(spark, lake, "metric")
+    total = len(_data_files(lake))
+    assert blooms.count() == total
+
+    # ground truth: which files actually hold m.7
+    truth = {
+        f for f in _data_files(lake)
+        if spark.read.parquet(f).filter(F.col("metric") == "m.7").count() > 0
+    }
+    kept = set(prune_files_bloom(blooms, ["m.7"]))
+    assert truth <= kept          # NEVER a false negative
+    assert len(kept) < total      # and it actually skips files
+    # absent name: tiny (fpp-bounded) survivor set
+    ghost = prune_files_bloom(blooms, ["no.such.metric"])
+    assert len(ghost) <= max(1, total // 10)
+
+
+def test_bloom_sidecar_in_read_path_same_rows_fewer_files(spark, lake, tmp_path):
+    from graphouse_spark.sources.skipping import (
+        build_bloom_index, build_file_index, prune_files_for_query,
+        read_pruned_data, write_bloom_index, write_file_index)
+
+    zp = str(tmp_path / "zonemap")
+    write_file_index(build_file_index(spark, lake, ["metric", "timestamp"]), zp)
+    write_bloom_index(build_bloom_index(spark, lake, "metric"), zp + "_bloom")
+
+    names = ["m.7", "m.31"]
+    lo, hi = 1704067200, 1704067200 + 30 * 86400
+    pruned = read_pruned_data(spark, lake, zp, names, lo, hi)
+    assert pruned is not None
+    full = spark.read.parquet(lake)
+    pred = F.col("metric").isin(names) & (F.col("timestamp") >= lo) & (F.col("timestamp") < hi)
+    assert pruned.filter(pred).count() == full.filter(pred).count() > 0
+
+    # the bloom layer strictly tightens the zonemap survivor list here
+    # (hash-partitioned metrics make lexicographic zones wide)
+    from graphouse_spark.sources.skipping import read_file_index
+    zonemap_only = prune_files_for_query(
+        read_file_index(spark, zp), names, lo, hi)
+    planned = pruned.inputFiles()
+    assert len(planned) < len(zonemap_only)
+
+
+def test_bloom_incremental_update_and_maintenance(spark, lake, tmp_path):
+    import shutil
+
+    from graphouse_spark.maintenance import run_bloom_update
+    from graphouse_spark.sources.skipping import (
+        build_bloom_index, read_bloom_index, update_bloom_index)
+
+    root = str(tmp_path / "data")
+    shutil.copytree(lake, root)
+    zp = str(tmp_path / "zm")
+    n1 = run_bloom_update(spark, root, zp)
+    assert n1 == len(_data_files(root))
+
+    # append a new partition -> only the new file gets indexed
+    extra = spark.createDataFrame(
+        [("m.new", 1.0, 1704067200, "2099-01-01", 0)],
+        "metric string, value double, timestamp long, date string, updated long",
+    )
+    extra.write.mode("append").partitionBy("date").parquet(root)
+    existing = read_bloom_index(spark, zp + "_bloom")
+    known = {r["file"] for r in existing.select("file").collect()}
+    updated = update_bloom_index(spark, root, existing)
+    fresh = {r["file"] for r in updated.select("file").collect()} - known
+    assert len(fresh) == len(_data_files(root)) - len(known)
+    n2 = run_bloom_update(spark, root, zp)
+    assert n2 == len(_data_files(root))
