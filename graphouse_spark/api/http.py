@@ -150,6 +150,11 @@ def make_handler(service: GraphouseService):
                     start = parse_render_time(params["from"], now)
                     end = parse_render_time(params.get("until", "now"), now)
                     self._send(200, service.explain_target(target, start, end))
+                elif route == "/query_log":
+                    # system.query_log analog (querylog.py): newest-last
+                    limit = int(params["limit"]) if "limit" in params else None
+                    self._send(200, service.query_log.entries_json(limit),
+                               "application/json")
                 elif route in MULTI_STATUS:
                     self._multi_modify(route, params)
                 elif route in ("/ban", "/approve", "/hide"):

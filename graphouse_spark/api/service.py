@@ -52,6 +52,10 @@ class GraphouseService:
             self.provider, max_points_per_metric,
             data_path=data_path, index_path=index_path,
         )
+        # system.query_log analog: per-request records (querylog.py)
+        from graphouse_spark.querylog import QueryLog
+
+        self.query_log = QueryLog()
         if lazy_tree:
             # CH-style cold start: no bootstrap scan; directories load
             # on first touch through the X6 batcher, so concurrent
@@ -113,15 +117,21 @@ class GraphouseService:
         """
         if not self._loaded:
             raise RuntimeError("metric tree not loaded yet (the reference returns 503)")
-        if req_key:
-            sc = self.spark.sparkContext
-            sc.setJobGroup(req_key, f"/metricData reqKey={req_key}",
-                           interruptOnCancel=True)
-            try:
-                return self._metric_data(patterns, start, end, now_seconds)
-            finally:
-                sc.setJobGroup(None, None)
-        return self._metric_data(patterns, start, end, now_seconds)
+        with self.query_log.track(
+            "/metricData", ",".join(patterns), req_key
+        ) as log:
+            if req_key:
+                sc = self.spark.sparkContext
+                sc.setJobGroup(req_key, f"/metricData reqKey={req_key}",
+                               interruptOnCancel=True)
+                try:
+                    out = self._metric_data(patterns, start, end, now_seconds)
+                finally:
+                    sc.setJobGroup(None, None)
+            else:
+                out = self._metric_data(patterns, start, end, now_seconds)
+            log["rows"] = len(out)
+            return out
 
     def cancel_request(self, req_key: str) -> None:
         """Cancel every Spark job started under ``req_key``."""
@@ -221,14 +231,21 @@ class GraphouseService:
                     })
             return out
 
-        if req_key:
-            sc = self.spark.sparkContext
-            sc.setJobGroup(req_key, f"/render reqKey={req_key}", interruptOnCancel=True)
-            try:
-                return run()
-            finally:
-                sc.setJobGroup(None, None)
-        return run()
+        with self.query_log.track(
+            "/render", ";".join(targets), req_key
+        ) as log:
+            if req_key:
+                sc = self.spark.sparkContext
+                sc.setJobGroup(req_key, f"/render reqKey={req_key}",
+                               interruptOnCancel=True)
+                try:
+                    out = run()
+                finally:
+                    sc.setJobGroup(None, None)
+            else:
+                out = run()
+            log["rows"] = sum(len(s["datapoints"]) for s in out)
+            return out
 
     def render_json(self, *args, **kwargs) -> str:
         return json.dumps(self.render(*args, **kwargs))

@@ -344,3 +344,37 @@ def test_metrics_find_pickle_remote_protocol(server):
     code, raw = get_bytes(port, "/metrics/find?query=one_min.srv1.cpu&format=pickle")
     [leaf] = pickle.loads(raw)
     assert leaf["isLeaf"] is True and leaf["metric_path"] == "one_min.srv1.cpu"
+
+
+def test_query_log_records_requests(server):
+    """system.query_log analog: served and FAILED requests both log,
+    with route/detail/duration/rows, readable over HTTP and as a
+    DataFrame."""
+    svc, http, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    before = len(svc.query_log.entries())
+    code, _ = get(port, f"/render?target=one_min.srv1.cpu&from={BASE}&until={BASE + 180}")
+    assert code == 200
+    svc.metric_data(["one_min.*.cpu"], BASE, BASE + 180, now_seconds=BASE + 180)
+    entries = svc.query_log.entries()
+    assert len(entries) == before + 2
+    render_e, md_e = entries[-2], entries[-1]
+    assert render_e["route"] == "/render" and render_e["status"] == "ok"
+    assert render_e["rows"] == 3 and render_e["duration_ms"] >= 0
+    assert md_e["route"] == "/metricData" and md_e["rows"] == 2
+    # failures log too, with the error class as status
+    with pytest.raises(ValueError):
+        svc.render(["bogusFunction(one_min.srv1.cpu)"], BASE, BASE + 180)
+    assert svc.query_log.entries()[-1]["status"] == "ValueError"
+    # HTTP view + limit
+    code, body = get(port, "/query_log?limit=2")
+    assert code == 200
+    tail = json.loads(body)
+    assert len(tail) == 2 and tail[-1]["status"] == "ValueError"
+    # DataFrame lift keeps schema even when empty
+    frame = svc.query_log.frame(svc.spark)
+    assert frame.count() == len(svc.query_log.entries())
+    from graphouse_spark.querylog import QueryLog
+    empty = QueryLog().frame(svc.spark)
+    assert empty.count() == 0 and "duration_ms" in empty.columns
