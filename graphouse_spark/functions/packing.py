@@ -69,5 +69,6 @@ def pack_sequences(docs: DataFrame, budget: int = 2048, n_groups: int = 32,
         out["offset"] = offsets
         return out
 
-    schema = f"{id_col} long, n_tokens int, shard_id string, offset int"
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_tokens int, shard_id string, offset int"
     return with_counts.groupBy("_grp").applyInPandas(pack, schema)

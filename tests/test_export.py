@@ -1,0 +1,68 @@
+"""Training-shard export sink: layout, invariants, crash-safe manifest."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphouse_spark.sources.export import (
+    MANIFEST, read_training_shards, write_training_shards)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(f"doc{i:03d}", "tok " * (10 + (i * 37) % 190)) for i in range(120)]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_export_roundtrip_and_invariants(spark, corpus, tmp_path):
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(corpus, out, budget=256, n_groups=4)
+    frame, m2 = read_training_shards(spark, out)
+    assert m2 == manifest
+    assert manifest["docs"] == 120 and manifest["shards"] >= 1
+    assert 0 < manifest["utilization"] <= 1.0
+
+    # every doc exactly once
+    assert frame.count() == 120
+    assert frame.select("doc_id").distinct().count() == 120
+    # token budget respected per shard, except single-doc oversizes
+    per = frame.groupBy("shard_id").agg(
+        F.sum("n_tokens").alias("t"), F.count("*").alias("n")).collect()
+    assert all(r["t"] <= 256 or r["n"] == 1 for r in per)
+    # offsets stream back-to-back inside each shard
+    bad = (
+        frame.withColumn(
+            "_expected",
+            F.sum("n_tokens").over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("shard_id").orderBy("offset", "doc_id")
+                .rowsBetween(-2**31, -1)),
+        )
+        .filter(F.coalesce("_expected", F.lit(0)) != F.col("offset"))
+        .count()
+    )
+    assert bad == 0
+    # group partition dirs exist
+    assert any(d.startswith("group=") for d in os.listdir(out))
+
+
+def test_export_is_deterministic(spark, corpus, tmp_path):
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    write_training_shards(corpus, a, budget=256, n_groups=4)
+    write_training_shards(corpus, b, budget=256, n_groups=4)
+    fa, _ = read_training_shards(spark, a)
+    fb, _ = read_training_shards(spark, b)
+    ka = sorted(map(tuple, fa.select("doc_id", "shard_id", "offset").collect()))
+    kb = sorted(map(tuple, fb.select("doc_id", "shard_id", "offset").collect()))
+    assert ka == kb
+
+
+def test_missing_manifest_refuses(spark, corpus, tmp_path):
+    out = str(tmp_path / "partial")
+    write_training_shards(corpus, out, budget=256, n_groups=4)
+    os.remove(os.path.join(out, MANIFEST))
+    with pytest.raises(FileNotFoundError):
+        read_training_shards(spark, out)
