@@ -149,6 +149,14 @@ def make_handler(service: GraphouseService):
                     now = int(params.get("now", time.time()))
                     start = parse_render_time(params["from"], now)
                     end = parse_render_time(params.get("until", "now"), now)
+                    if params.get("estimate") in ("1", "true"):
+                        # CH EXPLAIN ESTIMATE: scan cost from the skip
+                        # indexes, nothing executed
+                        self._send(
+                            200,
+                            json.dumps(service.estimate_target(target, start, end)),
+                            "application/json")
+                        return
                     self._send(200, service.explain_target(target, start, end))
                 elif route == "/query_log":
                     # system.query_log analog (querylog.py): newest-last

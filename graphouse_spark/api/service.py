@@ -23,6 +23,7 @@ from __future__ import annotations
 import contextlib
 import io
 import json
+import os
 
 from pyspark.sql import SparkSession
 
@@ -327,6 +328,61 @@ class GraphouseService:
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         return buf.getvalue()
+
+    def estimate_target(self, target: str, start: int, end: int,
+                        now_seconds: int | None = None) -> dict:
+        """ClickHouse ``EXPLAIN ESTIMATE`` for the graphite surface:
+        how much of the lake this target would scan, from the skip
+        indexes alone — no data read, no job run.
+
+        ``files_total``/``files_scanned`` come from the zonemap range
+        prune intersected with the bloom membership prune (the same
+        path the real read takes), ``rows_estimate`` sums the zonemap's
+        per-file row counts over the survivors — an UPPER bound, the
+        may-contain discipline's estimate analog. Without a built
+        index the answer is honestly unknown (``indexed: false``)
+        rather than a fake full-scan number.
+        """
+        from graphouse_spark.functions.target import collect_series_globs
+        from graphouse_spark.sources import skipping
+
+        if not self._loaded:
+            raise RuntimeError("metric tree not loaded yet (the reference returns 503)")
+        names: list[str] = []
+        seen: set[str] = set()
+        for g in collect_series_globs(target):
+            for m in self.tree.search(g):
+                if not m.endswith(".") and m not in seen:
+                    seen.add(m)
+                    names.append(m)
+        out = {"target": target, "series": len(names), "indexed": False,
+               "files_total": None, "files_scanned": None, "rows_estimate": None}
+        index_path = self.data_service.index_path
+        if not index_path or not os.path.isdir(index_path):
+            return out
+        try:
+            index = skipping.read_file_index(self.spark, index_path)
+            rows_by_file: dict[str, int] = {}
+            for r in index.select("file", "rows").collect():
+                rows_by_file[r["file"]] = max(
+                    rows_by_file.get(r["file"], 0), r["rows"] or 0)
+            files = skipping.prune_files_for_query(index, names, start, end)
+            bloom_path = index_path.rstrip("/") + "_bloom"
+            if files and os.path.isdir(bloom_path):
+                blooms = skipping.read_bloom_index(self.spark, bloom_path)
+                indexed = {r["file"] for r in
+                           blooms.select("file").distinct().collect()}
+                may = set(skipping.prune_files_bloom(blooms, names))
+                files = [f for f in files if f not in indexed or f in may]
+        except Exception:
+            return out  # unreadable index: same honest-unknown answer
+        out.update(
+            indexed=True,
+            files_total=len(rows_by_file),
+            files_scanned=len(files),
+            rows_estimate=sum(rows_by_file.get(f, 0) for f in files),
+        )
+        return out
 
     # -- /metrics/find (graphite-web finder JSON, beyond-reference) --
     def find_nodes(self, query: str) -> list[dict]:

@@ -378,3 +378,36 @@ def test_query_log_records_requests(server):
     from graphouse_spark.querylog import QueryLog
     empty = QueryLog().frame(svc.spark)
     assert empty.count() == 0 and "duration_ms" in empty.columns
+
+
+def test_explain_estimate(server, spark, tmp_path):
+    """CH EXPLAIN ESTIMATE parity: scan cost from the skip indexes
+    without executing; honestly unknown when no index is built."""
+    svc, http, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    # no index on the fixture service -> indexed: false over HTTP
+    code, body = get(port, f"/explain?target=one_min.srv1.cpu&from={BASE}&until={BASE+180}&estimate=1")
+    assert code == 200
+    est = json.loads(body)
+    assert est["indexed"] is False and est["series"] == 1
+    assert est["rows_estimate"] is None
+
+    # with zonemap + bloom built, the estimate prunes and bounds rows
+    from graphouse_spark.api.service import GraphouseService
+    from graphouse_spark.maintenance import run_bloom_update, run_index_update
+
+    ip = str(tmp_path / "zm")
+    run_index_update(spark, svc.data_path, ip)
+    run_bloom_update(spark, svc.data_path, ip)
+    svc2 = GraphouseService(spark, svc.data_path, svc.metrics_path,
+                            svc.provider, index_path=ip)
+    svc2.load_tree()
+    est = svc2.estimate_target("one_min.srv1.cpu", BASE, BASE + 180)
+    assert est["indexed"] is True
+    assert 0 < est["files_scanned"] <= est["files_total"]
+    assert est["rows_estimate"] >= 3  # upper bound covers the 3 real points
+    # a ghost target estimates zero scan
+    est0 = svc2.estimate_target("one_min.ghost.cpu", BASE, BASE + 180)
+    assert est0["series"] == 0 and est0["files_scanned"] == 0
+    assert est0["rows_estimate"] == 0

@@ -78,7 +78,8 @@ def main() -> None:
              "doc_minhash_np", "doc_duplicated_spans",
              "emb_cosine_topk_np", "emb_quantize",
              "doc_lm_perplexity", "emb_twostage_topk",
-             "ev_weighted_quantiles", "doc_url_funcs"]
+             "ev_weighted_quantiles", "doc_url_funcs",
+             "ts_lttb", "ts_linreg_line", "ts_map_reduce"]
     qs = em.queries()
     print(f"{'query':24s} {'1x':>8s} {'x' + str(copies):>8s} {'ratio':>7s}")
     for name in names:
