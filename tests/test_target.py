@@ -57,5 +57,7 @@ def test_evaluate_nested_pipeline(series):
 
 
 def test_unknown_function_lists_supported(series):
-    with pytest.raises(ValueError, match="unsupported function 'stacked'"):
-        evaluate_target(series, "stacked(events.*)")
+    # 'stacked' graduated to a registered pass-through in round 8, so
+    # the canary must be a name graphite never had
+    with pytest.raises(ValueError, match="unsupported function 'frobnicate'"):
+        evaluate_target(series, "frobnicate(events.*)")
