@@ -1,0 +1,158 @@
+"""CLI daemon: ``python -m graphouse_spark`` — the reference's runnable
+service (graphouse ships as a jar started with a properties file;
+GraphouseWebServer + MetricServer under one process) as one command.
+
+    # serve: HTTP API + graphite TCP ingest under one process
+    python -m graphouse_spark serve --data /lake/data --metrics /lake/metrics \
+        --checkpoint /lake/ckpt --http-port 2005 --graphite-port 2003 \
+        --rollup-xml rollup.xml --index /lake/zonemap
+
+    # batch backfill from graphite plaintext files
+    python -m graphouse_spark ingest-file lines.txt --data ... --metrics ...
+
+    # the nightly bundle: autohide -> rollup -> compaction -> index refresh
+    python -m graphouse_spark maintain --data ... --metrics ... --index ...
+
+Port parity: 2003 is carbon's plaintext port (MetricServer.java), 2005
+graphouse's HTTP port. ``--rollup-xml`` takes the SAME graphite_rollup
+XML the reference feeds ClickHouse (doc/install.md:12-152), so a
+migrating user reuses their config file unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="graphouse_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--data", required=True, help="points table path")
+        p.add_argument("--metrics", required=True, help="metric-tree table path")
+        p.add_argument("--rollup-xml", help="ClickHouse graphite_rollup XML")
+        p.add_argument("--index", help="zonemap index path (bloom sidecar rides next to it)")
+
+    serve = sub.add_parser("serve", help="HTTP API + graphite TCP ingest")
+    common(serve)
+    serve.add_argument("--checkpoint", required=True)
+    serve.add_argument("--host", default="127.0.0.1")
+    serve.add_argument("--http-port", type=int, default=2005)
+    serve.add_argument("--graphite-port", type=int, default=2003,
+                       help="0 disables the ingest listener")
+    serve.add_argument("--trigger-seconds", type=int, default=5)
+    serve.add_argument("--lazy-tree", action="store_true",
+                       help="CH-style cold start: no bootstrap tree scan")
+
+    ing = sub.add_parser("ingest-file", help="batch backfill from line files")
+    common(ing)
+    ing.add_argument("files", nargs="+")
+
+    mnt = sub.add_parser("maintain", help="autohide -> rollup -> compaction -> index")
+    common(mnt)
+    return ap
+
+
+def _provider(args):
+    from graphouse_spark.retention import (
+        CombinedRetentionProvider, DefaultRetentionProvider, parse_rollup_xml)
+
+    if args.rollup_xml:
+        with open(args.rollup_xml) as f:
+            return CombinedRetentionProvider(parse_rollup_xml(f.read()))
+    return DefaultRetentionProvider()
+
+
+def run_serve(args, spark=None, block: bool = True):
+    """Wire service + HTTP + ingest; returns (service, http, query) so
+    tests drive it in-process; ``block=True`` parks the main thread."""
+    from graphouse_spark.api.http import start_http_server
+    from graphouse_spark.api.service import GraphouseService
+    from graphouse_spark.session import get_spark
+    from graphouse_spark.streaming.ingest import IngestConfig, start_socket_ingest
+
+    spark = spark or get_spark("graphouse-serve")
+    # first boot on an empty lake: bootstrap an empty metrics table so
+    # the daemon serves (empty tree) instead of dying on PATH_NOT_FOUND
+    import os
+
+    if not os.path.exists(args.metrics):
+        from graphouse_spark.schemas import METRICS_SCHEMA
+        from graphouse_spark.sources.tables import write_metrics
+
+        write_metrics(spark.createDataFrame([], METRICS_SCHEMA), args.metrics)
+    svc = GraphouseService(
+        spark, args.data, args.metrics, _provider(args),
+        index_path=args.index, lazy_tree=args.lazy_tree,
+    )
+    if not args.lazy_tree:
+        svc.load_tree()
+    http = start_http_server(svc, host=args.host, port=args.http_port)
+    query = None
+    if args.graphite_port:
+        cfg = IngestConfig(args.data, args.metrics, args.checkpoint,
+                           trigger_seconds=args.trigger_seconds)
+        query = start_socket_ingest(spark, cfg, host=args.host,
+                                    port=args.graphite_port, server_mode=True)
+    print(f"serving http on {http.server_address[0]}:{http.server_address[1]}"
+          + (f", graphite on :{args.graphite_port}" if query else ""),
+          file=sys.stderr)
+    if block:
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            if query:
+                query.stop()
+            http.shutdown()
+    return svc, http, query
+
+
+def run_ingest_file(args, spark=None) -> int:
+    """Backfill graphite plaintext files through the SAME pipeline the
+    live socket uses (parse -> validate -> ban check -> data + tree)."""
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.session import get_spark
+    from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
+    from graphouse_spark.sources.graphite import parse_lines
+
+    spark = spark or get_spark("graphouse-backfill")
+    raw = spark.read.text(args.files).withColumnRenamed("value", "value") \
+        .selectExpr("value")
+    parsed = parse_lines(raw, updated=F.unix_timestamp())
+    cfg = IngestConfig(args.data, args.metrics, checkpoint_path="")
+    ingest_batch(parsed, cfg, known_names=None)
+    n = parsed.count()
+    print(f"ingested {n} lines", file=sys.stderr)
+    return n
+
+
+def run_maintain(args, spark=None) -> dict:
+    from graphouse_spark.maintenance import run_all
+    from graphouse_spark.session import get_spark
+
+    spark = spark or get_spark("graphouse-maintain")
+    report = run_all(spark, args.data, args.metrics, _provider(args),
+                     index_path=args.index)
+    print(report, file=sys.stderr)
+    return report
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "serve":
+        run_serve(args)
+    elif args.cmd == "ingest-file":
+        run_ingest_file(args)
+    elif args.cmd == "maintain":
+        run_maintain(args)
+
+
+if __name__ == "__main__":
+    main()
