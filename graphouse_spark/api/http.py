@@ -63,6 +63,26 @@ def make_handler(service: GraphouseService):
             self.end_headers()
             self.wfile.write(data)
 
+        def _serve_query(self, q: str, fmt: str) -> None:
+            """Shared /query dispatch (GET param or CH-style POST body)."""
+            if not q:
+                self._send(400, "query parameter required")
+                return
+            try:
+                body = service.sql(q, fmt)
+            except ValueError as e:  # readonly/statement guard
+                self._send(400, str(e))
+                return
+            except RuntimeError:
+                raise  # tree-not-loaded -> outer 503
+            except Exception as e:  # AnalysisException et al.
+                # CH returns the parser/analyzer error as text
+                self._send(400, f"{type(e).__name__}: {e}")
+                return
+            ctype = ("application/json" if fmt.upper() == "JSON"
+                     else "text/tab-separated-values")
+            self._send(200, body, ctype)
+
         def _form(self) -> dict:
             length = int(self.headers.get("Content-Length", "0"))
             raw = self.rfile.read(length).decode("utf-8") if length else ""
@@ -158,6 +178,11 @@ def make_handler(service: GraphouseService):
                             "application/json")
                         return
                     self._send(200, service.explain_target(target, start, end))
+                elif route == "/query":
+                    # CH HTTP interface analog: ?query=SELECT ...
+                    # (&default_format=JSON for FORMAT JSON shape)
+                    self._serve_query(params.get("query", ""),
+                                      params.get("default_format", "TSV"))
                 elif route == "/query_log":
                     # system.query_log analog (querylog.py): newest-last
                     limit = int(params["limit"]) if "limit" in params else None
@@ -186,6 +211,17 @@ def make_handler(service: GraphouseService):
             parsed = urlparse(self.path)
             route = parsed.path
             qparams = {k: v[0] for k, v in parse_qs(parsed.query, keep_blank_values=True).items()}
+            if route == "/query":
+                # CH clients POST the raw SQL as the body (no form
+                # encoding); ?query= still wins when present
+                length = int(self.headers.get("Content-Length", "0"))
+                raw = self.rfile.read(length).decode("utf-8") if length else ""
+                try:
+                    self._serve_query(qparams.get("query") or raw,
+                                      qparams.get("default_format", "TSV"))
+                except RuntimeError as e:
+                    self._send(503, str(e))
+                return
             form = self._form()
             try:
                 if route == "/search":

@@ -285,6 +285,67 @@ class GraphouseService:
             })
         return pickle.dumps(out, protocol=2)
 
+    def sql(self, query: str, fmt: str = "TSV",
+            max_rows: int = 10000) -> str:
+        """ClickHouse HTTP-interface analog: ad-hoc SELECT over the
+        lake with the CH dialect registered.
+
+        A graphouse admin's day-to-day is CH SQL against
+        ``graphite.data`` / ``graphite.metrics``; this serves the same
+        queries engine-side: both tables register as views (the
+        ``graphite.`` qualifier rewrites to the view names), every CH
+        scalar spelling resolves via the dialect shim
+        (``chdialect.register_ch_dialect`` — parse-level, zero Python
+        in the plan), and results come back as CH ``TabSeparated`` or
+        ``FORMAT JSON`` ({meta, data, rows}).
+
+        READ-ONLY by design: one statement, must start with
+        SELECT/WITH/EXPLAIN — the write path belongs to ingest and
+        maintenance, not an HTTP query string (CH admins firewall
+        this the same way with readonly=1).
+        """
+        from graphouse_spark.chdialect import register_ch_dialect
+
+        head = query.lstrip().split(None, 1)
+        if not head or head[0].upper() not in ("SELECT", "WITH", "EXPLAIN"):
+            raise ValueError("only SELECT/WITH/EXPLAIN queries are served "
+                             "(readonly interface)")
+        if ";" in query.rstrip().rstrip(";"):
+            raise ValueError("one statement per request")
+        with self.query_log.track("/query", query.strip()[:200]) as log:
+            register_ch_dialect(self.spark)
+            read_data(self.spark, self.data_path).createOrReplaceTempView("data")
+            read_metrics(self.spark, self.metrics_path).createOrReplaceTempView(
+                "metrics")
+            rewritten = (query.replace("graphite.data", "data")
+                         .replace("graphite.metrics", "metrics"))
+            # the mechanically-renameable CH aggregates (scalar shims
+            # can't cover aggregates; chdialect.AGGREGATE_EQUIVALENTS
+            # documents the full rewrite table)
+            import re as _re
+
+            for ch, sp in (("argMax", "max_by"), ("argMin", "min_by"),
+                           ("uniq", "approx_count_distinct")):
+                rewritten = _re.sub(rf"\b{ch}\s*\(", sp + "(", rewritten)
+            df = self.spark.sql(rewritten).limit(max_rows)
+            rows = df.collect()
+            log["rows"] = len(rows)
+            if fmt.upper() == "JSON":
+                return json.dumps({
+                    "meta": [{"name": f.name, "type": f.dataType.simpleString()}
+                             for f in df.schema.fields],
+                    "data": [
+                        {f: (None if v is None else v) for f, v in r.asDict().items()}
+                        for r in rows
+                    ],
+                    "rows": len(rows),
+                }, default=str)
+            # CH TabSeparated: \t columns, \n rows, no header
+            return "\n".join(
+                "\t".join("\\N" if v is None else str(v) for v in r)
+                for r in rows
+            ) + ("\n" if rows else "")
+
     def find_pickle(self, query: str) -> bytes:
         """``/metrics/find?format=pickle`` — the remote-finder twin of
         :meth:`find_nodes`: a pickled list of

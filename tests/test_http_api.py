@@ -411,3 +411,53 @@ def test_explain_estimate(server, spark, tmp_path):
     est0 = svc2.estimate_target("one_min.ghost.cpu", BASE, BASE + 180)
     assert est0["series"] == 0 and est0["files_scanned"] == 0
     assert est0["rows_estimate"] == 0
+
+
+def test_ch_sql_http_interface(server):
+    """CH HTTP-interface analog: ad-hoc CH-dialect SELECT over
+    graphite.data / graphite.metrics, TSV and FORMAT JSON shapes,
+    readonly guard, analyzer errors as 400 text."""
+    svc, http, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    q = urllib.parse.quote(
+        "SELECT metric, argMax(value, updated) AS v FROM graphite.data "
+        f"WHERE timestamp = {BASE} GROUP BY metric ORDER BY metric")
+    code, body = get(port, f"/query?query={q}")
+    assert code == 200
+    lines = body.strip().split("\n")
+    assert lines[0].split("\t") == ["one_min.srv1.cpu", "1.0"]
+    assert len(lines) == 2
+
+    # CH scalar spellings resolve through the dialect shim
+    q2 = urllib.parse.quote(
+        "SELECT toStartOfFiveMinutes(timestamp) AS b, count(*) AS n "
+        "FROM graphite.data GROUP BY b ORDER BY b")
+    code, body = get(port, f"/query?query={q2}&default_format=JSON")
+    assert code == 200
+    payload = json.loads(body)
+    assert payload["rows"] >= 1
+    assert {m["name"] for m in payload["meta"]} == {"b", "n"}
+    assert sum(r["n"] for r in payload["data"]) == 6
+
+    # readonly guard + analyzer errors
+    code, _ = get(port, "/query?query=" + urllib.parse.quote("DROP TABLE data"))
+    assert code == 400
+    code, _ = get(port, "/query?query=" + urllib.parse.quote("SELECT 1; SELECT 2"))
+    assert code == 400
+    code, body = get(port, "/query?query=" + urllib.parse.quote("SELECT nope FROM data"))
+    assert code == 400
+    # the served queries landed in the query log
+    assert any(e["route"] == "/query" for e in svc.query_log.entries())
+
+
+def test_ch_sql_post_raw_body(server):
+    svc, http, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    sql = f"SELECT count(*) FROM graphite.data WHERE timestamp >= {BASE}"
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/query", data=sql.encode(), method="POST")
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        assert resp.status == 200
+        assert resp.read().decode().strip() == "6"
