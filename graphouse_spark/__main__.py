@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("--http-port", type=int, default=2005)
     serve.add_argument("--graphite-port", type=int, default=2003,
                        help="0 disables the ingest listener")
+    serve.add_argument("--pickle-port", type=int, default=0,
+                       help="carbon pickle-protocol listener (carbon's :2004); 0 = off")
     serve.add_argument("--trigger-seconds", type=int, default=5)
     serve.add_argument("--lazy-tree", action="store_true",
                        help="CH-style cold start: no bootstrap tree scan")
@@ -91,14 +93,23 @@ def run_serve(args, spark=None, block: bool = True):
     if not args.lazy_tree:
         svc.load_tree()
     http = start_http_server(svc, host=args.host, port=args.http_port)
-    query = None
+    query = pickle_query = None
     if args.graphite_port:
         cfg = IngestConfig(args.data, args.metrics, args.checkpoint,
                            trigger_seconds=args.trigger_seconds)
         query = start_socket_ingest(spark, cfg, host=args.host,
                                     port=args.graphite_port, server_mode=True)
+    if getattr(args, "pickle_port", 0):
+        # second listener, own checkpoint: both feed the same tables
+        pcfg = IngestConfig(args.data, args.metrics,
+                            args.checkpoint.rstrip("/") + "-pickle",
+                            trigger_seconds=args.trigger_seconds)
+        pickle_query = start_socket_ingest(
+            spark, pcfg, host=args.host, port=args.pickle_port,
+            server_mode=True, protocol="pickle")
     print(f"serving http on {http.server_address[0]}:{http.server_address[1]}"
-          + (f", graphite on :{args.graphite_port}" if query else ""),
+          + (f", graphite on :{args.graphite_port}" if query else "")
+          + (f", pickle on :{args.pickle_port}" if pickle_query else ""),
           file=sys.stderr)
     if block:
         try:
@@ -107,8 +118,9 @@ def run_serve(args, spark=None, block: bool = True):
         except KeyboardInterrupt:
             pass
         finally:
-            if query:
-                query.stop()
+            for q in (query, pickle_query):
+                if q:
+                    q.stop()
             http.shutdown()
     return svc, http, query
 

@@ -49,7 +49,11 @@ class GraphiteLinesPartition(InputPartition):
 
 
 class GraphiteDataSource(DataSource):
-    """format("graphite") — options: host (bind addr), port."""
+    """format("graphite") — options: host (bind addr), port, protocol
+    (``line`` = carbon plaintext :2003, the reference's contract;
+    ``pickle`` = carbon's batched pickle protocol :2004 — 4-byte
+    length-framed lists of ``(metric, (ts, value))``, what
+    carbon-relay/aggregator fleets actually emit)."""
 
     @classmethod
     def name(cls) -> str:
@@ -68,6 +72,9 @@ class GraphiteStreamReader(DataSourceStreamReader):
 
         self._host = options.get("host", "0.0.0.0")
         self._port = int(options.get("port", DEFAULT_PORT))
+        self._protocol = options.get("protocol", "line")
+        if self._protocol not in ("line", "pickle"):
+            raise ValueError(f"unknown protocol {self._protocol!r} (line or pickle)")
         self._lock = threading.Lock()
         self._buffer: deque = deque()
         self._base = 0  # absolute offset of buffer[0]
@@ -99,7 +106,9 @@ class GraphiteStreamReader(DataSourceStreamReader):
                 conn, _ = self._server.accept()
             except OSError:
                 return
-            threading.Thread(target=self._reader, args=(conn,), daemon=True).start()
+            reader = (self._reader_pickle if self._protocol == "pickle"
+                      else self._reader)
+            threading.Thread(target=reader, args=(conn,), daemon=True).start()
 
     def _reader(self, conn: socket.socket) -> None:
         with conn, conn.makefile("r", encoding="utf-8", errors="replace") as f:
@@ -111,6 +120,61 @@ class GraphiteStreamReader(DataSourceStreamReader):
                 with self._lock:
                     self._buffer.append((line, now))
                     self._count += 1
+
+    #: oversized pickle frame cutoff — a sane relay batch is kilobytes
+    MAX_PICKLE_FRAME = 16 * 1024 * 1024
+
+    def _reader_pickle(self, conn: socket.socket) -> None:
+        """carbon pickle protocol: ``!L``-framed pickled batches of
+        ``(metric, (ts, value))``. Each datapoint converts to the SAME
+        plaintext line shape the line reader buffers, so everything
+        downstream (parse -> validate -> ban -> write) is shared.
+
+        Unpickling network bytes normally executes arbitrary
+        constructors; the Unpickler here forbids ALL globals — carbon
+        batches are pure lists/tuples/numbers/strings and need none, so
+        a malicious frame fails to load instead of running code (carbon
+        itself grew the same guard as USE_INSECURE_UNPICKLER=False).
+        Corrupt frames drop; framing errors drop the connection.
+        """
+        import io
+        import pickle
+        import struct
+
+        class _SafeUnpickler(pickle.Unpickler):
+            def find_class(self, module, name):  # noqa: ARG002
+                raise pickle.UnpicklingError("globals forbidden in metric frames")
+
+        with conn:
+            f = conn.makefile("rb")
+            while not self._stopped.is_set():
+                header = f.read(4)
+                if len(header) < 4:
+                    return
+                (length,) = struct.unpack("!L", header)
+                if not 0 < length <= self.MAX_PICKLE_FRAME:
+                    return
+                payload = f.read(length)
+                if len(payload) < length:
+                    return
+                try:
+                    batch = _SafeUnpickler(io.BytesIO(payload)).load()
+                except Exception:
+                    continue  # corrupt/hostile frame: skip it
+                if not isinstance(batch, (list, tuple)):
+                    continue
+                now = int(self._time.time())
+                rows = []
+                for item in batch:
+                    try:
+                        metric, (ts, value) = item
+                        rows.append((f"{metric} {value} {int(float(ts))}", now))
+                    except (TypeError, ValueError):
+                        continue  # malformed datapoint: skip it
+                with self._lock:
+                    for r in rows:
+                        self._buffer.append(r)
+                        self._count += 1
 
     # -- offsets (line counters) --
     def initialOffset(self) -> dict:
@@ -142,7 +206,8 @@ class GraphiteStreamReader(DataSourceStreamReader):
         # read() runs on executors: ship nothing but identity — the
         # partition object already carries its rows; sockets, locks and
         # the ring buffer stay on the driver
-        return {"_host": self._host, "_port": self._port}
+        return {"_host": self._host, "_port": self._port,
+                "_protocol": self._protocol}
 
     def __setstate__(self, state: dict) -> None:
         self.__dict__.update(state)

@@ -107,7 +107,8 @@ def ingest_batch(batch: DataFrame, cfg: IngestConfig, known_names: DataFrame | N
 
 
 def start_socket_ingest(spark: SparkSession, cfg: IngestConfig, host: str = "localhost",
-                        port: int = 2003, server_mode: bool = False):
+                        port: int = 2003, server_mode: bool = False,
+                        protocol: str = "line"):
     """Wire the pipeline to live TCP (the reference's ingestion daemon).
 
     ``server_mode=False``: Spark's socket source (we dial out — handy in
@@ -129,6 +130,7 @@ def start_socket_ingest(spark: SparkSession, cfg: IngestConfig, host: str = "loc
             spark.readStream.format("graphite")
             .option("host", host)
             .option("port", str(port))
+            .option("protocol", protocol)  # line (:2003) or carbon pickle (:2004)
             .load()
         )
         parsed = parse_lines(raw, updated=F.col("updated"))
