@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("--trigger-seconds", type=int, default=5)
     serve.add_argument("--lazy-tree", action="store_true",
                        help="CH-style cold start: no bootstrap tree scan")
+    serve.add_argument("--render-cache-ttl", type=int, default=0,
+                       help="seconds to cache identical /render results "
+                            "(CH use_query_cache analog); 0 = off")
 
     ing = sub.add_parser("ingest-file", help="batch backfill from line files")
     common(ing)
@@ -90,6 +93,7 @@ def run_serve(args, spark=None, block: bool = True):
         spark, args.data, args.metrics, _provider(args),
         index_path=args.index, lazy_tree=args.lazy_tree,
     )
+    svc.render_cache_ttl = getattr(args, "render_cache_ttl", 0)
     if not args.lazy_tree:
         svc.load_tree()
     http = start_http_server(svc, host=args.host, port=args.http_port)

@@ -24,6 +24,7 @@ import contextlib
 import io
 import json
 import os
+import time as _time
 
 from pyspark.sql import SparkSession
 
@@ -57,6 +58,12 @@ class GraphouseService:
         from graphouse_spark.querylog import QueryLog
 
         self.query_log = QueryLog()
+        # CH query-cache analog for /render (use_query_cache): dashboards
+        # re-poll identical targets on a refresh interval; a short TTL
+        # serves the repeat from memory. 0 = off (default — correctness
+        # first; the reference has no result cache either).
+        self.render_cache_ttl = 0
+        self._render_cache: dict = {}
         if lazy_tree:
             # CH-style cold start: no bootstrap scan; directories load
             # on first touch through the X6 batcher, so concurrent
@@ -232,6 +239,17 @@ class GraphouseService:
                     })
             return out
 
+        cache_key = (tuple(targets), start, end, max_data_points)
+        if self.render_cache_ttl > 0:
+            hit = self._render_cache.get(cache_key)
+            if hit is not None and hit[0] > _time.time():
+                import copy
+
+                cached = copy.deepcopy(hit[1])
+                self.query_log.record(
+                    "/render", ";".join(targets), int(_time.time()), 0.0,
+                    sum(len(s["datapoints"]) for s in cached), "cached", req_key)
+                return cached
         with self.query_log.track(
             "/render", ";".join(targets), req_key
         ) as log:
@@ -246,6 +264,18 @@ class GraphouseService:
             else:
                 out = run()
             log["rows"] = sum(len(s["datapoints"]) for s in out)
+            if self.render_cache_ttl > 0:
+                import copy
+
+                if len(self._render_cache) >= 256:  # bounded: drop expired,
+                    now = _time.time()              # else the oldest entry
+                    for k in [k for k, (exp, _) in self._render_cache.items()
+                              if exp <= now]:
+                        del self._render_cache[k]
+                    if len(self._render_cache) >= 256:
+                        self._render_cache.pop(next(iter(self._render_cache)))
+                self._render_cache[cache_key] = (
+                    _time.time() + self.render_cache_ttl, copy.deepcopy(out))
             return out
 
     def render_json(self, *args, **kwargs) -> str:

@@ -461,3 +461,30 @@ def test_ch_sql_post_raw_body(server):
     with urllib.request.urlopen(req, timeout=30) as resp:
         assert resp.status == 200
         assert resp.read().decode().strip() == "6"
+
+
+def test_render_query_cache(server):
+    """CH use_query_cache analog: with a TTL set, an identical /render
+    repeat serves from memory (query_log shows 'cached'), results are
+    identical, and mutation of a served copy cannot poison the cache."""
+    svc, http, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    svc.render_cache_ttl = 60
+    try:
+        svc._render_cache.clear()
+        first = svc.render("sumSeries(one_min.*.cpu)", BASE, BASE + 600)
+        second = svc.render("sumSeries(one_min.*.cpu)", BASE, BASE + 600)
+        assert first == second
+        assert svc.query_log.entries()[-1]["status"] == "cached"
+        assert svc.query_log.entries()[-2]["status"] == "ok"
+        # served copies are isolated from the cache
+        second[0]["datapoints"].clear()
+        third = svc.render("sumSeries(one_min.*.cpu)", BASE, BASE + 600)
+        assert third == first
+        # different window -> real execution
+        svc.render("sumSeries(one_min.*.cpu)", BASE, BASE + 660)
+        assert svc.query_log.entries()[-1]["status"] == "ok"
+    finally:
+        svc.render_cache_ttl = 0
+        svc._render_cache.clear()
