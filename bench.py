@@ -92,6 +92,7 @@ EXTENDED_QUERIES = [
     "ts_series_lists",         # rank-paired divide/sumSeriesLists
     "ts_remove_between_pctl",  # per-ts percentile band prune
     "ts_map_reduce",           # reduceSeries as one equi-join
+    "ts_lttb",                 # shape-preserving downsample (CH LTTB)
 ]
 
 

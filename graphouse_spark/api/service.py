@@ -187,7 +187,7 @@ class GraphouseService:
                 frame = self.data_service.base_series(
                     self.spark, data, names, start, end, now_seconds
                 )
-                evaluated = evaluate_target(frame, target)
+                evaluated = evaluate_target(frame, target, start=start, end=end)
                 # consolidateBy tag (round 8): the evaluator leaves a
                 # literal column naming the reduction function; read it
                 # (bounded 1-row action, only when present) and strip it
@@ -239,7 +239,10 @@ class GraphouseService:
                     })
             return out
 
-        cache_key = (tuple(targets), start, end, max_data_points)
+        # now_seconds is part of the key: it selects the retention step
+        # (metric age), so aliasing across different nows serves wrong
+        # steps. HTTP callers pass None; direct API callers vary it.
+        cache_key = (tuple(targets), start, end, max_data_points, now_seconds)
         if self.render_cache_ttl > 0:
             hit = self._render_cache.get(cache_key)
             if hit is not None and hit[0] > _time.time():
@@ -306,7 +309,10 @@ class GraphouseService:
             deltas = [b - a for a, b in zip(tss, tss[1:]) if b > a]
             step = min(deltas) if deltas else 60
             t0, t1 = tss[0], tss[-1] + step
-            lookup = dict(pts)
+            # snap every point to its floor grid slot (last wins) so an
+            # irregular timestamp lands in the nearest cell instead of
+            # silently vanishing from the regular remote grid
+            lookup = {t0 + ((t - t0) // step) * step: v for t, v in pts}
             out.append({
                 "name": s["target"],
                 "pathExpression": s["target"],
@@ -342,6 +348,20 @@ class GraphouseService:
                              "(readonly interface)")
         if ";" in query.rstrip().rstrip(";"):
             raise ValueError("one statement per request")
+        # SELECT alone is not read-only-safe in Spark SQL: reflect()/
+        # java_method() call arbitrary JVM statics and file-format
+        # tables (text.`/etc/passwd`) read arbitrary paths. Refuse both
+        # — the engine's data surface is the two registered views.
+        import re as _re
+
+        if _re.search(r"(?i)\b(reflect|java_method|input_file_name|"
+                      r"input_file_block_start|input_file_block_length)\s*\(",
+                      query):
+            raise ValueError("JVM-reflective functions are not served")
+        if _re.search(r"(?i)\b(text|csv|json|parquet|orc|avro|binaryfile)\s*\.\s*`",
+                      query):
+            raise ValueError("file-format table access is not served "
+                             "(query the registered views)")
         with self.query_log.track("/query", query.strip()[:200]) as log:
             register_ch_dialect(self.spark)
             read_data(self.spark, self.data_path).createOrReplaceTempView("data")
@@ -414,7 +434,7 @@ class GraphouseService:
         frame = self.data_service.base_series(
             self.spark, data, names, start, end, now_seconds
         )
-        df = evaluate_target(frame, target)
+        df = evaluate_target(frame, target, start=start, end=end)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")

@@ -374,7 +374,9 @@ _NEEDS_BASE = {
 
 
 def evaluate_target(series: DataFrame, target: str,
-                    metric_col: str = "metric") -> DataFrame:
+                    metric_col: str = "metric",
+                    start: int | None = None,
+                    end: int | None = None) -> DataFrame:
     """Evaluate a render target against the (metric, ts, value) frame.
 
     A bare path selects matching series (glob filter — pushed to the
@@ -382,8 +384,18 @@ def evaluate_target(series: DataFrame, target: str,
     first argument, passing remaining literals through. Unknown
     function -> ValueError listing what IS supported (graphite-web can
     still post-process those: the raw-series contract is unchanged).
+
+    ``start``/``end`` are the render window (graphite's
+    requestContext): generators (constantLine/timeFunction/...) build
+    their grid from them, so a generator-only target renders even when
+    the selection frame is empty. Without them the generators fall
+    back to the frame's own ts bounds (library/test use).
     """
     tree = parse_target(target)
+    gen_base = series
+    if start is not None and end is not None:
+        gen_base = series.sparkSession.createDataFrame(
+            [(int(start),), (int(end),)], "ts long")
 
     def ev(node):
         if isinstance(node, Path):
@@ -434,7 +446,7 @@ def evaluate_target(series: DataFrame, target: str,
                 lits = [
                     a.glob if isinstance(a, Path) else a for a in node.args
                 ]
-                return _GENERATORS[node.name](series, *lits)
+                return _GENERATORS[node.name](gen_base, *lits)
             if node.name not in _REGISTRY and node.name not in _NEEDS_BASE:
                 raise ValueError(
                     f"unsupported function {node.name!r}; engine-side set: "
@@ -483,6 +495,21 @@ def collect_series_globs(target: str) -> list[str]:
         if isinstance(node, Call):
             if node.name in _GENERATORS:
                 return  # literal-first: no arg is ever a series
+            if node.name == "useSeriesAbove" and len(node.args) >= 4:
+                # the pivoted series come from the search->replace
+                # rewrite of the head names; applying it to the head
+                # GLOB is the static prefetch derivation (the canonical
+                # 'requests'->'latency' usage rewrites literal segments)
+                walk(node.args[0], head=True)
+                if isinstance(node.args[0], Path) and isinstance(node.args[2], str) \
+                        and isinstance(node.args[3], str):
+                    try:
+                        g = re.sub(node.args[2], node.args[3], node.args[0].glob)
+                    except re.error:
+                        g = None
+                    if g and g not in out:
+                        out.append(g)
+                return
             if node.name == "applyByNode" and len(node.args) >= 3:
                 # the template's series come from substituting the head
                 # glob's node prefix for '%' — statically derivable, so

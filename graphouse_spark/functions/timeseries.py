@@ -1345,7 +1345,9 @@ def group_series(*series_lists: DataFrame) -> DataFrame:
         raise ValueError("group needs at least one series list")
     out = series_lists[0]
     for s in series_lists[1:]:
-        out = out.unionByName(s)
+        # allowMissingColumns: one branch may carry an extra column
+        # (consolidateBy's tag) — align instead of failing the union
+        out = out.unionByName(s, allowMissingColumns=True)
     return out
 
 
@@ -1691,6 +1693,11 @@ def consolidate_by(series: DataFrame, function: str,
     if fn not in CONSOLIDATIONS:
         raise ValueError(
             f"unknown consolidation {fn!r}; supported: {sorted(CONSOLIDATIONS)}")
+    # Placement: apply consolidateBy OUTERMOST (graphite dashboards do).
+    # Registry functions project (metric, ts, value), so a tag wrapped
+    # INSIDE another call is dropped and the reduction falls back to
+    # average — a documented deviation from graphite, which threads the
+    # attribute through every transform.
     return series.withColumn(CONSOLIDATE_COL, F.lit(fn))
 
 
@@ -1816,10 +1823,27 @@ def reduce_series(series: DataFrame, function: str, reduce_node: int,
     two matchers: numerator, denominator) and sumSeries /
     averageSeries (any number of matchers).
     """
+    n = int(reduce_node)
     parts = F.split(F.col(metric_col), r"\.")
-    key = F.array_join(F.slice(parts, 1, int(reduce_node)), ".")
-    node_val = F.element_at(parts, int(reduce_node) + 1)
-    out_name = F.concat(F.col("_key"), F.lit(f".reduce.{function}"))
+    prefix = F.array_join(F.slice(parts, 1, n), ".")
+    # segments AFTER the reduce node are part of the group key too:
+    # srv.a.disk.used.bytes and srv.a.disk.used.inodes are DIFFERENT
+    # members, and folding them into one (prefix, node) key would make
+    # the binary join many-to-many. graphite-web silently keeps only
+    # the last series per prefix slot here; keying on the full
+    # remainder is the deterministic fix (documented deviation — the
+    # suffix rides the output name so results stay distinguishable).
+    suffix = F.array_join(
+        F.slice(parts, n + 2, F.greatest(F.size(parts) - n - 1, F.lit(0))), ".")
+    node_val = F.element_at(parts, n + 1)
+    key = F.concat_ws("\x1f", prefix, suffix)
+    out_name = F.concat(
+        F.split(F.col("_key"), "\x1f").getItem(0),
+        F.lit(f".reduce.{function}"),
+        F.when(F.split(F.col("_key"), "\x1f").getItem(1) != "",
+               F.concat(F.lit("."), F.split(F.col("_key"), "\x1f").getItem(1))
+               ).otherwise(F.lit("")),
+    )
     tagged = series.select(
         key.alias("_key"), node_val.alias("_node"),
         F.col(ts_col), F.col(value_col),
@@ -1916,20 +1940,42 @@ def pow_series_pairwise(series: DataFrame, ts_col: str = "ts",
     a ^ b ^ c (graphite folds in list order; the engine's deterministic
     order is name order via aggregate over a name-sorted collect).
     Math errors null the point like safePow."""
-    folded = F.aggregate(
-        F.expr(f"array_sort(collect_list(struct({metric_col}, {value_col})))"),
-        F.lit(None).cast("double"),
-        lambda acc, s: F.when(acc.isNull(), s[value_col]).otherwise(
-            F.when(
-                (acc >= 0) | (s[value_col] == F.round(s[value_col], 0)),
-                F.pow(acc, s[value_col]),
-            )
-        ),
+    # struct accumulator (started, failed, v): a null datapoint or a
+    # domain error POISONS the fold — graphite's safePow(None, x) and
+    # safePow(x, None) are both None, so a gap in any series nulls the
+    # point instead of silently restarting the chain at the next value
+    arr = F.expr(f"array_sort(collect_list(struct({metric_col}, {value_col})))")
+    n_vals = F.count(value_col)
+    n_rows = F.count(F.lit(1))
+    init = F.struct(
+        F.lit(False).alias("started"),
+        F.lit(False).alias("failed"),
+        F.lit(0.0).alias("v"),
     )
-    out = series.groupBy(ts_col).agg(F.round(folded, 6).alias(value_col))
+
+    def step(acc, s):
+        x = s[value_col]
+        bad = acc["failed"] | x.isNull()
+        first = ~acc["started"]
+        nxt = F.when(first, x).otherwise(
+            F.when((acc["v"] >= 0) | (x == F.round(x, 0)), F.pow(acc["v"], x))
+        )
+        return F.struct(
+            F.lit(True).alias("started"),
+            (bad | F.when(first, F.lit(False)).otherwise(nxt.isNull() | F.isnan(nxt)))
+            .alias("failed"),
+            F.coalesce(nxt, F.lit(0.0)).alias("v"),
+        )
+
+    folded = F.aggregate(
+        arr, init, step,
+        lambda acc: F.when(acc["started"] & ~acc["failed"], F.round(acc["v"], 6)),
+    )
+    out = series.groupBy(ts_col).agg(
+        folded.alias(value_col), (n_vals == n_rows).alias("_complete"))
     return out.select(
         F.lit("powSeries").alias(metric_col), F.col(ts_col),
-        F.when(~F.isnan(F.col(value_col)), F.col(value_col)).alias(value_col),
+        F.when(F.col("_complete"), F.col(value_col)).alias(value_col),
     )
 
 

@@ -54,7 +54,10 @@ def write_training_shards(docs: DataFrame, out_dir: str, budget: int = 2048,
         .sortWithinPartitions("shard_id", "offset")
         .write.mode("overwrite").partitionBy("group").parquet(out_dir)
     )
-    stats = out.agg(
+    # stats from the WRITTEN files, not the logical plan: re-running
+    # the pack+join lineage would execute the whole pipeline twice,
+    # and the manifest should describe what is actually on disk
+    stats = docs.sparkSession.read.parquet(out_dir).agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_tokens").alias("tokens"),
         F.countDistinct("shard_id").alias("shards"),

@@ -168,7 +168,10 @@ class GraphiteStreamReader(DataSourceStreamReader):
                 for item in batch:
                     try:
                         metric, (ts, value) = item
-                        rows.append((f"{metric} {value} {int(float(ts))}", now))
+                        # round() like the line parser (F.round on the
+                        # ts field) so the same datapoint lands on the
+                        # same second whichever protocol carried it
+                        rows.append((f"{metric} {value} {round(float(ts))}", now))
                     except (TypeError, ValueError):
                         continue  # malformed datapoint: skip it
                 with self._lock:

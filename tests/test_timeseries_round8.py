@@ -490,3 +490,55 @@ def test_lttb_small_buckets_and_multiseries(spark):
     got = lttb_downsample(_mk(spark, rows), 10)
     per = {m: c for m, c in got.groupBy("metric").count().collect()}
     assert per == {"a": 10, "b": 10}
+
+
+# ------------------------------------------------- review-fix regressions
+
+
+def test_generators_use_render_window_when_frame_empty(spark):
+    """Through /render a generator-only target has an EMPTY selection
+    frame; the evaluator must build the grid from start/end."""
+    empty = _mk(spark, []) if False else spark.createDataFrame(
+        [], "metric string, ts long, value double")
+    got = evaluate_target(empty, "threshold(40, 'cap')", start=1000, end=1180)
+    assert {r["ts"] for r in got.collect()} == {1000, 1090, 1180}
+    got = evaluate_target(empty, "timeFunction('t', 60)", start=1000, end=1120)
+    assert {r["ts"] for r in got.collect()} == {1000, 1060, 1120}
+
+
+def test_use_series_above_globs_include_rewrite():
+    globs = collect_series_globs(
+        "useSeriesAbove(app.*.requests, 100, 'requests', 'latency')")
+    assert globs == ["app.*.requests", "app.*.latency"]
+
+
+def test_pow_series_pairwise_null_poisons(spark):
+    from graphouse_spark.functions.timeseries import pow_series_pairwise
+
+    rows = [("a", 0, None), ("b", 0, 5.0), ("a", 60, 2.0), ("b", 60, 3.0)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    got = {r["ts"]: r["value"] for r in pow_series_pairwise(df).collect()}
+    assert got[0] is None   # gap in 'a' -> safePow(None, 5) -> None
+    assert got[60] == 8.0   # untouched timestamps still fold
+
+
+def test_group_aligns_consolidate_tag(series):
+    got = evaluate_target(series, "group(cumulative(s.a), s.b)")
+    assert got.count() == 8  # no AnalysisException from column mismatch
+
+
+def test_reduce_series_deep_suffix_no_blowup(spark):
+    rows = []
+    for suffix, used, total in [("bytes", 30.0, 100.0), ("inodes", 5.0, 50.0)]:
+        rows.append((f"srv.a.disk.used.{suffix}", 0, used))
+        rows.append((f"srv.a.disk.total.{suffix}", 0, total))
+    df = _mk(spark, rows)
+    from graphouse_spark.functions.timeseries import reduce_series
+
+    got = reduce_series(df, "asPercent", 3, "used", "total").collect()
+    by = {r["metric"]: r["value"] for r in got}
+    assert by == {
+        "srv.a.disk.reduce.asPercent.bytes": 30.0,
+        "srv.a.disk.reduce.asPercent.inodes": 10.0,
+    }
+    assert len(got) == 2  # one row per (group, suffix) — no cartesian
