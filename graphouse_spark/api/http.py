@@ -63,6 +63,42 @@ def make_handler(service: GraphouseService):
             self.end_headers()
             self.wfile.write(data)
 
+        def _serve_render(self, params: dict, targets: list[str]) -> None:
+            """Shared /render dispatch (GET query string or POSTed form
+            — grafana's graphite datasource POSTs)."""
+            if not targets:
+                self._send(400, "target parameter required")
+                return
+            fmt = params.get("format", "json")
+            if fmt not in ("json", "csv", "pickle"):
+                self._send(400,
+                           f"unsupported format {fmt!r} (json, csv or pickle)")
+                return
+            now = int(params.get("now", time.time()))
+            start = parse_render_time(params["from"], now)
+            end = parse_render_time(params.get("until", "now"), now)
+            mdp = int(params["maxDataPoints"]) if "maxDataPoints" in params else None
+            req_key = params.get("reqKey") or None
+            if fmt == "pickle":
+                # graphite-web CLUSTER_SERVERS member protocol
+                self._send_bytes(200, service.render_pickle(
+                    targets, start, end, req_key=req_key,
+                    max_data_points=mdp))
+                return
+            series = service.render(targets, start, end, req_key=req_key,
+                                    max_data_points=mdp)
+            if fmt == "csv":
+                # graphite csv: target,datetime,value per point
+                lines = []
+                for s in series:
+                    for v, ts in s["datapoints"]:
+                        dt = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime(ts))
+                        lines.append(
+                            f"{s['target']},{dt},{'' if v is None else v}")
+                self._send(200, "\n".join(lines) + "\n", "text/csv")
+            else:
+                self._send(200, json.dumps(series), "application/json")
+
         def _serve_query(self, q: str, fmt: str) -> None:
             """Shared /query dispatch (GET param or CH-style POST body)."""
             if not q:
@@ -125,42 +161,11 @@ def make_handler(service: GraphouseService):
                         return
                     self._send(200, service.find_nodes_json(q), "application/json")
                 elif route == "/render":
-                    # graphite-web render API (format=json only): target
-                    # repeats like graphite's (multiple target params);
-                    # from/until accept epoch, now, and -Nunit relative
+                    # graphite-web render API: target repeats like
+                    # graphite's (multiple target params); from/until
+                    # accept epoch, now, and -Nunit relative
                     targets = parse_qs(parsed.query, keep_blank_values=True).get("target", [])
-                    if not targets:
-                        self._send(400, "target parameter required")
-                        return
-                    fmt = params.get("format", "json")
-                    if fmt not in ("json", "csv", "pickle"):
-                        self._send(400,
-                                   f"unsupported format {fmt!r} (json, csv or pickle)")
-                        return
-                    now = int(params.get("now", time.time()))
-                    start = parse_render_time(params["from"], now)
-                    end = parse_render_time(params.get("until", "now"), now)
-                    mdp = int(params["maxDataPoints"]) if "maxDataPoints" in params else None
-                    req_key = params.get("reqKey") or None
-                    if fmt == "pickle":
-                        # graphite-web CLUSTER_SERVERS member protocol
-                        self._send_bytes(200, service.render_pickle(
-                            targets, start, end, req_key=req_key,
-                            max_data_points=mdp))
-                        return
-                    series = service.render(targets, start, end, req_key=req_key,
-                                            max_data_points=mdp)
-                    if fmt == "csv":
-                        # graphite csv: target,datetime,value per point
-                        lines = []
-                        for s in series:
-                            for v, ts in s["datapoints"]:
-                                dt = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime(ts))
-                                lines.append(
-                                    f"{s['target']},{dt},{'' if v is None else v}")
-                        self._send(200, "\n".join(lines) + "\n", "text/csv")
-                    else:
-                        self._send(200, json.dumps(series), "application/json")
+                    self._serve_render(params, targets)
                 elif route == "/explain":
                     target = params.get("target", "")
                     if not target:
@@ -221,6 +226,23 @@ def make_handler(service: GraphouseService):
                                       qparams.get("default_format", "TSV"))
                 except RuntimeError as e:
                     self._send(503, str(e))
+                return
+            if route == "/render":
+                # grafana's graphite datasource POSTs the render form
+                # (repeated target fields); query-string params still win
+                length = int(self.headers.get("Content-Length", "0"))
+                raw = self.rfile.read(length).decode("utf-8") if length else ""
+                body = parse_qs(raw, keep_blank_values=True)
+                merged = {k: v[0] for k, v in body.items()}
+                merged.update(qparams)
+                targets = (parse_qs(parsed.query, keep_blank_values=True)
+                           .get("target", []) or body.get("target", []))
+                try:
+                    self._serve_render(merged, targets)
+                except RuntimeError as e:
+                    self._send(503, str(e))
+                except (KeyError, ValueError, TypeError) as e:
+                    self._send(400, f"bad request: {e}")
                 return
             form = self._form()
             try:

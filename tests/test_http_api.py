@@ -488,3 +488,34 @@ def test_render_query_cache(server):
     finally:
         svc.render_cache_ttl = 0
         svc._render_cache.clear()
+
+
+def test_render_post_form(server):
+    """grafana's graphite datasource POSTs the render form (repeated
+    target fields, urlencoded body) — same result as GET."""
+    svc, http, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    body = urllib.parse.urlencode(
+        [("target", "one_min.srv1.cpu"), ("target", "one_min.srv2.cpu"),
+         ("from", str(BASE)), ("until", str(BASE + 180))])
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/render", data=body.encode(), method="POST",
+        headers={"Content-Type": "application/x-www-form-urlencoded"})
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        assert resp.status == 200
+        series = json.loads(resp.read().decode())
+    assert {s["target"] for s in series} == {"one_min.srv1.cpu", "one_min.srv2.cpu"}
+    _, get_body = get(
+        port,
+        f"/render?target=one_min.srv1.cpu&target=one_min.srv2.cpu&from={BASE}&until={BASE + 180}")
+    assert sorted(series, key=str) == sorted(json.loads(get_body), key=str)
+    # missing targets in a POST body -> 400, not a crash
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/render", data=b"from=0", method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+    assert raised
