@@ -2127,60 +2127,32 @@ def q_gh_combinators(spark, sf_dir):
 
 
 def q_sketch_value_quantiles(spark, sf_dir):
-    """Mergeable bfloat16-style quantile sketch (CH quantileBFloat16):
-    daily sketches merged to per-type totals, p50/p95/p99 read from the
-    merged sketch.
+    """Mergeable quantile sketch (CH quantileBFloat16 analog): daily
+    sketches merged to per-type totals, p50/p95/p99 read from the
+    merged sketch — and NOTHING else. At scale the whole point of a
+    stored sketch is to not recompute the exact answer alongside, so
+    the exact twin lives in tests/test_statistics (the |sketch-exact|
+    <= exact/128 bound), not in this serving query.
 
-    Correctness-gate shape (see q_sketch_daily_users): the sketch runs
-    IN the plan and its read is asserted against the exact
-    lower-discrete quantile computed alongside (|sketch - exact| <=
-    exact/128 — the 7-bit-mantissa quantization bound, unit-tested in
-    test_statistics). The output carries the exact quantiles + the
-    bound boolean, so the whole query hash-compares against a DuckDB
-    oracle emitting TRUE literals."""
+    Still hash-oracle-able because the integer-cents quantization
+    (quantile_sketch_table_cents) is pure integer shifts: the DuckDB
+    oracle replays the exact same sketch bit-for-bit, so the gate now
+    asserts the actual sketch VALUES, not a TRUE literal."""
     from graphouse_spark.functions.sketches import (
-        merge_quantile_sketches,
-        quantile_sketch_table,
-        sketch_quantiles,
+        quantile_sketch_table_cents,
+        sketch_quantiles_compact,
     )
 
-    ev = _events_sec(spark, sf_dir).withColumn(
-        "day", F.col("ts_sec") - F.col("ts_sec") % DAY
+    ev = _events_sec(spark, sf_dir).select(
+        "event_type",
+        (F.col("ts_sec") - F.col("ts_sec") % DAY).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("_cents"),
     )
-    daily = quantile_sketch_table(ev, ["event_type", "day"])
-    merged = merge_quantile_sketches(daily, ["event_type"])
-    sk = sketch_quantiles(merged, ["event_type"], [0.5, 0.95, 0.99]).select(
-        "event_type", "p", F.col("value").alias("_sketch_q")
-    )
-    # exact lower-discrete quantile on integer cents: smallest value
-    # whose cumulative count reaches ceil(p * total) — engine-portable
-    cents = F.round(F.col("value") * 100).cast("long")
-    per_val = (
-        _events_sec(spark, sf_dir)
-        .groupBy("event_type", cents.alias("_c"))
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-    )
-    wcum = (
-        Window.partitionBy("event_type").orderBy("_c")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wtot = Window.partitionBy("event_type")
-    cum = per_val.select(
-        "event_type", "_c",
-        F.sum("_cnt").over(wcum).alias("_cum"),
-        F.sum("_cnt").over(wtot).alias("_total"),
-    )
-    ps = spark.createDataFrame([(0.5,), (0.95,), (0.99,)], "p double")
-    exact = (
-        cum.crossJoin(F.broadcast(ps))
-        .filter(F.col("_cum") >= F.ceil(F.col("_total") * F.col("p")))
-        .groupBy("event_type", "p")
-        .agg((F.min("_c") / 100.0).alias("exact_q"))
-    )
-    return exact.join(sk, ["event_type", "p"]).select(
-        "event_type", "p", "exact_q",
-        (F.abs(F.col("_sketch_q") - F.col("exact_q"))
-         <= F.abs(F.col("exact_q")) / 128.0 + 1e-9).alias("sketch_ok"),
+    daily = quantile_sketch_table_cents(ev, ["event_type", "day"], "_cents")
+    # compact read folds the daily partials directly (dup-q safe):
+    # two shuffles end-to-end vs three for merge + window read
+    return sketch_quantiles_compact(daily, ["event_type"], [0.5, 0.95, 0.99]).select(
+        "event_type", "p", (F.col("value") / 100.0).alias("sketch_q")
     )
 
 
@@ -3530,19 +3502,37 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "sketch_value_quantiles": f"""
-            WITH c AS (
-                SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+            -- replays the integer-shift bfloat16-style quantization
+            -- bit-for-bit (top 8 bits of |cents|, round-half-up), then
+            -- reads the lower-discrete quantile from the sketch counts
+            WITH c0 AS (
+                SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+                FROM events
+            ),
+            sb AS (
+                SELECT event_type, c, abs(c) AS ac,
+                       greatest(CAST(floor(log2(abs(c) + CAST(c = 0 AS INT))) AS INT) + 1 - 8, 0) AS s
+                FROM c0
+            ),
+            q AS (
+                SELECT event_type,
+                       CASE WHEN c = 0 THEN 0
+                            ELSE CAST(sign(c) AS BIGINT) *
+                                 (CASE WHEN s = 0 THEN ac
+                                       ELSE ((ac + (CAST(1 AS BIGINT) << (s - 1))) >> s) << s
+                                  END)
+                       END AS q,
                        count(*) AS cnt
-                FROM events GROUP BY 1, 2
+                FROM sb GROUP BY 1, 2
             ),
             t AS (
-                SELECT event_type, c,
-                       sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+                SELECT event_type, q,
+                       sum(cnt) OVER (PARTITION BY event_type ORDER BY q) AS cum,
                        sum(cnt) OVER (PARTITION BY event_type) AS total
-                FROM c
+                FROM q
             ),
             p(p) AS (VALUES (0.5), (0.95), (0.99))
-            SELECT event_type, p, min(c) / 100.0 AS exact_q, TRUE AS sketch_ok
+            SELECT event_type, p, min(q) / 100.0 AS sketch_q
             FROM t CROSS JOIN p
             WHERE cum >= ceil(total * p)
             GROUP BY 1, 2

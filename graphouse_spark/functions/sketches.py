@@ -71,6 +71,38 @@ def quantile_sketch_table(df: DataFrame, group_cols: list[str],
     )
 
 
+def quantile_sketch_table_cents(df: DataFrame, group_cols: list[str],
+                                cents_col: str = "cents",
+                                mantissa_bits: int = 7) -> DataFrame:
+    """Integer-exact variant of :func:`quantile_sketch_table` for
+    fixed-point (cents) values: keep the top ``mantissa_bits + 1``
+    bits of |c| with round-half-up, all in integer shifts — no float
+    log/pow anywhere, so the quantization is bit-identical in ANY
+    engine (the DuckDB oracle replays it with ``<<``/``>>``). Same
+    mergeability: per (group, q) counts, sums merge exactly; relative
+    error <= 2^-(mantissa_bits+1) per value.
+    """
+    c = F.col(cents_col).cast("long")
+    ac = F.abs(c)
+    # exact bit length via the binary string — no float log2
+    bits = F.length(F.bin(ac))
+    s = F.greatest(bits - (mantissa_bits + 1), F.lit(0))
+    base = df.select(*group_cols, c.alias("_c"), ac.alias("_ac"), s.alias("_s"))
+    # python-side F.shiftleft only takes literal shift counts; the SQL
+    # form takes a column shift amount
+    rounded = F.expr(
+        "shiftleft(shiftright(_ac + shiftleft(CAST(1 AS BIGINT), _s - 1), _s), _s)"
+    )
+    q = F.when(F.col("_c") == 0, F.lit(0).cast("long")).otherwise(
+        F.signum("_c").cast("long")
+        * F.when(F.col("_s") == 0, F.col("_ac")).otherwise(rounded)
+    )
+    return (
+        base.groupBy(*group_cols, q.alias("q"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def merge_quantile_sketches(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
     """Fold finer sketch rows into coarser groups — exact (integer sums)."""
     return sketches.groupBy(*group_cols, "q").agg(F.sum("cnt").alias("cnt"))
@@ -109,6 +141,56 @@ def sketch_quantiles(sketches: DataFrame, group_cols: list[str],
         f"CAST({p!r} AS DOUBLE), _q{i}" for i, p in enumerate(ps)
     )
     return wide.selectExpr(
+        *group_cols, f"stack({len(ps)}, {stack_args}) AS (p, value)"
+    )
+
+
+def sketch_quantiles_compact(sketches: DataFrame, group_cols: list[str],
+                             ps: list[float]) -> DataFrame:
+    """Quantile read in ONE groupBy — no window shuffle: collect each
+    group's sketch rows into a q-sorted array and fold once for all
+    quantiles. Correct even on UNMERGED partials (duplicate q across
+    days sort adjacent, and the running cumulative sum crosses the
+    threshold at the same q either way), so day-level partials can be
+    read directly: shuffle count 2 (partial agg + this) instead of 3
+    (merge + window + agg). The array is bounded by #partial-buckets x
+    distinct-q (~2^(mantissa+1) x exponent range) per group, never by
+    input rows; at very long retention pre-merge with
+    :func:`merge_quantile_sketches` first — tests pin both paths equal.
+    The fold is an interpreted HOF but runs over that bounded array,
+    and is evaluated ONCE into a column (HOF lambdas get no CSE).
+    """
+    g = sketches.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list(F.struct("q", "cnt"))).alias("_sk")
+    )
+    total = F.aggregate(
+        "_sk", F.lit(0).cast("long"), lambda a, x: a + x["cnt"]
+    )
+    g = g.select(*group_cols, "_sk", total.alias("_total"))
+    zero = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        *[F.lit(None).cast(sketches.schema["q"].dataType).alias(f"q{i}")
+          for i in range(len(ps))],
+    )
+
+    def step(a, x):
+        cum = a["cum"] + x["cnt"]
+        fields = [cum.alias("cum")]
+        for i, p in enumerate(ps):
+            fields.append(
+                F.coalesce(
+                    a[f"q{i}"],
+                    F.when(cum >= F.ceil(F.col("_total") * F.lit(float(p))), x["q"]),
+                ).alias(f"q{i}")
+            )
+        return F.struct(*fields)
+
+    st = F.aggregate("_sk", zero, step)
+    g = g.select(*group_cols, st.alias("_st"))
+    stack_args = ", ".join(
+        f"CAST({p!r} AS DOUBLE), _st.q{i}" for i, p in enumerate(ps)
+    )
+    return g.selectExpr(
         *group_cols, f"stack({len(ps)}, {stack_args}) AS (p, value)"
     )
 

@@ -102,3 +102,48 @@ def test_quantile_sketch_merge_is_lossless_and_bounded(spark):
     }
     for k, est in got.items():
         assert abs(est - exact[k]) / exact[k] < 2 ** -7, (k, est, exact[k])
+
+
+def test_cents_sketch_exact_quantization_and_compact_read(spark):
+    """The integer-cents sketch (pure shifts, no float log) obeys the
+    same 2^-(m+1) relative bound, merges exactly, and the compact
+    one-groupBy read equals the window read BOTH on merged sketches and
+    directly on unmerged daily partials (duplicate-q safety)."""
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.functions.sketches import (
+        merge_quantile_sketches,
+        quantile_sketch_table_cents,
+        sketch_quantiles,
+        sketch_quantiles_compact,
+    )
+
+    df = spark.range(30000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 7).alias("day"),
+        # mixed signs + zero + wide magnitude range
+        ((F.col("id") % 9941) * 37 - 50000).alias("cents"),
+    )
+
+    daily = quantile_sketch_table_cents(df, ["g", "day"], "cents")
+    merged = merge_quantile_sketches(daily, ["g"])
+    direct = quantile_sketch_table_cents(df, ["g"], "cents")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+    ps = [0.5, 0.95, 0.99]
+    win = sorted(map(tuple, sketch_quantiles(merged, ["g"], ps).collect()))
+    cm = sorted(map(tuple, sketch_quantiles_compact(merged, ["g"], ps).collect()))
+    cd = sorted(map(tuple, sketch_quantiles_compact(daily, ["g"], ps).collect()))
+    assert win == cm == cd
+
+    exact = {
+        (r["g"], p): r[f"p{int(p * 100)}"]
+        for r in df.groupBy("g").agg(
+            *[F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY cents)")
+              .alias(f"p{int(p * 100)}") for p in ps]
+        ).collect()
+        for p in ps
+    }
+    for g, p, est in [(r[0], r[1], r[2]) for r in win]:
+        ex = exact[(g, p)]
+        assert abs(est - ex) <= max(1, abs(ex) * 2 ** -8 + 0.5), (g, p, est, ex)
