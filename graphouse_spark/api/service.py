@@ -335,11 +335,15 @@ class GraphouseService:
         in the plan), and results come back as CH ``TabSeparated`` or
         ``FORMAT JSON`` ({meta, data, rows}).
 
-        READ-ONLY by design: one statement, must start with
-        SELECT/WITH/EXPLAIN — the write path belongs to ingest and
-        maintenance, not an HTTP query string (CH admins firewall
-        this the same way with readonly=1).
+        READ-ONLY by design, enforced on the PARSED PLAN (not the
+        query text — keyword/regex guards fell to CTE-prefixed DML and
+        backtick-quoted spellings): api/sqlguard.py rejects any
+        non-query plan node, any relation outside the two registered
+        views (which also kills file-format tables like
+        text.`/etc/passwd`), and JVM-reflective functions by parsed
+        name. One statement per request, as with CH readonly=1.
         """
+        from graphouse_spark.api import sqlguard
         from graphouse_spark.chdialect import register_ch_dialect
 
         head = query.lstrip().split(None, 1)
@@ -348,35 +352,35 @@ class GraphouseService:
                              "(readonly interface)")
         if ";" in query.rstrip().rstrip(";"):
             raise ValueError("one statement per request")
-        # SELECT alone is not read-only-safe in Spark SQL: reflect()/
-        # java_method() call arbitrary JVM statics and file-format
-        # tables (text.`/etc/passwd`) read arbitrary paths. Refuse both
-        # — the engine's data surface is the two registered views.
-        import re as _re
-
-        if _re.search(r"(?i)\b(reflect|java_method|input_file_name|"
-                      r"input_file_block_start|input_file_block_length)\s*\(",
-                      query):
-            raise ValueError("JVM-reflective functions are not served")
-        if _re.search(r"(?i)\b(text|csv|json|parquet|orc|avro|binaryfile)\s*\.\s*`",
-                      query):
-            raise ValueError("file-format table access is not served "
-                             "(query the registered views)")
         with self.query_log.track("/query", query.strip()[:200]) as log:
             register_ch_dialect(self.spark)
             read_data(self.spark, self.data_path).createOrReplaceTempView("data")
             read_metrics(self.spark, self.metrics_path).createOrReplaceTempView(
                 "metrics")
-            rewritten = (query.replace("graphite.data", "data")
-                         .replace("graphite.metrics", "metrics"))
-            # the mechanically-renameable CH aggregates (scalar shims
-            # can't cover aggregates; chdialect.AGGREGATE_EQUIVALENTS
-            # documents the full rewrite table)
             import re as _re
 
-            for ch, sp in (("argMax", "max_by"), ("argMin", "min_by"),
-                           ("uniq", "approx_count_distinct")):
-                rewritten = _re.sub(rf"\b{ch}\s*\(", sp + "(", rewritten)
+            def _rw(code: str) -> str:
+                # graphite.* qualifiers -> view names, plus the
+                # mechanically-renameable CH aggregates (scalar shims
+                # can't cover aggregates; chdialect.AGGREGATE_EQUIVALENTS
+                # documents the full rewrite table). Runs on CODE
+                # segments only — string literals like
+                # 'graphite.data.x' pass through untouched.
+                code = (code.replace("graphite.data", "data")
+                        .replace("graphite.metrics", "metrics"))
+                for ch, sp in (("argMax", "max_by"), ("argMin", "min_by"),
+                               ("uniq", "approx_count_distinct")):
+                    code = _re.sub(rf"\b{ch}\s*\(", sp + "(", code)
+                return code
+
+            try:
+                rewritten = sqlguard.rewrite_code(query, _rw)
+                sqlguard.assert_readonly(
+                    self.spark, rewritten,
+                    frozenset({"data", "metrics"}),
+                )
+            except sqlguard.GuardError as exc:
+                raise ValueError(str(exc))
             df = self.spark.sql(rewritten).limit(max_rows)
             rows = df.collect()
             log["rows"] = len(rows)

@@ -519,3 +519,55 @@ def test_render_post_form(server):
     except urllib.error.HTTPError as e:
         raised = e.code == 400
     assert raised
+
+
+def test_query_readonly_guard_plan_level(server, tmp_path):
+    """The readonly guard validates the parsed plan, so the text-level
+    bypasses are closed: CTE-prefixed DML, backtick-quoted reflect,
+    backtick-quoted file-format tables, IDENTIFIER() smuggling — and
+    string literals containing 'graphite.data' survive the rewrite."""
+    svc, http, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    victim = tmp_path / "overwrite-target"
+    attacks = [
+        # CTE-prefixed DML passed the old SELECT/WITH head check
+        "WITH t AS (SELECT metric FROM graphite.data) "
+        f"INSERT OVERWRITE DIRECTORY '{victim}' USING parquet SELECT * FROM t",
+        # backtick-quoted function dodged the unquoted-word regex
+        "SELECT `reflect`('java.lang.System', 'getProperty', 'user.dir')",
+        "SELECT `java_method`('java.lang.System', 'getProperty', 'user.dir')",
+        # backtick-quoted file-format table dodged the format regex
+        "SELECT * FROM `text`.`/etc/passwd`",
+        "SELECT * FROM text.`/etc/passwd`",
+        # IDENTIFIER() would smuggle a relation name through a literal
+        "SELECT * FROM IDENTIFIER('text.`/etc/passwd`')",
+        # any unregistered relation is refused outright
+        "SELECT * FROM parquet.`/root/testdata/sf0.001/events.parquet`",
+        "SELECT * FROM spark_catalog.default.whatever",
+        # newline-in-backtick identifiers could forge plan-tree lines
+        "SELECT `a\nCTE [x]` FROM graphite.data",
+    ]
+    for q in attacks:
+        code, body = get(port, "/query?query=" + urllib.parse.quote(q))
+        assert code == 400, (q, body)
+    assert not victim.exists()
+
+    # literals are no longer rewritten: WHERE metric = 'graphite.data.x'
+    # must compare against the untouched literal (old code corrupted it
+    # to 'data.x' and, with data matching, returned wrong rows)
+    q = ("SELECT count(*) AS n FROM graphite.data "
+         "WHERE metric = 'graphite.data.x'")
+    code, body = get(port, f"/query?query={urllib.parse.quote(q)}")
+    assert code == 200 and body.strip() == "0"
+
+    # legitimate shapes still serve: CTEs, comments, argMax rewrite,
+    # quoted identifiers, EXPLAIN
+    q = ("WITH top AS (SELECT metric, argMax(value, updated) AS v "
+         "FROM graphite.data GROUP BY metric) "
+         "SELECT count(*) AS n FROM top -- trailing comment with 'quote")
+    code, body = get(port, f"/query?query={urllib.parse.quote(q)}")
+    assert code == 200 and int(body.strip()) >= 1
+    q = "EXPLAIN SELECT metric FROM graphite.data WHERE value > 0"
+    code, body = get(port, f"/query?query={urllib.parse.quote(q)}")
+    assert code == 200 and "Physical Plan" in body
