@@ -395,12 +395,18 @@ def incremental_exact_dedup(new_docs: DataFrame, manifest_path: str,
     batch N+1 must not re-admit content batch N already accepted,
     without ever re-scanning prior batches' text.
 
-    Returns ``(fresh, n_prior)``: the subset of ``new_docs`` whose
-    content hash is neither in the manifest nor earlier in this batch
-    (in-batch ties keep the min id), and the prior-manifest size. The
-    accepted hashes are APPENDED to the manifest before returning —
-    append-only parquet, so a crashed-and-retried batch only re-appends
-    the same hashes and the read-side ``distinct`` keeps replays
+    Returns ``(fresh, n_prior, commit)``: the subset of ``new_docs``
+    whose content hash is neither in the manifest nor earlier in this
+    batch (in-batch ties keep the min id), the prior-manifest size, and
+    a zero-arg ``commit()`` the caller invokes AFTER durably writing
+    ``fresh`` — only then are the batch's hashes appended. Commit order
+    matters: were the manifest written first, a crash between manifest
+    append and output write would permanently drop those documents on
+    retry (the anti-join would see them as already accepted). With
+    output-first the failure modes are both safe: crash before commit
+    -> retry reprocesses the batch in full; crash after output but
+    before commit -> the retry re-admits the same content and the
+    append-only manifest + read-side ``distinct`` keep the replay
     harmless (same idempotence posture as the ingest path).
 
     At 100 TB the manifest is a hash column, orders of magnitude under
@@ -420,12 +426,15 @@ def incremental_exact_dedup(new_docs: DataFrame, manifest_path: str,
     novel = hashed.join(seen.withColumnRenamed("md5", "_md5"), "_md5", "left_anti")
     keep_ids = novel.groupBy("_md5").agg(F.min(id_col).alias(id_col)).select(id_col)
     fresh = novel.join(keep_ids, id_col, "left_semi").drop("_md5")
-    (
-        hashed.select(F.col("_md5").alias("md5")).distinct()
-        .join(seen, "md5", "left_anti")
-        .write.mode("append").parquet(manifest_path)
-    )
-    return fresh, n_prior
+
+    def commit() -> None:
+        (
+            hashed.select(F.col("_md5").alias("md5")).distinct()
+            .join(seen, "md5", "left_anti")
+            .write.mode("append").parquet(manifest_path)
+        )
+
+    return fresh, n_prior, commit
 
 
 def lsh_tune(num_hashes: int, threshold: float) -> tuple[int, int]:
@@ -467,13 +476,16 @@ def incremental_minhash_dedup(new_docs: DataFrame, index_path: str,
     ``bands/`` (band, bucket, doc_id) and ``sigs/`` (doc_id, signature)
     — band keys find candidates (equi-join, pair cost tracks true
     collisions), signatures verify them exactly like the one-shot
-    pipeline. Accepted docs append their rows; append-only + distinct
-    on read keeps crashed-batch replays harmless (same contract as
-    :func:`incremental_exact_dedup`).
+    pipeline. Accepted docs append their rows via the returned
+    ``commit()`` — call it only after ``fresh`` is durably written, so
+    the index never records a batch whose output doesn't exist (same
+    output-first crash contract as :func:`incremental_exact_dedup`);
+    append-only + distinct on read keeps post-output replays harmless.
 
     In-batch near-dups also resolve (min id wins). Uses the md5 hash
     family so the index is portable across engines/systems. Banding
-    auto-tunes from the threshold. Returns ``(fresh, n_indexed)``.
+    auto-tunes from the threshold. Returns
+    ``(fresh, n_indexed, commit)``.
     """
     spark = new_docs.sparkSession
     bands, rows_per_band = lsh_tune(num_hashes, threshold)
@@ -518,12 +530,14 @@ def incremental_minhash_dedup(new_docs: DataFrame, index_path: str,
     suppressed = cross.unionByName(in_batch).distinct()
     fresh = new_docs.join(suppressed, id_col, "left_anti")
 
-    accepted_sigs = sigs.join(fresh.select(id_col), id_col, "left_semi")
-    accepted_sigs.write.mode("append").parquet(f"{index_path}/sigs")
-    _band_rows(accepted_sigs, id_col, bands, rows_per_band) \
-        .write.mode("append").parquet(f"{index_path}/bands")
-    sigs.unpersist()
-    return fresh, n_indexed
+    def commit() -> None:
+        accepted_sigs = sigs.join(fresh.select(id_col), id_col, "left_semi")
+        accepted_sigs.write.mode("append").parquet(f"{index_path}/sigs")
+        _band_rows(accepted_sigs, id_col, bands, rows_per_band) \
+            .write.mode("append").parquet(f"{index_path}/bands")
+        sigs.unpersist()
+
+    return fresh, n_indexed, commit
 
 
 def _band_rows(signatures: DataFrame, id_col: str,

@@ -322,19 +322,22 @@ def test_incremental_exact_dedup(spark, tmp_path):
         return spark.createDataFrame(rows, "doc_id long, text string")
 
     b1 = mk([(1, "alpha"), (2, "beta"), (3, "alpha")])  # 3 = in-batch dup
-    fresh1, prior1 = incremental_exact_dedup(b1, manifest)
+    fresh1, prior1, commit1 = incremental_exact_dedup(b1, manifest)
     assert prior1 == 0
     assert {r["doc_id"] for r in fresh1.collect()} == {1, 2}
+    commit1()
 
     b2 = mk([(10, "alpha"), (11, "gamma"), (12, "beta"), (13, "gamma")])
-    fresh2, prior2 = incremental_exact_dedup(b2, manifest)
+    fresh2, prior2, commit2 = incremental_exact_dedup(b2, manifest)
     assert prior2 == 2
     assert {r["doc_id"] for r in fresh2.collect()} == {11}
+    commit2()
 
     # replaying batch 2 admits nothing and leaves the manifest sane
-    fresh3, prior3 = incremental_exact_dedup(b2, manifest)
+    fresh3, prior3, commit3 = incremental_exact_dedup(b2, manifest)
     assert prior3 == 3
     assert fresh3.count() == 0
+    commit3()
     n_hashes = spark.read.parquet(manifest).select("md5").distinct().count()
     assert n_hashes == 3  # alpha, beta, gamma
 
@@ -373,18 +376,59 @@ def test_incremental_minhash_dedup(spark, tmp_path):
         return spark.createDataFrame(rows, "doc_id long, text string")
 
     b1 = mk([(1, base), (2, near), (3, far)])
-    fresh1, n1 = incremental_minhash_dedup(b1, idx, threshold=0.5)
+    fresh1, n1, commit1 = incremental_minhash_dedup(b1, idx, threshold=0.5)
     assert n1 == 0
     assert {r["doc_id"] for r in fresh1.collect()} == {1, 3}  # 2 ~ 1, min wins
+    commit1()
 
     # batch 2: another near-dup of base + genuinely new content
     b2 = mk([(10, base.replace("dog", "cat")),
              (11, "fresh unseen sentence with novel vocabulary entirely")])
-    fresh2, n2 = incremental_minhash_dedup(b2, idx, threshold=0.5)
+    fresh2, n2, commit2 = incremental_minhash_dedup(b2, idx, threshold=0.5)
     assert n2 == 2
     assert {r["doc_id"] for r in fresh2.collect()} == {11}
+    commit2()
 
     # replay of batch 2: 11's content is now indexed -> nothing fresh
-    fresh3, n3 = incremental_minhash_dedup(b2, idx, threshold=0.5)
+    fresh3, n3, commit3 = incremental_minhash_dedup(b2, idx, threshold=0.5)
     assert n3 == 3
     assert fresh3.count() == 0
+    commit3()
+
+
+def test_incremental_dedup_crash_before_commit_loses_nothing(spark, tmp_path):
+    """Output-first commit contract: a batch that crashes after the
+    dedup ran but BEFORE commit() (i.e. before its output was durably
+    written) must be fully re-admittable on retry — the old
+    manifest-first order permanently dropped those documents."""
+    from graphouse_spark.functions.dedup import (
+        incremental_exact_dedup,
+        incremental_minhash_dedup,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    manifest = str(tmp_path / "manifest")
+    b1 = mk([(1, "alpha"), (2, "beta")])
+    fresh, _, commit = incremental_exact_dedup(b1, manifest)
+    assert fresh.count() == 2
+    # CRASH: commit never called -> no manifest. Retry must re-admit.
+    retry, prior, commit = incremental_exact_dedup(b1, manifest)
+    assert prior == 0
+    assert {r["doc_id"] for r in retry.collect()} == {1, 2}
+    commit()
+    again, prior, _ = incremental_exact_dedup(b1, manifest)
+    assert prior == 2 and again.count() == 0
+
+    idx = str(tmp_path / "lsh_index")
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    bm = mk([(1, text)])
+    fresh, _, commit = incremental_minhash_dedup(bm, idx, threshold=0.5)
+    assert fresh.count() == 1
+    # CRASH before commit -> index absent, retry re-admits
+    retry, n, commit = incremental_minhash_dedup(bm, idx, threshold=0.5)
+    assert n == 0 and retry.count() == 1
+    commit()
+    again, n, _ = incremental_minhash_dedup(bm, idx, threshold=0.5)
+    assert n == 1 and again.count() == 0
