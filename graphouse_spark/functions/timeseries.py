@@ -57,18 +57,11 @@ def non_negative_derivative(series: DataFrame, max_value: float | None = None,
     rate of a counter, null where the counter reset (value decreased) —
     graphite emits None there rather than a negative spike. With
     ``maxValue`` a decrease reads as counter WRAP and the delta is
-    recovered as ``max_value - prev + curr`` (same recovery as
-    :func:`per_second`)."""
-    w = Window.partitionBy(metric_col).orderBy(ts_col)
-    prev = F.lag(value_col).over(w)
-    dv = F.col(value_col) - prev
-    dt = F.col(ts_col) - F.lag(ts_col).over(w)
-    if max_value is not None:
-        dv = F.when(dv >= 0, dv).otherwise(F.lit(max_value) - prev + F.col(value_col))
-        rate = F.when(dt > 0, F.round(dv / dt, 6))
-    else:
-        rate = F.when((dv >= 0) & (dt > 0), F.round(dv / dt, 6))
-    return series.select(metric_col, ts_col, rate.alias("rate"))
+    recovered exactly as graphite-web's ``_nonNegativeDelta`` does:
+    ``max_value - prev + curr + 1`` (the wrap traverses maxValue -> 0,
+    one extra increment), and a point whose value EXCEEDS maxValue is
+    null (same recovery as :func:`per_second`)."""
+    return _counter_rate(series, max_value, metric_col, ts_col, value_col)
 
 
 def time_shift(series: DataFrame, shift_seconds: int,
@@ -370,14 +363,27 @@ def per_second(series: DataFrame, max_value: float | None = None,
                value_col: str = "value") -> DataFrame:
     """graphite ``perSecond(series[, maxValue])``: counter rate per
     second; on counter wrap (value decreased) the delta is recovered as
-    ``max_value - prev + curr`` when maxValue is given, else null."""
+    ``max_value - prev + curr + 1`` when maxValue is given (graphite's
+    ``_nonNegativeDelta``), else null; values above maxValue are null."""
+    return _counter_rate(series, max_value, metric_col, ts_col, value_col)
+
+
+def _counter_rate(series: DataFrame, max_value: float | None,
+                  metric_col: str, ts_col: str, value_col: str) -> DataFrame:
+    """Shared nonNegativeDerivative/perSecond kernel, matching
+    graphite-web functions.py ``_nonNegativeDelta``: delta = curr - prev
+    when non-negative; with maxValue, a decrease recovers as
+    ``maxValue - prev + curr + 1`` (the wrap passes through maxValue AND
+    0, hence the extra count) and any curr > maxValue yields None."""
     w = Window.partitionBy(metric_col).orderBy(ts_col)
     prev = F.lag(value_col).over(w)
     dv = F.col(value_col) - prev
     dt = F.col(ts_col) - F.lag(ts_col).over(w)
     if max_value is not None:
-        dv = F.when(dv >= 0, dv).otherwise(F.lit(max_value) - prev + F.col(value_col))
-        rate = F.when(dt > 0, F.round(dv / dt, 6))
+        dv = F.when(dv >= 0, dv).otherwise(
+            F.lit(max_value) - prev + F.col(value_col) + F.lit(1.0))
+        rate = F.when((F.col(value_col) <= F.lit(max_value)) & (dt > 0),
+                      F.round(dv / dt, 6))
     else:
         rate = F.when((dv >= 0) & (dt > 0), F.round(dv / dt, 6))
     return series.select(metric_col, ts_col, rate.alias("rate"))

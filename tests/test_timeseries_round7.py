@@ -182,6 +182,15 @@ def test_nn_derivative_counter_wrap(spark):
     assert plain[60] == 2.5 and plain[120] is None  # reset -> null
     wrapped = {r["ts"]: r["rate"]
                for r in non_negative_derivative(s, max_value=255.0).collect()}
-    assert wrapped[120] == round((255.0 - 250.0 + 4.0 + 0.0) / 60, 6)
+    # graphite's _nonNegativeDelta: the wrap traverses 255 -> 0, so the
+    # recovered delta carries one extra increment (+1)
+    assert wrapped[120] == round((255.0 - 250.0 + 4.0 + 1.0) / 60, 6)
     out = evaluate_target(s, "nonNegativeDerivative(c, 255)")
     assert {r["ts"]: r["value"] for r in out.collect()}[120] == wrapped[120]
+
+    # a sample EXCEEDING maxValue is invalid for an 8-bit counter ->
+    # None at that point (graphite returns None when latest > maxValue)
+    s2 = _mk(spark, [("c", 0, 100.0), ("c", 60, 300.0), ("c", 120, 4.0)])
+    over = {r["ts"]: r["rate"]
+            for r in non_negative_derivative(s2, max_value=255.0).collect()}
+    assert over[60] is None
