@@ -6083,7 +6083,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type,
                    round((ln(CAST(sum(c) AS DOUBLE))
-                          - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c))
+                          - CAST(sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000000) AS HUGEINT)) AS DOUBLE) / 1000000000 / sum(c))
                          / ln(2.0), 6) AS entropy_bits
             FROM per GROUP BY event_type
         """,

@@ -136,27 +136,30 @@ def shannon_entropy(df: DataFrame, group_cols: list[str],
     ``(ln(N) - sum(c*ln(c))/N) / ln(2)`` so an SQL oracle can evaluate
     the same expression tree over the same integer counts.
 
-    Tolerance (deviation from this module's exact-integer-accumulation
-    rule, stated explicitly): ``sum(c*ln(c))`` is a FLOAT sum, so the
-    result is partition-order-dependent up to ~K*eps relative error
-    (K = distinct keys per group) and engine-comparable only after
-    rounding; callers that oracle this aggregate must round to <= 6
-    decimals (as ``q_ev_entropy`` does). Exact integer accumulation is
-    impossible here because ln(c) is already irrational; scaling to
-    fixed-point units would merely trade order-dependence for a
-    cross-engine libm-ULP dependence of the same magnitude.
+    Accumulation follows this module's exact-integer rule: each
+    per-key term ``c*ln(c)`` is rounded once to integer NANO-units and
+    summed as decimal(38,0), so the result is bit-stable under any
+    partition order / parallelism (a float sum drifted in the 6th
+    decimal run-to-run — the same failure mode the LM scores fixed).
+    The only residual cross-engine surface is libm's ln at one ulp,
+    deterministic per input, and the nano quantum keeps it far below
+    the 6-decimal rounding oracles use.
     """
     per_key = (
         df.groupBy(*group_cols, F.col(key_col).alias("__k"))
         .agg(F.count("*").alias("__c"))
     )
+    term_nano = F.round(
+        F.col("__c").cast("double") * F.log(F.col("__c").cast("double")) * 1e9
+    ).cast("decimal(38,0)")
     return (
         per_key.groupBy(*group_cols)
         .agg(F.sum("__c").alias("__n"),
-             F.sum(F.col("__c").cast("double") * F.log(F.col("__c").cast("double"))).alias("__clnc"))
+             F.sum(term_nano).alias("__clnc_nano"))
         .select(
             *group_cols,
-            ((F.log(F.col("__n").cast("double")) - F.col("__clnc") / F.col("__n"))
+            ((F.log(F.col("__n").cast("double"))
+              - F.col("__clnc_nano").cast("double") / 1e9 / F.col("__n"))
              / F.lit(math.log(2.0))).alias("entropy_bits"),
         )
     )

@@ -208,8 +208,7 @@ _REGISTRY = {
     "integral": lambda df: _canon(ts.running_total(df), "running_total"),
     "integralByInterval": lambda df, sec: _canon(
         ts.integral_by_interval(df, int(sec)), "running_value"),
-    "hitcount": lambda df, sec, step=60: _canon(
-        ts.hitcount(df, int(sec), int(step)), "hits"),
+
     "smartSummarize": lambda df, sec, anchor, fn="avg": _canon(
         ts.smart_summarize(df, int(sec), int(anchor), str(fn)), "value"),
     "timeSlice": lambda df, a, b: ts.time_slice(df, int(a), int(b)),
@@ -345,6 +344,26 @@ _REGISTRY = {
 
 #: functions whose FIRST argument is a literal, not a series: the
 #: evaluator injects the base selection frame so the generator can
+
+def _hitcount_anchor(wstart, interval: int, align) -> int:
+    """graphite hitcount bucket origin: the request start, rounded down
+    to the interval when alignToInterval is truthy; epoch when the
+    window is unknown (library use)."""
+    a = 0 if wstart is None else int(wstart)
+    if str(align).lower() in ("true", "1"):
+        a -= a % interval
+    return a
+
+
+#: functions whose graphite semantics depend on the render window
+#: (requestContext.startTime): called as fn(head, window_start, *args).
+_NEEDS_WINDOW = {
+    "hitcount": lambda df, wstart, sec, align="false", step=60: _canon(
+        ts.hitcount(df, int(sec), int(step),
+                    anchor_seconds=_hitcount_anchor(wstart, int(sec), align)),
+        "hits"),
+}
+
 #: derive the render window (graphite uses requestContext start/end;
 #: the engine analog is the frame's ts bounds).
 _GENERATORS = {
@@ -447,10 +466,11 @@ def evaluate_target(series: DataFrame, target: str,
                     a.glob if isinstance(a, Path) else a for a in node.args
                 ]
                 return _GENERATORS[node.name](gen_base, *lits)
-            if node.name not in _REGISTRY and node.name not in _NEEDS_BASE:
+            if (node.name not in _REGISTRY and node.name not in _NEEDS_BASE
+                    and node.name not in _NEEDS_WINDOW):
                 raise ValueError(
                     f"unsupported function {node.name!r}; engine-side set: "
-                    f"{sorted(set(_REGISTRY) | set(_GENERATORS) | set(_NEEDS_BASE))}"
+                    f"{sorted(set(_REGISTRY) | set(_GENERATORS) | set(_NEEDS_BASE) | set(_NEEDS_WINDOW))}"
                 )
             if not node.args:
                 raise ValueError(f"{node.name} needs a series argument")
@@ -470,6 +490,8 @@ def evaluate_target(series: DataFrame, target: str,
             ]
             if node.name in _NEEDS_BASE:
                 return _NEEDS_BASE[node.name](head, series, *rest)
+            if node.name in _NEEDS_WINDOW:
+                return _NEEDS_WINDOW[node.name](head, start, *rest)
             return _REGISTRY[node.name](head, *rest)
         raise ValueError(f"a literal {node!r} is not a series")
 

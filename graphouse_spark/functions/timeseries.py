@@ -796,31 +796,46 @@ def offset_to_zero(series: DataFrame, metric_col: str = "metric",
 
 
 def hitcount(series: DataFrame, interval_seconds: int, step_seconds: int,
-             metric_col: str = "metric", ts_col: str = "ts",
-             value_col: str = "value") -> DataFrame:
+             anchor_seconds: int = 0, metric_col: str = "metric",
+             ts_col: str = "ts", value_col: str = "value") -> DataFrame:
     """graphite ``hitcount(series, interval)``: convert a rate series to
-    the total hit COUNT per coarse bucket — each point contributes
-    value * native_step (its integral), summed per bucket.
+    the total hit COUNT per coarse bucket — each point's integral
+    (value x the seconds of its native interval) is credited to the
+    buckets it overlaps, PRORATED across an edge exactly like
+    graphite-web's render/functions.py hitcount, with buckets anchored
+    at ``anchor_seconds`` (graphite anchors at the request start;
+    ``alignToInterval=True`` is anchor rounded down to the interval —
+    the render path passes the window start through).
 
-    graphite-web's render/functions.py does this post-fetch over one
-    series at a time; here it is a single epoch-aligned partial+final
-    aggregation over every series at once. Values are re-scaled to
-    exact integer cents*step before the sum, so the bucket totals are
-    order-independent and engine-exact.
-
-    Deviation from graphite-web (like :func:`smart_summarize` notes for
-    alignment): buckets are EPOCH-aligned, not request-start-aligned,
-    and each point's integral is credited wholly to the bucket holding
-    its timestamp — graphite prorates points whose native interval
-    straddles a bucket edge. On step-aligned series (this engine always
-    emits them) no point straddles, so only the alignment differs; use
-    :func:`smart_summarize` when request-anchored buckets matter.
+    Spark-first: each point explodes to the 1-2 buckets its native
+    interval [ts, ts+step) covers (``sequence`` over bucket indices —
+    bounded by ceil(step/interval)+1, almost always 1), the overlap is
+    computed in exact integer cents x seconds, and one partial+final
+    aggregation sums every series at once — no per-series post-fetch
+    loop. Bucket totals are order-independent and engine-exact.
     """
-    bucket = (F.col(ts_col) - F.col(ts_col) % interval_seconds).alias(ts_col)
+    a = int(anchor_seconds)
+    iv = int(interval_seconds)
+    # exact floor division on possibly-negative offsets: pmod is
+    # always non-negative, so (x - pmod(x, iv)) / iv is floor(x/iv)
+    off0 = F.col(ts_col) - a
+    off1 = F.col(ts_col) + step_seconds - 1 - a
+    b0 = ((off0 - F.pmod(off0, iv)) / iv).cast("long")
+    b1 = ((off1 - F.pmod(off1, iv)) / iv).cast("long")
     cents = F.round(F.col(value_col) * 100).cast("long")
+    exploded = series.select(
+        metric_col,
+        F.col(ts_col).alias("_pt"),
+        cents.alias("_cents"),
+        F.explode(F.sequence(b0, b1)).alias("_b"),
+    )
+    lo = F.greatest(F.col("_pt"), F.lit(a) + F.col("_b") * iv)
+    hi = F.least(F.col("_pt") + step_seconds, F.lit(a) + (F.col("_b") + 1) * iv)
     return (
-        series.groupBy(metric_col, bucket)
-        .agg(F.round(F.sum(cents * step_seconds) / 100.0, 6).alias("hits"))
+        exploded.groupBy(
+            metric_col, (F.lit(a) + F.col("_b") * iv).alias(ts_col)
+        )
+        .agg(F.round(F.sum(F.col("_cents") * (hi - lo)) / 100.0, 6).alias("hits"))
     )
 
 

@@ -75,3 +75,38 @@ def test_time_stack_shifted_copies(spark):
     s = _mk(spark, [("m", 100, 7.0)])
     got = sorted((r["shift_idx"], r["ts"]) for r in time_stack(s, 50, 3).collect())
     assert got == [(0, 100), (1, 150), (2, 200)]
+
+
+def test_hitcount_prorates_straddling_points(spark):
+    """graphite parity: a native interval straddling a bucket edge
+    splits its integral across the buckets by seconds of overlap."""
+    # step 60, buckets of 50: point at ts=40 covers [40,100) ->
+    # 10 s into bucket [0,50), 50 s into [50,100)
+    s = _mk(spark, [("m", 40, 1.0)])
+    got = {r["ts"]: r["hits"] for r in hitcount(s, 50, 60).collect()}
+    assert got == {0: 10.0, 50: 50.0}
+
+
+def test_hitcount_anchored_buckets(spark):
+    """Buckets originate at the request start (graphite's default
+    alignToInterval=False), not the epoch."""
+    s = _mk(spark, [("m", 30, 2.0), ("m", 90, 4.0)])
+    # anchor 30, interval 60: buckets [30,90) and [90,150)
+    got = {r["ts"]: r["hits"]
+           for r in hitcount(s, 60, 60, anchor_seconds=30).collect()}
+    assert got == {30: 120.0, 90: 240.0}
+
+
+def test_hitcount_window_through_target(spark):
+    from graphouse_spark.functions.target import evaluate_target
+
+    s = _mk(spark, [("m", 30, 2.0), ("m", 90, 4.0)])
+    got = {r["ts"]: r["value"]
+           for r in evaluate_target(s, "hitcount(m, 60, false, 60)",
+                                    start=30, end=150).collect()}
+    assert got == {30: 120.0, 90: 240.0}
+    # alignToInterval=true rounds the anchor down to the interval
+    got = {r["ts"]: r["value"]
+           for r in evaluate_target(s, "hitcount(m, 60, true, 60)",
+                                    start=30, end=150).collect()}
+    assert got == {0: 60.0, 60: 180.0, 120: 120.0}
