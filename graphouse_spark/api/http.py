@@ -143,7 +143,14 @@ def make_handler(service: GraphouseService):
             route = parsed.path
             params = {k: v[0] for k, v in parse_qs(parsed.query, keep_blank_values=True).items()}
             try:
-                if route == "/metricTreeState":
+                if route == "/ping":
+                    # MonitoringServlet: 503 while MetricTreeInit is
+                    # critical (pre-bootstrap), 200 after — the route
+                    # every load balancer health probe polls
+                    self._send(*service.ping.http_response())
+                elif route == "/monitoring":
+                    self._send(*service.monitoring.http_response())
+                elif route == "/metricTreeState":
                     self._send(200, "LOADED") if service._loaded else self._send(503, "LOADING")
                 elif route == "/search":
                     self._send(200, service.search(params.get("query", "")))

@@ -84,6 +84,19 @@ class GraphouseService:
         # exceeding it gets HTTP 413 (MetricDataServiceServlet.java:58-64)
         self.max_metrics_per_query = max_metrics_per_query
         self._loaded = lazy_tree  # lazy mode serves immediately
+        # /ping + /monitoring (MonitoringServlet): the ping monitoring
+        # carries the MetricTreeInit unit -> probes get 503 until the
+        # tree bootstrap finishes (MetricSearch.java:163-164,343);
+        # lazy mode serves immediately, so it boots ok
+        from graphouse_spark.monitoring import Monitoring, MonitoringUnit
+
+        self.ping = Monitoring()
+        self.monitoring = Monitoring()
+        self._tree_init_unit = MonitoringUnit("MetricTreeInit")
+        if not lazy_tree:
+            self._tree_init_unit.critical("Initializing")
+        self.ping.add_unit(self._tree_init_unit)
+        self.monitoring.add_unit(self._tree_init_unit)
 
     # -- bootstrap (S8: full scan, latest status per name) --
     def load_tree(self) -> int:
@@ -95,6 +108,7 @@ class GraphouseService:
         rows.sort(key=lambda r: r[0])
         self.tree.load_rows(rows)
         self._loaded = True
+        self._tree_init_unit.ok()
         return len(rows)
 
     # -- /search --

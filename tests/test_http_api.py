@@ -571,3 +571,41 @@ def test_query_readonly_guard_plan_level(server, tmp_path):
     q = "EXPLAIN SELECT metric FROM graphite.data WHERE value > 0"
     code, body = get(port, f"/query?query={urllib.parse.quote(q)}")
     assert code == 200 and "Physical Plan" in body
+
+
+def test_ping_and_monitoring_endpoints(server):
+    """MonitoringServlet parity: /ping serves 503 while MetricTreeInit
+    is critical (pre-bootstrap) so load balancers keep the daemon out
+    of rotation, 200 with the aggregate text after; /monitoring
+    reports the same unit set and supports warnings (still 200)."""
+    svc, _, _ = server
+    # fresh service over the same lake -> guaranteed pre-bootstrap state
+    svc2 = GraphouseService(svc.spark, svc.data_path, svc.metrics_path,
+                            svc.provider)
+    http2 = start_http_server(svc2)
+    port2 = http2.server_address[1]
+    try:
+        code, body = get(port2, "/ping")
+        assert code == 503 and body == "CRIT {MetricTreeInit: Initializing}"
+        code, body = get(port2, "/monitoring")
+        assert code == 503 and "MetricTreeInit" in body
+
+        svc2.load_tree()
+        code, body = get(port2, "/ping")
+        assert (code, body) == (200, "OK")
+        code, body = get(port2, "/monitoring")
+        assert (code, body) == (200, "OK")
+
+        # a WARNING unit degrades the text but keeps HTTP 200
+        # (MonitoringServlet maps only CRITICAL to 503)
+        from graphouse_spark.monitoring import MonitoringUnit
+
+        lag = MonitoringUnit("TreeUpdateLag")
+        lag.warning("updated 9m ago")
+        svc2.monitoring.add_unit(lag)
+        code, body = get(port2, "/monitoring")
+        assert code == 200 and body == "WARN {TreeUpdateLag: updated 9m ago}"
+        code, body = get(port2, "/ping")
+        assert (code, body) == (200, "OK")  # ping monitoring unaffected
+    finally:
+        http2.shutdown()
