@@ -36,7 +36,7 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-from graphouse_spark.api.service import GraphouseService
+from graphouse_spark.api.service import GraphouseService, QueryLimitExceeded
 from graphouse_spark.queryparams import parse_render_time
 
 MULTI_STATUS = {"/multiBan": "BAN", "/multiApprove": "APPROVED", "/multiHide": "HIDDEN"}
@@ -216,6 +216,8 @@ def make_handler(service: GraphouseService):
                     self._send(404, "not found")
             except RuntimeError as e:  # tree not loaded
                 self._send(503, str(e))
+            except QueryLimitExceeded as e:  # expanded past the cap
+                self._send(413, str(e))
             except (KeyError, ValueError, TypeError) as e:
                 self._send(400, f"bad request: {e}")
 
@@ -248,6 +250,8 @@ def make_handler(service: GraphouseService):
                     self._serve_render(merged, targets)
                 except RuntimeError as e:
                     self._send(503, str(e))
+                except QueryLimitExceeded as e:
+                    self._send(413, str(e))
                 except (KeyError, ValueError, TypeError) as e:
                     self._send(400, f"bad request: {e}")
                 return
@@ -291,6 +295,8 @@ def make_handler(service: GraphouseService):
                     self._send(404, "not found")
             except RuntimeError as e:  # tree not loaded
                 self._send(503, str(e))
+            except QueryLimitExceeded as e:  # expanded past the cap
+                self._send(413, str(e))
             except (KeyError, ValueError, TypeError) as e:
                 self._send(400, f"bad request: {e}")
 

@@ -36,6 +36,13 @@ from graphouse_spark.status import MetricStatus
 from graphouse_spark.tree_index import MetricTree
 
 
+class QueryLimitExceeded(ValueError):
+    """A request expands past max-metrics-per-query: the reference
+    REFUSES (HTTP 413, MetricDataServiceServlet.java:58-64) instead of
+    attempting an unbounded fetch — at scale one wide-glob /render
+    would otherwise materialize arbitrarily many series driver-side."""
+
+
 class GraphouseService:
     def __init__(self, spark: SparkSession, data_path: str, metrics_path: str,
                  provider: CombinedRetentionProvider | None = None,
@@ -198,6 +205,13 @@ class GraphouseService:
                         if not m.endswith(".") and m not in seen:
                             seen.add(m)
                             names.append(m)
+                if 0 < self.max_metrics_per_query < len(names):
+                    # refuse BEFORE planning any fetch — the final
+                    # collect is bounded by series x points, so the
+                    # series count must be capped up front
+                    raise QueryLimitExceeded(
+                        "Too many metrics in query. Provided %d, max %d"
+                        % (len(names), self.max_metrics_per_query))
                 frame = self.data_service.base_series(
                     self.spark, data, names, start, end, now_seconds
                 )
@@ -554,6 +568,12 @@ class GraphouseService:
                 if not m.endswith(".") and m not in seen:
                     seen.add(m)
                     names.append(m)
+        # the HTTP layer bounds the POSTed list; globs can expand far
+        # past it, so re-check on the EXPANDED set before any fetch
+        if 0 < self.max_metrics_per_query < len(names):
+            raise QueryLimitExceeded(
+                "Too many metrics in query. Provided %d, max %d"
+                % (len(names), self.max_metrics_per_query))
         data = read_data(self.spark, self.data_path)
         return self.data_service.get_data(self.spark, data, names, start, end, now_seconds)
 

@@ -609,3 +609,29 @@ def test_ping_and_monitoring_endpoints(server):
         assert (code, body) == (200, "OK")  # ping monitoring unaffected
     finally:
         http2.shutdown()
+
+
+def test_render_refuses_over_limit_glob(server):
+    """A wide-glob /render that expands past max-metrics-per-query is
+    REFUSED up front (HTTP 413, the reference's posture) instead of
+    attempting an unbounded fetch-and-collect."""
+    svc, _, _ = server
+    svc2 = GraphouseService(svc.spark, svc.data_path, svc.metrics_path,
+                            svc.provider, max_metrics_per_query=1)
+    svc2.load_tree()
+    http2 = start_http_server(svc2)
+    port2 = http2.server_address[1]
+    try:
+        code, body = get(port2, "/render?target=one_min.*.cpu&from=0&until=2000000000")
+        assert code == 413 and "Too many metrics" in body
+        # glob inside /metricData patterns expands past the cap too,
+        # even though the POSTed list itself is short
+        code, body = post(port2, "/metricData?start=0&end=2000000000",
+                          metrics="one_min.*.cpu")
+        assert code == 413 and "Too many metrics" in body
+        # a single series still renders fine under the cap
+        code, body = get(port2, "/render?target=one_min.srv1.cpu"
+                         f"&from={BASE - 60}&until={BASE + 600}")
+        assert code == 200 and json.loads(body)[0]["target"] == "one_min.srv1.cpu"
+    finally:
+        http2.shutdown()
