@@ -152,6 +152,17 @@ def make_handler(service: GraphouseService):
                     self._send(*service.monitoring.http_response())
                 elif route == "/metricTreeState":
                     self._send(200, "LOADED") if service._loaded else self._send(503, "LOADING")
+                elif route == "/checkOnRecordCache":
+                    # write-path cache diagnostic
+                    # (OnRecordMetricCacheServlet.java)
+                    name = params.get("metricName", "")
+                    if not name:
+                        self._send(400, "Usage:\nGET /checkOnRecordCache"
+                                        "?metricName=<metric_name>\n")
+                        return
+                    self._send(200, service.check_on_record_cache(name))
+                elif route == "/printBannedCacheState":
+                    self._send(200, service.print_banned_cache_state())
                 elif route == "/search":
                     self._send(200, service.search(params.get("query", "")))
                 elif route == "/searchCachedMetrics":

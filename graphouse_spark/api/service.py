@@ -580,6 +580,24 @@ class GraphouseService:
     def metric_data_json(self, *args, **kwargs) -> str:
         return json.dumps(self.metric_data(*args, **kwargs))
 
+    # -- /checkOnRecordCache + /printBannedCacheState diagnostics --
+    def check_on_record_cache(self, metric_name: str) -> str:
+        """OnRecordMetricCacheServlet.checkMetricStateInCache analog:
+        the write-path view of one metric — non-SIMPLE ancestors first
+        (the ban trace), then the full per-level tree trace."""
+        if not self._loaded:
+            raise RuntimeError("Metric tree not loaded")
+        trace = self.tree.trace_state(metric_name)
+        banned = [l for l in trace
+                  if not l.endswith(" SIMPLE") and "NOT_FOUND" not in l]
+        return "\n".join(["Banned cache:"] + banned
+                         + ["Tree cache:"] + trace) + "\n"
+
+    def print_banned_cache_state(self) -> str:
+        if not self._loaded:
+            raise RuntimeError("Metric tree not loaded")
+        return self.tree.cache_state()
+
     # -- /ban /approve /hide /multiModify --
     def modify(self, pattern: str, status: str) -> list[str]:
         """Set status on a path or on every glob match; returns touched names."""

@@ -315,6 +315,60 @@ class MetricTree:
                 return None
         return None
 
+    # -- diagnostics (/checkOnRecordCache, /printBannedCacheState) --
+    def trace_state(self, name: str) -> list[str]:
+        """Per-level trace of ``name`` through the tree — the
+        OnRecordMetricCacheServlet ``/checkOnRecordCache`` diagnostic
+        (BannedMetricCache/OnRecordMetricTree.traceMetricStateInCache):
+        one ``<full-path> <STATUS>`` line per existing level, stopping
+        with ``<full-path> NOT_FOUND`` at the first absent one."""
+        out: list[str] = []
+        levels = split_to_levels(name)
+        target_is_dir = _is_dir(name)
+        d: _Dir | None = self.root
+        full = ""
+        for i, level in enumerate(levels):
+            last = i == len(levels) - 1
+            full += level + ("" if last and not target_is_dir else ".")
+            ensure = getattr(self, "_ensure_loaded", None)
+            if ensure is not None and d is not None:
+                ensure(d)
+            node: _Node | None
+            if last and not target_is_dir:
+                node = d.metrics.get(level) if d else None
+            else:
+                node = d.dirs.get(level) if d else None
+            if node is None:
+                out.append(f"{full} NOT_FOUND")
+                return out
+            out.append(f"{full} {node.status.name}")
+            d = node if node.is_dir() else None
+        return out
+
+    def cache_state(self) -> str:
+        """BannedMetricCache.printCacheState analog: node totals plus
+        banned/auto-banned counts (the write-path ban state lives in
+        the same tree here — there is no separate cache to drift)."""
+        counts = {"nodes": 0, "ban": 0, "auto_ban": 0}
+
+        def walk(d: _Dir) -> None:
+            ensure = getattr(self, "_ensure_loaded", None)
+            if ensure is not None:
+                ensure(d)
+            for node in list(d.dirs.values()) + list(d.metrics.values()):
+                counts["nodes"] += 1
+                if node.status is MetricStatus.BAN:
+                    counts["ban"] += 1
+                elif node.status is MetricStatus.AUTO_BAN:
+                    counts["auto_ban"] += 1
+                if node.is_dir():
+                    walk(node)
+
+        walk(self.root)
+        return ("Total nodes = %d. Banned metrics count = %d. "
+                "AutoBanned metrics count = %d"
+                % (counts["nodes"], counts["ban"], counts["auto_ban"]))
+
     # -- bulk load / export (S8 bootstrap, S7 writeback) --
     def load_rows(self, rows: Iterable[tuple[str, str]]) -> None:
         """Apply (name, status) rows in any order (bootstrap from table)."""

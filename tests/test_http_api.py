@@ -635,3 +635,41 @@ def test_render_refuses_over_limit_glob(server):
         assert code == 200 and json.loads(body)[0]["target"] == "one_min.srv1.cpu"
     finally:
         http2.shutdown()
+
+
+def test_on_record_cache_diagnostics(server):
+    """OnRecordMetricCacheServlet parity: /checkOnRecordCache traces a
+    metric's per-level write-path state (ban section + tree section);
+    /printBannedCacheState reports node/ban totals; both 503 before
+    bootstrap and 400 without the metricName parameter."""
+    svc, _, _ = server
+    svc2 = GraphouseService(svc.spark, svc.data_path, svc.metrics_path,
+                            svc.provider)
+    http2 = start_http_server(svc2)
+    port2 = http2.server_address[1]
+    try:
+        code, _ = get(port2, "/checkOnRecordCache?metricName=one_min.srv1.cpu")
+        assert code == 503
+        code, _ = get(port2, "/printBannedCacheState")
+        assert code == 503
+        svc2.load_tree()
+        code, body = get(port2, "/checkOnRecordCache")
+        assert code == 400 and "Usage" in body
+        code, body = get(port2, "/checkOnRecordCache?metricName=one_min.srv1.cpu")
+        assert code == 200
+        assert "Tree cache:" in body and "one_min.srv1.cpu SIMPLE" in body
+        code, body = get(port2, "/checkOnRecordCache?metricName=one_min.nope.cpu")
+        assert code == 200 and "one_min.nope. NOT_FOUND" in body
+
+        # ban a subtree: the trace's ban section reports the ancestor,
+        # and the cache-state counters reflect it
+        svc2.modify("one_min.srv2.", "BAN")
+        code, body = get(port2, "/checkOnRecordCache?metricName=one_min.srv2.cpu")
+        assert code == 200
+        head = body.split("Tree cache:")[0]
+        assert "one_min.srv2. BAN" in head
+        code, body = get(port2, "/printBannedCacheState")
+        assert code == 200
+        assert body.startswith("Total nodes = ") and "Banned metrics count = 1" in body
+    finally:
+        http2.shutdown()
