@@ -337,7 +337,9 @@ def q_gh_weekday_mix(spark, sf_dir):
 def q_gh_session_window(spark, sf_dir):
     """T5 extension: session windows (30-min inactivity gap) per user."""
     ev = _events_sec(spark, sf_dir)
-    sess = F.session_window(F.from_unixtime("ts_sec").cast("timestamp"), "1800 seconds")
+    # timestamp_seconds is a direct epoch cast; from_unixtime would
+    # detour through a formatted string before casting back
+    sess = F.session_window(F.timestamp_seconds("ts_sec"), "1800 seconds")
     return (
         ev.groupBy("user_id", sess)
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
@@ -2588,28 +2590,38 @@ def q_doc_url_funcs(spark, sf_dir):
 
 
 def q_multimodal_decode(spark, sf_dir):
-    """REAL image decode end-to-end: per doc_id, a 24-bit BMP or binary
-    PPM is BUILT byte-by-byte (dimensions/color derived from doc_id),
-    then PARSED back by the codec-free decoders
-    (functions/multimodal.decode_assets). The oracle predicts the
-    decoded metadata from doc_id arithmetic alone — if the writer or
-    the parser mishandled one byte, stride, or padding rule, the
-    round-trip would not match."""
+    """REAL image decode end-to-end: per doc_id, a 24-bit BMP, binary
+    PPM, or baseline JPEG (doc_id >= 64) is BUILT byte-by-byte
+    (dimensions/color derived from doc_id), then PARSED back by the
+    real decoders (functions/multimodal.decode_assets; JPEG via the
+    pure-python huffman+IDCT codec in functions/jpeg.py). The oracle
+    predicts the decoded metadata from doc_id arithmetic alone — exact
+    even for JPEG because a flat-gray image with DC quantum 8 survives
+    the DCT round trip losslessly (8*(v-128) is divisible by 8), so a
+    single mishandled byte, stride, padding rule, huffman code or IDCT
+    scale would break the match."""
     import pandas as pd
 
     from graphouse_spark.functions.multimodal import decode_assets
 
-    ids = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 64)
+    ids = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 96)
 
     def synth(batches):
         import struct
+
+        import numpy as np
+
+        from graphouse_spark.functions.jpeg import encode_baseline_jpeg
 
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h, c = did % 7 + 1, did % 5 + 1, did % 256
-                if did % 2 == 0:
+                if did >= 64:
+                    payload = encode_baseline_jpeg(
+                        np.full((h, w), c, dtype=np.uint8))
+                elif did % 2 == 0:
                     row = bytes((c, c, c)) * w
                     pad = b"\x00" * ((4 - (w * 3) % 4) % 4)
                     px = (row + pad) * h
@@ -5907,11 +5919,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_decode": """
             SELECT doc_id AS asset_id,
-                   CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+                   CASE WHEN doc_id >= 64 THEN 'jpeg'
+                        WHEN doc_id % 2 = 0 THEN 'bmp'
+                        ELSE 'ppm' END AS format,
                    CAST(doc_id % 7 + 1 AS INTEGER) AS width,
                    CAST(doc_id % 5 + 1 AS INTEGER) AS height,
                    round(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_value
-            FROM documents WHERE doc_id < 64
+            FROM documents WHERE doc_id < 96
         """,
         "ev_with_totals": f"""
             SELECT event_type,

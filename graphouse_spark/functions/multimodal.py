@@ -2,10 +2,13 @@
 
 Images/audio/video ride as opaque ``binary`` columns next to a typed
 metadata struct. The Spark-side machinery — schema, Arrow batching via
-``mapInPandas``, partition sizing — is real and tested; the actual
-codec step is STUBBED (no image/audio libs in this container): decode
-functions produce deterministic fake features derived from the bytes,
-and raise ``NotImplementedError`` when a real codec is requested.
+``mapInPandas``, partition sizing — is real and tested. Decoding is
+REAL for PCM WAV, 24-bit BMP, binary PPM (stdlib+numpy byte math) and
+baseline JPEG (the pure-python huffman+IDCT codec in functions/
+jpeg.py); PNG/MP4 and the feature-extraction models stay stubbed (no
+codec/model libs in this container): those paths produce deterministic
+fake features derived from the bytes, and raise ``NotImplementedError``
+when the real kernel is requested.
 
 At scale the pattern matters more than the codec: binary columns make
 Parquet row groups large, so pipelines should ``repartition`` by a
@@ -174,9 +177,10 @@ def resize_images(assets: DataFrame, width: int = 224, height: int = 224,
 
 
 # ---------------------------------------------------------------------------
-# REAL decoders for codec-free formats. The container has no image/audio
-# libraries, but PCM WAV, BMP and PPM need none: stdlib `wave` + numpy
-# byte math decode them exactly. JPEG/PNG/MP4 remain honestly stubbed.
+# REAL decoders. The container has no image/audio libraries, but PCM
+# WAV, BMP and PPM need none (stdlib `wave` + numpy byte math), and
+# baseline JPEG decodes via the pure-python codec in functions/jpeg.py.
+# PNG/MP4 remain honestly stubbed.
 # ---------------------------------------------------------------------------
 
 DECODE_SCHEMA = StructType(
@@ -269,10 +273,26 @@ def _decode_ppm(payload: bytes) -> dict:
     }
 
 
+def _decode_jpeg(payload: bytes) -> dict:
+    """Baseline JPEG via the pure-python codec (functions/jpeg.py) —
+    the former honest stub, now a real huffman+IDCT decode."""
+    import numpy as np
+
+    from graphouse_spark.functions.jpeg import decode_baseline_jpeg
+
+    d = decode_baseline_jpeg(payload)
+    px = d["pixels"].astype(np.float64)
+    return {
+        "format": "jpeg", "width": d["width"], "height": d["height"],
+        "n_channels": d["n_channels"],
+        "mean_value": float(px.mean()) if px.size else None,
+    }
+
+
 def decode_payload(payload: bytes) -> dict:
-    """Sniff + decode one payload. Real for RIFF/WAVE, BM (24-bit), P6;
-    ``{"format": "unknown"}`` otherwise (the caller decides whether to
-    fall back to the stub features or fail)."""
+    """Sniff + decode one payload. Real for RIFF/WAVE, BM (24-bit), P6
+    and baseline JPEG; ``{"format": "unknown"}`` otherwise (the caller
+    decides whether to fall back to the stub features or fail)."""
     try:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _decode_wav(payload)
@@ -280,6 +300,8 @@ def decode_payload(payload: bytes) -> dict:
             return _decode_bmp(payload)
         if payload[:2] == b"P6":
             return _decode_ppm(payload)
+        if payload[:3] == b"\xff\xd8\xff":
+            return _decode_jpeg(payload)
     except Exception:
         return {"format": "unknown"}
     return {"format": "unknown"}
