@@ -106,10 +106,38 @@ class GraphouseService:
         self.monitoring.add_unit(self._tree_init_unit)
 
     # -- bootstrap (S8: full scan, latest status per name) --
+    #: above this many names, load_tree() switches to the lazy tree
+    #: instead of materializing everything driver-side. Sized from the
+    #: measured envelope (tools/tree_stress.py): ~217 bytes + ~21 us
+    #: build per name, so 10M names = ~2.1 GB RSS + ~3.5 min bootstrap —
+    #: the reference's "huge tree, raise Xmx" regime
+    #: (doc/config.md:17-19). Lazy mode serves immediately and loads
+    #: directories on first touch through the X6 request batcher.
+    AUTO_LAZY_THRESHOLD = 10_000_000
+
     def load_tree(self) -> int:
         from graphouse_spark.operators.dedup import latest_status
 
-        resolved = latest_status(read_metrics(self.spark, self.metrics_path))
+        metrics = read_metrics(self.spark, self.metrics_path)
+        n_rows = metrics.count()
+        if n_rows > self.AUTO_LAZY_THRESHOLD:
+            from graphouse_spark.api.batcher import (
+                DirContentBatcher,
+                load_dirs_content,
+            )
+            from graphouse_spark.tree_index import LazyMetricTree
+
+            batcher = DirContentBatcher(
+                lambda dirs: load_dirs_content(
+                    self.spark, self.metrics_path, dirs)
+            )
+            self.tree = LazyMetricTree(
+                batcher.load, self.tree.max_subdirs, self.tree.max_metrics
+            )
+            self._loaded = True
+            self._tree_init_unit.ok()
+            return n_rows
+        resolved = latest_status(metrics)
         rows = [(r["name"], r["status"]) for r in resolved.collect()]
         # parents before children so statuses land on the right nodes
         rows.sort(key=lambda r: r[0])
