@@ -2591,7 +2591,7 @@ def q_doc_url_funcs(spark, sf_dir):
 
 def q_multimodal_decode(spark, sf_dir):
     """REAL image decode end-to-end: per doc_id, a 24-bit BMP, binary
-    PPM, or baseline JPEG (doc_id >= 64) is BUILT byte-by-byte
+    PPM, baseline JPEG (doc_id in [64,96)) or PNG (>= 96) is BUILT
     (dimensions/color derived from doc_id), then PARSED back by the
     real decoders (functions/multimodal.decode_assets; JPEG via the
     pure-python huffman+IDCT codec in functions/jpeg.py). The oracle
@@ -2604,7 +2604,7 @@ def q_multimodal_decode(spark, sf_dir):
 
     from graphouse_spark.functions.multimodal import decode_assets
 
-    ids = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 96)
+    ids = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 128)
 
     def synth(batches):
         import struct
@@ -2612,13 +2612,16 @@ def q_multimodal_decode(spark, sf_dir):
         import numpy as np
 
         from graphouse_spark.functions.jpeg import encode_baseline_jpeg
+        from graphouse_spark.functions.png import encode_png
 
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h, c = did % 7 + 1, did % 5 + 1, did % 256
-                if did >= 64:
+                if did >= 96:
+                    payload = encode_png(np.full((h, w), c, dtype=np.uint8))
+                elif did >= 64:
                     payload = encode_baseline_jpeg(
                         np.full((h, w), c, dtype=np.uint8))
                 elif did % 2 == 0:
@@ -5919,13 +5922,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_decode": """
             SELECT doc_id AS asset_id,
-                   CASE WHEN doc_id >= 64 THEN 'jpeg'
+                   CASE WHEN doc_id >= 96 THEN 'png'
+                        WHEN doc_id >= 64 THEN 'jpeg'
                         WHEN doc_id % 2 = 0 THEN 'bmp'
                         ELSE 'ppm' END AS format,
                    CAST(doc_id % 7 + 1 AS INTEGER) AS width,
                    CAST(doc_id % 5 + 1 AS INTEGER) AS height,
                    round(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_value
-            FROM documents WHERE doc_id < 96
+            FROM documents WHERE doc_id < 128
         """,
         "ev_with_totals": f"""
             SELECT event_type,

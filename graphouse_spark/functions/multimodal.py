@@ -3,11 +3,13 @@
 Images/audio/video ride as opaque ``binary`` columns next to a typed
 metadata struct. The Spark-side machinery — schema, Arrow batching via
 ``mapInPandas``, partition sizing — is real and tested. Decoding is
-REAL for PCM WAV, 24-bit BMP, binary PPM (stdlib+numpy byte math) and
-baseline JPEG (the pure-python huffman+IDCT codec in functions/
-jpeg.py); PNG/MP4 and the feature-extraction models stay stubbed (no
-codec/model libs in this container): those paths produce deterministic
-fake features derived from the bytes, and raise ``NotImplementedError``
+REAL for PCM WAV, 24-bit BMP, binary PPM (stdlib+numpy byte math),
+baseline JPEG (functions/jpeg.py, pure-python huffman+IDCT), 8-bit PNG
+(functions/png.py, stdlib zlib + unfiltering) and MP4 container
+metadata (ISO-BMFF box walk — duration/dimensions). Only video SAMPLE
+decode and the feature-extraction models stay stubbed (no codec/model
+libs in this container): those paths produce deterministic fake
+features derived from the bytes, and raise ``NotImplementedError``
 when the real kernel is requested.
 
 At scale the pattern matters more than the codec: binary columns make
@@ -178,9 +180,10 @@ def resize_images(assets: DataFrame, width: int = 224, height: int = 224,
 
 # ---------------------------------------------------------------------------
 # REAL decoders. The container has no image/audio libraries, but PCM
-# WAV, BMP and PPM need none (stdlib `wave` + numpy byte math), and
-# baseline JPEG decodes via the pure-python codec in functions/jpeg.py.
-# PNG/MP4 remain honestly stubbed.
+# WAV, BMP and PPM need none (stdlib `wave` + numpy byte math),
+# baseline JPEG decodes via functions/jpeg.py, PNG via functions/png.py
+# (stdlib zlib), and MP4 metadata via a plain box walk. Only video
+# SAMPLE decode remains honestly stubbed.
 # ---------------------------------------------------------------------------
 
 DECODE_SCHEMA = StructType(
@@ -289,10 +292,71 @@ def _decode_jpeg(payload: bytes) -> dict:
     }
 
 
+def _decode_png_meta(payload: bytes) -> dict:
+    """PNG via the pure-python zlib+unfilter codec (functions/png.py)."""
+    import numpy as np
+
+    from graphouse_spark.functions.png import decode_png
+
+    d = decode_png(payload)
+    px = d["pixels"].astype(np.float64)
+    return {
+        "format": "png", "width": d["width"], "height": d["height"],
+        "n_channels": d["n_channels"],
+        "mean_value": float(px.mean()) if px.size else None,
+    }
+
+
+def _decode_mp4_meta(payload: bytes) -> dict:
+    """ISO-BMFF (MP4/MOV) METADATA parse — real box walking, no codec:
+    ``moov/mvhd`` gives duration (duration/timescale), ``moov/trak/
+    tkhd`` the presentation width/height (16.16 fixed point). Sample
+    decode stays honestly stubbed; a training pipeline's
+    filter-by-duration / filter-by-resolution stages only need this."""
+    import struct as _st
+
+    def walk(lo: int, hi: int, path: tuple[str, ...], out: dict) -> None:
+        i = lo
+        while i + 8 <= hi:
+            size, btype = _st.unpack_from(">I4s", payload, i)
+            body = i + 8
+            if size == 1:  # 64-bit largesize
+                size = _st.unpack_from(">Q", payload, i + 8)[0]
+                body = i + 16
+            if size < 8 or i + size > hi:
+                raise ValueError("malformed box")
+            name = btype.decode("latin1")
+            p = path + (name,)
+            if p == ("moov", "mvhd"):
+                ver = payload[body]
+                if ver == 1:
+                    ts, dur = _st.unpack_from(">IQ", payload, body + 20)
+                else:
+                    ts, dur = _st.unpack_from(">II", payload, body + 12)
+                out["duration_ms"] = int(dur * 1000 / ts) if ts else None
+            elif p == ("moov", "trak", "tkhd"):
+                ver = payload[body]
+                # width/height: 16.16 fixed, after version-dependent
+                # times + track id + duration + layout fields + matrix
+                off = body + (76 if ver == 0 else 88)
+                w, h = _st.unpack_from(">II", payload, off)
+                out.setdefault("width", int(w >> 16) or None)
+                out.setdefault("height", int(h >> 16) or None)
+            if name in ("moov", "trak"):
+                walk(body, i + size, p, out)
+            i += size
+
+    out: dict = {"format": "mp4"}
+    walk(0, len(payload), (), out)
+    return out
+
+
 def decode_payload(payload: bytes) -> dict:
-    """Sniff + decode one payload. Real for RIFF/WAVE, BM (24-bit), P6
-    and baseline JPEG; ``{"format": "unknown"}`` otherwise (the caller
-    decides whether to fall back to the stub features or fail)."""
+    """Sniff + decode one payload. Real for RIFF/WAVE, BM (24-bit), P6,
+    baseline JPEG, 8-bit PNG and MP4 container METADATA (box walk —
+    duration/dimensions; sample decode stays stubbed);
+    ``{"format": "unknown"}`` otherwise (the caller decides whether to
+    fall back to the stub features or fail)."""
     try:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _decode_wav(payload)
@@ -302,6 +366,10 @@ def decode_payload(payload: bytes) -> dict:
             return _decode_ppm(payload)
         if payload[:3] == b"\xff\xd8\xff":
             return _decode_jpeg(payload)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return _decode_png_meta(payload)
+        if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            return _decode_mp4_meta(payload)
     except Exception:
         return {"format": "unknown"}
     return {"format": "unknown"}
