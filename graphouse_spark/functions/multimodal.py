@@ -70,13 +70,53 @@ def _fake_features(payload: bytes, n: int = 8) -> list[float]:
 def extract_features(assets: DataFrame, real_codec: bool = False, n_features: int = 8) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    ``real_codec=True`` would dispatch to PIL/librosa/pyav — not
-    available here, so it raises; the stub path derives deterministic
-    features so the distributed plumbing (schema, batching,
-    partitioning) is fully exercisable.
+    ``real_codec=True`` decodes with the in-repo codecs (JPEG/PNG/BMP/
+    PPM/WAV — functions/jpeg.py, functions/png.py, the byte-math
+    decoders below) and emits REAL content statistics as the feature
+    vector: [width, height, channels, mean, std, per-channel means...]
+    for images, [rate, channels, duration, mean, rms, ...] for audio —
+    the deterministic, model-free analog of an embedding stage. A
+    payload no in-repo codec can decode raises ``NotImplementedError``
+    (a neural encoder is genuinely unavailable here). The default stub
+    path derives fake features from the bytes so the distributed
+    plumbing is exercisable on arbitrary payloads.
     """
-    if real_codec:
-        raise NotImplementedError("no image/audio codecs in this environment; use the stub path")
+
+    def real_features(b: bytes) -> list[float] | None:
+        import numpy as np
+
+        meta = decode_payload(b)
+        fmt = meta.get("format")
+        if fmt in ("jpeg", "png", "bmp", "ppm"):
+            if fmt == "jpeg":
+                from graphouse_spark.functions.jpeg import decode_baseline_jpeg
+
+                px = decode_baseline_jpeg(b)["pixels"].astype(np.float64)
+            elif fmt == "png":
+                from graphouse_spark.functions.png import decode_png
+
+                px = decode_png(b)["pixels"].astype(np.float64)
+            else:
+                # bmp/ppm byte-math decoders report stats; re-derive px
+                px = _pixels_of(b, fmt)
+            if px.ndim == 2:
+                px = px[:, :, None]
+            chan = [float(px[..., c].mean()) for c in range(px.shape[2])]
+            out = [float(px.shape[1]), float(px.shape[0]),
+                   float(px.shape[2]), float(px.mean()), float(px.std())]
+            return (out + chan + [0.0] * n_features)[:n_features]
+        if fmt == "wav":
+            out = [float(meta.get("sample_rate") or 0),
+                   float(meta.get("n_channels") or 0),
+                   float(meta.get("duration_ms") or 0),
+                   float(meta.get("mean_value") or 0.0),
+                   float(meta.get("rms") or 0.0)]
+            return (out + [0.0] * n_features)[:n_features]
+        raise NotImplementedError(
+            f"no in-repo codec for payload format {fmt!r}")
+
+    feat = real_features if real_codec else (
+        lambda b: _fake_features(b, n_features))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -91,12 +131,32 @@ def extract_features(assets: DataFrame, real_codec: bool = False, n_features: in
                         lambda b: hashlib.md5(b).hexdigest() if b is not None else None
                     ),
                     "features": payloads.map(
-                        lambda b: _fake_features(b, n_features) if b is not None else None
+                        lambda b: feat(bytes(b)) if b is not None else None
                     ),
                 }
             )
 
     return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def _pixels_of(payload: bytes, fmt: str):
+    """Pixel array for the byte-math formats (24-bit BMP / binary P6)."""
+    import struct as _st
+
+    import numpy as np
+
+    if fmt == "bmp":
+        data_off = _st.unpack_from("<I", payload, 10)[0]
+        w, h = _st.unpack_from("<ii", payload, 18)
+        row_bytes = (w * 3 + 3) & ~3
+        px = np.frombuffer(payload, dtype=np.uint8, offset=data_off,
+                           count=row_bytes * abs(h))
+        return px.reshape(abs(h), row_bytes)[:, : w * 3]             .reshape(abs(h), w, 3)[::-1].astype(np.float64)
+    meta = _decode_ppm(payload)
+    w, h = meta["width"], meta["height"]
+    # P6 pixel data is the trailing w*h*3 bytes
+    return np.frombuffer(payload, dtype=np.uint8, offset=len(payload) - w * h * 3,
+                         count=w * h * 3).reshape(h, w, 3).astype(np.float64)
 
 
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -144,18 +204,39 @@ def resize_images(assets: DataFrame, width: int = 224, height: int = 224,
                   real_codec: bool = False) -> DataFrame:
     """Arrow-batched image resize (plumbing real, codec stubbed).
 
-    ``real_codec=True`` would decode with PIL and emit re-encoded
-    bytes — unavailable here, so it raises. The stub keeps every
-    contract the real kernel would have: images only (other modalities
-    pass through untouched), payload bytes replaced by a
-    deterministically-derived "resized" buffer sized ``width*height*3``,
-    metadata updated to the new dimensions. Runs per Arrow batch; no
+    ``real_codec=True`` REALLY resizes: decodable image payloads
+    (JPEG/PNG/BMP/PPM via the in-repo codecs) are decoded,
+    nearest-neighbor resampled in numpy, and re-encoded as lossless
+    PNG; an image payload no in-repo codec handles raises
+    ``NotImplementedError``. The default stub keeps every contract the
+    real kernel has — images only (other modalities pass through
+    untouched), payload replaced by a deterministically-derived
+    "resized" buffer sized ``width*height*3``, metadata updated — so
+    the plumbing runs on arbitrary payloads. Runs per Arrow batch; no
     per-row Python round trips through the driver.
     """
-    if real_codec:
-        raise NotImplementedError("no image codecs in this environment; use the stub path")
-
     target_len = width * height * 3
+
+    def real_resize(b: bytes) -> bytes:
+        import numpy as np
+
+        from graphouse_spark.functions.jpeg import decode_baseline_jpeg
+        from graphouse_spark.functions.png import decode_png, encode_png
+
+        fmt = decode_payload(b).get("format")
+        if fmt == "jpeg":
+            px = decode_baseline_jpeg(b)["pixels"]
+        elif fmt == "png":
+            px = decode_png(b)["pixels"]
+        elif fmt in ("bmp", "ppm"):
+            px = _pixels_of(b, fmt).astype(np.uint8)
+        else:
+            raise NotImplementedError(
+                f"no in-repo codec for payload format {fmt!r}")
+        sh, sw = px.shape[:2]
+        ys = (np.arange(height) * sh // height).clip(0, sh - 1)
+        xs = (np.arange(width) * sw // width).clip(0, sw - 1)
+        return encode_png(px[ys][:, xs])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -163,10 +244,13 @@ def resize_images(assets: DataFrame, width: int = 224, height: int = 224,
             for _, row in pdf.iterrows():
                 payload = row["payload"]
                 if row["modality"] == "image" and payload is not None:
-                    # stub "resample": tile the source bytes to the target
-                    # buffer size (deterministic, size-correct)
-                    reps = -(-target_len // max(len(payload), 1))
-                    payload = (bytes(payload) * reps)[:target_len]
+                    if real_codec:
+                        payload = real_resize(bytes(payload))
+                    else:
+                        # stub "resample": tile the source bytes to the
+                        # target buffer size (deterministic, size-correct)
+                        reps = -(-target_len // max(len(payload), 1))
+                        payload = (bytes(payload) * reps)[:target_len]
                     w, h = width, height
                 else:
                     w, h = None, None

@@ -26,11 +26,16 @@ def test_extract_features_deterministic_schema(spark, assets):
     assert a == b  # sha1-derived stub: stable across runs
 
 
-def test_real_codec_paths_raise(spark, assets):
-    with pytest.raises(NotImplementedError):
-        extract_features(assets, real_codec=True)
-    with pytest.raises(NotImplementedError):
-        resize_images(assets, real_codec=True)
+def test_real_codec_raises_only_for_undecodable_payloads(spark, assets):
+    """real_codec=True is now REAL for the in-repo codec formats
+    (tests/test_png.py::test_real_codec_resize_and_features); these
+    synthetic text payloads are not decodable images, so the real path
+    must still fail loudly rather than fake features."""
+    imgs = assets.filter(F.col("modality") == "image")
+    with pytest.raises(Exception, match="no in-repo codec"):
+        extract_features(imgs, real_codec=True).collect()
+    with pytest.raises(Exception, match="no in-repo codec"):
+        resize_images(imgs, real_codec=True).collect()
 
 
 def test_resize_contract(spark, assets):

@@ -121,3 +121,37 @@ def test_mp4_metadata_box_walk(spark):
     assert meta["format"] == "mp4"
     assert meta["duration_ms"] == 7500
     assert (meta["width"], meta["height"]) == (640, 360)
+
+
+def test_real_codec_resize_and_features(spark):
+    """real_codec=True now actually decodes/resizes/re-encodes with the
+    in-repo codecs (formerly NotImplementedError): a 2x2-block PNG
+    resized to half comes back pixel-exact; features carry real content
+    stats; undecodable image payloads still fail loudly."""
+    from graphouse_spark.functions.multimodal import (
+        extract_features,
+        resize_images,
+    )
+
+    base = np.repeat(np.repeat(
+        np.array([[10, 200], [60, 130]], dtype=np.uint8), 4, 0), 4, 1)
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(encode_png(base)))],
+        "asset_id long, modality string, payload binary")
+
+    out = resize_images(assets, width=2, height=2, real_codec=True).collect()[0]
+    assert (out["width"], out["height"]) == (2, 2)
+    resized = decode_png(bytes(out["payload"]))["pixels"]
+    assert (resized == np.array([[10, 200], [60, 130]], dtype=np.uint8)).all()
+
+    feats = extract_features(assets, real_codec=True,
+                             n_features=6).collect()[0]["features"]
+    # [w, h, channels, mean, std, first-channel mean]
+    assert feats[0] == 8.0 and feats[1] == 8.0 and feats[2] == 1.0
+    assert feats[3] == pytest.approx(base.mean())
+
+    junk = spark.createDataFrame(
+        [(2, "image", bytearray(b"not an image"))],
+        "asset_id long, modality string, payload binary")
+    with pytest.raises(Exception, match="no in-repo codec"):
+        resize_images(junk, real_codec=True).collect()
