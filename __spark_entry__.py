@@ -2644,6 +2644,40 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """REAL image resize end-to-end: flat-gray PNGs are built, resized
+    through the real codec path (decode -> nearest-neighbor resample ->
+    lossless PNG re-encode), then decoded again — dims and mean are
+    predicted by the oracle from doc_id arithmetic (a flat image stays
+    flat under nearest-neighbor, so the mean is exact)."""
+    import pandas as pd
+
+    from graphouse_spark.functions.multimodal import decode_assets, resize_images
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 32)
+
+    def synth(batches):
+        import numpy as np
+
+        from graphouse_spark.functions.png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, c = did % 7 + 2, did % 5 + 2, did % 256
+                rows.append((did, "image",
+                             encode_png(np.full((h, w), c, dtype=np.uint8))))
+            yield pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+    assets = ids.mapInPandas(synth, "asset_id long, modality string, payload binary")
+    resized = resize_images(assets, width=4, height=3, real_codec=True)
+    return decode_assets(resized.select("asset_id", "modality", "payload")).select(
+        "asset_id", "format", "width", "height",
+        F.round("mean_value", 6).alias("mean_value"),
+    )
+
+
 def q_ev_with_totals(spark, sf_dir):
     """CH ``GROUP BY ... WITH TOTALS`` (and ROLLUP modifier): per
     (type, day) sums plus per-type and grand-total rows from ONE
@@ -3330,6 +3364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_funnel_latency": q_ev_funnel_latency,
         "sketch_audience_overlap": q_sketch_audience_overlap,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
         "ev_with_totals": q_ev_with_totals,
         "ev_limit_by": q_ev_limit_by,
         "ev_bit_ops": q_ev_bit_ops,
@@ -5930,6 +5965,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 5 + 1 AS INTEGER) AS height,
                    round(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_value
             FROM documents WHERE doc_id < 128
+        """,
+        "multimodal_resize": """
+            SELECT doc_id AS asset_id, 'png' AS format,
+                   CAST(4 AS INTEGER) AS width, CAST(3 AS INTEGER) AS height,
+                   round(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_value
+            FROM documents WHERE doc_id < 32
         """,
         "ev_with_totals": f"""
             SELECT event_type,
