@@ -413,6 +413,10 @@ class GraphouseService:
             read_data(self.spark, self.data_path).createOrReplaceTempView("data")
             read_metrics(self.spark, self.metrics_path).createOrReplaceTempView(
                 "metrics")
+            # system.query_log analog: admins debug slow requests with
+            # the same CH SQL they use in production
+            self.query_log.frame(self.spark).createOrReplaceTempView(
+                "query_log")
             import re as _re
 
             def _rw(code: str) -> str:
@@ -423,7 +427,8 @@ class GraphouseService:
                 # segments only — string literals like
                 # 'graphite.data.x' pass through untouched.
                 code = (code.replace("graphite.data", "data")
-                        .replace("graphite.metrics", "metrics"))
+                        .replace("graphite.metrics", "metrics")
+                        .replace("system.query_log", "query_log"))
                 for ch, sp in (("argMax", "max_by"), ("argMin", "min_by"),
                                ("uniq", "approx_count_distinct")):
                     code = _re.sub(rf"\b{ch}\s*\(", sp + "(", code)
@@ -433,7 +438,7 @@ class GraphouseService:
                 rewritten = sqlguard.rewrite_code(query, _rw)
                 sqlguard.assert_readonly(
                     self.spark, rewritten,
-                    frozenset({"data", "metrics"}),
+                    frozenset({"data", "metrics", "query_log"}),
                 )
             except sqlguard.GuardError as exc:
                 raise ValueError(str(exc))

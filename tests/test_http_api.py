@@ -706,3 +706,20 @@ def test_load_tree_auto_selects_lazy_above_threshold(server):
                             svc.provider)
     svc3.load_tree()
     assert not isinstance(svc3.tree, LazyMetricTree)
+
+
+def test_query_serves_system_query_log(server):
+    """CH admins query system.query_log with plain SQL; the /query
+    surface serves the engine's ring through the same spelling."""
+    svc, _, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    # generate at least one logged request
+    get(port, "/query?query=" + urllib.parse.quote(
+        "SELECT count(*) AS n FROM graphite.data"))
+    q = ("SELECT route, count(*) AS n FROM system.query_log "
+         "GROUP BY route ORDER BY n DESC")
+    code, body = get(port, f"/query?query={urllib.parse.quote(q)}")
+    assert code == 200
+    routes = [line.split("\t")[0] for line in body.strip().splitlines()]
+    assert "/query" in routes
