@@ -79,7 +79,10 @@ def main() -> None:
              "emb_cosine_topk_np", "emb_quantize",
              "doc_lm_perplexity", "emb_twostage_topk",
              "ev_weighted_quantiles", "doc_url_funcs",
-             "ts_lttb", "ts_linreg_line", "ts_map_reduce"]
+             "ts_lttb", "ts_linreg_line", "ts_map_reduce",
+             # round 4 replans: the window-min chain and the
+             # sketch-only quantile read must stay shuffle-bound
+             "ev_sequence_next", "sketch_value_quantiles"]
     qs = em.queries()
     print(f"{'query':24s} {'1x':>8s} {'x' + str(copies):>8s} {'ratio':>7s}")
     for name in names:
