@@ -373,9 +373,13 @@ def _encode_block(wtr, block, q, pred_holder, key):
 
 
 def encode_baseline_jpeg(pixels: np.ndarray, quant: np.ndarray | None = None,
-                         subsample: bool = False) -> bytes:
+                         subsample: bool = False,
+                         restart_interval: int = 0) -> bytes:
     """Encode uint8 pixels — (h, w) grayscale or (h, w, 3) RGB — as a
-    baseline JPEG (4:4:4, or 4:2:0 with ``subsample=True``)."""
+    baseline JPEG (4:4:4, or 4:2:0 with ``subsample=True``).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    N MCUs (what real camera encoders do for error resilience) — which
+    also makes the decoder's restart path provable by round-trip."""
     quant = DEFAULT_QUANT if quant is None else np.asarray(quant, np.int32)
     px = np.asarray(pixels)
     h, w = px.shape[:2]
@@ -412,8 +416,14 @@ def encode_baseline_jpeg(pixels: np.ndarray, quant: np.ndarray | None = None,
 
     wtr = _BitWriter()
     pred = {name: 0 for name, _, _, _ in padded}
+    mcu = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wtr.flush()  # pad to byte boundary with 1-bits
+                wtr.out += bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8])
+                for k in pred:
+                    pred[k] = 0
             for name, plane, ch, cv in padded:
                 for by in range(cv):
                     for bx in range(ch):
@@ -421,6 +431,7 @@ def encode_baseline_jpeg(pixels: np.ndarray, quant: np.ndarray | None = None,
                         x0 = (mx * ch + bx) * 8
                         _encode_block(wtr, plane[y0:y0 + 8, x0:x0 + 8],
                                       quant, pred, name)
+            mcu += 1
     wtr.flush()
 
     out = bytearray(b"\xff\xd8")
@@ -439,6 +450,8 @@ def encode_baseline_jpeg(pixels: np.ndarray, quant: np.ndarray | None = None,
     for idx in range(nc):
         sos += bytes([idx + 1, 0x00])  # dc table 0, ac table 0
     sos += b"\x00\x3f\x00"
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + sos
     out += wtr.out
     out += b"\xff\xd9"

@@ -92,3 +92,23 @@ def test_decode_assets_includes_jpeg(spark):
     assert row["format"] == "jpeg"
     assert (row["width"], row["height"], row["n_channels"]) == (5, 3, 1)
     assert row["mean_value"] == 99.0
+
+
+def test_restart_markers_roundtrip():
+    """DRI + RSTn path: encoder emits restart markers every 2 MCUs
+    (DC predictors reset, byte alignment); decoder must resync and
+    reproduce the image within the same quant bound as without."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+    plain = decode_baseline_jpeg(encode_baseline_jpeg(img))["pixels"]
+    with_rst = decode_baseline_jpeg(
+        encode_baseline_jpeg(img, restart_interval=2))["pixels"]
+    assert (plain == with_rst).all()
+    err = np.abs(with_rst.astype(float) - img.astype(float))
+    assert err.max() <= 32
+    # color + subsampling + restarts together
+    imgc = rng.integers(0, 256, (17, 22, 3)).astype(np.uint8)
+    a = decode_baseline_jpeg(encode_baseline_jpeg(imgc, subsample=True))
+    b = decode_baseline_jpeg(
+        encode_baseline_jpeg(imgc, subsample=True, restart_interval=1))
+    assert (a["pixels"] == b["pixels"]).all()

@@ -108,3 +108,58 @@ def test_target_parser_never_crashes_unexpectedly(target):
         parse_target(target)
     except ValueError:
         pass
+
+
+@given(st.lists(st.sampled_from(
+    ["SELECT", " ", "'", '"', "`", "--", "/*", "*/", "\\", "\n",
+     "a", "1", ",", "(", ")", "x'y", "it''s"]), max_size=30))
+def test_sqlguard_tokenize_roundtrips_or_rejects(parts):
+    """For ANY byte soup: tokenize either rejects (GuardError) or
+    returns segments that concatenate back to the input exactly —
+    never silently drops or reorders text."""
+    from graphouse_spark.api.sqlguard import GuardError, tokenize
+
+    q = "".join(parts)
+    try:
+        segs = tokenize(q)
+    except GuardError:
+        return
+    assert "".join(s.text for s in segs) == q
+    # literal-free twin never leaks string-literal content
+    from graphouse_spark.api.sqlguard import sanitized
+    try:
+        s = sanitized(q)
+    except GuardError:
+        return
+    for seg in segs:
+        if seg.kind == "string" and len(seg.text) > 2:
+            assert seg.text[1:-1] not in s or seg.text[1:-1] in ("X", "")
+
+
+@given(st.integers(1, 4), st.integers(1, 24), st.integers(1, 24),
+       st.integers(0, 2 ** 32 - 1))
+@settings(max_examples=20, deadline=None)
+def test_png_roundtrip_lossless_property(nc, h, w, seed):
+    import numpy as np
+
+    from graphouse_spark.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if nc == 1 else (h, w, nc)
+    img = rng.integers(0, 256, shape).astype(np.uint8)
+    assert (decode_png(encode_png(img))["pixels"] == img).all()
+
+
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 255))
+@settings(max_examples=20, deadline=None)
+def test_jpeg_flat_roundtrip_exact_property(h, w, v):
+    import numpy as np
+
+    from graphouse_spark.functions.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    img = np.full((h, w), v, dtype=np.uint8)
+    assert (decode_baseline_jpeg(encode_baseline_jpeg(img))["pixels"]
+            == img).all()
