@@ -58,6 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     mnt = sub.add_parser("maintain", help="autohide -> rollup -> compaction -> index")
     common(mnt)
+
+    mig = sub.add_parser("migrate-whisper",
+                         help="read a carbon .wsp tree into the lake "
+                              "(the reference replaces whisper — this "
+                              "is the switchover path)")
+    common(mig)
+    mig.add_argument("root", help="whisper storage root (dir layout = metric tree)")
     return ap
 
 
@@ -149,6 +156,23 @@ def run_ingest_file(args, spark=None) -> int:
     return n
 
 
+def run_migrate_whisper(args, spark=None) -> int:
+    """Distributed .wsp tree migration through the live ingest pipeline
+    (ban checks and tree writeback included) — finest archive wins
+    overlapping timestamps; see sources/whisper.py."""
+    from graphouse_spark.session import get_spark
+    from graphouse_spark.sources.whisper import read_whisper
+    from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
+
+    spark = spark or get_spark("graphouse-migrate")
+    rows = read_whisper(spark, args.root)
+    cfg = IngestConfig(args.data, args.metrics, checkpoint_path="")
+    ingest_batch(rows, cfg, known_names=None)
+    n = rows.count()
+    print(f"migrated {n} points from {args.root}", file=sys.stderr)
+    return n
+
+
 def run_maintain(args, spark=None) -> dict:
     from graphouse_spark.maintenance import run_all
     from graphouse_spark.session import get_spark
@@ -168,6 +192,8 @@ def main(argv=None) -> None:
         run_ingest_file(args)
     elif args.cmd == "maintain":
         run_maintain(args)
+    elif args.cmd == "migrate-whisper":
+        run_migrate_whisper(args)
 
 
 if __name__ == "__main__":

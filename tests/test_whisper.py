@@ -1,0 +1,117 @@
+"""Whisper migration source: byte-built .wsp files -> ingest rows.
+
+Same oracle posture as the other byte-built fixtures: files are
+constructed struct-by-struct by the test twin, so a mis-read offset,
+endianness, or ring-slot rule breaks the round trip."""
+
+import pytest
+
+from graphouse_spark.sources.whisper import (
+    build_wsp,
+    metric_name_of,
+    parse_wsp,
+    read_whisper,
+    wsp_points,
+)
+
+
+def test_parse_and_ring_slots():
+    wsp = build_wsp(
+        archives=[(60, 10)],
+        points={0: [(600, 1.5), (660, 2.5), (1200, 9.0)]},
+        aggregation=4,
+    )
+    parsed = parse_wsp(wsp)
+    assert parsed["aggregation"] == "max"
+    assert parsed["max_retention"] == 600
+    assert parsed["archives"][0]["step"] == 60
+    # 1200 landed in slot (1200//60)%10 == slot of 600 -> overwrote it
+    assert sorted(parsed["archives"][0]["points"]) == [(660, 2.5), (1200, 9.0)]
+
+
+def test_finest_archive_wins_overlap():
+    wsp = build_wsp(
+        archives=[(60, 10), (300, 4)],
+        points={
+            0: [(600, 1.0), (660, 2.0)],
+            1: [(600, 99.0), (900, 5.0)],  # coarse: overlapping + extra
+        },
+    )
+    pts = wsp_points(wsp)
+    assert (600, 1.0, 60) in pts        # fine beats coarse at 600
+    assert (660, 2.0, 60) in pts
+    assert (900, 5.0, 300) in pts       # coarse-only survives
+    assert len(pts) == 3
+
+
+def test_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_wsp(b"short")
+    with pytest.raises(ValueError):
+        parse_wsp(b"\xff" * 64)
+
+
+def test_metric_name_from_layout():
+    assert metric_name_of("file:/w/root/one_min/srv1/cpu.wsp",
+                          "/w/root") == "one_min.srv1.cpu"
+
+
+def test_distributed_read_and_ingest_end_to_end(spark, tmp_path):
+    """The full migration: a .wsp tree reads into ingest rows, flows
+    through ingest_batch, and renders through the service."""
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.retention import (
+        CombinedRetentionProvider,
+        MetricRetention,
+        MetricRetentionConfig,
+    )
+    from graphouse_spark.api.service import GraphouseService
+    from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
+
+    base = 1_542_199_200
+    root = tmp_path / "whisper"
+    for srv, vals in (("srv1", [1.0, 2.0, 3.0]), ("srv2", [4.0, 5.0, 6.0])):
+        d = root / "one_min" / srv
+        d.mkdir(parents=True)
+        (d / "cpu.wsp").write_bytes(build_wsp(
+            archives=[(60, 100)],
+            points={0: [(base + i * 60, v) for i, v in enumerate(vals)]},
+        ))
+
+    rows = read_whisper(spark, str(root), updated=base)
+    got = {(r["name"], r["timestamp"]): r["value"] for r in rows.collect()}
+    assert got[("one_min.srv1.cpu", base)] == 1.0
+    assert got[("one_min.srv2.cpu", base + 120)] == 6.0
+    assert len(got) == 6
+
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    ingest_batch(rows, cfg, known_names=None)
+    provider = CombinedRetentionProvider(
+        [MetricRetentionConfig(".*", True, MetricRetention("avg", {0: 60}))])
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path, provider)
+    svc.load_tree()
+    out = svc.render("sumSeries(one_min.*.cpu)", base, base + 180,
+                     now_seconds=base + 180)
+    vals = [v for v, _ in out[0]["datapoints"] if v is not None]
+    assert vals[0] == 5.0  # 1.0 + 4.0 in the first bucket
+
+
+def test_cli_migrate_whisper(spark, tmp_path):
+    from graphouse_spark.__main__ import build_parser, run_migrate_whisper
+
+    base = 1_542_199_200
+    d = tmp_path / "w" / "one_min" / "srv9"
+    d.mkdir(parents=True)
+    (d / "cpu.wsp").write_bytes(build_wsp(
+        archives=[(60, 10)], points={0: [(base, 7.0)]}))
+    args = build_parser().parse_args([
+        "migrate-whisper", str(tmp_path / "w"),
+        "--data", str(tmp_path / "data"),
+        "--metrics", str(tmp_path / "metrics"),
+    ])
+    n = run_migrate_whisper(args, spark=spark)
+    assert n == 1
+    got = spark.read.parquet(str(tmp_path / "data")).collect()
+    assert got[0]["metric"] == "one_min.srv9.cpu" and got[0]["value"] == 7.0
