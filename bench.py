@@ -93,6 +93,8 @@ EXTENDED_QUERIES = [
     "ts_remove_between_pctl",  # per-ts percentile band prune
     "ts_map_reduce",           # reduceSeries as one equi-join
     "ts_lttb",                 # shape-preserving downsample (CH LTTB)
+    # round 4
+    "multimodal_resize",       # real decode->resample->PNG re-encode
 ]
 
 

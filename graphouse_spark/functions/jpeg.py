@@ -373,13 +373,15 @@ def _encode_block(wtr, block, q, pred_holder, key):
 
 
 def encode_baseline_jpeg(pixels: np.ndarray, quant: np.ndarray | None = None,
-                         subsample: bool = False,
+                         subsample=False,
                          restart_interval: int = 0) -> bytes:
     """Encode uint8 pixels — (h, w) grayscale or (h, w, 3) RGB — as a
-    baseline JPEG (4:4:4, or 4:2:0 with ``subsample=True``).
-    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
-    N MCUs (what real camera encoders do for error resilience) — which
-    also makes the decoder's restart path provable by round-trip."""
+    baseline JPEG. ``subsample``: False/"444" (no chroma subsampling),
+    True/"420" (2x2), or "422" (horizontal only) — covering the three
+    sampling layouts real encoders emit, so each decoder upsample path
+    is provable by round-trip. ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every N MCUs (what real camera encoders
+    do for error resilience) — proving the decoder's resync path."""
     quant = DEFAULT_QUANT if quant is None else np.asarray(quant, np.int32)
     px = np.asarray(pixels)
     h, w = px.shape[:2]
@@ -392,12 +394,17 @@ def encode_baseline_jpeg(pixels: np.ndarray, quant: np.ndarray | None = None,
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
-        if subsample:
-            cb = _box2(cb)
-            cr = _box2(cr)
+        mode = {False: "444", True: "420"}.get(subsample, subsample)
+        if mode == "420":
+            cb, cr = _box2(cb), _box2(cr)
             comps = [("Y", y, 2, 2), ("Cb", cb, 1, 1), ("Cr", cr, 1, 1)]
-        else:
+        elif mode == "422":
+            cb, cr = _box2h(cb), _box2h(cr)
+            comps = [("Y", y, 2, 1), ("Cb", cb, 1, 1), ("Cr", cr, 1, 1)]
+        elif mode == "444":
             comps = [("Y", y, 1, 1), ("Cb", cb, 1, 1), ("Cr", cr, 1, 1)]
+        else:
+            raise ValueError(f"unknown subsampling mode {subsample!r}")
 
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
@@ -456,6 +463,14 @@ def encode_baseline_jpeg(pixels: np.ndarray, quant: np.ndarray | None = None,
     out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _box2h(plane: np.ndarray) -> np.ndarray:
+    """2x1 horizontal box downsample (4:2:2 chroma)."""
+    h, w = plane.shape
+    if w % 2:
+        plane = np.hstack([plane, plane[:, -1:]])
+    return (plane[:, 0::2] + plane[:, 1::2]) / 2.0
 
 
 def _box2(plane: np.ndarray) -> np.ndarray:

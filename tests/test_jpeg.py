@@ -112,3 +112,16 @@ def test_restart_markers_roundtrip():
     b = decode_baseline_jpeg(
         encode_baseline_jpeg(imgc, subsample=True, restart_interval=1))
     assert (a["pixels"] == b["pixels"]).all()
+
+
+def test_rgb_422_roundtrip():
+    """4:2:2 (horizontal-only chroma subsampling) exercises the
+    asymmetric upsample path (rx=2, ry=1)."""
+    rng = np.random.default_rng(9)
+    coarse = rng.integers(40, 216, (3, 4, 3)).astype(np.float64)
+    img = np.repeat(np.repeat(coarse, 8, axis=0), 8, axis=1) \
+        .astype(np.uint8)[:19, :27]
+    d = decode_baseline_jpeg(encode_baseline_jpeg(img, subsample="422"))
+    assert d["pixels"].shape == (19, 27, 3)
+    err = np.abs(d["pixels"].astype(float) - img.astype(float))
+    assert err.max() <= 16
