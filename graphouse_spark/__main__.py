@@ -65,6 +65,16 @@ def build_parser() -> argparse.ArgumentParser:
                               "is the switchover path)")
     common(mig)
     mig.add_argument("root", help="whisper storage root (dir layout = metric tree)")
+
+    dele = sub.add_parser("delete",
+                          help="physically remove matching metrics' data "
+                               "rows (CH ALTER DELETE analog) and BAN "
+                               "their tree names")
+    common(dele)
+    dele.add_argument("patterns", nargs="+",
+                      help="metric names or globs to delete")
+    dele.add_argument("--data-only", action="store_true",
+                      help="skip the metrics-table BAN writeback")
     return ap
 
 
@@ -173,6 +183,22 @@ def run_migrate_whisper(args, spark=None) -> int:
     return n
 
 
+def run_delete(args, spark=None) -> dict:
+    from graphouse_spark.operators.delete import (
+        delete_from_metrics_table,
+        delete_metrics,
+    )
+    from graphouse_spark.session import get_spark
+
+    spark = spark or get_spark("graphouse-delete")
+    report = delete_metrics(spark, args.data, args.patterns)
+    if not args.data_only:
+        report["names_banned"] = delete_from_metrics_table(
+            spark, args.metrics, args.patterns)
+    print(report, file=sys.stderr)
+    return report
+
+
 def run_maintain(args, spark=None) -> dict:
     from graphouse_spark.maintenance import run_all
     from graphouse_spark.session import get_spark
@@ -194,6 +220,8 @@ def main(argv=None) -> None:
         run_maintain(args)
     elif args.cmd == "migrate-whisper":
         run_migrate_whisper(args)
+    elif args.cmd == "delete":
+        run_delete(args)
 
 
 if __name__ == "__main__":

@@ -112,3 +112,15 @@ def test_delete_from_metrics_table_bans(spark, lake):
                 for r in latest_status(
                     read_metrics(spark, lake.metrics_path)).collect()}
     assert resolved["one_min.srv1.cpu"] == "BAN"
+
+
+def test_cli_delete(spark, lake):
+    from graphouse_spark.__main__ import build_parser, run_delete
+
+    args = build_parser().parse_args([
+        "delete", "one_min.srv3.cpu",
+        "--data", lake.data_path, "--metrics", lake.metrics_path,
+    ])
+    report = run_delete(args, spark=spark)
+    assert report["rows_deleted"] == 2 and report["names_banned"] == 1
+    assert all(m != "one_min.srv3.cpu" for m, _ in _metrics_left(spark, lake))
