@@ -1909,6 +1909,37 @@ def q_emb_label_centroids(spark, sf_dir):
     )
 
 
+def q_doc_quality_ml(spark, sf_dir):
+    """Learned quality filter (functions/quality_ml.py): weak-label the
+    corpus with the heuristic terciles, train the MLlib
+    Tokenizer->HashingTF->LogisticRegression pipeline, score every doc,
+    and report per-weak-label mean predicted probability + counts.
+    Training is an iterative distributed optimization — not
+    SQL-expressible, so no oracle entry (rows-only check; output is two
+    rows by construction). Separation quality is pinned in
+    tests/test_quality_ml.py."""
+    from graphouse_spark.functions.quality_ml import (
+        score_quality,
+        train_quality_classifier,
+        weak_quality_labels,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = weak_quality_labels(docs)
+    model = train_quality_classifier(labeled, n_features=1 << 14, max_iter=10)
+    scored = score_quality(model, docs)
+    return (
+        labeled.select("doc_id", "label")
+        .join(scored, "doc_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality_prob"), 2).alias("mean_prob"),
+        )
+        .orderBy("label")
+    )
+
+
 def q_doc_quality_gate(spark, sf_dir):
     """The composed corpus quality gate: length + repetition + PII +
     pseudo-perplexity thresholds ANDed into one keep decision, reported
@@ -3274,6 +3305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_model_scores": q_doc_model_scores,
         "doc_embed_topk": q_doc_embed_topk,
         "doc_quality_gate": q_doc_quality_gate,
+        "doc_quality_ml": q_doc_quality_ml,
         "emb_dedup_clusters": q_emb_dedup_clusters,
         "emb_pq_topk": q_emb_pq_topk,
         "emb_ivfpq_topk": q_emb_ivfpq_topk,
