@@ -233,11 +233,17 @@ _REGISTRY = {
     "maxSeries": lambda df: _canon(ts.combine_series(df), "max_value", "maxSeries"),
     "rangeOfSeries": lambda df: _canon(
         ts.combine_series(df), "range_value", "rangeOfSeries"),
-    # the *WithWildcards family is groupByNodes with the kept nodes
-    "sumSeriesWithWildcards": lambda df, *nodes: ts.group_by_nodes(
-        df, "sum", list(nodes)),
-    "averageSeriesWithWildcards": lambda df, *nodes: ts.group_by_nodes(
-        df, "avg", list(nodes)),
+    # the *WithWildcards family DROPS the wildcarded positions from the
+    # name and aggregates series that collapse together (graphite
+    # "categorizes by ignoring the given positions" — the complement of
+    # groupByNodes, which KEEPS positions; an earlier registration
+    # wrongly used the keep semantics)
+    "sumSeriesWithWildcards": lambda df, *nodes: ts.aggregate_with_wildcards(
+        df, "sum", *[int(n) for n in nodes]),
+    "averageSeriesWithWildcards": lambda df, *nodes:
+        ts.aggregate_with_wildcards(df, "avg", *[int(n) for n in nodes]),
+    "multiplySeriesWithWildcards": lambda df, *nodes:
+        ts.aggregate_with_wildcards(df, "multiply", *[int(n) for n in nodes]),
     # round 7: generic selector/filter family + scalar transforms
     "alias": lambda df, name: ts.alias_series(df, str(name)),
     "aliasByMetric": lambda df: ts.alias_by_metric(df),

@@ -27,6 +27,9 @@ AGG_FUNCTIONS = {
     "sum": F.sum,
     "any": F.first,
     "last": F.last,
+    # graphite aggregate()/\*WithWildcards 'multiply' — null points skip,
+    # matching the engine's None-skipping posture everywhere else
+    "multiply": F.product,
 }
 
 

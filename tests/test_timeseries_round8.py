@@ -542,3 +542,24 @@ def test_reduce_series_deep_suffix_no_blowup(spark):
         "srv.a.disk.reduce.asPercent.inodes": 10.0,
     }
     assert len(got) == 2  # one row per (group, suffix) — no cartesian
+
+
+def test_series_with_wildcards_drop_semantics(spark):
+    """graphite parity regression: *SeriesWithWildcards IGNORES the
+    given positions (drops them from the name) — the earlier
+    registration kept them (groupByNodes semantics) and produced wrong
+    group keys entirely."""
+    from graphouse_spark.functions.target import evaluate_target
+
+    df = _mk(spark, [
+        ("a.x.m", 0, 2.0), ("a.y.m", 0, 3.0), ("b.x.m", 0, 5.0),
+    ])
+    got = {(r["metric"], r["value"])
+           for r in evaluate_target(df, "sumSeriesWithWildcards(*.*.m, 1)").collect()}
+    assert got == {("a.m", 5.0), ("b.m", 5.0)}
+    got = {(r["metric"], r["value"])
+           for r in evaluate_target(df, "multiplySeriesWithWildcards(*.*.m, 1)").collect()}
+    assert got == {("a.m", 6.0), ("b.m", 5.0)}
+    got = {(r["metric"], r["value"])
+           for r in evaluate_target(df, "averageSeriesWithWildcards(*.*.m, 1)").collect()}
+    assert got == {("a.m", 2.5), ("b.m", 5.0)}
