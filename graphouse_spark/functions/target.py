@@ -155,7 +155,9 @@ _REGISTRY = {
     "movingMedian": lambda df, n: _canon(ts.moving_stats(df, int(n)), "mov_median"),
     "sumSeries": lambda df: _canon(ts.sum_series(df), "sum_value", "sumSeries"),
     "averageSeries": lambda df: _canon(ts.stddev_series(df), "avg_value", "averageSeries"),
-    "keepLastValue": lambda df: _canon(ts.keep_last_value(df), "filled_value"),
+    "keepLastValue": lambda df, limit=None: _canon(
+        ts.keep_last_value(df, None if limit is None else int(limit)),
+        "filled_value"),
     "derivative": _derivative,
     "nonNegativeDerivative": lambda df, mv=None: _canon(
         ts.non_negative_derivative(df, None if mv is None else float(mv)), "rate"),
@@ -202,7 +204,8 @@ _REGISTRY = {
     "groupByNodes": lambda df, fn, *nodes: ts.group_by_nodes(df, str(fn), list(nodes)),
     "sortByName": lambda df: ts.sort_by_name(df).select("metric", "ts", "value"),
     "sortByTotal": lambda df, n: ts.sort_by_total(df, int(n)).select("metric", "ts", "value"),
-    "sortByMaxima": lambda df, n: ts.sort_by_maxima(df, int(n)).select("metric", "ts", "value"),
+    "sortByMaxima": lambda df, n=None: ts.sort_by_maxima(
+        df, None if n is None else int(n)).select("metric", "ts", "value"),
     "mostDeviant": lambda df, n: ts.most_deviant(df, int(n)).select("metric", "ts", "value"),
     "nPercentile": lambda df, p: _canon(ts.n_percentile(df, float(p) / 100.0), "pctl_value"),
     "integral": lambda df: _canon(ts.running_total(df), "running_total"),
@@ -266,10 +269,15 @@ _REGISTRY = {
         ts.percentile_of_series(df, float(p) / 100.0), "pct_value", "percentileOfSeries"),
     "stdev": lambda df, n: _canon(ts.moving_stddev(df, int(n)), "mov_stddev"),
     "minMax": lambda df: _canon(ts.min_max_normalize(df), "norm"),
-    "weightedAverage": lambda avg_df, w_df: _canon(
-        ts.weighted_average(avg_df, w_df.select(
-            "metric", "ts", F.col("value").alias("weight"))),
-        "wavg", "weightedAverage"),
+    "weightedAverage": lambda avg_df, w_df, *nodes: (
+        lambda out: out.select(
+            (F.col("_key") if nodes else F.lit("weightedAverage"))
+            .alias("metric"),
+            "ts", F.col("wavg").alias("value"))
+    )(ts.weighted_average(
+        avg_df,
+        w_df.select("metric", "ts", F.col("value").alias("weight")),
+        [int(n) for n in nodes] if nodes else None)),
     "holtWintersForecast": lambda df: _canon(
         ts.holt_winters_forecast(df), "forecast"),
     "holtWintersConfidenceUpper": lambda df: _canon(

@@ -113,22 +113,40 @@ def alias_by_node(series: DataFrame, *nodes: int,
     return series.withColumn(metric_col, renamed)
 
 
-def keep_last_value(series: DataFrame, metric_col: str = "metric",
+def keep_last_value(series: DataFrame, limit: int | None = None,
+                    metric_col: str = "metric",
                     ts_col: str = "ts", value_col: str = "value") -> DataFrame:
-    """graphite ``keepLastValue``: forward-fill null points with the most
-    recent non-null value of the same series (gap-filled grids produce
-    nulls for missing buckets; this carries the last reading forward).
+    """graphite ``keepLastValue(series[, limit])``: forward-fill null
+    points with the most recent non-null value of the same series;
+    with ``limit``, only gaps of at most that many CONSECUTIVE nulls
+    fill — longer outages stay null (graphite's limit semantics, so a
+    dead host doesn't flatline forever).
 
-    One ignorenulls ``last`` over an unbounded-preceding ROWS frame —
-    a single window pass, no self-join.
+    One window pass: an ignorenulls ``last`` fills, and (with a limit)
+    the length of the null run the row sits in gates the fill.
     """
-    w = (
-        Window.partitionBy(metric_col)
-        .orderBy(ts_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    wo = Window.partitionBy(metric_col).orderBy(ts_col)
+    w = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     filled = F.last(value_col, ignorenulls=True).over(w)
-    return series.select(metric_col, ts_col, filled.alias("filled_value"))
+    if limit is None:
+        out = filled
+    else:
+        # graphite fills a null RUN only when its WHOLE length is
+        # <= limit (it backfills once a value closes the gap; a longer
+        # outage stays null end to end) — the check needs the run
+        # length, hence a lookahead to the next non-null row
+        rn = F.row_number().over(wo)
+        nn_rn = F.when(F.col(value_col).isNotNull(), rn)
+        last_nn = F.max(nn_rn).over(w)
+        next_nn = F.min(nn_rn).over(
+            wo.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        max_rn = F.max(rn).over(
+            wo.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+        run_len = F.coalesce(next_nn - last_nn - 1, max_rn - last_nn)
+        out = (F.when(F.col(value_col).isNotNull(), F.col(value_col))
+               .when(last_nn.isNotNull() & (run_len <= limit), filled))
+    return series.select(metric_col, ts_col, out.alias("filled_value"))
 
 
 def divide_series(num: DataFrame, den: DataFrame, ts_col: str = "ts",
@@ -568,18 +586,33 @@ def holt_winters_bands(series: DataFrame, delta: float = 3.0,
 # ---------------------------------------------------------------------------
 
 def weighted_average(series: DataFrame, weights: DataFrame,
+                     nodes: list[int] | None = None,
                      metric_col: str = "metric", ts_col: str = "ts",
                      value_col: str = "value",
                      weight_col: str = "weight") -> DataFrame:
-    """graphite ``weightedAverage(seriesListAvg, seriesListWeight)``:
-    per aligned timestamp, sum(value*weight)/sum(weight) across series.
-    One equi-join on (metric, ts) + one aggregation on ts; zero total
-    weight yields null (graphite's None)."""
-    joined = series.join(weights.select(metric_col, ts_col, weight_col),
-                         [metric_col, ts_col])
+    """graphite ``weightedAverage(seriesListAvg, seriesListWeight,
+    *nodes)``: pair each avg series with its weight series BY the given
+    node positions (the two lists' full names usually differ — e.g.
+    ``*.cpu`` weighted by ``*.reqs`` pairs on the host node), then per
+    pairing key and timestamp emit sum(value*weight)/sum(weight).
+    Without nodes the pairing key is the full name (one output group).
+    One equi-join + one aggregation; zero total weight yields null
+    (graphite's None). Output rows: (_key, ts, wavg)."""
+
+    def key_of(col):
+        if not nodes:
+            return col
+        parts = F.split(col, r"\.")
+        return F.concat_ws(".", *[F.get(parts, int(i)) for i in nodes])
+
+    a = series.select(key_of(F.col(metric_col)).alias("_key"),
+                      F.col(ts_col), F.col(value_col))
+    b = weights.select(key_of(F.col(metric_col)).alias("_key"),
+                       F.col(ts_col), F.col(weight_col))
+    joined = a.join(b, ["_key", ts_col])
     wsum = F.sum(F.col(weight_col))
     return (
-        joined.groupBy(ts_col)
+        joined.groupBy("_key", ts_col)
         .agg(
             F.when(
                 wsum != 0,
@@ -715,13 +748,17 @@ def moving_stddev(series: DataFrame, window_points: int = 5,
     )
 
 
-def sort_by_maxima(series: DataFrame, n: int, metric_col: str = "metric",
+def sort_by_maxima(series: DataFrame, n: int | None = None,
+                   metric_col: str = "metric",
                    ts_col: str = "ts", value_col: str = "value") -> DataFrame:
-    """graphite ``limit(sortByMaxima(series), N)``: the N series with
-    the largest peaks, tagged with their rank — same
-    TakeOrderedAndProject + broadcast-back shape as sortByTotal."""
+    """graphite ``sortByMaxima(series)`` (optionally fused with
+    ``limit(..., N)``): series ranked by largest peak — same
+    TakeOrderedAndProject + broadcast-back shape as sortByTotal. With
+    no ``n`` every series is ranked (graphite's bare call)."""
     maxima = series.groupBy(metric_col).agg(F.max(value_col).alias("_peak"))
-    top = maxima.orderBy(F.desc("_peak"), F.asc(metric_col)).limit(n)
+    top = maxima.orderBy(F.desc("_peak"), F.asc(metric_col))
+    if n is not None:
+        top = top.limit(n)
     w = Window.orderBy(F.desc("_peak"), F.asc(metric_col))
     ranked = top.withColumn("rank", F.row_number().over(w))  # n rows — tiny
     return (

@@ -563,3 +563,49 @@ def test_series_with_wildcards_drop_semantics(spark):
     got = {(r["metric"], r["value"])
            for r in evaluate_target(df, "averageSeriesWithWildcards(*.*.m, 1)").collect()}
     assert got == {("a.m", 2.5), ("b.m", 5.0)}
+
+
+def test_keep_last_value_limit(spark):
+    """graphite keepLastValue(series, limit): only gaps of <= limit
+    consecutive nulls fill; a longer outage stays null."""
+    from graphouse_spark.functions.target import evaluate_target
+
+    rows = [("m", t, v) for t, v in
+            [(0, 1.0), (60, None), (120, None), (180, 2.0),
+             (240, None), (300, None), (360, None), (420, 3.0)]]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    got = {r["ts"]: r["value"]
+           for r in evaluate_target(df, "keepLastValue(m, 2)").collect()}
+    assert got[60] == 1.0 and got[120] == 1.0          # 2-gap fills
+    assert got[240] is None and got[300] is None and got[360] is None
+    assert got[420] == 3.0
+    # bare call still fills everything
+    got = {r["ts"]: r["value"]
+           for r in evaluate_target(df, "keepLastValue(m)").collect()}
+    assert got[360] == 2.0
+
+
+def test_sort_by_maxima_bare_call(spark):
+    from graphouse_spark.functions.target import evaluate_target
+
+    df = _mk(spark, [("a", 0, 1.0), ("b", 0, 9.0), ("c", 0, 5.0)])
+    got = evaluate_target(df, "sortByMaxima(*)")
+    assert {r["metric"] for r in got.collect()} == {"a", "b", "c"}
+
+
+def test_weighted_average_node_pairing(spark):
+    """weightedAverage(avg, weight, *nodes): series pair on the node
+    positions, one output series per pairing key."""
+    from graphouse_spark.functions.target import evaluate_target
+
+    df = _mk(spark, [
+        ("h1.cpu", 0, 10.0), ("h2.cpu", 0, 20.0),
+        ("h1.reqs", 0, 1.0), ("h2.reqs", 0, 3.0),
+    ])
+    got = {(r["metric"], r["value"]) for r in
+           evaluate_target(df, "weightedAverage(*.cpu, *.reqs, 0)").collect()}
+    assert got == {("h1", 10.0), ("h2", 20.0)}
+    # cross-host single group without nodes is the full-name pairing:
+    # names differ (cpu vs reqs) so nothing pairs -> empty
+    got = evaluate_target(df, "weightedAverage(*.cpu, *.reqs)")
+    assert got.count() == 0
