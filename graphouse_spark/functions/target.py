@@ -147,12 +147,30 @@ def _shift_seconds(spec) -> int:
     return -parse_render_time(s, 0)  # past view: data forward
 
 
+def _win(spec):
+    """Window argument in either graphite form: bare int = points,
+    duration string ('5min') = trailing time range."""
+    t = str(spec).strip().strip("'\"")
+    return int(t) if re.fullmatch(r"\d+", t) else t
+
+
+def _secs(spec) -> int:
+    """Interval argument: bare int = seconds, else a duration string
+    ('1h', '30min' — the form graphite targets actually use)."""
+    t = str(spec).strip().strip("'\"")
+    if re.fullmatch(r"\d+", t):
+        return int(t)
+    from graphouse_spark.queryparams import parse_render_time
+
+    return -parse_render_time("-" + t.lstrip("+-"), 0)
+
+
 #: name -> callable (series_df, *literal_args) -> canonical frame — the
 #: engine side of graphite-web's function registry. Every entry returns
 #: (metric, ts, value) so arbitrary nesting composes.
 _REGISTRY = {
-    "movingAverage": lambda df, n: _canon(ts.moving_average(df, int(n)), "moving_avg"),
-    "movingMedian": lambda df, n: _canon(ts.moving_stats(df, int(n)), "mov_median"),
+    "movingAverage": lambda df, n: _canon(ts.moving_average(df, _win(n)), "moving_avg"),
+    "movingMedian": lambda df, n: _canon(ts.moving_stats(df, _win(n)), "mov_median"),
     "sumSeries": lambda df: _canon(ts.sum_series(df), "sum_value", "sumSeries"),
     "averageSeries": lambda df: _canon(ts.stddev_series(df), "avg_value", "averageSeries"),
     "keepLastValue": lambda df, limit=None: _canon(
@@ -167,7 +185,7 @@ _REGISTRY = {
     "offsetToZero": lambda df: ts.offset_to_zero(df),
     "absolute": lambda df: ts.absolute_series(df),
     "timeShift": lambda df, spec: ts.time_shift(df, _shift_seconds(spec)),
-    "summarize": lambda df, sec, fn="sum": ts.summarize(df, int(sec), str(fn)),
+    "summarize": lambda df, sec, fn="sum": ts.summarize(df, _secs(sec), str(fn)),
     "highestMax": lambda df, n: ts.highest_max(df, int(n)).select("metric", "ts", "value"),
     "removeAboveValue": lambda df, v: ts.remove_above_value(df, float(v)),
     "removeBelowValue": lambda df, v: ts.remove_below_value(df, float(v)),
@@ -210,10 +228,10 @@ _REGISTRY = {
     "nPercentile": lambda df, p: _canon(ts.n_percentile(df, float(p) / 100.0), "pctl_value"),
     "integral": lambda df: _canon(ts.running_total(df), "running_total"),
     "integralByInterval": lambda df, sec: _canon(
-        ts.integral_by_interval(df, int(sec)), "running_value"),
+        ts.integral_by_interval(df, _secs(sec)), "running_value"),
 
     "smartSummarize": lambda df, sec, anchor, fn="avg": _canon(
-        ts.smart_summarize(df, int(sec), int(anchor), str(fn)), "value"),
+        ts.smart_summarize(df, _secs(sec), int(anchor), str(fn)), "value"),
     "timeSlice": lambda df, a, b: ts.time_slice(df, int(a), int(b)),
     "timeStack": lambda df, sec, n: ts.time_stack(df, int(sec), int(n)).select(
         F.concat_ws("#", "metric", F.col("shift_idx").cast("string")).alias("metric"),
@@ -267,7 +285,7 @@ _REGISTRY = {
     "add": lambda df, c: ts.offset_series(df, float(c)),
     "percentileOfSeries": lambda df, p: _canon(
         ts.percentile_of_series(df, float(p) / 100.0), "pct_value", "percentileOfSeries"),
-    "stdev": lambda df, n: _canon(ts.moving_stddev(df, int(n)), "mov_stddev"),
+    "stdev": lambda df, n: _canon(ts.moving_stddev(df, _win(n)), "mov_stddev"),
     "minMax": lambda df: _canon(ts.min_max_normalize(df), "norm"),
     "weightedAverage": lambda avg_df, w_df, *nodes: (
         lambda out: out.select(
@@ -286,9 +304,9 @@ _REGISTRY = {
         ts.holt_winters_bands(df), "lower_band"),
     "holtWintersAberration": lambda df: _canon(
         ts.holt_winters_bands(df), "aberration"),
-    "movingMin": lambda df, n: _canon(ts.moving_stats(df, int(n)), "mov_min"),
-    "movingMax": lambda df, n: _canon(ts.moving_stats(df, int(n)), "mov_max"),
-    "movingSum": lambda df, n: _canon(ts.moving_stats(df, int(n)), "mov_sum"),
+    "movingMin": lambda df, n: _canon(ts.moving_stats(df, _win(n)), "mov_min"),
+    "movingMax": lambda df, n: _canon(ts.moving_stats(df, _win(n)), "mov_max"),
+    "movingSum": lambda df, n: _canon(ts.moving_stats(df, _win(n)), "mov_sum"),
     "aggregate": lambda df, fn="sum": _canon(
         ts.aggregate_series(df, str(fn)).select(
             "ts", F.col("value")), "value", "aggregate"),
@@ -373,8 +391,8 @@ def _hitcount_anchor(wstart, interval: int, align) -> int:
 #: (requestContext.startTime): called as fn(head, window_start, *args).
 _NEEDS_WINDOW = {
     "hitcount": lambda df, wstart, sec, align="false", step=60: _canon(
-        ts.hitcount(df, int(sec), int(step),
-                    anchor_seconds=_hitcount_anchor(wstart, int(sec), align)),
+        ts.hitcount(df, _secs(sec), int(step),
+                    anchor_seconds=_hitcount_anchor(wstart, _secs(sec), align)),
         "hits"),
 }
 

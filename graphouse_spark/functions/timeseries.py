@@ -20,16 +20,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def moving_average(series: DataFrame, window_points: int = 3,
+def _moving_frame(window, metric_col: str, ts_col: str):
+    """ROWS frame for an integer point count, RANGE frame (seconds on
+    the epoch ts) for a duration — graphite's movingAverage family
+    accepts both forms ("5" points vs "'5min'")."""
+    base = Window.partitionBy(metric_col).orderBy(F.col(ts_col).cast("long"))
+    if isinstance(window, str):
+        from graphouse_spark.queryparams import parse_render_time
+
+        sec = -parse_render_time("-" + window.lstrip("+-"), 0)
+        return base.rangeBetween(-(int(sec) - 1), Window.currentRow)
+    return base.rowsBetween(-(int(window) - 1), Window.currentRow)
+
+
+def moving_average(series: DataFrame, window_points: int | str = 3,
                    metric_col: str = "metric", ts_col: str = "ts",
                    value_col: str = "value") -> DataFrame:
     """graphite ``movingAverage(series, N)``: mean of the last N points
-    (ROWS frame — point-count semantics, exactly graphite's)."""
-    w = (
-        Window.partitionBy(metric_col)
-        .orderBy(ts_col)
-        .rowsBetween(-(window_points - 1), Window.currentRow)
-    )
+    (ROWS frame) or, with a duration string ('5min'), of the trailing
+    time range (RANGE frame) — both graphite call forms."""
+    w = _moving_frame(window_points, metric_col, ts_col)
     return series.select(
         metric_col, ts_col,
         F.round(F.avg(value_col).over(w), 6).alias("moving_avg"),
@@ -350,7 +360,7 @@ def group_by_node(series: DataFrame, node: int, function: str = "sum",
 # round 3: moving stats, rate, selection, regression, combining
 # --------------------------------------------------------------------------
 
-def moving_stats(series: DataFrame, window_points: int = 5,
+def moving_stats(series: DataFrame, window_points: int | str = 5,
                  metric_col: str = "metric", ts_col: str = "ts",
                  value_col: str = "value") -> DataFrame:
     """graphite ``movingMedian/movingMin/movingMax/movingSum`` in one
@@ -360,12 +370,9 @@ def moving_stats(series: DataFrame, window_points: int = 5,
     The moving sum runs on exact integer micro-units so the result is
     independent of the engine's in-frame summation order; median over a
     handful of exact values interpolates identically everywhere.
+    Duration-string windows ('10min') use a trailing RANGE frame.
     """
-    w = (
-        Window.partitionBy(metric_col)
-        .orderBy(ts_col)
-        .rowsBetween(-(window_points - 1), Window.currentRow)
-    )
+    w = _moving_frame(window_points, metric_col, ts_col)
     micro = F.round(F.col(value_col) * 1_000_000).cast("long")
     return series.select(
         metric_col, ts_col,
@@ -720,7 +727,7 @@ def interpolate_series(series: DataFrame, metric_col: str = "metric",
     return series.withColumn(value_col, filled)
 
 
-def moving_stddev(series: DataFrame, window_points: int = 5,
+def moving_stddev(series: DataFrame, window_points: int | str = 5,
                   metric_col: str = "metric", ts_col: str = "ts",
                   value_col: str = "value") -> DataFrame:
     """graphite ``movingStdDev(series, N)`` over a ROWS frame.
@@ -728,12 +735,9 @@ def moving_stddev(series: DataFrame, window_points: int = 5,
     Population stddev from exact integer micro-unit moment sums
     (sum, sum of squares, count) — the in-frame summation order can't
     perturb the result, so any engine reproduces it bit-for-bit.
+    Duration-string windows use a trailing RANGE frame.
     """
-    w = (
-        Window.partitionBy(metric_col)
-        .orderBy(ts_col)
-        .rowsBetween(-(window_points - 1), Window.currentRow)
-    )
+    w = _moving_frame(window_points, metric_col, ts_col)
     micro = F.round(F.col(value_col) * 1_000_000).cast("long")
     # the SUMS are exact integers (order-independent); the variance is
     # then evaluated in double — s1*s1 would flirt with int64 overflow,
@@ -1512,18 +1516,15 @@ def logit_series(series: DataFrame, metric_col: str = "metric",
     )
 
 
-def moving_window(series: DataFrame, window_points: int, function: str = "average",
+def moving_window(series: DataFrame, window_points: int | str, function: str = "average",
                   metric_col: str = "metric", ts_col: str = "ts",
                   value_col: str = "value") -> DataFrame:
     """graphite ``movingWindow(series, n, func)`` — the generic form
-    behind movingAverage/Min/Max/Sum/Median: one ROWS-frame window
-    pass, the statistic picked by name (same single-shuffle shape for
-    the whole family)."""
-    w = (
-        Window.partitionBy(metric_col)
-        .orderBy(ts_col)
-        .rowsBetween(-(window_points - 1), Window.currentRow)
-    )
+    behind movingAverage/Min/Max/Sum/Median: one window pass (ROWS
+    frame for a point count, RANGE frame for a duration string), the
+    statistic picked by name (same single-shuffle shape for the whole
+    family)."""
+    w = _moving_frame(window_points, metric_col, ts_col)
     micro = F.round(F.col(value_col) * 1_000_000).cast("long")
     stats = {
         "average": F.round(F.sum(micro).over(w) / (F.count(value_col).over(w) * 1_000_000.0), 6),

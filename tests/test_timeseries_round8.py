@@ -609,3 +609,31 @@ def test_weighted_average_node_pairing(spark):
     # names differ (cpu vs reqs) so nothing pairs -> empty
     got = evaluate_target(df, "weightedAverage(*.cpu, *.reqs)")
     assert got.count() == 0
+
+
+def test_duration_string_windows_and_intervals(spark):
+    """graphite targets pass durations as strings ('5min', '1h') — the
+    registry must accept both forms everywhere: moving windows switch
+    to a trailing RANGE frame, interval functions parse to seconds."""
+    from graphouse_spark.functions.target import evaluate_target
+
+    rows = [("m", t * 60, float(t + 1)) for t in range(6)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    by_pts = {r["ts"]: r["value"]
+              for r in evaluate_target(df, "movingAverage(m, 3)").collect()}
+    by_dur = {r["ts"]: r["value"]
+              for r in evaluate_target(df, "movingAverage(m, '3min')").collect()}
+    # on a regular 60 s grid, 3 points == trailing 3 minutes
+    assert by_pts == by_dur
+    assert by_pts[300] == 5.0  # (4+5+6)/3
+
+    got = {r["ts"]: r["value"]
+           for r in evaluate_target(df, "summarize(m, '5min', 'sum')").collect()}
+    assert got[0] == 1 + 2 + 3 + 4 + 5
+    got2 = {r["ts"]: r["value"]
+            for r in evaluate_target(df, "summarize(m, 300, 'sum')").collect()}
+    assert got == got2
+
+    s = {r["ts"]: r["value"]
+         for r in evaluate_target(df, "movingSum(m, '2min')").collect()}
+    assert s[120] == 2.0 + 3.0
