@@ -245,7 +245,10 @@ _REGISTRY = {
     "grep": lambda df, pat: ts.grep_series(df, str(pat)),
     "exclude": lambda df, pat: ts.exclude_series(df, str(pat)),
     "aliasSub": lambda df, pat, rep: ts.alias_sub(df, str(pat), str(rep)),
-    "asPercent": lambda df: _canon(ts.as_percent(df), "pct"),
+    "asPercent": lambda df, total=None: _canon(
+        ts.as_percent(df, float(total)
+                      if isinstance(total, (int, float, str)) and total is not None
+                      else total), "pct"),
     "changed": lambda df: _canon(ts.changed(df), "changed"),
     "aggregateLine": lambda df, fn="avg": ts.aggregate_line(df, str(fn)).select(
         "metric", F.lit(0).cast("long").alias("ts"),

@@ -227,15 +227,28 @@ def stddev_series(series: DataFrame, ts_col: str = "ts",
     )
 
 
-def as_percent(series: DataFrame, metric_col: str = "metric",
+def as_percent(series: DataFrame, total=None, metric_col: str = "metric",
                ts_col: str = "ts", value_col: str = "value") -> DataFrame:
-    """graphite ``asPercent(series)``: each series' share of the
-    aligned-point total. One window sum over the ts partition — no
-    self-join; zero totals yield null (graphite's None)."""
-    w = Window.partitionBy(ts_col)
-    total = F.sum(value_col).over(w)
-    pct = F.when(total != 0, F.round(F.col(value_col) * 100.0 / total, 6))
-    return series.select(metric_col, ts_col, pct.alias("pct"))
+    """graphite ``asPercent(series[, total])``: each series' share of
+    the aligned-point total. Default total = sum across the selection
+    (one window sum over the ts partition — no self-join); a NUMBER
+    divides by a constant; a SERIES frame divides by that frame's
+    per-timestamp sum (broadcast join on ts — the total side is one
+    row per timestamp). Zero totals yield null (graphite's None)."""
+    if total is None:
+        w = Window.partitionBy(ts_col)
+        tot = F.sum(value_col).over(w)
+        pct = F.when(tot != 0, F.round(F.col(value_col) * 100.0 / tot, 6))
+        return series.select(metric_col, ts_col, pct.alias("pct"))
+    if isinstance(total, (int, float)):
+        tot = F.lit(float(total))
+        pct = F.when(tot != 0, F.round(F.col(value_col) * 100.0 / tot, 6))
+        return series.select(metric_col, ts_col, pct.alias("pct"))
+    totals = total.groupBy(ts_col).agg(F.sum(value_col).alias("_tot"))
+    joined = series.join(F.broadcast(totals), ts_col, "left")
+    pct = F.when(F.col("_tot") != 0,
+                 F.round(F.col(value_col) * 100.0 / F.col("_tot"), 6))
+    return joined.select(metric_col, ts_col, pct.alias("pct"))
 
 
 def average_above(series: DataFrame, threshold: float, metric_col: str = "metric",

@@ -637,3 +637,21 @@ def test_duration_string_windows_and_intervals(spark):
     s = {r["ts"]: r["value"]
          for r in evaluate_target(df, "movingSum(m, '2min')").collect()}
     assert s[120] == 2.0 + 3.0
+
+
+def test_as_percent_total_forms(spark):
+    from graphouse_spark.functions.target import evaluate_target
+
+    df = _mk(spark, [("a.x", 0, 1.0), ("a.y", 0, 3.0), ("t.z", 0, 8.0)])
+    # default: share of the selection
+    got = {(r["metric"], r["value"])
+           for r in evaluate_target(df, "asPercent(a.*)").collect()}
+    assert got == {("a.x", 25.0), ("a.y", 75.0)}
+    # constant total
+    got = {(r["metric"], r["value"])
+           for r in evaluate_target(df, "asPercent(a.*, 10)").collect()}
+    assert got == {("a.x", 10.0), ("a.y", 30.0)}
+    # series total: divide by the OTHER selection's per-ts sum
+    got = {(r["metric"], r["value"])
+           for r in evaluate_target(df, "asPercent(a.*, t.z)").collect()}
+    assert got == {("a.x", 12.5), ("a.y", 37.5)}
