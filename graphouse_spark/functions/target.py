@@ -221,7 +221,8 @@ _REGISTRY = {
         "n", "countSeries"),
     "groupByNodes": lambda df, fn, *nodes: ts.group_by_nodes(df, str(fn), list(nodes)),
     "sortByName": lambda df: ts.sort_by_name(df).select("metric", "ts", "value"),
-    "sortByTotal": lambda df, n: ts.sort_by_total(df, int(n)).select("metric", "ts", "value"),
+    "sortByTotal": lambda df, n=None: ts.sort_by_total(
+        df, None if n is None else int(n)).select("metric", "ts", "value"),
     "sortByMaxima": lambda df, n=None: ts.sort_by_maxima(
         df, None if n is None else int(n)).select("metric", "ts", "value"),
     "mostDeviant": lambda df, n: ts.most_deviant(df, int(n)).select("metric", "ts", "value"),

@@ -465,10 +465,12 @@ def current_above(series: DataFrame, threshold: float,
     ).select(metric_col, ts_col, value_col)
 
 
-def sort_by_total(series: DataFrame, n: int, metric_col: str = "metric",
+def sort_by_total(series: DataFrame, n: int | None = None,
+                  metric_col: str = "metric",
                   ts_col: str = "ts", value_col: str = "value") -> DataFrame:
-    """graphite ``limit(sortByTotal(series), N)``: the N series with the
-    largest totals, tagged with their rank.
+    """graphite ``sortByTotal(series)`` (optionally fused with
+    ``limit(..., N)``): series ranked by largest total; graphite's bare
+    call ranks everything.
 
     Totals accumulate in exact micro-units (order-independent across
     engines); top-N is orderBy().limit() = TakeOrderedAndProject
@@ -479,7 +481,9 @@ def sort_by_total(series: DataFrame, n: int, metric_col: str = "metric",
     totals = series.groupBy(metric_col).agg(
         (F.sum(micro) / 1_000_000.0).alias("_total")
     )
-    top = totals.orderBy(F.desc("_total"), F.asc(metric_col)).limit(n)
+    top = totals.orderBy(F.desc("_total"), F.asc(metric_col))
+    if n is not None:
+        top = top.limit(n)
     w = Window.orderBy(F.desc("_total"), F.asc(metric_col))
     ranked = top.withColumn("rank", F.row_number().over(w))  # n rows — tiny
     return (

@@ -655,3 +655,11 @@ def test_as_percent_total_forms(spark):
     got = {(r["metric"], r["value"])
            for r in evaluate_target(df, "asPercent(a.*, t.z)").collect()}
     assert got == {("a.x", 12.5), ("a.y", 37.5)}
+
+
+def test_sort_by_total_bare_call(spark):
+    from graphouse_spark.functions.target import evaluate_target
+
+    df = _mk(spark, [("a", 0, 1.0), ("b", 0, 9.0)])
+    got = evaluate_target(df, "sortByTotal(*)")
+    assert {r["metric"] for r in got.collect()} == {"a", "b"}
