@@ -975,7 +975,8 @@ def q_ts_weighted_average(spark, sf_dir):
         F.col("event_type").alias("metric"),
         (F.col("ts_sec") - F.col("ts_sec") % 300).alias("ts"),
     ).agg(F.count(F.lit(1)).alias("weight"))
-    return weighted_average(_series(spark, sf_dir), weights)
+    return weighted_average(_series(spark, sf_dir), weights) \
+        .select("ts", "wavg")
 
 
 def q_ts_min_max(spark, sf_dir):

@@ -291,15 +291,12 @@ _REGISTRY = {
         ts.percentile_of_series(df, float(p) / 100.0), "pct_value", "percentileOfSeries"),
     "stdev": lambda df, n: _canon(ts.moving_stddev(df, _win(n)), "mov_stddev"),
     "minMax": lambda df: _canon(ts.min_max_normalize(df), "norm"),
-    "weightedAverage": lambda avg_df, w_df, *nodes: (
-        lambda out: out.select(
-            (F.col("_key") if nodes else F.lit("weightedAverage"))
-            .alias("metric"),
-            "ts", F.col("wavg").alias("value"))
-    )(ts.weighted_average(
+    "weightedAverage": lambda avg_df, w_df, *nodes: ts.weighted_average(
         avg_df,
         w_df.select("metric", "ts", F.col("value").alias("weight")),
-        [int(n) for n in nodes] if nodes else None)),
+        [int(n) for n in nodes] if nodes else None,
+    ).select(F.col("_key").alias("metric"), "ts",
+             F.col("wavg").alias("value")),
     "holtWintersForecast": lambda df: _canon(
         ts.holt_winters_forecast(df), "forecast"),
     "holtWintersConfidenceUpper": lambda df: _canon(

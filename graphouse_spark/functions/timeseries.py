@@ -635,15 +635,16 @@ def weighted_average(series: DataFrame, weights: DataFrame,
                        F.col(ts_col), F.col(weight_col))
     joined = a.join(b, ["_key", ts_col])
     wsum = F.sum(F.col(weight_col))
-    return (
-        joined.groupBy("_key", ts_col)
-        .agg(
-            F.when(
-                wsum != 0,
-                F.round(F.sum(F.col(value_col) * F.col(weight_col)) / wsum, 6),
-            ).alias("wavg")
-        )
-    )
+    wavg = F.when(
+        wsum != 0,
+        F.round(F.sum(F.col(value_col) * F.col(weight_col)) / wsum, 6),
+    ).alias("wavg")
+    if not nodes:
+        # full-name pairing, ONE combined output series (the engine's
+        # node-less form: every paired series folds into the total)
+        return joined.groupBy(ts_col).agg(wavg).select(
+            F.lit("weightedAverage").alias("_key"), ts_col, "wavg")
+    return joined.groupBy("_key", ts_col).agg(wavg)
 
 
 def min_max_normalize(series: DataFrame, metric_col: str = "metric",

@@ -131,9 +131,16 @@ def test_sqlguard_tokenize_roundtrips_or_rejects(parts):
         s = sanitized(q)
     except GuardError:
         return
+    code_text = "".join(seg.text for seg in segs if seg.kind != "string")
     for seg in segs:
         if seg.kind == "string" and len(seg.text) > 2:
-            assert seg.text[1:-1] not in s or seg.text[1:-1] in ("X", "")
+            content = seg.text[1:-1]
+            # the twin may legitimately contain the substring when the
+            # CODE itself contains it — only a literal-only payload
+            # must vanish
+            if content in ("X", "") or content in code_text:
+                continue
+            assert content not in s
 
 
 @given(st.integers(1, 4), st.integers(1, 24), st.integers(1, 24),
