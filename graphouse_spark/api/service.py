@@ -119,7 +119,11 @@ class GraphouseService:
         from graphouse_spark.operators.dedup import latest_status
 
         metrics = read_metrics(self.spark, self.metrics_path)
-        n_rows = metrics.count()
+        # distinct NAMES, not raw rows: the metrics table is
+        # append-only (each status change adds a row), so a churny
+        # deployment would cross a row-count threshold far below 10M
+        # real names and silently degrade to lazy serving
+        n_rows = metrics.select("name").distinct().count()
         if n_rows > self.AUTO_LAZY_THRESHOLD:
             from graphouse_spark.api.batcher import (
                 DirContentBatcher,

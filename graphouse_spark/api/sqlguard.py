@@ -150,18 +150,56 @@ def rewrite_code(query: str, fn) -> str:
     )
 
 
+# Literal bodies matching this charset pass through sanitized()
+# unchanged: digits, hex letters, ISO date/timestamp punctuation and
+# the T/Z markers. Nothing here can open a paren (the function check
+# needs "name("), start a plan-tree line (needs \n) or quote/escape
+# (the tokenizer already consumed the delimiters) — yet it covers the
+# typed literals Spark VALIDATES AT PARSE TIME (DATE '2020-01-01',
+# TIMESTAMP '...', X'41'), which an 'X' placeholder would break.
+_SAFE_LITERAL_BODY = re.compile(r"^[0-9a-fA-F:. +\-TZ]*$")
+
+# INTERVAL bodies additionally carry unit words ('5 minutes',
+# '1-2' YEAR TO MONTH): word chars, digits, space, colon, dot, dash.
+# Still no parens/newlines/quotes/backticks/brackets.
+_SAFE_INTERVAL_BODY = re.compile(r"^[\w .:\-]*$")
+
+_TYPE_CONSTRUCTOR = re.compile(
+    r"(?:^|[^\w])(DATE|TIMESTAMP|TIMESTAMP_NTZ|TIMESTAMP_LTZ|INTERVAL|X)\s*$",
+    re.IGNORECASE,
+)
+
+
 def sanitized(query: str) -> str:
     """The structural twin: string literals become ``'X'``, comments
     become a space, code and identifiers stay. Its parse tree is
-    attacker-text-free (given the identifier character check)."""
+    attacker-text-free (given the identifier character check).
+
+    Exception — typed literals: Spark validates DATE/TIMESTAMP/X'..'
+    bodies at parse time, so ``DATE 'X'`` would reject legitimate
+    time-filter queries. When the preceding code ends in a
+    type-constructor keyword AND the body fits a strict safe charset
+    (see ``_SAFE_LITERAL_BODY``), the literal passes through; the
+    charset cannot form function calls, plan-tree lines or quoting."""
     out = []
+    prev_code = ""
     for s in tokenize(query):
         if s.kind == "string":
-            out.append("'X'")
+            body = s.text[1:-1]
+            m = _TYPE_CONSTRUCTOR.search(prev_code)
+            safe = (_SAFE_INTERVAL_BODY
+                    if m and m.group(1).upper() == "INTERVAL"
+                    else _SAFE_LITERAL_BODY)
+            if m and safe.match(body):
+                out.append(s.text)
+            else:
+                out.append("'X'")
         elif s.kind == "comment":
             out.append(" ")
         else:
             out.append(s.text)
+        if s.kind == "code":
+            prev_code = s.text
     return "".join(out)
 
 

@@ -246,10 +246,11 @@ _REGISTRY = {
     "grep": lambda df, pat: ts.grep_series(df, str(pat)),
     "exclude": lambda df, pat: ts.exclude_series(df, str(pat)),
     "aliasSub": lambda df, pat, rep: ts.alias_sub(df, str(pat), str(rep)),
-    "asPercent": lambda df, total=None: _canon(
+    "asPercent": lambda df, total=None, *nodes: _canon(
         ts.as_percent(df, float(total)
                       if isinstance(total, (int, float, str)) and total is not None
-                      else total), "pct"),
+                      else total,
+                      nodes=tuple(int(n) for n in nodes)), "pct"),
     "changed": lambda df: _canon(ts.changed(df), "changed"),
     "aggregateLine": lambda df, fn="avg": ts.aggregate_line(df, str(fn)).select(
         "metric", F.lit(0).cast("long").alias("ts"),
@@ -391,8 +392,11 @@ def _hitcount_anchor(wstart, interval: int, align) -> int:
 #: functions whose graphite semantics depend on the render window
 #: (requestContext.startTime): called as fn(head, window_start, *args).
 _NEEDS_WINDOW = {
-    "hitcount": lambda df, wstart, sec, align="false", step=60: _canon(
-        ts.hitcount(df, _secs(sec), int(step),
+    # step=None -> infer each series' native step from its modal ts
+    # delta (graphite uses series.step; hardcoding 60 mis-scales every
+    # bucket integral over rolled-up or summarize()d input)
+    "hitcount": lambda df, wstart, sec, align="false", step=None: _canon(
+        ts.hitcount(df, _secs(sec), None if step is None else int(step),
                     anchor_seconds=_hitcount_anchor(wstart, _secs(sec), align)),
         "hits"),
 }

@@ -227,14 +227,42 @@ def stddev_series(series: DataFrame, ts_col: str = "ts",
     )
 
 
-def as_percent(series: DataFrame, total=None, metric_col: str = "metric",
+def as_percent(series: DataFrame, total=None, nodes: tuple[int, ...] = (),
+               metric_col: str = "metric",
                ts_col: str = "ts", value_col: str = "value") -> DataFrame:
-    """graphite ``asPercent(series[, total])``: each series' share of
-    the aligned-point total. Default total = sum across the selection
-    (one window sum over the ts partition — no self-join); a NUMBER
-    divides by a constant; a SERIES frame divides by that frame's
-    per-timestamp sum (broadcast join on ts — the total side is one
-    row per timestamp). Zero totals yield null (graphite's None)."""
+    """graphite ``asPercent(series[, total[, *nodes]])``: each series'
+    share of the aligned-point total. Default total = sum across the
+    selection (one window sum over the ts partition — no self-join);
+    a NUMBER divides by a constant. A SERIES frame follows
+    graphite-web's pairing rules (render/functions.py asPercent):
+    exactly ONE total series divides everything; the SAME number of
+    total series pairs one-to-one by rank of sorted metric name
+    (matchSeries); any other count raises, matching graphite's
+    ValueError — it never silently sums a multi-series total. With
+    ``nodes``, series group by the dotted-path node key and divide by
+    the per-key per-timestamp sum of the total frame (or of the
+    selection itself when total is None); keys with no total yield
+    null. Zero totals yield null (graphite's None)."""
+    if nodes:
+        key = F.concat_ws(".", *[
+            F.element_at(F.split(metric_col, r"\."), int(n) + 1)
+            for n in nodes
+        ])
+        if total is None:
+            w = Window.partitionBy("_key", ts_col)
+            tot = F.sum(value_col).over(w)
+            pct = F.when(tot != 0,
+                         F.round(F.col(value_col) * 100.0 / tot, 6))
+            return (series.withColumn("_key", key)
+                    .select(metric_col, ts_col, pct.alias("pct")))
+        totals = (total.withColumn("_key", key)
+                  .groupBy("_key", ts_col)
+                  .agg(F.sum(value_col).alias("_tot")))
+        joined = (series.withColumn("_key", key)
+                  .join(F.broadcast(totals), ["_key", ts_col], "left"))
+        pct = F.when(F.col("_tot") != 0,
+                     F.round(F.col(value_col) * 100.0 / F.col("_tot"), 6))
+        return joined.select(metric_col, ts_col, pct.alias("pct"))
     if total is None:
         w = Window.partitionBy(ts_col)
         tot = F.sum(value_col).over(w)
@@ -244,8 +272,34 @@ def as_percent(series: DataFrame, total=None, metric_col: str = "metric",
         tot = F.lit(float(total))
         pct = F.when(tot != 0, F.round(F.col(value_col) * 100.0 / tot, 6))
         return series.select(metric_col, ts_col, pct.alias("pct"))
-    totals = total.groupBy(ts_col).agg(F.sum(value_col).alias("_tot"))
-    joined = series.join(F.broadcast(totals), ts_col, "left")
+    # series-frame total: graphite pairing. Name lists are
+    # render-selection sized (metadata), so the driver may look.
+    t_names = sorted(r[0] for r in
+                     total.select(metric_col).distinct().collect())
+    if len(t_names) == 1:
+        totals = (total.groupBy(ts_col)
+                  .agg(F.sum(value_col).alias("_tot")))
+        joined = series.join(F.broadcast(totals), ts_col, "left")
+        pct = F.when(F.col("_tot") != 0,
+                     F.round(F.col(value_col) * 100.0 / F.col("_tot"), 6))
+        return joined.select(metric_col, ts_col, pct.alias("pct"))
+    s_names = sorted(r[0] for r in
+                     series.select(metric_col).distinct().collect())
+    if len(t_names) != len(s_names):
+        raise ValueError(
+            "asPercent second argument must be missing, a single digit, "
+            "reference exactly 1 series or reference the same number of "
+            "series as the first argument")
+    mapping = series.sparkSession.createDataFrame(
+        list(zip(s_names, t_names)), [metric_col, "_tm"])
+    totals = total.select(F.col(metric_col).alias("_tmetric"),
+                          F.col(ts_col).alias("_tts"),
+                          F.col(value_col).alias("_tot"))
+    joined = (series
+              .join(F.broadcast(mapping), metric_col, "left")
+              .join(F.broadcast(totals),
+                    (F.col("_tm") == F.col("_tmetric"))
+                    & (F.col(ts_col) == F.col("_tts")), "left"))
     pct = F.when(F.col("_tot") != 0,
                  F.round(F.col(value_col) * 100.0 / F.col("_tot"), 6))
     return joined.select(metric_col, ts_col, pct.alias("pct"))
@@ -854,7 +908,33 @@ def offset_to_zero(series: DataFrame, metric_col: str = "metric",
     )
 
 
-def hitcount(series: DataFrame, interval_seconds: int, step_seconds: int,
+def infer_native_step(series: DataFrame, metric_col: str = "metric",
+                      ts_col: str = "ts", default: int = 60) -> DataFrame:
+    """Per-metric native step = the MODAL positive timestamp delta
+    (graphite reads ``series.step`` off whisper metadata; the engine
+    analog is what the data actually shows — robust to gaps, which a
+    min-delta would be too, but a min is fooled by a single duplicate
+    while the mode needs half the series corrupted). Ties prefer the
+    finer step. One window + one aggregation; the result is one row
+    per metric, broadcastable. Metrics with <2 points get ``default``.
+
+    Returns ``(metric_col, _step)``.
+    """
+    w = Window.partitionBy(metric_col).orderBy(ts_col)
+    deltas = (series
+              .select(metric_col,
+                      (F.col(ts_col) - F.lag(ts_col).over(w)).alias("_d"))
+              .where(F.col("_d").isNotNull() & (F.col("_d") > 0)))
+    counts = deltas.groupBy(metric_col, "_d").agg(F.count("*").alias("_c"))
+    rk = Window.partitionBy(metric_col).orderBy(F.desc("_c"), F.asc("_d"))
+    return (counts
+            .withColumn("_rk", F.row_number().over(rk))
+            .where(F.col("_rk") == 1)
+            .select(metric_col, F.col("_d").cast("long").alias("_step")))
+
+
+def hitcount(series: DataFrame, interval_seconds: int,
+             step_seconds: int | None = None,
              anchor_seconds: int = 0, metric_col: str = "metric",
              ts_col: str = "ts", value_col: str = "value") -> DataFrame:
     """graphite ``hitcount(series, interval)``: convert a rate series to
@@ -866,6 +946,12 @@ def hitcount(series: DataFrame, interval_seconds: int, step_seconds: int,
     ``alignToInterval=True`` is anchor rounded down to the interval —
     the render path passes the window start through).
 
+    ``step_seconds=None`` (the default) infers each series' NATIVE
+    step from its modal timestamp delta (:func:`infer_native_step`) —
+    graphite derives the interval from ``series.step``, so hitcount
+    over 300s-rollup or summarize()d input must integrate over the
+    real point width, not an assumed 60 s. Pass an int to pin it.
+
     Spark-first: each point explodes to the 1-2 buckets its native
     interval [ts, ts+step) covers (``sequence`` over bucket indices —
     bounded by ceil(step/interval)+1, almost always 1), the overlap is
@@ -875,21 +961,32 @@ def hitcount(series: DataFrame, interval_seconds: int, step_seconds: int,
     """
     a = int(anchor_seconds)
     iv = int(interval_seconds)
+    if step_seconds is None:
+        steps = infer_native_step(series, metric_col, ts_col)
+        series = (series.join(F.broadcast(steps), metric_col, "left")
+                  .withColumn("_step",
+                              F.coalesce(F.col("_step"), F.lit(60))))
+    else:
+        series = series.withColumn(
+            "_step", F.lit(int(step_seconds)).cast("long"))
+    step = F.col("_step")
     # exact floor division on possibly-negative offsets: pmod is
     # always non-negative, so (x - pmod(x, iv)) / iv is floor(x/iv)
     off0 = F.col(ts_col) - a
-    off1 = F.col(ts_col) + step_seconds - 1 - a
+    off1 = F.col(ts_col) + step - 1 - a
     b0 = ((off0 - F.pmod(off0, iv)) / iv).cast("long")
     b1 = ((off1 - F.pmod(off1, iv)) / iv).cast("long")
     cents = F.round(F.col(value_col) * 100).cast("long")
     exploded = series.select(
         metric_col,
         F.col(ts_col).alias("_pt"),
+        step.alias("_step"),
         cents.alias("_cents"),
         F.explode(F.sequence(b0, b1)).alias("_b"),
     )
     lo = F.greatest(F.col("_pt"), F.lit(a) + F.col("_b") * iv)
-    hi = F.least(F.col("_pt") + step_seconds, F.lit(a) + (F.col("_b") + 1) * iv)
+    hi = F.least(F.col("_pt") + F.col("_step"),
+                 F.lit(a) + (F.col("_b") + 1) * iv)
     return (
         exploded.groupBy(
             metric_col, (F.lit(a) + F.col("_b") * iv).alias(ts_col)

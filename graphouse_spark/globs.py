@@ -20,8 +20,24 @@ Two forms:
 from __future__ import annotations
 
 import re
+import warnings
 
 _EXPRESSION_CHARS = set("*?[]{}")
+
+
+def _compile_or_none(pattern: str) -> "re.Pattern[str] | None":
+    """``re.compile`` with FutureWarning treated as invalid: a pattern
+    the stdlib warns about (e.g. the set-difference parse of a
+    malformed range like ``[0--]``) may change meaning under a future
+    ``re`` — the invalid-glob contract (None -> empty result,
+    MetricTree.java:101-103) is the safe bucket for it, and the
+    warning must not leak to callers either way."""
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", FutureWarning)
+            return re.compile(pattern)
+    except (re.error, FutureWarning):
+        return None
 
 
 def contains_expressions(s: str) -> bool:
@@ -70,6 +86,12 @@ def level_glob_to_regex(glob: str) -> str | None:
             inner = glob[body_start:j].replace("\\", "\\\\")
             if inner[0] == "^":
                 inner = "\\" + inner
+            # [, ], &, |, ~ are literals inside a class in both Python
+            # and Java, but unescaped they trip Python's FutureWarning
+            # machinery (nested set / set operations) — meaning a
+            # future `re` may change what they match. Escaping pins
+            # the literal meaning forever without changing it today.
+            inner = re.sub(r"[\[\]&|~]", lambda m: "\\" + m.group(0), inner)
             out.append("[" + ("^" if neg else "") + inner + "]")
             i = j + 1
         elif c == "{":
@@ -116,9 +138,7 @@ def glob_to_regex(query: str, anchor: bool = True) -> str | None:
     # malformed classes like [0--] survive translation but are invalid
     # regexes (in Python and Java alike); the invalid-glob contract is
     # None -> empty result, never an error (MetricTree.java:101-103)
-    try:
-        re.compile(out)
-    except re.error:
+    if _compile_or_none(out) is None:
         return None
     return out
 
@@ -128,10 +148,7 @@ def compile_glob(query: str) -> "re.Pattern[str] | None":
     r = glob_to_regex(query)
     if r is None:
         return None
-    try:
-        return re.compile(r)
-    except re.error:
-        return None
+    return _compile_or_none(r)
 
 
 def compile_level_glob(glob: str) -> "re.Pattern[str] | None":
@@ -139,7 +156,4 @@ def compile_level_glob(glob: str) -> "re.Pattern[str] | None":
     r = level_glob_to_regex(glob)
     if r is None:
         return None
-    try:
-        return re.compile(f"^{r}$")
-    except re.error:
-        return None
+    return _compile_or_none(f"^{r}$")

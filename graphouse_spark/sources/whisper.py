@@ -79,17 +79,32 @@ def wsp_points(payload: bytes) -> list[tuple[int, float, int]]:
     return [(ts, v, step) for ts, (v, step) in sorted(best.items())]
 
 
+def _fs_path(p: str) -> str:
+    """Scheme- and authority-free path: ``file:/a``, ``file:///a``,
+    ``hdfs://nn:8020/a`` and plain ``/a`` all normalize to ``a``."""
+    from urllib.parse import urlparse
+
+    u = urlparse(p)
+    return (u.path if u.scheme else p).lstrip("/")
+
+
 def metric_name_of(path: str, root: str) -> str:
     """Whisper's dir layout IS the metric tree: strip the root prefix,
-    drop .wsp, '/' -> '.' (carbon's path<->name rule)."""
-    rel = path
-    for prefix in ("file:", root.rstrip("/")):
-        if rel.startswith(prefix):
-            rel = rel[len(prefix):]
-    rel = rel.lstrip("/")
-    if rel.endswith(".wsp"):
-        rel = rel[:-4]
-    return rel.replace("/", ".")
+    drop .wsp, '/' -> '.' (carbon's path<->name rule). Both sides are
+    normalized through urlparse so Hadoop's ``file:/...`` form, a
+    ``file://`` URI and remote schemes like ``hdfs://`` all match —
+    a silent prefix-miss would embed the storage root directories in
+    every migrated metric name."""
+    p = _fs_path(path)
+    r = _fs_path(root).rstrip("/")
+    if r:
+        if p != r and not p.startswith(r + "/"):
+            raise ValueError(
+                f"whisper file {path!r} is not under root {root!r}")
+        p = p[len(r):].lstrip("/")
+    if p.endswith(".wsp"):
+        p = p[:-4]
+    return p.replace("/", ".")
 
 
 def read_whisper(spark: SparkSession, root: str,

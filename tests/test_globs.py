@@ -67,3 +67,31 @@ def test_regex_metachars_quoted():
 
 def test_full_regex_for_rlike():
     assert glob_to_regex("five_sec.int_8742.x*") == r"^five_sec\.int_8742\.x[^.]*$"
+
+
+def test_bracket_inside_class_is_warning_free():
+    # '[' in a class body trips Python's nested-set FutureWarning
+    # unescaped — meaning a future `re` could change the match
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        m = compile_level_glob("a[[]b")
+        assert m.match("a[b")
+        assert not m.match("axb")
+        m = compile_level_glob("a[&|~]b")
+        assert m.match("a&b") and m.match("a|b") and m.match("a~b")
+        m = compile_level_glob("a[x&&y]b")  # doubled set-op chars
+        assert m.match("a&b") and m.match("axb")
+        # valid range whose endpoints include '-' stays a range
+        m = compile_level_glob("v[--0]")
+        assert m.match("v.") and not m.match("v1")
+
+
+def test_invalid_range_is_none_and_silent():
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert compile_level_glob("x[0--]") is None
+        assert glob_to_regex("a.x[0--].b") is None

@@ -723,3 +723,38 @@ def test_query_serves_system_query_log(server):
     assert code == 200
     routes = [line.split("\t")[0] for line in body.strip().splitlines()]
     assert "/query" in routes
+
+
+def test_load_tree_counts_names_not_status_churn(spark, tmp_path_factory):
+    """The metrics table is append-only (every status flip adds a
+    row); the auto-lazy switch must compare the threshold against
+    DISTINCT NAMES, or a churny deployment degrades to lazy serving
+    far below the 10M-name envelope (round-4 advisory)."""
+    import datetime
+
+    from graphouse_spark.sources.tables import write_metrics
+    from graphouse_spark.tree_index import LazyMetricTree
+
+    tmp = tmp_path_factory.mktemp("churn")
+    upd = datetime.datetime(2020, 1, 1)
+    rows = []
+    # 3 real names, 10 status-change appends each = 30 rows
+    for name in ("a.x", "a.y", "a.z"):
+        for i in range(10):
+            status = "SIMPLE" if i % 2 == 0 else "BAN"
+            rows.append((name, 2, "a.", status,
+                         upd + datetime.timedelta(seconds=i)))
+        rows.append(("a.", 1, "ROOT", "SIMPLE", upd))
+    df = spark.createDataFrame(
+        rows, "name string, level int, parent string, status string, "
+              "updated timestamp")
+    write_metrics(df, str(tmp / "metrics"), mode="overwrite")
+
+    provider = CombinedRetentionProvider(
+        [MetricRetentionConfig(".*", True, MetricRetention("avg", {0: 60}))]
+    )
+    svc = GraphouseService(spark, str(tmp / "data"), str(tmp / "metrics"),
+                           provider)
+    svc.AUTO_LAZY_THRESHOLD = 10  # 30 churn rows, only 6 real names
+    svc.load_tree()
+    assert not isinstance(svc.tree, LazyMetricTree)  # stayed eager

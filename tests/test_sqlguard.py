@@ -74,3 +74,57 @@ def test_assert_readonly_allows_and_rejects(spark):
         spark,
         "SELECT * FROM (WITH inner_t AS (SELECT 1 AS a) "
         "SELECT * FROM inner_t)", allowed)
+
+
+def test_sanitized_passes_typed_literals_through():
+    # Spark VALIDATES typed-literal bodies at parse time, so the 'X'
+    # placeholder used to reject every date/timestamp/interval filter
+    q = ("SELECT * FROM data WHERE ts >= timestamp '2020-01-01 00:00:00' "
+         "AND d = date '2020-01-01' AND ts < date '2020-01-01' + "
+         "interval '5' minute AND h = x'41'")
+    s = sanitized(q)
+    assert "timestamp '2020-01-01 00:00:00'" in s
+    assert "date '2020-01-01'" in s
+    assert "interval '5' minute" in s
+    assert "x'41'" in s
+
+
+def test_sanitized_interval_unit_words_pass():
+    s = sanitized("SELECT ts + interval '5 minutes' FROM data")
+    assert "interval '5 minutes'" in s
+
+
+def test_sanitized_still_masks_unsafe_typed_bodies():
+    # parens / letters outside the safe charset never pass through,
+    # even behind a type-constructor keyword
+    s = sanitized("SELECT date 'evil(InsertIntoStatement' FROM t")
+    assert "evil" not in s and "'X'" in s
+    # a non-constructor context masks even safe-charset bodies
+    s = sanitized("SELECT a FROM t WHERE x = '2020-01-01'")
+    assert s.endswith("x = 'X'")
+
+
+def test_assert_readonly_serves_typed_literal_queries(spark):
+    """The bread-and-butter time-filter shapes of a /query interface
+    (the round-4 advisory: these were rejected with 'parse error')."""
+    allowed = frozenset({"data"})
+    assert_readonly(
+        spark,
+        "SELECT * FROM data WHERE ts >= timestamp '2020-01-01 00:00:00'",
+        allowed)
+    assert_readonly(
+        spark, "SELECT * FROM data WHERE d = date '2020-01-01'", allowed)
+    assert_readonly(
+        spark,
+        "SELECT * FROM data WHERE ts > timestamp '2020-01-01 00:00:00' "
+        "- interval '5' minute", allowed)
+    assert_readonly(
+        spark,
+        "SELECT * FROM data WHERE ts > timestamp '2020-01-01 00:00:00' "
+        "- interval '90 seconds'", allowed)
+    assert_readonly(spark, "SELECT x'41', data.* FROM data", allowed)
+    # still readonly: typed literals don't open the DML door
+    with pytest.raises(GuardError, match="readonly"):
+        assert_readonly(
+            spark,
+            "INSERT INTO data SELECT date '2020-01-01'", allowed)

@@ -110,3 +110,30 @@ def test_hitcount_window_through_target(spark):
            for r in evaluate_target(s, "hitcount(m, 60, true, 60)",
                                     start=30, end=150).collect()}
     assert got == {0: 60.0, 60: 180.0, 120: 120.0}
+
+
+def test_hitcount_infers_native_step(spark):
+    """step=None derives each series' native step from its modal ts
+    delta — hitcount over 300s input must integrate value*300 per
+    point, not value*60 (the round-4 advisory)."""
+    rows = [("m", i * 300, 1.0) for i in range(12)]  # one hour at 300s
+    s = spark.createDataFrame(rows, "metric string, ts long, value double")
+    got = {r["ts"]: r["hits"] for r in hitcount(s, 3600).collect()}
+    assert got[0] == 3600.0  # 12 points x 1.0/s x 300 s
+
+
+def test_hitcount_inference_is_per_series(spark):
+    rows = ([("fine", i * 60, 1.0) for i in range(60)]
+            + [("coarse", i * 300, 1.0) for i in range(12)])
+    s = spark.createDataFrame(rows, "metric string, ts long, value double")
+    got = {(r["metric"], r["ts"]): r["hits"]
+           for r in hitcount(s, 3600).collect()}
+    assert got[("fine", 0)] == 3600.0
+    assert got[("coarse", 0)] == 3600.0
+
+
+def test_hitcount_single_point_defaults_60(spark):
+    s = spark.createDataFrame([("m", 0, 2.0)],
+                              "metric string, ts long, value double")
+    got = {r["ts"]: r["hits"] for r in hitcount(s, 3600).collect()}
+    assert got[0] == 120.0

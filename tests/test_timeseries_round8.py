@@ -663,3 +663,49 @@ def test_sort_by_total_bare_call(spark):
     df = _mk(spark, [("a", 0, 1.0), ("b", 0, 9.0)])
     got = evaluate_target(df, "sortByTotal(*)")
     assert {r["metric"] for r in got.collect()} == {"a", "b"}
+
+
+def test_as_percent_pairs_equal_length_totals(spark):
+    """graphite matchSeries: same-count total list pairs one-to-one by
+    sorted name — asPercent(app.*.hits, app.*.requests) must divide
+    each hits series by ITS OWN requests series, never the sum."""
+    from graphouse_spark.functions.target import evaluate_target
+
+    df = _mk(spark, [
+        ("app.a.hits", 0, 1.0), ("app.b.hits", 0, 3.0),
+        ("app.a.req", 0, 4.0), ("app.b.req", 0, 4.0),
+    ])
+    got = {(r["metric"], r["value"])
+           for r in evaluate_target(
+               df, "asPercent(app.*.hits, app.*.req)").collect()}
+    assert got == {("app.a.hits", 25.0), ("app.b.hits", 75.0)}
+
+
+def test_as_percent_mismatched_totals_raise(spark):
+    from graphouse_spark.functions.timeseries import as_percent
+
+    s = _mk(spark, [("a.x", 0, 1.0), ("a.y", 0, 3.0)])
+    t = _mk(spark, [("t.1", 0, 1.0), ("t.2", 0, 1.0), ("t.3", 0, 1.0)])
+    with pytest.raises(ValueError, match="same number"):
+        as_percent(s, t)
+
+
+def test_as_percent_nodes_grouping(spark):
+    """asPercent(s, total, 1): series and totals group by node 1; each
+    series divides by its key group's per-ts total sum."""
+    from graphouse_spark.functions.timeseries import as_percent
+
+    s = _mk(spark, [("s.a.hits", 0, 1.0), ("s.b.hits", 0, 2.0)])
+    t = _mk(spark, [("t.a.req", 0, 4.0), ("t.b.req", 0, 8.0),
+                    ("t2.b.req", 0, 8.0)])
+    got = {(r["metric"], r["pct"]) for r in as_percent(s, t, nodes=(1,)).collect()}
+    assert got == {("s.a.hits", 25.0), ("s.b.hits", 12.5)}
+
+
+def test_as_percent_nodes_default_total(spark):
+    from graphouse_spark.functions.timeseries import as_percent
+
+    s = _mk(spark, [("s.a.x", 0, 1.0), ("s.a.y", 0, 3.0),
+                    ("s.b.x", 0, 5.0)])
+    got = {(r["metric"], r["pct"]) for r in as_percent(s, nodes=(1,)).collect()}
+    assert got == {("s.a.x", 25.0), ("s.a.y", 75.0), ("s.b.x", 100.0)}

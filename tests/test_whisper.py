@@ -115,3 +115,22 @@ def test_cli_migrate_whisper(spark, tmp_path):
     assert n == 1
     got = spark.read.parquet(str(tmp_path / "data")).collect()
     assert got[0]["metric"] == "one_min.srv9.cpu" and got[0]["value"] == 7.0
+
+
+def test_metric_name_uri_forms_normalize():
+    # Hadoop hands back file:/..., file:///..., or a remote scheme;
+    # the root may itself be a URI — every pairing must strip cleanly
+    assert metric_name_of("file:///w/root/a/b.wsp", "/w/root") == "a.b"
+    assert metric_name_of("file:/w/root/a/b.wsp", "file:///w/root") == "a.b"
+    assert metric_name_of("hdfs://nn:8020/data/wsp/a/b.wsp",
+                          "hdfs://nn:8020/data/wsp") == "a.b"
+    assert metric_name_of("hdfs://nn:8020/data/wsp/a/b.wsp",
+                          "/data/wsp") == "a.b"
+
+
+def test_metric_name_outside_root_raises():
+    # a silent prefix-miss used to embed the storage root in the name
+    import pytest
+
+    with pytest.raises(ValueError, match="not under root"):
+        metric_name_of("file:/other/tree/a.wsp", "/w/root")
