@@ -123,9 +123,9 @@ def main() -> None:
             # timed executions, keep the MIN: this host shows heavy
             # noisy-neighbor variance (the same plan measured 2-3x apart
             # minutes apart); min-of-N is the standard noise-robust
-            # steady-state estimator. The graded headline basket runs
-            # twice; the informational extended set once to keep total
-            # bench wall time bounded as it grows. Each execution
+            # steady-state estimator. Both baskets run min-of-2 — the
+            # single-run extended set is exactly where round 2's and
+            # round 4's phantom 1.2-2x drifts landed. Each execution
             # recomputes the full pipeline — clearCache drops
             # intra-query persist() results.
             best, n = float("inf"), 0
@@ -138,17 +138,26 @@ def main() -> None:
             print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         return timings
 
+    load_before = os.getloadavg()
     timings = run_set(BENCH_QUERIES, repeats=2)
-    extended = run_set(EXTENDED_QUERIES)
+    extended = run_set(EXTENDED_QUERIES, repeats=2)
+    load_after = os.getloadavg()
 
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
-        "mode": "steady-state (per-query warm run; cold run excluded)",
+        "mode": "steady-state min-of-2 (per-query warm run; cold run excluded)",
         "queries": timings,
         "extended": extended,
+        "extended_mode": "min-of-2",
         "extended_total": round(sum(extended.values()), 4),
+        # ambient-load indicator: a 1-min loadavg far above the bench's
+        # own footprint means the numbers carry noisy-neighbor drift
+        # (the round-2 and round-4 phantom regressions) — read deltas
+        # against this, not as plan changes
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
         "sf": sf,
     }))
 
