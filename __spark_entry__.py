@@ -2710,6 +2710,46 @@ def q_multimodal_resize(spark, sf_dir):
     )
 
 
+def q_multimodal_video(spark, sf_dir):
+    """REAL video SAMPLE decode end-to-end: per doc_id an MJPEG MP4 is
+    BUILT byte-for-byte (functions/multimodal.build_mjpeg_mp4 — ftyp +
+    mdat of baseline-JPEG frames + moov with real stsd/stts/stsc/stsz/
+    stco tables), then decode_video_frames locates every sample
+    through the sample tables and decodes it with the pure-python JPEG
+    codec. Frame count, dimensions and per-frame flat-gray color all
+    derive from doc_id, and a flat image with DC quantum 8 survives
+    the DCT round trip losslessly — so the oracle predicts every
+    output row (timestamp, dims, exact mean) arithmetically. One
+    mis-parsed table entry, offset, duration or huffman code breaks
+    the match."""
+    import pandas as pd
+
+    from graphouse_spark.functions.multimodal import decode_video_frames
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 64)
+
+    def synth(batches):
+        import numpy as np
+
+        from graphouse_spark.functions.multimodal import build_mjpeg_mp4
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, n = did % 5 + 1, did % 4 + 1, did % 3 + 1
+                frames = [np.full((h, w), (did * 7 + 13 * k) % 256,
+                                  dtype=np.uint8) for k in range(n)]
+                rows.append((did, "video", build_mjpeg_mp4(frames, fps=5)))
+            yield pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+    assets = ids.mapInPandas(synth, "asset_id long, modality string, payload binary")
+    return decode_video_frames(assets).select(
+        "asset_id", "sample_idx", "sample_ts_ms", "codec", "width", "height",
+        F.round("mean_value", 6).alias("mean_value"),
+    )
+
+
 def q_ev_with_totals(spark, sf_dir):
     """CH ``GROUP BY ... WITH TOTALS`` (and ROLLUP modifier): per
     (type, day) sums plus per-type and grand-total rows from ONE
@@ -3398,6 +3438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_audience_overlap": q_sketch_audience_overlap,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_video": q_multimodal_video,
         "ev_with_totals": q_ev_with_totals,
         "ev_limit_by": q_ev_limit_by,
         "ev_bit_ops": q_ev_bit_ops,
@@ -6004,6 +6045,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 AS INTEGER) AS width, CAST(3 AS INTEGER) AS height,
                    round(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_value
             FROM documents WHERE doc_id < 32
+        """,
+        "multimodal_video": """
+            WITH ks AS (SELECT unnest([0, 1, 2]) AS k)
+            SELECT d.doc_id AS asset_id,
+                   CAST(ks.k AS INTEGER) AS sample_idx,
+                   CAST(ks.k * 200 AS BIGINT) AS sample_ts_ms,
+                   'jpeg' AS codec,
+                   CAST(d.doc_id % 5 + 1 AS INTEGER) AS width,
+                   CAST(d.doc_id % 4 + 1 AS INTEGER) AS height,
+                   round(CAST((d.doc_id * 7 + 13 * ks.k) % 256 AS DOUBLE), 6)
+                       AS mean_value
+            FROM documents d JOIN ks ON ks.k <= d.doc_id % 3
+            WHERE d.doc_id < 64
         """,
         "ev_with_totals": f"""
             SELECT event_type,

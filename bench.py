@@ -95,6 +95,8 @@ EXTENDED_QUERIES = [
     "ts_lttb",                 # shape-preserving downsample (CH LTTB)
     # round 4
     "multimodal_resize",       # real decode->resample->PNG re-encode
+    # round 5
+    "multimodal_video",        # MJPEG MP4 sample-table decode
 ]
 
 

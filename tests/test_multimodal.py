@@ -127,3 +127,104 @@ def test_real_decoders_wav_bmp_ppm(spark):
     assert ppm["mean_value"] == 100.0
 
     assert out[4]["format"] == "unknown"
+
+
+def test_video_sample_decode_round_trip(spark):
+    """MJPEG MP4 built byte-for-byte -> sample tables located -> each
+    frame decoded by the pure-python JPEG codec. Flat-gray frames with
+    DC quantum 8 round-trip the DCT EXACTLY, so every mean is exact;
+    timestamps come from stts x mdhd timescale."""
+    import numpy as np
+
+    from graphouse_spark.functions.multimodal import (
+        build_mjpeg_mp4,
+        decode_payload,
+        decode_video_frames,
+    )
+
+    mp4 = build_mjpeg_mp4(
+        [np.full((16, 24), c, dtype=np.uint8) for c in (8, 64, 200)], fps=5)
+    meta = decode_payload(mp4)
+    assert meta["format"] == "mp4" and meta["duration_ms"] == 600
+    assert (meta["width"], meta["height"]) == (24, 16)
+    assert meta["codec"] == "jpeg" and meta["n_samples"] == 3
+
+    assets = spark.createDataFrame(
+        [(1, "video", mp4), (2, "image", b"\x89PNG")],
+        "asset_id long, modality string, payload binary")
+    rows = sorted(decode_video_frames(assets).collect(),
+                  key=lambda r: r["sample_idx"])
+    # image row filtered JVM-side; 3 frame rows for the video
+    assert [r["asset_id"] for r in rows] == [1, 1, 1]
+    assert [r["sample_ts_ms"] for r in rows] == [0, 200, 400]
+    assert [r["mean_value"] for r in rows] == [8.0, 64.0, 200.0]
+    assert all(r["codec"] == "jpeg" and r["width"] == 24 and r["height"] == 16
+               for r in rows)
+
+
+def test_video_every_ms_strides_samples(spark):
+    import numpy as np
+
+    from graphouse_spark.functions.multimodal import (
+        build_mjpeg_mp4,
+        decode_video_frames,
+    )
+
+    # 10 frames at 5 fps = one per 200 ms; every_ms=400 keeps every 2nd
+    mp4 = build_mjpeg_mp4(
+        [np.full((8, 8), k * 10, dtype=np.uint8) for k in range(10)], fps=5)
+    assets = spark.createDataFrame([(7, "video", mp4)],
+                                   "asset_id long, modality string, payload binary")
+    rows = sorted(decode_video_frames(assets, every_ms=400).collect(),
+                  key=lambda r: r["sample_idx"])
+    assert [r["sample_idx"] for r in rows] == [0, 2, 4, 6, 8]
+    assert [r["mean_value"] for r in rows] == [0.0, 20.0, 40.0, 60.0, 80.0]
+
+
+def test_video_non_jpeg_codec_raises():
+    """A codec the repo cannot decode must raise, never fake pixels."""
+    import numpy as np
+    import pytest
+
+    from graphouse_spark.functions.multimodal import (
+        build_mjpeg_mp4,
+        video_frame_stats,
+    )
+
+    mp4 = bytearray(build_mjpeg_mp4(
+        [np.full((8, 8), 50, dtype=np.uint8)], fps=5))
+    # splice the stsd sample-entry fourcc to avc1 and break the JPEG
+    # SOI sniff so neither path claims the sample
+    i = bytes(mp4).index(b"stsd")
+    assert bytes(mp4[i + 16:i + 20]) == b"jpeg"
+    mp4[i + 16:i + 20] = b"avc1"
+    soi = bytes(mp4).index(b"\xff\xd8\xff")
+    mp4[soi:soi + 3] = b"\x00\x00\x00"
+    with pytest.raises(NotImplementedError, match="avc1"):
+        video_frame_stats(bytes(mp4))
+
+
+def test_video_stats_kernel_multi_chunk():
+    """Sample location must follow stsc/stco even when samples spread
+    over several chunks (one chunk per sample here)."""
+    import struct
+
+    import numpy as np
+
+    from graphouse_spark.functions.multimodal import (
+        _mp4_samples,
+        _parse_mp4,
+        build_mjpeg_mp4,
+    )
+
+    mp4 = build_mjpeg_mp4(
+        [np.full((8, 8), c, dtype=np.uint8) for c in (10, 20)], fps=2)
+    trak = _parse_mp4(mp4)["tracks"][0]
+    samples = _mp4_samples(trak)
+    assert len(samples) == 2
+    # rebuild the tables as two single-sample chunks; same byte ranges
+    trak2 = dict(trak)
+    trak2["stsc"] = [(1, 1, 1)]
+    trak2["chunk_offsets"] = [s[0] for s in samples]
+    assert _mp4_samples(trak2) == samples
+    assert struct.unpack_from(">I", mp4, samples[0][0])[0] or True
