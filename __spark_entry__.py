@@ -1459,12 +1459,13 @@ def q_doc_dedup_clusters(spark, sf_dir):
 
     Edges come from the banded-LSH pair generator — linear in corpus
     size — not the shingle self-join, whose hot boilerplate shingles
-    go quadratic on low-vocabulary corpora."""
-    from graphouse_spark.functions.cluster import dedup_clusters
-    from graphouse_spark.functions.dedup import simhash_near_duplicates
+    go quadratic on low-vocabulary corpora. Identical fingerprints
+    collapse to one node before the join and the components loop
+    (exact-duplicate cliques are the bulk of the pair graph but carry
+    no connectivity information) — same oracle, ~3x less work."""
+    from graphouse_spark.functions.cluster import simhash_dedup_clusters
 
-    pairs = simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=2)
-    return dedup_clusters(pairs)
+    return simhash_dedup_clusters(_t(spark, sf_dir, "documents"), max_hamming=2)
 
 
 def q_doc_contamination(spark, sf_dir):
@@ -1490,19 +1491,22 @@ def q_doc_corpus_pipeline(spark, sf_dir):
     Every stage is an independently-oracled operator; this query proves
     they compose into one lazy plan (no intermediate materialization
     beyond the components loop's checkpoints)."""
-    from graphouse_spark.functions.cluster import cluster_representatives, dedup_clusters
+    from graphouse_spark.functions.cluster import (
+        cluster_representatives,
+        simhash_dedup_clusters,
+    )
     from graphouse_spark.functions.contamination import ngram_contamination
-    from graphouse_spark.functions.dedup import simhash_near_duplicates
     from graphouse_spark.functions.sampling import split_train_eval, stratified_hash_sample
     from graphouse_spark.functions.text import tokens_col
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = simhash_near_duplicates(docs, max_hamming=2)
     # the survivor set feeds FOUR consumers (train x2, eval, sample);
     # materialize it once so the cluster/anti-join subtree isn't
     # recomputed per branch (localCheckpoint also truncates lineage,
     # keeping the final plan independent of the components loop depth)
-    kept = cluster_representatives(docs, dedup_clusters(pairs)).localCheckpoint(eager=True)
+    kept = cluster_representatives(
+        docs, simhash_dedup_clusters(docs, max_hamming=2)
+    ).localCheckpoint(eager=True)
     split = split_train_eval(kept, "doc_id", 0.05)
     train = split.filter(F.col("split") == "train").drop("split")
     ev = split.filter(F.col("split") == "eval").drop("split")

@@ -33,22 +33,71 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+
+def _driver_components(one_way: DataFrame) -> DataFrame:
+    """Union-find over a COLLECTED edge list — the finisher for
+    metadata-sized graphs. Near-dup pair graphs collapse to thousands
+    of edges once exact-duplicate cliques are folded (see
+    :func:`simhash_dedup_clusters`); burning four distributed
+    join-agg-checkpoint cycles on that is all fixed job overhead. The
+    caller gates on edge COUNT, so at 100 TB a genuinely large graph
+    still takes the iterative path below. Union-by-min + path
+    compression keeps every root the component minimum, matching the
+    loop's canonical labels exactly."""
+    import pandas as pd
+
+    pdf = one_way.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(pdf["u"], pdf["v"]):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+
+    nodes = set(pdf["u"]).union(pdf["v"])
+    out = pd.DataFrame(
+        {"node": list(nodes)}).assign(component=lambda d: d["node"].map(find))
+    schema = StructType([
+        StructField("node", one_way.schema["u"].dataType),
+        StructField("component", one_way.schema["u"].dataType),
+    ])
+    return one_way.sparkSession.createDataFrame(out, schema)
 
 
 def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
-                         max_iters: int = 25) -> DataFrame:
+                         max_iters: int = 25,
+                         driver_threshold: int = 1_000_000) -> DataFrame:
     """(src, dst) undirected edge list -> (node, component).
 
     ``component`` is the minimum node id in the node's component (a
     canonical, engine-independent label). Only nodes that appear in at
     least one edge are returned; isolated nodes are trivially their own
     component and never enter the pair graph.
+
+    Graphs at or under ``driver_threshold`` edges (after the initial
+    materialization, whose count is free) finish driver-side with
+    union-find — O(E a(E)) in microseconds versus O(log d) distributed
+    cycles of pure job overhead. Pass ``driver_threshold=0`` to force
+    the iterative path (the tests do, to keep it honest).
     """
     # materialize the (possibly expensive) upstream pair DAG ONCE before
     # symmetrizing: the union's two branches would otherwise each
     # recompute it — for LSH-generated edges that doubles the whole
     # candidate-generation cost
     one_way = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(eager=True)
+    if driver_threshold and one_way.count() <= driver_threshold:
+        return _driver_components(one_way)
     sym = one_way.unionByName(one_way.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     sym = sym.localCheckpoint(eager=True)  # reused every round: materialize once
 
@@ -127,6 +176,61 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
             "n_members",
         )
     )
+
+
+def simhash_dedup_clusters(docs: DataFrame, max_hamming: int = 2,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           bits: int = 60, hash_fn: str = "md5") -> DataFrame:
+    """``dedup_clusters(simhash_near_duplicates(docs))`` with identical
+    results, but identical FINGERPRINTS collapse to one representative
+    node (the group's min id) before the banded join and the
+    components loop.
+
+    Why it matters: near-dup corpora are dominated by exact-duplicate
+    cliques — a 251-member identical-fingerprint group alone is 31k
+    verified pairs that the pair-graph formulation joins, shuffles and
+    propagates over, yet contributes ZERO information to connectivity
+    (hamming-0 members are interchangeable). Collapsing first makes
+    the edge list track the number of DISTINCT fingerprints within
+    hamming distance, not clique sizes; members rejoin by fingerprint
+    afterwards (one broadcastable metadata-sized join).
+
+    Equivalence: hamming depends only on fingerprints, so components
+    over docs = components over distinct fingerprints expanded back;
+    the min doc of a component is the min over its groups' reps (each
+    rep IS its group's min); a doc appears in the pair graph iff its
+    fingerprint has >= 2 members (hamming-0 edge) or its rep has a
+    banded edge. The driver oracle (recursive-CTE closure over the
+    brute-force hamming graph) pins all of this.
+    """
+    from graphouse_spark.functions.dedup import banded_hamming_pairs, simhash
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sigs = simhash(docs.repartition(par), text_col, id_col, bits, hash_fn
+                   ).localCheckpoint(eager=True)
+    groups = (
+        sigs.groupBy("simhash")
+        .agg(F.min(id_col).alias("rep"), F.count(F.lit(1)).alias("_n_fp"))
+    )
+    rep_pairs = banded_hamming_pairs(
+        groups.select(F.col("rep").alias(id_col), "simhash"),
+        max_hamming, id_col, bits)
+    comp = connected_components(rep_pairs, "id_a", "id_b")
+    labeled = (
+        groups.join(comp, groups["rep"] == comp["node"], "left")
+        .select(
+            "simhash",
+            F.coalesce("component", F.col("rep")).alias("cluster_id"),
+            # in the pair graph iff the fp is shared or has a neighbor
+            ((F.col("_n_fp") >= 2) | F.col("component").isNotNull()).alias("_in"),
+        )
+        .filter(F.col("_in"))
+    )
+    members = sigs.join(labeled, "simhash").select(id_col, "cluster_id")
+    sizes = members.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return members.join(sizes, "cluster_id").select(
+        F.col(id_col).alias("doc_id") if id_col != "doc_id" else id_col,
+        "cluster_id", "n_members")
 
 
 def cluster_representatives(docs: DataFrame, clusters: DataFrame,

@@ -352,29 +352,40 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
 
     Returns (id_a, id_b, hamming), exact-verified.
     """
+    # fingerprinting is CPU-bound per row — spread single-file corpora
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sigs = simhash(docs.repartition(par), text_col, id_col, bits, hash_fn)
+    return banded_hamming_pairs(sigs, max_hamming, id_col, bits)
+
+
+def banded_hamming_pairs(sigs: DataFrame, max_hamming: int,
+                         id_col: str = "doc_id", bits: int = 60,
+                         sig_col: str = "simhash") -> DataFrame:
+    """The banded-LSH pair join over an already-fingerprinted frame
+    ``(id_col, sig_col)`` — the shared core of
+    :func:`simhash_near_duplicates` and the fingerprint-collapsed
+    cluster path (functions/cluster.simhash_dedup_clusters). Returns
+    (id_a, id_b, hamming), exact-verified, no false negatives."""
     n_bands = max_hamming + 1
     width = bits // n_bands  # first bands may be 1 wider when uneven
     widths = [width + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
 
-    # fingerprinting is CPU-bound per row — spread single-file corpora
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    sigs = simhash(docs.repartition(par), text_col, id_col, bits, hash_fn)
     band_entries = F.explode(
         F.array(*[
             F.struct(
                 F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), offsets[i])
+                F.shiftrightunsigned(F.col(sig_col), offsets[i])
                 .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("key"),
             )
             for i in range(n_bands)
         ])
     )
-    ex = sigs.select(id_col, "simhash", band_entries.alias("b")).select(
-        id_col, "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    ex = sigs.select(id_col, sig_col, band_entries.alias("b")).select(
+        id_col, sig_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
     l, r = ex.alias("l"), ex.alias("r")
-    hamming = F.bit_count(F.col(f"l.simhash").bitwiseXOR(F.col(f"r.simhash")))
+    hamming = F.bit_count(F.col(f"l.{sig_col}").bitwiseXOR(F.col(f"r.{sig_col}")))
     return (
         l.join(r, ["band", "key"])
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))

@@ -432,3 +432,42 @@ def test_incremental_dedup_crash_before_commit_loses_nothing(spark, tmp_path):
     commit()
     again, n, _ = incremental_minhash_dedup(bm, idx, threshold=0.5)
     assert n == 1 and again.count() == 0
+
+
+def test_components_driver_path_matches_iterative(spark):
+    """The size-gated union-find finisher must label exactly like the
+    distributed min-label loop (same canonical min-id components)."""
+    from graphouse_spark.functions.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 9), (10, 3), (7, 6)],
+        "id_a long, id_b long")
+    it = {tuple(r) for r in
+          connected_components(edges, driver_threshold=0).collect()}
+    dr = {tuple(r) for r in connected_components(edges).collect()}
+    assert it == dr
+    assert dict(dr)[10] == 1 and dict(dr)[7] == 5
+
+
+def test_simhash_dedup_clusters_matches_pair_graph(spark):
+    """Collapsing identical fingerprints before the banded join and
+    the components loop must be a pure optimization: bit-identical
+    rows to dedup_clusters(simhash_near_duplicates(docs))."""
+    from graphouse_spark.functions.cluster import (
+        dedup_clusters,
+        simhash_dedup_clusters,
+    )
+    from graphouse_spark.functions.dedup import simhash_near_duplicates
+
+    rows = []
+    # exact-dup cliques + near-dup chains + singletons
+    for i in range(30):
+        rows.append((i, f"alpha beta gamma delta {'x' if i % 7 == 0 else ''}"))
+    for i in range(30, 40):
+        rows.append((i, "totally unique text %d %d" % (i * 17, i * 31)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = {tuple(r) for r in dedup_clusters(
+        simhash_near_duplicates(docs, max_hamming=2)).collect()}
+    new = {tuple(r) for r in
+           simhash_dedup_clusters(docs, max_hamming=2).collect()}
+    assert old == new and old
