@@ -1,10 +1,12 @@
-"""BASELINE §6 parity: sustain >= 10,000 points/s through parse + write.
+"""BASELINE §6 parity: sustain the reference's ingest envelope.
 
 The reference's load-generator default is 10k points/s; its design
-ceiling is ~200k/s (1M-point batches, 5s flush). This smoke pushes
-200k generated lines through the full parse/validate/layout-write path
-and asserts the sustained rate beats the load-gen target with
-comfortable margin on local[32].
+ceiling is ~200k/s (1M-point batches, ≤5 concurrent writers, 5s
+flush — MetricCacher.java:176-256). This pushes a full 1M-point batch
+through the COMPLETE ingest path — parse, validate, ban filter,
+sorted/partitioned data write, new-name anti-join, tree write — and
+asserts the sustained steady-state rate is ≥100,000 points/s on
+local[32] (measured envelope: ~150-260k/s, see BASELINE.md).
 """
 
 import time
@@ -14,16 +16,16 @@ from pyspark.sql import functions as F
 
 from graphouse_spark.sources.graphite import parse_lines, to_data_rows
 from graphouse_spark.sources.tables import read_data, write_data
+from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
 
-N = 200_000
+N = 1_000_000
 BASE = 1_542_199_500
 
 
-@pytest.mark.slow
-def test_parse_write_rate(spark, tmp_path):
+def _lines(spark, n):
     par = spark.sparkContext.defaultParallelism
-    lines = (
-        spark.range(N)
+    return (
+        spark.range(n)
         .repartition(par)
         .select(
             F.concat(
@@ -35,6 +37,12 @@ def test_parse_write_rate(spark, tmp_path):
         )
         .cache()
     )
+
+
+@pytest.mark.slow
+def test_parse_write_rate(spark, tmp_path):
+    """The raw parse+layout-write inner loop (no tree maintenance)."""
+    lines = _lines(spark, 200_000)
     lines.count()  # generation excluded from the timed window
 
     parsed = parse_lines(lines, updated=F.lit(BASE))
@@ -50,7 +58,37 @@ def test_parse_write_rate(spark, tmp_path):
     elapsed = time.perf_counter() - t0
 
     written = read_data(spark, path).count()
-    assert written == N
+    assert written == 200_000
     rate = written / elapsed
-    print(f"\ningest rate: {rate:,.0f} points/s ({elapsed:.2f}s for {N:,})")
+    print(f"\nparse+write rate: {rate:,.0f} points/s ({elapsed:.2f}s)")
     assert rate >= 10_000, f"below the reference load-gen target: {rate:,.0f}/s"
+    lines.unpersist()
+
+
+@pytest.mark.slow
+def test_full_ingest_batch_rate(spark, tmp_path):
+    """The COMPLETE micro-batch path at the reference's max batch size
+    (1M points): ban filter + data write + new-name anti-join + tree
+    write. Steady-state (best of 2 after a compile warm-up) must clear
+    100k points/s — half the reference's design ceiling, 10x its
+    load-gen default — on local[32]."""
+    lines = _lines(spark, N)
+    lines.count()
+    parsed = parse_lines(lines, updated=F.lit(BASE))
+
+    best = float("inf")
+    for i in range(3):  # run 0 pays codegen compile; keep min of the rest
+        cfg = IngestConfig(str(tmp_path / f"data{i}"),
+                           str(tmp_path / f"metrics{i}"),
+                           str(tmp_path / f"ckpt{i}"))
+        t0 = time.perf_counter()
+        ingest_batch(parsed, cfg, known_names=None)
+        dt = time.perf_counter() - t0
+        if i > 0:
+            best = min(best, dt)
+    rate = N / best
+    print(f"\nfull ingest_batch rate: {rate:,.0f} points/s ({best:.2f}s for {N:,})")
+    written = read_data(spark, str(tmp_path / "data2")).count()
+    assert written == N
+    assert rate >= 100_000, f"below the measured envelope floor: {rate:,.0f}/s"
+    lines.unpersist()

@@ -1,6 +1,8 @@
 """Port of MetricTreeTest.java (search, status workflow, hide state,
 limits, notifications, random-order load) against the driver-side index."""
 
+import pytest
+
 from graphouse_spark.status import MetricStatus as S
 from graphouse_spark.tree_index import MetricTree
 
@@ -266,3 +268,26 @@ def test_lazy_tree_through_batcher(spark, tmp_path):
     )
     t = LazyMetricTree(batcher.load)
     assert t.search("one_min.a.*") == ["one_min.a.x", "one_min.a.y"]
+
+
+@pytest.mark.slow
+def test_lazy_tree_10m_name_envelope():
+    """BASELINE row: LazyMetricTree at the reference's >10M-name scale
+    target serves with O(1) bootstrap, a touched-subtree-sized working
+    set and coalesced loader calls under concurrency — the numbers
+    behind api/service.AUTO_LAZY_THRESHOLD."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "tools/tree_stress.py", "10000000", "--lazy"],
+        capture_output=True, text=True, check=True, cwd="/root/repo")
+    row = json.loads(out.stdout.strip().splitlines()[-1])
+    assert row["phase"] == "lazy_summary"
+    assert row["bootstrap_ms"] < 100           # nothing loads eagerly
+    assert row["cold_narrow_glob_hits"] == 100
+    assert row["warm_narrow_glob_ms"] < 20     # second touch is in-memory
+    assert row["working_set_rss_mb"] < 100     # vs 2070 MB eager at 10M
+    # 32 concurrent cold globs (~74 distinct dir misses) must coalesce
+    assert row["concurrent_loader_calls"] < 32
