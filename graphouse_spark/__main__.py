@@ -169,16 +169,31 @@ def run_ingest_file(args, spark=None) -> int:
 def run_migrate_whisper(args, spark=None) -> int:
     """Distributed .wsp tree migration through the live ingest pipeline
     (ban checks and tree writeback included) — finest archive wins
-    overlapping timestamps; see sources/whisper.py."""
+    overlapping timestamps; see sources/whisper.py. Corrupt files are
+    QUARANTINED (one parquet row each, with the parse error and file
+    path, under ``<data>/_whisper_quarantine``), never silently
+    dropped and never fatal to the other 999,999 files."""
+    from pyspark.sql import functions as F
+
     from graphouse_spark.session import get_spark
     from graphouse_spark.sources.whisper import read_whisper
     from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
 
     spark = spark or get_spark("graphouse-migrate")
-    rows = read_whisper(spark, args.root)
+    rows = read_whisper(spark, args.root, on_error="quarantine")
+    rows = rows.localCheckpoint(eager=True)  # one .wsp scan, two consumers
+    good = rows.where(F.col("error").isNull()).select(
+        "name", "timestamp", "value", "updated")
+    bad = rows.where(F.col("error").isNotNull()).select("path", "error")
     cfg = IngestConfig(args.data, args.metrics, checkpoint_path="")
-    ingest_batch(rows, cfg, known_names=None)
-    n = rows.count()
+    ingest_batch(good, cfg, known_names=None)
+    n = good.count()
+    n_bad = bad.count()
+    if n_bad:
+        qpath = args.data.rstrip("/") + "/_whisper_quarantine"
+        bad.write.mode("append").parquet(qpath)
+        print(f"quarantined {n_bad} corrupt .wsp file(s) -> {qpath}",
+              file=sys.stderr)
     print(f"migrated {n} points from {args.root}", file=sys.stderr)
     return n
 

@@ -108,7 +108,8 @@ def metric_name_of(path: str, root: str) -> str:
 
 
 def read_whisper(spark: SparkSession, root: str,
-                 updated: int | None = None) -> DataFrame:
+                 updated: int | None = None,
+                 on_error: str = "fail") -> DataFrame:
     """Distributed whisper read: one row per migrated point —
     ``(name, timestamp, value, updated)``, the ingest row shape
     (``streaming/ingest.ingest_batch`` consumes it directly).
@@ -116,33 +117,54 @@ def read_whisper(spark: SparkSession, root: str,
     ``binaryFile`` assigns whole .wsp files to tasks (a file is the
     atomic parse unit), so a million-file tree fans out across the
     cluster with no driver-side listing loop; parsing is per Arrow
-    batch in ``mapInPandas``. Corrupt files fail the task loudly
-    rather than silently skipping data — migration should stop, not
-    drop.
+    batch in ``mapInPandas``.
+
+    ``on_error``:
+    - ``"fail"`` (default): a corrupt file fails the task loudly —
+      stop-the-migration semantics for curated trees.
+    - ``"quarantine"``: the schema gains ``(error, path)`` columns; a
+      corrupt .wsp yields ONE row with the exception text and file
+      path (points columns null) instead of failing the job — a
+      million-file migration should report its casualties, not die at
+      file 999,731. Good rows carry ``error = NULL``; split with
+      ``df.where("error IS NULL")``.
     """
     import pandas as pd
 
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be fail|quarantine, got {on_error!r}")
     files = (spark.read.format("binaryFile")
              .option("recursiveFileLookup", "true")
              .option("pathGlobFilter", "*.wsp")
              .load(root))
     root_ = root
+    quarantine = on_error == "quarantine"
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                name = metric_name_of(str(path), root_)
-                for ts, v, _step in wsp_points(bytes(content)):
-                    rows.append((name, ts, v))
-            yield pd.DataFrame(rows,
-                               columns=["name", "timestamp", "value"])
+                try:
+                    name = metric_name_of(str(path), root_)
+                    for ts, v, _step in wsp_points(bytes(content)):
+                        rows.append((name, ts, v, None, None))
+                except Exception as exc:  # noqa: BLE001 - parse errors vary
+                    if not quarantine:
+                        raise
+                    rows.append((None, None, None,
+                                 f"{type(exc).__name__}: {exc}", str(path)))
+            yield pd.DataFrame(rows, columns=["name", "timestamp", "value",
+                                              "error", "path"])
 
-    out = files.select("path", "content").mapInPandas(
-        run, "name string, timestamp long, value double")
+    schema = ("name string, timestamp long, value double, "
+              "error string, path string")
+    out = files.select("path", "content").mapInPandas(run, schema)
     upd = F.lit(updated).cast("long") if updated is not None \
         else F.unix_timestamp()
-    return out.withColumn("updated", upd)
+    out = out.withColumn("updated", upd)
+    if not quarantine:
+        out = out.select("name", "timestamp", "value", "updated")
+    return out
 
 
 def build_wsp(archives: list[tuple[int, int]],
