@@ -1918,11 +1918,16 @@ def q_doc_quality_ml(spark, sf_dir):
     """Learned quality filter (functions/quality_ml.py): weak-label the
     corpus with the heuristic terciles, train the MLlib
     Tokenizer->HashingTF->LogisticRegression pipeline, score every doc,
-    and report per-weak-label mean predicted probability + counts.
-    Training is an iterative distributed optimization — not
-    SQL-expressible, so no oracle entry (rows-only check; output is two
-    rows by construction). Separation quality is pinned in
-    tests/test_quality_ml.py."""
+    and assert the model actually LEARNED: per weak label, the
+    threshold-agreement rate must clear 0.9 and the mean predicted
+    probability must sit on the right side of 0.3/0.7. Training is an
+    iterative distributed optimization, so the oracle cannot replay the
+    weights — instead it asserts the INVARIANTS: the output is exactly
+    two rows of booleans that are all true iff the classifier
+    separates the weak labels. A model that collapsed to the prior, a
+    flipped sign, or a broken scoring plan all fail the gate with
+    false rows. Held-out AUC >= 0.9 and repartition-stability are
+    additionally pinned in tests/test_quality_ml.py."""
     from graphouse_spark.functions.quality_ml import (
         score_quality,
         train_quality_classifier,
@@ -1933,13 +1938,16 @@ def q_doc_quality_ml(spark, sf_dir):
     labeled = weak_quality_labels(docs)
     model = train_quality_classifier(labeled, n_features=1 << 14, max_iter=10)
     scored = score_quality(model, docs)
+    agree = ((F.col("quality_prob") >= 0.5) == (F.col("label") == 1.0)
+             ).cast("int")
     return (
         labeled.select("doc_id", "label")
         .join(scored, "doc_id")
         .groupBy("label")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("quality_prob"), 2).alias("mean_prob"),
+            (F.avg(agree) >= 0.9).alias("agree_ok"),
+            F.when(F.first("label") == 1.0, F.avg("quality_prob") >= 0.7)
+            .otherwise(F.avg("quality_prob") <= 0.3).alias("mean_ok"),
         )
         .orderBy("label")
     )
@@ -6049,6 +6057,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 AS INTEGER) AS width, CAST(3 AS INTEGER) AS height,
                    round(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_value
             FROM documents WHERE doc_id < 32
+        """,
+        "doc_quality_ml": """
+            -- the classifier's weights are not SQL-replayable; the gate
+            -- asserts the LEARNING INVARIANTS the Spark side computes:
+            -- both weak-label groups must agree with the 0.5 threshold
+            -- >= 90% and sit on the right side of the mean-prob bands
+            SELECT CAST(0.0 AS DOUBLE) AS label,
+                   true AS agree_ok, true AS mean_ok
+            UNION ALL
+            SELECT CAST(1.0 AS DOUBLE), true, true
         """,
         "multimodal_video": """
             WITH ks AS (SELECT unnest([0, 1, 2]) AS k)
