@@ -241,25 +241,32 @@ def resize_images(assets: DataFrame, width: int = 224, height: int = 224,
         return encode_png(px[ys][:, xs])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                payload = row["payload"]
-                if row["modality"] == "image" and payload is not None:
-                    if real_codec:
-                        payload = real_resize(bytes(payload))
-                    else:
-                        # stub "resample": tile the source bytes to the
-                        # target buffer size (deterministic, size-correct)
-                        reps = -(-target_len // max(len(payload), 1))
-                        payload = (bytes(payload) * reps)[:target_len]
-                    w, h = width, height
+            # positional split: the codec loop touches ONLY decodable
+            # image rows; everything else stays columnar
+            # (pdf.iterrows() paid Series construction per row for both)
+            flags = ((pdf["modality"] == "image")
+                     & pdf["payload"].notna()).to_numpy()
+            payloads = list(pdf["payload"])
+            for i in np.flatnonzero(flags):
+                b = bytes(payloads[i])
+                if real_codec:
+                    payloads[i] = real_resize(b)
                 else:
-                    w, h = None, None
-                out.append((row["asset_id"], row["modality"], payload, w, h,
-                            len(payload) if payload is not None else 0))
-            yield pd.DataFrame(out, columns=["asset_id", "modality", "payload",
-                                             "width", "height", "n_bytes"])
+                    # stub "resample": tile the source bytes to the
+                    # target buffer size (deterministic, size-correct)
+                    reps = -(-target_len // max(len(b), 1))
+                    payloads[i] = (b * reps)[:target_len]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "modality": pdf["modality"],
+                "payload": payloads,
+                "width": [width if f else None for f in flags],
+                "height": [height if f else None for f in flags],
+                "n_bytes": [len(b) if b is not None else 0 for b in payloads],
+            })
 
     return assets.mapInPandas(run, RESIZE_SCHEMA)
 
@@ -563,17 +570,19 @@ def decode_assets(assets: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                meta = decode_payload(bytes(r["payload"])) if r["payload"] is not None \
-                    else {"format": None}
-                rows.append((
-                    r["asset_id"], r["modality"], meta.get("format"),
-                    meta.get("width"), meta.get("height"),
-                    meta.get("n_channels"), meta.get("sample_rate"),
-                    meta.get("duration_ms"), meta.get("mean_value"),
-                    meta.get("rms"),
-                ))
+            # zip over the two needed columns — no per-row Series
+            # construction (iterrows); decode itself is per-payload work
+            rows = [
+                (aid, mod, meta.get("format"),
+                 meta.get("width"), meta.get("height"),
+                 meta.get("n_channels"), meta.get("sample_rate"),
+                 meta.get("duration_ms"), meta.get("mean_value"),
+                 meta.get("rms"))
+                for aid, mod, payload in zip(pdf["asset_id"], pdf["modality"],
+                                             pdf["payload"])
+                for meta in (decode_payload(bytes(payload))
+                             if payload is not None else {"format": None},)
+            ]
             yield pd.DataFrame(rows, columns=cols)
 
     return assets.mapInPandas(run, DECODE_SCHEMA)
