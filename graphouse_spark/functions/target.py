@@ -154,6 +154,14 @@ def _win(spec):
     return int(t) if re.fullmatch(r"\d+", t) else t
 
 
+def _ema_points(spec) -> int:
+    """EMA window: graphite accepts a point count or a duration string;
+    the EMA weights need a POINT count, so durations convert at the
+    engine's 60s native step (graphite divides by the series step)."""
+    w = _win(spec)
+    return w if isinstance(w, int) else max(1, _secs(w) // 60)
+
+
 def _secs(spec) -> int:
     """Interval argument: bare int = seconds, else a duration string
     ('1h', '30min' — the form graphite targets actually use)."""
@@ -191,11 +199,16 @@ _REGISTRY = {
     "removeBelowValue": lambda df, v: ts.remove_below_value(df, float(v)),
     "transformNull": lambda df, v=0.0: ts.transform_null(df, float(v)),
     "aliasByNode": lambda df, *ns: ts.alias_by_node(df, *[int(n) for n in ns]),
+    # graphite accepts a point count OR a duration string ('1h'); the
+    # duration form converts at the engine's 60s native step
     "exponentialMovingAverage": lambda df, n: _canon(
-        ts.exponential_moving_average(df, int(n)), "ema"),
+        ts.exponential_moving_average(df, _ema_points(n)), "ema"),
     "logarithm": lambda df, base=10.0: ts.log_series(df, float(base)),
-    "interpolate": lambda df: ts.interpolate_series(df),
-    "groupByNode": lambda df, n, fn="sum": ts.group_by_node(df, int(n), str(fn)),
+    "interpolate": lambda df, limit=None: ts.interpolate_series(
+        df, None if limit is None else int(limit)),
+    # graphite's default callback is AVERAGE (render/functions.py
+    # groupByNode signature), not sum
+    "groupByNode": lambda df, n, fn="average": ts.group_by_node(df, int(n), str(fn)),
     # round 6: filter-family complements, percentile trims, multi-series
     # arithmetic, multi-node grouping, sorts — plus registrations for
     # functions that existed engine-side but weren't reachable from a
@@ -212,10 +225,13 @@ _REGISTRY = {
     "removeBelowPercentile": lambda df, p: ts.remove_below_percentile(df, float(p)),
     "multiplySeries": lambda df: _canon(
         ts.multiply_series(df), "product_value", "multiplySeries"),
-    "diffSeries": lambda a, b: ts.diff_series(a, b),
-    "divideSeries": lambda a, b: _canon(
-        ts.divide_series(a, b).withColumn("metric", F.lit("divideSeries")),
-        "ratio", "divideSeries"),
+    # graphite flattens every argument into ONE list: the first series
+    # minus the aligned sum of ALL others (multi-series minuend frames
+    # contribute their non-first series to the subtrahend side too)
+    "diffSeries": lambda a, *rest: ts.diff_series_target(a, *rest),
+    # per-dividend results named divideSeries(d,divisor); >1 divisor
+    # raises like graphite (rank pairing is divideSeriesLists)
+    "divideSeries": lambda a, b: _canon(ts.divide_series(a, b), "ratio"),
     "countSeries": lambda df: _canon(
         ts.count_series(df).select("ts", F.col("n_series").cast("double").alias("n")),
         "n", "countSeries"),
@@ -234,7 +250,9 @@ _REGISTRY = {
     "smartSummarize": lambda df, sec, anchor, fn="avg": _canon(
         ts.smart_summarize(df, _secs(sec), int(anchor), str(fn)), "value"),
     "timeSlice": lambda df, a, b: ts.time_slice(df, int(a), int(b)),
-    "timeStack": lambda df, sec, n: ts.time_stack(df, int(sec), int(n)).select(
+    # graphite signature: timeStack(series, unit='1d', start=0, end=7)
+    "timeStack": lambda df, unit="1d", s=0, e=7: ts.time_stack(
+        df, _secs(unit), int(e), start=int(s)).select(
         F.concat_ws("#", "metric", F.col("shift_idx").cast("string")).alias("metric"),
         "ts", "value"),
     "delay": lambda df, n: ts.delay_series(df, int(n)),
@@ -282,7 +300,8 @@ _REGISTRY = {
     "lowestCurrent": lambda df, n: ts.select_series_by(df, "current", int(n), lowest=True),
     "filterSeries": lambda df, fn, op, t: ts.filter_series(df, str(fn), str(op), float(t)),
     "limit": lambda df, n: ts.limit_series(df, int(n)),
-    "removeEmptySeries": lambda df: ts.remove_empty_series(df),
+    "removeEmptySeries": lambda df, xff=0.0: ts.remove_empty_series(
+        df, float(xff)),
     "fallbackSeries": lambda df, alt: ts.fallback_series(df, alt),
     "isNonNull": lambda df: ts.is_non_null(df),
     "round": lambda df, p=0: ts.round_series(df, int(p)),

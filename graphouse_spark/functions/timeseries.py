@@ -160,17 +160,39 @@ def keep_last_value(series: DataFrame, limit: int | None = None,
 
 
 def divide_series(num: DataFrame, den: DataFrame, ts_col: str = "ts",
-                  value_col: str = "value") -> DataFrame:
-    """graphite ``divideSeries(dividend, divisor)``: align two series on
-    the time axis and divide pointwise; division by zero or a missing
+                  value_col: str = "value",
+                  metric_col: str = "metric") -> DataFrame:
+    """graphite ``divideSeries(dividendSeriesList, divisorSeries)``:
+    every dividend series divides pointwise by the ONE divisor series;
+    more than one divisor raises, exactly graphite's ValueError (use
+    divideSeriesLists for rank pairing). Division by zero or a missing
     divisor point yields null (graphite emits None there).
 
-    An equi-join on ts — broadcastable when one side is a single
+    When the dividend frame carries a metric column, each dividend
+    keeps its own result series named ``divideSeries(d,divisor)`` —
+    the previous collapse-to-one-name behavior silently merged
+    multi-dividend calls. Metric-less frames (pre-aggregated) keep the
+    bare (ts, ratio) contract.
+
+    An equi-join on ts — broadcastable when the divisor is a single
     aggregated series, else a co-partitioned sort-merge join.
     """
-    n = num.select(ts_col, F.col(value_col).alias("_num"))
+    den_names = ([r[0] for r in den.select(metric_col).distinct().collect()]
+                 if metric_col in den.columns else [None])
+    if len(den_names) != 1:
+        raise ValueError(
+            "divideSeries second argument must reference exactly 1 series"
+            f" (got {len(den_names)})")
     d = den.select(ts_col, F.col(value_col).alias("_den"))
     ratio = F.when(F.col("_den") != 0, F.round(F.col("_num") / F.col("_den"), 6))
+    if metric_col in num.columns:
+        dn = den_names[0] if den_names[0] is not None else "divisor"
+        n = num.select(metric_col, ts_col, F.col(value_col).alias("_num"))
+        return n.join(F.broadcast(d), ts_col, "left").select(
+            F.concat(F.lit("divideSeries("), F.col(metric_col),
+                     F.lit(f",{dn})")).alias(metric_col),
+            ts_col, ratio.alias("ratio"))
+    n = num.select(ts_col, F.col(value_col).alias("_num"))
     return n.join(d, ts_col, "left").select(ts_col, ratio.alias("ratio"))
 
 
@@ -319,17 +341,34 @@ def average_above(series: DataFrame, threshold: float, metric_col: str = "metric
     ).select(metric_col, ts_col, value_col)
 
 
+def _resolve_agg(function: str):
+    """Resolve a graphite aggregation-function name (with graphite's
+    alias spellings: average/avg, total/sum, current/last, rangeOf/
+    range) to a col -> Column callable. Shared by summarize /
+    groupByNode(s) / aggregateWithWildcards so every entry accepts the
+    same names graphite's aggFuncs table does."""
+    from graphouse_spark.operators.bucket import AGG_FUNCTIONS
+
+    name = {"average": "avg", "total": "sum",
+            "current": "last", "rangeOf": "range"}.get(function, function)
+    extras = {
+        "median": lambda c: F.percentile(c, F.lit(0.5)),
+        "count": lambda c: F.count(c).cast("double"),
+        "range": lambda c: F.max(c) - F.min(c),
+        "stddev": F.stddev_pop,
+    }
+    fn = AGG_FUNCTIONS.get(name) or extras.get(name)
+    if fn is None:
+        raise ValueError(f"unknown aggregation function {function!r}")
+    return fn
+
+
 def summarize(series: DataFrame, interval_seconds: int, function: str = "sum",
               metric_col: str = "metric", ts_col: str = "ts",
               value_col: str = "value") -> DataFrame:
     """graphite ``summarize(series, interval, func)``: re-bucket each
     series to a coarser epoch-aligned grid (one partial+final agg)."""
-    from graphouse_spark.operators.bucket import AGG_FUNCTIONS
-
-    try:
-        agg = AGG_FUNCTIONS[function]
-    except KeyError:
-        raise ValueError(f"unknown aggregation function {function!r}") from None
+    agg = _resolve_agg(function)
     bucket = (F.col(ts_col) - F.col(ts_col) % interval_seconds).alias(ts_col)
     return (
         series.groupBy(metric_col, bucket)
@@ -404,18 +443,15 @@ def absolute_series(series: DataFrame, value_col: str = "value") -> DataFrame:
     return series.withColumn(value_col, F.abs(F.col(value_col)))
 
 
-def group_by_node(series: DataFrame, node: int, function: str = "sum",
+def group_by_node(series: DataFrame, node: int, function: str = "average",
                   metric_col: str = "metric", ts_col: str = "ts",
                   value_col: str = "value") -> DataFrame:
     """graphite ``groupByNode(series, N, func)``: re-key every series to
     its Nth path segment and aggregate aligned points within each new
-    key — alias_by_node composed with one partial+final agg."""
-    from graphouse_spark.operators.bucket import AGG_FUNCTIONS
-
-    try:
-        agg = AGG_FUNCTIONS[function]
-    except KeyError:
-        raise ValueError(f"unknown aggregation function {function!r}") from None
+    key — alias_by_node composed with one partial+final agg. The
+    default callback is ``average``, graphite's default (a silent
+    ``sum`` default turns every rate dashboard wrong)."""
+    agg = _resolve_agg(function)
     rekeyed = alias_by_node(series, node, metric_col=metric_col)
     return (
         rekeyed.groupBy(metric_col, ts_col)
@@ -766,33 +802,39 @@ def average_outside_percentile(series: DataFrame, n: float,
     return series.join(F.broadcast(keep), metric_col, "left_semi")
 
 
-def interpolate_series(series: DataFrame, metric_col: str = "metric",
+def interpolate_series(series: DataFrame, limit: int | None = None,
+                       metric_col: str = "metric",
                        ts_col: str = "ts", value_col: str = "value") -> DataFrame:
-    """graphite ``interpolate(series)``: fill null points linearly
-    between their nearest known neighbors; leading/trailing nulls stay
-    null (no known endpoint to anchor them).
+    """graphite ``interpolate(series[, limit])``: fill null points
+    linearly between their nearest known neighbors; leading/trailing
+    nulls stay null (no known endpoint to anchor them). ``limit`` caps
+    the CONSECUTIVE-null run length that may be filled (graphite's
+    signature: gaps longer than limit points stay null).
 
     Two ordered windows over the metric partition (last-known-before
     and first-known-after, both ``ignorenulls``) — a single shuffle on
-    the series key, no self-joins, no per-row Python.
+    the series key, no self-joins, no per-row Python; the gap length
+    falls out of the same windows as a row-number difference.
     """
-    w_prev = (
-        Window.partitionBy(metric_col).orderBy(ts_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_next = (
-        Window.partitionBy(metric_col).orderBy(ts_col)
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
+    w_ord = Window.partitionBy(metric_col).orderBy(ts_col)
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w_ord.rowsBetween(0, Window.unboundedFollowing)
     v = F.col(value_col)
     known_ts = F.when(v.isNotNull(), F.col(ts_col))
     pv = F.last(v, ignorenulls=True).over(w_prev)
     pt = F.last(known_ts, ignorenulls=True).over(w_prev)
     nv = F.first(v, ignorenulls=True).over(w_next)
     nt = F.first(known_ts, ignorenulls=True).over(w_next)
+    fill_ok = pv.isNotNull() & nv.isNotNull()
+    if limit is not None:
+        rn = F.row_number().over(w_ord)
+        known_rn = F.when(v.isNotNull(), rn)
+        pr = F.last(known_rn, ignorenulls=True).over(w_prev)
+        nr = F.first(known_rn, ignorenulls=True).over(w_next)
+        fill_ok = fill_ok & ((nr - pr - 1) <= int(limit))
     filled = F.when(v.isNotNull(), v).otherwise(
         F.when(
-            pv.isNotNull() & nv.isNotNull(),
+            fill_ok,
             F.round(pv + (nv - pv) * (F.col(ts_col) - pt) / (nt - pt), 6),
         )
     )
@@ -1127,16 +1169,20 @@ def pow_family(series: DataFrame, metric_col: str = "metric",
 
 
 def time_stack(series: DataFrame, shift_seconds: int, copies: int,
+               start: int = 0,
                metric_col: str = "metric", ts_col: str = "ts",
                value_col: str = "value") -> DataFrame:
-    """graphite ``timeStack(series, '1d', 0, N)``: N time-shifted copies
-    of each series stacked for period-over-period comparison.
+    """graphite ``timeStack(series, '1d', start, end)``: the shifted
+    copies ``shift_idx in [start, end)`` of each series stacked for
+    period-over-period comparison (``copies`` = end; graphite defaults
+    start=0, end=7, unit='1d' — the registry passes those through).
 
     Spark-first: instead of a UNION per copy (N scans), one
-    explode(sequence(0, N-1)) fans each row out to its shifted
+    explode(sequence(start, end-1)) fans each row out to its shifted
     versions — a single scan whose output carries ``shift_idx``.
     """
-    idx = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("shift_idx")
+    idx = F.explode(
+        F.sequence(F.lit(int(start)), F.lit(copies - 1))).alias("shift_idx")
     return series.select(metric_col, ts_col, value_col, idx).select(
         metric_col,
         F.col("shift_idx").cast("int").alias("shift_idx"),
@@ -1247,6 +1293,28 @@ def multiply_series(series: DataFrame, ts_col: str = "ts",
     )
 
 
+def diff_series_target(first: DataFrame, *others: DataFrame,
+                       metric_col: str = "metric", ts_col: str = "ts",
+                       value_col: str = "value") -> DataFrame:
+    """graphite ``diffSeries(*seriesLists)`` render semantics: every
+    argument flattens into ONE list and the result is a SINGLE series —
+    the first series minus the aligned sum of all the others. "First"
+    here is the lowest metric name of the first argument (the engine's
+    deterministic stand-in for graphite's selection order, the same
+    convention matchSeries pairing uses). Output name is the literal
+    ``diffSeries`` (graphite embeds the original path expressions,
+    which the engine does not track through frames)."""
+    base = first
+    for o in others:
+        base = base.unionByName(o.select(metric_col, ts_col, value_col))
+    head = first.select(F.min(metric_col)).first()[0]
+    return diff_series(
+        base.filter(F.col(metric_col) == head),
+        base.filter(F.col(metric_col) != head),
+        ts_col, value_col,
+    ).withColumn(metric_col, F.lit("diffSeries"))
+
+
 def diff_series(minuend: DataFrame, subtrahends: DataFrame,
                 ts_col: str = "ts", value_col: str = "value") -> DataFrame:
     """graphite ``diffSeries(a, b, c, ...)``: the first series minus the
@@ -1274,12 +1342,7 @@ def group_by_nodes(series: DataFrame, function: str, nodes: list,
     series to the dot-join of several path segments, then aggregate
     aligned points — the multi-node generalization of group_by_node,
     still one projection + one partial/final agg."""
-    from graphouse_spark.operators.bucket import AGG_FUNCTIONS
-
-    try:
-        agg = AGG_FUNCTIONS[function]
-    except KeyError:
-        raise ValueError(f"unknown aggregation function {function!r}") from None
+    agg = _resolve_agg(function)
     parts = F.split(F.col(metric_col), r"\.")
     key = F.concat_ws(".", *[F.get(parts, int(n)) for n in nodes])
     return (
@@ -1424,14 +1487,18 @@ def limit_series(series: DataFrame, n: int, metric_col: str = "metric",
     ).select(metric_col, ts_col, value_col)
 
 
-def remove_empty_series(series: DataFrame, metric_col: str = "metric",
+def remove_empty_series(series: DataFrame, x_files_factor: float = 0.0,
+                        metric_col: str = "metric",
                         ts_col: str = "ts", value_col: str = "value") -> DataFrame:
-    """graphite ``removeEmptySeries``: drop series whose every point is
-    null (count(value) ignores nulls — one agg + semi-join back)."""
+    """graphite ``removeEmptySeries(series[, xFilesFactor])``: drop
+    series whose non-null fraction is below the factor (default 0 —
+    only all-null series drop; a series always needs >= 1 value, the
+    graphite ``xff`` rule). One agg + semi-join back."""
     keep = (
         series.groupBy(metric_col)
-        .agg(F.count(value_col).alias("_nn"))
-        .filter(F.col("_nn") > 0)
+        .agg(F.count(value_col).alias("_nn"), F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_nn") > 0)
+                & (F.col("_nn") >= F.lit(float(x_files_factor)) * F.col("_n")))
     )
     return series.join(
         F.broadcast(keep.select(metric_col)), metric_col, "left_semi"
@@ -2089,11 +2156,7 @@ def aggregate_with_wildcards(series: DataFrame, function: str, *wildcard_nodes: 
     given path nodes from every name, then aggregate series that
     collapse to the same name — the complement of groupByNodes (which
     KEEPS nodes). Same single projection + partial/final agg shape."""
-    from graphouse_spark.operators.bucket import AGG_FUNCTIONS
-
-    if function not in AGG_FUNCTIONS:
-        raise ValueError(
-            f"unknown aggregate {function!r}; supported: {sorted(AGG_FUNCTIONS)}")
+    agg = _resolve_agg(function)
     drop = sorted({int(n) for n in wildcard_nodes})
     parts = F.split(F.col(metric_col), r"\.")
     # F.filter's index lambda: keep segments whose position is not dropped
@@ -2103,7 +2166,7 @@ def aggregate_with_wildcards(series: DataFrame, function: str, *wildcard_nodes: 
     return (
         series.select(renamed.alias(metric_col), F.col(ts_col), F.col(value_col))
         .groupBy(metric_col, ts_col)
-        .agg(AGG_FUNCTIONS[function](value_col).alias(value_col))
+        .agg(agg(value_col).alias(value_col))
     )
 
 

@@ -169,8 +169,12 @@ def test_group_by_node(spark):
     )
     by_dc = {(r["metric"], r["ts"]): r["value"] for r in group_by_node(s, 0, "sum").collect()}
     assert by_dc == {("dc1", 0): 4.0, ("dc2", 0): 7.0}
+    # graphite's aggFuncs table includes median (and alias spellings)
+    by_med = {(r["metric"], r["ts"]): r["value"]
+              for r in group_by_node(s, 0, "median").collect()}
+    assert by_med == {("dc1", 0): 2.0, ("dc2", 0): 7.0}
     with pytest.raises(ValueError):
-        group_by_node(s, 0, "median")
+        group_by_node(s, 0, "no-such-agg")
 
 
 def test_stream_stream_attribution_join(spark, tmp_path):
