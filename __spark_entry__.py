@@ -841,6 +841,16 @@ _SERIES_SQL = """
 """
 
 
+def _rank_pctl_sql(p: float, arr: str = "l") -> str:
+    """DuckDB replay of graphite's _getPercentile rank convention
+    (graphouse_spark.functions.timeseries._graphite_pctl): element at
+    rank ceil(p * (n + 1)) of the sorted null-free value list, clamped
+    to [1, n]. Picking an exact element means the oracle needs no
+    interpolation arithmetic — zero float drift by construction."""
+    return (f"{arr}[greatest(1, least(len({arr}), "
+            f"CAST(ceil({p} * (len({arr}) + 1)) AS BIGINT)))]")
+
+
 def q_ts_moving_average(spark, sf_dir):
     """graphite movingAverage as a ROWS-frame window (functions/timeseries.py)."""
     from graphouse_spark.functions.timeseries import moving_average
@@ -1822,15 +1832,12 @@ def q_ts_sort_by_total(spark, sf_dir):
 def q_ts_n_percentile(spark, sf_dir):
     """graphite nPercentile(series, 90): series flattened to its p90.
 
-    Exact integer micro-units feed the percentile, so the interpolation
-    arithmetic is identical on every engine (no float-order drift)."""
-    from pyspark.sql import Window as W
+    graphite's (n+1)-rank convention picks an EXACT element of the
+    sorted values — no interpolation arithmetic, so the oracle replays
+    it with zero float drift by construction."""
+    from graphouse_spark.functions.timeseries import n_percentile
 
-    s = _series(spark, sf_dir)
-    micro = F.round(F.col("value") * 1_000_000).cast("long")
-    w = W.partitionBy("metric")
-    pctl = F.percentile(micro, F.lit(0.9)).over(w) / 1_000_000.0
-    return s.select("metric", "ts", F.round(pctl, 6).alias("pctl_value"))
+    return n_percentile(_series(spark, sf_dir), 0.9)
 
 
 def q_ts_linear_regression(spark, sf_dir):
@@ -4261,12 +4268,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ts_outside_percentile": f"""
             WITH s AS ({_SERIES_SQL}),
-            avgs AS (SELECT metric, avg(value) AS a FROM s GROUP BY metric),
+            avgs AS (
+                SELECT metric,
+                       sum(CAST(round(value * 1000000) AS BIGINT))
+                           / (count(value) * 1000000.0) AS a
+                FROM s GROUP BY metric
+            ),
             band AS (
-                SELECT quantile_cont(a, 0.2) AS lo, quantile_cont(a, 0.8) AS hi FROM avgs
+                SELECT {_rank_pctl_sql(0.2)} AS lo, {_rank_pctl_sql(0.8)} AS hi
+                FROM (SELECT list_sort(list(a)) AS l FROM avgs)
             ),
             keep AS (
-                SELECT metric FROM avgs, band WHERE a < lo OR a > hi
+                SELECT metric FROM avgs, band WHERE a <= lo OR a >= hi
             )
             SELECT s.metric, s.ts, s.value FROM s JOIN keep USING (metric)
         """,
@@ -4298,9 +4311,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ts
         """,
         "ts_percentile_series": f"""
-            SELECT ts, round(quantile_cont(value, 0.95), 6) AS pct_value
-            FROM ({_SERIES_SQL})
-            GROUP BY ts
+            WITH arrs AS (
+                SELECT ts, list_sort(list(value) FILTER (value IS NOT NULL)) AS l
+                FROM ({_SERIES_SQL}) GROUP BY ts
+            )
+            SELECT ts, round({_rank_pctl_sql(0.95)}, 6) AS pct_value
+            FROM arrs
         """,
         "ts_group_by_node": """
             SELECT string_split(metric, '.')[2] AS metric,
@@ -4443,10 +4459,14 @@ def oracle_sql() -> dict[str, str]:
             FROM s JOIN top USING (metric)
         """,
         "ts_n_percentile": f"""
-            SELECT metric, ts,
-                   round(quantile_cont(CAST(round(value * 1000000) AS BIGINT), 0.9)
-                         OVER (PARTITION BY metric) / 1000000.0, 6) AS pctl_value
-            FROM ({_SERIES_SQL})
+            WITH s AS ({_SERIES_SQL}),
+            cuts AS (
+                SELECT metric, list_sort(list(value) FILTER (value IS NOT NULL)) AS l
+                FROM s GROUP BY metric
+            )
+            SELECT s.metric, s.ts,
+                   round({_rank_pctl_sql(0.9)}, 6) AS pctl_value
+            FROM s JOIN cuts USING (metric)
         """,
         "ts_linear_regression": f"""
             WITH xy AS (
@@ -4542,14 +4562,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ts_remove_between_pctl": f"""
             WITH s AS ({_SERIES_SQL}),
-            banded AS (
-                SELECT metric, ts, value,
-                       quantile_cont(value, 0.2) OVER (PARTITION BY ts) AS lo,
-                       quantile_cont(value, 0.8) OVER (PARTITION BY ts) AS hi
-                FROM s
+            bands AS (
+                SELECT ts, {_rank_pctl_sql(0.2)} AS lo, {_rank_pctl_sql(0.8)} AS hi
+                FROM (SELECT ts,
+                             list_sort(list(value) FILTER (value IS NOT NULL)) AS l
+                      FROM s GROUP BY ts)
             ),
             keep AS (
-                SELECT metric FROM banded GROUP BY metric
+                SELECT metric FROM s JOIN bands USING (ts) GROUP BY metric
                 HAVING max(CASE WHEN NOT (value > lo AND value < hi)
                                 THEN 1 ELSE 0 END) = 1
             )
@@ -5842,7 +5862,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ts_percentile_trim": f"""
             WITH s AS ({_SERIES_SQL}),
-            c AS (SELECT metric, quantile_cont(value, 0.95) AS cut FROM s GROUP BY 1)
+            c AS (
+                SELECT metric,
+                       {_rank_pctl_sql(0.95)} AS cut
+                FROM (SELECT metric,
+                             list_sort(list(value) FILTER (value IS NOT NULL)) AS l
+                      FROM s GROUP BY metric)
+            )
             SELECT s.metric, s.ts,
                    CASE WHEN s.value <= c.cut THEN s.value END AS value
             FROM s JOIN c ON s.metric = c.metric

@@ -105,6 +105,23 @@ def parse_target(s: str):
     return out
 
 
+def _flag(v) -> bool:
+    """graphite boolean argument: accepts True/'true'/'1' (targets spell
+    booleans as bare identifiers, which reach the registry as strings)."""
+    return str(v).lower() in ("true", "1")
+
+
+def _fn_named(df: DataFrame, fn_name: str, value_from: str) -> DataFrame:
+    """Canonicalize and rename each series to ``fn(original)`` — the
+    graphite convention for functions that wrap their input name
+    (holtWinters family)."""
+    return df.select(
+        F.concat(F.lit(fn_name + "("), F.col("metric"), F.lit(")")).alias("metric"),
+        F.col("ts"),
+        F.col(value_from).alias("value"),
+    )
+
+
 def _canon(df: DataFrame, value_from: str, metric: str | None = None) -> DataFrame:
     """Normalize a function's output to the canonical (metric, ts, value)
     shape so every registry entry composes with every other."""
@@ -177,8 +194,10 @@ def _secs(spec) -> int:
 #: engine side of graphite-web's function registry. Every entry returns
 #: (metric, ts, value) so arbitrary nesting composes.
 _REGISTRY = {
-    "movingAverage": lambda df, n: _canon(ts.moving_average(df, _win(n)), "moving_avg"),
-    "movingMedian": lambda df, n: _canon(ts.moving_stats(df, _win(n)), "mov_median"),
+    "movingAverage": lambda df, n, xff=None: _canon(ts.moving_average(
+        df, _win(n), None if xff is None else float(xff)), "moving_avg"),
+    "movingMedian": lambda df, n, xff=None: _canon(ts.moving_stats(
+        df, _win(n), None if xff is None else float(xff)), "mov_median"),
     "sumSeries": lambda df: _canon(ts.sum_series(df), "sum_value", "sumSeries"),
     "averageSeries": lambda df: _canon(ts.stddev_series(df), "avg_value", "averageSeries"),
     "keepLastValue": lambda df, limit=None: _canon(
@@ -193,11 +212,13 @@ _REGISTRY = {
     "offsetToZero": lambda df: ts.offset_to_zero(df),
     "absolute": lambda df: ts.absolute_series(df),
     "timeShift": lambda df, spec: ts.time_shift(df, _shift_seconds(spec)),
-    "summarize": lambda df, sec, fn="sum": ts.summarize(df, _secs(sec), str(fn)),
+    "summarize": lambda df, sec, fn="sum", align="false": ts.summarize(
+        df, _secs(sec), str(fn), _flag(align)),
     "highestMax": lambda df, n: ts.highest_max(df, int(n)).select("metric", "ts", "value"),
     "removeAboveValue": lambda df, v: ts.remove_above_value(df, float(v)),
     "removeBelowValue": lambda df, v: ts.remove_below_value(df, float(v)),
-    "transformNull": lambda df, v=0.0: ts.transform_null(df, float(v)),
+    "transformNull": lambda df, v=0.0, ref=None: ts.transform_null(
+        df, float(v), ref),
     "aliasByNode": lambda df, *ns: ts.alias_by_node(df, *[int(n) for n in ns]),
     # graphite accepts a point count OR a duration string ('1h'); the
     # duration form converts at the engine's 60s native step
@@ -236,7 +257,8 @@ _REGISTRY = {
         ts.count_series(df).select("ts", F.col("n_series").cast("double").alias("n")),
         "n", "countSeries"),
     "groupByNodes": lambda df, fn, *nodes: ts.group_by_nodes(df, str(fn), list(nodes)),
-    "sortByName": lambda df: ts.sort_by_name(df).select("metric", "ts", "value"),
+    "sortByName": lambda df, natural="false", rev="false": ts.sort_by_name(
+        df, _flag(natural), _flag(rev)).select("metric", "ts", "value"),
     "sortByTotal": lambda df, n=None: ts.sort_by_total(
         df, None if n is None else int(n)).select("metric", "ts", "value"),
     "sortByMaxima": lambda df, n=None: ts.sort_by_maxima(
@@ -307,9 +329,11 @@ _REGISTRY = {
     "round": lambda df, p=0: ts.round_series(df, int(p)),
     "sigmoid": lambda df: ts.sigmoid_series(df),
     "add": lambda df, c: ts.offset_series(df, float(c)),
-    "percentileOfSeries": lambda df, p: _canon(
-        ts.percentile_of_series(df, float(p) / 100.0), "pct_value", "percentileOfSeries"),
-    "stdev": lambda df, n: _canon(ts.moving_stddev(df, _win(n)), "mov_stddev"),
+    "percentileOfSeries": lambda df, p, interp="false": _canon(
+        ts.percentile_of_series(df, float(p) / 100.0, _flag(interp)),
+        "pct_value", "percentileOfSeries"),
+    "stdev": lambda df, n, tol=0.1: _canon(
+        ts.moving_stddev(df, _win(n), float(tol)), "mov_stddev"),
     "minMax": lambda df: _canon(ts.min_max_normalize(df), "norm"),
     "weightedAverage": lambda avg_df, w_df, *nodes: ts.weighted_average(
         avg_df,
@@ -317,17 +341,25 @@ _REGISTRY = {
         [int(n) for n in nodes] if nodes else None,
     ).select(F.col("_key").alias("metric"), "ts",
              F.col("wavg").alias("value")),
-    "holtWintersForecast": lambda df: _canon(
-        ts.holt_winters_forecast(df), "forecast"),
-    "holtWintersConfidenceUpper": lambda df: _canon(
-        ts.holt_winters_bands(df), "upper_band"),
-    "holtWintersConfidenceLower": lambda df: _canon(
-        ts.holt_winters_bands(df), "lower_band"),
-    "holtWintersAberration": lambda df: _canon(
-        ts.holt_winters_bands(df), "aberration"),
-    "movingMin": lambda df, n: _canon(ts.moving_stats(df, _win(n)), "mov_min"),
-    "movingMax": lambda df, n: _canon(ts.moving_stats(df, _win(n)), "mov_max"),
-    "movingSum": lambda df, n: _canon(ts.moving_stats(df, _win(n)), "mov_sum"),
+    # graphite renames holtWinters results to fn(original)
+    "holtWintersForecast": lambda df: _fn_named(
+        ts.holt_winters_forecast(df), "holtWintersForecast", "forecast"),
+    "holtWintersConfidenceUpper": lambda df: _fn_named(
+        ts.holt_winters_bands(df), "holtWintersConfidenceUpper", "upper_band"),
+    "holtWintersConfidenceLower": lambda df: _fn_named(
+        ts.holt_winters_bands(df), "holtWintersConfidenceLower", "lower_band"),
+    "holtWintersConfidenceBands": lambda df: (lambda b: (
+        _fn_named(b, "holtWintersConfidenceUpper", "upper_band")
+        .unionByName(_fn_named(b, "holtWintersConfidenceLower", "lower_band"))
+    ))(ts.holt_winters_bands(df)),
+    "holtWintersAberration": lambda df: _fn_named(
+        ts.holt_winters_bands(df), "holtWintersAberration", "aberration"),
+    "movingMin": lambda df, n, xff=None: _canon(ts.moving_stats(
+        df, _win(n), None if xff is None else float(xff)), "mov_min"),
+    "movingMax": lambda df, n, xff=None: _canon(ts.moving_stats(
+        df, _win(n), None if xff is None else float(xff)), "mov_max"),
+    "movingSum": lambda df, n, xff=None: _canon(ts.moving_stats(
+        df, _win(n), None if xff is None else float(xff)), "mov_sum"),
     "aggregate": lambda df, fn="sum": _canon(
         ts.aggregate_series(df, str(fn)).select(
             "ts", F.col("value")), "value", "aggregate"),
@@ -338,8 +370,9 @@ _REGISTRY = {
     # tagging, legend decoration, display pass-throughs
     "linearRegression": lambda df: ts.linear_regression_line(df),
     "logit": lambda df: ts.logit_series(df),
-    "movingWindow": lambda df, n, fn="average": _canon(
-        ts.moving_window(df, int(n), str(fn)), "value"),
+    "movingWindow": lambda df, n, fn="average", xff=None: _canon(
+        ts.moving_window(df, _win(n), str(fn),
+                         None if xff is None else float(xff)), "value"),
     "sortBy": lambda df, fn="average", rev=False: ts.sort_by(
         df, str(fn), str(rev).lower() in ("true", "1")),
     "sortByMinima": lambda df: ts.sort_by_minima(df),
@@ -438,6 +471,8 @@ _GENERATORS = {
         ts.random_walk_function(base, str(name), int(step)),
     "randomWalkFunction": lambda base, name="randomWalk", step=60:
         ts.random_walk_function(base, str(name), int(step)),
+    "verticalLine": lambda base, t, label=None: ts.vertical_line(
+        base, t, None if label is None else str(label)),
 }
 
 #: functions needing the BASE frame in addition to their evaluated head

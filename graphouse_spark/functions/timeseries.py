@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -33,16 +33,30 @@ def _moving_frame(window, metric_col: str, ts_col: str):
     return base.rowsBetween(-(int(window) - 1), Window.currentRow)
 
 
+def _xff_gate(w, value_col: str, x_files_factor: float | None) -> Column:
+    """graphite movingWindow-family ``xFilesFactor``: a window result
+    only counts when the non-null fraction of the window clears the
+    factor (None/0 = graphite's default: any value suffices)."""
+    if not x_files_factor:
+        return F.lit(True)
+    nn = F.count(value_col).over(w)
+    tot = F.count(F.lit(1)).over(w)
+    return nn >= F.lit(float(x_files_factor)) * tot
+
+
 def moving_average(series: DataFrame, window_points: int | str = 3,
+                   x_files_factor: float | None = None,
                    metric_col: str = "metric", ts_col: str = "ts",
                    value_col: str = "value") -> DataFrame:
-    """graphite ``movingAverage(series, N)``: mean of the last N points
-    (ROWS frame) or, with a duration string ('5min'), of the trailing
-    time range (RANGE frame) — both graphite call forms."""
+    """graphite ``movingAverage(series, N[, xFilesFactor])``: mean of
+    the last N points (ROWS frame) or, with a duration string ('5min'),
+    of the trailing time range (RANGE frame) — both graphite call
+    forms. ``xFilesFactor`` nulls windows that are mostly empty."""
     w = _moving_frame(window_points, metric_col, ts_col)
     return series.select(
         metric_col, ts_col,
-        F.round(F.avg(value_col).over(w), 6).alias("moving_avg"),
+        F.when(_xff_gate(w, value_col, x_files_factor),
+               F.round(F.avg(value_col).over(w), 6)).alias("moving_avg"),
     )
 
 
@@ -98,13 +112,51 @@ def sum_series(series: DataFrame, ts_col: str = "ts",
     )
 
 
+def _graphite_pctl(arr: Column, p: float, interpolate: bool = False) -> Column:
+    """graphite ``_getPercentile`` (render/functions.py) as a Catalyst
+    expression over a SORTED null-free array: fractional rank
+    ``p * (n + 1)``; the non-interpolated form takes the ceil-rank
+    element clamped to [1, n], the interpolated form blends the
+    floor-rank element toward the next one by the fractional part.
+
+    This is graphite's own (n+1)-rank convention — NOT numpy/Spark
+    linear interpolation over (n-1) — so every percentile family
+    function matches graphite's values exactly, including at small n.
+    ``F.get`` (0-based, null on out-of-range) keeps the expression safe
+    under ANSI mode and on empty arrays.
+    """
+    n = F.size(arr)
+    fr = F.lit(float(p)) * (n + F.lit(1))
+    if not interpolate:
+        k = F.greatest(F.lit(1), F.least(n, F.ceil(fr).cast("int")))
+        return F.when(n > 0, F.get(arr, k - 1))
+    rank = F.floor(fr).cast("int")
+    frac = fr - F.floor(fr)
+    base = F.get(arr, F.greatest(F.lit(1), F.least(n, rank)) - 1)
+    nxt = F.get(arr, F.least(n, rank + 1) - 1)
+    return F.when(
+        n > 0,
+        F.when(rank >= n, F.get(arr, n - 1)).otherwise(base + frac * (nxt - base)),
+    )
+
+
+def _sorted_values(value_col: str) -> Column:
+    """Aggregate expression: the sorted null-free value array
+    ``_graphite_pctl`` consumes (collect_list drops nulls)."""
+    return F.sort_array(F.collect_list(value_col))
+
+
 def percentile_of_series(series: DataFrame, p: float = 0.95,
+                         interpolate: bool = False,
                          ts_col: str = "ts", value_col: str = "value") -> DataFrame:
-    """graphite ``percentileOfSeries``: per aligned point, the exact
-    interpolated percentile across all series (one partial+final agg)."""
+    """graphite ``percentileOfSeries(series, n, interpolate=False)``:
+    per aligned point, graphite's (n+1)-rank percentile across all
+    series (one partial+final agg)."""
     return (
         series.groupBy(ts_col)
-        .agg(F.round(F.percentile(value_col, F.lit(p)), 6).alias("pct_value"))
+        .agg(F.round(
+            _graphite_pctl(_sorted_values(value_col), p, interpolate), 6,
+        ).alias("pct_value"))
     )
 
 
@@ -364,11 +416,26 @@ def _resolve_agg(function: str):
 
 
 def summarize(series: DataFrame, interval_seconds: int, function: str = "sum",
+              align_to_from: bool = False,
               metric_col: str = "metric", ts_col: str = "ts",
               value_col: str = "value") -> DataFrame:
-    """graphite ``summarize(series, interval, func)``: re-bucket each
-    series to a coarser epoch-aligned grid (one partial+final agg)."""
+    """graphite ``summarize(series, interval, func, alignToFrom)``:
+    re-bucket each series to a coarser grid (one partial+final agg).
+    Default buckets align on epoch interval boundaries; ``alignToFrom``
+    anchors them at each series' own start (graphite anchors at the
+    fetched window start — the per-series min ts is the engine analog).
+    The anchor window partitions on the same key as the groupBy, so
+    both share one exchange."""
     agg = _resolve_agg(function)
+    if align_to_from:
+        start = F.min(ts_col).over(Window.partitionBy(metric_col))
+        bucket = (F.col(ts_col)
+                  - (F.col(ts_col) - start) % interval_seconds).alias(ts_col)
+        return (
+            series.withColumn("_b", bucket)
+            .groupBy(metric_col, F.col("_b").alias(ts_col))
+            .agg(F.round(agg(value_col), 6).alias(value_col))
+        )
     bucket = (F.col(ts_col) - F.col(ts_col) % interval_seconds).alias(ts_col)
     return (
         series.groupBy(metric_col, bucket)
@@ -464,11 +531,12 @@ def group_by_node(series: DataFrame, node: int, function: str = "average",
 # --------------------------------------------------------------------------
 
 def moving_stats(series: DataFrame, window_points: int | str = 5,
+                 x_files_factor: float | None = None,
                  metric_col: str = "metric", ts_col: str = "ts",
                  value_col: str = "value") -> DataFrame:
     """graphite ``movingMedian/movingMin/movingMax/movingSum`` in one
     window pass (ROWS frame of the last N points, point-count semantics
-    like movingAverage).
+    like movingAverage). ``xFilesFactor`` nulls mostly-empty windows.
 
     The moving sum runs on exact integer micro-units so the result is
     independent of the engine's in-frame summation order; median over a
@@ -477,12 +545,14 @@ def moving_stats(series: DataFrame, window_points: int | str = 5,
     """
     w = _moving_frame(window_points, metric_col, ts_col)
     micro = F.round(F.col(value_col) * 1_000_000).cast("long")
+    ok = _xff_gate(w, value_col, x_files_factor)
     return series.select(
         metric_col, ts_col,
-        F.round(F.percentile(value_col, F.lit(0.5)).over(w), 6).alias("mov_median"),
-        F.min(value_col).over(w).alias("mov_min"),
-        F.max(value_col).over(w).alias("mov_max"),
-        (F.sum(micro).over(w) / 1_000_000.0).alias("mov_sum"),
+        F.when(ok, F.round(
+            F.percentile(value_col, F.lit(0.5)).over(w), 6)).alias("mov_median"),
+        F.when(ok, F.min(value_col).over(w)).alias("mov_min"),
+        F.when(ok, F.max(value_col).over(w)).alias("mov_max"),
+        F.when(ok, F.sum(micro).over(w) / 1_000_000.0).alias("mov_sum"),
     )
 
 
@@ -533,9 +603,30 @@ def remove_below_value(series: DataFrame, threshold: float,
 
 
 def transform_null(series: DataFrame, default: float = 0.0,
-                   value_col: str = "value") -> DataFrame:
-    """graphite ``transformNull(series, X)``: nulls become the default."""
-    return series.withColumn(value_col, F.coalesce(F.col(value_col), F.lit(default)))
+                   reference: DataFrame | None = None,
+                   ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """graphite ``transformNull(series, X[, referenceSeries])``: nulls
+    become the default — but when a reference selection is given, only
+    at timestamps where at least one reference series has a value
+    (graphite's per-interval gate). The reference reduces to a tiny
+    distinct-ts frame broadcast onto the stream."""
+    if reference is None:
+        return series.withColumn(
+            value_col, F.coalesce(F.col(value_col), F.lit(default)))
+    ref_ts = (
+        reference.groupBy(ts_col)
+        .agg((F.count(value_col) > 0).alias("_has"))
+        .filter(F.col("_has"))
+        .select(ts_col, F.lit(True).alias("_fill"))
+    )
+    return (
+        series.join(F.broadcast(ref_ts), ts_col, "left")
+        .withColumn(
+            value_col,
+            F.when(F.col(value_col).isNull() & F.col("_fill").isNotNull(),
+                   F.lit(default)).otherwise(F.col(value_col)))
+        .drop("_fill")
+    )
 
 
 def current_above(series: DataFrame, threshold: float,
@@ -587,11 +678,13 @@ def n_percentile(series: DataFrame, p: float = 0.9,
                  metric_col: str = "metric", ts_col: str = "ts",
                  value_col: str = "value") -> DataFrame:
     """graphite ``nPercentile(series, N)``: each series flattened to its
-    own Nth percentile (a constant series). A partition-only window
-    keeps the original grid without a self-join."""
-    w = Window.partitionBy(metric_col)
-    pctl = F.round(F.percentile(value_col, F.lit(p)).over(w), 6)
-    return series.select(metric_col, ts_col, pctl.alias("pctl_value"))
+    own Nth percentile (a constant series), graphite's (n+1)-rank
+    convention. One per-series aggregate broadcast-joined back onto the
+    grid (cheaper at scale than a per-row window array)."""
+    cuts = series.groupBy(metric_col).agg(
+        F.round(_graphite_pctl(_sorted_values(value_col), p), 6).alias("pctl_value"))
+    return series.select(metric_col, ts_col).join(
+        F.broadcast(cuts), metric_col).select(metric_col, ts_col, "pctl_value")
 
 
 def linear_regression(series: DataFrame, metric_col: str = "metric",
@@ -789,14 +882,21 @@ def average_outside_percentile(series: DataFrame, n: float,
     series); the band is a broadcastable 1-row frame crossed onto the
     filter, so the full stream is never re-shuffled."""
     n = max(n, 100.0 - n) / 100.0
-    avgs = series.groupBy(metric_col).agg(F.avg(value_col).alias("_avg"))
+    # exact integer micro-unit averages: the band bounds ARE two of
+    # these averages, so boundary membership (avg == lo/hi) must hold
+    # bit-for-bit regardless of partition summation order
+    micro = F.round(F.col(value_col) * 1_000_000).cast("long")
+    avgs = series.groupBy(metric_col).agg(
+        (F.sum(micro) / (F.count(value_col) * 1_000_000.0)).alias("_avg"))
     band = avgs.agg(
-        F.percentile(F.col("_avg"), F.lit(1.0 - n)).alias("_lo"),
-        F.percentile(F.col("_avg"), F.lit(n)).alias("_hi"),
+        _graphite_pctl(_sorted_values("_avg"), 1.0 - n).alias("_lo"),
+        _graphite_pctl(_sorted_values("_avg"), n).alias("_hi"),
     )
+    # graphite keeps series where NOT (lo < avg < hi) — boundary
+    # averages (avg == lo or avg == hi) survive
     keep = (
         avgs.crossJoin(F.broadcast(band))
-        .filter((F.col("_avg") < F.col("_lo")) | (F.col("_avg") > F.col("_hi")))
+        .filter((F.col("_avg") <= F.col("_lo")) | (F.col("_avg") >= F.col("_hi")))
         .select(metric_col)
     )
     return series.join(F.broadcast(keep), metric_col, "left_semi")
@@ -842,14 +942,18 @@ def interpolate_series(series: DataFrame, limit: int | None = None,
 
 
 def moving_stddev(series: DataFrame, window_points: int | str = 5,
+                  window_tolerance: float = 0.1,
                   metric_col: str = "metric", ts_col: str = "ts",
                   value_col: str = "value") -> DataFrame:
-    """graphite ``movingStdDev(series, N)`` over a ROWS frame.
+    """graphite ``stdev(series, N, windowTolerance)`` over a ROWS frame.
 
     Population stddev from exact integer micro-unit moment sums
     (sum, sum of squares, count) — the in-frame summation order can't
     perturb the result, so any engine reproduces it bit-for-bit.
-    Duration-string windows use a trailing RANGE frame.
+    Duration-string windows use a trailing RANGE frame. The moments
+    count only NON-NULL points (graphite skips Nones), and a window
+    whose valid fraction falls below ``windowTolerance`` yields null
+    (graphite's validPoints / windowSize gate).
     """
     w = _moving_frame(window_points, metric_col, ts_col)
     micro = F.round(F.col(value_col) * 1_000_000).cast("long")
@@ -858,11 +962,14 @@ def moving_stddev(series: DataFrame, window_points: int | str = 5,
     # and an identical double expression reproduces bit-for-bit anywhere
     s1 = F.sum(micro).over(w).cast("double")
     s2 = F.sum(micro * micro).over(w).cast("double")
-    n = F.count(F.lit(1)).over(w).cast("double")
+    n = F.count(value_col).over(w).cast("double")
     var_micro2 = (s2 - s1 * s1 / n) / n  # micro^2 units
+    ok = _xff_gate(w, value_col, window_tolerance) & (n > 0)
     return series.select(
         metric_col, ts_col,
-        F.round(F.sqrt(F.greatest(var_micro2, F.lit(0.0))) / 1_000_000.0, 6).alias("mov_stddev"),
+        F.when(ok, F.round(
+            F.sqrt(F.greatest(var_micro2, F.lit(0.0))) / 1_000_000.0, 6,
+        )).alias("mov_stddev"),
     )
 
 
@@ -1257,12 +1364,12 @@ def remove_above_percentile(series: DataFrame, p: float,
                             value_col: str = "value") -> DataFrame:
     """graphite ``removeAbovePercentile(series, N)``: null out points
     above the series' own Nth percentile — the grid survives (graphite
-    sets None, never drops rows). One partition-only window percentile,
-    no self-join; same shape as n_percentile."""
-    w = Window.partitionBy(metric_col)
-    cut = F.percentile(value_col, F.lit(p / 100.0)).over(w)
-    keep = F.col(value_col) <= cut
-    return series.select(
+    sets None, never drops rows). Graphite's (n+1)-rank percentile per
+    series, broadcast-joined back; same shape as n_percentile."""
+    cuts = series.groupBy(metric_col).agg(
+        _graphite_pctl(_sorted_values(value_col), p / 100.0).alias("_cut"))
+    keep = F.col(value_col) <= F.col("_cut")
+    return series.join(F.broadcast(cuts), metric_col).select(
         metric_col, ts_col, F.when(keep, F.col(value_col)).alias(value_col)
     )
 
@@ -1272,10 +1379,10 @@ def remove_below_percentile(series: DataFrame, p: float,
                             value_col: str = "value") -> DataFrame:
     """graphite ``removeBelowPercentile(series, N)`` — mirror of
     remove_above_percentile."""
-    w = Window.partitionBy(metric_col)
-    cut = F.percentile(value_col, F.lit(p / 100.0)).over(w)
-    keep = F.col(value_col) >= cut
-    return series.select(
+    cuts = series.groupBy(metric_col).agg(
+        _graphite_pctl(_sorted_values(value_col), p / 100.0).alias("_cut"))
+    keep = F.col(value_col) >= F.col("_cut")
+    return series.join(F.broadcast(cuts), metric_col).select(
         metric_col, ts_col, F.when(keep, F.col(value_col)).alias(value_col)
     )
 
@@ -1381,14 +1488,26 @@ def aggregate_line(series: DataFrame, function: str = "avg",
     return series.groupBy(metric_col).agg(F.round(expr, 6).alias("line_value"))
 
 
-def sort_by_name(series: DataFrame, metric_col: str = "metric",
+def sort_by_name(series: DataFrame, natural: bool = False,
+                 reverse: bool = False, metric_col: str = "metric",
                  ts_col: str = "ts", value_col: str = "value") -> DataFrame:
-    """graphite ``sortByName(series)``: rank series lexicographically.
-    The rank is computed on the DISTINCT metric set (tiny) and
-    broadcast back — the point table itself never passes through a
-    single-partition global window."""
+    """graphite ``sortByName(series[, natural, reverse])``: rank series
+    lexicographically; ``natural`` compares embedded integers by value
+    (srv2 < srv10) via a zero-padded sort key built columnar (digit
+    runs left-padded to 12). The rank is computed on the DISTINCT
+    metric set (tiny) and broadcast back — the point table itself never
+    passes through a single-partition global window."""
     names = series.select(metric_col).distinct()
-    w = Window.orderBy(metric_col)
+    key = F.col(metric_col)
+    if natural:
+        toks = F.split(key, r"(?<=\D)(?=\d)|(?<=\d)(?=\D)")
+        key = F.array_join(
+            F.transform(
+                toks,
+                lambda t: F.when(t.rlike("^[0-9]+$"),
+                                 F.lpad(t, 12, "0")).otherwise(t)),
+            "")
+    w = Window.orderBy(key.desc() if reverse else key.asc())
     ranked = names.withColumn("rank", F.row_number().over(w))
     return (
         series.join(F.broadcast(ranked), metric_col)
@@ -1699,13 +1818,15 @@ def logit_series(series: DataFrame, metric_col: str = "metric",
 
 
 def moving_window(series: DataFrame, window_points: int | str, function: str = "average",
+                  x_files_factor: float | None = None,
                   metric_col: str = "metric", ts_col: str = "ts",
                   value_col: str = "value") -> DataFrame:
-    """graphite ``movingWindow(series, n, func)`` — the generic form
-    behind movingAverage/Min/Max/Sum/Median: one window pass (ROWS
-    frame for a point count, RANGE frame for a duration string), the
-    statistic picked by name (same single-shuffle shape for the whole
-    family)."""
+    """graphite ``movingWindow(series, n, func, xFilesFactor)`` — the
+    generic form behind movingAverage/Min/Max/Sum/Median: one window
+    pass (ROWS frame for a point count, RANGE frame for a duration
+    string), the statistic picked by name (same single-shuffle shape
+    for the whole family); ``xFilesFactor`` nulls mostly-empty
+    windows."""
     w = _moving_frame(window_points, metric_col, ts_col)
     micro = F.round(F.col(value_col) * 1_000_000).cast("long")
     stats = {
@@ -1722,7 +1843,9 @@ def moving_window(series: DataFrame, window_points: int | str, function: str = "
     if function not in stats:
         raise ValueError(
             f"unknown moving statistic {function!r}; supported: {sorted(stats)}")
-    return series.select(metric_col, ts_col, stats[function].alias(value_col))
+    ok = _xff_gate(w, value_col, x_files_factor)
+    return series.select(
+        metric_col, ts_col, F.when(ok, stats[function]).alias(value_col))
 
 
 def sort_by(series: DataFrame, function: str = "average", reverse: bool = False,
@@ -1774,16 +1897,20 @@ def remove_between_percentile(series: DataFrame, n: float,
     """graphite ``removeBetweenPercentile(series, n)``: keep series
     having at least one point OUTSIDE the per-timestamp
     (100-n)th..nth percentile band across series (render/functions.py
-    transposes the series matrix; here it is a per-ts window)."""
+    transposes the series matrix; here it is a per-ts band joined
+    back). Band bounds use graphite's (n+1)-rank percentile."""
     p = float(n)
     if p < 50:
         p = 100 - p
-    w = Window.partitionBy(ts_col)
-    lo = F.percentile(value_col, F.lit((100 - p) / 100.0)).over(w)
-    hi = F.percentile(value_col, F.lit(p / 100.0)).over(w)
-    outside = ~((F.col(value_col) > lo) & (F.col(value_col) < hi))
+    bands = series.groupBy(ts_col).agg(
+        _graphite_pctl(_sorted_values(value_col), (100 - p) / 100.0).alias("_lo"),
+        _graphite_pctl(_sorted_values(value_col), p / 100.0).alias("_hi"),
+    )
+    outside = ~((F.col(value_col) > F.col("_lo"))
+                & (F.col(value_col) < F.col("_hi")))
     keep = (
-        series.withColumn("_out", outside)
+        series.join(F.broadcast(bands), ts_col)
+        .withColumn("_out", outside)
         .groupBy(metric_col)
         .agg(F.max("_out").alias("_any"))
         .filter(F.col("_any"))
@@ -1913,6 +2040,40 @@ def constant_line(base: DataFrame, value: float, name: str | None = None,
         F.col(ts_col),
         F.lit(v).alias(value_col),
     ).distinct()
+
+
+def vertical_line(base: DataFrame, when, label: str | None = None,
+                  metric_col: str = "metric", ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """graphite ``verticalLine(ts, label)``: an event marker at one
+    instant — graphite emits a two-point series (value 1.0 twice) with
+    start == end == ts. ``when`` is an epoch second or a graphite
+    relative spec ('-5min'), resolved against the base frame's max ts
+    (the engine analog of the request end); a marker outside the base
+    window raises, matching graphite's ValueError."""
+    from graphouse_spark.queryparams import parse_render_time
+
+    row = base.select(
+        F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1")
+    ).filter(F.col("_t0").isNotNull()).first()
+    if row is None:
+        return base.select(
+            F.col(metric_col), F.col(ts_col), F.col(value_col)).limit(0)
+    t_spec = str(when).strip().strip("'\"")
+    if t_spec.lstrip("+-").isdigit() and not t_spec.startswith(("+", "-")):
+        t = int(t_spec)
+    else:
+        t = parse_render_time(t_spec, int(row["_t1"]))
+    if not (int(row["_t0"]) <= t <= int(row["_t1"])):
+        raise ValueError(
+            f"verticalLine(): timestamp {t} exists before eventStart or "
+            "after eventEnd")
+    name = label if label is not None else str(t)
+    spark = base.sparkSession
+    return spark.createDataFrame(
+        [(name, t, 1.0), (name, t, 1.0)],
+        f"{metric_col} string, {ts_col} long, {value_col} double",
+    )
 
 
 #: consolidation tag column: consolidateBy rides the frame as a literal

@@ -51,16 +51,18 @@ def test_filter_family_complements(series):
 
 
 def test_remove_percentile_nulls_keep_grid(series):
-    # p50 of s.a = 2.5 (interpolated): values 3, 4 null out above it
+    # graphite rank p50 of s.a [1,2,3,4]: ceil(0.5 * 5) = rank 3 -> 3.0;
+    # only 4 nulls out above it (grid preserved)
     out = {(r["metric"], r["ts"]): r["value"]
            for r in remove_above_percentile(series, 50.0).collect()}
     assert len(out) == 12  # grid intact
     assert out[("s.a", 0)] == 1.0 and out[("s.a", 60)] == 2.0
-    assert out[("s.a", 120)] is None and out[("s.a", 180)] is None
+    assert out[("s.a", 120)] == 3.0 and out[("s.a", 180)] is None
 
     out = {(r["metric"], r["ts"]): r["value"]
            for r in remove_below_percentile(series, 50.0).collect()}
-    assert out[("s.a", 0)] is None and out[("s.a", 180)] == 4.0
+    assert out[("s.a", 0)] is None and out[("s.a", 60)] is None
+    assert out[("s.a", 120)] == 3.0 and out[("s.a", 180)] == 4.0
 
 
 def test_multiply_and_count_and_diff(series, spark):

@@ -144,23 +144,28 @@ def test_unique_drops_duplicate_copies(series):
 
 
 def test_average_outside_percentile(spark):
-    # averages 1..10; n=80 keeps series outside the 20th..80th band
+    # averages 1..10; graphite rank band: lo = ceil(0.2*11) = rank 3
+    # -> 3.0, hi = ceil(0.8*11) = rank 9 -> 9.0; boundary averages
+    # (avg == lo or hi) survive: NOT (lo < avg < hi)
     rows = [(f"m{i:02d}", 0, float(i)) for i in range(1, 11)]
     got = _metrics(average_outside_percentile(_mk(spark, rows), 80))
-    assert got == {"m01", "m02", "m09", "m10"}
+    assert got == {"m01", "m02", "m03", "m09", "m10"}
     # n below 50 mirrors to 100-n (graphite rule)
     got2 = _metrics(average_outside_percentile(_mk(spark, rows), 20))
     assert got2 == got
 
 
 def test_remove_between_percentile(spark):
-    # at every ts, 'mid' sits strictly inside the band; extremes stay
+    # per-ts values [0, 5, 5.5, 6, 100]; graphite rank band:
+    # lo = ceil(0.2*6) = rank 2 -> 5.0, hi = rank 5 -> 100.0.
+    # mid1 sits ON lo, and a boundary point is NOT strictly inside,
+    # so mid1 survives; mid2/mid3 (strictly inside at every ts) drop.
     rows = []
     for t in (0, 60):
         rows += [("low", t, 0.0), ("mid1", t, 5.0), ("mid2", t, 5.5),
                  ("mid3", t, 6.0), ("high", t, 100.0)]
     got = _metrics(remove_between_percentile(_mk(spark, rows), 80))
-    assert got == {"low", "high"}
+    assert got == {"low", "mid1", "high"}
 
 
 # ---------------------------------------------------------- series lists

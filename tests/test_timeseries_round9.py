@@ -196,3 +196,163 @@ def test_ema_accepts_duration_string(spark, series):
     by_int = _by(evaluate_target(series, "exponentialMovingAverage(s.a, 3)"))
     assert by_str == by_int
     assert len(by_str) > 0
+
+
+# ------------------------------------------------- graphite percentiles
+
+
+def test_graphite_rank_percentile_hand_math(spark):
+    """_getPercentile parity: [1..4], p50 -> rank ceil(0.5*5)=3 -> 3.0;
+    interpolated -> rank 2 frac 0.5 -> 2 + 0.5*(3-2) = 2.5."""
+    from graphouse_spark.functions.timeseries import percentile_of_series
+
+    rows = [(f"s.{i}", 0, float(i)) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    got = percentile_of_series(df, 0.5).collect()[0]["pct_value"]
+    assert got == 3.0
+    interp = percentile_of_series(df, 0.5, interpolate=True).collect()[0]["pct_value"]
+    assert interp == 2.5
+    # p100 clamps to the last element in both modes
+    assert percentile_of_series(df, 1.0).collect()[0]["pct_value"] == 4.0
+    assert percentile_of_series(
+        df, 1.0, interpolate=True).collect()[0]["pct_value"] == 4.0
+
+
+def test_n_percentile_rank_convention(spark, series):
+    from graphouse_spark.functions.timeseries import n_percentile
+
+    # s.a = [1,2,3,4]: p90 -> rank ceil(0.9*5)=5 clamped to 4 -> 4.0
+    got = {(r["metric"], r["ts"]): r["pctl_value"]
+           for r in n_percentile(series, 0.9).collect()}
+    assert got[("s.a", 1000)] == 4.0
+    assert len(got) == 12  # full grid preserved
+
+
+# ------------------------------------------------- summarize alignToFrom
+
+
+def test_summarize_align_to_from(spark):
+    from graphouse_spark.functions.timeseries import summarize
+
+    rows = [("s.a", 30, 1.0), ("s.a", 90, 2.0), ("s.a", 150, 4.0)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    epoch = {r["ts"]: r["value"] for r in summarize(df, 120, "sum").collect()}
+    assert epoch == {0: 3.0, 120: 4.0}  # epoch-aligned buckets
+    anchored = {r["ts"]: r["value"]
+                for r in summarize(df, 120, "sum", align_to_from=True).collect()}
+    assert anchored == {30: 3.0, 150: 4.0}  # buckets start at series min ts
+
+
+def test_summarize_registry_align_and_alias(spark, series):
+    got = _by(evaluate_target(series, "summarize(s.a, '2min', 'total', true)"))
+    # s.a starts at 1000: buckets [1000,1120) -> 1+2=3, [1120,1240) -> 3+4=7
+    assert got[("s.a", 1000)] == 3.0 and got[("s.a", 1120)] == 7.0
+
+
+# ------------------------------------------------- xFilesFactor gates
+
+
+def test_moving_average_xff(spark):
+    from graphouse_spark.functions.timeseries import moving_average
+
+    rows = [("s.a", 0, 1.0), ("s.a", 60, None), ("s.a", 120, None),
+            ("s.a", 180, 4.0)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    # window of 3: at ts=120 only 1/3 non-null -> nulled at xff=0.5
+    got = {r["ts"]: r["moving_avg"]
+           for r in moving_average(df, 3, x_files_factor=0.5).collect()}
+    assert got[120] is None
+    assert got[0] == 1.0  # 1/1 non-null clears the factor
+    ungated = {r["ts"]: r["moving_avg"] for r in moving_average(df, 3).collect()}
+    assert ungated[120] == 1.0
+
+
+def test_moving_window_registry_xff(spark, series):
+    with_gap = series.withColumn(
+        "value", F.when(F.col("ts").isin(1060, 1120), None)
+        .otherwise(F.col("value")))
+    got = _by(evaluate_target(with_gap, "movingWindow(s.a, 3, 'sum', 0.5)"))
+    assert got[("s.a", 1120)] is None  # 1/3 valid < 0.5
+
+
+def test_stdev_tolerance_and_null_count(spark):
+    from graphouse_spark.functions.timeseries import moving_stddev
+
+    rows = [("s.a", 0, 2.0), ("s.a", 60, None), ("s.a", 120, 4.0)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    got = {r["ts"]: r["mov_stddev"]
+           for r in moving_stddev(df, 3, window_tolerance=0.1).collect()}
+    # ts=120 window = [2, None, 4]: stddev over the 2 valid points
+    # (pop stddev of [2,4] = 1.0) — None must NOT inflate the divisor
+    assert got[120] == 1.0
+    strict = {r["ts"]: r["mov_stddev"]
+              for r in moving_stddev(df, 3, window_tolerance=0.9).collect()}
+    assert strict[120] is None  # 2/3 valid < 0.9
+
+
+# ------------------------------------------------- transformNull reference
+
+
+def test_transform_null_reference_series(spark):
+    from graphouse_spark.functions.timeseries import transform_null
+
+    s = spark.createDataFrame(
+        [("s.a", 0, None), ("s.a", 60, None), ("s.a", 120, 3.0)],
+        "metric string, ts long, value double")
+    ref = spark.createDataFrame(
+        [("r", 0, 9.0), ("r", 60, None), ("r", 120, 9.0)],
+        "metric string, ts long, value double")
+    got = {r["ts"]: r["value"] for r in transform_null(s, -1.0, ref).collect()}
+    assert got[0] == -1.0      # ref has a value here -> filled
+    assert got[60] is None     # ref null here -> stays null
+    assert got[120] == 3.0     # non-null passes through
+
+
+def test_transform_null_registry_reference(spark, series):
+    with_gap = series.withColumn(
+        "value", F.when((F.col("metric") == "s.a") & (F.col("ts") == 1060),
+                        None).otherwise(F.col("value")))
+    got = _by(evaluate_target(with_gap, "transformNull(s.a, -1, s.b)"))
+    assert got[("s.a", 1060)] == -1.0
+
+
+# ------------------------------------------------- sortByName natural
+
+
+def test_sort_by_name_natural_and_reverse(spark):
+    from graphouse_spark.functions.timeseries import sort_by_name
+
+    rows = [(m, 0, 1.0) for m in ("srv10.cpu", "srv2.cpu", "srv1.cpu")]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    lex = [r["metric"] for r in sort_by_name(df).select(
+        "metric", "rank").distinct().orderBy("rank").collect()]
+    assert lex == ["srv1.cpu", "srv10.cpu", "srv2.cpu"]
+    nat = [r["metric"] for r in sort_by_name(df, natural=True).select(
+        "metric", "rank").distinct().orderBy("rank").collect()]
+    assert nat == ["srv1.cpu", "srv2.cpu", "srv10.cpu"]
+    rev = [r["metric"] for r in sort_by_name(df, natural=True, reverse=True)
+           .select("metric", "rank").distinct().orderBy("rank").collect()]
+    assert rev == ["srv10.cpu", "srv2.cpu", "srv1.cpu"]
+
+
+# ------------------------------------------------- holtWinters names
+
+
+def test_holt_winters_registry_names(spark, series):
+    got = evaluate_target(series, "holtWintersForecast(s.a)")
+    assert _metrics(got) == {"holtWintersForecast(s.a)"}
+    bands = evaluate_target(series, "holtWintersConfidenceBands(s.a)")
+    assert _metrics(bands) == {
+        "holtWintersConfidenceUpper(s.a)", "holtWintersConfidenceLower(s.a)"}
+
+
+# ------------------------------------------------- verticalLine
+
+
+def test_vertical_line(spark, series):
+    got = evaluate_target(series, "verticalLine(1060, 'deploy')").collect()
+    assert len(got) == 2  # graphite's two-point marker
+    assert {(r["metric"], r["ts"], r["value"]) for r in got} == {
+        ("deploy", 1060, 1.0)}
+    with pytest.raises(ValueError, match="eventStart"):
+        evaluate_target(series, "verticalLine(99, 'too-early')").collect()

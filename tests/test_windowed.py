@@ -127,7 +127,12 @@ def test_percentile_and_alias_by_node(spark):
         "metric string, ts long, value double",
     )
     med = {r["ts"]: r["pct_value"] for r in percentile_of_series(s, 0.5).collect()}
-    assert med == {0: 2.0, 60: 5.0}  # interpolated median across series
+    # graphite rank convention: ceil(0.5 * 3) = rank 2 of [1, 3] -> 3.0
+    assert med == {0: 3.0, 60: 5.0}
+    interp = {r["ts"]: r["pct_value"]
+              for r in percentile_of_series(s, 0.5, interpolate=True).collect()}
+    # interpolated: rank 1, frac 0.5 -> 1 + 0.5 * (3 - 1) = 2.0
+    assert interp == {0: 2.0, 60: 5.0}
 
     assert sorted({r["metric"] for r in alias_by_node(s, 1).collect()}) == ["srv1", "srv2"]
     assert {r["metric"] for r in alias_by_node(s, -1).collect()} == {"cpu"}
