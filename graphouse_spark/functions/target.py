@@ -122,6 +122,48 @@ def _fn_named(df: DataFrame, fn_name: str, value_from: str) -> DataFrame:
     )
 
 
+def _at_time(df: DataFrame, spec) -> int | None:
+    """Resolve a graphite at-time argument: None passes through, a bare
+    epoch int passes through, a relative spec ('-7d') resolves against
+    the frame's max ts (the engine analog of the request 'now'). The
+    bounds read is one metadata-sized row."""
+    if spec is None:
+        return None
+    t = str(spec).strip().strip("'\"")
+    if t.lstrip("+-").isdigit() and not t.startswith(("+", "-")):
+        return int(t)
+    from graphouse_spark.queryparams import parse_render_time
+
+    row = df.select(F.max("ts").alias("_t1")).first()
+    now = 0 if row is None or row["_t1"] is None else int(row["_t1"])
+    return parse_render_time(t, now)
+
+
+def _aggregate_line(df: DataFrame, fn: str, keep) -> DataFrame:
+    """graphite ``aggregateLine(series, func, keepStep)``: per-series
+    scalar aggregate rendered as a flat line named
+    ``aggregateLine(name, value)``. keepStep=false (default) emits the
+    3-point start/mid/end guide line graphite draws; keepStep=true
+    keeps the series' own grid. The per-series scalars are a tiny
+    frame, so both shapes broadcast."""
+    lines = ts.aggregate_line(df, fn)
+    name = F.concat(
+        F.lit("aggregateLine("), F.col("metric"), F.lit(", "),
+        F.coalesce(F.col("line_value").cast("string"), F.lit("nan")),
+        F.lit(")"),
+    ).alias("metric")
+    if _flag(keep):
+        return df.select("metric", "ts").join(
+            F.broadcast(lines), "metric").select(
+            name, "ts", F.col("line_value").alias("value"))
+    bounds = df.select(F.min("ts").alias("_t0"), F.max("ts").alias("_t1"))
+    pts = bounds.select(F.explode(F.array(
+        F.col("_t0"), ((F.col("_t0") + F.col("_t1")) / 2).cast("long"),
+        F.col("_t1"))).alias("ts")).distinct()
+    return lines.crossJoin(F.broadcast(pts)).select(
+        name, "ts", F.col("line_value").alias("value"))
+
+
 def _canon(df: DataFrame, value_from: str, metric: str | None = None) -> DataFrame:
     """Normalize a function's output to the canonical (metric, ts, value)
     shape so every registry entry composes with every other."""
@@ -211,7 +253,11 @@ _REGISTRY = {
     "offset": lambda df, k: ts.offset_series(df, float(k)),
     "offsetToZero": lambda df: ts.offset_to_zero(df),
     "absolute": lambda df: ts.absolute_series(df),
-    "timeShift": lambda df, spec: ts.time_shift(df, _shift_seconds(spec)),
+    # resetEnd/alignDST accepted for target compatibility; they assume
+    # a refetch of the shifted window, which the engine's frame-shift
+    # analog has no data for (see time_shift docstring)
+    "timeShift": lambda df, spec, reset_end="true", align_dst="false":
+        ts.time_shift(df, _shift_seconds(spec)),
     "summarize": lambda df, sec, fn="sum", align="false": ts.summarize(
         df, _secs(sec), str(fn), _flag(align)),
     "highestMax": lambda df, n: ts.highest_max(df, int(n)).select("metric", "ts", "value"),
@@ -269,8 +315,6 @@ _REGISTRY = {
     "integralByInterval": lambda df, sec: _canon(
         ts.integral_by_interval(df, _secs(sec)), "running_value"),
 
-    "smartSummarize": lambda df, sec, anchor, fn="avg": _canon(
-        ts.smart_summarize(df, _secs(sec), int(anchor), str(fn)), "value"),
     "timeSlice": lambda df, a, b: ts.time_slice(df, int(a), int(b)),
     # graphite signature: timeStack(series, unit='1d', start=0, end=7)
     "timeStack": lambda df, unit="1d", s=0, e=7: ts.time_stack(
@@ -292,9 +336,10 @@ _REGISTRY = {
                       else total,
                       nodes=tuple(int(n) for n in nodes)), "pct"),
     "changed": lambda df: _canon(ts.changed(df), "changed"),
-    "aggregateLine": lambda df, fn="avg": ts.aggregate_line(df, str(fn)).select(
-        "metric", F.lit(0).cast("long").alias("ts"),
-        F.col("line_value").alias("value")),
+    # graphite shape: a flat guide line named aggregateLine(name, v) —
+    # 3 points over the window (keepStep=false) or the original grid
+    "aggregateLine": lambda df, fn="average", keep="false":
+        _aggregate_line(df, str(fn), keep),
     "minSeries": lambda df: _canon(ts.combine_series(df), "min_value", "minSeries"),
     "maxSeries": lambda df: _canon(ts.combine_series(df), "max_value", "maxSeries"),
     "rangeOfSeries": lambda df: _canon(
@@ -360,15 +405,19 @@ _REGISTRY = {
         df, _win(n), None if xff is None else float(xff)), "mov_max"),
     "movingSum": lambda df, n, xff=None: _canon(ts.moving_stats(
         df, _win(n), None if xff is None else float(xff)), "mov_sum"),
-    "aggregate": lambda df, fn="sum": _canon(
-        ts.aggregate_series(df, str(fn)).select(
+    "aggregate": lambda df, fn="sum", xff=None: _canon(
+        ts.aggregate_series(df, str(fn),
+                            None if xff is None else float(xff)).select(
             "ts", F.col("value")), "value", "aggregate"),
     "group": lambda *dfs: ts.group_series(*dfs),
     "substr": lambda df, a=0, b=0: ts.substr_series(df, int(a), int(b)),
     # round 8: regression/fit, generic sorts/moving window, percentile
     # pruning, series-list pairwise arithmetic, generators, consolidation
     # tagging, legend decoration, display pass-throughs
-    "linearRegression": lambda df: ts.linear_regression_line(df),
+    # startSourceAt/endSourceAt restrict the FIT window (at-time specs
+    # resolve against the frame's max ts, the engine's "now")
+    "linearRegression": lambda df, a=None, b=None: ts.linear_regression_line(
+        df, _at_time(df, a), _at_time(df, b)),
     "logit": lambda df: ts.logit_series(df),
     "movingWindow": lambda df, n, fn="average", xff=None: _canon(
         ts.moving_window(df, _win(n), str(fn),
@@ -391,7 +440,9 @@ _REGISTRY = {
                "average": "average"}[str(fn)]),
     "consolidateBy": lambda df, fn: ts.consolidate_by(df, str(fn)),
     "cumulative": lambda df: ts.consolidate_by(df, "sum"),
-    "cactiStyle": lambda df: ts.cacti_style(df),
+    "cactiStyle": lambda df, system=None, units=None: ts.cacti_style(
+        df, None if system is None else str(system),
+        None if units is None else str(units)),
     "legendValue": lambda df, *fns: ts.legend_value(df, *[str(f) for f in fns]),
     "holtWintersConfidenceArea": lambda df, delta=3.0:
         ts.holt_winters_confidence_area(df, float(delta)),
@@ -431,6 +482,39 @@ _REGISTRY = {
 #: functions whose FIRST argument is a literal, not a series: the
 #: evaluator injects the base selection frame so the generator can
 
+def _smart_anchor(wstart, align_to) -> int:
+    """graphite smartSummarize bucket origin: the request start,
+    truncated (UTC) to the ``alignTo`` unit boundary when given
+    ('hours'/'1d'/'weeks'/...). Epoch when the window is unknown
+    (library use) — which then degrades to plain epoch alignment."""
+    import datetime as dt
+
+    a = 0 if wstart is None else int(wstart)
+    if align_to is None:
+        return a
+    u = str(align_to).strip().strip("'\"").lstrip("0123456789").lower()
+    t = dt.datetime.fromtimestamp(a, dt.timezone.utc)
+    if u.startswith("s"):
+        t = t.replace(microsecond=0)
+    elif u.startswith("min"):
+        t = t.replace(second=0, microsecond=0)
+    elif u.startswith("h"):
+        t = t.replace(minute=0, second=0, microsecond=0)
+    elif u.startswith("d"):
+        t = t.replace(hour=0, minute=0, second=0, microsecond=0)
+    elif u.startswith("w"):
+        t = (t - dt.timedelta(days=t.weekday())).replace(
+            hour=0, minute=0, second=0, microsecond=0)
+    elif u.startswith("mon"):
+        t = t.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    elif u.startswith("y"):
+        t = t.replace(month=1, day=1, hour=0, minute=0, second=0,
+                      microsecond=0)
+    else:
+        raise ValueError(f"unknown smartSummarize alignTo unit {align_to!r}")
+    return int(t.timestamp())
+
+
 def _hitcount_anchor(wstart, interval: int, align) -> int:
     """graphite hitcount bucket origin: the request start, rounded down
     to the interval when alignToInterval is truthy; epoch when the
@@ -451,6 +535,12 @@ _NEEDS_WINDOW = {
         ts.hitcount(df, _secs(sec), None if step is None else int(step),
                     anchor_seconds=_hitcount_anchor(wstart, _secs(sec), align)),
         "hits"),
+    # graphite signature smartSummarize(series, interval, func='sum',
+    # alignTo=None): buckets anchor at the request start (truncated to
+    # the alignTo unit), NOT at an explicit anchor argument
+    "smartSummarize": lambda df, wstart, sec, fn="sum", align_to=None: _canon(
+        ts.smart_summarize(df, _secs(sec), _smart_anchor(wstart, align_to),
+                           str(fn)), "value"),
 }
 
 #: derive the render window (graphite uses requestContext start/end;

@@ -92,7 +92,13 @@ def time_shift(series: DataFrame, shift_seconds: int,
                metric_col: str = "metric", ts_col: str = "ts",
                value_col: str = "value") -> DataFrame:
     """graphite ``timeShift``: move the series along the time axis
-    (positive = into the future), for week-over-week comparisons."""
+    (positive = into the future), for week-over-week comparisons.
+
+    graphite's ``resetEnd``/``alignDST`` flags assume a REFETCH of the
+    shifted window (it clips the refetched data back to the request
+    end); the engine shifts the frame it was handed, so the whole
+    shifted range is the result — the registry accepts those flags for
+    target compatibility but they cannot change what data exists."""
     return series.select(
         metric_col,
         (F.col(ts_col) + shift_seconds).alias(ts_col),
@@ -1161,6 +1167,7 @@ def smart_summarize(series: DataFrame, interval_seconds: int, anchor_seconds: in
               + (off - ((off % interval_seconds) + interval_seconds) % interval_seconds)
               ).alias(ts_col)
     cents = F.round(F.col(value_col) * 100).cast("long")
+    function = {"average": "avg", "total": "sum"}.get(function, function)
     if function == "avg":
         agg = F.round(F.sum(cents) / (F.count(F.lit(1)) * 100.0), 6)
     elif function == "sum":
@@ -1469,22 +1476,20 @@ def count_series(series: DataFrame, ts_col: str = "ts",
     )
 
 
-def aggregate_line(series: DataFrame, function: str = "avg",
+def aggregate_line(series: DataFrame, function: str = "average",
                    metric_col: str = "metric",
                    value_col: str = "value") -> DataFrame:
     """graphite ``aggregateLine(series, func)``: each series collapsed
-    to its scalar avg/min/max (the rendered constant line). One
-    partial+final agg; avg runs in exact micro-units."""
+    to its scalar aggregate (the rendered constant line). One
+    partial+final agg; avg runs in exact micro-units, every other name
+    resolves through the shared graphite aggFuncs table (graphite's
+    default is 'average')."""
     micro = F.round(F.col(value_col) * 1_000_000).cast("long")
-    aggs = {
-        "avg": (F.sum(micro) / F.count(value_col) / 1_000_000.0),
-        "min": F.min(value_col),
-        "max": F.max(value_col),
-    }
-    try:
-        expr = aggs[function]
-    except KeyError:
-        raise ValueError(f"aggregateLine supports {sorted(aggs)}, got {function!r}") from None
+    function = {"average": "avg", "total": "sum"}.get(function, function)
+    if function == "avg":
+        expr = F.sum(micro) / F.count(value_col) / 1_000_000.0
+    else:
+        expr = _resolve_agg(function)(value_col)
     return series.groupBy(metric_col).agg(F.round(expr, 6).alias("line_value"))
 
 
@@ -1671,11 +1676,17 @@ def sigmoid_series(series: DataFrame, value_col: str = "value") -> DataFrame:
 
 
 def aggregate_series(series: DataFrame, function: str = "sum",
-                     ts_col: str = "ts", value_col: str = "value") -> DataFrame:
-    """graphite ``aggregate(seriesList, func)``: collapse all series
-    into one by applying ``func`` across the aligned points — the
-    generic spelling of sumSeries/averageSeries/minSeries/... (one
-    partial+final agg per call, same plan shape for every function).
+                     x_files_factor: float | None = None,
+                     ts_col: str = "ts", value_col: str = "value",
+                     metric_col: str = "metric") -> DataFrame:
+    """graphite ``aggregate(seriesList, func[, xFilesFactor])``:
+    collapse all series into one by applying ``func`` across the
+    aligned points — the generic spelling of sumSeries/averageSeries/
+    minSeries/... (one partial+final agg per call, same plan shape for
+    every function). ``xFilesFactor`` nulls points where fewer than
+    that fraction of the SELECTION's series have a value (graphite
+    divides by len(seriesList), so the denominator is the distinct
+    series count, not the rows present at the timestamp).
     Returns (ts, value)."""
     aggs = {
         "sum": F.sum(value_col),
@@ -1697,6 +1708,13 @@ def aggregate_series(series: DataFrame, function: str = "sum",
         raise ValueError(
             f"unknown aggregate function {function!r}; supported: {sorted(aggs)}"
         ) from None
+    if x_files_factor:
+        n_series = (series.select(metric_col).distinct().count()
+                    if metric_col in series.columns else 1)
+        gated = F.when(
+            F.count(value_col) >= F.lit(float(x_files_factor) * n_series),
+            F.round(agg, 6))
+        return series.groupBy(ts_col).agg(gated.alias(value_col))
     return series.groupBy(ts_col).agg(F.round(agg, 6).alias(value_col))
 
 
@@ -1740,10 +1758,13 @@ def substr_series(series: DataFrame, start: int, stop: int = 0,
 # Catalyst plan over every series at once).
 
 
-def linear_regression_line(series: DataFrame, metric_col: str = "metric",
+def linear_regression_line(series: DataFrame, fit_start: int | None = None,
+                      fit_end: int | None = None,
+                      metric_col: str = "metric",
                       ts_col: str = "ts", value_col: str = "value") -> DataFrame:
-    """graphite ``linearRegression(series)``: per-series ordinary
-    least-squares fit, evaluated at every native timestamp.
+    """graphite ``linearRegression(series[, startSourceAt, endSourceAt])``:
+    per-series ordinary least-squares fit, evaluated at every native
+    timestamp.
 
     graphite-web (render/functions.py ``linearRegressionAnalysis``)
     fits one python list at a time post-fetch; here the fit is one
@@ -1760,6 +1781,10 @@ def linear_regression_line(series: DataFrame, metric_col: str = "metric",
     All five sums are integers in decimal(38,0) (DuckDB: HUGEINT), so
     the only float ops are the final two divisions — bit-identical
     everywhere. Null slope (constant x: single point) yields the mean.
+
+    ``fit_start``/``fit_end`` (graphite's startSourceAt/endSourceAt)
+    restrict which points FEED the fit; the line still projects over
+    every timestamp of the input.
     """
     w = Window.partitionBy(metric_col)
     anchored = series.select(
@@ -1768,7 +1793,12 @@ def linear_regression_line(series: DataFrame, metric_col: str = "metric",
         F.round(F.col(value_col) * 1_000_000).cast("decimal(38,0)").alias("_y"),
     )
     x = F.col("_x").cast("decimal(38,0)")
-    sums = anchored.groupBy(metric_col).agg(
+    source = anchored
+    if fit_start is not None:
+        source = source.filter(F.col(ts_col) >= int(fit_start))
+    if fit_end is not None:
+        source = source.filter(F.col(ts_col) <= int(fit_end))
+    sums = source.groupBy(metric_col).agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
         F.sum(x).alias("_sx"),
         F.sum("_y").alias("_sy"),
@@ -2125,24 +2155,49 @@ def _fmt2(col):
     return F.coalesce(F.format_string("%.2f", F.round(col, 2)), F.lit("nan"))
 
 
-def cacti_style(series: DataFrame, metric_col: str = "metric",
+def _fmt_units(col, system: str | None, units: str | None):
+    """cactiStyle value formatting: plain two decimals by default;
+    ``system='si'`` scales by powers of 1000 with k/M/G/T suffixes
+    (graphite's format_units), ``'binary'`` by 1024 with Ki/Mi/Gi/Ti;
+    ``units`` appends a unit label after the suffix."""
+    if system in ("si", "binary"):
+        base = 1000.0 if system == "si" else 1024.0
+        sufs = (["", "k", "M", "G", "T"] if system == "si"
+                else ["", "Ki", "Mi", "Gi", "Ti"])
+        a = F.abs(col)
+        e = (F.when(a >= base ** 4, 4).when(a >= base ** 3, 3)
+             .when(a >= base ** 2, 2).when(a >= base, 1).otherwise(0))
+        scaled = col / F.pow(F.lit(base), e)
+        suffix = F.get(F.array(*[F.lit(s) for s in sufs]), e)
+        out = F.concat(_fmt2(scaled), F.coalesce(suffix, F.lit("")))
+    else:
+        out = _fmt2(col)
+    if units:
+        out = F.concat(out, F.lit(str(units)))
+    return out
+
+
+def cacti_style(series: DataFrame, system: str | None = None,
+                units: str | None = None, metric_col: str = "metric",
                 ts_col: str = "ts", value_col: str = "value") -> DataFrame:
-    """graphite ``cactiStyle(series)``: append "Current / Max / Min"
-    readouts to every legend name. One unbounded window per series
-    (current = last non-null point), no second scan."""
+    """graphite ``cactiStyle(series[, system, units])``: append
+    "Current / Max / Min" readouts to every legend name — SI/binary
+    prefix scaling and a unit label when asked. One unbounded window
+    per series (current = last non-null point), no second scan."""
     w = Window.partitionBy(metric_col)
     wo = (
         Window.partitionBy(metric_col)
         .orderBy(ts_col)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
+    fmt = lambda c: _fmt_units(c, system, units)  # noqa: E731
     cur = F.last(value_col, ignorenulls=True).over(wo)
     renamed = F.concat_ws(
         " ",
         F.col(metric_col),
-        F.concat(F.lit("Current:"), _fmt2(cur)),
-        F.concat(F.lit("Max:"), _fmt2(F.max(value_col).over(w))),
-        F.concat(F.lit("Min:"), _fmt2(F.min(value_col).over(w))),
+        F.concat(F.lit("Current:"), fmt(cur)),
+        F.concat(F.lit("Max:"), fmt(F.max(value_col).over(w))),
+        F.concat(F.lit("Min:"), fmt(F.min(value_col).over(w))),
     )
     return series.select(
         renamed.alias(metric_col), F.col(ts_col), F.col(value_col)

@@ -97,8 +97,12 @@ def test_group_by_nodes_and_aggregate_line(series):
 
     line = {r["metric"]: r["line_value"] for r in aggregate_line(series, "avg").collect()}
     assert line == {"s.a": 2.5, "s.b": 25.0, "s.c": 100.0}
+    # graphite's aggFuncs table (median included) resolves here too
+    med = {r["metric"]: r["line_value"]
+           for r in aggregate_line(series, "median").collect()}
+    assert med["s.a"] == 2.5
     with pytest.raises(ValueError):
-        aggregate_line(series, "median")
+        aggregate_line(series, "no-such-agg")
 
 
 def test_sort_by_name_rank(series):

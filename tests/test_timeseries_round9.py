@@ -356,3 +356,111 @@ def test_vertical_line(spark, series):
         ("deploy", 1060, 1.0)}
     with pytest.raises(ValueError, match="eventStart"):
         evaluate_target(series, "verticalLine(99, 'too-early')").collect()
+
+
+# ------------------------------------------------- smartSummarize
+
+
+def test_smart_summarize_graphite_signature(spark, series):
+    """graphite form smartSummarize(s, '2min', 'sum') — func in the
+    THIRD position (the old registry demanded an anchor int there)."""
+    got = _by(evaluate_target(series, "smartSummarize(s.a, '2min', 'sum')",
+                              start=1000))
+    # anchored at the window start 1000: [1000,1120) -> 3, [1120,1240) -> 7
+    assert got[("s.a", 1000)] == 3.0 and got[("s.a", 1120)] == 7.0
+
+
+def test_smart_summarize_align_to(spark, series):
+    from graphouse_spark.functions.target import _smart_anchor
+
+    # 1000s into the epoch day, aligned to hours -> anchor 0
+    assert _smart_anchor(1000, "hours") == 0
+    assert _smart_anchor(7400, "'1hour'") == 7200
+    assert _smart_anchor(7400, "minutes") == 7380
+    assert _smart_anchor(None, "days") == 0
+    with pytest.raises(ValueError, match="alignTo"):
+        _smart_anchor(1000, "fortnights")
+
+
+# ------------------------------------------------- aggregate xff
+
+
+def test_aggregate_xff(spark):
+    from graphouse_spark.functions.timeseries import aggregate_series
+
+    rows = [("s.a", 0, 1.0), ("s.b", 0, 2.0), ("s.c", 0, 3.0),
+            ("s.a", 60, 1.0), ("s.b", 60, None), ("s.c", 60, None)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    got = {r["ts"]: r["value"]
+           for r in aggregate_series(df, "sum", x_files_factor=0.5).collect()}
+    assert got[0] == 6.0
+    assert got[60] is None  # 1/3 of the selection's series < 0.5
+    ungated = {r["ts"]: r["value"] for r in aggregate_series(df, "sum").collect()}
+    assert ungated[60] == 1.0
+
+
+def test_aggregate_registry_xff(spark, series):
+    with_gap = series.withColumn(
+        "value", F.when((F.col("ts") == 1060) & (F.col("metric") != "s.a"),
+                        None).otherwise(F.col("value")))
+    got = _by(evaluate_target(with_gap, "aggregate(s.*, 'sum', 0.5)"))
+    assert got[("aggregate", 1060)] is None
+    assert got[("aggregate", 1000)] == 111.0
+
+
+# ------------------------------------------------- aggregateLine
+
+
+def test_aggregate_line_registry_shape(spark, series):
+    got = evaluate_target(series, "aggregateLine(s.a, 'avg')").collect()
+    # 3-point flat guide line named aggregateLine(name, value)
+    assert {r["metric"] for r in got} == {"aggregateLine(s.a, 2.5)"}
+    assert sorted(r["ts"] for r in got) == [1000, 1090, 1180]
+    assert all(r["value"] == 2.5 for r in got)
+    kept = evaluate_target(series, "aggregateLine(s.a, 'avg', true)").collect()
+    assert sorted(r["ts"] for r in kept) == [1000, 1060, 1120, 1180]
+
+
+# ------------------------------------------------- cactiStyle si/units
+
+
+def test_cacti_style_system_and_units(spark):
+    from graphouse_spark.functions.timeseries import cacti_style
+
+    df = spark.createDataFrame(
+        [("s.a", 0, 1500.0), ("s.a", 60, 2500000.0)],
+        "metric string, ts long, value double")
+    plain = {r["metric"] for r in cacti_style(df).collect()}
+    assert plain == {"s.a Current:2500000.00 Max:2500000.00 Min:1500.00"}
+    si = {r["metric"] for r in cacti_style(df, system="si").collect()}
+    assert si == {"s.a Current:2.50M Max:2.50M Min:1.50k"}
+    u = {r["metric"] for r in cacti_style(df, system="si", units="b").collect()}
+    assert u == {"s.a Current:2.50Mb Max:2.50Mb Min:1.50kb"}
+
+
+# ------------------------------------------------- timeShift extra args
+
+
+def test_time_shift_accepts_reset_end_flag(spark, series):
+    got = _by(evaluate_target(series, "timeShift(s.a, '-1min', false)"))
+    assert ("s.a", 1060) in got  # arity accepted; shift applied
+
+
+# ------------------------------------------------- linearRegression fit
+
+
+def test_linear_regression_fit_window(spark):
+    from graphouse_spark.functions.timeseries import linear_regression_line
+
+    # slope 1 on [0, 180], then an outlier at 240
+    rows = [("s.a", t, float(t) / 60) for t in (0, 60, 120, 180)]
+    rows.append(("s.a", 240, 100.0))
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    fit = {r["ts"]: r["value"]
+           for r in linear_regression_line(df, fit_end=180).collect()}
+    # fit over the clean range projects slope 1/60 across ALL ts
+    assert fit[240] == pytest.approx(4.0, abs=1e-6)
+    assert len(fit) == 5
+    full = {r["ts"]: r["value"]
+            for r in linear_regression_line(df).collect()}
+    assert full[240] > 10  # outlier drags the unrestricted fit
