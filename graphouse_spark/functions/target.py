@@ -315,7 +315,11 @@ _REGISTRY = {
     "integralByInterval": lambda df, sec: _canon(
         ts.integral_by_interval(df, _secs(sec)), "running_value"),
 
-    "timeSlice": lambda df, a, b: ts.time_slice(df, int(a), int(b)),
+    # graphite signature timeSlice(series, startSliceAt, endSliceAt=
+    # 'now') — at-time specs resolve against the frame's max ts; the
+    # end bound is made exclusive-compatible by +1 on 'now'/absolute
+    "timeSlice": lambda df, a, b="now": ts.time_slice(
+        df, _at_time(df, a), _at_time(df, b) + 1),
     # graphite signature: timeStack(series, unit='1d', start=0, end=7)
     "timeStack": lambda df, unit="1d", s=0, e=7: ts.time_stack(
         df, _secs(unit), int(e), start=int(s)).select(
@@ -476,7 +480,10 @@ _REGISTRY = {
     "lttb": lambda df, n: ts.lttb_downsample(df, int(n)),
     "aggregateWithWildcards": lambda df, fn, *nodes:
         ts.aggregate_with_wildcards(df, str(fn), *[int(n) for n in nodes]),
-    "powSeries": lambda df: ts.pow_series_pairwise(df),
+    # graphite powSeries(*seriesLists): every argument flattens into
+    # one list before the aligned-point power fold
+    "powSeries": lambda df, *more: ts.pow_series_pairwise(
+        df if not more else ts.group_series(df, *more)),
 }
 
 #: functions whose FIRST argument is a literal, not a series: the
