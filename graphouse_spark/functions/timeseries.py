@@ -235,7 +235,10 @@ def divide_series(num: DataFrame, den: DataFrame, ts_col: str = "ts",
     An equi-join on ts — broadcastable when the divisor is a single
     aggregated series, else a co-partitioned sort-merge join.
     """
-    den_names = ([r[0] for r in den.select(metric_col).distinct().collect()]
+    # limit(2): the rule only needs "exactly one?" — never materialize
+    # a wide divisor selection's full name set driver-side
+    den_names = ([r[0] for r in
+                  den.select(metric_col).distinct().limit(2).collect()]
                  if metric_col in den.columns else [None])
     if len(den_names) != 1:
         raise ValueError(
