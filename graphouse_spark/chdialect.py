@@ -45,9 +45,16 @@ CH_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
     # CH: Monday=1..Sunday=7; Spark dayofweek: Sunday=1..Saturday=7
     "toDayOfWeek": ("(ts BIGINT) RETURNS INT",
                     "((dayofweek(to_timestamp(ts)) + 5) % 7) + 1"),
-    "intDiv": ("(a BIGINT, b BIGINT) RETURNS BIGINT", "a div b"),
+    # CH intDiv rounds toward NEGATIVE INFINITY (docs: intDiv(-4, 3) =
+    # -2); Spark's div truncates toward zero, so mixed-sign inexact
+    # quotients need the floor correction
+    "intDiv": ("(a BIGINT, b BIGINT) RETURNS BIGINT",
+               "CASE WHEN a % b != 0 AND ((a < 0) != (b < 0)) "
+               "THEN a div b - 1 ELSE a div b END"),
     "intDivOrZero": ("(a BIGINT, b BIGINT) RETURNS BIGINT",
-                     "CASE WHEN b = 0 THEN 0 ELSE a div b END"),
+                     "CASE WHEN b = 0 THEN 0 "
+                     "WHEN a % b != 0 AND ((a < 0) != (b < 0)) "
+                     "THEN a div b - 1 ELSE a div b END"),
     "modulo": ("(a BIGINT, b BIGINT) RETURNS BIGINT", "a % b"),
     "plus": ("(a DOUBLE, b DOUBLE) RETURNS DOUBLE", "a + b"),
     "minus": ("(a DOUBLE, b DOUBLE) RETURNS DOUBLE", "a - b"),
@@ -62,8 +69,11 @@ CH_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
                           "array_join(a, sep)"),
     "has": ("(a ARRAY<STRING>, x STRING) RETURNS BOOLEAN",
             "array_contains(a, x)"),
+    # CH arrayElement returns the element type's DEFAULT ('' for
+    # strings) out of bounds, not NULL; negative indices count from
+    # the end like CH
     "arrayElement": ("(a ARRAY<STRING>, i INT) RETURNS STRING",
-                     "try_element_at(a, i)"),
+                     "coalesce(try_element_at(a, i), '')"),
     "lengthUTF8": ("(s STRING) RETURNS INT", "char_length(s)"),
     "match": ("(s STRING, re STRING) RETURNS BOOLEAN", "s RLIKE re"),
     "positionCaseInsensitive": ("(s STRING, sub STRING) RETURNS INT",

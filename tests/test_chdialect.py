@@ -36,11 +36,18 @@ def test_time_helpers(spark):
 def test_scalar_helpers(spark):
     one = lambda sql: spark.sql(f"SELECT {sql}").collect()[0][0]  # noqa: E731
     assert one("intDiv(7, 2)") == 3
+    # CH rounds toward negative infinity (docs example: intDiv(-4,3)=-2)
+    assert one("intDiv(-4, 3)") == -2
+    assert one("intDiv(4, -3)") == -2
+    assert one("intDiv(-6, 3)") == -2  # exact quotient: no correction
     assert one("intDivOrZero(7, 0)") == 0
+    assert one("intDivOrZero(-4, 3)") == -2
     assert one("splitByChar('.', 'a.b.c')") == ["a", "b", "c"]
     assert one("arrayStringConcat(splitByChar('.', 'a.b'), '/')") == "a/b"
     assert one("has(splitByChar('.', 'a.b'), 'a')") is True
-    assert one("arrayElement(splitByChar('.', 'a.b'), 99)") is None
+    # CH arrayElement out-of-bounds -> the type default '', not NULL
+    assert one("arrayElement(splitByChar('.', 'a.b'), 99)") == ""
+    assert one("arrayElement(splitByChar('.', 'a.b'), -1)") == "b"
     assert one("empty('')") is True and one("notEmpty('x')") is True
     assert one("match('one_min.srv', '^one_')") is True
     assert one("multiIf(1 > 2, 1.0, 2 > 1, 2.0, 3.0)") == 2.0
