@@ -897,9 +897,9 @@ def average_outside_percentile(series: DataFrame, n: float,
     micro = F.round(F.col(value_col) * 1_000_000).cast("long")
     avgs = series.groupBy(metric_col).agg(
         (F.sum(micro) / (F.count(value_col) * 1_000_000.0)).alias("_avg"))
-    band = avgs.agg(
-        _graphite_pctl(_sorted_values("_avg"), 1.0 - n).alias("_lo"),
-        _graphite_pctl(_sorted_values("_avg"), n).alias("_hi"),
+    band = avgs.agg(_sorted_values("_avg").alias("_l")).select(
+        _graphite_pctl(F.col("_l"), 1.0 - n).alias("_lo"),
+        _graphite_pctl(F.col("_l"), n).alias("_hi"),
     )
     # graphite keeps series where NOT (lo < avg < hi) — boundary
     # averages (avg == lo or avg == hi) survive
@@ -1935,9 +1935,14 @@ def remove_between_percentile(series: DataFrame, n: float,
     p = float(n)
     if p < 50:
         p = 100 - p
-    bands = series.groupBy(ts_col).agg(
-        _graphite_pctl(_sorted_values(value_col), (100 - p) / 100.0).alias("_lo"),
-        _graphite_pctl(_sorted_values(value_col), p / 100.0).alias("_hi"),
+    # one collect_list per ts; both bounds project off the same array
+    bands = (
+        series.groupBy(ts_col).agg(_sorted_values(value_col).alias("_l"))
+        .select(
+            ts_col,
+            _graphite_pctl(F.col("_l"), (100 - p) / 100.0).alias("_lo"),
+            _graphite_pctl(F.col("_l"), p / 100.0).alias("_hi"),
+        )
     )
     outside = ~((F.col(value_col) > F.col("_lo"))
                 & (F.col(value_col) < F.col("_hi")))

@@ -82,7 +82,11 @@ def main() -> None:
              "ts_lttb", "ts_linreg_line", "ts_map_reduce",
              # round 4 replans: the window-min chain and the
              # sketch-only quantile read must stay shuffle-bound
-             "ev_sequence_next", "sketch_value_quantiles"]
+             "ev_sequence_next", "sketch_value_quantiles",
+             # round 5 replans: fingerprint-collapsed clustering and
+             # the rank-percentile band join
+             "doc_dedup_clusters", "doc_corpus_pipeline",
+             "ts_remove_between_pctl"]
     qs = em.queries()
     print(f"{'query':24s} {'1x':>8s} {'x' + str(copies):>8s} {'ratio':>7s}")
     for name in names:
