@@ -464,3 +464,68 @@ def test_linear_regression_fit_window(spark):
     full = {r["ts"]: r["value"]
             for r in linear_regression_line(df).collect()}
     assert full[240] > 10  # outlier drags the unrestricted fit
+
+
+# ------------------------------------------------- pctl property test
+
+
+def _get_percentile_py(points, percentile, interpolate=False):
+    """Pure-python transcription of graphite-web's _getPercentile
+    (render/functions.py) — the reference the Catalyst expression in
+    timeseries._graphite_pctl must reproduce element-for-element."""
+    import math
+
+    points = sorted(p for p in points if p is not None)
+    if not points:
+        return None
+    fractional_rank = (percentile / 100.0) * (len(points) + 1)
+    rank = int(fractional_rank)
+    rank_fraction = fractional_rank - rank
+    if not interpolate:
+        rank += int(math.ceil(rank_fraction))
+    if rank == 0:
+        result = points[0]
+    elif rank - 1 == len(points):
+        result = points[-1]
+    else:
+        result = points[rank - 1]
+    if interpolate and rank != len(points):
+        next_value = points[min(rank, len(points) - 1)]
+        result = result + rank_fraction * (next_value - result)
+    return result
+
+
+def test_graphite_pctl_property(spark):
+    """_graphite_pctl == graphite's _getPercentile over a sweep of
+    array sizes, percentiles and both modes (one Spark job for the
+    whole matrix: every case is a row)."""
+    from graphouse_spark.functions.timeseries import _graphite_pctl
+
+    import random
+
+    rng = random.Random(9)
+    cases = []
+    cid = 0
+    for n in (1, 2, 3, 4, 5, 7, 10, 23):
+        for p in (0.0, 1.0, 5.0, 20.0, 50.0, 80.0, 95.0, 99.0, 100.0):
+            vals = [round(rng.uniform(-50, 50), 2) for _ in range(n)]
+            if n > 2:
+                vals[rng.randrange(n)] = None  # nulls must be skipped
+            cases.append((cid, vals, p))
+            cid += 1
+    rows = [(i, [v for v in vs]) for i, vs, _ in cases]
+    df = spark.createDataFrame(rows, "cid int, vals array<double>")
+    arr = F.sort_array(F.filter("vals", lambda v: v.isNotNull()))
+    sel = [F.col("cid")]
+    for i, _, p in cases:
+        sel.append(F.when(F.col("cid") == i, _graphite_pctl(arr, p / 100.0))
+                   .alias(f"r{i}"))
+        sel.append(F.when(F.col("cid") == i,
+                          _graphite_pctl(arr, p / 100.0, interpolate=True))
+                   .alias(f"ri{i}"))
+    got = {r["cid"]: r for r in df.select(*sel).collect()}
+    for i, vals, p in cases:
+        exp = _get_percentile_py(vals, p)
+        exp_i = _get_percentile_py(vals, p, interpolate=True)
+        assert got[i][f"r{i}"] == pytest.approx(exp, abs=1e-9), (i, vals, p)
+        assert got[i][f"ri{i}"] == pytest.approx(exp_i, abs=1e-9), (i, vals, p)
