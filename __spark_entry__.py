@@ -1960,6 +1960,16 @@ def q_doc_quality_ml(spark, sf_dir):
     )
 
 
+def q_doc_gopher_rules(spark, sf_dir):
+    """The published Gopher quality rule-pack (Rae et al. 2021) over
+    the documents table: per-doc signals, one boolean per rule, and
+    the composite gopher_pass — a single projection, no shuffle; the
+    oracle replays every ratio and boolean in DuckDB."""
+    from graphouse_spark.functions.text import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_quality_gate(spark, sf_dir):
     """The composed corpus quality gate: length + repetition + PII +
     pseudo-perplexity thresholds ANDed into one keep decision, reported
@@ -3365,6 +3375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_model_scores": q_doc_model_scores,
         "doc_embed_topk": q_doc_embed_topk,
         "doc_quality_gate": q_doc_quality_gate,
+        "doc_gopher_rules": q_doc_gopher_rules,
         "doc_quality_ml": q_doc_quality_ml,
         "emb_dedup_clusters": q_emb_dedup_clusters,
         "emb_pq_topk": q_emb_pq_topk,
@@ -5207,6 +5218,50 @@ def oracle_sql() -> dict[str, str]:
                            '\b\d{9,18}\b', '<ID>', 'g')
                    ) AS n_chars_redacted
             FROM documents
+        """,
+        "doc_gopher_rules": r"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x != '') AS toks,
+                       list_filter(list_transform(string_split(text, chr(10)),
+                                                  l -> trim(l)),
+                                   l -> l != '') AS lines
+                FROM documents
+            ),
+            sig AS (
+                SELECT doc_id,
+                       len(toks) AS n_words,
+                       round(list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+                             / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS mean_word_len,
+                       round((len(regexp_extract_all(text, '#'))
+                              + len(regexp_extract_all(text, '\.\.\.')))
+                             / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS symbol_ratio,
+                       round(len(list_filter(lines, l -> regexp_matches(l, '^([-*•]|[0-9]+\.)')))
+                             / CAST(greatest(len(lines), 1) AS DOUBLE), 6) AS bullet_ratio,
+                       round(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$')))
+                             / CAST(greatest(len(lines), 1) AS DOUBLE), 6) AS ellipsis_ratio,
+                       round(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                             / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS alpha_ratio,
+                       len(list_intersect(list_distinct(toks),
+                           ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS stop_hits
+                FROM base
+            )
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+                   ellipsis_ratio, alpha_ratio, stop_hits,
+                   n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+                   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS rule_mean_word_len,
+                   symbol_ratio <= 0.1 AS rule_symbol_ratio,
+                   bullet_ratio <= 0.9 AS rule_bullet_lines,
+                   ellipsis_ratio <= 0.3 AS rule_ellipsis_lines,
+                   alpha_ratio >= 0.8 AS rule_alpha_words,
+                   stop_hits >= 2 AS rule_stop_words,
+                   (n_words >= 50 AND n_words <= 100000)
+                   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                   AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+                   AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+                   AND stop_hits >= 2 AS gopher_pass
+            FROM sig
         """,
         "doc_quality_gate": r"""
             WITH toks AS (

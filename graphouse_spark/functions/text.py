@@ -387,6 +387,73 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+#: the eight words Gopher's stop-word rule requires (Rae et al. 2021,
+#: "Scaling Language Models: ... Gopher", table A1 quality heuristics)
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """The published Gopher quality rule-pack (Rae et al. 2021) as ONE
+    projection — per-document signals, a boolean per rule, and the
+    composite ``gopher_pass``:
+
+    - 50 <= word count <= 100,000
+    - 3 <= mean word length <= 10
+    - symbol-to-word ratio (``#`` or ``...``) <= 0.1
+    - <= 90% of lines start with a bullet; <= 30% end with an ellipsis
+    - >= 80% of words contain at least one alphabetic character
+    - >= 2 of the eight required English stop words appear
+
+    Single pass, no shuffle, whole-stage codegen except the array
+    lambdas; ratios round to 6 decimals so any engine replays the
+    booleans exactly. (The repetition rules of the same paper live in
+    :func:`repetition_stats` — they need gram aggregation, a different
+    plan shape.)
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_words = F.size(toks)
+    sw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_len = F.round(F.length(F.concat_ws("", toks)) / sw, 6)
+    sym = F.regexp_count(text, F.lit("#")) + F.regexp_count(text, F.lit(r"\.\.\."))
+    sym_ratio = F.round(sym / sw, 6)
+    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_ratio = F.round(F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"^([-*•]|\d+\.)"))) / n_lines, 6)
+    ellipsis_ratio = F.round(F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"\.\.\.$"))) / n_lines, 6)
+    alpha_ratio = F.round(F.size(F.filter(
+        toks, lambda t: t.rlike("[a-z]"))) / sw, 6)
+    stop_hits = F.size(F.array_intersect(
+        toks, F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])))
+    rules = {
+        "rule_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "rule_mean_word_len": (mean_len >= 3.0) & (mean_len <= 10.0),
+        "rule_symbol_ratio": sym_ratio <= 0.1,
+        "rule_bullet_lines": bullet_ratio <= 0.9,
+        "rule_ellipsis_lines": ellipsis_ratio <= 0.3,
+        "rule_alpha_words": alpha_ratio >= 0.8,
+        "rule_stop_words": stop_hits >= 2,
+    }
+    gopher_pass = None
+    for c in rules.values():
+        gopher_pass = c if gopher_pass is None else (gopher_pass & c)
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
+        *[c.alias(name) for name, c in rules.items()],
+        gopher_pass.alias("gopher_pass"),
+    )
+
+
 def chunk_dedup(docs: DataFrame, chunk_tokens: int = 8, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Corpus-wide exact chunk dedup (the C4 line-dedup idea applied to

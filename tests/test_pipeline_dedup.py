@@ -471,3 +471,37 @@ def test_simhash_dedup_clusters_matches_pair_graph(spark):
     new = {tuple(r) for r in
            simhash_dedup_clusters(docs, max_hamming=2).collect()}
     assert old == new and old
+
+
+def test_gopher_rules_boundaries(spark):
+    """Each published Gopher rule trips on a purpose-built document;
+    a plain healthy paragraph passes all seven."""
+    from graphouse_spark.functions.text import gopher_rules
+
+    healthy = ("the cat and the dog have been to the park of the town "
+               "and that was good for them with many other friendly "
+               "animals around " * 3)
+    docs = [
+        (1, healthy),
+        (2, "the of and to be"),                      # < 50 words
+        (3, " ".join(["a"] * 60) + " the of"),        # mean word len < 3
+        (4, healthy + " " + "#tag " * 40),            # symbol ratio > 0.1
+        (5, "\n".join(f"- item {i} of the list that we have" for i in range(10))),  # bullets
+        (6, "\n".join(f"the sentence {i} of the story trails off..." for i in range(10))),  # ellipses
+        (7, " ".join(["1234"] * 60) + " the of and"), # alpha ratio < 0.8
+        (8, " ".join(["lorem", "ipsum", "dolor", "amet", "consectetur"] * 12)),  # no stop words
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    assert got[1]["gopher_pass"] is True
+    assert got[2]["rule_word_count"] is False
+    assert got[3]["rule_mean_word_len"] is False
+    assert got[4]["rule_symbol_ratio"] is False
+    assert got[5]["rule_bullet_lines"] is False
+    assert got[6]["rule_ellipsis_lines"] is False
+    assert got[7]["rule_alpha_words"] is False
+    assert got[8]["rule_stop_words"] is False
+    for i in range(2, 9):
+        assert got[i]["gopher_pass"] is False
+    # signal sanity on the healthy doc
+    assert got[1]["stop_hits"] >= 2 and got[1]["alpha_ratio"] > 0.9
