@@ -1970,6 +1970,16 @@ def q_doc_gopher_rules(spark, sf_dir):
     return gopher_rules(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_c4_filters(spark, sf_dir):
+    """The published C4 cleaning heuristics over the documents table:
+    line-level retention (terminal punctuation + >= 5 words), doc
+    drops (brace / lorem ipsum / javascript), cleaned text — one
+    shuffle-free projection; the oracle replays every line decision."""
+    from graphouse_spark.functions.text import c4_filters
+
+    return c4_filters(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_quality_gate(spark, sf_dir):
     """The composed corpus quality gate: length + repetition + PII +
     pseudo-perplexity thresholds ANDed into one keep decision, reported
@@ -3376,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_embed_topk": q_doc_embed_topk,
         "doc_quality_gate": q_doc_quality_gate,
         "doc_gopher_rules": q_doc_gopher_rules,
+        "doc_c4_filters": q_doc_c4_filters,
         "doc_quality_ml": q_doc_quality_ml,
         "emb_dedup_clusters": q_emb_dedup_clusters,
         "emb_pq_topk": q_emb_pq_topk,
@@ -5218,6 +5229,44 @@ def oracle_sql() -> dict[str, str]:
                            '\b\d{9,18}\b', '<ID>', 'g')
                    ) AS n_chars_redacted
             FROM documents
+        """,
+        "doc_c4_filters": r"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       list_filter(list_transform(string_split(text, chr(10)),
+                                                  l -> trim(l)),
+                                   l -> l != '') AS lines
+                FROM documents
+            ),
+            sig AS (
+                SELECT doc_id, text, lines,
+                       list_filter(lines,
+                           l -> regexp_matches(l, '[.!?"]$')
+                                AND len(list_filter(string_split_regex(l, '\s+'),
+                                                    t -> t != '')) >= 5) AS kept
+                FROM base
+            ),
+            flags AS (
+                SELECT doc_id,
+                       len(lines) AS n_lines,
+                       len(kept) AS n_kept_lines,
+                       round(len(kept) / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
+                           AS kept_ratio,
+                       contains(lower(text), '{') AS has_brace,
+                       contains(lower(text), 'lorem ipsum') AS has_lorem,
+                       contains(lower(text), 'javascript') AS has_javascript,
+                       kept
+                FROM sig
+            )
+            SELECT doc_id, n_lines, n_kept_lines, kept_ratio, has_brace,
+                   has_lorem, has_javascript,
+                   n_kept_lines >= 3 AND NOT has_brace AND NOT has_lorem
+                       AND NOT has_javascript AS c4_keep,
+                   CASE WHEN n_kept_lines >= 3 AND NOT has_brace
+                             AND NOT has_lorem AND NOT has_javascript
+                        THEN list_aggregate(kept, 'string_agg', chr(10)) END
+                       AS clean_text
+            FROM flags
         """,
         "doc_gopher_rules": r"""
             WITH base AS (

@@ -97,6 +97,8 @@ EXTENDED_QUERIES = [
     "multimodal_resize",       # real decode->resample->PNG re-encode
     # round 5
     "multimodal_video",        # MJPEG MP4 sample-table decode
+    "doc_gopher_rules",        # Gopher quality rule-pack (one projection)
+    "doc_c4_filters",          # C4 line-level cleaning + doc drops
 ]
 
 

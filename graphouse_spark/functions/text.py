@@ -454,6 +454,56 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
     )
 
 
+def c4_filters(docs: DataFrame, min_line_words: int = 5,
+               min_lines: int = 3, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """The published C4 cleaning heuristics (Raffel et al. 2020,
+    "Exploring the Limits of Transfer Learning" §2.2) as one
+    projection: line-level retention plus document-level drops.
+
+    Line rule: keep only lines that end in terminal punctuation
+    (. ! ? ") AND contain at least ``min_line_words`` words; the
+    cleaned text is the kept lines re-joined. Document rules: drop
+    docs with fewer than ``min_lines`` kept lines, docs containing a
+    curly brace (code), "lorem ipsum", or "javascript" (the paper's
+    boilerplate tells).
+
+    Output: (id, n_lines, n_kept_lines, kept_ratio, has_brace,
+    has_lorem, has_javascript, c4_keep, clean_text). Shuffle-free,
+    array lambdas only — same plan posture as :func:`gopher_rules`.
+    """
+    text = F.col(text_col)
+    lines = F.filter(
+        F.split(text, "\n"), lambda l: F.trim(l) != "")
+    kept = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike(r'[.!?"]$')
+        & (F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda t: t != ""))
+           >= int(min_line_words)),
+    )
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    lower = F.lower(text)
+    has_brace = lower.contains("{")
+    has_lorem = lower.contains("lorem ipsum")
+    has_js = lower.contains("javascript")
+    keep = ((n_kept >= int(min_lines))
+            & ~has_brace & ~has_lorem & ~has_js)
+    return docs.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        F.round(n_kept / F.greatest(n_lines, F.lit(1)).cast("double"), 6)
+        .alias("kept_ratio"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        has_js.alias("has_javascript"),
+        keep.alias("c4_keep"),
+        F.when(keep, F.array_join(F.transform(kept, F.trim), "\n"))
+        .alias("clean_text"),
+    )
+
+
 def chunk_dedup(docs: DataFrame, chunk_tokens: int = 8, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Corpus-wide exact chunk dedup (the C4 line-dedup idea applied to

@@ -505,3 +505,30 @@ def test_gopher_rules_boundaries(spark):
         assert got[i]["gopher_pass"] is False
     # signal sanity on the healthy doc
     assert got[1]["stop_hits"] >= 2 and got[1]["alpha_ratio"] > 0.9
+
+
+def test_c4_filters_boundaries(spark):
+    """Each published C4 rule trips on a purpose-built document."""
+    from graphouse_spark.functions.text import c4_filters
+
+    good_line = "this is a perfectly reasonable sentence for the corpus."
+    docs = [
+        (1, "\n".join([good_line] * 4)),                       # keeps
+        (2, "\n".join([good_line] * 2)),                       # < 3 kept lines
+        (3, "\n".join([good_line] * 3) + "\nfunction() { return 1; }"),  # brace
+        (4, "\n".join([good_line] * 3) + "\nLorem Ipsum dolor sit amet."),  # lorem
+        (5, "\n".join([good_line] * 3) + "\nplease enable JavaScript to view."),  # js
+        (6, "\n".join([good_line] * 3 + ["no terminal punctuation here",
+                                         "too short."])),      # line rules
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in c4_filters(df).collect()}
+    assert got[1]["c4_keep"] is True
+    assert got[1]["clean_text"].count("\n") == 3
+    assert got[2]["c4_keep"] is False and got[2]["clean_text"] is None
+    assert got[3]["has_brace"] is True and got[3]["c4_keep"] is False
+    assert got[4]["has_lorem"] is True and got[4]["c4_keep"] is False
+    assert got[5]["has_javascript"] is True and got[5]["c4_keep"] is False
+    # doc 6: the unpunctuated line and the 2-word line both drop, the
+    # three good lines survive -> keep, with exactly 3 lines
+    assert got[6]["c4_keep"] is True and got[6]["n_kept_lines"] == 3
