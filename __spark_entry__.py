@@ -1980,6 +1980,16 @@ def q_doc_c4_filters(spark, sf_dir):
     return c4_filters(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_dup_lines(spark, sf_dir):
+    """Gopher's line/paragraph repetition fractions (count + char
+    mass) — the boilerplate signal token stats under-report. Two
+    explode+reagg pipelines keyed on doc_id; repetitive docs collapse
+    in the intermediate."""
+    from graphouse_spark.functions.text import duplicate_line_stats
+
+    return duplicate_line_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_quality_gate(spark, sf_dir):
     """The composed corpus quality gate: length + repetition + PII +
     pseudo-perplexity thresholds ANDed into one keep decision, reported
@@ -3387,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_gate": q_doc_quality_gate,
         "doc_gopher_rules": q_doc_gopher_rules,
         "doc_c4_filters": q_doc_c4_filters,
+        "doc_dup_lines": q_doc_dup_lines,
         "doc_quality_ml": q_doc_quality_ml,
         "emb_dedup_clusters": q_emb_dedup_clusters,
         "emb_pq_topk": q_emb_pq_topk,
@@ -5229,6 +5240,43 @@ def oracle_sql() -> dict[str, str]:
                            '\b\d{9,18}\b', '<ID>', 'g')
                    ) AS n_chars_redacted
             FROM documents
+        """,
+        "doc_dup_lines": r"""
+            WITH lines AS (
+                SELECT doc_id, u, count(*) AS cnt, len(u) AS l
+                FROM (SELECT doc_id,
+                             unnest(list_filter(string_split(text, chr(10)),
+                                                x -> trim(x) != '')) AS u
+                      FROM documents)
+                GROUP BY doc_id, u
+            ),
+            paras AS (
+                SELECT doc_id, u, count(*) AS cnt, len(u) AS l
+                FROM (SELECT doc_id,
+                             unnest(list_filter(string_split_regex(text, '\n\n+'),
+                                                x -> trim(x) != '')) AS u
+                      FROM documents)
+                GROUP BY doc_id, u
+            ),
+            la AS (
+                SELECT doc_id, sum(cnt) AS n_lines,
+                       round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                             / CAST(greatest(sum(cnt), 1) AS DOUBLE), 6) AS dup_line_frac,
+                       round(sum(CASE WHEN cnt > 1 THEN cnt * l ELSE 0 END)
+                             / CAST(greatest(sum(cnt * l), 1) AS DOUBLE), 6) AS dup_line_char_frac
+                FROM lines GROUP BY doc_id
+            ),
+            pa AS (
+                SELECT doc_id, sum(cnt) AS n_paras,
+                       round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                             / CAST(greatest(sum(cnt), 1) AS DOUBLE), 6) AS dup_para_frac,
+                       round(sum(CASE WHEN cnt > 1 THEN cnt * l ELSE 0 END)
+                             / CAST(greatest(sum(cnt * l), 1) AS DOUBLE), 6) AS dup_para_char_frac
+                FROM paras GROUP BY doc_id
+            )
+            SELECT la.doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+                   n_paras, dup_para_frac, dup_para_char_frac
+            FROM la JOIN pa ON la.doc_id = pa.doc_id
         """,
         "doc_c4_filters": r"""
             WITH base AS (

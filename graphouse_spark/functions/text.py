@@ -454,6 +454,56 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
     )
 
 
+def duplicate_line_stats(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Gopher's line/paragraph repetition signals (Rae et al. 2021):
+    the fraction of duplicated lines and paragraphs per document, both
+    by COUNT and by CHARACTER mass — boilerplate pages repeat whole
+    lines, which token-level stats under-report.
+
+    Columns: n_lines, dup_line_frac, dup_line_char_frac, n_paras,
+    dup_para_frac, dup_para_char_frac (ratios rounded to 6).
+
+    Shape at scale: one explode per granularity, a (doc, unit) count,
+    then a per-doc re-aggregation — two shuffles keyed on doc_id, the
+    same posture as :func:`repetition_stats`; repetitive documents
+    COLLAPSE in the (doc, unit) intermediate, so the skewed inputs
+    this filter exists to catch are the cheap ones.
+    """
+    def frac(unit_col):
+        units = F.filter(unit_col, lambda u: F.trim(u) != "")
+        exploded = docs.select(F.col(id_col), F.explode(units).alias("u"))
+        per_unit = (
+            exploded.groupBy(id_col, "u")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.length("u").alias("len"))
+        )
+        return per_unit.groupBy(id_col).agg(
+            F.sum("cnt").alias("_n"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("_dup"),
+            F.sum(F.col("cnt") * F.col("len")).alias("_chars"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.col("len"))
+                  .otherwise(0)).alias("_dup_chars"),
+        )
+
+    text = F.col(text_col)
+    lines = frac(F.split(text, "\n"))
+    paras = frac(F.split(text, r"\n\n+"))
+
+    def ratios(df, n_name, prefix):
+        safe_n = F.greatest(F.col("_n"), F.lit(1)).cast("double")
+        safe_c = F.greatest(F.col("_chars"), F.lit(1)).cast("double")
+        return df.select(
+            F.col(id_col),
+            F.col("_n").alias(n_name),
+            F.round(F.col("_dup") / safe_n, 6).alias(f"dup_{prefix}_frac"),
+            F.round(F.col("_dup_chars") / safe_c, 6)
+            .alias(f"dup_{prefix}_char_frac"),
+        )
+
+    return ratios(lines, "n_lines", "line").join(
+        ratios(paras, "n_paras", "para"), id_col, "inner")
+
+
 def c4_filters(docs: DataFrame, min_line_words: int = 5,
                min_lines: int = 3, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:

@@ -532,3 +532,19 @@ def test_c4_filters_boundaries(spark):
     # doc 6: the unpunctuated line and the 2-word line both drop, the
     # three good lines survive -> keep, with exactly 3 lines
     assert got[6]["c4_keep"] is True and got[6]["n_kept_lines"] == 3
+
+
+def test_duplicate_line_stats_hand_math(spark):
+    from graphouse_spark.functions.text import duplicate_line_stats
+
+    text = "aaaa\nbb\naaaa\ncccc\n\npara two\n\npara two"
+    # lines: aaaa x2 (4 ch), bb, cccc, 'para two' x2 (8 ch)
+    #   -> 4/6 duplicated by count, (8+16)/30 by chars
+    # paras (blank-line split): 'aaaa\nbb\naaaa\ncccc' (17 ch with
+    #   newlines), 'para two' x2 -> 2/3 by count, 16/33 by chars
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = duplicate_line_stats(df).collect()[0]
+    assert r["n_lines"] == 6 and r["dup_line_frac"] == round(4 / 6, 6)
+    assert r["dup_line_char_frac"] == round(24 / 30, 6)
+    assert r["n_paras"] == 3 and r["dup_para_frac"] == round(2 / 3, 6)
+    assert r["dup_para_char_frac"] == round(16 / 33, 6)
