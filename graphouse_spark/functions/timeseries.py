@@ -862,9 +862,15 @@ def log_series(series: DataFrame, base: float = 10.0,
 def alias_sub(series: DataFrame, pattern: str, replacement: str,
               metric_col: str = "metric") -> DataFrame:
     """graphite ``aliasSub(series, regex, replacement)``: regex rename
-    of the metric name (scan-stage expression)."""
+    of the metric name (scan-stage expression). graphite replacements
+    use Python's ``\\1`` group references while Spark's regexp_replace
+    speaks Java's ``$1`` — translate (and protect literal ``$``) so
+    dashboard targets written for graphite substitute correctly."""
+    import re as _re
+
+    java_rep = _re.sub(r"\\(\d+)", r"$\1", replacement.replace("$", r"\$"))
     return series.withColumn(
-        metric_col, F.regexp_replace(F.col(metric_col), pattern, replacement)
+        metric_col, F.regexp_replace(F.col(metric_col), pattern, java_rep)
     )
 
 

@@ -529,3 +529,18 @@ def test_graphite_pctl_property(spark):
         exp_i = _get_percentile_py(vals, p, interpolate=True)
         assert got[i][f"r{i}"] == pytest.approx(exp, abs=1e-9), (i, vals, p)
         assert got[i][f"ri{i}"] == pytest.approx(exp_i, abs=1e-9), (i, vals, p)
+
+
+# ------------------------------------------------- aliasSub backrefs
+
+
+def test_alias_sub_python_backrefs(spark, series):
+    """graphite aliasSub replacements use python \\1 group refs (Spark
+    speaks Java $1) — dashboard targets must substitute, and a literal
+    $ must stay literal."""
+    from graphouse_spark.functions.timeseries import alias_sub
+
+    got = _metrics(evaluate_target(series, r"aliasSub(s.*, 's\.(\w)', 'got-\1')"))
+    assert got == {"got-a", "got-b", "got-c"}
+    lit = _metrics(alias_sub(series, r"^s\.", "cost$."))
+    assert lit == {"cost$.a", "cost$.b", "cost$.c"}
