@@ -2242,13 +2242,20 @@ def legend_value(series: DataFrame, *functions: str, metric_col: str = "metric",
         "last": F.last(value_col, ignorenulls=True).over(wo),
         "count": F.count(value_col).over(w).cast("double"),
     }
+    # graphite allows a trailing 'si'/'binary' system argument that
+    # switches the readouts to prefix-scaled formatting
+    system = None
+    if functions and str(functions[-1]).lower() in ("si", "binary"):
+        system = str(functions[-1]).lower()
+        functions = functions[:-1]
+    fmt = (lambda c: _fmt_units(c, system, None)) if system else _fmt2
     parts = [F.col(metric_col)]
     for fn in functions:
         fn = str(fn)
         if fn not in per_fn:
             raise ValueError(
                 f"unknown legend statistic {fn!r}; supported: {sorted(per_fn)}")
-        parts.append(F.concat(F.lit(f"({fn}: "), _fmt2(per_fn[fn]), F.lit(")")))
+        parts.append(F.concat(F.lit(f"({fn}: "), fmt(per_fn[fn]), F.lit(")")))
     return series.select(
         F.concat_ws(" ", *parts).alias(metric_col), F.col(ts_col), F.col(value_col)
     )

@@ -544,3 +544,15 @@ def test_alias_sub_python_backrefs(spark, series):
     assert got == {"got-a", "got-b", "got-c"}
     lit = _metrics(alias_sub(series, r"^s\.", "cost$."))
     assert lit == {"cost$.a", "cost$.b", "cost$.c"}
+
+
+def test_legend_value_si_system(spark):
+    from graphouse_spark.functions.timeseries import legend_value
+
+    df = spark.createDataFrame(
+        [("s.a", 0, 1500.0), ("s.a", 60, 2500.0)],
+        "metric string, ts long, value double")
+    got = {r["metric"] for r in legend_value(df, "max", "si").collect()}
+    assert got == {"s.a (max: 2.50k)"}
+    plain = {r["metric"] for r in legend_value(df, "max").collect()}
+    assert plain == {"s.a (max: 2500.00)"}
