@@ -312,8 +312,6 @@ _REGISTRY = {
     "mostDeviant": lambda df, n: ts.most_deviant(df, int(n)).select("metric", "ts", "value"),
     "nPercentile": lambda df, p: _canon(ts.n_percentile(df, float(p) / 100.0), "pctl_value"),
     "integral": lambda df: _canon(ts.running_total(df), "running_total"),
-    "integralByInterval": lambda df, sec: _canon(
-        ts.integral_by_interval(df, _secs(sec)), "running_value"),
 
     # graphite signature timeSlice(series, startSliceAt, endSliceAt=
     # 'now') — at-time specs resolve against the frame's max ts; the
@@ -548,6 +546,13 @@ _NEEDS_WINDOW = {
     "smartSummarize": lambda df, wstart, sec, fn="sum", align_to=None: _canon(
         ts.smart_summarize(df, _secs(sec), _smart_anchor(wstart, align_to),
                            str(fn)), "value"),
+    # graphite counts intervals from the request start (epoch when the
+    # window is unknown — library default)
+    "integralByInterval": lambda df, wstart, sec: _canon(
+        ts.integral_by_interval(
+            df, _secs(sec),
+            anchor_seconds=0 if wstart is None else int(wstart)),
+        "running_value"),
 }
 
 #: derive the render window (graphite uses requestContext start/end;

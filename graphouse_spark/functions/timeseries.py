@@ -742,13 +742,19 @@ def combine_series(series: DataFrame, ts_col: str = "ts",
 
 
 def integral_by_interval(series: DataFrame, interval_seconds: int,
+                         anchor_seconds: int = 0,
                          metric_col: str = "metric", ts_col: str = "ts",
                          value_col: str = "value") -> DataFrame:
     """graphite ``integralByInterval``: cumulative sum that resets at
     each interval boundary (e.g. daily totals that restart at midnight).
-    The reset is free — the interval bucket just joins the window
-    partition key; micro-unit sums keep the prefix exact."""
-    bucket = F.col(ts_col) - F.col(ts_col) % interval_seconds
+    graphite counts intervals from the REQUEST start — the registry
+    threads the render-window start through ``anchor_seconds`` (0 =
+    epoch alignment, the library default). The reset is free — the
+    interval bucket just joins the window partition key; micro-unit
+    sums keep the prefix exact."""
+    off = F.col(ts_col) - F.lit(int(anchor_seconds))
+    bucket = (F.col(ts_col)
+              - ((off % interval_seconds) + interval_seconds) % interval_seconds)
     w = (
         Window.partitionBy(metric_col, bucket.alias("_b"))
         .orderBy(ts_col)

@@ -556,3 +556,29 @@ def test_legend_value_si_system(spark):
     assert got == {"s.a (max: 2.50k)"}
     plain = {r["metric"] for r in legend_value(df, "max").collect()}
     assert plain == {"s.a (max: 2500.00)"}
+
+
+def test_integral_by_interval_window_anchor(spark):
+    """graphite counts integralByInterval intervals from the REQUEST
+    start — a window starting at 1000 resets its 2-minute integral at
+    1000/1120, not at the epoch-aligned 960/1080."""
+    from graphouse_spark.functions.timeseries import integral_by_interval
+
+    rows = [("s.a", 1000 + i * 60, 1.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    anchored = {r["ts"]: r["running_value"]
+                for r in integral_by_interval(df, 120, 1000).collect()}
+    assert anchored == {1000: 1.0, 1060: 2.0, 1120: 1.0, 1180: 2.0}
+    # epoch alignment puts 1030 alone in [960,1080), 1090+1150 in
+    # [1080,1200), 1210 alone — the 1030-anchored buckets differ
+    rows2 = [("s.a", 1030 + i * 60, 1.0) for i in range(4)]
+    df2 = spark.createDataFrame(rows2, "metric string, ts long, value double")
+    ep2 = {r["ts"]: r["running_value"]
+           for r in integral_by_interval(df2, 120).collect()}
+    an2 = {r["ts"]: r["running_value"]
+           for r in integral_by_interval(df2, 120, 1030).collect()}
+    assert ep2 == {1030: 1.0, 1090: 1.0, 1150: 2.0, 1210: 1.0}
+    assert an2 == {1030: 1.0, 1090: 2.0, 1150: 1.0, 1210: 2.0}
+    got = evaluate_target(df, "integralByInterval(s.a, '2min')", start=1000)
+    by = {r["ts"]: r["value"] for r in got.collect()}
+    assert by == {1000: 1.0, 1060: 2.0, 1120: 1.0, 1180: 2.0}
