@@ -1007,7 +1007,7 @@ def q_ts_alias_sub(spark, sf_dir):
     """graphite aliasSub(series, regex, repl): group-ref rename."""
     from graphouse_spark.functions.timeseries import alias_sub
 
-    return alias_sub(_series(spark, sf_dir), r"^(\w+)$", r"evt.$1")
+    return alias_sub(_series(spark, sf_dir), r"^(\w+)$", r"evt.\1")
 
 
 def q_ts_grep_exclude(spark, sf_dir):
