@@ -5291,7 +5291,8 @@ def oracle_sql() -> dict[str, str]:
                        list_filter(lines,
                            l -> regexp_matches(l, '[.!?"]$')
                                 AND len(list_filter(string_split_regex(l, '\s+'),
-                                                    t -> t != '')) >= 5) AS kept
+                                                    t -> t != '')) >= 5
+                                AND NOT contains(lower(l), 'javascript')) AS kept
                 FROM base
             ),
             flags AS (
@@ -5309,9 +5310,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_lines, n_kept_lines, kept_ratio, has_brace,
                    has_lorem, has_javascript,
                    n_kept_lines >= 3 AND NOT has_brace AND NOT has_lorem
-                       AND NOT has_javascript AS c4_keep,
+                       AS c4_keep,
                    CASE WHEN n_kept_lines >= 3 AND NOT has_brace
-                             AND NOT has_lorem AND NOT has_javascript
+                             AND NOT has_lorem
                         THEN list_aggregate(kept, 'string_agg', chr(10)) END
                        AS clean_text
             FROM flags

@@ -258,8 +258,6 @@ _REGISTRY = {
     # analog has no data for (see time_shift docstring)
     "timeShift": lambda df, spec, reset_end="true", align_dst="false":
         ts.time_shift(df, _shift_seconds(spec)),
-    "summarize": lambda df, sec, fn="sum", align="false": ts.summarize(
-        df, _secs(sec), str(fn), _flag(align)),
     "highestMax": lambda df, n: ts.highest_max(df, int(n)).select("metric", "ts", "value"),
     "removeAboveValue": lambda df, v: ts.remove_above_value(df, float(v)),
     "removeBelowValue": lambda df, v: ts.remove_below_value(df, float(v)),
@@ -508,7 +506,9 @@ def _smart_anchor(wstart, align_to) -> int:
     elif u.startswith("d"):
         t = t.replace(hour=0, minute=0, second=0, microsecond=0)
     elif u.startswith("w"):
-        t = (t - dt.timedelta(days=t.weekday())).replace(
+        # graphite truncates weeks to SUNDAY (render/attime.py uses
+        # isoweekday() % 7 days back), not python's Monday weekday()
+        t = (t - dt.timedelta(days=(t.weekday() + 1) % 7)).replace(
             hour=0, minute=0, second=0, microsecond=0)
     elif u.startswith("mon"):
         t = t.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
@@ -533,6 +533,11 @@ def _hitcount_anchor(wstart, interval: int, align) -> int:
 #: functions whose graphite semantics depend on the render window
 #: (requestContext.startTime): called as fn(head, window_start, *args).
 _NEEDS_WINDOW = {
+    # alignToFrom anchors buckets at the request start (graphite's
+    # requestContext startTime); windowless library use falls back to
+    # each series' own min ts inside ts.summarize
+    "summarize": lambda df, wstart, sec, fn="sum", align="false": ts.summarize(
+        df, _secs(sec), str(fn), _flag(align), anchor_seconds=wstart),
     # step=None -> infer each series' native step from its modal ts
     # delta (graphite uses series.step; hardcoding 60 mis-scales every
     # bucket integral over rolled-up or summarize()d input)

@@ -512,11 +512,11 @@ def c4_filters(docs: DataFrame, min_line_words: int = 5,
     projection: line-level retention plus document-level drops.
 
     Line rule: keep only lines that end in terminal punctuation
-    (. ! ? ") AND contain at least ``min_line_words`` words; the
-    cleaned text is the kept lines re-joined. Document rules: drop
-    docs with fewer than ``min_lines`` kept lines, docs containing a
-    curly brace (code), "lorem ipsum", or "javascript" (the paper's
-    boilerplate tells).
+    (. ! ? ") AND contain at least ``min_line_words`` words AND do not
+    contain the word "javascript" (the paper removes the LINE, not the
+    document); the cleaned text is the kept lines re-joined. Document
+    rules: drop docs with fewer than ``min_lines`` kept lines and docs
+    containing a curly brace (code) or "lorem ipsum".
 
     Output: (id, n_lines, n_kept_lines, kept_ratio, has_brace,
     has_lorem, has_javascript, c4_keep, clean_text). Shuffle-free,
@@ -529,7 +529,8 @@ def c4_filters(docs: DataFrame, min_line_words: int = 5,
         lines,
         lambda l: F.trim(l).rlike(r'[.!?"]$')
         & (F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda t: t != ""))
-           >= int(min_line_words)),
+           >= int(min_line_words))
+        & ~F.lower(l).contains("javascript"),
     )
     n_lines = F.size(lines)
     n_kept = F.size(kept)
@@ -537,8 +538,7 @@ def c4_filters(docs: DataFrame, min_line_words: int = 5,
     has_brace = lower.contains("{")
     has_lorem = lower.contains("lorem ipsum")
     has_js = lower.contains("javascript")
-    keep = ((n_kept >= int(min_lines))
-            & ~has_brace & ~has_lorem & ~has_js)
+    keep = (n_kept >= int(min_lines)) & ~has_brace & ~has_lorem
     return docs.select(
         F.col(id_col),
         n_lines.alias("n_lines"),

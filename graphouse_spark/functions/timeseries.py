@@ -327,6 +327,13 @@ def as_percent(series: DataFrame, total=None, nodes: tuple[int, ...] = (),
     selection itself when total is None); keys with no total yield
     null. Zero totals yield null (graphite's None)."""
     if nodes:
+        if total is not None and not isinstance(total, DataFrame):
+            # graphite: "total must be None or a seriesList" when
+            # nodes are given — a clean ValueError, not an attribute
+            # crash on the numeric (render/functions.py asPercent)
+            raise ValueError(
+                "asPercent with nodes requires total to be None or a "
+                "series selection, not a constant")
         key = F.concat_ws(".", *[
             F.element_at(F.split(metric_col, r"\."), int(n) + 1)
             for n in nodes
@@ -426,18 +433,24 @@ def _resolve_agg(function: str):
 
 def summarize(series: DataFrame, interval_seconds: int, function: str = "sum",
               align_to_from: bool = False,
+              anchor_seconds: int | None = None,
               metric_col: str = "metric", ts_col: str = "ts",
               value_col: str = "value") -> DataFrame:
     """graphite ``summarize(series, interval, func, alignToFrom)``:
     re-bucket each series to a coarser grid (one partial+final agg).
     Default buckets align on epoch interval boundaries; ``alignToFrom``
-    anchors them at each series' own start (graphite anchors at the
-    fetched window start — the per-series min ts is the engine analog).
-    The anchor window partitions on the same key as the groupBy, so
-    both share one exchange."""
+    anchors them at the RENDER-WINDOW start (graphite's
+    requestContext startTime) — pass it as ``anchor_seconds``. When no
+    window is known (bare library use) the per-series min ts is the
+    engine analog; that fallback needs a window function sharing the
+    groupBy's exchange, while a known anchor is a shuffle-free
+    scan-stage expression."""
     agg = _resolve_agg(function)
     if align_to_from:
-        start = F.min(ts_col).over(Window.partitionBy(metric_col))
+        if anchor_seconds is not None:
+            start = F.lit(int(anchor_seconds))
+        else:
+            start = F.min(ts_col).over(Window.partitionBy(metric_col))
         bucket = (F.col(ts_col)
                   - (F.col(ts_col) - start) % interval_seconds).alias(ts_col)
         return (
@@ -870,14 +883,66 @@ def alias_sub(series: DataFrame, pattern: str, replacement: str,
     """graphite ``aliasSub(series, regex, replacement)``: regex rename
     of the metric name (scan-stage expression). graphite replacements
     use Python's ``\\1`` group references while Spark's regexp_replace
-    speaks Java's ``$1`` — translate (and protect literal ``$``) so
-    dashboard targets written for graphite substitute correctly."""
+    speaks Java's ``$1`` — translate token by token (group refs,
+    ``\\g<n>``, escaped backslashes, literal ``$``) so dashboard
+    targets written for graphite substitute correctly. A dangling or
+    unknown escape raises ValueError exactly like Python's re.sub
+    ("bad escape") — passing it through would make Java's replacement
+    parser throw executor-side instead."""
+    return series.withColumn(
+        metric_col,
+        F.regexp_replace(F.col(metric_col), pattern,
+                         _java_replacement(replacement)),
+    )
+
+
+def _java_replacement(replacement: str) -> str:
+    """Translate a Python re.sub replacement template to Java
+    ``Matcher.appendReplacement`` syntax: ``\\N``/``\\g<N>`` -> ``$N``,
+    ``\\\\`` -> literal backslash (Java spelling ``\\\\``), recognized
+    character escapes to their characters, ``$`` -> ``\\$``. Unknown or
+    dangling escapes raise ValueError, mirroring Python's "bad escape"
+    so graphite-authored templates fail identically."""
     import re as _re
 
-    java_rep = _re.sub(r"\\(\d+)", r"$\1", replacement.replace("$", r"\$"))
-    return series.withColumn(
-        metric_col, F.regexp_replace(F.col(metric_col), pattern, java_rep)
-    )
+    out: list[str] = []
+    i, n = 0, len(replacement)
+    char_escapes = {"n": "\n", "t": "\t", "r": "\r", "f": "\f",
+                    "v": "\v", "a": "\a", "b": "\b", "0": "\0"}
+    while i < n:
+        ch = replacement[i]
+        if ch == "$":
+            out.append(r"\$")
+            i += 1
+            continue
+        if ch != "\\":
+            out.append(ch)
+            i += 1
+            continue
+        if i + 1 >= n:
+            raise ValueError("bad escape (end of pattern) in replacement")
+        nxt = replacement[i + 1]
+        if nxt == "\\":
+            out.append("\\\\")
+            i += 2
+        elif nxt.isdigit() and nxt != "0":
+            m = _re.match(r"\d{1,2}", replacement[i + 1:])
+            out.append("$" + m.group(0))
+            i += 1 + len(m.group(0))
+        elif nxt == "g":
+            m = _re.match(r"g<(\d+)>", replacement[i + 1:])
+            if not m:
+                raise ValueError(
+                    f"bad escape \\g at position {i} in replacement")
+            out.append("$" + m.group(1))
+            i += 1 + m.end()
+        elif nxt in char_escapes:
+            out.append(char_escapes[nxt])
+            i += 2
+        else:
+            raise ValueError(
+                f"bad escape \\{nxt} at position {i} in replacement")
+    return "".join(out)
 
 
 def grep_series(series: DataFrame, pattern: str,

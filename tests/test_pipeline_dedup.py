@@ -517,7 +517,7 @@ def test_c4_filters_boundaries(spark):
         (2, "\n".join([good_line] * 2)),                       # < 3 kept lines
         (3, "\n".join([good_line] * 3) + "\nfunction() { return 1; }"),  # brace
         (4, "\n".join([good_line] * 3) + "\nLorem Ipsum dolor sit amet."),  # lorem
-        (5, "\n".join([good_line] * 3) + "\nplease enable JavaScript to view."),  # js
+        (5, "\n".join([good_line] * 3) + "\nplease enable JavaScript to view this page."),  # js line
         (6, "\n".join([good_line] * 3 + ["no terminal punctuation here",
                                          "too short."])),      # line rules
     ]
@@ -528,7 +528,12 @@ def test_c4_filters_boundaries(spark):
     assert got[2]["c4_keep"] is False and got[2]["clean_text"] is None
     assert got[3]["has_brace"] is True and got[3]["c4_keep"] is False
     assert got[4]["has_lorem"] is True and got[4]["c4_keep"] is False
-    assert got[5]["has_javascript"] is True and got[5]["c4_keep"] is False
+    # the C4 paper drops the javascript LINE, not the document: the
+    # flag is set, the offending line (punctuated, 7 words) vanishes
+    # from clean_text, and the doc survives on its 3 good lines
+    assert got[5]["has_javascript"] is True and got[5]["c4_keep"] is True
+    assert got[5]["n_kept_lines"] == 3
+    assert "javascript" not in got[5]["clean_text"].lower()
     # doc 6: the unpunctuated line and the 2-word line both drop, the
     # three good lines survive -> keep, with exactly 3 lines
     assert got[6]["c4_keep"] is True and got[6]["n_kept_lines"] == 3

@@ -714,3 +714,16 @@ def test_as_percent_nodes_default_total(spark):
                     ("s.b.x", 0, 5.0)])
     got = {(r["metric"], r["pct"]) for r in as_percent(s, nodes=(1,)).collect()}
     assert got == {("s.a.x", 25.0), ("s.a.y", 75.0), ("s.b.x", 100.0)}
+
+
+def test_as_percent_nodes_numeric_total_raises(spark):
+    """graphite: asPercent(series, 100, 1) with nodes requires total
+    to be None or a seriesList — clean ValueError, not an
+    AttributeError on the float."""
+    from graphouse_spark.functions.timeseries import as_percent
+
+    df = spark.createDataFrame(
+        [("s.a.x", 0, 1.0), ("s.a.y", 0, 3.0)],
+        "metric string, ts long, value double")
+    with pytest.raises(ValueError, match="nodes"):
+        as_percent(df, total=100.0, nodes=[1])

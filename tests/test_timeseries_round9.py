@@ -582,3 +582,58 @@ def test_integral_by_interval_window_anchor(spark):
     got = evaluate_target(df, "integralByInterval(s.a, '2min')", start=1000)
     by = {r["ts"]: r["value"] for r in got.collect()}
     assert by == {1000: 1.0, 1060: 2.0, 1120: 1.0, 1180: 2.0}
+
+
+# ------------------------------------------------- round-7 advisory fixes
+
+
+def test_smart_anchor_week_truncates_to_sunday():
+    """graphite truncates weeks to SUNDAY (attime isoweekday() % 7),
+    not python's Monday. Epoch day 3 (1970-01-04) is a Sunday."""
+    from graphouse_spark.functions.target import _smart_anchor
+
+    sunday = 3 * 86400
+    assert _smart_anchor(sunday + 3600, "weeks") == sunday      # Sunday stays
+    assert _smart_anchor(sunday + 86400, "weeks") == sunday     # Monday -> back 1d
+    assert _smart_anchor(sunday + 6 * 86400 + 50, "weeks") == sunday  # Saturday -> back 6d
+    assert _smart_anchor(sunday + 7 * 86400, "weeks") == sunday + 7 * 86400
+
+
+def test_summarize_align_to_from_window_anchor(spark, series):
+    """alignToFrom anchors at the RENDER-WINDOW start when known
+    (graphite requestContext.startTime), per-series min only as the
+    windowless fallback."""
+    from graphouse_spark.functions.timeseries import summarize
+
+    rows = [("s.a", 30, 1.0), ("s.a", 90, 2.0), ("s.a", 150, 4.0)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    anchored = {r["ts"]: r["value"]
+                for r in summarize(df, 120, "sum", align_to_from=True,
+                                   anchor_seconds=0).collect()}
+    assert anchored == {0: 3.0, 120: 4.0}
+    # through the evaluator with an explicit window start
+    got = _by(evaluate_target(series, "summarize(s.a, '2min', 'total', true)",
+                              start=980))
+    # buckets [980,1100) -> 1+2=3, [1100,1220) -> 3+4=7
+    assert got[("s.a", 980)] == 3.0 and got[("s.a", 1100)] == 7.0
+
+
+def test_alias_sub_backslash_escapes(spark, series):
+    """python-template escapes translate, bad escapes raise like
+    re.sub instead of leaking into Java's replacement parser."""
+    import pytest
+
+    from graphouse_spark.functions.timeseries import (
+        _java_replacement, alias_sub)
+
+    # literal backslash survives as one backslash in the output name
+    got = _metrics(alias_sub(series, r"^s\.(\w)$", "s\\\\\\1"))
+    assert got == {"s\\a", "s\\b", "s\\c"}
+    # \g<n> named-number form
+    assert _java_replacement(r"x\g<2>y") == "x$2y"
+    # recognized char escapes become the character itself
+    assert _java_replacement(r"a\tb") == "a\tb"
+    with pytest.raises(ValueError, match="bad escape"):
+        _java_replacement("dangling\\")
+    with pytest.raises(ValueError, match="bad escape"):
+        _java_replacement(r"\q")
