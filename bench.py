@@ -102,11 +102,67 @@ EXTENDED_QUERIES = [
 ]
 
 
+class _StageMeter:
+    """Per-query executor metrics from the JVM AppStatusStore (always
+    populated, UI on or off). Wall-clock on this host swings 1.2-2x
+    with ambient load on byte-identical plans (measured rounds 2/4/6);
+    executor task-time and shuffle bytes are properties of the PLAN, so
+    round-over-round comparisons should read these. Stage IDs are
+    monotonic, so "stages since a snapshot" survives the status
+    store's retained-stage eviction."""
+
+    def __init__(self, spark) -> None:
+        sc = spark.sparkContext
+        self._store = sc._jsc.sc().statusStore()
+        self._jvm, self._gw = sc._jvm, sc._gateway
+
+    def _stages(self):
+        empty = self._jvm.java.util.ArrayList()
+        return self._store.stageList(
+            empty, False, False, self._gw.new_array(self._jvm.double, 0),
+            self._jvm.java.util.ArrayList())
+
+    def max_stage_id(self) -> int:
+        seq, hi = self._stages(), -1
+        for i in range(seq.size()):
+            hi = max(hi, seq.apply(i).stageId())
+        return hi
+
+    def since(self, snapshot_id: int) -> dict[str, float]:
+        """Sum task metrics over stages newer than the snapshot,
+        polling briefly until the async listener queue settles."""
+        last = None
+        for _ in range(20):
+            seq, agg = self._stages(), [0, 0, 0, 0, 0]
+            for i in range(seq.size()):
+                s = seq.apply(i)
+                if s.stageId() <= snapshot_id:
+                    continue
+                agg[0] += s.executorRunTime()
+                agg[1] += s.shuffleReadBytes()
+                agg[2] += s.shuffleWriteBytes()
+                agg[3] += s.inputBytes()
+                agg[4] += s.diskBytesSpilled() + s.memoryBytesSpilled()
+            if agg == last:
+                break
+            last = agg
+            time.sleep(0.05)
+        mb = 1024.0 * 1024.0
+        return {
+            "task_sec": round(last[0] / 1000.0, 4),
+            "shuffle_read_mb": round(last[1] / mb, 3),
+            "shuffle_write_mb": round(last[2] / mb, 3),
+            "input_mb": round(last[3] / mb, 3),
+            "spill_mb": round(last[4] / mb, 3),
+        }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("graphouse-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    meter = _StageMeter(spark)
 
     queries = entry_mod.queries()
 
@@ -119,8 +175,9 @@ def main() -> None:
     # whole-stage-codegen compilation + JIT (~0.5-2 s per novel plan —
     # at sf<=0.1 that fixed cost dwarfs the actual compute); the second
     # run is the steady-state number a long-lived cluster sees.
-    def run_set(names: list[str], repeats: int = 1) -> dict[str, float]:
+    def run_set(names: list[str], repeats: int = 1):
         timings: dict[str, float] = {}
+        tasks: dict[str, dict[str, float]] = {}
         for name in names:
             fn = queries[name]
             fn(spark, sf_dir).count()  # compile + warm
@@ -132,19 +189,30 @@ def main() -> None:
             # round 4's phantom 1.2-2x drifts landed. Each execution
             # recomputes the full pipeline — clearCache drops
             # intra-query persist() results.
-            best, n = float("inf"), 0
+            best, n, best_task = float("inf"), 0, None
             for _ in range(repeats):
                 spark.catalog.clearCache()
+                snap = meter.max_stage_id()
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
-                best = min(best, time.perf_counter() - t0)
+                wall = time.perf_counter() - t0
+                stats = meter.since(snap)
+                best = min(best, wall)
+                # task-time is plan-determined; keep the min too (load
+                # only ever inflates it). Bytes are identical per run.
+                if best_task is None or stats["task_sec"] < best_task["task_sec"]:
+                    best_task = stats
             timings[name] = round(best, 4)
-            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        return timings
+            tasks[name] = best_task
+            print(f"# {name}: {timings[name]:.3f}s wall / "
+                  f"{best_task['task_sec']:.2f}s task / "
+                  f"{best_task['shuffle_write_mb']:.1f}MB shuffle ({n} rows)",
+                  file=sys.stderr)
+        return timings, tasks
 
     load_before = os.getloadavg()
-    timings = run_set(BENCH_QUERIES, repeats=2)
-    extended = run_set(EXTENDED_QUERIES, repeats=2)
+    timings, task_stats = run_set(BENCH_QUERIES, repeats=2)
+    extended, ext_task_stats = run_set(EXTENDED_QUERIES, repeats=2)
     load_after = os.getloadavg()
 
     print(json.dumps({
@@ -153,9 +221,18 @@ def main() -> None:
         "unit": "sec",
         "mode": "steady-state min-of-2 (per-query warm run; cold run excluded)",
         "queries": timings,
+        # executor task-time (sum of task run time, ms->s) + shuffle/
+        # input/spill bytes per query: the load-invariant numbers to
+        # compare across rounds — wall above is the user-facing one
+        "task_metrics": task_stats,
+        "task_time_total": round(
+            sum(t["task_sec"] for t in task_stats.values()), 4),
         "extended": extended,
         "extended_mode": "min-of-2",
         "extended_total": round(sum(extended.values()), 4),
+        "extended_task_metrics": ext_task_stats,
+        "extended_task_time_total": round(
+            sum(t["task_sec"] for t in ext_task_stats.values()), 4),
         # ambient-load indicator: a 1-min loadavg far above the bench's
         # own footprint means the numbers carry noisy-neighbor drift
         # (the round-2 and round-4 phantom regressions) — read deltas
