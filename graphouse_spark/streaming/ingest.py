@@ -23,6 +23,7 @@ Semantics mapping (SURVEY §2.9):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,6 +39,11 @@ class IngestConfig:
     checkpoint_path: str
     trigger_seconds: int = 5
     banned_prefixes: tuple[str, ...] = ()  # X7 ban check (small, broadcast)
+    #: crash-injection hook for recovery tests: called with a named
+    #: point ("after_data_write", "after_metrics_write") inside the
+    #: micro-batch; raising simulates a mid-batch executor/driver death
+    #: (same posture as the rollup/delete commit-protocol tests)
+    failpoint: Optional[Callable[[str], None]] = None
 
 
 def filter_banned(parsed: DataFrame, banned_prefixes: tuple[str, ...]) -> DataFrame:
@@ -86,6 +92,8 @@ def ingest_batch(batch: DataFrame, cfg: IngestConfig, known_names: DataFrame | N
     ).cache()
     try:
         write_data(to_data_rows(batch), cfg.data_path)
+        if cfg.failpoint is not None:
+            cfg.failpoint("after_data_write")
 
         batch_names = batch.select("name").distinct()
         new_names = (
@@ -102,8 +110,57 @@ def ingest_batch(batch: DataFrame, cfg: IngestConfig, known_names: DataFrame | N
         # the lattice denies illegal flips at read time (BAN stays BAN);
         # SIMPLE rows for still-banned names are filtered by argMax+lattice
         write_metrics(tree_updates, cfg.metrics_path)
+        if cfg.failpoint is not None:
+            cfg.failpoint("after_metrics_write")
     finally:
         batch.unpersist()
+
+
+def _batch_runner(spark: SparkSession, cfg: IngestConfig):
+    """The foreachBatch body shared by every ingest source: resolve
+    the current name statuses (known / hidden / banned) from the
+    metrics table, then run :func:`ingest_batch`."""
+    from graphouse_spark.operators.dedup import latest_status
+    from graphouse_spark.sources.tables import read_metrics
+
+    def run(batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        if os.path.exists(cfg.metrics_path):  # reads are lazy; probe eagerly
+            resolved = latest_status(read_metrics(spark, cfg.metrics_path))
+            known = resolved.select("name")
+            hidden = resolved.filter(
+                F.col("status").isin("HIDDEN", "AUTO_HIDDEN")).select("name")
+            banned = resolved.filter(F.col("status") == "BAN").select("name")
+        else:  # first batch: table does not exist yet
+            known = hidden = banned = None
+        ingest_batch(batch, cfg, known, hidden, banned)
+
+    return run
+
+
+def start_file_ingest(spark: SparkSession, cfg: IngestConfig, input_dir: str):
+    """Ingest graphite plaintext from a directory of line files.
+
+    The durable-source topology: unlike the socket source (which
+    cannot replay data lost in a crash — the reference compensates
+    with MetricCacher.java's in-memory infinite retry,
+    MetricCacher.java:266-303), the file source + checkpoint replays
+    an uncommitted micro-batch after a restart, so a mid-batch death
+    loses nothing. Replayed appends are duplicate rows in the data
+    table; read-time LWW (operators/dedup.dedup_points) collapses
+    them — at-least-once delivery, exactly-once query results.
+
+    Returns the StreamingQuery; caller owns lifecycle.
+    """
+    raw = spark.readStream.text(input_dir)
+    parsed = parse_lines(raw)
+    return (
+        parsed.writeStream.foreachBatch(_batch_runner(spark, cfg))
+        .option("checkpointLocation", cfg.checkpoint_path)
+        .trigger(processingTime=f"{cfg.trigger_seconds} seconds")
+        .start()
+    )
 
 
 def start_socket_ingest(spark: SparkSession, cfg: IngestConfig, host: str = "localhost",
@@ -119,9 +176,6 @@ def start_socket_ingest(spark: SparkSession, cfg: IngestConfig, host: str = "loc
 
     Returns the StreamingQuery; caller owns lifecycle.
     """
-    from graphouse_spark.sources.tables import read_metrics
-    from graphouse_spark.operators.dedup import latest_status
-
     if server_mode:
         from graphouse_spark.sources.graphite_source import GraphiteDataSource
 
@@ -143,20 +197,8 @@ def start_socket_ingest(spark: SparkSession, cfg: IngestConfig, host: str = "loc
         )
         parsed = parse_lines(raw)
 
-    def run(batch: DataFrame, batch_id: int) -> None:
-        import os
-
-        if os.path.exists(cfg.metrics_path):  # reads are lazy; probe eagerly
-            resolved = latest_status(read_metrics(spark, cfg.metrics_path))
-            known = resolved.select("name")
-            hidden = resolved.filter(F.col("status").isin("HIDDEN", "AUTO_HIDDEN")).select("name")
-            banned = resolved.filter(F.col("status") == "BAN").select("name")
-        else:  # first batch: table does not exist yet
-            known = hidden = banned = None
-        ingest_batch(batch, cfg, known, hidden, banned)
-
     return (
-        parsed.writeStream.foreachBatch(run)
+        parsed.writeStream.foreachBatch(_batch_runner(spark, cfg))
         .option("checkpointLocation", cfg.checkpoint_path)
         .trigger(processingTime=f"{cfg.trigger_seconds} seconds")
         .start()

@@ -198,3 +198,75 @@ def test_dynamic_ban_blocks_new_names(spark, tmp_path):
     tree_names = {r["name"] for r in read_metrics(spark, cfg.metrics_path).collect()}
     assert "one_min.bad.newmetric" not in tree_names
     assert "one_min.bad." not in tree_names
+
+
+@pytest.mark.slow
+def test_ingest_crash_resume(spark, tmp_path):
+    """T7 crash-resume e2e: kill the stream mid-batch (after the data
+    write, before the tree write), restart from the checkpoint, and
+    prove no point is lost and no duplicate survives beyond read-time
+    LWW. The reference survives the same failure by holding the batch
+    in memory and retrying forever (MetricCacher.java:266-303); the
+    checkpointed file source replays the uncommitted batch instead."""
+    import os
+    from dataclasses import replace
+
+    from graphouse_spark.operators.dedup import dedup_points
+    from graphouse_spark.streaming.ingest import start_file_ingest
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    lines = [f"one_min.host{i % 3}.cpu {i}.5 {1542199500 + 60 * i}"
+             for i in range(50)]
+    (input_dir / "batch0.txt").write_text("\n".join(lines) + "\n")
+
+    crash_marker = tmp_path / "crashed"
+
+    def boom(point: str) -> None:
+        if point == "after_data_write" and not crash_marker.exists():
+            crash_marker.touch()
+            raise RuntimeError("injected crash after data write")
+
+    cfg = IngestConfig(
+        data_path=str(tmp_path / "data"),
+        metrics_path=str(tmp_path / "metrics"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        trigger_seconds=1,
+        failpoint=boom,
+    )
+    q = start_file_ingest(spark, cfg, str(input_dir))
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    assert crash_marker.exists(), "failpoint never fired"
+    # the crash landed between the two writes: points are durable,
+    # the tree is not — exactly the torn state recovery must heal
+    assert read_data(spark, cfg.data_path).count() == 50
+    assert not os.path.exists(cfg.metrics_path)
+
+    # restart from the same checkpoint, no failpoint: Spark replays
+    # the uncommitted batch from the durable file source
+    q2 = start_file_ingest(spark, replace(cfg, failpoint=None), str(input_dir))
+    try:
+        deadline = time.time() + 120
+        names: set[str] = set()
+        while time.time() < deadline:
+            if os.path.exists(cfg.metrics_path):
+                names = {r["name"] for r in latest_status(
+                    read_metrics(spark, cfg.metrics_path)).collect()}
+                if "one_min.host0.cpu" in names:
+                    break
+            time.sleep(1)
+        assert "one_min.host0.cpu" in names and "one_min." in names
+    finally:
+        q2.stop()
+
+    # at-least-once delivery: the replay appended the batch again...
+    raw = read_data(spark, cfg.data_path)
+    assert raw.count() == 100
+    # ...and read-time LWW collapses it to exactly the 50 sent points
+    deduped = dedup_points(raw)
+    assert deduped.count() == 50
+    got = {(r["metric"], r["ts"]) for r in
+           deduped.select("metric", F.col("timestamp").alias("ts")).collect()}
+    sent = {(l.split()[0], int(l.split()[2])) for l in lines}
+    assert got == sent
