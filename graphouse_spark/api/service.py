@@ -24,6 +24,7 @@ import contextlib
 import io
 import json
 import os
+import re
 import time as _time
 
 from pyspark.sql import SparkSession
@@ -34,6 +35,121 @@ from graphouse_spark.retention import CombinedRetentionProvider, DefaultRetentio
 from graphouse_spark.sources.tables import read_data, read_metrics, write_metrics
 from graphouse_spark.status import MetricStatus
 from graphouse_spark.tree_index import MetricTree
+
+
+#: trailing ``ORDER BY col [ASC|DESC] WITH FILL [FROM a] [TO b]
+#: [STEP s] [LIMIT n]`` — the CH gap-fill spelling. Applied to the
+#: statement's closing CODE segment only (token-safe).
+_WITH_FILL_RE = re.compile(
+    r"ORDER\s+BY\s+([A-Za-z_]\w*)\s*(ASC|DESC)?\s+WITH\s+FILL"
+    r"(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(\d+))?"
+    r"(?:\s+LIMIT\s+(\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _extract_with_fill(query: str):
+    """Detect and strip a trailing CH ``WITH FILL`` clause.
+
+    Returns ``(spec | None, query_without_fill)``. The inner query
+    keeps its ``ORDER BY col [DESC]``; a trailing LIMIT is hoisted
+    into the spec because CH applies LIMIT AFTER filling."""
+    from graphouse_spark.api.sqlguard import tokenize
+
+    segs = tokenize(query)
+    idx = None
+    for i in range(len(segs) - 1, -1, -1):
+        if segs[i].kind == "comment":
+            continue
+        if segs[i].kind == "code":
+            idx = i
+        break
+    if idx is None:
+        return None, query
+    m = _WITH_FILL_RE.search(segs[idx].text)
+    if m is None:
+        return None, query
+    col, d, frm, to, step, lim = m.groups()
+    desc = (d or "").upper() == "DESC"
+    spec = {
+        "col": col,
+        "desc": desc,
+        "from": None if frm is None else int(frm),
+        "to": None if to is None else int(to),
+        "step": int(step) if step else 1,
+        "limit": None if lim is None else int(lim),
+    }
+    if spec["step"] <= 0:
+        raise ValueError("WITH FILL STEP must be a positive integer")
+    segs[idx].text = (segs[idx].text[:m.start()]
+                      + f"ORDER BY {col}{' DESC' if desc else ''}")
+    return spec, "".join(s.text for s in segs)
+
+
+def _apply_with_fill(rows, schema, spec):
+    """CH FillingTransform semantics on the collected result: walk the
+    sorted rows, inserting fill rows stepped from the PREVIOUS row (or
+    FROM before the first, TO — exclusive — after the last). Other
+    columns take their type defaults (0 / '' / false), as CH does.
+
+    Driver-side by design: /query is the interactive admin surface and
+    the result set is already bounded by max_rows and serialized here
+    for formatting — filling it is O(result), not O(data).
+    """
+    from pyspark.sql import Row
+
+    names = [f.name for f in schema.fields]
+    if spec["col"] not in names:
+        raise ValueError(f"WITH FILL column {spec['col']!r} is not in the "
+                         "result")
+    ci = names.index(spec["col"])
+    kind = schema.fields[ci].dataType.simpleString()
+    if kind not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError("WITH FILL needs an integral ORDER BY column "
+                         f"(got {kind})")
+
+    def default_of(f):
+        k = f.dataType.simpleString()
+        if k in ("bigint", "int", "smallint", "tinyint"):
+            return 0
+        if k in ("double", "float") or k.startswith("decimal"):
+            return 0.0
+        if k == "string":
+            return ""
+        if k == "boolean":
+            return False
+        return None
+
+    defaults = [default_of(f) for f in schema.fields]
+    R = Row(*names)
+
+    def mk(v):
+        vals = list(defaults)
+        vals[ci] = v
+        return R(*vals)
+
+    sgn = -1 if spec["desc"] else 1
+    st = spec["step"] * sgn
+    out = []
+    cur = spec["from"] if spec["from"] is not None else (
+        rows[0][ci] if rows else None)
+    for r in rows:
+        v = r[ci]
+        if v is None:
+            out.append(r)
+            continue
+        while cur is not None and (v - cur) * sgn > 0:
+            out.append(mk(cur))
+            cur += st
+        out.append(r)
+        cand = v + st
+        if cur is None or (cand - cur) * sgn > 0:
+            cur = cand
+    if spec["to"] is not None and cur is not None:
+        while (spec["to"] - cur) * sgn > 0:  # TO is exclusive, as in CH
+            out.append(mk(cur))
+            cur += st
+    return out
 
 
 class QueryLimitExceeded(ValueError):
@@ -414,9 +530,25 @@ class GraphouseService:
             raise ValueError("one statement per request")
         with self.query_log.track("/query", query.strip()[:200]) as log:
             register_ch_dialect(self.spark)
-            read_data(self.spark, self.data_path).createOrReplaceTempView("data")
-            read_metrics(self.spark, self.metrics_path).createOrReplaceTempView(
-                "metrics")
+            # CH ORDER BY ... WITH FILL: strip the clause, fill the
+            # collected result below (token-safe — tokenizer errors
+            # surface as GuardError from the main guard pass)
+            try:
+                fill_spec, query = _extract_with_fill(query)
+            except sqlguard.GuardError:
+                fill_spec = None
+            data_df = read_data(self.spark, self.data_path)
+            metrics_df = read_metrics(self.spark, self.metrics_path)
+            data_df.createOrReplaceTempView("data")
+            metrics_df.createOrReplaceTempView("metrics")
+            # CH FINAL modifier: the read-time LWW views (A1/W4 —
+            # exactly what FINAL means on the reference's Replacing
+            # tables, MetricDataService.java:73-76)
+            from graphouse_spark.operators.dedup import (
+                dedup_points_ranked, latest_status)
+
+            dedup_points_ranked(data_df).createOrReplaceTempView("data_final")
+            latest_status(metrics_df).createOrReplaceTempView("metrics_final")
             # system.query_log analog: admins debug slow requests with
             # the same CH SQL they use in production
             self.query_log.frame(self.spark).createOrReplaceTempView(
@@ -433,6 +565,13 @@ class GraphouseService:
                 code = (code.replace("graphite.data", "data")
                         .replace("graphite.metrics", "metrics")
                         .replace("system.query_log", "query_log"))
+                # CH FINAL modifier -> the LWW-deduped view (keeps an
+                # optional AS alias: ``data AS d FINAL`` and
+                # ``data FINAL d`` both resolve)
+                code = _re.sub(
+                    r"\b(data|metrics)\b((?:\s+AS)?\s+\w+)?\s+FINAL\b",
+                    lambda m: f"{m.group(1)}_final{m.group(2) or ''}",
+                    code, flags=_re.IGNORECASE)
                 for ch, sp in (("argMax", "max_by"), ("argMin", "min_by"),
                                ("uniq", "approx_count_distinct")):
                     code = _re.sub(rf"\b{ch}\s*\(", sp + "(", code)
@@ -442,12 +581,17 @@ class GraphouseService:
                 rewritten = sqlguard.rewrite_code(query, _rw)
                 sqlguard.assert_readonly(
                     self.spark, rewritten,
-                    frozenset({"data", "metrics", "query_log"}),
+                    frozenset({"data", "metrics", "query_log",
+                               "data_final", "metrics_final"}),
                 )
             except sqlguard.GuardError as exc:
                 raise ValueError(str(exc))
             df = self.spark.sql(rewritten).limit(max_rows)
             rows = df.collect()
+            if fill_spec is not None:
+                rows = _apply_with_fill(rows, df.schema, fill_spec)
+                if fill_spec["limit"] is not None:
+                    rows = rows[:fill_spec["limit"]]
             log["rows"] = len(rows)
             if fmt.upper() == "JSON":
                 return json.dumps({

@@ -758,3 +758,62 @@ def test_load_tree_counts_names_not_status_churn(spark, tmp_path_factory):
     svc.AUTO_LAZY_THRESHOLD = 10  # 30 churn rows, only 6 real names
     svc.load_tree()
     assert not isinstance(svc.tree, LazyMetricTree)  # stayed eager
+
+
+def test_query_final_and_with_fill(spark, tmp_path):
+    """CH admin bread-and-butter spellings: ``FROM t FINAL`` resolves
+    to the read-time LWW view (A1/W4 semantics — what FINAL means on
+    the reference's Replacing tables) and ``ORDER BY ts WITH FILL``
+    gap-fills the result with CH FillingTransform semantics; the
+    readonly guard still rejects DML."""
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+
+    def lines(rows, updated):
+        raw = spark.createDataFrame([(l,) for l in rows], "value string")
+        return parse_lines(raw, updated=F.lit(updated))
+
+    ingest_batch(lines(["one_min.m.cpu 1.0 1000", "one_min.m.cpu 2.0 1120"], 100),
+                 cfg, known_names=None)
+    ingest_batch(lines(["one_min.m.cpu 9.0 1000"], 200), cfg, known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path)
+
+    # raw table keeps both versions; FINAL collapses to the LWW winner
+    assert svc.sql("SELECT count(*) AS n FROM graphite.data "
+                   "WHERE timestamp = 1000").strip() == "2"
+    assert svc.sql("SELECT value FROM graphite.data FINAL "
+                   "WHERE timestamp = 1000").strip() == "9.0"
+    # alias forms both resolve
+    assert svc.sql("SELECT d.value FROM graphite.data AS d FINAL "
+                   "WHERE d.timestamp = 1000").strip() == "9.0"
+    assert svc.sql("SELECT d.value FROM graphite.data FINAL d "
+                   "WHERE d.timestamp = 1000").strip() == "9.0"
+    # metrics FINAL: one resolved row per tree node
+    assert svc.sql("SELECT count(*) AS n FROM graphite.metrics FINAL "
+                   "WHERE name = 'one_min.m.cpu'").strip() == "1"
+
+    # WITH FILL: missing grid points appear with type-default values
+    out = svc.sql(
+        "SELECT timestamp AS ts, max(value) AS v FROM graphite.data FINAL "
+        "GROUP BY ts ORDER BY ts WITH FILL FROM 1000 TO 1240 STEP 60")
+    assert out.splitlines() == [
+        "1000\t9.0", "1060\t0.0", "1120\t2.0", "1180\t0.0"]
+    # DESC fill between existing rows, no bounds
+    out = svc.sql(
+        "SELECT timestamp AS ts, max(value) AS v FROM graphite.data FINAL "
+        "GROUP BY ts ORDER BY ts DESC WITH FILL STEP 60")
+    assert out.splitlines() == ["1120\t2.0", "1060\t0.0", "1000\t9.0"]
+    # LIMIT applies AFTER filling, as in CH
+    out = svc.sql(
+        "SELECT timestamp AS ts, max(value) AS v FROM graphite.data FINAL "
+        "GROUP BY ts ORDER BY ts WITH FILL FROM 1000 TO 1240 STEP 60 LIMIT 2")
+    assert out.splitlines() == ["1000\t9.0", "1060\t0.0"]
+    # a string literal mentioning the spelling is untouched (token-safe)
+    out = svc.sql("SELECT 'ORDER BY ts WITH FILL' AS s")
+    assert out.strip() == "ORDER BY ts WITH FILL"
+    # guard posture unchanged
+    with pytest.raises(ValueError):
+        svc.sql("DROP TABLE data")
+    with pytest.raises(ValueError):
+        svc.sql("INSERT INTO data SELECT * FROM data "
+                "ORDER BY timestamp WITH FILL")
