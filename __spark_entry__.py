@@ -1704,6 +1704,26 @@ def q_emb_cosine_pairs(spark, sf_dir):
     )
 
 
+def q_emb_w2v_neighbors(spark, sf_dir):
+    """Learned-encoder retrieval: MLlib Word2Vec trained in-sandbox on
+    the corpus (functions/inference.train_word2vec_embedder — real
+    skip-gram weights, no external runtime), served through the same
+    embed_texts Arrow contract as the md5 stub, then brute-force
+    cosine top-3. Rows-only correctness: training is not
+    SQL-expressible; the neighborhood-quality invariant (intra-topic
+    similarity beats inter-topic) is pinned in tests/test_inference.py."""
+    from graphouse_spark.functions.inference import (
+        embed_texts, train_word2vec_embedder)
+    from graphouse_spark.functions.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    embedder, _ = train_word2vec_embedder(docs, dim=16)
+    emb = (embed_texts(docs, dim=16, embedder=embedder)
+           .withColumnRenamed("doc_id", "vec_id"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=3)
+
+
 def q_emb_cosine_topk(spark, sf_dir):
     from graphouse_spark.functions.similarity import cosine_topk
 
@@ -3428,6 +3448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "doc_vocab_topk": q_doc_vocab_topk,
         "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_w2v_neighbors": q_emb_w2v_neighbors,
         "emb_cosine_topk_np": q_emb_cosine_topk_np,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,

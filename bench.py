@@ -99,6 +99,8 @@ EXTENDED_QUERIES = [
     "multimodal_video",        # MJPEG MP4 sample-table decode
     "doc_gopher_rules",        # Gopher quality rule-pack (one projection)
     "doc_c4_filters",          # C4 line-level cleaning + doc drops
+    # round 7
+    "emb_w2v_neighbors",       # in-sandbox Word2Vec train + serve + top-k
 ]
 
 

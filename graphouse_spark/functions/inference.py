@@ -108,6 +108,62 @@ def stub_embedding(texts: "pd.Series", dim: int = 16) -> "pd.DataFrame":
     return pd.DataFrame({"embedding": [one(str(t)) for t in texts]})
 
 
+def train_word2vec_embedder(docs: DataFrame, dim: int = 16, min_count: int = 1,
+                            seed: int = 1, max_iter: int = 1,
+                            text_col: str = "text"):
+    """A REAL learned encoder, trained in-sandbox: fit MLlib
+    ``Word2Vec`` on the corpus (skip-gram co-occurrence — no external
+    weights needed), then serve it through the exact
+    :func:`embed_texts` contract the md5 stub uses: the learned
+    word-vector table is collected (vocab-sized metadata), broadcast
+    to executors, and applied as an Arrow-batched mean-pool kernel.
+
+    Documents embed as the L2-normalized mean of their word vectors
+    (the classic bag-of-vectors doc encoder). Tokenization matches the
+    training split (lower + whitespace) so train and serve agree.
+    ``numPartitions=1`` + fixed seed makes training deterministic.
+
+    Returns ``(embedder, vocab_size)`` — pass the embedder to
+    :func:`embed_texts` / :func:`pooled_doc_embeddings`. The md5 stub
+    remains the deterministic oracle twin for plumbing checks; this
+    is the quality path.
+    """
+    import numpy as np
+    from pyspark.ml.feature import Word2Vec
+
+    toks = docs.select(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                 lambda t: t != "").alias("tokens"))
+    model = Word2Vec(
+        vectorSize=dim, minCount=min_count, seed=seed, maxIter=max_iter,
+        numPartitions=1, inputCol="tokens", outputCol="vec",
+    ).fit(toks)
+    vocab = {
+        r["word"]: np.asarray(r["vector"].toArray(), dtype=np.float64)
+        for r in model.getVectors().collect()
+    }
+    bvocab = docs.sparkSession.sparkContext.broadcast(vocab)
+
+    def embed(texts: "pd.Series") -> "pd.DataFrame":
+        import numpy as np  # noqa: F811 - executor-side import
+
+        V = bvocab.value
+        out = []
+        for t in texts:
+            vs = [V[w] for w in str(t).lower().split() if w in V]
+            if vs:
+                v = np.mean(vs, axis=0)
+                n = float(np.linalg.norm(v))
+                if n > 0:
+                    v = v / n
+            else:
+                v = np.zeros(dim)
+            out.append([round(float(x), 6) for x in v])
+        return pd.DataFrame({"embedding": out})
+
+    return embed, len(vocab)
+
+
 def embed_texts(docs: DataFrame, dim: int = 16,
                 embedder: Callable[["pd.Series"], "pd.DataFrame"] | None = None,
                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -68,3 +68,50 @@ def test_embed_feeds_ann_operators(docs):
     top = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
     assert len(top) == 2 and all(r["query_id"] == 0 for r in top)
     assert top[0]["rank"] == 1 and top[0]["cosine"] >= top[1]["cosine"]
+
+
+def test_word2vec_embedder_neighborhood_quality(spark):
+    """The learned encoder must beat chance: train on a two-topic
+    corpus (disjoint vocabularies, so co-occurrence fully determines
+    topics) and require intra-topic document cosine to rank above
+    inter-topic — pairwise AUC >= 0.9. The md5 stub stays the oracle
+    twin for plumbing; this pins actual learned QUALITY."""
+    import itertools
+
+    import numpy as np
+
+    from graphouse_spark.functions.inference import (
+        embed_texts, train_word2vec_embedder)
+
+    rng = np.random.default_rng(7)
+    topic_a = ["spark", "shuffle", "executor", "partition", "catalyst",
+               "parquet", "broadcast", "codegen"]
+    topic_b = ["violin", "sonata", "orchestra", "tempo", "crescendo",
+               "maestro", "aria", "cadenza"]
+    docs = []
+    for i in range(40):
+        words = rng.choice(topic_a if i % 2 == 0 else topic_b, size=30)
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    embedder, vocab = train_word2vec_embedder(df, dim=8, seed=1)
+    assert vocab == len(topic_a) + len(topic_b)
+    emb = {r["doc_id"]: np.array(r["embedding"])
+           for r in embed_texts(df, dim=8, embedder=embedder).collect()}
+    assert len(emb) == 40 and all(len(v) == 8 for v in emb.values())
+
+    def cos(a, b):
+        return float(np.dot(a, b))  # embeddings are L2-normalized
+
+    intra, inter = [], []
+    for i, j in itertools.combinations(range(40), 2):
+        (intra if i % 2 == j % 2 else inter).append(cos(emb[i], emb[j]))
+    wins = sum(a > b for a in intra for b in inter)
+    auc = wins / (len(intra) * len(inter))
+    assert auc >= 0.9, f"learned neighborhoods no better than chance: AUC={auc:.3f}"
+
+    # determinism: same seed + single training partition -> same vectors
+    embedder2, _ = train_word2vec_embedder(df, dim=8, seed=1)
+    emb2 = {r["doc_id"]: r["embedding"]
+            for r in embed_texts(df, dim=8, embedder=embedder2).collect()}
+    assert emb2[0] == list(emb[0])
