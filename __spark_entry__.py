@@ -2010,6 +2010,16 @@ def q_doc_dup_lines(spark, sf_dir):
     return duplicate_line_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_quality_rulepacks(spark, sf_dir):
+    """Fused quality gate: Gopher heuristics + C4 cleaning + duplicate
+    line/paragraph fractions as selectable rule-packs sharing one
+    tokenization pass (functions/text.quality_rulepacks) — one plan,
+    one scan for the shuffle-free packs, composed quality_pass."""
+    from graphouse_spark.functions.text import quality_rulepacks
+
+    return quality_rulepacks(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_quality_gate(spark, sf_dir):
     """The composed corpus quality gate: length + repetition + PII +
     pseudo-perplexity thresholds ANDed into one keep decision, reported
@@ -3415,6 +3425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_model_scores": q_doc_model_scores,
         "doc_embed_topk": q_doc_embed_topk,
         "doc_quality_gate": q_doc_quality_gate,
+        "doc_quality_rulepacks": q_doc_quality_rulepacks,
         "doc_gopher_rules": q_doc_gopher_rules,
         "doc_c4_filters": q_doc_c4_filters,
         "doc_dup_lines": q_doc_dup_lines,
@@ -3618,7 +3629,7 @@ def _lsh_cosine_oracle(dim: int = 64, n_planes: int = 6, seed: int = 42, k: int 
 
 def oracle_sql() -> dict[str, str]:
     ts_sec = "CAST(floor(epoch(ts)) AS BIGINT)"
-    return {
+    oracles = {
         "doc_minhash_md5": _minhash_md5_oracle(),
         "doc_minhash_np": _minhash_md5_oracle(),
         "emb_lsh_topk": _lsh_cosine_oracle(),
@@ -6563,6 +6574,34 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY {ts_sec}, event_id)
         """,
     }
+    # composed fused-gate oracle: the three pack oracles as CTEs joined
+    # on doc_id (string concat, not f-string — the pack SQL contains
+    # literal braces)
+    oracles["doc_quality_rulepacks"] = (
+        "WITH g AS (" + oracles["doc_gopher_rules"]
+        + "), c AS (" + oracles["doc_c4_filters"]
+        + "), d AS (" + oracles["doc_dup_lines"] + ") "
+        + """
+        SELECT g.doc_id, g.n_words, g.mean_word_len, g.symbol_ratio,
+               g.bullet_ratio, g.ellipsis_ratio, g.alpha_ratio, g.stop_hits,
+               g.rule_word_count, g.rule_mean_word_len, g.rule_symbol_ratio,
+               g.rule_bullet_lines, g.rule_ellipsis_lines, g.rule_alpha_words,
+               g.rule_stop_words, g.gopher_pass,
+               c.n_lines, c.n_kept_lines, c.kept_ratio, c.has_brace,
+               c.has_lorem, c.has_javascript, c.c4_keep, c.clean_text,
+               d.dup_line_frac, d.dup_line_char_frac, d.n_paras,
+               d.dup_para_frac, d.dup_para_char_frac,
+               d.dup_line_frac <= 0.30 AS rule_dup_lines,
+               d.dup_line_char_frac <= 0.20 AS rule_dup_line_chars,
+               d.dup_para_frac <= 0.30 AS rule_dup_paras,
+               d.dup_para_char_frac <= 0.20 AS rule_dup_para_chars,
+               (g.gopher_pass AND c.c4_keep
+                AND d.dup_line_frac <= 0.30 AND d.dup_line_char_frac <= 0.20
+                AND d.dup_para_frac <= 0.30 AND d.dup_para_char_frac <= 0.20)
+                   AS quality_pass
+        FROM g JOIN c ON g.doc_id = c.doc_id JOIN d ON g.doc_id = d.doc_id
+        """)
+    return oracles
 
 
 if __name__ == "__main__":

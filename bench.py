@@ -101,6 +101,7 @@ EXTENDED_QUERIES = [
     "doc_c4_filters",          # C4 line-level cleaning + doc drops
     # round 7
     "emb_w2v_neighbors",       # in-sandbox Word2Vec train + serve + top-k
+    "doc_quality_rulepacks",   # fused gopher+c4+dup-lines gate, one plan
 ]
 
 
@@ -157,6 +158,23 @@ class _StageMeter:
             "input_mb": round(last[3] / mb, 3),
             "spill_mb": round(last[4] / mb, 3),
         }
+
+    def stages_since(self, snapshot_id: int) -> list[dict]:
+        """Per-stage detail for plan audits (e.g. a 1-task stage
+        chewing through gigabytes is a scale-killer)."""
+        seq, out = self._stages(), []
+        for i in range(seq.size()):
+            s = seq.apply(i)
+            if s.stageId() <= snapshot_id:
+                continue
+            out.append({
+                "stage_id": s.stageId(),
+                "num_tasks": s.numTasks(),
+                "input_mb": round(s.inputBytes() / 1048576.0, 2),
+                "shuffle_read_mb": round(s.shuffleReadBytes() / 1048576.0, 2),
+                "task_sec": round(s.executorRunTime() / 1000.0, 3),
+            })
+        return out
 
 
 def main() -> None:

@@ -412,13 +412,25 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
     plan shape.)
     """
     text = F.col(text_col)
-    toks = tokens_col(text)
+    exprs = _gopher_exprs(text, tokens_col(text), _nonempty_lines(text))
+    return docs.select(F.col(id_col), *[c.alias(n) for n, c in exprs])
+
+
+def _nonempty_lines(text) -> Column:
+    """The shared line split both rule-packs consume."""
+    return F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+
+
+def _gopher_exprs(text, toks, lines) -> list:
+    """(name, Column) pairs for the Gopher pack, parameterized on the
+    token/line arrays so :func:`quality_rulepacks` can hand in arrays
+    computed ONCE per document (interpreted array lambdas see no
+    common-subexpression elimination — sharing must be structural)."""
     n_words = F.size(toks)
     sw = F.greatest(n_words, F.lit(1)).cast("double")
     mean_len = F.round(F.length(F.concat_ws("", toks)) / sw, 6)
     sym = F.regexp_count(text, F.lit("#")) + F.regexp_count(text, F.lit(r"\.\.\."))
     sym_ratio = F.round(sym / sw, 6)
-    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
     n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
     bullet_ratio = F.round(F.size(F.filter(
         lines, lambda l: F.trim(l).rlike(r"^([-*•]|\d+\.)"))) / n_lines, 6)
@@ -440,18 +452,17 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
     gopher_pass = None
     for c in rules.values():
         gopher_pass = c if gopher_pass is None else (gopher_pass & c)
-    return docs.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        sym_ratio.alias("symbol_ratio"),
-        bullet_ratio.alias("bullet_ratio"),
-        ellipsis_ratio.alias("ellipsis_ratio"),
-        alpha_ratio.alias("alpha_ratio"),
-        stop_hits.alias("stop_hits"),
-        *[c.alias(name) for name, c in rules.items()],
-        gopher_pass.alias("gopher_pass"),
-    )
+    return [
+        ("n_words", n_words),
+        ("mean_word_len", mean_len),
+        ("symbol_ratio", sym_ratio),
+        ("bullet_ratio", bullet_ratio),
+        ("ellipsis_ratio", ellipsis_ratio),
+        ("alpha_ratio", alpha_ratio),
+        ("stop_hits", stop_hits),
+        *rules.items(),
+        ("gopher_pass", gopher_pass),
+    ]
 
 
 def duplicate_line_stats(docs: DataFrame, text_col: str = "text",
@@ -523,8 +534,13 @@ def c4_filters(docs: DataFrame, min_line_words: int = 5,
     array lambdas only — same plan posture as :func:`gopher_rules`.
     """
     text = F.col(text_col)
-    lines = F.filter(
-        F.split(text, "\n"), lambda l: F.trim(l) != "")
+    exprs = _c4_exprs(text, _nonempty_lines(text), min_line_words, min_lines)
+    return docs.select(F.col(id_col), *[c.alias(n) for n, c in exprs])
+
+
+def _c4_exprs(text, lines, min_line_words: int, min_lines: int) -> list:
+    """(name, Column) pairs for the C4 pack over a supplied line
+    array (see :func:`_gopher_exprs` for why it is parameterized)."""
     kept = F.filter(
         lines,
         lambda l: F.trim(l).rlike(r'[.!?"]$')
@@ -539,19 +555,83 @@ def c4_filters(docs: DataFrame, min_line_words: int = 5,
     has_lorem = lower.contains("lorem ipsum")
     has_js = lower.contains("javascript")
     keep = (n_kept >= int(min_lines)) & ~has_brace & ~has_lorem
-    return docs.select(
-        F.col(id_col),
-        n_lines.alias("n_lines"),
-        n_kept.alias("n_kept_lines"),
-        F.round(n_kept / F.greatest(n_lines, F.lit(1)).cast("double"), 6)
-        .alias("kept_ratio"),
-        has_brace.alias("has_brace"),
-        has_lorem.alias("has_lorem"),
-        has_js.alias("has_javascript"),
-        keep.alias("c4_keep"),
-        F.when(keep, F.array_join(F.transform(kept, F.trim), "\n"))
-        .alias("clean_text"),
-    )
+    return [
+        ("n_lines", n_lines),
+        ("n_kept_lines", n_kept),
+        ("kept_ratio",
+         F.round(n_kept / F.greatest(n_lines, F.lit(1)).cast("double"), 6)),
+        ("has_brace", has_brace),
+        ("has_lorem", has_lorem),
+        ("has_javascript", has_js),
+        ("c4_keep", keep),
+        ("clean_text",
+         F.when(keep, F.array_join(F.transform(kept, F.trim), "\n"))),
+    ]
+
+
+def quality_rulepacks(docs: DataFrame,
+                      packs: tuple[str, ...] = ("gopher", "c4", "dup_lines"),
+                      dup_line_frac_max: float = 0.30,
+                      dup_para_frac_max: float = 0.30,
+                      dup_line_char_frac_max: float = 0.20,
+                      dup_para_char_frac_max: float = 0.20,
+                      min_line_words: int = 5, min_lines: int = 3,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """The fused corpus quality gate: Gopher heuristics, C4 cleaning
+    and Gopher's duplicate line/paragraph fractions as SELECTABLE
+    rule-packs in one plan, ANDed into ``quality_pass``.
+
+    Fusion is structural, not cosmetic: the token and line arrays are
+    materialized once per document in a child projection and both
+    shuffle-free packs read the SAME arrays (interpreted array lambdas
+    get no common-subexpression elimination, and CollapseProject keeps
+    non-cheap expressions un-inlined — so this is one tokenization
+    pass where composing :func:`gopher_rules` + :func:`c4_filters`
+    would split and filter the text twice). The ``dup_lines`` pack
+    needs gram aggregation (two doc_id-keyed shuffles) and joins back
+    on the id. The duplicate-fraction thresholds are the published
+    Gopher repetition limits (Rae et al. 2021, Table A1).
+    """
+    text = F.col(text_col)
+    cols: list = []
+    pass_terms: list = []
+    base_cols = [F.col(id_col)]
+    if "gopher" in packs or "c4" in packs:
+        base_cols.append(_nonempty_lines(text).alias("_lines"))
+    if "gopher" in packs:
+        base_cols.append(tokens_col(text).alias("_toks"))
+    base = docs.select(*base_cols, text.alias(text_col))
+    if "gopher" in packs:
+        cols += _gopher_exprs(F.col(text_col), F.col("_toks"),
+                              F.col("_lines"))
+        pass_terms.append("gopher_pass")
+    if "c4" in packs:
+        cols += _c4_exprs(F.col(text_col), F.col("_lines"),
+                          min_line_words, min_lines)
+        pass_terms.append("c4_keep")
+    out = base.select(F.col(id_col), *[c.alias(n) for n, c in cols])
+    if "dup_lines" in packs:
+        dup = duplicate_line_stats(docs, text_col=text_col, id_col=id_col)
+        if "c4" in packs:  # both count the same non-empty lines
+            dup = dup.drop("n_lines")
+        dup_rules = [
+            ("rule_dup_lines", F.col("dup_line_frac") <= dup_line_frac_max),
+            ("rule_dup_line_chars",
+             F.col("dup_line_char_frac") <= dup_line_char_frac_max),
+            ("rule_dup_paras", F.col("dup_para_frac") <= dup_para_frac_max),
+            ("rule_dup_para_chars",
+             F.col("dup_para_char_frac") <= dup_para_char_frac_max),
+        ]
+        dup = dup.select("*", *[c.alias(n) for n, c in dup_rules])
+        out = out.join(dup, id_col, "inner")
+        pass_terms += [n for n, _ in dup_rules]
+    if not pass_terms:
+        raise ValueError(f"no known rule-pack in {packs!r}")
+    gate = None
+    for t in pass_terms:
+        gate = F.col(t) if gate is None else (gate & F.col(t))
+    return out.withColumn("quality_pass", gate)
 
 
 def chunk_dedup(docs: DataFrame, chunk_tokens: int = 8, text_col: str = "text",

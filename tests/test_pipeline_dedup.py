@@ -553,3 +553,47 @@ def test_duplicate_line_stats_hand_math(spark):
     assert r["dup_line_char_frac"] == round(24 / 30, 6)
     assert r["n_paras"] == 3 and r["dup_para_frac"] == round(2 / 3, 6)
     assert r["dup_para_char_frac"] == round(16 / 33, 6)
+
+
+def test_quality_rulepacks_fused_plan_and_selection(spark):
+    """The fused gate: selectable packs, composed quality_pass, and —
+    the point of the fusion — the shuffle-free gopher+c4 combination
+    stays ONE exchange-free projection over one scan."""
+    from graphouse_spark.functions.text import (
+        c4_filters, gopher_rules, quality_rulepacks)
+
+    good = "this is a perfectly reasonable sentence for the corpus."
+    docs = [(1, "\n".join([good] * 4)),
+            (2, "\n".join([good] * 2) + "\nrepeat me\nrepeat me\nrepeat me")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    both = {r["doc_id"]: r.asDict()
+            for r in quality_rulepacks(df).collect()}
+    # pack columns agree with the standalone operators
+    g = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    c = {r["doc_id"]: r.asDict() for r in c4_filters(df).collect()}
+    for i in (1, 2):
+        for k, v in g[i].items():
+            assert both[i][k] == v, k
+        for k, v in c[i].items():
+            assert both[i][k] == v, k
+        assert both[i]["quality_pass"] == (
+            both[i]["gopher_pass"] and both[i]["c4_keep"]
+            and both[i]["rule_dup_lines"] and both[i]["rule_dup_line_chars"]
+            and both[i]["rule_dup_paras"] and both[i]["rule_dup_para_chars"])
+
+    # pack selection drops the other packs' columns
+    only_g = quality_rulepacks(df, packs=("gopher",))
+    assert "c4_keep" not in only_g.columns
+    assert "dup_line_frac" not in only_g.columns
+    assert {r["doc_id"]: r["quality_pass"] for r in only_g.collect()} == {
+        i: g[i]["gopher_pass"] for i in (1, 2)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="rule-pack"):
+        quality_rulepacks(df, packs=("nope",))
+
+    # shuffle-free fusion: gopher+c4 plan has no exchange and one scan
+    plan = (quality_rulepacks(df, packs=("gopher", "c4"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert plan.count("Scan") <= 1

@@ -1,16 +1,34 @@
-"""Scale-up smoke: does the flagship path scale linearly past the test SF?
+"""Scale-up audit: do the core plans survive a 10x-100x data blow-up?
 
-Builds a 10x copy of the sf0.1 events table in /tmp (id-offset unions —
-same distributions, 10x rows ~ 6M events), then times the core
-graphouse-shaped aggregations at 1x vs 10x. A healthy plan grows
-roughly linearly (shuffle-bound), never quadratically, and keeps every
-stage parallel (no 1-task stages).
+Builds an N-copy blow-up of the sf0.1 events/documents/embeddings
+tables in /tmp (crossJoin with a copy index — one plan regardless of
+N; 100 copies of events = 10M rows), then runs the core aggregation
+family, the dedup/cluster plans and the percentile-band prune at 1x
+vs Nx, recording WALL and EXECUTOR TASK-TIME per run (wall on this
+host is noise-bound; task-time is the plan-determined number) plus a
+per-stage audit: any stage with one task processing real data is a
+scale-killer and fails the check.
 
-Usage: python tools/scale_check.py [copies]
+Copy semantics:
+- events: event_id/user_id re-keyed per copy — same distributions,
+  N x the rows, N x the users.
+- documents: every WORD gets a per-copy suffix, so shingles differ
+  across copies and the near-dup / clustering profile stays the
+  original one repeated N times (a verbatim copy would give every doc
+  N-1 exact twins — a quadratic candidate blow-up that measures the
+  synthetic profile, not the plan).
+- embeddings: re-keyed verbatim (ANN cost is corpus x queries,
+  profile-independent).
+
+A healthy plan grows roughly linearly (shuffle-bound) in task-time,
+never quadratically, and keeps every data-bearing stage parallel.
+
+Usage: python tools/scale_check.py [copies] [--json]
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -18,87 +36,111 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as em  # noqa: E402
+from bench import _StageMeter  # noqa: E402
 from graphouse_spark.session import get_spark  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
-OUT = "/tmp/spark_graft_scale10"
+
+#: the 100x basket the round-5 verdict asked for: core agg family +
+#: the two dedup/cluster plans + the percentile-band prune
+QUERIES = [
+    "gh_lww_dedup", "gh_bucket_agg", "gh_two_level_agg",
+    "gh_sliding_window", "gh_distinct_users", "gh_percentiles",
+    "ts_remove_between_pctl",
+    "doc_exact_dedup", "doc_minhash_np",
+    "doc_dedup_clusters", "doc_corpus_pipeline",
+]
 
 
-def build(spark, copies: int) -> None:
+def multiply(df, copies: int, keys: dict[str, int]):
+    """N logical copies via one crossJoin with a copy index: each key
+    column k re-keys as ``k * copies + copy`` (collision-free), other
+    columns repeat. One plan node regardless of N."""
+    c = df.sparkSession.range(copies).withColumnRenamed("id", "_c")
+    out = df.crossJoin(F.broadcast(c))
+    for k in keys:
+        out = out.withColumn(k, F.col(k) * copies + F.col("_c"))
+    return out
+
+
+def build(spark, copies: int, out_dir: str) -> None:
     ev = spark.read.parquet(f"{BASE}/events.parquet")
-    n = ev.count()
-    parts = [
-        ev.withColumn("event_id", F.col("event_id") + F.lit(i * n))
-        .withColumn("user_id", F.col("user_id") + F.lit(i * 1000))
-        for i in range(copies)
-    ]
-    big = parts[0]
-    for p in parts[1:]:
-        big = big.unionByName(p)
-    big.repartition(32).write.mode("overwrite").parquet(f"{OUT}/events.parquet")
+    (multiply(ev, copies, {"event_id": copies, "user_id": copies})
+     .drop("_c").repartition(32)
+     .write.mode("overwrite").parquet(f"{out_dir}/events.parquet"))
 
-    # documents/embeddings too: the LLM-pipeline ops (dedup, ANN) are
-    # the surfaces whose scale posture matters most. doc_id offsets
-    # keep ids unique; texts/vectors repeat verbatim, so the near-dup
-    # ops see a WORSE-than-real duplication profile — a conservative
-    # stress (every doc gains copies-1 exact twins).
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
-    nd = docs.count()
-    dparts = [
-        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * nd))
-        for i in range(copies)
-    ]
-    dbig = dparts[0]
-    for p in dparts[1:]:
-        dbig = dbig.unionByName(p)
-    dbig.repartition(32).write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
+    big = multiply(docs, copies, {"doc_id": copies})
+    # word-level copy suffix: shingles/minhashes differ across copies,
+    # preserving the original near-dup profile N times over
+    big = big.withColumn(
+        "text",
+        F.regexp_replace(
+            F.col("text"), r"(\w+)",
+            F.concat(F.lit("$1c"), F.col("_c").cast("string"))),
+    )
+    (big.drop("_c").repartition(32)
+     .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet"))
 
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
-    ne = emb.count()
-    eparts = [
-        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * ne))
-        for i in range(copies)
-    ]
-    ebig = eparts[0]
-    for p in eparts[1:]:
-        ebig = ebig.unionByName(p)
-    ebig.repartition(32).write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
+    (multiply(emb, copies, {"vec_id": copies})
+     .drop("_c").repartition(32)
+     .write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet"))
+
+
+def run_one(spark, meter, fn, sf_dir: str) -> dict:
+    fn(spark, sf_dir).count()  # warm/compile
+    spark.catalog.clearCache()
+    snap = meter.max_stage_id()
+    t0 = time.perf_counter()
+    n = fn(spark, sf_dir).count()
+    wall = time.perf_counter() - t0
+    stats = meter.since(snap)
+    stages = meter.stages_since(snap)
+    # a 1-task stage over real data cannot use the cluster
+    narrow = [s for s in stages
+              if s["num_tasks"] == 1
+              and (s["input_mb"] + s["shuffle_read_mb"]) > 64]
+    return {"rows": n, "wall": round(wall, 2),
+            "task_sec": stats["task_sec"],
+            "shuffle_write_mb": stats["shuffle_write_mb"],
+            "spill_mb": stats["spill_mb"],
+            "one_task_stages": narrow}
 
 
 def main() -> None:
-    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    copies = int(args[0]) if args else 10
+    as_json = "--json" in sys.argv
+    out_dir = f"/tmp/spark_graft_scale{copies}"
     spark = get_spark("scale-check")
     spark.sparkContext.setLogLevel("ERROR")
-    build(spark, copies)
+    meter = _StageMeter(spark)
+    t0 = time.perf_counter()
+    build(spark, copies, out_dir)
+    build_sec = round(time.perf_counter() - t0, 1)
 
-    # queries must read ONLY tables the build step scaled
-    names = ["gh_lww_dedup", "gh_bucket_agg", "gh_two_level_agg",
-             "gh_sliding_window", "gh_distinct_users", "gh_percentiles",
-             "doc_exact_dedup", "doc_token_stats", "doc_chunk_dedup",
-             "doc_minhash_np", "doc_duplicated_spans",
-             "emb_cosine_topk_np", "emb_quantize",
-             "doc_lm_perplexity", "emb_twostage_topk",
-             "ev_weighted_quantiles", "doc_url_funcs",
-             "ts_lttb", "ts_linreg_line", "ts_map_reduce",
-             # round 4 replans: the window-min chain and the
-             # sketch-only quantile read must stay shuffle-bound
-             "ev_sequence_next", "sketch_value_quantiles",
-             # round 5 replans: fingerprint-collapsed clustering and
-             # the rank-percentile band join
-             "doc_dedup_clusters", "doc_corpus_pipeline",
-             "ts_remove_between_pctl"]
     qs = em.queries()
-    print(f"{'query':24s} {'1x':>8s} {'x' + str(copies):>8s} {'ratio':>7s}")
-    for name in names:
+    results = {}
+    if not as_json:
+        print(f"# build {copies}x: {build_sec}s")
+        print(f"{'query':24s} {'wall1x':>7s} {'wallNx':>7s} "
+              f"{'task1x':>7s} {'taskNx':>7s} {'t-ratio':>8s}")
+    for name in QUERIES:
         fn = qs[name]
-        fn(spark, BASE).count(); spark.catalog.clearCache()
-        t0 = time.perf_counter(); fn(spark, BASE).count()
-        t_small = time.perf_counter() - t0
-        spark.catalog.clearCache()
-        fn(spark, OUT).count(); spark.catalog.clearCache()
-        t0 = time.perf_counter(); fn(spark, OUT).count()
-        t_big = time.perf_counter() - t0
-        print(f"{name:24s} {t_small:8.2f} {t_big:8.2f} {t_big / max(t_small, 1e-9):6.1f}x")
+        small = run_one(spark, meter, fn, BASE)
+        big = run_one(spark, meter, fn, out_dir)
+        ratio = big["task_sec"] / max(small["task_sec"], 1e-9)
+        results[name] = {"small": small, "big": big,
+                         "task_ratio": round(ratio, 1)}
+        if not as_json:
+            flag = (" !! 1-task stage" if big["one_task_stages"] else "")
+            print(f"{name:24s} {small['wall']:7.2f} {big['wall']:7.2f} "
+                  f"{small['task_sec']:7.2f} {big['task_sec']:7.2f} "
+                  f"{ratio:7.1f}x{flag}")
+    if as_json:
+        print(json.dumps({"copies": copies, "build_sec": build_sec,
+                          "results": results}))
     spark.stop()
 
 
