@@ -86,6 +86,64 @@ def _extract_with_fill(query: str):
     return spec, "".join(s.text for s in segs)
 
 
+#: trailing CH ``LIMIT n BY col[, col...] [LIMIT m]`` — first n rows
+#: per distinct key (in result order), THEN the plain limit.
+_LIMIT_BY_RE = re.compile(
+    r"\bLIMIT\s+(\d+)\s+BY\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)"
+    r"(?:\s+LIMIT\s+(\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _extract_limit_by(query: str):
+    """Detect and strip a trailing CH ``LIMIT n BY cols [LIMIT m]``.
+
+    Returns ``(spec | None, query_without_clause)``; applied to the
+    collected result (order preserved from the statement's ORDER BY),
+    like :func:`_apply_with_fill`."""
+    from graphouse_spark.api.sqlguard import tokenize
+
+    segs = tokenize(query)
+    idx = None
+    for i in range(len(segs) - 1, -1, -1):
+        if segs[i].kind == "comment":
+            continue
+        if segs[i].kind == "code":
+            idx = i
+        break
+    if idx is None:
+        return None, query
+    m = _LIMIT_BY_RE.search(segs[idx].text)
+    if m is None:
+        return None, query
+    n, cols, lim = m.groups()
+    spec = {"n": int(n),
+            "by": [c.strip() for c in cols.split(",")],
+            "limit": None if lim is None else int(lim)}
+    segs[idx].text = segs[idx].text[:m.start()]
+    return spec, "".join(s.text for s in segs)
+
+
+def _apply_limit_by(rows, schema, spec):
+    """First ``n`` rows per distinct ``by``-tuple, in result order —
+    CH LIMIT BY semantics (the "top-N per group" admin spelling)."""
+    names = [f.name for f in schema.fields]
+    for c in spec["by"]:
+        if c not in names:
+            raise ValueError(f"LIMIT BY column {c!r} is not in the result")
+    seen: dict = {}
+    out = []
+    for r in rows:
+        key = tuple(r[c] for c in spec["by"])
+        k = seen.get(key, 0)
+        if k < spec["n"]:
+            out.append(r)
+            seen[key] = k + 1
+    if spec["limit"] is not None:
+        out = out[:spec["limit"]]
+    return out
+
+
 def _apply_with_fill(rows, schema, spec):
     """CH FillingTransform semantics on the collected result: walk the
     sorted rows, inserting fill rows stepped from the PREVIOUS row (or
@@ -535,8 +593,9 @@ class GraphouseService:
             # surface as GuardError from the main guard pass)
             try:
                 fill_spec, query = _extract_with_fill(query)
+                limit_by, query = _extract_limit_by(query)
             except sqlguard.GuardError:
-                fill_spec = None
+                fill_spec = limit_by = None
             data_df = read_data(self.spark, self.data_path)
             metrics_df = read_metrics(self.spark, self.metrics_path)
             data_df.createOrReplaceTempView("data")
@@ -592,6 +651,8 @@ class GraphouseService:
                 rows = _apply_with_fill(rows, df.schema, fill_spec)
                 if fill_spec["limit"] is not None:
                     rows = rows[:fill_spec["limit"]]
+            if limit_by is not None:
+                rows = _apply_limit_by(rows, df.schema, limit_by)
             log["rows"] = len(rows)
             if fmt.upper() == "JSON":
                 return json.dumps({

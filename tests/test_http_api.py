@@ -817,3 +817,30 @@ def test_query_final_and_with_fill(spark, tmp_path):
     with pytest.raises(ValueError):
         svc.sql("INSERT INTO data SELECT * FROM data "
                 "ORDER BY timestamp WITH FILL")
+
+
+def test_query_limit_by(spark, tmp_path):
+    """CH ``LIMIT n BY col``: first n rows per distinct key in result
+    order — the 'latest point per metric' admin spelling."""
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    rows = ["one_min.a.cpu 1.0 1000", "one_min.a.cpu 2.0 1060",
+            "one_min.a.cpu 3.0 1120", "one_min.b.cpu 7.0 1000",
+            "one_min.b.cpu 8.0 1060"]
+    raw = spark.createDataFrame([(l,) for l in rows], "value string")
+    ingest_batch(parse_lines(raw, updated=F.lit(100)), cfg, known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path)
+
+    out = svc.sql("SELECT metric, timestamp AS ts, value FROM graphite.data "
+                  "ORDER BY metric, ts DESC LIMIT 2 BY metric")
+    assert out.splitlines() == [
+        "one_min.a.cpu\t1120\t3.0", "one_min.a.cpu\t1060\t2.0",
+        "one_min.b.cpu\t1060\t8.0", "one_min.b.cpu\t1000\t7.0"]
+    # trailing plain LIMIT applies AFTER the per-key cut
+    out = svc.sql("SELECT metric, timestamp AS ts, value FROM graphite.data "
+                  "ORDER BY metric, ts DESC LIMIT 1 BY metric LIMIT 1")
+    assert out.splitlines() == ["one_min.a.cpu\t1120\t3.0"]
+    # unknown key column -> clean error; literals stay untouched
+    with pytest.raises(ValueError, match="LIMIT BY"):
+        svc.sql("SELECT metric FROM graphite.data LIMIT 1 BY nope")
+    assert svc.sql("SELECT 'x LIMIT 1 BY y' AS s").strip() == "x LIMIT 1 BY y"
