@@ -43,6 +43,7 @@ from graphouse_spark.tree_index import MetricTree
 _WITH_FILL_RE = re.compile(
     r"ORDER\s+BY\s+([A-Za-z_]\w*)\s*(ASC|DESC)?\s+WITH\s+FILL"
     r"(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(\d+))?"
+    r"(?:\s+INTERPOLATE\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?"
     r"(?:\s+LIMIT\s+(\d+))?\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -69,7 +70,7 @@ def _extract_with_fill(query: str):
     m = _WITH_FILL_RE.search(segs[idx].text)
     if m is None:
         return None, query
-    col, d, frm, to, step, lim = m.groups()
+    col, d, frm, to, step, interp, lim = m.groups()
     desc = (d or "").upper() == "DESC"
     spec = {
         "col": col,
@@ -77,6 +78,9 @@ def _extract_with_fill(query: str):
         "from": None if frm is None else int(frm),
         "to": None if to is None else int(to),
         "step": int(step) if step else 1,
+        # CH INTERPOLATE (col, ...): fill rows carry the previous
+        # row's value for these columns instead of the type default
+        "interpolate": [c.strip() for c in interp.split(",")] if interp else [],
         "limit": None if lim is None else int(lim),
     }
     if spec["step"] <= 0:
@@ -180,10 +184,20 @@ def _apply_with_fill(rows, schema, spec):
 
     defaults = [default_of(f) for f in schema.fields]
     R = Row(*names)
+    interp = spec.get("interpolate") or []
+    for c in interp:
+        if c not in names:
+            raise ValueError(f"INTERPOLATE column {c!r} is not in the result")
+    ii = [names.index(c) for c in interp]
+
+    prev = [None]
 
     def mk(v):
         vals = list(defaults)
         vals[ci] = v
+        if prev[0] is not None:
+            for i in ii:  # carry-forward, CH INTERPOLATE (col) form
+                vals[i] = prev[0][i]
         return R(*vals)
 
     sgn = -1 if spec["desc"] else 1
@@ -200,6 +214,7 @@ def _apply_with_fill(rows, schema, spec):
             out.append(mk(cur))
             cur += st
         out.append(r)
+        prev[0] = r
         cand = v + st
         if cur is None or (cand - cur) * sgn > 0:
             cur = cand

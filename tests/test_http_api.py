@@ -808,6 +808,13 @@ def test_query_final_and_with_fill(spark, tmp_path):
         "SELECT timestamp AS ts, max(value) AS v FROM graphite.data FINAL "
         "GROUP BY ts ORDER BY ts WITH FILL FROM 1000 TO 1240 STEP 60 LIMIT 2")
     assert out.splitlines() == ["1000\t9.0", "1060\t0.0"]
+    # INTERPOLATE (col): fill rows carry the previous row's value
+    out = svc.sql(
+        "SELECT timestamp AS ts, max(value) AS v FROM graphite.data FINAL "
+        "GROUP BY ts ORDER BY ts WITH FILL FROM 1000 TO 1240 STEP 60 "
+        "INTERPOLATE (v)")
+    assert out.splitlines() == [
+        "1000\t9.0", "1060\t9.0", "1120\t2.0", "1180\t2.0"]
     # a string literal mentioning the spelling is untouched (token-safe)
     out = svc.sql("SELECT 'ORDER BY ts WITH FILL' AS s")
     assert out.strip() == "ORDER BY ts WITH FILL"
