@@ -646,6 +646,18 @@ class GraphouseService:
                     r"\b(data|metrics)\b((?:\s+AS)?\s+\w+)?\s+FINAL\b",
                     lambda m: f"{m.group(1)}_final{m.group(2) or ''}",
                     code, flags=_re.IGNORECASE)
+                # CH SAMPLE k: fraction (0,1] -> PERCENT, integer ->
+                # ROWS — Spark spells both TABLESAMPLE
+                def _sample(m):
+                    k = float(m.group(3))
+                    t = m.group(1) + (m.group(2) or "")
+                    if k <= 1.0:
+                        return f"{t} TABLESAMPLE ({k * 100:g} PERCENT)"
+                    return f"{t} TABLESAMPLE ({int(k)} ROWS)"
+                code = _re.sub(
+                    r"\b(data|metrics|query_log)(_final)?\s+SAMPLE\s+"
+                    r"(\d+\.?\d*|\.\d+)\b",
+                    _sample, code, flags=_re.IGNORECASE)
                 for ch, sp in (("argMax", "max_by"), ("argMin", "min_by"),
                                ("uniq", "approx_count_distinct")):
                     code = _re.sub(rf"\b{ch}\s*\(", sp + "(", code)

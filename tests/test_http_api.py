@@ -851,3 +851,24 @@ def test_query_limit_by(spark, tmp_path):
     with pytest.raises(ValueError, match="LIMIT BY"):
         svc.sql("SELECT metric FROM graphite.data LIMIT 1 BY nope")
     assert svc.sql("SELECT 'x LIMIT 1 BY y' AS s").strip() == "x LIMIT 1 BY y"
+
+
+def test_query_sample_clause(spark, tmp_path):
+    """CH ``SAMPLE k``: fraction -> TABLESAMPLE PERCENT, integer ->
+    TABLESAMPLE ROWS; composes with FINAL."""
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    rows = [f"one_min.s.cpu {i}.0 {1000 + 60 * i}" for i in range(50)]
+    raw = spark.createDataFrame([(l,) for l in rows], "value string")
+    ingest_batch(parse_lines(raw, updated=F.lit(100)), cfg, known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path)
+
+    n = int(svc.sql("SELECT count(*) AS n FROM graphite.data SAMPLE 5").strip())
+    assert n == 5  # integer form: exactly n rows
+    frac = int(svc.sql("SELECT count(*) AS n FROM graphite.data SAMPLE 0.5")
+               .strip())
+    assert 0 <= frac <= 50  # percent form: bernoulli sample
+    combo = int(svc.sql("SELECT count(*) AS n FROM graphite.data FINAL "
+                        "SAMPLE 10").strip())
+    assert combo == 10
+    assert svc.sql("SELECT 'data SAMPLE 5' AS s").strip() == "data SAMPLE 5"
