@@ -99,6 +99,39 @@ _LIMIT_BY_RE = re.compile(
 )
 
 
+#: trailing CH ``FORMAT <name>`` — admins append it to the query text;
+#: maps onto the fmt parameter like the CH HTTP interface does.
+_FORMAT_RE = re.compile(
+    r"\bFORMAT\s+(TSV|TabSeparated|JSON|JSONCompact)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_FORMAT_NAMES = {"tsv": "TSV", "tabseparated": "TSV",
+                 "json": "JSON", "jsoncompact": "JSON"}
+
+
+def _extract_format(query: str):
+    """Detect and strip a trailing CH ``FORMAT <name>`` clause.
+    Returns ``(fmt | None, query_without_clause)``."""
+    from graphouse_spark.api.sqlguard import tokenize
+
+    segs = tokenize(query)
+    idx = None
+    for i in range(len(segs) - 1, -1, -1):
+        if segs[i].kind == "comment":
+            continue
+        if segs[i].kind == "code":
+            idx = i
+        break
+    if idx is None:
+        return None, query
+    m = _FORMAT_RE.search(segs[idx].text)
+    if m is None:
+        return None, query
+    segs[idx].text = segs[idx].text[:m.start()]
+    return _FORMAT_NAMES[m.group(1).lower()], "".join(s.text for s in segs)
+
+
 def _extract_limit_by(query: str):
     """Detect and strip a trailing CH ``LIMIT n BY cols [LIMIT m]``.
 
@@ -605,8 +638,13 @@ class GraphouseService:
             register_ch_dialect(self.spark)
             # CH ORDER BY ... WITH FILL: strip the clause, fill the
             # collected result below (token-safe — tokenizer errors
-            # surface as GuardError from the main guard pass)
+            # surface as GuardError from the main guard pass). A
+            # trailing CH `FORMAT <name>` overrides the fmt param,
+            # exactly like the CH HTTP interface.
             try:
+                fmt_clause, query = _extract_format(query)
+                if fmt_clause is not None:
+                    fmt = fmt_clause
                 fill_spec, query = _extract_with_fill(query)
                 limit_by, query = _extract_limit_by(query)
             except sqlguard.GuardError:
@@ -658,6 +696,12 @@ class GraphouseService:
                     r"\b(data|metrics|query_log)(_final)?\s+SAMPLE\s+"
                     r"(\d+\.?\d*|\.\d+)\b",
                     _sample, code, flags=_re.IGNORECASE)
+                # CH PREWHERE is WHERE plus a storage hint Catalyst
+                # handles itself (pushdown); a query carrying BOTH
+                # clauses fails Spark's parse with an explicit error
+                # rather than silently dropping a predicate
+                code = _re.sub(r"\bPREWHERE\b", "WHERE", code,
+                               flags=_re.IGNORECASE)
                 for ch, sp in (("argMax", "max_by"), ("argMin", "min_by"),
                                ("uniq", "approx_count_distinct")):
                     code = _re.sub(rf"\b{ch}\s*\(", sp + "(", code)

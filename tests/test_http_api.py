@@ -872,3 +872,24 @@ def test_query_sample_clause(spark, tmp_path):
                         "SAMPLE 10").strip())
     assert combo == 10
     assert svc.sql("SELECT 'data SAMPLE 5' AS s").strip() == "data SAMPLE 5"
+
+
+def test_query_prewhere_and_format_clause(spark, tmp_path):
+    """CH PREWHERE answers as WHERE (Catalyst owns the pushdown the CH
+    hint requests); a trailing FORMAT <name> in the query text
+    overrides the fmt parameter, as on the CH HTTP interface."""
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    raw = spark.createDataFrame(
+        [("one_min.p.cpu 1.0 1000",), ("one_min.p.cpu 2.0 1060",)],
+        "value string")
+    ingest_batch(parse_lines(raw, updated=F.lit(100)), cfg, known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path)
+
+    out = svc.sql("SELECT value FROM graphite.data PREWHERE timestamp = 1060")
+    assert out.strip() == "2.0"
+    body = svc.sql("SELECT count(*) AS n FROM graphite.data FORMAT JSON")
+    assert json.loads(body)["data"] == [{"n": 2}]
+    assert svc.sql("SELECT count(*) AS n FROM graphite.data "
+                   "FORMAT TabSeparated").strip() == "2"
+    assert svc.sql("SELECT 'FORMAT JSON' AS s").strip() == "FORMAT JSON"
