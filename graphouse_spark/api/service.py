@@ -258,6 +258,300 @@ def _apply_with_fill(rows, schema, spec):
     return out
 
 
+def _code_view(query: str):
+    """Tokenize ``query`` and return ``(text, search)`` where ``text``
+    is the original statement and ``search`` is a same-length shadow
+    with every non-code character (string literals, quoted
+    identifiers, comments) replaced by ``\\x00`` — so regexes and
+    paren counting over ``search`` can never match or count inside
+    attacker-controlled literal content, while slices of ``text``
+    preserve it verbatim."""
+    from graphouse_spark.api import sqlguard
+
+    segs = sqlguard.tokenize(query)
+    text = "".join(s.text for s in segs)
+    search = "".join(
+        s.text if s.kind == "code" else "\x00" * len(s.text) for s in segs
+    )
+    return text, search
+
+
+def _depth_at(search: str):
+    """Paren depth before each character of ``search`` (code chars
+    only — masked chars can't open or close a group)."""
+    depths, d = [], 0
+    for c in search:
+        depths.append(d)
+        if c == "(":
+            d += 1
+        elif c == ")":
+            d -= 1
+    return depths
+
+
+def _parse_call(text: str, search: str, open_idx: int):
+    """Parse a balanced ``( ... )`` group starting at
+    ``text[open_idx] == '('``. Returns ``(args, end)`` where ``args``
+    are the top-level comma-split argument strings (original text,
+    literals intact) and ``end`` is the index just past ``)``."""
+    from graphouse_spark.api import sqlguard
+
+    depth, args, buf = 0, [], []
+    i, n = open_idx, len(text)
+    while i < n:
+        c = search[i]
+        if c == "(":
+            depth += 1
+            if depth > 1:
+                buf.append(text[i])
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                args.append("".join(buf).strip())
+                return args, i + 1
+            buf.append(text[i])
+        elif c == "," and depth == 1:
+            args.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(text[i])
+        i += 1
+    raise sqlguard.GuardError("unbalanced parentheses in aggregate call")
+
+
+#: CH -If / parameterized-quantile aggregate spellings served by
+#: /query. The -If combinators rewrite to CASE-gated Spark aggregates
+#: (NULLs fall out of the aggregate exactly like CH's filtered rows);
+#: ``quantile(p)(x)``'s two-group syntax — which Spark cannot parse at
+#: all — becomes ``percentile[_approx](x, p)``. Case-sensitive, like
+#: ClickHouse itself.
+_CH_IF_TEMPLATES = {
+    # sumIf of zero matching rows is 0 in CH, not NULL
+    "sumIf": "coalesce(sum(CASE WHEN {c} THEN {x} END), 0)",
+    "avgIf": "avg(CASE WHEN {c} THEN {x} END)",
+    "minIf": "min(CASE WHEN {c} THEN {x} END)",
+    "maxIf": "max(CASE WHEN {c} THEN {x} END)",
+    "uniqIf": "approx_count_distinct(CASE WHEN {c} THEN {x} END)",
+    "uniqExactIf": "count(DISTINCT CASE WHEN {c} THEN {x} END)",
+    "anyIf": "any_value(CASE WHEN {c} THEN {x} END)",
+}
+#: parameterized family: name -> (spark function, exact?)
+_CH_QUANTILE_FUNCS = {
+    "quantile": "percentile_approx",
+    "quantileTDigest": "percentile_approx",
+    "quantileExact": "percentile",
+    "quantiles": "percentile_approx",
+    "quantilesExact": "percentile",
+    "quantileExactWeighted": "percentile",
+}
+_CH_AGG_NAME_RE = re.compile(
+    r"(?<![\w.])(countIf|sumIf|avgIf|minIf|maxIf|uniqIf|uniqExactIf|anyIf|"
+    r"uniqExact|avgWeighted|quantilesExact|quantiles|quantileExactWeighted|"
+    r"quantileTDigest|quantileExact|quantile)\s*\("
+)
+
+
+def _rewrite_combinator_aggs(query: str) -> str:
+    """Rewrite CH combinator/parameterized aggregates to Spark
+    spellings, one leftmost occurrence per pass until none remain.
+    Token-safe: names never match inside literals, argument splitting
+    counts parens/commas on code characters only, and each pass
+    re-tokenizes the rewritten statement (argument text is spliced
+    verbatim, literals and all)."""
+    from graphouse_spark.api import sqlguard
+
+    for _ in range(64):
+        text, search = _code_view(query)
+        m = _CH_AGG_NAME_RE.search(search)
+        if m is None:
+            return query
+        name = m.group(1)
+        args, end = _parse_call(text, search, m.end() - 1)
+        if name in _CH_QUANTILE_FUNCS:
+            # two-group syntax: quantile(p[, ...])(x[, w])
+            j = end
+            while j < len(text) and text[j].isspace():
+                j += 1
+            if j >= len(text) or search[j] != "(":
+                raise sqlguard.GuardError(
+                    f"{name} uses parameterized syntax {name}(p)(expr)")
+            params = args
+            args, end = _parse_call(text, search, j)
+            fn = _CH_QUANTILE_FUNCS[name]
+            if name.startswith("quantiles"):
+                repl = f"{fn}({args[0]}, array({', '.join(params)}))"
+            elif name == "quantileExactWeighted":
+                if len(args) != 2:
+                    raise sqlguard.GuardError(
+                        "quantileExactWeighted takes (p)(expr, weight)")
+                repl = f"{fn}({args[0]}, {params[0]}, {args[1]})"
+            else:
+                repl = f"{fn}({args[0]}, {params[0]})"
+        elif name == "countIf":
+            if len(args) != 1:
+                raise sqlguard.GuardError("countIf takes one condition")
+            repl = f"count_if({args[0]})"
+        elif name == "uniqExact":
+            repl = f"count(DISTINCT {', '.join(args)})"
+        elif name == "avgWeighted":
+            if len(args) != 2:
+                raise sqlguard.GuardError("avgWeighted takes (expr, weight)")
+            x, w = args
+            repl = f"(sum(({x}) * ({w})) / sum({w}))"
+        else:
+            if len(args) != 2:
+                raise sqlguard.GuardError(f"{name} takes (expr, condition)")
+            repl = _CH_IF_TEMPLATES[name].format(x=args[0], c=args[1])
+        query = text[:m.start()] + repl + text[end:]
+    raise sqlguard.GuardError("aggregate rewrite did not converge")
+
+
+_MACRO_CALL_RE = re.compile(r"(?<![\w.])([A-Za-z_]\w*)\s*\(")
+_MACRO_SIG_RE = re.compile(r"^\((.*)\)\s+RETURNS\s", re.DOTALL)
+
+
+def _expand_ch_macros(expr: str) -> str:
+    """Inline-expand CH dialect functions (registered as Spark SQL
+    UDFs by ``chdialect``) into their SQL bodies. Needed wherever
+    Spark bans SQL UDFs — generator expressions (ARRAY JOIN ->
+    LATERAL VIEW) raise UNSUPPORTED_SQL_UDF_USAGE — and safe because
+    every dialect body is pure built-in SQL by construction. All
+    parameters substitute in ONE pass (no macro capture when an
+    argument's text contains another parameter's name)."""
+    from graphouse_spark import chdialect
+
+    lower = {
+        k.lower(): v
+        for t in (chdialect.CH_SQL_FUNCTIONS, chdialect.CH_URL_FUNCTIONS,
+                  chdialect.CH_JSON_FUNCTIONS)
+        for k, v in t.items()
+    }
+    for _ in range(16):
+        text, search = _code_view(expr)
+        hit = None
+        for m in _MACRO_CALL_RE.finditer(search):
+            if m.group(1).lower() in lower:
+                hit = m
+                break
+        if hit is None:
+            return expr
+        sig, body = lower[hit.group(1).lower()]
+        params = [p.strip().split()[0]
+                  for p in _MACRO_SIG_RE.match(sig).group(1).split(",")
+                  if p.strip()]
+        args, end = _parse_call(text, search, hit.end() - 1)
+        if len(args) != len(params):
+            from graphouse_spark.api import sqlguard
+            raise sqlguard.GuardError(
+                f"{hit.group(1)} takes {len(params)} argument(s)")
+        sub = {p: f"({a})" for p, a in zip(params, args)}
+        alt = re.compile(
+            r"\b(" + "|".join(re.escape(p) for p in params) + r")\b")
+        from graphouse_spark.api import sqlguard
+        expanded = "".join(
+            alt.sub(lambda mm: sub[mm.group(1)], s.text)
+            if s.kind == "code" else s.text
+            for s in sqlguard.tokenize(body))
+        expr = text[:hit.start()] + f"({expanded})" + text[end:]
+    return expr
+
+
+_ARRAY_JOIN_RE = re.compile(r"\b(LEFT\s+)?ARRAY\s+JOIN\s+", re.IGNORECASE)
+_ARRAY_JOIN_AS_RE = re.compile(r"\s+AS\s+([A-Za-z_]\w*)", re.IGNORECASE)
+
+
+def _rewrite_array_join(query: str) -> str:
+    """CH ``[LEFT] ARRAY JOIN <expr> AS <name>`` -> Spark
+    ``LATERAL VIEW [OUTER] explode(<expr>) __ajN AS <name>``.
+
+    Single-array form only (CH's comma list has zip semantics Spark's
+    LATERAL VIEW chain cannot express; a comma list falls through to
+    Spark's parser, which rejects it with its own error). LEFT keeps
+    empty-array rows as NULL where CH substitutes the element-type
+    default — the one documented divergence."""
+    out, k = query, 0
+    for _ in range(16):
+        text, search = _code_view(out)
+        m = _ARRAY_JOIN_RE.search(search)
+        if m is None:
+            return out
+        depths = _depth_at(search)
+        base = depths[m.start()]
+        i, n = m.end(), len(text)
+        as_m = None
+        while i < n:
+            if depths[i] == base and search[i].isspace():
+                as_m = _ARRAY_JOIN_AS_RE.match(search, i)
+                if as_m is not None:
+                    break
+            i += 1
+        if as_m is None:
+            from graphouse_spark.api import sqlguard
+            raise sqlguard.GuardError(
+                "ARRAY JOIN needs `<expr> AS <name>` (single array)")
+        expr = _expand_ch_macros(text[m.end():i].strip())
+        outer = "OUTER " if m.group(1) else ""
+        repl = f"LATERAL VIEW {outer}explode({expr}) __aj{k} AS {as_m.group(1)}"
+        out = text[:m.start()] + repl + text[as_m.end():]
+        k += 1
+    return out
+
+
+_WITH_TOTALS_RE = re.compile(r"\bWITH\s+TOTALS\b", re.IGNORECASE)
+_TOTALS_GROUP_BY_RE = re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE)
+_TOTALS_FROM_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
+_TOTALS_TAIL_LIMIT_RE = re.compile(r"\bLIMIT\s+(\d+)\s*;?\s*$", re.IGNORECASE)
+_TOTALS_COL = "__gh_totals"
+
+
+def _extract_with_totals(query: str):
+    """Detect a top-level CH ``GROUP BY <cols> WITH TOTALS`` and
+    rewrite it to ``GROUP BY GROUPING SETS ((<cols>), ())`` with a
+    hidden ``grouping_id() AS __gh_totals`` marker appended to the
+    select list — one aggregation pass computes both the grouped rows
+    and the totals row, exactly what CH's WITH TOTALS does in a single
+    scan. Returns ``(spec | None, rewritten_query)``; the caller
+    splits rows on the marker and serializes the totals row separately
+    (blank-line-separated in TabSeparated, ``totals`` key in JSON,
+    both the CH HTTP formats). A trailing ``LIMIT n`` is lifted into
+    the spec so it bounds the data rows, not the totals row."""
+    text, search = _code_view(query)
+    m = _WITH_TOTALS_RE.search(search)
+    if m is None:
+        return None, query
+    depths = _depth_at(search)
+    if depths[m.start()] != 0:
+        return None, query  # subquery totals: let Spark's parser reject
+    gb = None
+    for g in _TOTALS_GROUP_BY_RE.finditer(search, 0, m.start()):
+        if depths[g.start()] == 0:
+            gb = g
+    frm = None
+    if gb is not None:
+        for f in _TOTALS_FROM_RE.finditer(search, 0, gb.start()):
+            if depths[f.start()] == 0:
+                frm = f
+    if gb is None or frm is None:
+        from graphouse_spark.api import sqlguard
+        raise sqlguard.GuardError(
+            "WITH TOTALS needs a top-level GROUP BY over a FROM clause")
+    spec = {"limit": None}
+    tail = text[m.end():]
+    lm = _TOTALS_TAIL_LIMIT_RE.search(search[m.end():])
+    if lm is not None:
+        spec["limit"] = int(lm.group(1))
+        tail = text[m.end():m.end() + lm.start()]
+    cols = text[gb.end():m.start()].strip()
+    rewritten = (
+        text[:frm.start()]
+        + f", grouping_id() AS {_TOTALS_COL} "
+        + text[frm.start():gb.start()]
+        + f"GROUP BY GROUPING SETS (({cols}), ())"
+        + tail
+    )
+    return spec, rewritten
+
+
 class QueryLimitExceeded(ValueError):
     """A request expands past max-metrics-per-query: the reference
     REFUSES (HTTP 413, MetricDataServiceServlet.java:58-64) instead of
@@ -649,6 +943,18 @@ class GraphouseService:
                 limit_by, query = _extract_limit_by(query)
             except sqlguard.GuardError:
                 fill_spec = limit_by = None
+            try:
+                query = _rewrite_combinator_aggs(query)
+                query = _rewrite_array_join(query)
+                totals_spec, query = _extract_with_totals(query)
+            except sqlguard.GuardError as exc:
+                # tokenize failures fall through to the main guard
+                # (same error there); arity/shape complaints from the
+                # rewriters are user errors worth surfacing verbatim
+                if "unterminated" in str(exc):
+                    totals_spec = None
+                else:
+                    raise ValueError(str(exc))
             data_df = read_data(self.spark, self.data_path)
             metrics_df = read_metrics(self.spark, self.metrics_path)
             data_df.createOrReplaceTempView("data")
@@ -718,28 +1024,64 @@ class GraphouseService:
                 raise ValueError(str(exc))
             df = self.spark.sql(rewritten).limit(max_rows)
             rows = df.collect()
+            out_fields = df.schema.fields
+            totals_row = None
+            if totals_spec is not None:
+                from pyspark.sql import Row as _Row
+
+                out_fields = [f for f in out_fields
+                              if f.name != _TOTALS_COL]
+                names = [f.name for f in out_fields]
+                data_rows = []
+                for r in rows:
+                    d = r.asDict()
+                    flag = d.pop(_TOTALS_COL, 0)
+                    row = _Row(*names)(*[d[k] for k in names])
+                    if flag:
+                        totals_row = row
+                    else:
+                        data_rows.append(row)
+                rows = data_rows
+                if totals_spec["limit"] is not None:
+                    rows = rows[:totals_spec["limit"]]
+            from pyspark.sql.types import StructType as _StructType
+
+            out_schema = _StructType(out_fields)
             if fill_spec is not None:
-                rows = _apply_with_fill(rows, df.schema, fill_spec)
+                rows = _apply_with_fill(rows, out_schema, fill_spec)
                 if fill_spec["limit"] is not None:
                     rows = rows[:fill_spec["limit"]]
             if limit_by is not None:
-                rows = _apply_limit_by(rows, df.schema, limit_by)
+                rows = _apply_limit_by(rows, out_schema, limit_by)
             log["rows"] = len(rows)
             if fmt.upper() == "JSON":
-                return json.dumps({
+                body = {
                     "meta": [{"name": f.name, "type": f.dataType.simpleString()}
-                             for f in df.schema.fields],
+                             for f in out_fields],
                     "data": [
                         {f: (None if v is None else v) for f, v in r.asDict().items()}
                         for r in rows
                     ],
                     "rows": len(rows),
-                }, default=str)
-            # CH TabSeparated: \t columns, \n rows, no header
-            return "\n".join(
+                }
+                if totals_row is not None:
+                    body["totals"] = {
+                        f: (None if v is None else v)
+                        for f, v in totals_row.asDict().items()
+                    }
+                return json.dumps(body, default=str)
+            # CH TabSeparated: \t columns, \n rows, no header; WITH
+            # TOTALS appends the totals row after one empty line,
+            # exactly the CH TabSeparated framing
+            out = "\n".join(
                 "\t".join("\\N" if v is None else str(v) for v in r)
                 for r in rows
             ) + ("\n" if rows else "")
+            if totals_row is not None:
+                out += "\n" + "\t".join(
+                    "\\N" if v is None else str(v) for v in totals_row
+                ) + "\n"
+            return out
 
     def find_pickle(self, query: str) -> bytes:
         """``/metrics/find?format=pickle`` — the remote-finder twin of

@@ -893,3 +893,116 @@ def test_query_prewhere_and_format_clause(spark, tmp_path):
     assert svc.sql("SELECT count(*) AS n FROM graphite.data "
                    "FORMAT TabSeparated").strip() == "2"
     assert svc.sql("SELECT 'FORMAT JSON' AS s").strip() == "FORMAT JSON"
+
+
+def test_query_combinator_aggregates(spark, tmp_path):
+    """CH -If combinators and parameterized quantiles answer through
+    /query: ``sumIf``/``countIf``/``avgIf`` become CASE-gated Spark
+    aggregates, ``quantile(p)(x)``'s two-group syntax (unparseable by
+    Spark) becomes percentile[_approx], ``uniqExact`` becomes
+    count(DISTINCT ...). Literal contents never participate in the
+    rewrite (token-masked scan)."""
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    rows = [f"one_min.c.cpu {float(i)} {1000 + 60 * i}" for i in range(10)]
+    rows += [f"one_min.c.mem {float(100 + i)} {1000 + 60 * i}" for i in range(5)]
+    raw = spark.createDataFrame([(l,) for l in rows], "value string")
+    ingest_batch(parse_lines(raw, updated=F.lit(100)), cfg, known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path)
+
+    assert svc.sql("SELECT countIf(value >= 100) AS n "
+                   "FROM graphite.data").strip() == "5"
+    assert svc.sql("SELECT sumIf(value, metric = 'one_min.c.mem') AS s "
+                   "FROM graphite.data").strip() == "510.0"
+    # sumIf over zero matching rows is 0, as in CH — not NULL
+    assert svc.sql("SELECT sumIf(value, metric = 'nope') AS s "
+                   "FROM graphite.data").strip() == "0.0"
+    assert svc.sql("SELECT avgIf(value, metric = 'one_min.c.mem') AS a "
+                   "FROM graphite.data").strip() == "102.0"
+    assert svc.sql("SELECT maxIf(value, value < 100) AS m "
+                   "FROM graphite.data").strip() == "9.0"
+    assert svc.sql("SELECT uniqExact(metric) AS u "
+                   "FROM graphite.data").strip() == "2"
+    assert svc.sql("SELECT uniqIf(metric, value >= 100) AS u "
+                   "FROM graphite.data").strip() == "1"
+    # exact median of 0..9 (rank interpolation) and exact p0/p100
+    assert svc.sql("SELECT quantileExact(0.5)(value) AS q FROM graphite.data "
+                   "WHERE value < 100").strip() == "4.5"
+    out = svc.sql("SELECT quantilesExact(0.0, 1.0)(value) AS qs "
+                  "FROM graphite.data WHERE value < 100").strip()
+    assert out == "[0.0, 9.0]"
+    # approximate family parses and answers
+    q = float(svc.sql("SELECT quantile(0.5)(value) AS q FROM graphite.data "
+                      "WHERE value < 100").strip())
+    assert 3.0 <= q <= 6.0
+    # weighted average: sum(x*w)/sum(w)
+    assert svc.sql("SELECT avgWeighted(value, CAST(1 AS DOUBLE)) AS aw "
+                   "FROM graphite.data WHERE value < 100").strip() == "4.5"
+    # names inside string literals never rewrite
+    assert svc.sql("SELECT 'countIf(x)' AS s").strip() == "countIf(x)"
+    # arity errors surface as clear user errors
+    with pytest.raises(ValueError, match="countIf"):
+        svc.sql("SELECT countIf(value, metric) FROM graphite.data")
+
+
+def test_query_with_totals(spark, tmp_path):
+    """CH ``GROUP BY ... WITH TOTALS``: one GROUPING SETS pass computes
+    grouped rows plus the totals row; TabSeparated frames totals after
+    one empty line, FORMAT JSON carries a ``totals`` key — both the CH
+    HTTP framings. A trailing LIMIT bounds data rows only."""
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    rows = ["one_min.t.a 1.0 1000", "one_min.t.a 2.0 1060",
+            "one_min.t.b 10.0 1000"]
+    raw = spark.createDataFrame([(l,) for l in rows], "value string")
+    ingest_batch(parse_lines(raw, updated=F.lit(100)), cfg, known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path)
+
+    out = svc.sql("SELECT metric, sum(value) AS s FROM graphite.data "
+                  "GROUP BY metric WITH TOTALS ORDER BY metric")
+    assert out.splitlines() == [
+        "one_min.t.a\t3.0", "one_min.t.b\t10.0", "", "\\N\t13.0"]
+    body = json.loads(svc.sql(
+        "SELECT metric, sum(value) AS s FROM graphite.data "
+        "GROUP BY metric WITH TOTALS ORDER BY metric FORMAT JSON"))
+    assert body["totals"] == {"metric": None, "s": 13.0}
+    assert body["rows"] == 2
+    assert [d["s"] for d in body["data"]] == [3.0, 10.0]
+    # trailing LIMIT bounds the data rows; the totals row survives
+    out = svc.sql("SELECT metric, sum(value) AS s FROM graphite.data "
+                  "GROUP BY metric WITH TOTALS ORDER BY metric LIMIT 1")
+    assert out.splitlines() == ["one_min.t.a\t3.0", "", "\\N\t13.0"]
+    # composes with combinator rewrites and HAVING
+    out = svc.sql("SELECT metric, countIf(value > 1.5) AS n "
+                  "FROM graphite.data GROUP BY metric WITH TOTALS "
+                  "HAVING n >= 0 ORDER BY metric")
+    assert out.splitlines() == [
+        "one_min.t.a\t1", "one_min.t.b\t1", "", "\\N\t2"]
+    # literal text never triggers the clause
+    assert svc.sql("SELECT 'WITH TOTALS' AS s").strip() == "WITH TOTALS"
+
+
+def test_query_array_join(spark, tmp_path):
+    """CH ``[LEFT] ARRAY JOIN expr AS name`` answers as LATERAL VIEW
+    [OUTER] explode — the admin spelling for exploding metric paths."""
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    raw = spark.createDataFrame([("one_min.aj.cpu 1.0 1000",)],
+                                "value string")
+    ingest_batch(parse_lines(raw, updated=F.lit(100)), cfg, known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path)
+
+    out = svc.sql("SELECT part FROM graphite.data "
+                  "ARRAY JOIN splitByChar('.', metric) AS part")
+    assert out.splitlines() == ["one_min", "aj", "cpu"]
+    # LEFT form keeps empty-array rows (NULL element)
+    out = svc.sql("SELECT metric, x FROM graphite.data "
+                  "LEFT ARRAY JOIN array() AS x")
+    assert out.strip() == "one_min.aj.cpu\t\\N"
+    # counts per exploded element compose with GROUP BY
+    out = svc.sql("SELECT part, count(*) AS n FROM graphite.data "
+                  "ARRAY JOIN splitByChar('.', metric) AS part "
+                  "GROUP BY part ORDER BY part")
+    assert out.splitlines() == ["aj\t1", "cpu\t1", "one_min\t1"]
+    assert svc.sql("SELECT 'ARRAY JOIN a AS x' AS s").strip() == \
+        "ARRAY JOIN a AS x"
