@@ -2853,6 +2853,54 @@ def q_ev_limit_by(spark, sf_dir):
     return limit_by(ev, ["event_type"], [F.desc("value"), F.asc("event_id")], 3)
 
 
+def q_ev_ch_combinators(spark, sf_dir):
+    """CH combinator / parameterized aggregate spellings exactly as an
+    admin types them into /query — countIf / sumIf / avgIf / minIf /
+    maxIf / uniqExact / quantileExact(p)(x) / avgWeighted — run
+    through the production token-safe rewriter
+    (api.service._rewrite_combinator_aggs) and then Catalyst as
+    CASE-gated built-in aggregates: one hash-aggregate pass, zero
+    Python in the plan."""
+    from graphouse_spark.api.service import _rewrite_combinator_aggs
+    from graphouse_spark.sources.tables import register_corpus
+
+    _t(spark, sf_dir, "events")
+    register_corpus(spark, sf_dir, ("events",))
+    return spark.sql(_rewrite_combinator_aggs("""
+        SELECT event_type,
+               countIf(value > 0.5) AS n_big,
+               round(sumIf(value, user_id % 2 = 0), 6) AS sum_even,
+               round(avgIf(value, user_id % 2 = 1), 6) AS avg_odd,
+               minIf(value, value > 0.1) AS min_gt,
+               maxIf(value, user_id % 3 = 0) AS max_3,
+               uniqExact(user_id) AS u_users,
+               round(quantileExact(0.5)(value), 6) AS med,
+               round(avgWeighted(value, CAST(user_id % 7 + 1 AS DOUBLE)), 6) AS aw
+        FROM events
+        GROUP BY event_type
+    """))
+
+
+def q_ev_array_join(spark, sf_dir):
+    """CH ``ARRAY JOIN <expr> AS name`` as served by /query: the
+    production rewriter (api.service._rewrite_array_join) turns it
+    into LATERAL VIEW explode, macro-expanding the splitByChar dialect
+    UDF into its pure-SQL body (Spark bans SQL UDFs inside Generate).
+    Explode-then-aggregate stays one shuffle."""
+    from graphouse_spark.api.service import _rewrite_array_join
+    from graphouse_spark.sources.tables import register_corpus
+
+    _t(spark, sf_dir, "events")
+    register_corpus(spark, sf_dir, ("events",))
+    return spark.sql(_rewrite_array_join("""
+        SELECT part, count(*) AS n, round(sum(value), 6) AS sum_v
+        FROM events
+        ARRAY JOIN splitByChar('.',
+            concat(event_type, '.u', CAST(user_id % 3 AS STRING))) AS part
+        GROUP BY part
+    """))
+
+
 def q_ev_bit_ops(spark, sf_dir):
     """CH groupBitAnd/Or/Xor over per-type user-id words."""
     from graphouse_spark.functions.chagg import group_bit_ops
@@ -3524,6 +3572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_video": q_multimodal_video,
         "ev_with_totals": q_ev_with_totals,
+        "ev_ch_combinators": q_ev_ch_combinators,
+        "ev_array_join": q_ev_array_join,
         "ev_limit_by": q_ev_limit_by,
         "ev_bit_ops": q_ev_bit_ops,
         "ev_moments": q_ev_moments,
@@ -6299,6 +6349,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events
             GROUP BY ROLLUP (event_type, day)
+        """,
+        "ev_ch_combinators": """
+            SELECT event_type,
+                   count(*) FILTER (value > 0.5) AS n_big,
+                   round(coalesce(sum(CASE WHEN user_id % 2 = 0 THEN value END), 0), 6) AS sum_even,
+                   round(avg(CASE WHEN user_id % 2 = 1 THEN value END), 6) AS avg_odd,
+                   min(CASE WHEN value > 0.1 THEN value END) AS min_gt,
+                   max(CASE WHEN user_id % 3 = 0 THEN value END) AS max_3,
+                   count(DISTINCT user_id) AS u_users,
+                   round(quantile_cont(value, 0.5), 6) AS med,
+                   round(sum(value * CAST(user_id % 7 + 1 AS DOUBLE))
+                         / sum(CAST(user_id % 7 + 1 AS DOUBLE)), 6) AS aw
+            FROM events
+            GROUP BY event_type
+        """,
+        "ev_array_join": """
+            SELECT part, count(*) AS n, round(sum(value), 6) AS sum_v
+            FROM (
+                SELECT unnest(string_split(
+                           concat(event_type, '.u', CAST(user_id % 3 AS VARCHAR)),
+                           '.')) AS part,
+                       value
+                FROM events
+            )
+            GROUP BY part
         """,
         "ev_limit_by": """
             SELECT event_type, event_id, user_id, value
