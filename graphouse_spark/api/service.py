@@ -346,8 +346,8 @@ _CH_QUANTILE_FUNCS = {
 }
 _CH_AGG_NAME_RE = re.compile(
     r"(?<![\w.])(countIf|sumIf|avgIf|minIf|maxIf|uniqIf|uniqExactIf|anyIf|"
-    r"uniqExact|avgWeighted|quantilesExact|quantiles|quantileExactWeighted|"
-    r"quantileTDigest|quantileExact|quantile)\s*\("
+    r"uniqExact|sumDistinct|avgWeighted|quantilesExact|quantiles|"
+    r"quantileExactWeighted|quantileTDigest|quantileExact|quantile)\s*\("
 )
 
 
@@ -393,6 +393,10 @@ def _rewrite_combinator_aggs(query: str) -> str:
             repl = f"count_if({args[0]})"
         elif name == "uniqExact":
             repl = f"count(DISTINCT {', '.join(args)})"
+        elif name == "sumDistinct":
+            if len(args) != 1:
+                raise sqlguard.GuardError("sumDistinct takes one expression")
+            repl = f"sum(DISTINCT {args[0]})"
         elif name == "avgWeighted":
             if len(args) != 2:
                 raise sqlguard.GuardError("avgWeighted takes (expr, weight)")
@@ -1009,7 +1013,23 @@ class GraphouseService:
                 code = _re.sub(r"\bPREWHERE\b", "WHERE", code,
                                flags=_re.IGNORECASE)
                 for ch, sp in (("argMax", "max_by"), ("argMin", "min_by"),
-                               ("uniq", "approx_count_distinct")):
+                               ("uniqCombined", "approx_count_distinct"),
+                               ("uniqHLL12", "approx_count_distinct"),
+                               ("uniq", "approx_count_distinct"),
+                               ("anyLast", "any_value"),
+                               ("anyHeavy", "mode"),
+                               ("any", "any_value"),
+                               ("groupArray", "collect_list"),
+                               ("groupUniqArray", "collect_set"),
+                               ("stddevPop", "stddev_pop"),
+                               ("stddevSamp", "stddev_samp"),
+                               ("varPop", "var_pop"),
+                               ("varSamp", "var_samp"),
+                               ("covarPop", "covar_pop"),
+                               ("covarSamp", "covar_samp"),
+                               ("groupBitAnd", "bit_and"),
+                               ("groupBitOr", "bit_or"),
+                               ("groupBitXor", "bit_xor")):
                     code = _re.sub(rf"\b{ch}\s*\(", sp + "(", code)
                 return code
 

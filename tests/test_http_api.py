@@ -1006,3 +1006,44 @@ def test_query_array_join(spark, tmp_path):
     assert out.splitlines() == ["aj\t1", "cpu\t1", "one_min\t1"]
     assert svc.sql("SELECT 'ARRAY JOIN a AS x' AS s").strip() == \
         "ARRAY JOIN a AS x"
+
+
+def test_query_aggregate_renames(spark, tmp_path):
+    """Mechanically-renameable CH aggregates answer through /query:
+    any/anyLast -> any_value, groupArray -> collect_list,
+    groupUniqArray -> collect_set, stddevPop/varPop -> the
+    underscore spellings, groupBit* -> bit_*, sumDistinct ->
+    sum(DISTINCT). Replacement text never re-triggers the rename
+    (any_value stays put)."""
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    rows = ["one_min.r.a 1.0 1000", "one_min.r.a 1.0 1060",
+            "one_min.r.a 3.0 1120"]
+    raw = spark.createDataFrame([(l,) for l in rows], "value string")
+    ingest_batch(parse_lines(raw, updated=F.lit(100)), cfg, known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path)
+
+    assert svc.sql("SELECT any(metric) AS m FROM graphite.data").strip() == \
+        "one_min.r.a"
+    assert svc.sql("SELECT anyLast(metric) AS m FROM graphite.data").strip() \
+        == "one_min.r.a"
+    out = svc.sql("SELECT groupArray(value) AS vs FROM graphite.data "
+                  "WHERE timestamp <= 1060")
+    assert out.strip() == "[1.0, 1.0]"
+    out = svc.sql("SELECT sort_array(groupUniqArray(value)) AS vs "
+                  "FROM graphite.data")
+    assert out.strip() == "[1.0, 3.0]"
+    assert svc.sql("SELECT sumDistinct(value) AS s "
+                   "FROM graphite.data").strip() == "4.0"
+    v = float(svc.sql("SELECT varPop(value) AS v FROM graphite.data").strip())
+    assert abs(v - 8.0 / 9.0) < 1e-9
+    s = float(svc.sql("SELECT stddevSamp(value) AS s "
+                      "FROM graphite.data").strip())
+    assert abs(s - (4.0 / 3.0) ** 0.5) < 1e-9
+    assert svc.sql("SELECT groupBitOr(CAST(value AS BIGINT)) AS b "
+                   "FROM graphite.data").strip() == "3"
+    assert svc.sql("SELECT groupBitAnd(CAST(value AS BIGINT)) AS b "
+                   "FROM graphite.data").strip() == "1"
+    # uniq family longest-match: uniqCombined is not uniq + "Combined("
+    assert svc.sql("SELECT uniqCombined(metric) AS u "
+                   "FROM graphite.data").strip() == "1"
