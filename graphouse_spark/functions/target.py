@@ -656,6 +656,62 @@ def evaluate_target(series: DataFrame, target: str,
                 for s in outs[1:]:
                     out = out.unionByName(s)
                 return out
+            if node.name == "aliasQuery" and len(node.args) >= 4:
+                # graphite aliasQuery(series, search, replace, newName):
+                # rewrite each series NAME into a new query, evaluate
+                # it, take the last non-null value of its first series,
+                # and %-format it into the alias
+                # (graphite-web functions.py aliasQuery; the reference
+                # serves these via its graphite-web plugin,
+                # src/main/pySources/graphouse.py). Names collect to
+                # the driver — bounded by the render selection, exactly
+                # the per-series python loop graphite itself runs —
+                # then ALL subqueries evaluate as one union plan: one
+                # job for the last-values, however many series.
+                head = ev(node.args[0])
+                search, replace, newname = (
+                    a.glob if isinstance(a, Path) else str(a)
+                    for a in node.args[1:4])
+                names = sorted(
+                    r[0] for r in head.select(metric_col).distinct().collect())
+                if not names:
+                    return head
+                subs = []
+                for nm in names:
+                    q = re.sub(search, replace, nm)
+                    sub = ev(parse_target(q))
+                    subs.append(sub.select(
+                        F.lit(nm).alias("_src"),
+                        F.col(metric_col).alias("_sub"),
+                        "ts", "value"))
+                u = subs[0]
+                for s in subs[1:]:
+                    u = u.unionByName(s)
+                per_series = u.filter(F.col("value").isNotNull()).groupBy(
+                    "_src", "_sub").agg(
+                        F.max_by("value", "ts").alias("_last")).collect()
+                # graphite takes newSeriesList[0]: first series of the
+                # sub-result — lexicographic first for determinism
+                firsts: dict[str, tuple[str, float]] = {}
+                for r in per_series:
+                    cur = firsts.get(r["_src"])
+                    if cur is None or r["_sub"] < cur[0]:
+                        firsts[r["_src"]] = (r["_sub"], r["_last"])
+                mapping = {}
+                for nm in names:
+                    if nm not in firsts:
+                        raise ValueError(
+                            "aliasQuery: no series found with query "
+                            f"{re.sub(search, replace, nm)!r}")
+                    try:
+                        mapping[nm] = newname % firsts[nm][1]
+                    except TypeError:
+                        mapping[nm] = newname
+                label = F.col(metric_col)
+                for nm, lab in mapping.items():
+                    label = F.when(F.col(metric_col) == nm, F.lit(lab)) \
+                        .otherwise(label)
+                return head.withColumn(metric_col, label)
             if node.name in _GENERATORS:
                 # literal-first generators: the series frame they see is
                 # the BASE selection (render-window bounds), args pass
@@ -725,6 +781,20 @@ def collect_series_globs(target: str) -> list[str]:
                         and isinstance(node.args[3], str):
                     try:
                         g = re.sub(node.args[2], node.args[3], node.args[0].glob)
+                    except re.error:
+                        g = None
+                    if g and g not in out:
+                        out.append(g)
+                return
+            if node.name == "aliasQuery" and len(node.args) >= 4:
+                # the subqueries come from the search->replace rewrite
+                # of the head names; applying it to the head GLOB is
+                # the static prefetch derivation, as for useSeriesAbove
+                walk(node.args[0], head=True)
+                if isinstance(node.args[0], Path) and isinstance(node.args[1], str) \
+                        and isinstance(node.args[2], str):
+                    try:
+                        g = re.sub(node.args[1], node.args[2], node.args[0].glob)
                     except re.error:
                         g = None
                     if g and g not in out:

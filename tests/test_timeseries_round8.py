@@ -727,3 +727,43 @@ def test_as_percent_nodes_numeric_total_raises(spark):
         "metric string, ts long, value double")
     with pytest.raises(ValueError, match="nodes"):
         as_percent(df, total=100.0, nodes=[1])
+
+
+# ----------------------------------------------------------- aliasQuery
+
+
+def test_alias_query(disks):
+    # graphite aliasQuery: rewrite each series NAME into a query,
+    # evaluate it, %-format its last value into the alias
+    # (graphite-web functions.py aliasQuery)
+    got = evaluate_target(
+        disks,
+        r"aliasQuery(servers.*.disk.used, 'used$', 'total', '%d total')",
+    )
+    assert _metrics(got) == {"100 total", "80 total"}
+    # values untouched — only names change
+    by = {(r["metric"], r["ts"]): r["value"] for r in got.collect()}
+    assert by[("100 total", 0)] == 30.0
+    assert by[("80 total", 60)] == 60.0
+
+
+def test_alias_query_float_format_and_backref(disks):
+    got = evaluate_target(
+        disks,
+        r"aliasQuery(servers.*.disk.used, '(servers\..*)\.used', '\1.total', 'cap %.1f')",
+    )
+    assert _metrics(got) == {"cap 100.0", "cap 80.0"}
+
+
+def test_alias_query_no_data_raises(disks):
+    with pytest.raises(ValueError, match="no series found"):
+        evaluate_target(
+            disks,
+            r"aliasQuery(servers.*.disk.used, 'used$', 'nope', '%d')",
+        )
+
+
+def test_alias_query_prefetch_globs():
+    globs = collect_series_globs(
+        r"aliasQuery(servers.*.disk.used, 'used$', 'total', '%d total')")
+    assert globs == ["servers.*.disk.used", "servers.*.disk.total"]
