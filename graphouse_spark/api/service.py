@@ -738,6 +738,7 @@ class GraphouseService:
 
         from graphouse_spark.functions.target import (
             collect_series_globs,
+            collect_tag_selections,
             evaluate_target,
         )
 
@@ -755,6 +756,37 @@ class GraphouseService:
                 for g in collect_series_globs(target):
                     for m in self.tree.search(g):
                         if not m.endswith(".") and m not in seen:
+                            seen.add(m)
+                            names.append(m)
+                for exprs in collect_tag_selections(target):
+                    # tagged series live outside the tree (ENGINE
+                    # EXTENSION, tags.py): resolve the selection against
+                    # the data table. A name= equality term is REQUIRED
+                    # on the server path — it becomes the sargable
+                    # metric prefix range the zonemap prunes; without it
+                    # the resolve would be a full name scan per render,
+                    # the same unbounded shape the expanded-glob 413
+                    # refusal exists for.
+                    from pyspark.sql import functions as F
+
+                    from graphouse_spark import tags as tg_mod
+
+                    if tg_mod.name_equals_term(exprs) is None:
+                        raise QueryLimitExceeded(
+                            "seriesByTag on the render path needs a "
+                            "name=<literal> equality term")
+                    cap = (self.max_metrics_per_query
+                           if self.max_metrics_per_query > 0 else None)
+                    window = data.filter(
+                        (F.col("timestamp") >= start)
+                        & (F.col("timestamp") <= end))
+                    sel = (tg_mod.series_by_tag(window, exprs)
+                           .select("metric").distinct())
+                    if cap:
+                        sel = sel.limit(cap + 1)
+                    for r in sel.collect():
+                        m = r["metric"]
+                        if m not in seen:
                             seen.add(m)
                             names.append(m)
                 if 0 < self.max_metrics_per_query < len(names):

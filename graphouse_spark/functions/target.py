@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphouse_spark.globs import glob_to_regex
+from graphouse_spark import tags as tg
 from graphouse_spark.functions import timeseries as ts
 
 _TOKEN = re.compile(
@@ -301,6 +302,13 @@ _REGISTRY = {
         ts.count_series(df).select("ts", F.col("n_series").cast("double").alias("n")),
         "n", "countSeries"),
     "groupByNodes": lambda df, fn, *nodes: ts.group_by_nodes(df, str(fn), list(nodes)),
+    # tag family (ENGINE EXTENSION — the reference's model is the
+    # dotted tree, search/tree/MetricTree.java; tags.py adds the
+    # graphite 1.1 tagged-series semantics over the same frame)
+    "aliasByTags": lambda df, *tags: tg.alias_by_tags(
+        df, [str(t) for t in tags]),
+    "groupByTags": lambda df, fn, *tags: tg.group_by_tags(
+        df, str(fn), [str(t) for t in tags]),
     "sortByName": lambda df, natural="false", rev="false": ts.sort_by_name(
         df, _flag(natural), _flag(rev)).select("metric", "ts", "value"),
     "sortByTotal": lambda df, n=None: ts.sort_by_total(
@@ -656,6 +664,14 @@ def evaluate_target(series: DataFrame, target: str,
                 for s in outs[1:]:
                     out = out.unionByName(s)
                 return out
+            if node.name == "seriesByTag":
+                # graphite 1.1 tag selection (ENGINE EXTENSION — see
+                # tags.py): every argument is a tag term, the frame is
+                # the BASE selection; a name= equality term becomes a
+                # sargable metric prefix range at the scan
+                exprs = [a.glob if isinstance(a, Path) else str(a)
+                         for a in node.args]
+                return tg.series_by_tag(series, exprs, metric_col)
             if node.name == "aliasQuery" and len(node.args) >= 4:
                 # graphite aliasQuery(series, search, replace, newName):
                 # rewrite each series NAME into a new query, evaluate
@@ -750,6 +766,28 @@ def evaluate_target(series: DataFrame, target: str,
         raise ValueError(f"a literal {node!r} is not a series")
 
     return ev(tree)
+
+
+def collect_tag_selections(target: str) -> list[list[str]]:
+    """Every ``seriesByTag(...)`` term-list in the target — the tag
+    twin of :func:`collect_series_globs`: the server resolves each
+    selection against the data table (name= equality -> metric prefix
+    range) before :func:`evaluate_target` runs."""
+    tree = parse_target(target)
+    out: list[list[str]] = []
+
+    def walk(node):
+        if isinstance(node, Call):
+            if node.name == "seriesByTag":
+                out.append([a.glob if isinstance(a, Path) else str(a)
+                            for a in node.args])
+                return
+            for a in node.args:
+                if isinstance(a, (Call, Path)):
+                    walk(a)
+
+    walk(tree)
+    return out
 
 
 def collect_series_globs(target: str) -> list[str]:

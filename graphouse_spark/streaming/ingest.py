@@ -95,7 +95,12 @@ def ingest_batch(batch: DataFrame, cfg: IngestConfig, known_names: DataFrame | N
         if cfg.failpoint is not None:
             cfg.failpoint("after_data_write")
 
-        batch_names = batch.select("name").distinct()
+        # tagged names (';' — the opt-in graphite 1.1 extension,
+        # tags.py) live in the DATA table only: graphite likewise keeps
+        # them out of the hierarchy. A no-op on the standard path — the
+        # reference-default validator never admits ';'.
+        batch_names = (batch.select("name").distinct()
+                       .filter(~F.col("name").contains(";")))
         new_names = (
             batch_names.join(known_names, "name", "left_anti") if known_names is not None else batch_names
         )

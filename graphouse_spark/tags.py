@@ -1,0 +1,226 @@
+"""Graphite tagged-series support (ENGINE EXTENSION).
+
+The reference has no tag database — its model is a dotted-path tree
+(``search/tree/MetricTree.java``); tagged names never reach it. This
+module adds the graphite-web tag semantics on top of the same
+``(metric, ts, value)`` frame the rest of the engine uses, the way
+carbon + graphite-web 1.1 do it on their side of the wire
+(graphite-web ``tags/utils.py``: series name carries the tags inline —
+``disk.used;datacenter=dc1;rack=a2``):
+
+- a tagged name is ``<name>[;key=value]...``; the path part doubles as
+  the implicit ``name`` tag;
+- the CANONICAL form sorts tags by key (graphite normalizes on ingest,
+  so equal tag sets compare equal as strings);
+- tagged series live in the DATA table only — they are invisible to
+  the metric tree (graphite likewise keeps them out of the hierarchy
+  and serves them exclusively through tag queries).
+
+Everything here compiles to Catalyst expressions over the metric
+STRING — no Python in any per-row path: the tag map is
+``str_to_map``, the seriesByTag terms are equality/rlike predicates,
+and a ``name=`` equality term becomes a metric PREFIX RANGE that the
+sorted-by-metric parquet layout and the zonemap/bloom skip indexes
+prune exactly like an untagged IN-list fetch.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: validator regexp admitting tagged names (opt-in on ingest; the
+#: reference-default regexp in paths.py stays untouched). Charset per
+#: graphite: tag keys/values may not contain ``;``, keys not ``!^=``,
+#: values not ``~`` at the start. This structural check admits
+#: ``path;k=v[;k=v]...`` with non-empty keys and values.
+TAGGED_METRIC_REGEXP = (
+    r"[-_0-9a-zA-Z\.]+(?:;[^;!^=~\s]+=[^;=\s]+)*$"
+)
+
+_TERM_RE = re.compile(r"^([^;!=~\s]+)\s*(=~|!=~|=|!=)\s*(.*)$")
+
+
+def parse_tagged(name: str) -> tuple[str, dict[str, str]]:
+    """Split a (possibly tagged) metric name into ``(path, tags)``.
+
+    The path is also returned under the implicit ``name`` tag, as in
+    graphite-web ``tags/utils.py``.
+    """
+    parts = name.split(";")
+    tags = {"name": parts[0]}
+    for seg in parts[1:]:
+        if "=" not in seg:
+            raise ValueError(f"malformed tag segment {seg!r} in {name!r}")
+        k, v = seg.split("=", 1)
+        if not k or not v:
+            raise ValueError(f"empty tag key/value in {name!r}")
+        tags[k] = v
+    return parts[0], tags
+
+
+def canonical(name: str) -> str:
+    """Canonical spelling: path, then tags sorted by key (graphite
+    normalizes on ingest so equal tag sets are string-equal)."""
+    path, tags = parse_tagged(name)
+    rest = sorted((k, v) for k, v in tags.items() if k != "name")
+    return ";".join([path] + [f"{k}={v}" for k, v in rest])
+
+
+def canonical_col(metric: Column) -> Column:
+    """:func:`canonical` as a Catalyst expression (ingest path —
+    stays inside whole-stage codegen)."""
+    path = F.substring_index(metric, ";", 1)
+    rest = F.array_sort(F.filter(F.split(metric, ";"),
+                                 lambda s: s.contains("=")))
+    return F.when(
+        metric.contains(";"),
+        F.concat_ws(";", F.array(path), rest),
+    ).otherwise(metric)
+
+
+def tags_map_col(metric: Column) -> Column:
+    """``map<string,string>`` of a metric name's tags, INCLUDING the
+    implicit ``name`` tag — pure ``split``/``str_to_map``, JVM-side."""
+    path = F.substring_index(metric, ";", 1)
+    tag_str = F.substring(metric, F.instr(metric, ";") + F.lit(1),
+                          F.length(metric))
+    tag_part = F.str_to_map(tag_str, F.lit(";"), F.lit("="))
+    base = F.create_map(F.lit("name"), path)
+    return F.when(metric.contains(";"),
+                  F.map_concat(base, tag_part)).otherwise(base)
+
+
+def compile_term(term: str, tags: Column) -> Column:
+    """One seriesByTag term -> a boolean Column over the tag map.
+
+    Graphite operator semantics (graphite-web ``tags/base.py``):
+
+    - ``key=value``   exact match; empty value matches series
+      WITHOUT the tag;
+    - ``key!=value``  not equal (missing tag counts as non-equal;
+      empty value means "tag present");
+    - ``key=~expr``   regex, anchored at the start (``re.match``);
+    - ``key!=~expr``  negated anchored regex (missing tag matches).
+    """
+    m = _TERM_RE.match(term.strip())
+    if m is None:
+        raise ValueError(f"malformed seriesByTag term {term!r}")
+    key, op, value = m.group(1), m.group(2), m.group(3)
+    got = F.element_at(tags, key)
+    if op == "=":
+        if value == "":
+            return got.isNull()
+        return got == value
+    if op == "!=":
+        if value == "":
+            return got.isNotNull()
+        return got.isNull() | (got != value)
+    anchored = value if value.startswith("^") else "^(?:" + value + ")"
+    if op == "=~":
+        return got.isNotNull() & got.rlike(anchored)
+    return got.isNull() | ~got.rlike(anchored)
+
+
+def name_equals_term(exprs: list[str]) -> str | None:
+    """The ``name=<literal>`` equality among the terms, if any — the
+    handle that turns a tag query into a metric PREFIX RANGE the
+    sorted parquet layout + zonemap prune (``name=X`` selects exactly
+    ``X`` and ``X;...``)."""
+    for t in exprs:
+        m = _TERM_RE.match(t.strip())
+        if m and m.group(1) == "name" and m.group(2) == "=" and m.group(3):
+            return m.group(3)
+    return None
+
+
+def tagged_validator():
+    """A :class:`~graphouse_spark.paths.MetricValidator` admitting
+    tagged names — the opt-in ingest switch for the tag extension (the
+    reference-default validator stays the default everywhere).
+
+    ``min_dots=0``: graphite tag paths are routinely short
+    (``cpu;host=web1``), so the reference's min-level rule does not
+    apply to the tagged namespace."""
+    from graphouse_spark.paths import MetricValidator
+
+    return MetricValidator(metric_regexp=TAGGED_METRIC_REGEXP, min_dots=0)
+
+
+def parse_tagged_lines(lines, updated=None, line_col: str = "value"):
+    """Graphite plaintext parse admitting tagged names, with canonical
+    tag ordering applied on ingest (graphite normalizes tag order so
+    equal tag sets are string-equal — making read-time LWW dedup and
+    the prefix range work on tagged series unchanged)."""
+    from graphouse_spark.sources.graphite import parse_lines
+
+    parsed = parse_lines(lines, updated=updated,
+                         validator=tagged_validator(), line_col=line_col)
+    return parsed.withColumn("name", canonical_col(F.col("name")))
+
+
+def alias_by_tags(series, tag_names: list[str],
+                  metric_col: str = "metric"):
+    """graphite ``aliasByTags(series, *tags)``: each series renamed to
+    the dot-join of its values for the requested tags (missing tags
+    drop out, like graphite's ``'.'.join(filter(None, ...))``). One
+    projection, no shuffle."""
+    tmap = tags_map_col(F.col(metric_col))
+    vals = [F.element_at(tmap, t) for t in tag_names]
+    return series.withColumn(metric_col, F.concat_ws(".", *vals))
+
+
+def group_by_tags(series, function: str, tag_names: list[str],
+                  metric_col: str = "metric", ts_col: str = "ts",
+                  value_col: str = "value"):
+    """graphite ``groupByTags(series, func, *tags)``: re-key every
+    series to its value-tuple for the requested tags, then aggregate
+    aligned points — the tag twin of groupByNodes, one projection plus
+    one partial/final agg keyed on (new name, ts).
+
+    Output names use the canonical tagged spelling: the ``name`` tag's
+    value when ``name`` is among the grouped tags (else the callback
+    name, as graphite does when the name tag is aggregated away),
+    followed by the grouped ``;key=value`` pairs sorted by key."""
+    from graphouse_spark.functions.timeseries import _resolve_agg
+
+    if not tag_names:
+        raise ValueError("groupByTags needs at least one tag")
+    agg = _resolve_agg(function)
+    tmap = tags_map_col(F.col(metric_col))
+    vals = {t: F.coalesce(F.element_at(tmap, t), F.lit("")) for t in tag_names}
+    name_part = vals["name"] if "name" in tag_names else F.lit(function)
+    pairs = [F.concat(F.lit(f";{t}="), vals[t])
+             for t in sorted(t for t in tag_names if t != "name")]
+    key = F.concat(name_part, *pairs) if pairs else name_part
+    return (
+        series.withColumn(metric_col, key)
+        .groupBy(metric_col, ts_col)
+        .agg(F.round(agg(value_col), 6).alias(value_col))
+    )
+
+
+def series_by_tag(series, exprs: list[str],
+                  metric_col: str = "metric"):
+    """Filter a ``(metric, ts, value)`` frame to the series matching
+    ALL seriesByTag terms. One projection + filter — no shuffle; with
+    a ``name=`` term the prefix range reaches the scan as a pushed
+    predicate."""
+    if not exprs:
+        raise ValueError("seriesByTag needs at least one term")
+    metric = F.col(metric_col)
+    out = series
+    base = name_equals_term(exprs)
+    if base is not None:
+        # sargable prefix range first: pushed to the parquet scan and
+        # prunable by the zonemap (metric is the sort key)
+        out = out.filter((metric == base) |
+                         metric.startswith(base + ";"))
+    tags = tags_map_col(metric)
+    cond = None
+    for t in exprs:
+        c = compile_term(t, tags)
+        cond = c if cond is None else (cond & c)
+    return out.filter(cond)

@@ -1,0 +1,265 @@
+"""Graphite tagged-series extension: parse/canonical twins, tag-map
+column, seriesByTag operator semantics (graphite-web tags/base.py),
+and the sargable name= prefix range."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphouse_spark import tags as T
+
+
+# ------------------------------------------------------------- parsing
+
+def test_parse_tagged_basic():
+    path, tg = T.parse_tagged("disk.used;datacenter=dc1;rack=a2")
+    assert path == "disk.used"
+    assert tg == {"name": "disk.used", "datacenter": "dc1", "rack": "a2"}
+
+
+def test_parse_untagged_has_only_name():
+    assert T.parse_tagged("a.b.c") == ("a.b.c", {"name": "a.b.c"})
+
+
+def test_parse_rejects_malformed():
+    with pytest.raises(ValueError):
+        T.parse_tagged("a.b;novalue")
+    with pytest.raises(ValueError):
+        T.parse_tagged("a.b;=v")
+    with pytest.raises(ValueError):
+        T.parse_tagged("a.b;k=")
+
+
+def test_canonical_sorts_tags():
+    assert T.canonical("m;z=1;a=2") == "m;a=2;z=1"
+    assert T.canonical("m;a=2;z=1") == "m;a=2;z=1"
+    assert T.canonical("plain.name") == "plain.name"
+    # value may contain '=' (split on first only)
+    assert T.parse_tagged("m;k=a=b")[1]["k"] == "a=b"
+
+
+def test_canonical_col_matches_python(spark):
+    names = ["m;z=1;a=2", "m;a=2;z=1", "plain.name", "x.y;k=v"]
+    df = spark.createDataFrame([(n,) for n in names], "metric string")
+    got = [r[0] for r in
+           df.select(T.canonical_col(F.col("metric"))).collect()]
+    assert got == [T.canonical(n) for n in names]
+
+
+def test_tags_map_col_matches_python(spark):
+    names = ["disk.used;datacenter=dc1;rack=a2", "plain.name"]
+    df = spark.createDataFrame([(n,) for n in names], "metric string")
+    got = [r[0] for r in
+           df.select(T.tags_map_col(F.col("metric"))).collect()]
+    assert got == [T.parse_tagged(n)[1] for n in names]
+
+
+# --------------------------------------------------------- seriesByTag
+
+@pytest.fixture()
+def tagged(spark):
+    rows = []
+    for dc in ("dc1", "dc2"):
+        for rack in ("a1", "b2"):
+            for t in (0, 60):
+                rows.append((f"disk.used;datacenter={dc};rack={rack}",
+                             t, 10.0))
+    rows += [("disk.used", 0, 1.0), ("disk.total;datacenter=dc1", 0, 99.0)]
+    return spark.createDataFrame(rows, "metric string, ts long, value double")
+
+
+def _names(df):
+    return {r["metric"] for r in df.select("metric").distinct().collect()}
+
+
+def test_series_by_tag_equality(tagged):
+    got = T.series_by_tag(tagged, ["name=disk.used", "datacenter=dc1"])
+    assert _names(got) == {"disk.used;datacenter=dc1;rack=a1",
+                           "disk.used;datacenter=dc1;rack=b2"}
+
+
+def test_series_by_tag_not_equal_and_missing(tagged):
+    # != matches series missing the tag too (graphite tags/base.py)
+    got = T.series_by_tag(tagged, ["name=disk.used", "datacenter!=dc1"])
+    assert _names(got) == {"disk.used;datacenter=dc2;rack=a1",
+                           "disk.used;datacenter=dc2;rack=b2",
+                           "disk.used"}
+    # key= with empty value selects series WITHOUT the tag
+    got = T.series_by_tag(tagged, ["name=disk.used", "datacenter="])
+    assert _names(got) == {"disk.used"}
+    # key!= with empty value selects series WITH the tag
+    got = T.series_by_tag(tagged, ["name=disk.used", "datacenter!="])
+    assert len(_names(got)) == 4
+
+
+def test_series_by_tag_regex(tagged):
+    got = T.series_by_tag(tagged, ["name=disk.used", "rack=~a.*"])
+    assert _names(got) == {"disk.used;datacenter=dc1;rack=a1",
+                           "disk.used;datacenter=dc2;rack=a1"}
+    # anchored at start, as re.match: '. *2' must not match 'a1'
+    got = T.series_by_tag(tagged, ["name=disk.used", "rack=~.2"])
+    assert _names(got) == {"disk.used;datacenter=dc1;rack=b2",
+                           "disk.used;datacenter=dc2;rack=b2"}
+    got = T.series_by_tag(tagged, ["name=disk.used", "rack!=~a.*"])
+    # negated regex keeps series missing the tag
+    assert "disk.used" in _names(got)
+    assert "disk.used;datacenter=dc1;rack=b2" in _names(got)
+
+
+def test_series_by_tag_name_regex(tagged):
+    got = T.series_by_tag(tagged, ["name=~disk\\..*", "datacenter=dc1"])
+    assert "disk.total;datacenter=dc1" in _names(got)
+
+
+def test_series_by_tag_prefix_range_is_pushed(tagged):
+    # the name= term becomes a sargable startswith/equality — visible
+    # as a pushed data filter in the physical plan
+    got = T.series_by_tag(tagged, ["name=disk.used", "datacenter=dc1"])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "disk.used" in plan  # literal reached the plan, not a UDF
+
+
+def test_series_by_tag_rejects_empty_and_malformed(tagged):
+    with pytest.raises(ValueError):
+        T.series_by_tag(tagged, [])
+    with pytest.raises(ValueError):
+        T.compile_term("nonsense", T.tags_map_col(F.col("metric")))
+
+
+def test_name_equals_term():
+    assert T.name_equals_term(["rack=a1", "name=disk.used"]) == "disk.used"
+    assert T.name_equals_term(["name=~disk.*"]) is None
+    assert T.name_equals_term(["rack=a1"]) is None
+
+
+# -------------------------------------------- render-function surface
+
+def test_series_by_tag_target(tagged):
+    from graphouse_spark.functions.target import evaluate_target
+
+    got = evaluate_target(
+        tagged, "seriesByTag('name=disk.used', 'datacenter=dc1')")
+    assert _names(got) == {"disk.used;datacenter=dc1;rack=a1",
+                           "disk.used;datacenter=dc1;rack=b2"}
+
+
+def test_alias_by_tags_target(tagged):
+    from graphouse_spark.functions.target import evaluate_target
+
+    got = evaluate_target(
+        tagged,
+        "aliasByTags(seriesByTag('name=disk.used', 'datacenter=dc1'), "
+        "'rack', 'datacenter')")
+    assert _names(got) == {"a1.dc1", "b2.dc1"}
+    # missing tags drop out of the join
+    got = evaluate_target(
+        tagged, "aliasByTags(seriesByTag('name=disk.used', 'datacenter='), "
+        "'rack', 'name')")
+    assert _names(got) == {"disk.used"}
+
+
+def test_group_by_tags_target(tagged):
+    from graphouse_spark.functions.target import evaluate_target
+
+    got = evaluate_target(
+        tagged,
+        "groupByTags(seriesByTag('name=disk.used', 'datacenter!='), "
+        "'sum', 'name', 'datacenter')")
+    by = {(r["metric"], r["ts"]): r["value"] for r in got.collect()}
+    # two racks of 10.0 summed per datacenter per ts
+    assert by[("disk.used;datacenter=dc1", 0)] == 20.0
+    assert by[("disk.used;datacenter=dc2", 60)] == 20.0
+    # name aggregated away -> callback names the series
+    got = evaluate_target(
+        tagged,
+        "groupByTags(seriesByTag('name=disk.used', 'datacenter!='), "
+        "'avg', 'rack')")
+    by = {(r["metric"], r["ts"]): r["value"] for r in got.collect()}
+    assert by[("avg;rack=a1", 0)] == 10.0
+
+
+def test_tag_targets_compose_with_untagged_functions(tagged):
+    from graphouse_spark.functions.target import evaluate_target
+
+    got = evaluate_target(
+        tagged,
+        "sumSeries(seriesByTag('name=disk.used', 'datacenter=dc1'))")
+    by = {r["ts"]: r["value"] for r in got.collect()}
+    assert by[0] == 20.0 and by[60] == 20.0
+
+
+# ------------------------------------------------- ingest + /render e2e
+
+def test_tagged_ingest_and_render_e2e(spark, tmp_path):
+    """Tagged plaintext lines ingest into the data table (canonical tag
+    order), stay OUT of the metric tree, and serve through the real
+    /render path via seriesByTag — resolved against the data table with
+    the name= prefix range."""
+    import json
+    import urllib.parse
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.api.http import start_http_server
+    from graphouse_spark.api.service import GraphouseService
+    from graphouse_spark.retention import (
+        CombinedRetentionProvider, MetricRetention, MetricRetentionConfig)
+    from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
+
+    BASE = 1_542_199_500
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    lines = []
+    for dc, v in (("dc1", 10.0), ("dc2", 20.0)):
+        for i in (0, 1):
+            # tags deliberately unsorted: rack before datacenter
+            lines.append(f"disk.used;rack=r9;datacenter={dc} {v} {BASE + i*60}")
+    lines.append(f"plain.srv.cpu 1.0 {BASE}")
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    ingest_batch(T.parse_tagged_lines(raw, updated=F.lit(BASE)), cfg,
+                 known_names=None)
+
+    provider = CombinedRetentionProvider(
+        [MetricRetentionConfig(".*", True, MetricRetention("avg", {0: 60}))])
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path, provider)
+    svc.load_tree()
+    # tree holds only the untagged name's chain — no ';' anywhere
+    assert svc.search("*") == "disk.\nplain.\n" or ";" not in svc.search("*")
+
+    server = start_http_server(svc)
+    port = server.server_address[1]
+    try:
+        t = urllib.parse.quote(
+            "seriesByTag('name=disk.used', 'datacenter=dc1')")
+        u = (f"http://127.0.0.1:{port}/render?target={t}"
+             f"&from={BASE - 10}&until={BASE + 190}&format=json")
+        body = json.loads(urllib.request.urlopen(u).read().decode())
+        # canonical order on ingest: datacenter sorts before rack
+        assert [s["target"] for s in body] == \
+            ["disk.used;datacenter=dc1;rack=r9"]
+        vals = [p[0] for p in body[0]["datapoints"] if p[0] is not None]
+        assert vals == [10.0, 10.0]
+
+        t = urllib.parse.quote(
+            "groupByTags(seriesByTag('name=disk.used', 'datacenter!='), "
+            "'sum', 'name')")
+        u = (f"http://127.0.0.1:{port}/render?target={t}"
+             f"&from={BASE - 10}&until={BASE + 190}&format=json")
+        body = json.loads(urllib.request.urlopen(u).read().decode())
+        assert [s["target"] for s in body] == ["disk.used"]
+        vals = [p[0] for p in body[0]["datapoints"] if p[0] is not None]
+        assert vals == [30.0, 30.0]
+
+        # no name= equality term -> bounded refusal, not a full scan
+        t = urllib.parse.quote("seriesByTag('datacenter=dc1')")
+        u = (f"http://127.0.0.1:{port}/render?target={t}"
+             f"&from={BASE - 10}&until={BASE + 190}&format=json")
+        try:
+            urllib.request.urlopen(u)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = True
+            assert e.code in (400, 413)
+        assert raised
+    finally:
+        server.shutdown()
