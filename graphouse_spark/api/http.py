@@ -211,6 +211,31 @@ def make_handler(service: GraphouseService):
                     limit = int(params["limit"]) if "limit" in params else None
                     self._send(200, service.query_log.entries_json(limit),
                                "application/json")
+                elif route.startswith("/tags/"):
+                    # graphite-web tag API (ENGINE EXTENSION, tags.py):
+                    # grafana's tag browser calls these three. expr
+                    # repeats like target does
+                    exprs = parse_qs(parsed.query,
+                                     keep_blank_values=True).get("expr", [])
+                    limit = int(params.get("limit", "100"))
+                    if route == "/tags/findSeries":
+                        self._send(200, service.tag_find_series(exprs, limit),
+                                   "application/json")
+                    elif route == "/tags/autoComplete/tags":
+                        self._send(
+                            200,
+                            service.tag_autocomplete_tags(
+                                exprs, params.get("tagPrefix", ""), limit),
+                            "application/json")
+                    elif route == "/tags/autoComplete/values":
+                        self._send(
+                            200,
+                            service.tag_autocomplete_values(
+                                params.get("tag", ""), exprs,
+                                params.get("valuePrefix", ""), limit),
+                            "application/json")
+                    else:
+                        self._send(404, "not found")
                 elif route in MULTI_STATUS:
                     self._multi_modify(route, params)
                 elif route in ("/ban", "/approve", "/hide"):

@@ -683,6 +683,81 @@ class GraphouseService:
             raise RuntimeError("metric tree not loaded yet (the reference returns 503)")
         return "\n".join(self.tree.search_cached(query))
 
+    # -- /tags (graphite-web tag API; ENGINE EXTENSION with tags.py) --
+    #: tag browsing resolves against metric names seen in the last N
+    #: days — date is the PARTITION column, so the browse scans only
+    #: those partitions' footers/name columns, never the full lake. A
+    #: stale tag ages out of autocomplete like CH's own usage-driven
+    #: tag listings; widen the window per-instance if needed.
+    tag_lookback_days: int = 7
+
+    def _tagged_names(self, exprs: list[str] | None = None):
+        """Distinct tagged metric names inside the lookback window,
+        optionally filtered by seriesByTag terms."""
+        from pyspark.sql import functions as F
+
+        from graphouse_spark import tags as tg_mod
+
+        data = read_data(self.spark, self.data_path)
+        names = (data.filter(
+            F.col("date") >= F.date_sub(F.current_date(),
+                                        self.tag_lookback_days))
+            .filter(F.col("metric").contains(";"))
+            .select("metric").distinct())
+        if exprs:
+            names = tg_mod.series_by_tag(names, exprs)
+        return names
+
+    def tag_find_series(self, exprs: list[str], limit: int = 100) -> str:
+        """``/tags/findSeries?expr=...&expr=...`` — JSON list of
+        matching tagged series names (grafana's tag-mode series
+        lookup)."""
+        if not exprs:
+            raise ValueError("findSeries needs at least one expr")
+        rows = (self._tagged_names(exprs)
+                .orderBy("metric").limit(limit).collect())
+        return json.dumps([r["metric"] for r in rows])
+
+    def tag_autocomplete_tags(self, exprs: list[str] | None = None,
+                              tag_prefix: str = "",
+                              limit: int = 100) -> str:
+        """``/tags/autoComplete/tags`` — distinct tag KEYS across the
+        (optionally expr-filtered) tagged namespace."""
+        from pyspark.sql import functions as F
+
+        from graphouse_spark import tags as tg_mod
+
+        keys = (self._tagged_names(exprs)
+                .select(F.explode(F.map_keys(
+                    tg_mod.tags_map_col(F.col("metric")))).alias("tag"))
+                .filter(F.col("tag") != "name"))
+        if tag_prefix:
+            keys = keys.filter(F.col("tag").startswith(tag_prefix))
+        rows = keys.distinct().orderBy("tag").limit(limit).collect()
+        return json.dumps([r["tag"] for r in rows])
+
+    def tag_autocomplete_values(self, tag: str,
+                                exprs: list[str] | None = None,
+                                value_prefix: str = "",
+                                limit: int = 100) -> str:
+        """``/tags/autoComplete/values`` — distinct VALUES of one tag
+        key across the (optionally expr-filtered) tagged namespace."""
+        from pyspark.sql import functions as F
+
+        from graphouse_spark import tags as tg_mod
+
+        if not tag:
+            raise ValueError("autoComplete/values needs a tag")
+        vals = (self._tagged_names(exprs)
+                .select(F.element_at(
+                    tg_mod.tags_map_col(F.col("metric")),
+                    tag).alias("value"))
+                .filter(F.col("value").isNotNull()))
+        if value_prefix:
+            vals = vals.filter(F.col("value").startswith(value_prefix))
+        rows = vals.distinct().orderBy("value").limit(limit).collect()
+        return json.dumps([r["value"] for r in rows])
+
     # -- /metricData --
     def metric_data(self, patterns: list[str], start: int, end: int,
                     now_seconds: int | None = None,

@@ -263,3 +263,76 @@ def test_tagged_ingest_and_render_e2e(spark, tmp_path):
         assert raised
     finally:
         server.shutdown()
+
+
+def test_tags_http_api(spark, tmp_path):
+    """graphite-web /tags API (grafana's tag browser): findSeries,
+    autoComplete/tags, autoComplete/values — served from the tagged
+    namespace inside the date-partition lookback window."""
+    import json
+    import urllib.parse
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.api.http import start_http_server
+    from graphouse_spark.api.service import GraphouseService
+    from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
+
+    import time as _time
+    BASE = int(_time.time()) - 3600  # inside the 7-day lookback window
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    lines = [
+        f"disk.used;datacenter=dc1;rack=a1 1.0 {BASE}",
+        f"disk.used;datacenter=dc2;rack=b2 2.0 {BASE}",
+        f"cpu.load;datacenter=dc1 3.0 {BASE}",
+        f"plain.srv.cpu 4.0 {BASE}",
+    ]
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    ingest_batch(T.parse_tagged_lines(raw, updated=F.lit(BASE)), cfg,
+                 known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path)
+    svc.load_tree()
+    server = start_http_server(svc)
+    port = server.server_address[1]
+
+    def get(path, **params):
+        pairs = []
+        for k, v in params.items():
+            for item in (v if isinstance(v, list) else [v]):
+                pairs.append((k, item))
+        u = (f"http://127.0.0.1:{port}{path}?"
+             + urllib.parse.urlencode(pairs))
+        return json.loads(urllib.request.urlopen(u).read().decode())
+
+    try:
+        assert get("/tags/findSeries", expr="name=disk.used") == [
+            "disk.used;datacenter=dc1;rack=a1",
+            "disk.used;datacenter=dc2;rack=b2"]
+        assert get("/tags/findSeries",
+                   expr=["name=disk.used", "datacenter=dc2"]) == [
+            "disk.used;datacenter=dc2;rack=b2"]
+        # tag-key autocomplete: name excluded, prefix filter applies
+        assert get("/tags/autoComplete/tags") == ["datacenter", "rack"]
+        assert get("/tags/autoComplete/tags", tagPrefix="ra") == ["rack"]
+        assert get("/tags/autoComplete/tags",
+                   expr="name=cpu.load") == ["datacenter"]
+        # value autocomplete, optionally narrowed by exprs and prefix
+        assert get("/tags/autoComplete/values",
+                   tag="datacenter") == ["dc1", "dc2"]
+        assert get("/tags/autoComplete/values", tag="datacenter",
+                   expr="name=cpu.load") == ["dc1"]
+        assert get("/tags/autoComplete/values", tag="rack",
+                   valuePrefix="b") == ["b2"]
+        assert get("/tags/autoComplete/values", tag="rack", limit=1) == ["a1"]
+        # missing expr on findSeries -> 400
+        try:
+            get("/tags/findSeries")
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = True
+            assert e.code == 400
+        assert raised
+    finally:
+        server.shutdown()
