@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("--pickle-port", type=int, default=0,
                        help="carbon pickle-protocol listener (carbon's :2004); 0 = off")
     serve.add_argument("--trigger-seconds", type=int, default=5)
+    serve.add_argument("--tagged-ingest", action="store_true",
+                       help="admit graphite 1.1 tagged names "
+                            "(name;key=value) on the ingest listeners")
     serve.add_argument("--lazy-tree", action="store_true",
                        help="CH-style cold start: no bootstrap tree scan")
     serve.add_argument("--render-cache-ttl", type=int, default=0,
@@ -117,14 +120,16 @@ def run_serve(args, spark=None, block: bool = True):
     query = pickle_query = None
     if args.graphite_port:
         cfg = IngestConfig(args.data, args.metrics, args.checkpoint,
-                           trigger_seconds=args.trigger_seconds)
+                           trigger_seconds=args.trigger_seconds,
+                           allow_tags=getattr(args, "tagged_ingest", False))
         query = start_socket_ingest(spark, cfg, host=args.host,
                                     port=args.graphite_port, server_mode=True)
     if getattr(args, "pickle_port", 0):
         # second listener, own checkpoint: both feed the same tables
         pcfg = IngestConfig(args.data, args.metrics,
                             args.checkpoint.rstrip("/") + "-pickle",
-                            trigger_seconds=args.trigger_seconds)
+                            trigger_seconds=args.trigger_seconds,
+                            allow_tags=getattr(args, "tagged_ingest", False))
         pickle_query = start_socket_ingest(
             spark, pcfg, host=args.host, port=args.pickle_port,
             server_mode=True, protocol="pickle")

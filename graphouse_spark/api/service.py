@@ -694,10 +694,16 @@ class GraphouseService:
     def _tagged_names(self, exprs: list[str] | None = None):
         """Distinct tagged metric names inside the lookback window,
         optionally filtered by seriesByTag terms."""
+        import os
+
         from pyspark.sql import functions as F
 
         from graphouse_spark import tags as tg_mod
 
+        if not os.path.exists(self.data_path):
+            # pre-first-batch boot: serve the empty namespace, like the
+            # empty-tree bootstrap does for /search
+            return self.spark.createDataFrame([], "metric string")
         data = read_data(self.spark, self.data_path)
         names = (data.filter(
             F.col("date") >= F.date_sub(F.current_date(),

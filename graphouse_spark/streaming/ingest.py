@@ -44,6 +44,21 @@ class IngestConfig:
     #: micro-batch; raising simulates a mid-batch executor/driver death
     #: (same posture as the rollup/delete commit-protocol tests)
     failpoint: Optional[Callable[[str], None]] = None
+    #: opt-in graphite 1.1 tagged-name ingest (tags.py): lines like
+    #: ``disk.used;dc=1 v ts`` validate, canonicalize tag order, land
+    #: in the data table and skip the tree. Default off — the
+    #: reference-parity validator rejects ';'.
+    allow_tags: bool = False
+
+
+def _parse_stream(raw: DataFrame, cfg: "IngestConfig",
+                  updated=None) -> DataFrame:
+    """Stream-source parse honoring :attr:`IngestConfig.allow_tags`."""
+    if cfg.allow_tags:
+        from graphouse_spark import tags as _tags
+
+        return _tags.parse_tagged_lines(raw, updated=updated)
+    return parse_lines(raw, updated=updated)
 
 
 def filter_banned(parsed: DataFrame, banned_prefixes: tuple[str, ...]) -> DataFrame:
@@ -159,7 +174,7 @@ def start_file_ingest(spark: SparkSession, cfg: IngestConfig, input_dir: str):
     Returns the StreamingQuery; caller owns lifecycle.
     """
     raw = spark.readStream.text(input_dir)
-    parsed = parse_lines(raw)
+    parsed = _parse_stream(raw, cfg)
     return (
         parsed.writeStream.foreachBatch(_batch_runner(spark, cfg))
         .option("checkpointLocation", cfg.checkpoint_path)
@@ -192,7 +207,7 @@ def start_socket_ingest(spark: SparkSession, cfg: IngestConfig, host: str = "loc
             .option("protocol", protocol)  # line (:2003) or carbon pickle (:2004)
             .load()
         )
-        parsed = parse_lines(raw, updated=F.col("updated"))
+        parsed = _parse_stream(raw, cfg, updated=F.col("updated"))
     else:
         raw = (
             spark.readStream.format("socket")
@@ -200,7 +215,7 @@ def start_socket_ingest(spark: SparkSession, cfg: IngestConfig, host: str = "loc
             .option("port", port)
             .load()
         )
-        parsed = parse_lines(raw)
+        parsed = _parse_stream(raw, cfg)
 
     return (
         parsed.writeStream.foreachBatch(_batch_runner(spark, cfg))

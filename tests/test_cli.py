@@ -102,3 +102,64 @@ def test_cli_serve_with_live_graphite_socket(spark, tmp_path):
     finally:
         query.stop()
         http.shutdown()
+
+
+def test_cli_serve_tagged_ingest_live_socket(spark, tmp_path):
+    """--tagged-ingest: a graphite 1.1 tagged line over live TCP lands
+    in the data table (canonical tag order), never in the tree, and
+    serves through seriesByTag + /tags — the full extension loop."""
+    import json
+
+    sargs = build_parser().parse_args([
+        "serve",
+        "--data", str(tmp_path / "data"),
+        "--metrics", str(tmp_path / "metrics"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--http-port", "0", "--graphite-port", "0", "--tagged-ingest"])
+    s = socket.socket(); s.bind(("127.0.0.1", 0))
+    gport = s.getsockname()[1]; s.close()
+    sargs.graphite_port = gport
+    sargs.trigger_seconds = 1
+    now = int(time.time())
+    svc, http, query = run_serve(sargs, spark=spark, block=False)
+    try:
+        deadline = time.time() + 30
+        sent = False
+        while time.time() < deadline:
+            try:
+                with socket.create_connection(("127.0.0.1", gport), timeout=2) as c:
+                    # tags deliberately unsorted; plus one plain line
+                    c.sendall((f"disk.used;rack=r1;datacenter=dc9 5.0 {now}\n"
+                               f"one_min.plain.cpu 1.0 {now}\n").encode())
+                sent = True
+                break
+            except OSError:
+                time.sleep(0.5)
+        assert sent
+        deadline = time.time() + 60
+        found = []
+        while time.time() < deadline:
+            found = json.loads(svc.tag_find_series(["name=disk.used"]))
+            if found:
+                break
+            time.sleep(1)
+        assert found == ["disk.used;datacenter=dc9;rack=r1"]
+        # plain line still registers in the tree; the tagged one never
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            svc.load_tree()
+            if svc.search("one_min.plain.cpu").strip():
+                break
+            time.sleep(1)
+        assert svc.search("one_min.plain.cpu").strip()
+        assert ";" not in svc.search_cached("*")
+        out = svc.render("seriesByTag('name=disk.used', 'datacenter=dc9')",
+                         now - 70, now + 190)
+        assert [s_["target"] for s_ in out] == \
+            ["disk.used;datacenter=dc9;rack=r1"]
+        vals = [p[0] for s_ in out for p in s_["datapoints"]
+                if p[0] is not None]
+        assert vals == [5.0]
+    finally:
+        query.stop()
+        http.shutdown()
