@@ -70,9 +70,9 @@ def make_handler(service: GraphouseService):
                 self._send(400, "target parameter required")
                 return
             fmt = params.get("format", "json")
-            if fmt not in ("json", "csv", "pickle"):
-                self._send(400,
-                           f"unsupported format {fmt!r} (json, csv or pickle)")
+            if fmt not in ("json", "csv", "raw", "pickle"):
+                self._send(400, f"unsupported format {fmt!r} "
+                                "(json, csv, raw or pickle)")
                 return
             now = int(params.get("now", time.time()))
             start = parse_render_time(params["from"], now)
@@ -96,6 +96,19 @@ def make_handler(service: GraphouseService):
                         lines.append(
                             f"{s['target']},{dt},{'' if v is None else v}")
                 self._send(200, "\n".join(lines) + "\n", "text/csv")
+            elif fmt == "raw":
+                # graphite raw: name,start,end,step|v1,v2,... — the
+                # scripting format graphite-web's rawData renderer emits
+                lines = []
+                for s in series:
+                    pts = s["datapoints"]
+                    ts0 = pts[0][1] if pts else start
+                    step = (pts[1][1] - pts[0][1]) if len(pts) > 1 else 60
+                    lines.append(
+                        f"{s['target']},{ts0},{ts0 + step * len(pts)},{step}|"
+                        + ",".join("None" if v is None else str(v)
+                                   for v, _ in pts))
+                self._send(200, "\n".join(lines) + "\n", "text/plain")
             else:
                 self._send(200, json.dumps(series), "application/json")
 

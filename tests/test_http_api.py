@@ -1047,3 +1047,24 @@ def test_query_aggregate_renames(spark, tmp_path):
     # uniq family longest-match: uniqCombined is not uniq + "Combined("
     assert svc.sql("SELECT uniqCombined(metric) AS u "
                    "FROM graphite.data").strip() == "1"
+
+
+def test_render_raw_format(server):
+    """graphite raw format: name,start,end,step|v1,v2,... — the
+    scripting shape graphite-web's rawData renderer emits."""
+    svc, http, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    code, body = get(
+        port,
+        f"/render?target=one_min.srv1.cpu&from={BASE}&until={BASE + 180}"
+        "&format=raw",
+    )
+    assert code == 200
+    line = body.strip()
+    head, vals = line.split("|")
+    name, s, e, st = head.rsplit(",", 3)
+    assert name == "one_min.srv1.cpu"
+    assert int(st) == 60
+    assert int(e) - int(s) == 60 * len(vals.split(","))
+    assert vals == "1.0,2.0,3.0"
