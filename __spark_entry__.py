@@ -2901,6 +2901,30 @@ def q_ev_array_join(spark, sf_dir):
     """))
 
 
+def q_ev_tagged_series(spark, sf_dir):
+    """Graphite 1.1 tagged-series selection (tags.py ENGINE EXTENSION)
+    under the oracle gate: names derived from events carry dc/host
+    tags; seriesByTag terms =, !=, =~ compile to JVM map/rlike
+    predicates with the name= prefix range pushed to the scan. The
+    oracle replays every term with regexp string functions."""
+    from graphouse_spark import tags as tg
+    from graphouse_spark.sources.tables import register_corpus
+
+    ev = _t(spark, sf_dir, "events")
+    register_corpus(spark, sf_dir, ("events",))
+    named = ev.select(
+        F.concat(F.lit("cpu.load;dc=dc"),
+                 (F.col("user_id") % 3).cast("string"),
+                 F.lit(";host=h"),
+                 (F.col("user_id") % 5).cast("string")).alias("metric"),
+        F.col("value"))
+    sel = tg.series_by_tag(
+        named, ["name=cpu.load", "dc=dc1", "host!=h2", "host=~h[0-9]"])
+    return (sel.groupBy("metric")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 6).alias("sum_v")))
+
+
 def q_ev_bit_ops(spark, sf_dir):
     """CH groupBitAnd/Or/Xor over per-type user-id words."""
     from graphouse_spark.functions.chagg import group_bit_ops
@@ -3574,6 +3598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_with_totals": q_ev_with_totals,
         "ev_ch_combinators": q_ev_ch_combinators,
         "ev_array_join": q_ev_array_join,
+        "ev_tagged_series": q_ev_tagged_series,
         "ev_limit_by": q_ev_limit_by,
         "ev_bit_ops": q_ev_bit_ops,
         "ev_moments": q_ev_moments,
@@ -6363,6 +6388,22 @@ def oracle_sql() -> dict[str, str]:
                          / sum(CAST(user_id % 7 + 1 AS DOUBLE)), 6) AS aw
             FROM events
             GROUP BY event_type
+        """,
+        "ev_tagged_series": """
+            WITH named AS (
+                SELECT concat('cpu.load;dc=dc', CAST(user_id % 3 AS VARCHAR),
+                              ';host=h', CAST(user_id % 5 AS VARCHAR)) AS metric,
+                       value
+                FROM events
+            )
+            SELECT metric, count(*) AS n, round(sum(value), 6) AS sum_v
+            FROM named
+            WHERE (metric = 'cpu.load' OR metric LIKE 'cpu.load;%')
+              AND regexp_extract(metric, ';dc=([^;]*)', 1) = 'dc1'
+              AND regexp_extract(metric, ';host=([^;]*)', 1) <> 'h2'
+              AND regexp_matches(regexp_extract(metric, ';host=([^;]*)', 1),
+                                 '^(?:h[0-9])')
+            GROUP BY metric
         """,
         "ev_array_join": """
             SELECT part, count(*) AS n, round(sum(value), 6) AS sum_v
