@@ -1068,3 +1068,30 @@ def test_render_raw_format(server):
     assert int(st) == 60
     assert int(e) - int(s) == 60 * len(vals.split(","))
     assert vals == "1.0,2.0,3.0"
+
+
+def test_query_rollup_cube_grouping_sets(spark, tmp_path):
+    """CH's WITH ROLLUP / WITH CUBE / GROUPING SETS spellings parse
+    natively in Spark SQL — pin that the /query surface serves them
+    unchanged (no rewrite involved)."""
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    rows = ["one_min.g.a 1.0 1000", "one_min.g.b 2.0 1000",
+            "one_min.g.a 3.0 1060"]
+    raw = spark.createDataFrame([(l,) for l in rows], "value string")
+    ingest_batch(parse_lines(raw, updated=F.lit(100)), cfg, known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path)
+
+    out = svc.sql("SELECT metric, sum(value) AS s FROM graphite.data "
+                  "GROUP BY metric WITH ROLLUP ORDER BY metric NULLS FIRST")
+    assert out.splitlines() == ["\\N\t6.0", "one_min.g.a\t4.0",
+                                "one_min.g.b\t2.0"]
+    out = svc.sql("SELECT metric, timestamp AS ts, sum(value) AS s "
+                  "FROM graphite.data GROUP BY metric, ts WITH CUBE "
+                  "ORDER BY metric NULLS FIRST, ts NULLS FIRST LIMIT 3")
+    assert out.splitlines() == ["\\N\t\\N\t6.0", "\\N\t1000\t3.0",
+                                "\\N\t1060\t3.0"]
+    out = svc.sql("SELECT metric, sum(value) AS s FROM graphite.data "
+                  "GROUP BY GROUPING SETS ((metric), ()) "
+                  "ORDER BY metric NULLS FIRST")
+    assert out.splitlines()[0] == "\\N\t6.0"
