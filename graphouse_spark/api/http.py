@@ -128,8 +128,11 @@ def make_handler(service: GraphouseService):
                 # CH returns the parser/analyzer error as text
                 self._send(400, f"{type(e).__name__}: {e}")
                 return
-            ctype = ("application/json" if fmt.upper() == "JSON"
-                     else "text/tab-separated-values")
+            ctype = {"JSON": "application/json",
+                     "JSONEACHROW": "application/x-ndjson",
+                     "CSV": "text/csv",
+                     "CSVWITHNAMES": "text/csv"}.get(
+                fmt.upper(), "text/tab-separated-values")
             self._send(200, body, ctype)
 
         def _form(self) -> dict:

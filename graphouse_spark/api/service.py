@@ -102,12 +102,15 @@ _LIMIT_BY_RE = re.compile(
 #: trailing CH ``FORMAT <name>`` — admins append it to the query text;
 #: maps onto the fmt parameter like the CH HTTP interface does.
 _FORMAT_RE = re.compile(
-    r"\bFORMAT\s+(TSV|TabSeparated|JSON|JSONCompact)\s*;?\s*$",
+    r"\bFORMAT\s+(TSV|TabSeparated|JSON|JSONCompact|JSONEachRow"
+    r"|CSVWithNames|CSV)\s*;?\s*$",
     re.IGNORECASE,
 )
 
 _FORMAT_NAMES = {"tsv": "TSV", "tabseparated": "TSV",
-                 "json": "JSON", "jsoncompact": "JSON"}
+                 "json": "JSON", "jsoncompact": "JSON",
+                 "jsoneachrow": "JSONEachRow",
+                 "csv": "CSV", "csvwithnames": "CSVWithNames"}
 
 
 def _extract_format(query: str):
@@ -1125,6 +1128,17 @@ class GraphouseService:
                 # rather than silently dropping a predicate
                 code = _re.sub(r"\bPREWHERE\b", "WHERE", code,
                                flags=_re.IGNORECASE)
+                # CH numbers(n) / numbers(offset, n) table function ->
+                # Spark range, with the column renamed to CH's `number`
+                def _numbers(m):
+                    a = int(m.group(1))
+                    b = m.group(2)
+                    lo, hi = (a, a + int(b)) if b is not None else (0, a)
+                    return (f"(SELECT id AS number FROM range({lo}, {hi})) "
+                            "AS numbers")
+                code = _re.sub(
+                    r"\bnumbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+                    _numbers, code)
                 for ch, sp in (("argMax", "max_by"), ("argMin", "min_by"),
                                ("uniqCombined", "approx_count_distinct"),
                                ("uniqHLL12", "approx_count_distinct"),
@@ -1187,6 +1201,35 @@ class GraphouseService:
             if limit_by is not None:
                 rows = _apply_limit_by(rows, out_schema, limit_by)
             log["rows"] = len(rows)
+            fmt_u = fmt.upper()
+            if fmt_u == "JSONEACHROW":
+                # CH JSONEachRow: one object per row, newline-delimited
+                lines = [
+                    json.dumps({f: (None if v is None else v)
+                                for f, v in r.asDict().items()}, default=str)
+                    for r in rows
+                ]
+                if totals_row is not None:
+                    lines.append(json.dumps(
+                        {f: (None if v is None else v)
+                         for f, v in totals_row.asDict().items()},
+                        default=str))
+                return "\n".join(lines) + ("\n" if lines else "")
+            if fmt_u in ("CSV", "CSVWITHNAMES"):
+                import csv as _csv
+                import io as _io
+
+                buf = _io.StringIO()
+                w = _csv.writer(buf, lineterminator="\n")
+                if fmt_u == "CSVWITHNAMES":
+                    w.writerow([f.name for f in out_fields])
+                for r in rows:
+                    w.writerow(["\\N" if v is None else v for v in r])
+                if totals_row is not None:
+                    w.writerow([])
+                    w.writerow(["\\N" if v is None else v
+                                for v in totals_row])
+                return buf.getvalue()
             if fmt.upper() == "JSON":
                 body = {
                     "meta": [{"name": f.name, "type": f.dataType.simpleString()}

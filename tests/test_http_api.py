@@ -1095,3 +1095,35 @@ def test_query_rollup_cube_grouping_sets(spark, tmp_path):
                   "GROUP BY GROUPING SETS ((metric), ()) "
                   "ORDER BY metric NULLS FIRST")
     assert out.splitlines()[0] == "\\N\t6.0"
+
+
+def test_query_more_formats_and_numbers(spark, tmp_path):
+    """CH JSONEachRow / CSV / CSVWithNames output formats and the
+    numbers(n) table function (-> range with CH's `number` column)."""
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    raw = spark.createDataFrame(
+        [("one_min.f.cpu 1.5 1000",), ("one_min.f.cpu 2.5 1060",)],
+        "value string")
+    ingest_batch(parse_lines(raw, updated=F.lit(100)), cfg, known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path)
+
+    out = svc.sql("SELECT metric, value FROM graphite.data "
+                  "ORDER BY timestamp FORMAT JSONEachRow")
+    assert out.splitlines() == [
+        '{"metric": "one_min.f.cpu", "value": 1.5}',
+        '{"metric": "one_min.f.cpu", "value": 2.5}']
+    out = svc.sql("SELECT metric, value FROM graphite.data "
+                  "ORDER BY timestamp FORMAT CSVWithNames")
+    assert out.splitlines() == ["metric,value", "one_min.f.cpu,1.5",
+                                "one_min.f.cpu,2.5"]
+    out = svc.sql("SELECT value, NULL AS x FROM graphite.data "
+                  "ORDER BY timestamp LIMIT 1 FORMAT CSV")
+    assert out.splitlines() == ['1.5,\\N']
+    # numbers(n) and numbers(offset, n), with CH's `number` column
+    assert svc.sql("SELECT sum(number) AS s FROM numbers(10)").strip() == "45"
+    assert svc.sql("SELECT count(*) AS n, min(number) AS lo "
+                   "FROM numbers(5, 3)").strip() == "3\t5"
+    # quoting: commas inside string values stay one CSV field
+    assert svc.sql("SELECT 'a,b' AS s FORMAT CSV").strip() == '"a,b"'
+    assert svc.sql("SELECT 'FORMAT CSV' AS s").strip() == "FORMAT CSV"
