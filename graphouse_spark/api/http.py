@@ -100,10 +100,19 @@ def make_handler(service: GraphouseService):
                 # graphite raw: name,start,end,step|v1,v2,... — the
                 # scripting format graphite-web's rawData renderer emits
                 lines = []
+                base_step = None
                 for s in series:
                     pts = s["datapoints"]
                     ts0 = pts[0][1] if pts else start
-                    step = (pts[1][1] - pts[0][1]) if len(pts) > 1 else 60
+                    if len(pts) > 1:
+                        step = pts[1][1] - pts[0][1]
+                    else:
+                        # too few points to infer: ask the retention
+                        # provider (metadata-only, resolved once)
+                        if base_step is None:
+                            base_step = service.render_base_step(
+                                targets, start, end)
+                        step = base_step
                     lines.append(
                         f"{s['target']},{ts0},{ts0 + step * len(pts)},{step}|"
                         + ",".join("None" if v is None else str(v)
@@ -235,7 +244,13 @@ def make_handler(service: GraphouseService):
                                      keep_blank_values=True).get("expr", [])
                     limit = int(params.get("limit", "100"))
                     if route == "/tags/findSeries":
-                        self._send(200, service.tag_find_series(exprs, limit),
+                        # graphite's findSeries takes no limit param:
+                        # serve all matches (10k server bound) unless
+                        # the client explicitly sent one
+                        explicit = (int(params["limit"])
+                                    if "limit" in params else None)
+                        self._send(200,
+                                   service.tag_find_series(exprs, explicit),
                                    "application/json")
                     elif route == "/tags/autoComplete/tags":
                         self._send(
@@ -272,6 +287,11 @@ def make_handler(service: GraphouseService):
                 self._send(413, str(e))
             except (KeyError, ValueError, TypeError) as e:
                 self._send(400, f"bad request: {e}")
+            except Exception as e:  # noqa: BLE001 — keep the daemon
+                # alive on evaluator/JVM errors (bad user regex reaches
+                # rlike as Py4JJavaError): graphite answers 500, the
+                # connection is not dropped
+                self._send(500, f"{type(e).__name__}: {e}")
 
         def do_POST(self):
             parsed = urlparse(self.path)
@@ -306,6 +326,9 @@ def make_handler(service: GraphouseService):
                     self._send(413, str(e))
                 except (KeyError, ValueError, TypeError) as e:
                     self._send(400, f"bad request: {e}")
+                except Exception as e:  # noqa: BLE001 — same 500
+                    # posture as do_GET
+                    self._send(500, f"{type(e).__name__}: {e}")
                 return
             form = self._form()
             try:
@@ -351,6 +374,11 @@ def make_handler(service: GraphouseService):
                 self._send(413, str(e))
             except (KeyError, ValueError, TypeError) as e:
                 self._send(400, f"bad request: {e}")
+            except Exception as e:  # noqa: BLE001 — keep the daemon
+                # alive on evaluator/JVM errors (bad user regex reaches
+                # rlike as Py4JJavaError): graphite answers 500, the
+                # connection is not dropped
+                self._send(500, f"{type(e).__name__}: {e}")
 
     return Handler
 

@@ -548,6 +548,27 @@ def _extract_with_totals(query: str):
     if lm is not None:
         spec["limit"] = int(lm.group(1))
         tail = text[m.end():m.end() + lm.start()]
+    # CH computes totals BEFORE HAVING (default totals_mode): a
+    # depth-0 HAVING in the tail must not filter out the () row, so
+    # the predicate gets an `OR grouping_id() != 0` escape hatch (the
+    # marker-split removes the row from the data set regardless)
+    t_text, t_search = _code_view(tail)
+    t_depths = _depth_at(t_search)
+    hm = None
+    for h in re.finditer(r"\bHAVING\b", t_search, re.IGNORECASE):
+        if t_depths[h.start()] == 0:
+            hm = h
+            break
+    if hm is not None:
+        pend = len(t_text)
+        for o in re.finditer(r"\bORDER\s+BY\b", t_search, re.IGNORECASE):
+            if o.start() > hm.end() and t_depths[o.start()] == 0:
+                pend = o.start()
+                break
+        pred = t_text[hm.end():pend].strip()
+        tail = (t_text[:hm.end()]
+                + f" (({pred}) OR grouping_id() != 0) "
+                + t_text[pend:])
     cols = text[gb.end():m.start()].strip()
     rewritten = (
         text[:frm.start()]
@@ -686,6 +707,25 @@ class GraphouseService:
             raise RuntimeError("metric tree not loaded yet (the reference returns 503)")
         return "\n".join(self.tree.search_cached(query))
 
+    def render_base_step(self, targets: list[str] | str,
+                         start: int, end: int) -> int:
+        """The retention step the render grid uses for these targets —
+        the ``/render?format=raw`` fallback when a series returns too
+        few points to infer its step from the data (metadata-only:
+        tree search + retention lookup, no scan)."""
+        from graphouse_spark.functions.target import collect_series_globs
+
+        if isinstance(targets, str):
+            targets = [targets]
+        names: list[str] = []
+        for t in targets:
+            for g in collect_series_globs(t):
+                names.extend(m for m in self.tree.search(g)
+                             if not m.endswith("."))
+        if not names:
+            return 60
+        return self.data_service.query_params(names, start, end).step_seconds
+
     # -- /tags (graphite-web tag API; ENGINE EXTENSION with tags.py) --
     #: tag browsing resolves against metric names seen in the last N
     #: days — date is the PARTITION column, so the browse scans only
@@ -717,14 +757,18 @@ class GraphouseService:
             names = tg_mod.series_by_tag(names, exprs)
         return names
 
-    def tag_find_series(self, exprs: list[str], limit: int = 100) -> str:
+    def tag_find_series(self, exprs: list[str],
+                        limit: int | None = None) -> str:
         """``/tags/findSeries?expr=...&expr=...`` — JSON list of
         matching tagged series names (grafana's tag-mode series
-        lookup)."""
+        lookup). Graphite's findSeries has NO limit parameter —
+        all matches return, bounded only by the server's 10k response
+        cap (the /query max_rows posture); an explicit ``limit``
+        param is still honored when a client sends one."""
         if not exprs:
             raise ValueError("findSeries needs at least one expr")
         rows = (self._tagged_names(exprs)
-                .orderBy("metric").limit(limit).collect())
+                .orderBy("metric").limit(limit or 10000).collect())
         return json.dumps([r["metric"] for r in rows])
 
     def tag_autocomplete_tags(self, exprs: list[str] | None = None,
@@ -821,6 +865,7 @@ class GraphouseService:
         import math as _math
 
         from graphouse_spark.functions.target import (
+            collect_alias_query_rewrites,
             collect_series_globs,
             collect_tag_selections,
             evaluate_target,
@@ -842,6 +887,29 @@ class GraphouseService:
                         if not m.endswith(".") and m not in seen:
                             seen.add(m)
                             names.append(m)
+                for head_globs, search, replace in \
+                        collect_alias_query_rewrites(target):
+                    # aliasQuery's subqueries derive from CONCRETE head
+                    # names; patterns that leave the head GLOB
+                    # untouched (the static derivation's blind spot)
+                    # still resolve here
+                    import re as _re_mod
+
+                    heads: list[str] = []
+                    for g in head_globs:
+                        heads.extend(m for m in self.tree.search(g)
+                                     if not m.endswith("."))
+                    for nm in heads:
+                        try:
+                            q = _re_mod.sub(search, replace, nm)
+                        except _re_mod.error as exc:
+                            raise ValueError(
+                                f"aliasQuery: bad pattern {search!r}: "
+                                f"{exc}")
+                        for m2 in self.tree.search(q):
+                            if not m2.endswith(".") and m2 not in seen:
+                                seen.add(m2)
+                                names.append(m2)
                 for exprs in collect_tag_selections(target):
                     # tagged series live outside the tree (ENGINE
                     # EXTENSION, tags.py): resolve the selection against
@@ -861,9 +929,18 @@ class GraphouseService:
                             "name=<literal> equality term")
                     cap = (self.max_metrics_per_query
                            if self.max_metrics_per_query > 0 else None)
+                    # date is the PARTITION column: without this pair
+                    # of bounds every render's name-resolve would list
+                    # and foot-read ALL partitions; with it the scan
+                    # prunes to the request's days (UTC, matching the
+                    # ingest-side date derivation)
                     window = data.filter(
                         (F.col("timestamp") >= start)
-                        & (F.col("timestamp") <= end))
+                        & (F.col("timestamp") <= end)
+                        & (F.col("date") >=
+                           F.to_date(F.from_unixtime(F.lit(start))))
+                        & (F.col("date") <=
+                           F.to_date(F.from_unixtime(F.lit(end)))))
                     sel = (tg_mod.series_by_tag(window, exprs)
                            .select("metric").distinct())
                     if cap:
@@ -1129,13 +1206,26 @@ class GraphouseService:
                 code = _re.sub(r"\bPREWHERE\b", "WHERE", code,
                                flags=_re.IGNORECASE)
                 # CH numbers(n) / numbers(offset, n) table function ->
-                # Spark range, with the column renamed to CH's `number`
+                # Spark range, with the column renamed to CH's `number`.
+                # Our `AS numbers` default alias yields only when the
+                # query supplies its own (`numbers(10) AS t`) — a
+                # doubled alias is a parse error
+                _kw = {"where", "group", "order", "limit", "having",
+                       "union", "join", "inner", "left", "right",
+                       "full", "cross", "on", "using", "intersect",
+                       "except", "window", "qualify", "sample",
+                       "lateral", "format"}
+
                 def _numbers(m):
                     a = int(m.group(1))
                     b = m.group(2)
                     lo, hi = (a, a + int(b)) if b is not None else (0, a)
-                    return (f"(SELECT id AS number FROM range({lo}, {hi})) "
-                            "AS numbers")
+                    body = f"(SELECT id AS number FROM range({lo}, {hi}))"
+                    nxt = _re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)",
+                                    m.string[m.end():], _re.IGNORECASE)
+                    if nxt and nxt.group(1).lower() not in _kw:
+                        return body
+                    return body + " AS numbers"
                 code = _re.sub(
                     r"\bnumbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
                     _numbers, code)

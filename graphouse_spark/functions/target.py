@@ -694,7 +694,11 @@ def evaluate_target(series: DataFrame, target: str,
                     return head
                 subs = []
                 for nm in names:
-                    q = re.sub(search, replace, nm)
+                    try:
+                        q = re.sub(search, replace, nm)
+                    except re.error as exc:
+                        raise ValueError(
+                            f"aliasQuery: bad pattern {search!r}: {exc}")
                     sub = ev(parse_target(q))
                     subs.append(sub.select(
                         F.lit(nm).alias("_src"),
@@ -766,6 +770,52 @@ def evaluate_target(series: DataFrame, target: str,
         raise ValueError(f"a literal {node!r} is not a series")
 
     return ev(tree)
+
+
+def collect_alias_query_rewrites(target: str):
+    """``(head_globs, search, replace)`` per aliasQuery call.
+
+    The static glob rewrite in :func:`collect_series_globs` only helps
+    when search/replace rewrites literal glob segments; a pattern that
+    matches only CONCRETE names (``srv(\\d+)\\.disk\\.used$``) leaves
+    the glob untouched and the subquery series unfetched. The server
+    closes the gap at render time: expand each head glob to concrete
+    names, apply the rewrite per name, and fetch the results too."""
+    tree = parse_target(target)
+    out: list[tuple[list[str], str, str]] = []
+
+    def head_globs(node) -> list[str]:
+        gs: list[str] = []
+
+        def w(n, head: bool):
+            if isinstance(n, Path):
+                if head or not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*",
+                                            n.glob):
+                    gs.append(n.glob)
+                return
+            if isinstance(n, Call):
+                if n.name in _GENERATORS or n.name == "seriesByTag":
+                    return
+                for i, a in enumerate(n.args):
+                    if isinstance(a, (Call, Path)):
+                        w(a, i == 0)
+
+        w(node, True)
+        return gs
+
+    def walk(node):
+        if isinstance(node, Call):
+            if node.name == "aliasQuery" and len(node.args) >= 4:
+                search, replace = (
+                    a.glob if isinstance(a, Path) else str(a)
+                    for a in node.args[1:3])
+                out.append((head_globs(node.args[0]), search, replace))
+            for a in node.args:
+                if isinstance(a, (Call, Path)):
+                    walk(a)
+
+    walk(tree)
+    return out
 
 
 def collect_tag_selections(target: str) -> list[list[str]]:

@@ -57,6 +57,10 @@ def parse_tagged(name: str) -> tuple[str, dict[str, str]]:
         k, v = seg.split("=", 1)
         if not k or not v:
             raise ValueError(f"empty tag key/value in {name!r}")
+        if k in tags:
+            # duplicate key, or an explicit name= tag shadowing the
+            # implicit path tag — both poison map construction
+            raise ValueError(f"duplicate tag key {k!r} in {name!r}")
         tags[k] = v
     return parts[0], tags
 
@@ -69,25 +73,62 @@ def canonical(name: str) -> str:
     return ";".join([path] + [f"{k}={v}" for k, v in rest])
 
 
+def _tag_pairs(metric: Column) -> Column:
+    """The ``k=v`` segments of a tagged name, in input order."""
+    return F.filter(F.split(metric, ";"), lambda s: s.contains("="))
+
+
 def canonical_col(metric: Column) -> Column:
     """:func:`canonical` as a Catalyst expression (ingest path —
-    stays inside whole-stage codegen)."""
+    stays inside whole-stage codegen). Sorts by tag KEY — graphite's
+    normalization — not by the whole ``k=v`` string (``dc=2`` must
+    sort after ``dc-x=1`` even though ``=`` > ``-``)."""
     path = F.substring_index(metric, ";", 1)
-    rest = F.array_sort(F.filter(F.split(metric, ";"),
-                                 lambda s: s.contains("=")))
+    key = lambda s: F.substring_index(s, "=", 1)  # noqa: E731
+    rest = F.array_sort(
+        _tag_pairs(metric),
+        lambda a, b: F.when(key(a) < key(b), -1)
+        .when(key(a) > key(b), 1).otherwise(0))
     return F.when(
         metric.contains(";"),
         F.concat_ws(";", F.array(path), rest),
     ).otherwise(metric)
 
 
+def valid_tag_structure(metric: Column) -> Column:
+    """True when the tag segments are map-safe: no duplicate keys and
+    no explicit ``name=`` tag (which would shadow the implicit path
+    tag). The regexp validator cannot express this; ingest filters on
+    it so one hostile line can never poison map construction for
+    every later /tags query."""
+    keys = F.transform(_tag_pairs(metric),
+                       lambda s: F.substring_index(s, "=", 1))
+    return (F.size(F.array_distinct(keys)) == F.size(keys)) & \
+        ~F.array_contains(keys, "name")
+
+
 def tags_map_col(metric: Column) -> Column:
     """``map<string,string>`` of a metric name's tags, INCLUDING the
     implicit ``name`` tag — pure ``split``/``str_to_map``, JVM-side."""
     path = F.substring_index(metric, ";", 1)
-    tag_str = F.substring(metric, F.instr(metric, ";") + F.lit(1),
-                          F.length(metric))
-    tag_part = F.str_to_map(tag_str, F.lit(";"), F.lit("="))
+    # first-occurrence-wins dedup + drop explicit name= pairs BEFORE
+    # building the map: str_to_map/map_concat throw DUPLICATED_MAP_KEY
+    # on hostile rows, and a read-path throw would poison every /tags
+    # query that touches the row (ingest filters such names, but the
+    # read path must stay total for pre-existing or foreign data)
+    pairs = _tag_pairs(metric)
+    key = lambda s: F.substring_index(s, "=", 1)  # noqa: E731
+    keys = F.transform(pairs, key)
+    safe = F.filter(
+        pairs,
+        lambda s, i: (key(s) != "name")
+        & (F.array_position(keys, key(s)) == i + F.lit(1)))
+    tag_part = F.map_from_entries(F.transform(
+        safe,
+        lambda s: F.struct(
+            key(s).alias("key"),
+            F.substring(s, F.instr(s, "=") + F.lit(1),
+                        F.length(s)).alias("value"))))
     base = F.create_map(F.lit("name"), path)
     return F.when(metric.contains(";"),
                   F.map_concat(base, tag_part)).otherwise(base)
@@ -109,6 +150,11 @@ def compile_term(term: str, tags: Column) -> Column:
     if m is None:
         raise ValueError(f"malformed seriesByTag term {term!r}")
     key, op, value = m.group(1), m.group(2), m.group(3)
+    if op in ("=~", "!=~"):
+        try:
+            re.compile(value)
+        except re.error as exc:
+            raise ValueError(f"bad regex in seriesByTag term {term!r}: {exc}")
     got = F.element_at(tags, key)
     if op == "=":
         if value == "":
@@ -153,12 +199,26 @@ def parse_tagged_lines(lines, updated=None, line_col: str = "value"):
     """Graphite plaintext parse admitting tagged names, with canonical
     tag ordering applied on ingest (graphite normalizes tag order so
     equal tag sets are string-equal — making read-time LWW dedup and
-    the prefix range work on tagged series unchanged)."""
+    the prefix range work on tagged series unchanged).
+
+    The relaxed rules apply ONLY to the tagged namespace: an untagged
+    line must still satisfy the reference-default validator (min-dots
+    included), so ``--tagged-ingest`` cannot leak short plain names
+    into the metric tree. Names with duplicate tag keys or an explicit
+    ``name=`` tag are dropped like any other invalid line — one such
+    row would otherwise poison map construction for every later /tags
+    query."""
+    from graphouse_spark.paths import MetricValidator
     from graphouse_spark.sources.graphite import parse_lines
 
     parsed = parse_lines(lines, updated=updated,
                          validator=tagged_validator(), line_col=line_col)
-    return parsed.withColumn("name", canonical_col(F.col("name")))
+    name = F.col("name")
+    default_ok = MetricValidator().valid_condition(name)
+    parsed = parsed.filter(
+        F.when(name.contains(";"), valid_tag_structure(name))
+        .otherwise(default_ok))
+    return parsed.withColumn("name", canonical_col(name))
 
 
 def alias_by_tags(series, tag_names: list[str],

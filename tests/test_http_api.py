@@ -1127,3 +1127,91 @@ def test_query_more_formats_and_numbers(spark, tmp_path):
     # quoting: commas inside string values stay one CSV field
     assert svc.sql("SELECT 'a,b' AS s FORMAT CSV").strip() == '"a,b"'
     assert svc.sql("SELECT 'FORMAT CSV' AS s").strip() == "FORMAT CSV"
+
+
+def test_query_with_totals_survives_having(spark, tmp_path):
+    """CH computes totals BEFORE HAVING (default totals_mode): a
+    HAVING that excludes the grand-total row from the grouping-sets
+    result must not drop the totals section."""
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    rows = ["one_min.h.a 1.0 1000", "one_min.h.a 2.0 1060",
+            "one_min.h.b 10.0 1000"]
+    raw = spark.createDataFrame([(l,) for l in rows], "value string")
+    ingest_batch(parse_lines(raw, updated=F.lit(100)), cfg, known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path)
+
+    # the () row has n=3, which fails n < 3 — totals must still show
+    out = svc.sql("SELECT metric, count(*) AS n FROM graphite.data "
+                  "GROUP BY metric WITH TOTALS HAVING n < 3 "
+                  "ORDER BY metric")
+    assert out.splitlines() == ["one_min.h.a\t2", "one_min.h.b\t1",
+                                "", "\\N\t3"]
+    # HAVING on the grouped column (NULL on the totals row) likewise
+    out = svc.sql("SELECT metric, sum(value) AS s FROM graphite.data "
+                  "GROUP BY metric WITH TOTALS HAVING metric != 'zz' "
+                  "ORDER BY metric")
+    assert out.splitlines()[-1] == "\\N\t13.0"
+
+
+def test_query_numbers_with_user_alias(spark, tmp_path):
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    raw = spark.createDataFrame([("one_min.n.x 1.0 1000",)], "value string")
+    ingest_batch(parse_lines(raw, updated=F.lit(100)), cfg, known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path)
+
+    assert svc.sql("SELECT t.number FROM numbers(3) AS t "
+                   "ORDER BY t.number LIMIT 1").strip() == "0"
+    assert svc.sql("SELECT t.number FROM numbers(3) t "
+                   "ORDER BY t.number DESC LIMIT 1").strip() == "2"
+    # qualified default alias still works when none is given
+    assert svc.sql("SELECT numbers.number FROM numbers(2) "
+                   "ORDER BY 1 LIMIT 1").strip() == "0"
+    # two aliased numbers() join
+    assert svc.sql("SELECT count(*) AS n FROM numbers(3) a "
+                   "CROSS JOIN numbers(4) b").strip() == "12"
+
+
+def test_render_bad_regex_returns_error_not_hang(server):
+    """A malformed user regex inside a render target answers with an
+    HTTP error (graphite's 400/500), never a dropped connection."""
+    svc, http, port = server
+    if not svc._loaded:
+        svc.load_tree()
+    code, body = get(
+        port,
+        f"/render?target=seriesByTag('name=x','rack=~[')"
+        f"&from={BASE}&until={BASE + 180}")
+    assert code in (400, 500)
+    assert "regex" in body.lower() or "error" in body.lower() or body
+    # daemon still alive afterwards
+    code, _ = get(port, "/metricTreeState")
+    assert code == 200
+
+
+def test_render_alias_query_concrete_pattern_prefetch(spark, tmp_path):
+    """aliasQuery patterns that match only CONCRETE names (not the
+    glob) still render: the server derives subquery names per head
+    name at render time."""
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    lines = []
+    for host, used, total in (("srv1", 30.0, 100.0), ("srv2", 60.0, 80.0)):
+        for i in (0, 1):
+            lines.append(f"one_min.{host}.used {used} {BASE + i * 60}")
+            lines.append(f"one_min.{host}.total {total} {BASE + i * 60}")
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    ingest_batch(parse_lines(raw, updated=F.lit(BASE)), cfg, known_names=None)
+    provider = CombinedRetentionProvider(
+        [MetricRetentionConfig(".*", True, MetricRetention("avg", {0: 60}))])
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path, provider)
+    svc.load_tree()
+
+    # '(srv\d+)\.used$' matches the concrete names but NOT the glob
+    # 'one_min.*.used' — the static glob rewrite alone fetches nothing
+    out = svc.render(
+        r"aliasQuery(one_min.*.used, '(srv\d+)\.used$', '\1.total',"
+        r" 'cap %d')",
+        BASE - 10, BASE + 190)
+    assert sorted(s["target"] for s in out) == ["cap 100", "cap 80"]

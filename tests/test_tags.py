@@ -336,3 +336,53 @@ def test_tags_http_api(spark, tmp_path):
         assert raised
     finally:
         server.shutdown()
+
+
+# -------------------------------------------- hardening (review round)
+
+def test_parse_rejects_duplicate_and_name_tags():
+    with pytest.raises(ValueError, match="duplicate"):
+        T.parse_tagged("a.b;x=1;x=2")
+    with pytest.raises(ValueError, match="duplicate"):
+        T.parse_tagged("cpu.load;name=evil")
+
+
+def test_tags_map_col_is_total_on_hostile_names(spark):
+    # pre-existing/foreign rows with dup keys or explicit name= must
+    # not throw at READ time (DUPLICATED_MAP_KEY would poison every
+    # /tags query touching the row): first occurrence wins, explicit
+    # name= is ignored
+    names = ["a.b;x=1;x=2", "cpu.load;name=evil;dc=1", "ok.m;k=v"]
+    df = spark.createDataFrame([(n,) for n in names], "metric string")
+    got = [r[0] for r in df.select(
+        T.tags_map_col(F.col("metric"))).collect()]
+    assert got[0] == {"name": "a.b", "x": "1"}
+    assert got[1] == {"name": "cpu.load", "dc": "1"}
+    assert got[2] == {"name": "ok.m", "k": "v"}
+
+
+def test_canonical_col_sorts_by_key_not_pair_string(spark):
+    # '-' < '=' so whole-string sort would put dc-x=1 before dc=2;
+    # graphite sorts by KEY: dc < dc-x
+    df = spark.createDataFrame([("m.x;dc-x=1;dc=2",)], "metric string")
+    got = df.select(T.canonical_col(F.col("metric"))).first()[0]
+    assert got == "m.x;dc=2;dc-x=1" == T.canonical("m.x;dc-x=1;dc=2")
+
+
+def test_tagged_ingest_filters_hostile_and_short_plain_lines(spark):
+    rows = [
+        "cpu;host=h1 1.0 1000",          # short tagged path: OK
+        "a.b;x=1;x=2 1.0 1000",          # dup key: dropped
+        "c.d;name=evil 1.0 1000",        # explicit name=: dropped
+        "localhost 1.0 1000",            # short plain name: dropped
+        "one_min.srv.cpu 1.0 1000",      # reference-valid plain: OK
+    ]
+    raw = spark.createDataFrame([(l,) for l in rows], "value string")
+    got = sorted(r["name"] for r in
+                 T.parse_tagged_lines(raw, updated=F.lit(1)).collect())
+    assert got == ["cpu;host=h1", "one_min.srv.cpu"]
+
+
+def test_series_by_tag_bad_regex_is_value_error(tagged):
+    with pytest.raises(ValueError, match="bad regex"):
+        T.series_by_tag(tagged, ["name=disk.used", "rack=~["])
