@@ -176,3 +176,62 @@ def test_jpeg_flat_roundtrip_exact_property(h, w, v):
     img = np.full((h, w), v, dtype=np.uint8)
     assert (decode_baseline_jpeg(encode_baseline_jpeg(img))["pixels"]
             == img).all()
+
+
+# ------------------------------------------------ /query CH rewriters
+
+_literal_contents = st.text(
+    alphabet=st.characters(blacklist_characters="\x00"),
+    max_size=30,
+).map(lambda s: s.replace("'", "''"))
+
+
+@settings(max_examples=300, deadline=None)
+@given(_literal_contents, _literal_contents)
+def test_combinator_rewrite_never_touches_literals(a, b):
+    """The combinator rewriter parses with a literal-masked shadow:
+    whatever hostile text sits inside string literals — including
+    'sumIf(', unbalanced parens, WITH TOTALS — must pass through
+    byte-identical, and the rewrite must reach a fixpoint."""
+    from graphouse_spark.api.service import (
+        _rewrite_combinator_aggs, _rewrite_array_join)
+    from graphouse_spark.api import sqlguard
+
+    q = (f"SELECT sumIf(value, metric = '{a}') AS s, "
+         f"countIf(metric != '{b}') AS n FROM data")
+    try:
+        out = _rewrite_combinator_aggs(q)
+    except sqlguard.GuardError:
+        return  # hostile content may legitimately fail tokenization
+    # literals survive verbatim
+    lits = [seg.text for seg in sqlguard.tokenize(out)
+            if seg.kind == "string"]
+    assert f"'{a}'" in lits and f"'{b}'" in lits
+    # combinator names are gone from CODE segments (fixpoint)
+    code = "".join(seg.text for seg in sqlguard.tokenize(out)
+                   if seg.kind == "code")
+    assert "sumIf" not in code and "countIf" not in code
+    # idempotent: a second pass changes nothing
+    assert _rewrite_combinator_aggs(out) == out
+    assert _rewrite_array_join(out) == out
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from(
+    ["sumIf(v, c)", "countIf(c)", "quantile(0.5)(v)", "uniqExact(k)",
+     "avgIf(v, c)", "quantilesExact(0.1, 0.9)(v)", "max(v)"]),
+    min_size=1, max_size=5))
+def test_combinator_rewrite_composes_any_select_list(parts):
+    from graphouse_spark.api.service import _rewrite_combinator_aggs
+    from graphouse_spark.api import sqlguard
+
+    q = "SELECT " + ", ".join(
+        f"{p} AS c{i}" for i, p in enumerate(parts)) + " FROM data"
+    out = _rewrite_combinator_aggs(q)
+    code = "".join(seg.text for seg in sqlguard.tokenize(out)
+                   if seg.kind == "code")
+    for name in ("sumIf", "countIf", "avgIf", "uniqExact(",
+                 "quantile(", "quantilesExact("):
+        assert name not in code
+    assert out.count("(") == out.count(")")
+    assert _rewrite_combinator_aggs(out) == out
