@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("--pickle-port", type=int, default=0,
                        help="carbon pickle-protocol listener (carbon's :2004); 0 = off")
     serve.add_argument("--trigger-seconds", type=int, default=5)
+    serve.add_argument("--events", help="events store path (graphite "
+                       "events API + events() render function)")
     serve.add_argument("--tagged-ingest", action="store_true",
                        help="admit graphite 1.1 tagged names "
                             "(name;key=value) on the ingest listeners")
@@ -112,6 +114,7 @@ def run_serve(args, spark=None, block: bool = True):
     svc = GraphouseService(
         spark, args.data, args.metrics, _provider(args),
         index_path=args.index, lazy_tree=args.lazy_tree,
+        events_path=getattr(args, "events", None),
     )
     svc.render_cache_ttl = getattr(args, "render_cache_ttl", 0)
     if not args.lazy_tree:

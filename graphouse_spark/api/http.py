@@ -236,6 +236,18 @@ def make_handler(service: GraphouseService):
                     limit = int(params["limit"]) if "limit" in params else None
                     self._send(200, service.query_log.entries_json(limit),
                                "application/json")
+                elif route == "/events/get_data":
+                    # graphite events API: from/until accept the same
+                    # time specs as /render; tags are space-separated
+                    now = int(params.get("now", time.time()))
+                    start = (parse_render_time(params["from"], now)
+                             if "from" in params else None)
+                    end = (parse_render_time(params["until"], now)
+                           if "until" in params else None)
+                    etags = params.get("tags", "").split() or None
+                    self._send(200,
+                               service.events_get_data(start, end, etags),
+                               "application/json")
                 elif route.startswith("/tags/"):
                     # graphite-web tag API (ENGINE EXTENSION, tags.py):
                     # grafana's tag browser calls these three. expr
@@ -307,6 +319,19 @@ def make_handler(service: GraphouseService):
                                       qparams.get("default_format", "TSV"))
                 except RuntimeError as e:
                     self._send(503, str(e))
+                return
+            if route in ("/events", "/events/"):
+                # graphite events API (ENGINE EXTENSION, events.py):
+                # JSON body, one object or a list
+                length = int(self.headers.get("Content-Length", "0"))
+                raw = self.rfile.read(length).decode("utf-8") if length else ""
+                try:
+                    self._send(200, service.add_events(json.loads(raw)),
+                               "application/json")
+                except (KeyError, ValueError, TypeError) as e:
+                    self._send(400, f"bad request: {e}")
+                except Exception as e:  # noqa: BLE001
+                    self._send(500, f"{type(e).__name__}: {e}")
                 return
             if route == "/render":
                 # grafana's graphite datasource POSTs the render form

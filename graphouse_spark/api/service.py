@@ -594,10 +594,15 @@ class GraphouseService:
                  max_subdirs_per_dir: int = -1, max_metrics_per_dir: int = -1,
                  max_metrics_per_query: int = -1,
                  index_path: str | None = None,
-                 lazy_tree: bool = False) -> None:
+                 lazy_tree: bool = False,
+                 events_path: str | None = None) -> None:
         self.spark = spark
         self.data_path = data_path
         self.metrics_path = metrics_path
+        #: optional graphite events store (ENGINE EXTENSION,
+        #: events.py): POST /events + /events/get_data + the
+        #: events(*tags) render function
+        self.events_path = events_path
         self.provider = provider or DefaultRetentionProvider()
         # index_path: optional zonemap (maintenance.run_index_update);
         # when present, /metricData reads only index-surviving files
@@ -706,6 +711,45 @@ class GraphouseService:
         if not self._loaded:
             raise RuntimeError("metric tree not loaded yet (the reference returns 503)")
         return "\n".join(self.tree.search_cached(query))
+
+    # -- /events (graphite-web event markers; ENGINE EXTENSION) --
+    def _events_frame(self):
+        import os
+
+        from graphouse_spark import events as ev_mod
+
+        if self.events_path is None:
+            return None
+        if not os.path.exists(self.events_path):
+            # configured but empty store: events() renders no markers
+            # instead of erroring
+            return self.spark.createDataFrame(
+                [], ev_mod.EVENTS_SCHEMA.add("date", "date"))
+        return ev_mod.read_events(self.spark, self.events_path)
+
+    def add_events(self, payload) -> str:
+        """``POST /events`` — graphite's JSON shape (one object or a
+        list); returns the stored rows as JSON."""
+        from graphouse_spark import events as ev_mod
+
+        if self.events_path is None:
+            raise ValueError("events store not configured "
+                             "(serve with --events <path>)")
+        rows = payload if isinstance(payload, list) else [payload]
+        stored = ev_mod.write_events(self.spark, self.events_path, rows)
+        return json.dumps(stored)
+
+    def events_get_data(self, start: int | None, end: int | None,
+                        tags: list[str] | None) -> str:
+        """``GET /events/get_data`` — window + conjunctive tag filter,
+        graphite's list-of-objects response."""
+        from graphouse_spark import events as ev_mod
+
+        frame = self._events_frame()
+        if frame is None:
+            raise ValueError("events store not configured "
+                             "(serve with --events <path>)")
+        return ev_mod.events_json(frame, start, end, tags)
 
     def render_base_step(self, targets: list[str] | str,
                          start: int, end: int) -> int:
@@ -960,7 +1004,9 @@ class GraphouseService:
                 frame = self.data_service.base_series(
                     self.spark, data, names, start, end, now_seconds
                 )
-                evaluated = evaluate_target(frame, target, start=start, end=end)
+                evaluated = evaluate_target(
+                    frame, target, start=start, end=end,
+                    events=self._events_frame())
                 # consolidateBy tag (round 8): the evaluator leaves a
                 # literal column naming the reduction function; read it
                 # (bounded 1-row action, only when present) and strip it

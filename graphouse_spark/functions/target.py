@@ -85,10 +85,12 @@ def parse_target(s: str):
         if k == "atom":
             name = eat("atom")
             eat("lpar")
-            args = [expr()]
-            while peek()[0] == "comma":
-                eat("comma")
+            args = []
+            if peek()[0] != "rpar":  # zero-arg calls: events(), time()
                 args.append(expr())
+                while peek()[0] == "comma":
+                    eat("comma")
+                    args.append(expr())
             eat("rpar")
             return Call(name, args)
         if k == "path":
@@ -601,7 +603,8 @@ _NEEDS_BASE = {
 def evaluate_target(series: DataFrame, target: str,
                     metric_col: str = "metric",
                     start: int | None = None,
-                    end: int | None = None) -> DataFrame:
+                    end: int | None = None,
+                    events: DataFrame | None = None) -> DataFrame:
     """Evaluate a render target against the (metric, ts, value) frame.
 
     A bare path selects matching series (glob filter — pushed to the
@@ -664,6 +667,20 @@ def evaluate_target(series: DataFrame, target: str,
                 for s in outs[1:]:
                     out = out.unionByName(s)
                 return out
+            if node.name == "events":
+                # graphite events(*tags) (ENGINE EXTENSION, events.py):
+                # 1.0 at each matching event marker; needs the events
+                # store passed by the caller (the /render path wires it
+                # when --events is configured)
+                from graphouse_spark import events as ev_mod
+
+                if events is None:
+                    raise ValueError(
+                        "events() needs an events store (serve with "
+                        "--events <path>)")
+                etags = [a.glob if isinstance(a, Path) else str(a)
+                         for a in node.args]
+                return ev_mod.events_series(events, etags, start, end)
             if node.name == "seriesByTag":
                 # graphite 1.1 tag selection (ENGINE EXTENSION — see
                 # tags.py): every argument is a tag term, the frame is
