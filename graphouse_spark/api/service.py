@@ -465,6 +465,11 @@ def _expand_ch_macros(expr: str) -> str:
 
 _ARRAY_JOIN_RE = re.compile(r"\b(LEFT\s+)?ARRAY\s+JOIN\s+", re.IGNORECASE)
 _ARRAY_JOIN_AS_RE = re.compile(r"\s+AS\s+([A-Za-z_]\w*)", re.IGNORECASE)
+#: clause keywords that END an ARRAY JOIN expression — an `AS` found
+#: past one of these belongs to a later clause, not the array alias
+_ARRAY_JOIN_STOP_RE = re.compile(
+    r"\s+(WHERE|GROUP|HAVING|ORDER|LIMIT|UNION|SETTINGS|FORMAT|JOIN"
+    r"|LEFT|RIGHT|INNER|FULL|CROSS|PREWHERE|WINDOW)\b", re.IGNORECASE)
 
 
 def _rewrite_array_join(query: str) -> str:
@@ -488,6 +493,13 @@ def _rewrite_array_join(query: str) -> str:
         as_m = None
         while i < n:
             if depths[i] == base and search[i].isspace():
+                # a same-depth clause keyword before any AS means the
+                # array expression has no alias — raise OUR error
+                # instead of letting a later clause's AS get swallowed
+                # into explode() and produce a confusing Spark parse
+                # error (e.g. `ARRAY JOIN arr JOIN b AS c`)
+                if _ARRAY_JOIN_STOP_RE.match(search, i):
+                    break
                 as_m = _ARRAY_JOIN_AS_RE.match(search, i)
                 if as_m is not None:
                     break
@@ -548,10 +560,18 @@ def _extract_with_totals(query: str):
     if lm is not None:
         spec["limit"] = int(lm.group(1))
         tail = text[m.end():m.end() + lm.start()]
-    # CH computes totals BEFORE HAVING (default totals_mode): a
-    # depth-0 HAVING in the tail must not filter out the () row, so
-    # the predicate gets an `OR grouping_id() != 0` escape hatch (the
-    # marker-split removes the row from the data set regardless)
+    # CH's default totals_mode is after_having_exclusive: with a
+    # HAVING, the totals row aggregates ONLY rows belonging to groups
+    # that PASS the predicate. GROUPING SETS alone can't express that
+    # (its () row sees all input rows), so when a depth-0 HAVING is
+    # present we inject a group-level semi-filter into the WHERE
+    # clause — `(cols) IN (SELECT cols FROM (<original query with
+    # HAVING>))` — then run GROUPING SETS over the pre-filtered rows
+    # with no outer HAVING at all (data rows are already exactly the
+    # passing groups; the () row must not be filtered). One documented
+    # divergence: a group whose key is NULL never satisfies the IN
+    # (SQL three-valued logic), so NULL-keyed groups that pass HAVING
+    # are excluded from totals where CH would include them.
     t_text, t_search = _code_view(tail)
     t_depths = _depth_at(t_search)
     hm = None
@@ -559,6 +579,9 @@ def _extract_with_totals(query: str):
         if t_depths[h.start()] == 0:
             hm = h
             break
+    cols = text[gb.end():m.start()].strip()
+    sel_part = text[:frm.start()]
+    from_part = text[frm.start():gb.start()]
     if hm is not None:
         pend = len(t_text)
         for o in re.finditer(r"\bORDER\s+BY\b", t_search, re.IGNORECASE):
@@ -566,14 +589,45 @@ def _extract_with_totals(query: str):
                 pend = o.start()
                 break
         pred = t_text[hm.end():pend].strip()
-        tail = (t_text[:hm.end()]
-                + f" (({pred}) OR grouping_id() != 0) "
-                + t_text[pend:])
-    cols = text[gb.end():m.start()].strip()
+        tail = t_text[:hm.start()] + " " + t_text[pend:]
+        # group-by expressions, split on top-level commas, re-exposed
+        # under stable aliases so the outer IN can project them even
+        # when they're expressions or absent from the select list
+        col_exprs, depth, start = [], 0, 0
+        for i, ch in enumerate(cols):
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                col_exprs.append(cols[start:i].strip())
+                start = i + 1
+        col_exprs.append(cols[start:].strip())
+        aliased = ", ".join(
+            f"{c} AS __gh_g{i}" for i, c in enumerate(col_exprs))
+        g_names = ", ".join(f"__gh_g{i}" for i in range(len(col_exprs)))
+        # inner query = the ORIGINAL query shape (so HAVING resolves
+        # select aliases exactly as it would have), plus the aliased
+        # group keys; outer projects just the keys
+        inner = (f"SELECT {g_names} FROM ({sel_part.rstrip()}, {aliased} "
+                 f"{from_part} GROUP BY {cols} HAVING {pred}) __gh_hv")
+        semi = f"({cols}) IN ({inner})"
+        fp_text, fp_search = _code_view(from_part)
+        fp_depths = _depth_at(fp_search)
+        wm = None
+        for w in re.finditer(r"\bWHERE\b", fp_search, re.IGNORECASE):
+            if fp_depths[w.start()] == 0:
+                wm = w
+                break
+        if wm is not None:
+            from_part = (fp_text[:wm.end()]
+                         + f" (({fp_text[wm.end():].strip()})) AND ({semi}) ")
+        else:
+            from_part = fp_text + f" WHERE ({semi}) "
     rewritten = (
-        text[:frm.start()]
+        sel_part
         + f", grouping_id() AS {_TOTALS_COL} "
-        + text[frm.start():gb.start()]
+        + from_part
         + f"GROUP BY GROUPING SETS (({cols}), ())"
         + tail
     )
@@ -722,9 +776,14 @@ class GraphouseService:
             return None
         if not os.path.exists(self.events_path):
             # configured but empty store: events() renders no markers
-            # instead of erroring
-            return self.spark.createDataFrame(
-                [], ev_mod.EVENTS_SCHEMA.add("date", "date"))
+            # instead of erroring. Build a FRESH StructType —
+            # StructType.add mutates self, so .add() on the module
+            # global would append a duplicate 'date' field per call.
+            from pyspark.sql.types import DateType, StructField, StructType
+            empty_schema = StructType(
+                list(ev_mod.EVENTS_SCHEMA.fields)
+                + [StructField("date", DateType())])
+            return self.spark.createDataFrame([], empty_schema)
         return ev_mod.read_events(self.spark, self.events_path)
 
     def add_events(self, payload) -> str:
@@ -812,7 +871,8 @@ class GraphouseService:
         if not exprs:
             raise ValueError("findSeries needs at least one expr")
         rows = (self._tagged_names(exprs)
-                .orderBy("metric").limit(limit or 10000).collect())
+                .orderBy("metric")
+                .limit(limit if limit is not None else 10000).collect())
         return json.dumps([r["metric"] for r in rows])
 
     def tag_autocomplete_tags(self, exprs: list[str] | None = None,

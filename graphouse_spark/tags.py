@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 #: values not ``~`` at the start. This structural check admits
 #: ``path;k=v[;k=v]...`` with non-empty keys and values.
 TAGGED_METRIC_REGEXP = (
-    r"[-_0-9a-zA-Z\.]+(?:;[^;!^=~\s]+=[^;=\s]+)*$"
+    r"[-_0-9a-zA-Z\.]+(?:;[^;!^=~\s]+=[^;=~\s][^;=\s]*)*$"
 )
 
 _TERM_RE = re.compile(r"^([^;!=~\s]+)\s*(=~|!=~|=|!=)\s*(.*)$")

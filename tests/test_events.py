@@ -129,3 +129,35 @@ def test_events_http_api_e2e(spark, tmp_path):
             [[1.0, BASE + 30]]
     finally:
         server.shutdown()
+
+
+def test_events_frame_never_mutates_global_schema(spark, tmp_path):
+    """Regression: StructType.add MUTATES self, so building the
+    empty-store frame via EVENTS_SCHEMA.add('date', ...) appended a
+    duplicate 'date' field to the module global on every /render or
+    /events/get_data against a configured-but-empty store, breaking
+    all later event writes until restart. The frame must be built from
+    a fresh StructType."""
+    from graphouse_spark import events as ev_mod
+    from graphouse_spark.api.service import GraphouseService
+    from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
+    from graphouse_spark.sources.graphite import parse_lines
+    from pyspark.sql import functions as F
+
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    raw = spark.createDataFrame([("one_min.ev.a 1.0 1000",)], "value string")
+    ingest_batch(parse_lines(raw, updated=F.lit(100)), cfg, known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path,
+                           events_path=str(tmp_path / "events"))
+
+    before = [f.name for f in ev_mod.EVENTS_SCHEMA.fields]
+    # empty-store reads, repeatedly (each used to append a 'date' field)
+    for _ in range(3):
+        frame = svc._events_frame()
+        assert [f.name for f in frame.schema.fields].count("date") == 1
+    assert [f.name for f in ev_mod.EVENTS_SCHEMA.fields] == before
+    # a write + read after the empty-store reads still works
+    svc.add_events({"what": "deploy", "when": 1234, "tags": ["prod"]})
+    got = json.loads(svc.events_get_data(None, None, None))
+    assert [e["what"] for e in got] == ["deploy"]

@@ -1215,3 +1215,62 @@ def test_render_alias_query_concrete_pattern_prefetch(spark, tmp_path):
         r" 'cap %d')",
         BASE - 10, BASE + 190)
     assert sorted(s["target"] for s in out) == ["cap 100", "cap 80"]
+
+
+def test_query_totals_after_having(spark, tmp_path):
+    """CH's default totals_mode is after_having_exclusive: the totals
+    row aggregates ONLY groups that pass HAVING. Regression for the
+    round-7 advisory (the old rewrite computed before-HAVING totals
+    over all groups)."""
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    rows = ["one_min.ah.a 1.0 1000", "one_min.ah.a 2.0 1060",
+            "one_min.ah.b 10.0 1000"]
+    raw = spark.createDataFrame([(l,) for l in rows], "value string")
+    ingest_batch(parse_lines(raw, updated=F.lit(100)), cfg, known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path)
+
+    # group b (n=1) fails HAVING n >= 2: excluded from data AND totals
+    out = svc.sql("SELECT metric, count(*) AS n FROM graphite.data "
+                  "GROUP BY metric WITH TOTALS HAVING n >= 2 "
+                  "ORDER BY metric")
+    assert out.splitlines() == ["one_min.ah.a\t2", "", "\\N\t2"]
+    # value-level check: sum over passing groups only
+    out = svc.sql("SELECT metric, sum(value) AS s FROM graphite.data "
+                  "GROUP BY metric WITH TOTALS HAVING sum(value) < 5 "
+                  "ORDER BY metric")
+    assert out.splitlines() == ["one_min.ah.a\t3.0", "", "\\N\t3.0"]
+    # composes with an existing WHERE (the semi-filter must AND in)
+    out = svc.sql("SELECT metric, count(*) AS n FROM graphite.data "
+                  "WHERE value < 100 "
+                  "GROUP BY metric WITH TOTALS HAVING n >= 2 "
+                  "ORDER BY metric")
+    assert out.splitlines() == ["one_min.ah.a\t2", "", "\\N\t2"]
+    # no HAVING: totals over all groups, unchanged
+    out = svc.sql("SELECT metric, count(*) AS n FROM graphite.data "
+                  "GROUP BY metric WITH TOTALS ORDER BY metric")
+    assert out.splitlines() == ["one_min.ah.a\t2", "one_min.ah.b\t1",
+                                "", "\\N\t3"]
+
+
+def test_query_array_join_as_scan_stops_at_clause(spark, tmp_path):
+    """ARRAY JOIN with no AS before the next clause keyword must raise
+    the rewriter's own message, not swallow a later clause's AS into
+    explode() and surface a confusing Spark parse error."""
+    from graphouse_spark.api import sqlguard
+
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    raw = spark.createDataFrame([("one_min.aj.x 1.0 1000",)], "value string")
+    ingest_batch(parse_lines(raw, updated=F.lit(100)), cfg, known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path)
+
+    for bad in [
+        # AS belongs to the JOIN alias, not the array
+        "SELECT 1 FROM graphite.data ARRAY JOIN arr "
+        "JOIN graphite.metrics AS m WHERE 1=1",
+        # no AS at all before WHERE
+        "SELECT 1 FROM graphite.data ARRAY JOIN arr WHERE 1=1",
+    ]:
+        with pytest.raises(ValueError, match="ARRAY JOIN needs"):
+            svc.sql(bad)

@@ -386,3 +386,48 @@ def test_tagged_ingest_filters_hostile_and_short_plain_lines(spark):
 def test_series_by_tag_bad_regex_is_value_error(tagged):
     with pytest.raises(ValueError, match="bad regex"):
         T.series_by_tag(tagged, ["name=disk.used", "rack=~["])
+
+
+def test_tagged_regexp_rejects_leading_tilde_value(spark):
+    """graphite forbids a '~' at the START of a tag value (it would be
+    ambiguous against graphite's own '~' spellings); mid-value '~' is
+    fine. Regression for the round-7 advisory on TAGGED_METRIC_REGEXP."""
+    import re
+
+    ok = ["cpu.load;host=h1", "cpu;path=a~b", "a.b;k=v;k2=v2"]
+    bad = ["cpu;host=~h1", "cpu;host=~", "a.b;k=v;k2=~x"]
+    for name in ok:
+        assert re.match(T.TAGGED_METRIC_REGEXP, name), name
+    for name in bad:
+        assert re.match(T.TAGGED_METRIC_REGEXP, name) is None, name
+    # and end-to-end through the tagged ingest parse
+    rows = [("cpu;host=~h1 1.0 1000",), ("cpu;host=h1 1.0 1000",)]
+    raw = spark.createDataFrame(rows, "value string")
+    got = [r["name"] for r in
+           T.parse_tagged_lines(raw, updated=F.lit(1)).collect()]
+    assert got == ["cpu;host=h1"]
+
+
+def test_tag_find_series_honors_explicit_zero_limit(spark, tmp_path):
+    """`limit=0` must return zero rows, not fall back to the 10k
+    default (round-7 advisory: `limit or 10000`)."""
+    import json
+    import time as _time
+
+    from graphouse_spark.api.service import GraphouseService
+    from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
+
+    BASE = int(_time.time()) - 3600
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    raw = spark.createDataFrame(
+        [(f"disk.used;dc=dc1 1.0 {BASE}",), (f"disk.used;dc=dc2 2.0 {BASE}",)],
+        "value string")
+    ingest_batch(T.parse_tagged_lines(raw, updated=F.lit(BASE)), cfg,
+                 known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path)
+    assert json.loads(svc.tag_find_series(["name=disk.used"])) == [
+        "disk.used;dc=dc1", "disk.used;dc=dc2"]
+    assert json.loads(svc.tag_find_series(["name=disk.used"], limit=1)) == [
+        "disk.used;dc=dc1"]
+    assert json.loads(svc.tag_find_series(["name=disk.used"], limit=0)) == []
