@@ -1605,7 +1605,12 @@ class GraphouseService:
         return self.data_service.get_data(self.spark, data, names, start, end, now_seconds)
 
     def metric_data_json(self, *args, **kwargs) -> str:
-        return json.dumps(self.metric_data(*args, **kwargs))
+        # compact separators = Gson JsonWriter's framing
+        # (MetricDataRowCallbackHandler.java writes no whitespace), so
+        # the plugin sees byte-identical JSON — and multi-MB responses
+        # shed the ~15% padding json.dumps' default separators add
+        return json.dumps(self.metric_data(*args, **kwargs),
+                          separators=(",", ":"))
 
     # -- /checkOnRecordCache + /printBannedCacheState diagnostics --
     def check_on_record_cache(self, metric_name: str) -> str:

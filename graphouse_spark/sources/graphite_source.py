@@ -42,6 +42,50 @@ from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPart
 DEFAULT_PORT = 2003
 READ_BATCH_SIZE = 1000  # lines per partition (graphouse-default.properties:31)
 
+#: oversized pickle frame cutoff — a sane relay batch is kilobytes
+MAX_PICKLE_FRAME = 16 * 1024 * 1024
+
+
+def safe_unpickle_frame(payload: bytes):
+    """Unpickle a carbon frame with ALL globals forbidden.
+
+    Unpickling network bytes normally executes arbitrary constructors;
+    carbon batches are pure lists/tuples/numbers/strings and need no
+    globals, so a malicious frame fails to load instead of running
+    code (carbon itself grew the same guard as
+    ``USE_INSECURE_UNPICKLER=False``). Returns the batch, or ``None``
+    for a corrupt/hostile frame."""
+    import io
+    import pickle
+
+    class _SafeUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):  # noqa: ARG002
+            raise pickle.UnpicklingError("globals forbidden in metric frames")
+
+    try:
+        batch = _SafeUnpickler(io.BytesIO(payload)).load()
+    except Exception:
+        return None
+    return batch if isinstance(batch, (list, tuple)) else None
+
+
+def carbon_batch_to_lines(batch) -> list[str]:
+    """``(metric, (ts, value))`` datapoints -> plaintext lines, so
+    everything downstream (parse -> validate -> ban -> write) is one
+    shared path whichever protocol carried the point. Malformed
+    datapoints are skipped, matching carbon's tolerant readers."""
+    lines: list[str] = []
+    for item in batch:
+        try:
+            metric, (ts, value) = item
+            # round() like the line parser (F.round on the ts field) so
+            # the same datapoint lands on the same second whichever
+            # protocol carried it
+            lines.append(f"{metric} {value} {round(float(ts))}")
+        except (TypeError, ValueError):
+            continue
+    return lines
+
 
 class GraphiteLinesPartition(InputPartition):
     def __init__(self, rows: list) -> None:
@@ -121,29 +165,17 @@ class GraphiteStreamReader(DataSourceStreamReader):
                     self._buffer.append((line, now))
                     self._count += 1
 
-    #: oversized pickle frame cutoff — a sane relay batch is kilobytes
-    MAX_PICKLE_FRAME = 16 * 1024 * 1024
+    #: oversized pickle frame cutoff (module constant kept as a class
+    #: attr for back-compat)
+    MAX_PICKLE_FRAME = MAX_PICKLE_FRAME
 
     def _reader_pickle(self, conn: socket.socket) -> None:
         """carbon pickle protocol: ``!L``-framed pickled batches of
-        ``(metric, (ts, value))``. Each datapoint converts to the SAME
-        plaintext line shape the line reader buffers, so everything
-        downstream (parse -> validate -> ban -> write) is shared.
-
-        Unpickling network bytes normally executes arbitrary
-        constructors; the Unpickler here forbids ALL globals — carbon
-        batches are pure lists/tuples/numbers/strings and need none, so
-        a malicious frame fails to load instead of running code (carbon
-        itself grew the same guard as USE_INSECURE_UNPICKLER=False).
-        Corrupt frames drop; framing errors drop the connection.
-        """
-        import io
-        import pickle
+        ``(metric, (ts, value))``, decoded via the shared hardened
+        helpers (:func:`safe_unpickle_frame` /
+        :func:`carbon_batch_to_lines`). Corrupt frames drop; framing
+        errors drop the connection."""
         import struct
-
-        class _SafeUnpickler(pickle.Unpickler):
-            def find_class(self, module, name):  # noqa: ARG002
-                raise pickle.UnpicklingError("globals forbidden in metric frames")
 
         with conn:
             f = conn.makefile("rb")
@@ -157,23 +189,11 @@ class GraphiteStreamReader(DataSourceStreamReader):
                 payload = f.read(length)
                 if len(payload) < length:
                     return
-                try:
-                    batch = _SafeUnpickler(io.BytesIO(payload)).load()
-                except Exception:
+                batch = safe_unpickle_frame(payload)
+                if batch is None:
                     continue  # corrupt/hostile frame: skip it
-                if not isinstance(batch, (list, tuple)):
-                    continue
                 now = int(self._time.time())
-                rows = []
-                for item in batch:
-                    try:
-                        metric, (ts, value) = item
-                        # round() like the line parser (F.round on the
-                        # ts field) so the same datapoint lands on the
-                        # same second whichever protocol carried it
-                        rows.append((f"{metric} {value} {round(float(ts))}", now))
-                    except (TypeError, ValueError):
-                        continue  # malformed datapoint: skip it
+                rows = [(l, now) for l in carbon_batch_to_lines(batch)]
                 with self._lock:
                     for r in rows:
                         self._buffer.append(r)

@@ -159,7 +159,8 @@ def _batch_runner(spark: SparkSession, cfg: IngestConfig):
     return run
 
 
-def start_file_ingest(spark: SparkSession, cfg: IngestConfig, input_dir: str):
+def start_file_ingest(spark: SparkSession, cfg: IngestConfig, input_dir: str,
+                      clean_source: str | None = None):
     """Ingest graphite plaintext from a directory of line files.
 
     The durable-source topology: unlike the socket source (which
@@ -171,9 +172,19 @@ def start_file_ingest(spark: SparkSession, cfg: IngestConfig, input_dir: str):
     table; read-time LWW (operators/dedup.dedup_points) collapses
     them — at-least-once delivery, exactly-once query results.
 
+    ``clean_source``: Spark's file-source post-processing for consumed
+    files — ``"delete"`` or ``"archive"``. A long-running spool-fed
+    stream MUST set it: without cleanup the directory listing grows
+    without bound and batch planning degrades (the streaming small-file
+    problem). Cleanup happens only after the micro-batch commits, so
+    replay-ability is preserved.
+
     Returns the StreamingQuery; caller owns lifecycle.
     """
-    raw = spark.readStream.text(input_dir)
+    reader = spark.readStream
+    if clean_source is not None:
+        reader = reader.option("cleanSource", clean_source)
+    raw = reader.text(input_dir)
     parsed = _parse_stream(raw, cfg)
     return (
         parsed.writeStream.foreachBatch(_batch_runner(spark, cfg))
@@ -181,6 +192,38 @@ def start_file_ingest(spark: SparkSession, cfg: IngestConfig, input_dir: str):
         .trigger(processingTime=f"{cfg.trigger_seconds} seconds")
         .start()
     )
+
+
+def start_spooled_socket_ingest(spark: SparkSession, cfg: IngestConfig,
+                                spool_dir: str, host: str = "0.0.0.0",
+                                port: int = 2003, protocol: str = "line",
+                                flush_seconds: float = 1.0,
+                                clean_source: str | None = "delete"):
+    """Live TCP ingest with a durable floor: a :class:`SpoolServer`
+    appends received lines to ``spool_dir`` as fsync'd atomic files,
+    and the PROVEN checkpointed file path (:func:`start_file_ingest`,
+    crash-resume e2e in tests/test_ingest.py) consumes them. A crash
+    anywhere after the spool flush loses nothing; the remaining loss
+    window is lines received but not yet flushed (≤ ``flush_seconds``),
+    versus the reference's whole in-memory cache
+    (MetricCacher.java:97,266-303 — survives insert failure, not
+    process death).
+
+    One divergence from the direct socket source: ``updated`` (T1
+    arrival time) becomes the spool-consume time rather than the
+    socket-read time — at most one trigger later, the same skew the
+    reference's retry loop introduces on every failed insert.
+
+    Returns ``(server, query)``; caller owns both lifecycles (stop the
+    query first, then the server).
+    """
+    from graphouse_spark.streaming.spool import LineSpool, SpoolServer
+
+    spool = LineSpool(spool_dir, flush_seconds=flush_seconds)
+    server = SpoolServer(spool, host=host, port=port, protocol=protocol)
+    query = start_file_ingest(spark, cfg, spool_dir,
+                              clean_source=clean_source)
+    return server, query
 
 
 def start_socket_ingest(spark: SparkSession, cfg: IngestConfig, host: str = "localhost",
