@@ -49,6 +49,9 @@ QUERIES = [
     "ts_remove_between_pctl",
     "doc_exact_dedup", "doc_minhash_np",
     "doc_dedup_clusters", "doc_corpus_pipeline",
+    # round-7 serving surface (round-8 verdict item #3)
+    "ev_ch_combinators", "ev_array_join", "ev_tagged_series",
+    "doc_quality_rulepacks",
 ]
 
 
