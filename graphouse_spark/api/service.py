@@ -184,81 +184,11 @@ def _apply_limit_by(rows, schema, spec):
     return out
 
 
-def _apply_with_fill(rows, schema, spec):
-    """CH FillingTransform semantics on the collected result: walk the
-    sorted rows, inserting fill rows stepped from the PREVIOUS row (or
-    FROM before the first, TO — exclusive — after the last). Other
-    columns take their type defaults (0 / '' / false), as CH does.
-
-    Driver-side by design: /query is the interactive admin surface and
-    the result set is already bounded by max_rows and serialized here
-    for formatting — filling it is O(result), not O(data).
-    """
-    from pyspark.sql import Row
-
-    names = [f.name for f in schema.fields]
-    if spec["col"] not in names:
-        raise ValueError(f"WITH FILL column {spec['col']!r} is not in the "
-                         "result")
-    ci = names.index(spec["col"])
-    kind = schema.fields[ci].dataType.simpleString()
-    if kind not in ("bigint", "int", "smallint", "tinyint"):
-        raise ValueError("WITH FILL needs an integral ORDER BY column "
-                         f"(got {kind})")
-
-    def default_of(f):
-        k = f.dataType.simpleString()
-        if k in ("bigint", "int", "smallint", "tinyint"):
-            return 0
-        if k in ("double", "float") or k.startswith("decimal"):
-            return 0.0
-        if k == "string":
-            return ""
-        if k == "boolean":
-            return False
-        return None
-
-    defaults = [default_of(f) for f in schema.fields]
-    R = Row(*names)
-    interp = spec.get("interpolate") or []
-    for c in interp:
-        if c not in names:
-            raise ValueError(f"INTERPOLATE column {c!r} is not in the result")
-    ii = [names.index(c) for c in interp]
-
-    prev = [None]
-
-    def mk(v):
-        vals = list(defaults)
-        vals[ci] = v
-        if prev[0] is not None:
-            for i in ii:  # carry-forward, CH INTERPOLATE (col) form
-                vals[i] = prev[0][i]
-        return R(*vals)
-
-    sgn = -1 if spec["desc"] else 1
-    st = spec["step"] * sgn
-    out = []
-    cur = spec["from"] if spec["from"] is not None else (
-        rows[0][ci] if rows else None)
-    for r in rows:
-        v = r[ci]
-        if v is None:
-            out.append(r)
-            continue
-        while cur is not None and (v - cur) * sgn > 0:
-            out.append(mk(cur))
-            cur += st
-        out.append(r)
-        prev[0] = r
-        cand = v + st
-        if cur is None or (cand - cur) * sgn > 0:
-            cur = cand
-    if spec["to"] is not None and cur is not None:
-        while (spec["to"] - cur) * sgn > 0:  # TO is exclusive, as in CH
-            out.append(mk(cur))
-            cur += st
-    return out
+# WITH FILL semantics live in operators.gapfill (stepped_fill_rows /
+# stepped_fill_frame / stepped_fill) — ONE implementation shared with
+# the render-path grid machinery; the router picks the driver loop for
+# small results and the distributed sequence-explode path for large
+# expansions, and refuses unbounded FROM/TO ranges.
 
 
 def _code_view(query: str):
@@ -1391,7 +1321,9 @@ class GraphouseService:
 
             out_schema = _StructType(out_fields)
             if fill_spec is not None:
-                rows = _apply_with_fill(rows, out_schema, fill_spec)
+                from graphouse_spark.operators.gapfill import stepped_fill
+
+                rows = stepped_fill(self.spark, rows, out_schema, fill_spec)
                 if fill_spec["limit"] is not None:
                     rows = rows[:fill_spec["limit"]]
             if limit_by is not None:

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 def time_grid(spark: SparkSession, metrics: list[str] | DataFrame, start: int, end: int, step: int) -> DataFrame:
@@ -52,3 +53,241 @@ def gap_filled_series(spark: SparkSession, points: DataFrame, metrics: list[str]
     clipped = points.filter((F.col("ts") >= start) & (F.col("ts") < end))
     grid = time_grid(spark, metrics, start, end, step)
     return gap_fill(clipped, grid)
+
+
+# ---------------------------------------------------------------------------
+# CH ``ORDER BY col WITH FILL`` (the /query admin spelling) — ONE
+# semantics, two execution paths. The spec dict comes from
+# api.service._extract_with_fill: {col, desc, from, to, step,
+# interpolate, limit(caller-applied)}.
+#
+# Semantics (CH FillingTransform): walk the sorted result, inserting
+# fill rows stepped from the PREVIOUS row's value (or FROM before the
+# first row, TO — exclusive — after the last). Other columns take
+# their type defaults; INTERPOLATE (cols) carry the previous row's
+# values instead.
+#
+# Paths:
+# - ``stepped_fill_rows``: the driver loop — O(filled) python, right
+#   for the common small interactive result;
+# - ``stepped_fill_frame``: sequence()+explode on executors (the same
+#   generated-grid shape as time_grid above) — right when the fill
+#   EXPANSION is large (sparse result over a wide FROM/TO range),
+#   where a driver loop would grind; the lead/row_number window runs
+#   over the already-bounded result (<= max_rows), the expansion is
+#   repartitioned before explode so it parallelizes.
+# ``stepped_fill`` routes between them and REFUSES expansions past
+# ``max_filled_rows`` (the reference-posture refusal: /query
+# materializes the response, so an unbounded `FROM 0 TO 1e12` must
+# 400, not OOM the server).
+# ---------------------------------------------------------------------------
+
+
+def _fill_default(field):
+    k = field.dataType.simpleString()
+    if k in ("bigint", "int", "smallint", "tinyint"):
+        return 0
+    if k in ("double", "float") or k.startswith("decimal"):
+        return 0.0
+    if k == "string":
+        return ""
+    if k == "boolean":
+        return False
+    return None
+
+
+def _fill_validate(schema, spec):
+    names = [f.name for f in schema.fields]
+    if spec["col"] not in names:
+        raise ValueError(f"WITH FILL column {spec['col']!r} is not in the "
+                         "result")
+    ci = names.index(spec["col"])
+    kind = schema.fields[ci].dataType.simpleString()
+    if kind not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError("WITH FILL needs an integral ORDER BY column "
+                         f"(got {kind})")
+    for c in spec.get("interpolate") or []:
+        if c not in names:
+            raise ValueError(f"INTERPOLATE column {c!r} is not in the result")
+    return ci
+
+
+def stepped_fill_rows(rows, schema, spec):
+    """Driver-loop path: exact CH FillingTransform walk."""
+    from pyspark.sql import Row
+
+    names = [f.name for f in schema.fields]
+    ci = _fill_validate(schema, spec)
+    defaults = [_fill_default(f) for f in schema.fields]
+    R = Row(*names)
+    interp = spec.get("interpolate") or []
+    ii = [names.index(c) for c in interp]
+
+    prev = [None]
+
+    def mk(v):
+        vals = list(defaults)
+        vals[ci] = v
+        if prev[0] is not None:
+            for i in ii:  # carry-forward, CH INTERPOLATE (col) form
+                vals[i] = prev[0][i]
+        return R(*vals)
+
+    sgn = -1 if spec["desc"] else 1
+    st = spec["step"] * sgn
+    out = []
+    cur = spec["from"] if spec["from"] is not None else (
+        rows[0][ci] if rows else None)
+    for r in rows:
+        v = r[ci]
+        if v is None:
+            out.append(r)
+            continue
+        while cur is not None and (v - cur) * sgn > 0:
+            out.append(mk(cur))
+            cur += st
+        out.append(r)
+        prev[0] = r
+        cand = v + st
+        if cur is None or (cand - cur) * sgn > 0:
+            cur = cand
+    if spec["to"] is not None and cur is not None:
+        while (spec["to"] - cur) * sgn > 0:  # TO is exclusive, as in CH
+            out.append(mk(cur))
+            cur += st
+    return out
+
+
+def stepped_fill_frame(spark, rows, schema, spec, partitions: int = 32):
+    """Distributed path: per-row gap -> sequence() -> explode, interp
+    columns carried through the explode, union with the original rows,
+    one final sort. Identical output to :func:`stepped_fill_rows` for
+    the non-degenerate inputs the router sends here (no NULL fill-col
+    values, FROM not beyond the first value)."""
+    from pyspark.sql import Row, Window
+
+    names = [f.name for f in schema.fields]
+    ci = _fill_validate(schema, spec)
+    col = spec["col"]
+    desc = spec["desc"]
+    sgn = -1 if desc else 1
+    sst = spec["step"] * sgn
+    interp = spec.get("interpolate") or []
+
+    # __pos = input position: the tiebreak that reproduces the driver
+    # walk's order for duplicate fill-col values
+    base = spark.createDataFrame(
+        [tuple(r) + (i,) for i, r in enumerate(rows)],
+        StructType(list(schema.fields)
+                   + [StructField("__pos", LongType())]))
+    order = [F.col(col).desc() if desc else F.col(col).asc(),
+             F.col("__pos").asc()]
+    w = Window.orderBy(*order)
+    df = (base
+          .withColumn("__nxt", F.lead(col).over(w))
+          .withColumn("__rn", F.row_number().over(w))
+          .repartition(partitions))  # expansion parallelizes from here
+
+    c = F.col(col).cast("long")
+    nxt = F.col("__nxt").cast("long")
+    to_lit = (F.lit(int(spec["to"])) if spec["to"] is not None
+              else F.lit(None).cast("long"))
+    end_v = F.when(nxt.isNotNull(), nxt).otherwise(to_lit)
+    # fill values v = col+sst, col+2sst, ... while (end - v)*sgn > 0
+    # == sequence(col+sst, end - sgn, sst), guarded non-empty
+    t_start, t_stop = c + F.lit(sst), end_v - F.lit(sgn)
+    trail_seq = F.when(
+        c.isNotNull() & end_v.isNotNull()
+        & ((t_stop - t_start) * F.lit(sgn) >= 0),
+        F.sequence(t_start, t_stop, F.lit(sst)),
+    ).otherwise(F.array().cast("array<long>"))
+    # leading FROM fills hang off the first row, defaults only
+    frm_lit = (F.lit(int(spec["from"])) if spec["from"] is not None
+               else F.lit(None).cast("long"))
+    l_stop = c - F.lit(sgn)
+    lead_seq = F.when(
+        (F.col("__rn") == 1) & c.isNotNull() & frm_lit.isNotNull()
+        & ((l_stop - frm_lit) * F.lit(sgn) >= 0),
+        F.sequence(frm_lit, l_stop, F.lit(sst)),
+    ).otherwise(F.array().cast("array<long>"))
+
+    def fill_select(seq_col, carry: bool, pos_expr):
+        cols = []
+        for i, f in enumerate(schema.fields):
+            if i == ci:
+                cols.append(F.col("__v").cast(f.dataType).alias(f.name))
+            elif carry and f.name in interp:
+                cols.append(F.col(f.name))
+            else:
+                cols.append(
+                    F.lit(_fill_default(f)).cast(f.dataType).alias(f.name))
+        return (df.select(F.explode(seq_col).alias("__v"),
+                          *[F.col(n) for n in set(interp) | {"__pos"}])
+                if carry else
+                df.select(F.explode(seq_col).alias("__v"), "__pos")
+                ).select(*cols, pos_expr.alias("__pos2"))
+
+    # trail fills sort after their anchor row; lead fills before row 1
+    trail = fill_select(trail_seq, carry=True, pos_expr=F.col("__pos"))
+    lead = fill_select(lead_seq, carry=False,
+                       pos_expr=F.col("__pos") - F.lit(1))
+    real = base.select(*[F.col(n) for n in names],
+                       F.col("__pos").alias("__pos2"))
+    out = (real.unionByName(trail).unionByName(lead)
+           .orderBy(F.col(col).desc() if desc else F.col(col).asc(),
+                    F.col("__pos2").asc())
+           .select(*names))
+    R = Row(*names)
+    return [R(*[r[n] for n in names]) for r in out.collect()]
+
+
+def estimate_filled_rows(rows, schema, spec) -> int:
+    """Upper bound on the fill rows a spec will generate — O(result)."""
+    ci = _fill_validate(schema, spec)
+    sgn = -1 if spec["desc"] else 1
+    st = spec["step"]
+    vals = [r[ci] for r in rows if r[ci] is not None]
+    total = 0
+    if not vals:
+        if spec["from"] is not None and spec["to"] is not None:
+            d = (spec["to"] - spec["from"]) * sgn
+            total = max(0, (d - 1) // st + 1) if d > 0 else 0
+        return total
+    if spec["from"] is not None:
+        d = (vals[0] - spec["from"]) * sgn
+        if d > 0:
+            total += (d - 1) // st + 1
+    for a, b in zip(vals, vals[1:]):
+        d = (b - a) * sgn
+        if d > 1:
+            total += (d - 1) // st
+    if spec["to"] is not None:
+        d = (spec["to"] - vals[-1]) * sgn
+        if d > 1:
+            total += (d - 1) // st
+    return total
+
+
+def stepped_fill(spark, rows, schema, spec,
+                 distribute_threshold: int = 5000,
+                 max_filled_rows: int = 1_000_000):
+    """Route a WITH FILL between the driver loop and the distributed
+    sequence-explode path; refuse unbounded expansions."""
+    ci = _fill_validate(schema, spec)
+    est = estimate_filled_rows(rows, schema, spec)
+    if est + len(rows) > max_filled_rows:
+        raise ValueError(
+            f"WITH FILL would produce ~{est + len(rows)} rows "
+            f"(max {max_filled_rows}); narrow FROM/TO or raise STEP")
+    sgn = -1 if spec["desc"] else 1
+    degenerate = (
+        not rows
+        or any(r[ci] is None for r in rows)
+        # FROM beyond the first value: the walk's lattice interplay is
+        # inherently sequential — tiny results in practice
+        or (spec["from"] is not None
+            and (rows[0][ci] - spec["from"]) * sgn < 0)
+    )
+    if degenerate or est + len(rows) <= distribute_threshold:
+        return stepped_fill_rows(rows, schema, spec)
+    return stepped_fill_frame(spark, rows, schema, spec)
