@@ -291,8 +291,20 @@ def compact_data_table(spark: SparkSession, data_path: str,
     tmp_path = data_path.rstrip("/") + "_rollup_tmp"
     aged = data.filter(F.col("date").isin([str(d) for d in dates]))
     rolled = rollup_partition(spark, aged, provider, now)
+    # size the rewrite by INPUT bytes (an upper bound on the rolled
+    # output) targeting ~64 MB files: a fixed shuffle-partition count
+    # would re-fragment small partitions into dozens of near-empty
+    # files — a compaction that leaves small files behind defeats
+    # itself under the streaming append loop it exists to serve
+    in_bytes = 0
+    for d in dates:
+        pdir = Path(data_path) / f"date={d}"
+        if pdir.is_dir():
+            in_bytes += sum(f.stat().st_size for f in pdir.iterdir()
+                            if f.name.endswith(".parquet"))
+    n_out = max(1, min(256, -(-in_bytes // (64 << 20))))
     (
-        rolled.repartition("metric")
+        rolled.repartition(int(n_out), "metric")
         .sortWithinPartitions("date", "metric", "timestamp")
         .write.mode("overwrite")
         .partitionBy("date")
