@@ -222,6 +222,32 @@ def _depth_at(search: str):
     return depths
 
 
+def _select_alias_map(sel_part: str) -> dict:
+    """Map each explicit ``expr AS alias`` in a ``SELECT ...`` prefix to
+    its defining expression (alias lowercased — Spark resolves
+    identifiers case-insensitively by default). Only top-level items
+    with a trailing ``AS <ident>`` are mapped; everything else (bare
+    columns, ``*``, implicit aliases) is left alone."""
+    text, search = _code_view(sel_part)
+    m = re.match(r"\s*SELECT\s+(?:DISTINCT\s+)?", search, re.IGNORECASE)
+    body = m.end() if m else 0
+    depths = _depth_at(search)
+    spans, start = [], body
+    for i in range(body, len(search)):
+        if search[i] == "," and depths[i] == 0:
+            spans.append((start, i))
+            start = i + 1
+    spans.append((start, len(search)))
+    out = {}
+    for s, e in spans:
+        am = re.search(r"\bAS\s+(`?)(\w+)\1\s*$", search[s:e], re.IGNORECASE)
+        if am is not None:
+            expr = text[s:s + am.start()].strip()
+            if expr:
+                out[am.group(2).lower()] = expr
+    return out
+
+
 def _parse_call(text: str, search: str, open_idx: int):
     """Parse a balanced ``( ... )`` group starting at
     ``text[open_idx] == '('``. Returns ``(args, end)`` where ``args``
@@ -533,15 +559,27 @@ def _extract_with_totals(query: str):
                 col_exprs.append(cols[start:i].strip())
                 start = i + 1
         col_exprs.append(cols[start:].strip())
+        # A group key may be a SELECT alias (`SELECT upper(metric) AS m
+        # ... GROUP BY m` — legal in CH and in Spark via groupByAliases),
+        # but aliases do NOT resolve in the WHERE scope where the
+        # semi-filter lands. Substitute the defining expression for any
+        # bare-identifier group key that names a select alias.
+        alias_map = _select_alias_map(sel_part)
+        resolved = [
+            f"({alias_map[c.strip().strip('`').lower()]})"
+            if c.strip().strip("`").lower() in alias_map else c
+            for c in col_exprs
+        ]
+        res_cols = ", ".join(resolved)
         aliased = ", ".join(
-            f"{c} AS __gh_g{i}" for i, c in enumerate(col_exprs))
+            f"{c} AS __gh_g{i}" for i, c in enumerate(resolved))
         g_names = ", ".join(f"__gh_g{i}" for i in range(len(col_exprs)))
         # inner query = the ORIGINAL query shape (so HAVING resolves
         # select aliases exactly as it would have), plus the aliased
         # group keys; outer projects just the keys
         inner = (f"SELECT {g_names} FROM ({sel_part.rstrip()}, {aliased} "
                  f"{from_part} GROUP BY {cols} HAVING {pred}) __gh_hv")
-        semi = f"({cols}) IN ({inner})"
+        semi = f"({res_cols}) IN ({inner})"
         fp_text, fp_search = _code_view(from_part)
         fp_depths = _depth_at(fp_search)
         wm = None

@@ -221,8 +221,14 @@ def start_spooled_socket_ingest(spark: SparkSession, cfg: IngestConfig,
 
     spool = LineSpool(spool_dir, flush_seconds=flush_seconds)
     server = SpoolServer(spool, host=host, port=port, protocol=protocol)
-    query = start_file_ingest(spark, cfg, spool_dir,
-                              clean_source=clean_source)
+    try:
+        query = start_file_ingest(spark, cfg, spool_dir,
+                                  clean_source=clean_source)
+    except Exception:
+        # Don't leak the bound port / flusher thread when the stream
+        # fails to start (bad checkpoint, conf error).
+        server.stop()
+        raise
     return server, query
 
 

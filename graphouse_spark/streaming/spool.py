@@ -70,11 +70,24 @@ class LineSpool:
             self._buffer.extend(lines)
             flush_now = len(self._buffer) >= self.max_buffer_lines
         if flush_now:
-            self.flush()
+            try:
+                self.flush()
+            except OSError:
+                # Overflow flush hit a disk hiccup. flush() already put
+                # the lines back in the buffer; the flusher thread will
+                # retry next tick. Never kill the reader connection over
+                # a transient write error.
+                pass
 
     def flush(self) -> str | None:
         """Durably write the buffered lines as one spool file; returns
-        the file path (None if the buffer was empty)."""
+        the file path (None if the buffer was empty).
+
+        Crash/IO contract: the buffer is snapshotted (not dropped) —
+        if any step of write/fsync/rename fails, the snapshot is
+        re-prepended to the buffer under the lock (preserving arrival
+        order against concurrent appends) and the tmp file is removed,
+        so a transient ENOSPC/EIO loses nothing; the flusher retries."""
         with self._lock:
             if not self._buffer:
                 return None
@@ -84,11 +97,22 @@ class LineSpool:
         name = f"spool-{int(time.time() * 1000)}-{seq}-{uuid.uuid4().hex[:8]}.txt"
         tmp = os.path.join(self.spool_dir, f".tmp-{name}")
         final = os.path.join(self.spool_dir, name)
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write("\n".join(lines) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, final)
+        try:
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write("\n".join(lines) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, final)
+        except Exception:
+            # Put the batch back (ahead of anything appended meanwhile)
+            # so the durability claim holds across disk errors.
+            with self._lock:
+                self._buffer[:0] = lines
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
         # fsync the directory so the rename itself survives power loss
         dir_fd = os.open(self.spool_dir, os.O_RDONLY)
         try:
@@ -126,6 +150,9 @@ class SpoolServer:
         self.spool = spool
         self.protocol = protocol
         self._stopped = threading.Event()
+        self._conns_lock = threading.Lock()
+        self._conns: set[socket.socket] = set()
+        self._readers: list[threading.Thread] = []
         self._server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._server.bind((host, port))
@@ -141,7 +168,19 @@ class SpoolServer:
                 return
             reader = (self._reader_pickle if self.protocol == "pickle"
                       else self._reader_line)
-            threading.Thread(target=reader, args=(conn,), daemon=True).start()
+            with self._conns_lock:
+                self._conns.add(conn)
+            t = threading.Thread(target=self._run_reader,
+                                 args=(reader, conn), daemon=True)
+            self._readers.append(t)
+            t.start()
+
+    def _run_reader(self, reader, conn: socket.socket) -> None:
+        try:
+            reader(conn)
+        finally:
+            with self._conns_lock:
+                self._conns.discard(conn)
 
     def _reader_line(self, conn: socket.socket) -> None:
         with conn, conn.makefile("r", encoding="utf-8",
@@ -172,9 +211,24 @@ class SpoolServer:
                     self.spool.append(lines)
 
     def stop(self) -> None:
+        """Stop accepting, drain readers, then final-flush the spool.
+
+        Order matters: connections are shut down and reader threads
+        joined *before* the final flush, so every line a producer got
+        onto the wire before stop() is either in the spool or was cut
+        with its connection — never appended after the last flush."""
         self._stopped.set()
         try:
             self._server.close()
         except OSError:
             pass
+        with self._conns_lock:
+            conns = list(self._conns)
+        for conn in conns:
+            try:
+                conn.shutdown(socket.SHUT_RD)
+            except OSError:
+                pass
+        for t in self._readers:
+            t.join(timeout=10)
         self.spool.stop()

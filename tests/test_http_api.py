@@ -1130,9 +1130,10 @@ def test_query_more_formats_and_numbers(spark, tmp_path):
 
 
 def test_query_with_totals_survives_having(spark, tmp_path):
-    """CH computes totals BEFORE HAVING (default totals_mode): a
-    HAVING that excludes the grand-total row from the grouping-sets
-    result must not drop the totals section."""
+    """The totals row must survive a HAVING that its OWN aggregate
+    values would fail (under CH's default after_having_exclusive mode
+    the () row is never filtered — it aggregates the passing groups,
+    here all of them)."""
     cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
                        str(tmp_path / "ckpt"))
     rows = ["one_min.h.a 1.0 1000", "one_min.h.a 2.0 1060",
@@ -1251,6 +1252,38 @@ def test_query_totals_after_having(spark, tmp_path):
                   "GROUP BY metric WITH TOTALS ORDER BY metric")
     assert out.splitlines() == ["one_min.ah.a\t2", "one_min.ah.b\t1",
                                 "", "\\N\t3"]
+
+
+def test_query_totals_having_group_by_select_alias(spark, tmp_path):
+    """GROUP BY a SELECT alias (legal in CH and Spark via
+    groupByAliases) + WITH TOTALS + HAVING: the injected semi-filter
+    lands in WHERE scope where the alias can't resolve, so the rewrite
+    must substitute the defining expression (round-8 advisory)."""
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    rows = ["one_min.ga.a 1.0 1000", "one_min.GA.a 2.0 1060",
+            "one_min.gb.b 10.0 1000"]
+    raw = spark.createDataFrame([(l,) for l in rows], "value string")
+    ingest_batch(parse_lines(raw, updated=F.lit(100)), cfg, known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path)
+
+    # alias over an expression; group b (n=1) fails HAVING
+    out = svc.sql("SELECT upper(metric) AS m, count(*) AS n "
+                  "FROM graphite.data "
+                  "GROUP BY m WITH TOTALS HAVING n >= 2 ORDER BY m")
+    assert out.splitlines() == ["ONE_MIN.GA.A\t2", "", "\\N\t2"]
+    # mixed alias + plain column keys
+    out = svc.sql("SELECT upper(metric) AS m, timestamp % 2 AS par, "
+                  "count(*) AS n FROM graphite.data "
+                  "GROUP BY m, par WITH TOTALS HAVING n >= 1 "
+                  "ORDER BY m, par")
+    assert out.splitlines() == ["ONE_MIN.GA.A\t0\t2", "ONE_MIN.GB.B\t0\t1",
+                                "", "\\N\t\\N\t3"]
+    # alias + existing WHERE still ANDs in
+    out = svc.sql("SELECT upper(metric) AS m, count(*) AS n "
+                  "FROM graphite.data WHERE value < 100 "
+                  "GROUP BY m WITH TOTALS HAVING n >= 2 ORDER BY m")
+    assert out.splitlines() == ["ONE_MIN.GA.A\t2", "", "\\N\t2"]
 
 
 def test_query_array_join_as_scan_stops_at_clause(spark, tmp_path):

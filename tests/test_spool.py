@@ -47,6 +47,116 @@ def test_line_spool_atomic_flush(tmp_path):
     spool.stop()
 
 
+def test_flush_disk_error_loses_nothing(tmp_path, monkeypatch):
+    """The durability contract under a transient disk error: a failed
+    flush re-prepends the batch (ahead of concurrent appends), removes
+    the tmp file, and the next flush writes everything in order."""
+    spool = LineSpool(str(tmp_path), flush_seconds=999)
+    spool.append(["a 1 100", "b 2 100"])
+
+    real_fsync = os.fsync
+    fails = {"n": 0}
+
+    def flaky_fsync(fd):
+        fails["n"] += 1
+        raise OSError(28, "No space left on device")  # ENOSPC
+
+    monkeypatch.setattr(os, "fsync", flaky_fsync)
+    with pytest.raises(OSError):
+        spool.flush()
+    monkeypatch.setattr(os, "fsync", real_fsync)
+
+    assert fails["n"] == 1
+    # nothing lost, nothing torn: buffer intact, no tmp/spool files
+    assert spool._buffer == ["a 1 100", "b 2 100"]
+    assert not [f for f in os.listdir(tmp_path) if f.startswith(".tmp")]
+    assert not _spool_files(str(tmp_path))
+
+    # lines appended during the outage land AFTER the retried batch
+    spool.append(["c 3 100"])
+    path = spool.flush()
+    assert open(path).read().splitlines() == ["a 1 100", "b 2 100", "c 3 100"]
+    spool.stop()
+
+
+def test_flush_rename_error_loses_nothing(tmp_path, monkeypatch):
+    """Same contract when the atomic rename itself fails (EIO on the
+    directory): batch retained, tmp unlinked."""
+    spool = LineSpool(str(tmp_path), flush_seconds=999)
+    spool.append(["x 1 100"])
+    real_rename = os.rename
+    monkeypatch.setattr(os, "rename",
+                        lambda *a: (_ for _ in ()).throw(OSError(5, "EIO")))
+    with pytest.raises(OSError):
+        spool.flush()
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert spool._buffer == ["x 1 100"]
+    assert not [f for f in os.listdir(tmp_path) if f.startswith(".tmp")]
+    path = spool.flush()
+    assert open(path).read().splitlines() == ["x 1 100"]
+    spool.stop()
+
+
+def test_append_overflow_flush_swallows_disk_error(tmp_path, monkeypatch):
+    """An overflow-triggered flush that hits a disk error must not
+    propagate into (and kill) the reader thread; the lines stay
+    buffered for the flusher's retry."""
+    spool = LineSpool(str(tmp_path), flush_seconds=999, max_buffer_lines=2)
+    monkeypatch.setattr(os, "fsync",
+                        lambda fd: (_ for _ in ()).throw(OSError(28, "ENOSPC")))
+    spool.append(["a 1 100", "b 2 100", "c 3 100"])  # over the cap -> flush
+    assert spool._buffer == ["a 1 100", "b 2 100", "c 3 100"]
+    monkeypatch.undo()
+    path = spool.flush()
+    assert open(path).read().splitlines() == ["a 1 100", "b 2 100", "c 3 100"]
+    spool.stop()
+
+
+def test_flush_loop_retries_after_disk_error(tmp_path, monkeypatch):
+    """The background flusher recovers: fail the first N fsyncs, then
+    heal the disk and watch the same lines get spooled."""
+    real_fsync = os.fsync
+    calls = {"n": 0}
+
+    def flaky(fd):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise OSError(28, "ENOSPC")
+        return real_fsync(fd)
+
+    monkeypatch.setattr(os, "fsync", flaky)
+    spool = LineSpool(str(tmp_path), flush_seconds=0.05)
+    spool.append(["r 1 100"])
+    _wait(lambda: _spool_files(str(tmp_path)), msg="flusher retried")
+    spool.stop()
+    files = _spool_files(str(tmp_path))
+    assert len(files) == 1
+    assert open(os.path.join(tmp_path, files[0])).read().splitlines() == [
+        "r 1 100"]
+
+
+def test_server_stop_drains_open_connections(tmp_path):
+    """stop() must shut down live connections and join readers BEFORE
+    the final flush, so lines already on the wire at stop() time are in
+    the spool, and nothing can be appended after the last flush."""
+    spool = LineSpool(str(tmp_path), flush_seconds=999)
+    server = SpoolServer(spool, host="127.0.0.1", port=0)
+    s = socket.create_connection(("127.0.0.1", server.port))
+    try:
+        s.sendall(b"drain.a 1.0 100\ndrain.b 2.0 100\n")
+        _wait(lambda: len(spool._buffer) == 2, msg="lines read")
+        server.stop()
+        files = _spool_files(str(tmp_path))
+        assert len(files) == 1
+        assert open(os.path.join(tmp_path, files[0])).read().splitlines() == [
+            "drain.a 1.0 100", "drain.b 2.0 100"]
+        assert not spool._buffer
+        with server._conns_lock:
+            assert not server._conns
+    finally:
+        s.close()
+
+
 def test_spool_server_line_protocol(tmp_path):
     spool = LineSpool(str(tmp_path), flush_seconds=999)
     server = SpoolServer(spool, host="127.0.0.1", port=0)
@@ -153,6 +263,89 @@ def test_spooled_socket_crash_resume(spark, tmp_path):
         assert got == sent
     finally:
         server.stop()
+
+
+@pytest.mark.slow
+def test_two_spoolers_shared_dir_crash_resume(spark, tmp_path):
+    """The reference shards ingest across nodes via
+    Distributed(... sipHash64(metric)) (doc/cluster.md:78-91); our
+    equivalent topology is one SpoolServer per ingest node writing to
+    shared storage (streaming/spool.py module doc). This proves it:
+    TWO concurrent spoolers on ONE spool dir feed ONE checkpointed
+    reader through an injected crash + restart — unique file names
+    mean no collisions, zero loss, and no double-count after LWW."""
+    from dataclasses import replace
+
+    from graphouse_spark.operators.dedup import dedup_points
+    from graphouse_spark.sources.tables import read_data
+    from graphouse_spark.streaming.ingest import IngestConfig, start_file_ingest
+
+    spool_dir = tmp_path / "spool"
+    # disjoint metric sets per "node", interleaved timestamps
+    lines_a = [f"one_min.nodeA.m{i % 5} {i}.25 {1542199500 + 60 * i}"
+               for i in range(40)]
+    lines_b = [f"one_min.nodeB.m{i % 5} {i}.75 {1542199530 + 60 * i}"
+               for i in range(40)]
+
+    spool_a = LineSpool(str(spool_dir), flush_seconds=999)
+    spool_b = LineSpool(str(spool_dir), flush_seconds=999)
+    srv_a = SpoolServer(spool_a, host="127.0.0.1", port=0)
+    srv_b = SpoolServer(spool_b, host="127.0.0.1", port=0)
+    try:
+        # concurrent delivery, interleaved flushes into the shared dir
+        _send_lines(srv_a.port, lines_a[:20])
+        _send_lines(srv_b.port, lines_b[:20])
+        _wait(lambda: len(spool_a._buffer) == 20 and len(spool_b._buffer) == 20,
+              msg="both spoolers buffered")
+        spool_a.flush()
+        spool_b.flush()
+        _send_lines(srv_a.port, lines_a[20:])
+        _send_lines(srv_b.port, lines_b[20:])
+        _wait(lambda: len(spool_a._buffer) == 20 and len(spool_b._buffer) == 20,
+              msg="second wave buffered")
+        spool_a.flush()
+        spool_b.flush()
+        files = _spool_files(str(spool_dir))
+        assert len(files) == 4 and len(set(files)) == 4  # no collisions
+
+        crash_marker = tmp_path / "crashed"
+
+        def boom(point: str) -> None:
+            if point == "after_data_write" and not crash_marker.exists():
+                crash_marker.touch()
+                raise RuntimeError("injected crash after data write")
+
+        cfg = IngestConfig(
+            data_path=str(tmp_path / "data"),
+            metrics_path=str(tmp_path / "metrics"),
+            checkpoint_path=str(tmp_path / "ckpt"),
+            trigger_seconds=1,
+            failpoint=boom,
+        )
+        q = start_file_ingest(spark, cfg, str(spool_dir))
+        with pytest.raises(Exception, match="injected crash"):
+            q.awaitTermination(120)
+        assert crash_marker.exists(), "failpoint never fired"
+
+        q2 = start_file_ingest(spark, replace(cfg, failpoint=None),
+                               str(spool_dir))
+        try:
+            _wait(lambda: dedup_points(
+                      read_data(spark, cfg.data_path)).count() == 80,
+                  timeout=120, msg="all 80 points after restart + LWW")
+        finally:
+            q2.stop()
+
+        deduped = dedup_points(read_data(spark, cfg.data_path))
+        got = {(r["metric"], r["ts"], r["value"]) for r in
+               deduped.select("metric", F.col("timestamp").alias("ts"),
+                              "value").collect()}
+        sent = {(l.split()[0], int(l.split()[2]), float(l.split()[1]))
+                for l in lines_a + lines_b}
+        assert got == sent  # zero loss, zero double-count, both nodes
+    finally:
+        srv_a.stop()
+        srv_b.stop()
 
 
 @pytest.mark.slow
