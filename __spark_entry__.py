@@ -3489,7 +3489,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hash_sample": q_doc_hash_sample,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_train_split": q_doc_train_split,
-        "doc_repetition": q_doc_repetition,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_duplicated_spans": q_doc_duplicated_spans,
         "doc_pii_stats": q_doc_pii_stats,
@@ -4803,23 +4802,6 @@ def oracle_sql() -> dict[str, str]:
                        lag(value) OVER (PARTITION BY metric ORDER BY ts) AS prev
                 FROM ({_SERIES_SQL})
             )
-        """,
-        "doc_repetition": r"""
-            WITH toks AS (
-                SELECT doc_id,
-                       unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')) AS token
-                FROM documents
-            ),
-            c AS (SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
-            m AS (SELECT doc_id, token, cnt,
-                         max(cnt) OVER (PARTITION BY doc_id) AS max_cnt
-                  FROM c)
-            SELECT doc_id,
-                   CAST(sum(cnt) AS BIGINT) AS n_tokens,
-                   CAST(max(cnt) AS BIGINT) AS top_cnt,
-                   min(CASE WHEN cnt = max_cnt THEN token END) AS top_token,
-                   round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_share
-            FROM m GROUP BY doc_id
         """,
         "doc_source_rebalance": """
             SELECT doc_id, source, CAST(rn AS INTEGER) AS rn FROM (

@@ -136,7 +136,7 @@ class _StageMeter:
         polling briefly until the async listener queue settles."""
         last = None
         for _ in range(20):
-            seq, agg = self._stages(), [0, 0, 0, 0, 0]
+            seq, agg = self._stages(), [0, 0, 0, 0, 0, 0]
             for i in range(seq.size()):
                 s = seq.apply(i)
                 if s.stageId() <= snapshot_id:
@@ -146,6 +146,7 @@ class _StageMeter:
                 agg[2] += s.shuffleWriteBytes()
                 agg[3] += s.inputBytes()
                 agg[4] += s.diskBytesSpilled() + s.memoryBytesSpilled()
+                agg[5] += s.executorCpuTime()
             if agg == last:
                 break
             last = agg
@@ -153,6 +154,14 @@ class _StageMeter:
         mb = 1024.0 * 1024.0
         return {
             "task_sec": round(last[0] / 1000.0, 4),
+            # executorCpuTime: JVM CPU only — excludes time JVM threads
+            # spend BLOCKED on Python workers (Arrow round-trips) and
+            # scheduler preemption, both of which inflate task_sec under
+            # ambient load. The round-8 emb_w2v_neighbors "regression"
+            # (task_sec 1.97->2.70 on a byte-identical plan) was exactly
+            # this: cpu_sec is the number to compare across rounds for
+            # Python/ML-stage queries.
+            "cpu_sec": round(last[5] / 1e9, 4),
             "shuffle_read_mb": round(last[1] / mb, 3),
             "shuffle_write_mb": round(last[2] / mb, 3),
             "input_mb": round(last[3] / mb, 3),
@@ -230,7 +239,20 @@ def main() -> None:
                   file=sys.stderr)
         return timings, tasks
 
+    # quiet-box protocol (round-8 verdict #8): wall deltas measured at
+    # loadavg ~6 needed manual adjudication round over round. If the
+    # box is busy at start, wait for it to settle (bounded) and report
+    # quiet=false when it never does, so readers know up front whether
+    # wall numbers carry noisy-neighbor drift.
+    quiet_threshold = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "4"))
+    settle_deadline = time.time() + float(
+        os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "120"))
+    while os.getloadavg()[0] > quiet_threshold and time.time() < settle_deadline:
+        print(f"# loadavg {os.getloadavg()[0]:.1f} > {quiet_threshold}; "
+              "waiting for the box to settle", file=sys.stderr)
+        time.sleep(10)
     load_before = os.getloadavg()
+    quiet = load_before[0] <= quiet_threshold
     timings, task_stats = run_set(BENCH_QUERIES, repeats=2)
     extended, ext_task_stats = run_set(EXTENDED_QUERIES, repeats=2)
     load_after = os.getloadavg()
@@ -263,9 +285,16 @@ def main() -> None:
         # is the user-facing one; per-query breakdown in detail file
         "task_time_total": round(
             sum(t["task_sec"] for t in task_stats.values()), 4),
+        # JVM-CPU-only totals: immune to Python-worker wait and
+        # preemption — THE cross-round comparison number
+        "cpu_time_total": round(
+            sum(t["cpu_sec"] for t in task_stats.values()), 4),
         "extended_total": round(sum(extended.values()), 4),
         "extended_task_time_total": round(
             sum(t["task_sec"] for t in ext_task_stats.values()), 4),
+        "extended_cpu_time_total": round(
+            sum(t["cpu_sec"] for t in ext_task_stats.values()), 4),
+        "quiet": quiet,
         # ambient-load indicator: a 1-min loadavg far above the bench's
         # own footprint means the numbers carry noisy-neighbor drift
         # (the round-2 and round-4 phantom regressions) — read deltas

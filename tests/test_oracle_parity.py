@@ -68,3 +68,23 @@ def test_entry_smoke(spark):
     n = df.count()
     assert n > 0
     assert set(df.columns) == {"metric", "ts", "value"}
+
+
+def test_no_duplicate_dict_keys_in_entry_module():
+    """A duplicate key in a queries()/oracle_sql() dict literal silently
+    shadows the earlier entry (round-8 verdict found doc_repetition
+    twice in both). Runtime dicts can't reveal it — parse the AST and
+    reject any duplicate string key in any dict literal."""
+    import ast
+
+    src = open(entry_mod.__file__).read()
+    dupes = []
+    for node in ast.walk(ast.parse(src)):
+        if isinstance(node, ast.Dict):
+            seen = set()
+            for k in node.keys:
+                if isinstance(k, ast.Constant) and isinstance(k.value, str):
+                    if k.value in seen:
+                        dupes.append((k.value, k.lineno))
+                    seen.add(k.value)
+    assert not dupes, f"duplicate dict keys shadow earlier entries: {dupes}"
