@@ -39,13 +39,17 @@ def build_parser() -> argparse.ArgumentParser:
     serve = sub.add_parser("serve", help="HTTP API + graphite TCP ingest")
     common(serve)
     serve.add_argument("--checkpoint", required=True)
-    serve.add_argument("--host", default="127.0.0.1")
-    serve.add_argument("--http-port", type=int, default=2005)
-    serve.add_argument("--graphite-port", type=int, default=2003,
+    serve.add_argument("--properties",
+                       help="graphouse .properties file (the reference's "
+                            "config surface); explicit CLI flags override "
+                            "file values")
+    serve.add_argument("--host", default=None)
+    serve.add_argument("--http-port", type=int, default=None)
+    serve.add_argument("--graphite-port", type=int, default=None,
                        help="0 disables the ingest listener")
     serve.add_argument("--pickle-port", type=int, default=0,
                        help="carbon pickle-protocol listener (carbon's :2004); 0 = off")
-    serve.add_argument("--trigger-seconds", type=int, default=5)
+    serve.add_argument("--trigger-seconds", type=int, default=None)
     serve.add_argument("--events", help="events store path (graphite "
                        "events API + events() render function)")
     serve.add_argument("--tagged-ingest", action="store_true",
@@ -101,6 +105,30 @@ def run_serve(args, spark=None, block: bool = True):
     from graphouse_spark.session import get_spark
     from graphouse_spark.streaming.ingest import IngestConfig, start_socket_ingest
 
+    # the reference's deployment surface: a graphouse.properties file
+    # seeds every knob; explicit CLI flags override file values
+    settings = None
+    if getattr(args, "properties", None):
+        from graphouse_spark.config import load_settings
+
+        settings = load_settings(args.properties)
+
+    def pick(cli_value, prop_value, default):
+        if cli_value is not None:
+            return cli_value
+        return prop_value if settings is not None else default
+
+    host = pick(args.host, settings.graphite_host or "127.0.0.1"
+                if settings else None, "127.0.0.1")
+    http_port = pick(args.http_port,
+                     settings.http_port if settings else None, 2005)
+    graphite_port = pick(args.graphite_port,
+                         settings.graphite_port if settings else None, 2003)
+    trigger_seconds = pick(args.trigger_seconds,
+                           settings.trigger_seconds if settings else None, 5)
+    if settings and settings.retention_config and not args.rollup_xml:
+        args.rollup_xml = settings.retention_config
+
     spark = spark or get_spark("graphouse-serve")
     # first boot on an empty lake: bootstrap an empty metrics table so
     # the daemon serves (empty tree) instead of dying on PATH_NOT_FOUND
@@ -115,29 +143,40 @@ def run_serve(args, spark=None, block: bool = True):
         spark, args.data, args.metrics, _provider(args),
         index_path=args.index, lazy_tree=args.lazy_tree,
         events_path=getattr(args, "events", None),
+        max_points_per_metric=(settings.max_points_per_metric
+                               if settings else -1),
+        max_subdirs_per_dir=(settings.max_subdirs_per_dir
+                             if settings else -1),
+        max_metrics_per_dir=(settings.max_metrics_per_dir
+                             if settings else -1),
+        max_metrics_per_query=(settings.max_metrics_per_query
+                               if settings else -1),
     )
     svc.render_cache_ttl = getattr(args, "render_cache_ttl", 0)
     if not args.lazy_tree:
         svc.load_tree()
-    http = start_http_server(svc, host=args.host, port=args.http_port)
+    http = start_http_server(svc, host=host, port=http_port)
     query = pickle_query = None
-    if args.graphite_port:
+    validator = settings.validator() if settings else None
+    if graphite_port:
         cfg = IngestConfig(args.data, args.metrics, args.checkpoint,
-                           trigger_seconds=args.trigger_seconds,
-                           allow_tags=getattr(args, "tagged_ingest", False))
-        query = start_socket_ingest(spark, cfg, host=args.host,
-                                    port=args.graphite_port, server_mode=True)
+                           trigger_seconds=trigger_seconds,
+                           allow_tags=getattr(args, "tagged_ingest", False),
+                           validator=validator)
+        query = start_socket_ingest(spark, cfg, host=host,
+                                    port=graphite_port, server_mode=True)
     if getattr(args, "pickle_port", 0):
         # second listener, own checkpoint: both feed the same tables
         pcfg = IngestConfig(args.data, args.metrics,
                             args.checkpoint.rstrip("/") + "-pickle",
-                            trigger_seconds=args.trigger_seconds,
-                            allow_tags=getattr(args, "tagged_ingest", False))
+                            trigger_seconds=trigger_seconds,
+                            allow_tags=getattr(args, "tagged_ingest", False),
+                            validator=validator)
         pickle_query = start_socket_ingest(
-            spark, pcfg, host=args.host, port=args.pickle_port,
+            spark, pcfg, host=host, port=args.pickle_port,
             server_mode=True, protocol="pickle")
     print(f"serving http on {http.server_address[0]}:{http.server_address[1]}"
-          + (f", graphite on :{args.graphite_port}" if query else "")
+          + (f", graphite on :{graphite_port}" if query else "")
           + (f", pickle on :{args.pickle_port}" if pickle_query else ""),
           file=sys.stderr)
     if block:

@@ -292,19 +292,57 @@ def compact_data_table(spark: SparkSession, data_path: str,
     aged = data.filter(F.col("date").isin([str(d) for d in dates]))
     rolled = rollup_partition(spark, aged, provider, now)
     # size the rewrite by INPUT bytes (an upper bound on the rolled
-    # output) targeting ~64 MB files: a fixed shuffle-partition count
-    # would re-fragment small partitions into dozens of near-empty
-    # files — a compaction that leaves small files behind defeats
-    # itself under the streaming append loop it exists to serve
-    in_bytes = 0
+    # output) targeting ~64 MB files PER DATE: a fixed shuffle-partition
+    # count would re-fragment small partitions into dozens of near-empty
+    # files, and a single global count spread across partitionBy("date")
+    # splits into up to n_out files per date — a compaction that leaves
+    # small files behind defeats itself under the streaming append loop
+    # it exists to serve. Listing goes through the Hadoop FileSystem of
+    # the actual path (not local pathlib), so HDFS/S3A tables size
+    # correctly too; a date whose listing finds nothing falls back to a
+    # logged default rather than silently funneling into one task.
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    date_bytes: dict[str, int] = {}
     for d in dates:
-        pdir = Path(data_path) / f"date={d}"
-        if pdir.is_dir():
-            in_bytes += sum(f.stat().st_size for f in pdir.iterdir()
-                            if f.name.endswith(".parquet"))
-    n_out = max(1, min(256, -(-in_bytes // (64 << 20))))
+        jpath = jvm.org.apache.hadoop.fs.Path(
+            data_path.rstrip("/") + f"/date={d}")
+        b = 0
+        try:
+            fs = jpath.getFileSystem(hconf)
+            if fs.exists(jpath):
+                for st in fs.listStatus(jpath):
+                    name = st.getPath().getName()
+                    if name.endswith(".parquet"):
+                        b += st.getLen()
+        except Exception:
+            b = 0
+        date_bytes[str(d)] = b
+    fallback = [d for d, b in date_bytes.items() if b == 0]
+    if fallback:
+        import logging
+        logging.getLogger(__name__).warning(
+            "compaction: no parquet bytes listed under %s for dates %s; "
+            "using default of 4 output files each", data_path, fallback)
+    # per-date output-file count, then ONE shuffle keyed (date, salt):
+    # each (date, salt) cell targets ~64 MB, and partitionBy("date")
+    # writes each cell as one file in its own dir (a hash collision
+    # merging two cells into a task yields fewer/bigger files, never
+    # re-fragmentation)
+    n_per_date = {
+        d: max(1, min(256, -(-b // (64 << 20)))) if b else 4
+        for d, b in date_bytes.items()
+    }
+    n_out = int(sum(n_per_date.values()))
+    salt_expr = F.pmod(
+        F.xxhash64("metric"),
+        F.coalesce(*(
+            [F.when(F.col("date") == d, F.lit(n)) for d, n in n_per_date.items()]
+            + [F.lit(1)])))
     (
-        rolled.repartition(int(n_out), "metric")
+        rolled.withColumn("__salt", salt_expr)
+        .repartition(n_out, "date", "__salt")
+        .drop("__salt")
         .sortWithinPartitions("date", "metric", "timestamp")
         .write.mode("overwrite")
         .partitionBy("date")

@@ -49,6 +49,9 @@ class IngestConfig:
     #: in the data table and skip the tree. Default off — the
     #: reference-parity validator rejects ';'.
     allow_tags: bool = False
+    #: name validator override (graphouse.metric-validation.* keys via
+    #: config.GraphouseSettings.validator()); None = reference defaults
+    validator: Optional[object] = None
 
 
 def _parse_stream(raw: DataFrame, cfg: "IngestConfig",
@@ -58,7 +61,7 @@ def _parse_stream(raw: DataFrame, cfg: "IngestConfig",
         from graphouse_spark import tags as _tags
 
         return _tags.parse_tagged_lines(raw, updated=updated)
-    return parse_lines(raw, updated=updated)
+    return parse_lines(raw, updated=updated, validator=cfg.validator)
 
 
 def filter_banned(parsed: DataFrame, banned_prefixes: tuple[str, ...]) -> DataFrame:

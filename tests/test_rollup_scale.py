@@ -41,19 +41,23 @@ def _build_points(spark, n_points: int, path: str) -> None:
     partitions, 30 s cadence per metric (denser than the 60 s tier, so
     fresh->60 s would already shrink; the aged 300 s tier shrinks
     10x)."""
+    # metric = id % N_METRICS; day = (id // N_METRICS) % DAYS (so every
+    # size covers all DAYS partitions); within-day offset advances 30 s
+    # per (metric, day) block — n/(N_METRICS*DAYS) points per metric-day
+    # at 30 s cadence, 10x denser than the aged 300 s tier
+    day = F.floor(F.col("id") / N_METRICS) % DAYS
+    offset = (F.floor(F.col("id") / (N_METRICS * DAYS)) * 30) % 86400
+    midnight = BASE - BASE % 86400  # day-aligned so offsets never spill
     pts = (
         spark.range(n_points)
         .select(
             F.concat(F.lit("one_min.h"),
                      (F.col("id") % (N_METRICS // 10)).cast("string"),
                      F.lit(".m"),
-                     ((F.col("id") // (N_METRICS // 10)) % 10).cast("string")
+                     (F.floor(F.col("id") / (N_METRICS // 10)) % 10).cast("string")
                      ).alias("metric"),
             (F.col("id") % 1000).cast("double").alias("value"),
-            (F.lit(BASE)
-             + (F.col("id") % N_METRICS) * 0  # metric id
-             + ((F.col("id") / N_METRICS).cast("long") * 30)
-             % (DAYS * 86400)).alias("timestamp"),
+            (F.lit(midnight) + day * 86400 + offset).cast("long").alias("timestamp"),
             F.lit(1).cast("long").alias("updated"),
         )
     )
