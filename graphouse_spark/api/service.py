@@ -43,10 +43,39 @@ from graphouse_spark.tree_index import MetricTree
 _WITH_FILL_RE = re.compile(
     r"ORDER\s+BY\s+([A-Za-z_]\w*)\s*(ASC|DESC)?\s+WITH\s+FILL"
     r"(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(\d+))?"
-    r"(?:\s+INTERPOLATE\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?"
+    r"(?:\s+INTERPOLATE\s*\((.+)\))?"
     r"(?:\s+LIMIT\s+(\d+))?\s*;?\s*$",
-    re.IGNORECASE,
+    re.IGNORECASE | re.DOTALL,
 )
+
+
+def _parse_interpolate_items(body: str):
+    """Split a CH ``INTERPOLATE (...)`` body on top-level commas into
+    ``col`` / ``col AS expr`` entries. Returns (names, exprs_by_name).
+    Entries chain CH-style: the expression is evaluated over the
+    previous output row (operators/gapfill.stepped_fill_rows_expr)."""
+    items, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(body[start:i])
+            start = i + 1
+    items.append(body[start:])
+    names, exprs = [], {}
+    for it in items:
+        m = re.match(r"\s*([A-Za-z_]\w*)\s*(?:AS\s+(.+))?\s*$", it,
+                     re.IGNORECASE | re.DOTALL)
+        if m is None:
+            raise ValueError(
+                f"INTERPOLATE entries must be `col` or `col AS expr` "
+                f"(got {it.strip()!r})")
+        names.append(m.group(1))
+        if m.group(2) is not None and m.group(2).strip():
+            exprs[m.group(1)] = m.group(2).strip()
+    return names, exprs
 
 
 def _extract_with_fill(query: str):
@@ -72,15 +101,23 @@ def _extract_with_fill(query: str):
         return None, query
     col, d, frm, to, step, interp, lim = m.groups()
     desc = (d or "").upper() == "DESC"
+    # CH INTERPOLATE (col, col2 AS expr, ...): fill rows carry the
+    # previous row's value (plain form) or evaluate the expression
+    # over the previous output row (AS form; expressions chain across
+    # consecutive fill rows, FillingTransform semantics). Caveat: an
+    # expression containing a string literal splits the tokenizer's
+    # code segment, so the clause is not recognized — same posture as
+    # every other token-safe trailing-clause rewrite here.
+    interp_names, interp_exprs = (
+        _parse_interpolate_items(interp) if interp else ([], {}))
     spec = {
         "col": col,
         "desc": desc,
         "from": None if frm is None else int(frm),
         "to": None if to is None else int(to),
         "step": int(step) if step else 1,
-        # CH INTERPOLATE (col, ...): fill rows carry the previous
-        # row's value for these columns instead of the type default
-        "interpolate": [c.strip() for c in interp.split(",")] if interp else [],
+        "interpolate": interp_names,
+        "interpolate_exprs": interp_exprs,
         "limit": None if lim is None else int(lim),
     }
     if spec["step"] <= 0:

@@ -109,6 +109,9 @@ def _fill_validate(schema, spec):
     for c in spec.get("interpolate") or []:
         if c not in names:
             raise ValueError(f"INTERPOLATE column {c!r} is not in the result")
+        if c == spec["col"]:
+            raise ValueError("the WITH FILL column cannot be INTERPOLATEd "
+                             "(its fill values are stepped, as in CH)")
     return ci
 
 
@@ -241,6 +244,170 @@ def stepped_fill_frame(spark, rows, schema, spec, partitions: int = 32):
     return [R(*[r[n] for n in names]) for r in out.collect()]
 
 
+def _rewrite_interp_expr(expr: str, names: list[str], prefix: str) -> str:
+    """Rewrite bare column identifiers in a CH ``INTERPOLATE (col AS
+    expr)`` expression to ``<prefix>.`col``` references (token-safe:
+    literals inside the expression are never rewritten; function-call
+    names are skipped via the ``(?!\\s*\\()`` guard)."""
+    import re as _re
+
+    from graphouse_spark.api.sqlguard import tokenize
+
+    name_set = set(names)
+    out = []
+    for s in tokenize(expr):
+        if s.kind != "code":
+            out.append(s.text)
+            continue
+
+        def repl(m):
+            ident = m.group(1)
+            if ident in name_set:
+                return f"{prefix}.`{ident}`"
+            return ident
+
+        out.append(_re.sub(r"(?<![\w.`])([A-Za-z_]\w*)\b(?!\s*\()",
+                           repl, s.text))
+    return "".join(out)
+
+
+def stepped_fill_rows_expr(spark, rows, schema, spec, partitions: int = 32):
+    """CH ``INTERPOLATE (col AS expr)`` path: the driver does the SAME
+    walk as :func:`stepped_fill_rows` but each run of consecutive fill
+    rows (a "gap") becomes a placeholder; the expressions are then
+    evaluated in ONE Spark job — per gap, ``aggregate()`` folds the
+    fill-value sequence, stepping an accumulator row exactly like CH's
+    FillingTransform steps its previous-row state:
+
+      - the interpolated column takes ``expr`` evaluated over the
+        previous OUTPUT row (so consecutive fill rows chain:
+        ``v AS v+1`` counts up);
+      - plain INTERPOLATE columns carry the previous value
+        (``col AS col``);
+      - every other column resets to its type default after the first
+        fill row, which is what the previous fill row actually holds —
+        faithful to CH, where the expression sees the inserted row.
+
+    Scale posture: one DataFrame row per gap, chains evaluated
+    executor-side (the chain itself is inherently sequential — CH
+    computes it in one stream too); gaps parallelize across the
+    cluster. Leading fills (no previous row) take type defaults with
+    no expression, as in the carry path."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import ArrayType, StructType as ST, StructField as SF
+
+    names = [f.name for f in schema.fields]
+    ci = _fill_validate(schema, spec)
+    interp = spec.get("interpolate") or []
+    exprs = spec.get("interpolate_exprs") or {}
+    defaults = [_fill_default(f) for f in schema.fields]
+    sgn = -1 if spec["desc"] else 1
+    st = spec["step"] * sgn
+
+    # -- the walk: same control flow as stepped_fill_rows, fill rows
+    # recorded as (gap, k) placeholders --
+    out: list = []
+    gaps: list = []  # [prev_row | None, [fill values]]
+    cur_gap = None
+    prev = None
+
+    def add_fill(cur_v):
+        nonlocal cur_gap
+        if cur_gap is None:
+            cur_gap = len(gaps)
+            gaps.append([prev, []])
+        gaps[cur_gap][1].append(int(cur_v))
+        out.append(("fill", cur_gap, len(gaps[cur_gap][1]) - 1))
+
+    cur = spec["from"] if spec["from"] is not None else (
+        rows[0][ci] if rows else None)
+    for r in rows:
+        v = r[ci]
+        if v is None:
+            out.append(("row", r))
+            continue
+        while cur is not None and (v - cur) * sgn > 0:
+            add_fill(cur)
+            cur += st
+        out.append(("row", r))
+        prev = r
+        cur_gap = None
+        cand = v + st
+        if cur is None or (cand - cur) * sgn > 0:
+            cur = cand
+    if spec["to"] is not None and cur is not None:
+        while (spec["to"] - cur) * sgn > 0:
+            add_fill(cur)
+            cur += st
+
+    # -- one Spark job: aggregate() folds each gap's fill sequence --
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    def lit_sql(val, ddl: str) -> str:
+        if val is None:
+            return f"cast(null as {ddl})"
+        if isinstance(val, bool):
+            return "true" if val else "false"
+        if isinstance(val, str):
+            return "'" + val.replace("'", "''") + "'"
+        return repr(val)
+
+    tddl = [f.dataType.simpleString() for f in schema.fields]
+    fields_sql = []
+    for i, f in enumerate(schema.fields):
+        if i == ci:
+            e = f"cast(v as {tddl[i]})"
+        elif f.name in exprs:
+            rewritten = _rewrite_interp_expr(exprs[f.name], names, "acc.row")
+            e = f"cast(({rewritten}) as {tddl[i]})"
+        elif f.name in interp:
+            e = f"acc.row.{q(f.name)}"
+        else:
+            e = f"cast({lit_sql(defaults[i], tddl[i])} as {tddl[i]})"
+        fields_sql.append("'" + f.name.replace("'", "''") + f"', {e}")
+    row_sql = "named_struct(" + ", ".join(fields_sql) + ")"
+    # init carries the anchor row itself (typing the array without a
+    # DDL round-trip); finish slices it back off
+    agg_sql = (
+        "aggregate(vals, named_struct('row', prev, 'out', array(prev)), "
+        f"(acc, v) -> named_struct('row', {row_sql}, "
+        f"'out', concat(acc.out, array({row_sql}))), "
+        "acc -> slice(acc.out, 2, size(acc.out) - 1))"
+    )
+
+    eval_gaps = [(gid, tuple(prevrow), vals)
+                 for gid, (prevrow, vals) in enumerate(gaps)
+                 if prevrow is not None and vals]
+    evaluated: dict = {}
+    if eval_gaps:
+        gschema = ST([SF("gid", LongType()),
+                      SF("prev", ST(list(schema.fields))),
+                      SF("vals", ArrayType(LongType()))])
+        gdf = spark.createDataFrame(eval_gaps, gschema)
+        if len(eval_gaps) > 1:
+            gdf = gdf.repartition(min(partitions, len(eval_gaps)))
+        for r in gdf.select("gid", F.expr(agg_sql).alias("filled")).collect():
+            evaluated[r["gid"]] = r["filled"]
+
+    R = Row(*names)
+    final = []
+    for item in out:
+        if item[0] == "row":
+            final.append(item[1])
+        else:
+            _, g, k = item
+            prevrow, vals = gaps[g]
+            if prevrow is None:  # leading fills: defaults, no expr
+                v = list(defaults)
+                v[ci] = vals[k]
+                final.append(R(*v))
+            else:
+                er = evaluated[g][k]
+                final.append(R(*[er[i] for i in range(len(names))]))
+    return final
+
+
 def estimate_filled_rows(rows, schema, spec) -> int:
     """Upper bound on the fill rows a spec will generate — O(result)."""
     ci = _fill_validate(schema, spec)
@@ -279,6 +446,10 @@ def stepped_fill(spark, rows, schema, spec,
         raise ValueError(
             f"WITH FILL would produce ~{est + len(rows)} rows "
             f"(max {max_filled_rows}); narrow FROM/TO or raise STEP")
+    if spec.get("interpolate_exprs"):
+        # expression interpolation: one walk + one Spark fold job
+        # (handles every input shape the two paths below split on)
+        return stepped_fill_rows_expr(spark, rows, schema, spec)
     sgn = -1 if spec["desc"] else 1
     degenerate = (
         not rows

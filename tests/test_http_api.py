@@ -815,6 +815,26 @@ def test_query_final_and_with_fill(spark, tmp_path):
         "INTERPOLATE (v)")
     assert out.splitlines() == [
         "1000\t9.0", "1060\t9.0", "1120\t2.0", "1180\t2.0"]
+    # INTERPOLATE (col AS expr): CH expression form — evaluated over
+    # the previous output row, chaining across consecutive fill rows
+    out = svc.sql(
+        "SELECT timestamp AS ts, max(value) AS v FROM graphite.data FINAL "
+        "GROUP BY ts ORDER BY ts WITH FILL FROM 1000 TO 1240 STEP 60 "
+        "INTERPOLATE (v AS v + 0.5)")
+    assert out.splitlines() == [
+        "1000\t9.0", "1060\t9.5", "1120\t2.0", "1180\t2.5"]
+    # expression with a function call and a LIMIT after the clause
+    out = svc.sql(
+        "SELECT timestamp AS ts, max(value) AS v FROM graphite.data FINAL "
+        "GROUP BY ts ORDER BY ts WITH FILL FROM 1000 TO 1300 STEP 60 "
+        "INTERPOLATE (v AS round(v * 2, 1)) LIMIT 5")
+    assert out.splitlines() == [
+        "1000\t9.0", "1060\t18.0", "1120\t2.0", "1180\t4.0", "1240\t8.0"]
+    # malformed entry is a user error, not a server fall-over
+    with pytest.raises(ValueError, match="INTERPOLATE entries"):
+        svc.sql("SELECT timestamp AS ts, max(value) AS v "
+                "FROM graphite.data FINAL GROUP BY ts "
+                "ORDER BY ts WITH FILL STEP 60 INTERPOLATE (1 + 2)")
     # a string literal mentioning the spelling is untouched (token-safe)
     out = svc.sql("SELECT 'ORDER BY ts WITH FILL' AS s")
     assert out.strip() == "ORDER BY ts WITH FILL"

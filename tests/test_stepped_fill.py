@@ -146,3 +146,117 @@ def test_query_with_fill_distributed_path_e2e(spark, tmp_path):
     # TO is exclusive: no 1240 row
     assert small.splitlines() == [
         "1000\t1.0", "1060\t1.0", "1120\t1.0", "1180\t4.0"]
+
+
+# -- CH INTERPOLATE (col AS expr) — round-8 verdict item #6 --
+
+def _espec(**kw):
+    spec = _spec(**kw)
+    spec.setdefault("interpolate_exprs", {})
+    return spec
+
+
+def test_interp_expr_counts_up(spark):
+    """CH doc example shape: `INTERPOLATE (v AS v + 1)` chains across
+    consecutive fill rows (each fill row is the next previous row)."""
+    from graphouse_spark.operators.gapfill import stepped_fill_rows_expr
+
+    rows = [R(1, 1.0, "a"), R(5, 10.0, "b")]
+    spec = _espec(interpolate=["v"],
+                  interpolate_exprs={"v": "v + 1"})
+    out = stepped_fill_rows_expr(spark, rows, SCHEMA, spec)
+    assert [(r["ts"], r["v"], r["tag"]) for r in out] == [
+        (1, 1.0, "a"),
+        (2, 2.0, ""), (3, 3.0, ""), (4, 4.0, ""),  # chains 1->2->3->4
+        (5, 10.0, "b"),
+    ]
+
+
+def test_interp_expr_plain_entries_mix(spark):
+    """Plain entries carry; AS entries evaluate — in one clause."""
+    from graphouse_spark.operators.gapfill import stepped_fill_rows_expr
+
+    rows = [R(1, 2.0, "x"), R(4, 9.0, "y")]
+    spec = _espec(interpolate=["v", "tag"],
+                  interpolate_exprs={"v": "v * 2"})
+    out = stepped_fill_rows_expr(spark, rows, SCHEMA, spec)
+    assert [(r["ts"], r["v"], r["tag"]) for r in out] == [
+        (1, 2.0, "x"), (2, 4.0, "x"), (3, 8.0, "x"), (4, 9.0, "y")]
+
+
+def test_interp_expr_equals_carry_when_identity(spark):
+    """`col AS col` must equal the plain carry path on any input —
+    the property tying both implementations to one semantics."""
+    from graphouse_spark.operators.gapfill import (
+        stepped_fill_rows, stepped_fill_rows_expr)
+
+    rows = [R(0, 1.5, "a"), R(7, 2.5, "b"), R(9, 3.5, "c")]
+    for spec_kw in [dict(step=2), dict(step=1, **{"from": -3, "to": 14}),
+                    dict(step=3, **{"to": 20})]:
+        carry = _spec(interpolate=["v"], **spec_kw)
+        expr = _espec(interpolate=["v"],
+                      interpolate_exprs={"v": "v"}, **spec_kw)
+        a = stepped_fill_rows(rows, SCHEMA, carry)
+        b = stepped_fill_rows_expr(spark, rows, SCHEMA, expr)
+        assert a == b, spec_kw
+
+
+def test_interp_expr_leading_fills_take_defaults(spark):
+    """Before the first row there is no previous row: leading FROM
+    fills get type defaults, no expression evaluation (CH parity with
+    the carry path)."""
+    from graphouse_spark.operators.gapfill import stepped_fill_rows_expr
+
+    rows = [R(5, 3.0, "a"), R(8, 4.0, "b")]
+    spec = _espec(interpolate=["v"], interpolate_exprs={"v": "v + 10"},
+                  **{"from": 3})
+    out = stepped_fill_rows_expr(spark, rows, SCHEMA, spec)
+    assert [(r["ts"], r["v"]) for r in out] == [
+        (3, 0.0), (4, 0.0),            # leading: defaults
+        (5, 3.0), (6, 13.0), (7, 23.0),  # chained expr fills
+        (8, 4.0)]
+
+
+def test_interp_expr_descending_and_trailing(spark):
+    from graphouse_spark.operators.gapfill import stepped_fill_rows_expr
+
+    rows = [R(10, 8.0, "z"), R(7, 5.0, "y")]
+    spec = _espec(desc=True, interpolate=["v"],
+                  interpolate_exprs={"v": "v / 2"}, **{"to": 4})
+    out = stepped_fill_rows_expr(spark, rows, SCHEMA, spec)
+    assert [(r["ts"], r["v"]) for r in out] == [
+        (10, 8.0), (9, 4.0), (8, 2.0), (7, 5.0),
+        (6, 2.5), (5, 1.25)]  # TO exclusive
+
+
+def test_interp_expr_multi_column_cross_reference(spark):
+    """An expression may reference OTHER columns of the previous
+    output row — non-interpolated ones read as their fill defaults
+    after the first fill row (exactly what the previous row holds)."""
+    from graphouse_spark.operators.gapfill import stepped_fill_rows_expr
+
+    rows = [R(1, 4.0, "q"), R(4, 9.0, "r")]
+    spec = _espec(interpolate=["v"],
+                  interpolate_exprs={"v": "v + length(tag)"})
+    out = stepped_fill_rows_expr(spark, rows, SCHEMA, spec)
+    # first fill sees tag='q' (len 1): 5.0; next sees tag='' : 5.0
+    assert [(r["ts"], r["v"], r["tag"]) for r in out] == [
+        (1, 4.0, "q"), (2, 5.0, ""), (3, 5.0, ""), (4, 9.0, "r")]
+
+
+def test_interp_expr_router_and_guards(spark):
+    from graphouse_spark.operators.gapfill import stepped_fill
+
+    rows = [R(1, 1.0, "a"), R(4, 2.0, "b")]
+    spec = _espec(interpolate=["v"], interpolate_exprs={"v": "v + 1"})
+    out = stepped_fill(spark, rows, SCHEMA, spec)
+    assert [r["v"] for r in out] == [1.0, 2.0, 3.0, 2.0]
+    # fill column itself cannot be interpolated
+    bad = _espec(interpolate=["ts"], interpolate_exprs={"ts": "ts + 1"})
+    with pytest.raises(ValueError, match="cannot be INTERPOLATE"):
+        stepped_fill(spark, rows, SCHEMA, bad)
+    # the refusal cap still applies before any evaluation
+    wide = _espec(interpolate=["v"], interpolate_exprs={"v": "v + 1"},
+                  **{"from": 0, "to": 10_000_000})
+    with pytest.raises(ValueError, match="WITH FILL would produce"):
+        stepped_fill(spark, rows, SCHEMA, wide)
