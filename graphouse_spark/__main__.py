@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("--tagged-ingest", action="store_true",
                        help="admit graphite 1.1 tagged names "
                             "(name;key=value) on the ingest listeners")
+    serve.add_argument("--tags-index", default=None,
+                       help="persisted tag index path (default: "
+                            "<data>_tags when --tagged-ingest is on); "
+                            "serves /tags browsing and seriesByTag "
+                            "resolution without scanning the points "
+                            "table")
     serve.add_argument("--lazy-tree", action="store_true",
                        help="CH-style cold start: no bootstrap tree scan")
     serve.add_argument("--render-cache-ttl", type=int, default=0,
@@ -139,10 +145,14 @@ def run_serve(args, spark=None, block: bool = True):
         from graphouse_spark.sources.tables import write_metrics
 
         write_metrics(spark.createDataFrame([], METRICS_SCHEMA), args.metrics)
+    tagged = getattr(args, "tagged_ingest", False)
+    tags_index = getattr(args, "tags_index", None) or (
+        args.data.rstrip("/") + "_tags" if tagged else None)
     svc = GraphouseService(
         spark, args.data, args.metrics, _provider(args),
         index_path=args.index, lazy_tree=args.lazy_tree,
         events_path=getattr(args, "events", None),
+        tags_path=tags_index,
         max_points_per_metric=(settings.max_points_per_metric
                                if settings else -1),
         max_subdirs_per_dir=(settings.max_subdirs_per_dir
@@ -161,8 +171,8 @@ def run_serve(args, spark=None, block: bool = True):
     if graphite_port:
         cfg = IngestConfig(args.data, args.metrics, args.checkpoint,
                            trigger_seconds=trigger_seconds,
-                           allow_tags=getattr(args, "tagged_ingest", False),
-                           validator=validator)
+                           allow_tags=tagged, validator=validator,
+                           tags_path=tags_index)
         query = start_socket_ingest(spark, cfg, host=host,
                                     port=graphite_port, server_mode=True)
     if getattr(args, "pickle_port", 0):
@@ -170,8 +180,8 @@ def run_serve(args, spark=None, block: bool = True):
         pcfg = IngestConfig(args.data, args.metrics,
                             args.checkpoint.rstrip("/") + "-pickle",
                             trigger_seconds=trigger_seconds,
-                            allow_tags=getattr(args, "tagged_ingest", False),
-                            validator=validator)
+                            allow_tags=tagged, validator=validator,
+                            tags_path=tags_index)
         pickle_query = start_socket_ingest(
             spark, pcfg, host=host, port=args.pickle_port,
             server_mode=True, protocol="pickle")

@@ -654,10 +654,15 @@ class GraphouseService:
                  max_metrics_per_query: int = -1,
                  index_path: str | None = None,
                  lazy_tree: bool = False,
-                 events_path: str | None = None) -> None:
+                 events_path: str | None = None,
+                 tags_path: str | None = None) -> None:
         self.spark = spark
         self.data_path = data_path
         self.metrics_path = metrics_path
+        #: persisted tag index (TAGS_SCHEMA, written by ingest when
+        #: tagged ingest is on): /tags browsing + seriesByTag name
+        #: resolution scan it instead of the points table
+        self.tags_path = tags_path
         #: optional graphite events store (ENGINE EXTENSION,
         #: events.py): POST /events + /events/get_data + the
         #: events(*tags) render function
@@ -842,28 +847,80 @@ class GraphouseService:
     #: tag listings; widen the window per-instance if needed.
     tag_lookback_days: int = 7
 
+    def _tag_index(self):
+        """The persisted tag index inside the lookback window, or None
+        when no index is configured/built yet (fallback: scan the
+        points table's names — the pre-index behavior)."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        if self.tags_path is None or not os.path.exists(self.tags_path):
+            return None
+        from graphouse_spark.sources.tables import read_tags
+
+        idx = read_tags(self.spark, self.tags_path)
+        return idx.filter(
+            F.col("date") >= F.date_sub(F.current_date(),
+                                        self.tag_lookback_days))
+
     def _tagged_names(self, exprs: list[str] | None = None):
         """Distinct tagged metric names inside the lookback window,
-        optionally filtered by seriesByTag terms."""
+        optionally filtered by seriesByTag terms.
+
+        With a persisted tag index this never touches the points
+        table: candidate names come from the index (a row per
+        series-tag, not per point), with any positive ``tag=value``
+        equality term pushed into the index scan as a sargable
+        (tag, value) filter before the per-name map compile. Without
+        an index it falls back to distinct names from the date-pruned
+        points scan (the pre-index path, kept for tables ingested
+        before the index existed)."""
         import os
 
         from pyspark.sql import functions as F
 
         from graphouse_spark import tags as tg_mod
 
-        if not os.path.exists(self.data_path):
-            # pre-first-batch boot: serve the empty namespace, like the
-            # empty-tree bootstrap does for /search
-            return self.spark.createDataFrame([], "metric string")
-        data = read_data(self.spark, self.data_path)
-        names = (data.filter(
-            F.col("date") >= F.date_sub(F.current_date(),
-                                        self.tag_lookback_days))
-            .filter(F.col("metric").contains(";"))
-            .select("metric").distinct())
+        idx = self._tag_index()
+        if idx is not None:
+            names = idx
+            pushed = self._first_tag_equality(exprs)
+            if pushed is not None:
+                k, v = pushed
+                # sargable prune: the index files are sorted by
+                # (tag, value, metric), so this equality skips row
+                # groups on min/max stats before any map is built
+                names = names.filter((F.col("tag") == k)
+                                     & (F.col("value") == v))
+            names = names.select("metric").distinct()
+        else:
+            if not os.path.exists(self.data_path):
+                # pre-first-batch boot: serve the empty namespace, like
+                # the empty-tree bootstrap does for /search
+                return self.spark.createDataFrame([], "metric string")
+            data = read_data(self.spark, self.data_path)
+            names = (data.filter(
+                F.col("date") >= F.date_sub(F.current_date(),
+                                            self.tag_lookback_days))
+                .filter(F.col("metric").contains(";"))
+                .select("metric").distinct())
         if exprs:
             names = tg_mod.series_by_tag(names, exprs)
         return names
+
+    @staticmethod
+    def _first_tag_equality(exprs: list[str] | None):
+        """The first positive ``key=value`` term (non-empty value,
+        key != name — name= is already a prefix-range in
+        series_by_tag), usable as an index-scan prune."""
+        import re as _re
+
+        for t in exprs or ():
+            m = _re.match(r"^([^;!=~\s]+)\s*=\s*([^~].*)$", t.strip())
+            if m and m.group(1) != "name" and m.group(2):
+                return m.group(1), m.group(2)
+        return None
 
     def tag_find_series(self, exprs: list[str],
                         limit: int | None = None) -> str:
@@ -889,10 +946,16 @@ class GraphouseService:
 
         from graphouse_spark import tags as tg_mod
 
-        keys = (self._tagged_names(exprs)
-                .select(F.explode(F.map_keys(
-                    tg_mod.tags_map_col(F.col("metric")))).alias("tag"))
-                .filter(F.col("tag") != "name"))
+        idx = self._tag_index()
+        if idx is not None and not exprs:
+            # pure index scan: distinct tag keys straight off the
+            # (tag, value, metric) rows — no map construction at all
+            keys = idx.select("tag").filter(F.col("tag") != "name")
+        else:
+            keys = (self._tagged_names(exprs)
+                    .select(F.explode(F.map_keys(
+                        tg_mod.tags_map_col(F.col("metric")))).alias("tag"))
+                    .filter(F.col("tag") != "name"))
         if tag_prefix:
             keys = keys.filter(F.col("tag").startswith(tag_prefix))
         rows = keys.distinct().orderBy("tag").limit(limit).collect()
@@ -910,11 +973,17 @@ class GraphouseService:
 
         if not tag:
             raise ValueError("autoComplete/values needs a tag")
-        vals = (self._tagged_names(exprs)
-                .select(F.element_at(
-                    tg_mod.tags_map_col(F.col("metric")),
-                    tag).alias("value"))
-                .filter(F.col("value").isNotNull()))
+        idx = self._tag_index()
+        if idx is not None and not exprs:
+            # sargable index scan: tag equality prunes on the sorted
+            # (tag, value, metric) layout's min/max stats
+            vals = idx.filter(F.col("tag") == tag).select("value")
+        else:
+            vals = (self._tagged_names(exprs)
+                    .select(F.element_at(
+                        tg_mod.tags_map_col(F.col("metric")),
+                        tag).alias("value"))
+                    .filter(F.col("value").isNotNull()))
         if value_prefix:
             vals = vals.filter(F.col("value").startswith(value_prefix))
         rows = vals.distinct().orderBy("value").limit(limit).collect()
@@ -1038,20 +1107,44 @@ class GraphouseService:
                             "name=<literal> equality term")
                     cap = (self.max_metrics_per_query
                            if self.max_metrics_per_query > 0 else None)
-                    # date is the PARTITION column: without this pair
-                    # of bounds every render's name-resolve would list
-                    # and foot-read ALL partitions; with it the scan
-                    # prunes to the request's days (UTC, matching the
-                    # ingest-side date derivation)
-                    window = data.filter(
-                        (F.col("timestamp") >= start)
-                        & (F.col("timestamp") <= end)
-                        & (F.col("date") >=
-                           F.to_date(F.from_unixtime(F.lit(start))))
-                        & (F.col("date") <=
-                           F.to_date(F.from_unixtime(F.lit(end)))))
-                    sel = (tg_mod.series_by_tag(window, exprs)
-                           .select("metric").distinct())
+                    import os as _os
+
+                    if (self.tags_path is not None
+                            and _os.path.exists(self.tags_path)):
+                        # persisted tag index: resolve names from rows
+                        # per SERIES-TAG, not per point — a render no
+                        # longer recompiles tag maps over the windowed
+                        # points scan. No lookback here (graphite's tag
+                        # DB resolves regardless of the request window;
+                        # series without points in range simply fetch
+                        # nothing). A positive tag equality prunes the
+                        # sorted (tag, value, metric) layout first.
+                        from graphouse_spark.sources.tables import read_tags
+
+                        idx = read_tags(self.spark, self.tags_path)
+                        pushed = self._first_tag_equality(exprs)
+                        if pushed is not None:
+                            idx = idx.filter(
+                                (F.col("tag") == pushed[0])
+                                & (F.col("value") == pushed[1]))
+                        sel = (tg_mod.series_by_tag(
+                                   idx.select("metric").distinct(), exprs)
+                               .select("metric").distinct())
+                    else:
+                        # date is the PARTITION column: without this
+                        # pair of bounds every render's name-resolve
+                        # would list and foot-read ALL partitions; with
+                        # it the scan prunes to the request's days
+                        # (UTC, matching ingest-side date derivation)
+                        window = data.filter(
+                            (F.col("timestamp") >= start)
+                            & (F.col("timestamp") <= end)
+                            & (F.col("date") >=
+                               F.to_date(F.from_unixtime(F.lit(start))))
+                            & (F.col("date") <=
+                               F.to_date(F.from_unixtime(F.lit(end)))))
+                        sel = (tg_mod.series_by_tag(window, exprs)
+                               .select("metric").distinct())
                     if cap:
                         sel = sel.limit(cap + 1)
                     for r in sel.collect():

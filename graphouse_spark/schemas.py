@@ -57,3 +57,20 @@ LINE_SCHEMA = StructType(
         StructField("updated", LongType(), True),
     ]
 )
+
+
+#: graphite_tagged analog (ENGINE EXTENSION): the persisted tag index.
+#: One row per (metric, tag, value) seen on ingest, partitioned by the
+#: day the series was last written — the same design carbon-clickhouse
+#: uses for its graphite_tagged table ((Date, Tag1, Path) ordered by
+#: tag then path), re-expressed as a date-partitioned parquet table
+#: sorted by (tag, value, metric) so tag-equality browses prune to a
+#: few row groups. The implicit ``name`` tag is materialized too.
+TAGS_SCHEMA = StructType(
+    [
+        StructField("metric", StringType(), False),  # full canonical tagged name
+        StructField("tag", StringType(), False),
+        StructField("value", StringType(), False),
+        StructField("date", DateType(), False),  # last-seen day (partition)
+    ]
+)

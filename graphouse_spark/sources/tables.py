@@ -115,6 +115,32 @@ def read_metrics(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(METRICS_SCHEMA).parquet(path)
 
 
+def write_tags(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Append tag-index rows (TAGS_SCHEMA). Laid out for the browse
+    patterns: date-partitioned (lookback prune), sorted by (tag, value,
+    metric) within files so `tag = 'k'` / `(tag, value)` equality
+    browses skip row groups on min/max stats. Tiny next to the data
+    table (one row per series-tag, not per point) — one file per batch,
+    compacted by the same maintenance loop as the metrics table."""
+    from graphouse_spark.schemas import TAGS_SCHEMA
+
+    cols = [f.name for f in TAGS_SCHEMA.fields]
+    (
+        df.select(*cols)
+        .repartition(1)
+        .sortWithinPartitions("tag", "value", "metric")
+        .write.mode(mode)
+        .partitionBy("date")
+        .parquet(path)
+    )
+
+
+def read_tags(spark: SparkSession, path: str) -> DataFrame:
+    from graphouse_spark.schemas import TAGS_SCHEMA
+
+    return spark.read.schema(TAGS_SCHEMA).parquet(path)
+
+
 def write_data_bucketed(df: DataFrame, table_name: str, n_buckets: int = 64) -> None:
     """Bucketed variant of the data layout for co-located joins.
 

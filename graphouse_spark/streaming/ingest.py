@@ -52,6 +52,11 @@ class IngestConfig:
     #: name validator override (graphouse.metric-validation.* keys via
     #: config.GraphouseSettings.validator()); None = reference defaults
     validator: Optional[object] = None
+    #: persisted tag index path (TAGS_SCHEMA): when set (and
+    #: ``allow_tags``), each batch appends (metric, tag, value, date)
+    #: rows for its tagged names, so /tags browsing and seriesByTag
+    #: name-resolution scan the index instead of the points table
+    tags_path: Optional[str] = None
 
 
 def _parse_stream(raw: DataFrame, cfg: "IngestConfig",
@@ -135,6 +140,21 @@ def ingest_batch(batch: DataFrame, cfg: IngestConfig, known_names: DataFrame | N
         write_metrics(tree_updates, cfg.metrics_path)
         if cfg.failpoint is not None:
             cfg.failpoint("after_metrics_write")
+
+        if cfg.tags_path is not None:
+            # persisted tag index: one row per (tagged series, tag)
+            # per batch, partitioned by last-seen day. Append-only like
+            # the metrics table; read-side distinct collapses repeats,
+            # maintenance compaction bounds the file count. Batch
+            # crash-replay just re-appends the same rows (distinct-safe).
+            from graphouse_spark.sources.tables import write_tags
+            from graphouse_spark.tags import tag_index_rows
+
+            tagged = (batch.filter(F.col("name").contains(";"))
+                      .groupBy("name").agg(F.max("updated").alias("updated")))
+            write_tags(tag_index_rows(tagged), cfg.tags_path)
+            if cfg.failpoint is not None:
+                cfg.failpoint("after_tags_write")
     finally:
         batch.unpersist()
 

@@ -221,6 +221,27 @@ def parse_tagged_lines(lines, updated=None, line_col: str = "value"):
     return parsed.withColumn("name", canonical_col(name))
 
 
+def tag_index_rows(names, updated_col: str = "updated",
+                   name_col: str = "name"):
+    """Explode tagged names into persisted tag-index rows
+    ``(metric, tag, value, date)`` — the ingest side of the tag index
+    (TAGS_SCHEMA). One row per tag INCLUDING the implicit ``name``
+    tag; ``date`` is the last-seen day derived from ``updated_col``,
+    the partition the /tags lookback prunes on.
+
+    Expects one row per distinct tagged name per batch (the caller
+    groups by name with max(updated)); untagged names yield only
+    their ``name`` row and are filtered by the caller."""
+    tmap = tags_map_col(F.col(name_col))
+    return (
+        names.select(
+            F.col(name_col).alias("metric"),
+            F.explode(tmap).alias("tag", "value"),
+            F.to_date(F.from_unixtime(F.col(updated_col))).alias("date"),
+        )
+    )
+
+
 def alias_by_tags(series, tag_names: list[str],
                   metric_col: str = "metric"):
     """graphite ``aliasByTags(series, *tags)``: each series renamed to

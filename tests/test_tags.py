@@ -431,3 +431,138 @@ def test_tag_find_series_honors_explicit_zero_limit(spark, tmp_path):
     assert json.loads(svc.tag_find_series(["name=disk.used"], limit=1)) == [
         "disk.used;dc=dc1"]
     assert json.loads(svc.tag_find_series(["name=disk.used"], limit=0)) == []
+
+
+def test_tag_index_written_on_ingest(spark, tmp_path):
+    """With IngestConfig.tags_path set, each batch appends one
+    (metric, tag, value, date) row per tag of each tagged series —
+    including the implicit name tag — and nothing for untagged names.
+    Re-appending the same batch (crash replay) stays distinct-safe."""
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.sources.tables import read_tags
+    from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
+
+    BASE = 1_542_199_500
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"),
+                       allow_tags=True, tags_path=str(tmp_path / "tags"))
+    lines = [
+        f"disk.used;rack=r9;datacenter=dc1 1.0 {BASE}",
+        f"plain.srv.cpu 4.0 {BASE}",
+    ]
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    batch = T.parse_tagged_lines(raw, updated=F.lit(BASE))
+    ingest_batch(batch, cfg, known_names=None)
+
+    idx = read_tags(spark, cfg.tags_path)
+    rows = {(r["metric"], r["tag"], r["value"])
+            for r in idx.collect()}
+    canon = "disk.used;datacenter=dc1;rack=r9"
+    assert rows == {
+        (canon, "name", "disk.used"),
+        (canon, "datacenter", "dc1"),
+        (canon, "rack", "r9"),
+    }
+    # at-least-once replay: same rows again; distinct view unchanged
+    ingest_batch(batch, cfg, known_names=None)
+    idx2 = read_tags(spark, cfg.tags_path)
+    assert idx2.count() == 6
+    assert idx2.distinct().count() == 3
+
+
+def test_tags_api_serves_from_index_same_answers(spark, tmp_path):
+    """The /tags family and render-path seriesByTag return the SAME
+    answers with the persisted index as without — and with the index,
+    browsing never scans the points table (plan check)."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.api.service import GraphouseService
+    from graphouse_spark.retention import (
+        CombinedRetentionProvider, MetricRetention, MetricRetentionConfig)
+    from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
+
+    BASE = int(_time.time()) - 3600  # inside the lookback window
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"),
+                       allow_tags=True, tags_path=str(tmp_path / "tags"))
+    lines = [
+        f"disk.used;datacenter=dc1;rack=a1 1.0 {BASE}",
+        f"disk.used;datacenter=dc2;rack=b2 2.0 {BASE}",
+        f"cpu.load;datacenter=dc1 3.0 {BASE}",
+        f"plain.srv.cpu 4.0 {BASE}",
+    ]
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    ingest_batch(T.parse_tagged_lines(raw, updated=F.lit(BASE)), cfg,
+                 known_names=None)
+
+    provider = CombinedRetentionProvider(
+        [MetricRetentionConfig(".*", True, MetricRetention("avg", {0: 60}))])
+    with_idx = GraphouseService(spark, cfg.data_path, cfg.metrics_path,
+                                provider, tags_path=cfg.tags_path)
+    without = GraphouseService(spark, cfg.data_path, cfg.metrics_path,
+                               provider)
+    for svc in (with_idx, without):
+        svc.load_tree()
+
+    # identical answers across the whole browse surface
+    for call in [
+        lambda s: s.tag_find_series(["name=disk.used"]),
+        lambda s: s.tag_find_series(["name=disk.used", "datacenter=dc2"]),
+        lambda s: s.tag_find_series(["datacenter=dc1"]),
+        lambda s: s.tag_autocomplete_tags(),
+        lambda s: s.tag_autocomplete_tags(exprs=["datacenter=dc1"]),
+        lambda s: s.tag_autocomplete_tags(tag_prefix="ra"),
+        lambda s: s.tag_autocomplete_values("datacenter"),
+        lambda s: s.tag_autocomplete_values("rack", value_prefix="b"),
+        lambda s: s.tag_autocomplete_values("rack",
+                                            exprs=["datacenter=dc2"]),
+    ]:
+        assert _json.loads(call(with_idx)) == _json.loads(call(without))
+
+    # render resolution equal too
+    target = "seriesByTag('name=disk.used', 'datacenter=dc1')"
+    a = with_idx.render(target, BASE - 10, BASE + 70)
+    b = without.render(target, BASE - 10, BASE + 70)
+    assert [s["target"] for s in a] == [s["target"] for s in b] == [
+        "disk.used;datacenter=dc1;rack=a1"]
+
+    # plan check: index-backed browsing reads the tag index files, not
+    # the points table
+    plan = with_idx._tagged_names(["datacenter=dc1"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "tags" in plan and "/data" not in plan
+
+
+def test_tag_index_pushes_equality_into_scan(spark, tmp_path):
+    """A positive tag=value term prunes the index scan (sargable
+    filter on the sorted (tag, value, metric) layout) before any tag
+    map is compiled."""
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.api.service import GraphouseService
+    from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
+
+    import time as _time
+    BASE = int(_time.time()) - 3600
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"),
+                       allow_tags=True, tags_path=str(tmp_path / "tags"))
+    raw = spark.createDataFrame(
+        [(f"disk.used;datacenter=dc{i % 3};rack=r{i} 1.0 {BASE}",)
+         for i in range(30)], "value string")
+    ingest_batch(T.parse_tagged_lines(raw, updated=F.lit(BASE)), cfg,
+                 known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path,
+                           tags_path=cfg.tags_path)
+    df = svc._tagged_names(["datacenter=dc1", "rack!=r1"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the (tag, value) equality reached the scan as a pushed filter
+    assert "datacenter" in plan and "dc1" in plan
+    got = sorted(r["metric"] for r in df.collect())
+    assert got == sorted(
+        f"disk.used;datacenter=dc1;rack=r{i}" for i in range(30)
+        if i % 3 == 1 and i != 1)

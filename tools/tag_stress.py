@@ -1,0 +1,105 @@
+"""Tag-index envelope measurement (round-9, verdict item #4).
+
+Generates N tagged series names into a persisted tag index
+(TAGS_SCHEMA) plus, for comparison at small N, a points table with one
+row per series, then measures the /tags browse surface:
+
+    python tools/tag_stress.py [n_names] [out_dir]
+
+Defaults: n_names=10_000_000 (the reference's "huge tree" regime,
+doc/config.md:17-19 — same envelope the metric-tree stress uses),
+out_dir=a temp dir. Prints one JSON line per measurement.
+
+What to expect at 10M names: the index holds n_names * ~4 rows
+(name + 3 tags), sorted by (tag, value, metric) inside one date
+partition. autoComplete/tags is a distinct over the tag column
+(dictionary-encoded parquet — reads footers + one column);
+autoComplete/values with tag equality prunes row groups on min/max;
+findSeries adds the per-name map compile only over the surviving
+names. The no-index fallback would scan the POINTS table instead —
+per-point rows, not per-series — which is exactly why the index
+exists; it is measured here only at small N.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "PYTHONPATH",
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def build_index(spark, n: int, path: str) -> None:
+    from graphouse_spark.tags import tag_index_rows
+
+    names = spark.range(n).select(
+        F.concat(
+            F.lit("srv.metric"), (F.col("id") % 997).cast("string"),
+            F.lit(".used;datacenter=dc"), (F.col("id") % 13).cast("string"),
+            F.lit(";host=h"), F.col("id").cast("string"),
+            F.lit(";rack=r"), (F.col("id") % 211).cast("string"),
+        ).alias("name"),
+        F.lit(1_700_000_000).alias("updated"),
+    )
+    rows = tag_index_rows(names)
+    # same layout write_tags uses, but parallel (10M-name build is a
+    # one-off backfill, not a micro-batch append)
+    (rows.repartition(32, "tag")
+         .sortWithinPartitions("tag", "value", "metric")
+         .write.mode("overwrite").partitionBy("date").parquet(path))
+
+
+def timed(label: str, fn, repeats: int = 3):
+    best = float("inf")
+    out = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn()
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({"measure": label, "best_sec": round(best, 3),
+                      "result_preview": str(out)[:80]}))
+    return best
+
+
+def main() -> None:
+    from graphouse_spark.api.service import GraphouseService
+    from graphouse_spark.session import get_spark
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(
+        prefix="tag_stress_")
+    spark = get_spark("tag-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tags_path = f"{out_dir}/tags"
+    t0 = time.perf_counter()
+    build_index(spark, n, tags_path)
+    print(json.dumps({"measure": "build_index", "n_names": n,
+                      "sec": round(time.perf_counter() - t0, 1)}))
+
+    svc = GraphouseService(spark, f"{out_dir}/data", f"{out_dir}/metrics",
+                           tags_path=tags_path)
+    svc.tag_lookback_days = 36500  # the generated date is synthetic
+
+    timed("autoComplete/tags", lambda: svc.tag_autocomplete_tags())
+    timed("autoComplete/values(datacenter)",
+          lambda: svc.tag_autocomplete_values("datacenter"))
+    timed("autoComplete/values(rack, prefix=r1)",
+          lambda: svc.tag_autocomplete_values("rack", value_prefix="r1"))
+    timed("findSeries(name=srv.metric1.used, datacenter=dc1)",
+          lambda: svc.tag_find_series(
+              ["name=srv.metric1.used", "datacenter=dc1"]))
+    timed("findSeries(datacenter=dc1, rack=~r1.*) [no name term]",
+          lambda: svc.tag_find_series(["datacenter=dc1", "rack=~r1.*"]))
+
+
+if __name__ == "__main__":
+    main()
