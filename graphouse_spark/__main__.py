@@ -73,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     mnt = sub.add_parser("maintain", help="autohide -> rollup -> compaction -> index")
     common(mnt)
+    mnt.add_argument("--tags-index", default=None,
+                     help="tag index path to compact (distinct rows, "
+                          "one sorted file per date)")
 
     mig = sub.add_parser("migrate-whisper",
                          help="read a carbon .wsp tree into the lake "
@@ -277,7 +280,8 @@ def run_maintain(args, spark=None) -> dict:
 
     spark = spark or get_spark("graphouse-maintain")
     report = run_all(spark, args.data, args.metrics, _provider(args),
-                     index_path=args.index)
+                     index_path=args.index,
+                     tags_path=getattr(args, "tags_index", None))
     print(report, file=sys.stderr)
     return report
 

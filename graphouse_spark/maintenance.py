@@ -63,6 +63,33 @@ def run_metrics_compaction(spark: SparkSession, metrics_path: str) -> int:
     return n
 
 
+def run_tags_compaction(spark: SparkSession, tags_path: str) -> int:
+    """Rewrite the tag index to DISTINCT rows, in place.
+
+    Ingest appends one file per micro-batch per active date, and an
+    active series re-appends its rows every batch — between
+    compactions the index is (duplicated rows x small files); this
+    restores one row per (metric, tag, value, date) and one sorted
+    file per date partition. Same collect-free temp-dir swap as the
+    metrics compaction; the index is per-series, so it stays orders of
+    magnitude smaller than the data table at any scale."""
+    import os
+    import shutil
+    import tempfile
+
+    from graphouse_spark.sources.tables import read_tags, write_tags
+
+    if not os.path.exists(tags_path):
+        return 0
+    distinct = read_tags(spark, tags_path).distinct().localCheckpoint()
+    n = distinct.count()
+    tmp = tempfile.mkdtemp(prefix="tags_compact_")
+    write_tags(distinct, tmp, mode="overwrite")
+    shutil.rmtree(tags_path)
+    shutil.move(tmp, tags_path)
+    return n
+
+
 def run_index_update(spark: SparkSession, data_path: str, index_path: str,
                      cols: tuple = ("metric", "timestamp")) -> int:
     """Refresh the persisted zonemap AFTER compaction/rollup rewrote
@@ -107,7 +134,8 @@ def run_bloom_update(spark: SparkSession, data_path: str, index_path: str,
 def run_all(spark: SparkSession, data_path: str, metrics_path: str,
             provider: CombinedRetentionProvider | None = None,
             now_seconds: int | None = None,
-            index_path: str | None = None) -> dict:
+            index_path: str | None = None,
+            tags_path: str | None = None) -> dict:
     """The nightly bundle. Order matters: autohide reads pre-rollup
     counts (rollup shrinks them), so it runs first — same relative
     ordering as the reference's daily autohide vs continuous merges.
@@ -116,6 +144,8 @@ def run_all(spark: SparkSession, data_path: str, metrics_path: str,
     rolled = run_rollup(spark, data_path, provider, now_seconds=now_seconds)
     compacted = run_metrics_compaction(spark, metrics_path)
     report = {"autohidden": hidden, "rolled_partitions": rolled, "metrics_rows": compacted}
+    if tags_path is not None:
+        report["tag_rows"] = run_tags_compaction(spark, tags_path)
     if index_path is not None:
         report["zonemap_rows"] = run_index_update(spark, data_path, index_path)
         report["bloom_rows"] = run_bloom_update(spark, data_path, index_path)

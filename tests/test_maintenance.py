@@ -64,3 +64,44 @@ def test_metrics_compaction_idempotent(spark, tmp_path):
     n1 = run_metrics_compaction(spark, cfg.metrics_path)
     n2 = run_metrics_compaction(spark, cfg.metrics_path)
     assert n1 == n2 == read_metrics(spark, cfg.metrics_path).count()
+
+
+def test_tags_compaction_dedupes_and_bounds_files(spark, tmp_path):
+    """Ingest re-appends an active series' tag rows every batch; the
+    maintenance compaction restores one distinct row per
+    (metric, tag, value, date) and one file per date partition, and
+    the browse answers are unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from graphouse_spark import tags as T
+    from graphouse_spark.maintenance import run_tags_compaction
+    from graphouse_spark.sources.tables import read_tags
+    from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
+
+    BASE = 1_542_199_500
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"),
+                       allow_tags=True, tags_path=str(tmp_path / "tags"))
+    raw = spark.createDataFrame(
+        [(f"disk.used;rack=r1;datacenter=dc1 1.0 {BASE}",)], "value string")
+    batch = T.parse_tagged_lines(raw, updated=F.lit(BASE))
+    for _ in range(4):  # four micro-batches, same active series
+        ingest_batch(batch, cfg, known_names=None)
+    before = read_tags(spark, cfg.tags_path)
+    assert before.count() == 12  # 3 tags x 4 appends
+
+    n = run_tags_compaction(spark, cfg.tags_path)
+    assert n == 3
+    after = read_tags(spark, cfg.tags_path)
+    assert after.count() == 3
+    assert {(r["tag"], r["value"]) for r in after.collect()} == {
+        ("name", "disk.used"), ("rack", "r1"), ("datacenter", "dc1")}
+    # one file per date partition
+    [ddir] = [d for d in os.listdir(cfg.tags_path) if d.startswith("date=")]
+    files = [f for f in os.listdir(os.path.join(cfg.tags_path, ddir))
+             if f.endswith(".parquet")]
+    assert len(files) == 1
+    # missing index path is a no-op, not an error
+    assert run_tags_compaction(spark, str(tmp_path / "nope")) == 0
