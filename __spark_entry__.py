@@ -2755,6 +2755,83 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_exif(spark, sf_dir):
+    """Header-only metadata pass (functions/exif.py): per doc_id a REAL
+    JPEG (doc_id < 64, via the in-repo baseline encoder) or PNG gets
+    EXIF (APP1 / eXIf), an ICC profile (APP2 multi-chunk / zlib iCCP)
+    and, for PNG, a tEXt pair spliced in — all values derived from
+    doc_id arithmetic — then the extractor walks container headers
+    only (no pixel decode) and the oracle predicts every field from
+    doc_id in SQL. A single mishandled IFD offset, byte order, chunk
+    CRC position or ICC tag-table entry breaks the match."""
+    import pandas as pd
+
+    from graphouse_spark.functions.exif import metadata_assets
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 128)
+
+    def synth(batches):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from graphouse_spark.functions.exif import build_icc, build_tiff
+        from graphouse_spark.functions.jpeg import encode_baseline_jpeg
+        from graphouse_spark.functions.png import _chunk, encode_png
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, c = did % 7 + 1, did % 5 + 1, did % 256
+                tiff = build_tiff(
+                    {0x010F: f"cam{did % 4}", 0x0112: did % 8 + 1},
+                    {0x8827: 100 * (did % 5 + 1),
+                     0x829A: (1, 2 ** (did % 6 + 1))})
+                icc = build_icc(f"p{did % 5}")
+                if did < 64:
+                    jpg = encode_baseline_jpeg(
+                        np.full((h, w), c, dtype=np.uint8))
+                    app1 = b"Exif\x00\x00" + tiff
+                    seg1 = (b"\xff\xe1" + struct.pack(">H", len(app1) + 2)
+                            + app1)
+                    # ICC split across two APP2 chunks: the reassembly
+                    # path is part of what the oracle checks
+                    half = len(icc) // 2
+                    segs = b""
+                    for i, part in enumerate((icc[:half], icc[half:])):
+                        pay = b"ICC_PROFILE\x00" + bytes([i + 1, 2]) + part
+                        segs += (b"\xff\xe2"
+                                 + struct.pack(">H", len(pay) + 2) + pay)
+                    payload = jpg[:2] + seg1 + segs + jpg[2:]
+                else:
+                    png = encode_png(np.full((h, w), c, dtype=np.uint8))
+                    extra = (_chunk(b"eXIf", tiff)
+                             + _chunk(b"iCCP",
+                                      f"pr{did % 3}".encode() + b"\x00\x00"
+                                      + zlib.compress(icc))
+                             + _chunk(b"tEXt",
+                                      b"Author\x00" + f"a{did % 3}".encode()))
+                    payload = png[:33] + extra + png[33:]
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    assets = ids.mapInPandas(synth, "asset_id long, payload binary")
+    meta = metadata_assets(assets)
+    return meta.select(
+        "asset_id", "format", "width", "height",
+        F.element_at("exif", "Make").alias("make"),
+        F.element_at("exif", "Orientation").cast("int").alias("orientation"),
+        F.element_at("exif", "ISOSpeedRatings").cast("int").alias("iso"),
+        F.element_at("exif", "ExposureTime").alias("exposure"),
+        F.element_at("icc", "description").alias("icc_desc"),
+        F.element_at("icc", "profile_name").alias("icc_name"),
+        F.element_at("text", "Author").alias("author"),
+    )
+
+
 def q_multimodal_resize(spark, sf_dir):
     """REAL image resize end-to-end: flat-gray PNGs are built, resized
     through the real codec path (decode -> nearest-neighbor resample ->
@@ -3592,6 +3669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_funnel_latency": q_ev_funnel_latency,
         "sketch_audience_overlap": q_sketch_audience_overlap,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_exif": q_multimodal_exif,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_video": q_multimodal_video,
         "ev_with_totals": q_ev_with_totals,
@@ -6308,6 +6386,23 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(url, '#(.*)$', 1) AS frag,
                    regexp_replace(url, '[\?#].*$', '') AS base_url
             FROM u
+        """,
+        "multimodal_exif": """
+            SELECT doc_id AS asset_id,
+                   CASE WHEN doc_id < 64 THEN 'jpeg' ELSE 'png' END AS format,
+                   CAST(doc_id % 7 + 1 AS INTEGER) AS width,
+                   CAST(doc_id % 5 + 1 AS INTEGER) AS height,
+                   'cam' || CAST(doc_id % 4 AS VARCHAR) AS make,
+                   CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+                   CAST(100 * (doc_id % 5 + 1) AS INTEGER) AS iso,
+                   '1/' || CAST(CAST(power(2, doc_id % 6 + 1) AS BIGINT)
+                                AS VARCHAR) AS exposure,
+                   'p' || CAST(doc_id % 5 AS VARCHAR) AS icc_desc,
+                   CASE WHEN doc_id >= 64
+                        THEN 'pr' || CAST(doc_id % 3 AS VARCHAR) END AS icc_name,
+                   CASE WHEN doc_id >= 64
+                        THEN 'a' || CAST(doc_id % 3 AS VARCHAR) END AS author
+            FROM documents WHERE doc_id < 128
         """,
         "multimodal_decode": """
             SELECT doc_id AS asset_id,
