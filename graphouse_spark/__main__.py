@@ -171,11 +171,15 @@ def run_serve(args, spark=None, block: bool = True):
     http = start_http_server(svc, host=host, port=http_port)
     query = pickle_query = None
     validator = settings.validator() if settings else None
+    redirect = ()
+    if settings and settings.redirect_enabled and settings.redirect_dir:
+        redirect = tuple((p, settings.redirect_dir)
+                         for p in settings.redirect_postfixes)
     if graphite_port:
         cfg = IngestConfig(args.data, args.metrics, args.checkpoint,
                            trigger_seconds=trigger_seconds,
                            allow_tags=tagged, validator=validator,
-                           tags_path=tags_index)
+                           tags_path=tags_index, host_redirect=redirect)
         query = start_socket_ingest(spark, cfg, host=host,
                                     port=graphite_port, server_mode=True)
     if getattr(args, "pickle_port", 0):
@@ -184,7 +188,7 @@ def run_serve(args, spark=None, block: bool = True):
                             args.checkpoint.rstrip("/") + "-pickle",
                             trigger_seconds=trigger_seconds,
                             allow_tags=tagged, validator=validator,
-                            tags_path=tags_index)
+                            tags_path=tags_index, host_redirect=redirect)
         pickle_query = start_socket_ingest(
             spark, pcfg, host=host, port=args.pickle_port,
             server_mode=True, protocol="pickle")

@@ -1101,16 +1101,22 @@ class GraphouseService:
 
                     from graphouse_spark import tags as tg_mod
 
-                    if tg_mod.name_equals_term(exprs) is None:
-                        raise QueryLimitExceeded(
-                            "seriesByTag on the render path needs a "
-                            "name=<literal> equality term")
-                    cap = (self.max_metrics_per_query
-                           if self.max_metrics_per_query > 0 else None)
                     import os as _os
 
-                    if (self.tags_path is not None
-                            and _os.path.exists(self.tags_path)):
+                    has_index = (self.tags_path is not None
+                                 and _os.path.exists(self.tags_path))
+                    if tg_mod.name_equals_term(exprs) is None and not has_index:
+                        # without an index the resolve would scan the
+                        # POINTS table names — unbounded per render; the
+                        # index makes any term set a bounded per-series
+                        # scan (graphite's own tag-DB posture)
+                        raise QueryLimitExceeded(
+                            "seriesByTag on the render path needs a "
+                            "name=<literal> equality term (or a "
+                            "persisted tag index)")
+                    cap = (self.max_metrics_per_query
+                           if self.max_metrics_per_query > 0 else None)
+                    if has_index:
                         # persisted tag index: resolve names from rows
                         # per SERIES-TAG, not per point — a render no
                         # longer recompiles tag maps over the windowed

@@ -57,6 +57,10 @@ class IngestConfig:
     #: rows for its tagged names, so /tags browsing and seriesByTag
     #: name-resolution scan the index instead of the points table
     tags_path: Optional[str] = None
+    #: S4 host-metric redirect (graphouse.host-metric-redirect.*):
+    #: ((postfix, dir), ...) — ``prefix.host<postfix>.rest`` rewrites
+    #: to ``prefix.<dir>.host<postfix>.rest`` at parse time
+    host_redirect: tuple = ()
 
 
 def _parse_stream(raw: DataFrame, cfg: "IngestConfig",
@@ -65,8 +69,14 @@ def _parse_stream(raw: DataFrame, cfg: "IngestConfig",
     if cfg.allow_tags:
         from graphouse_spark import tags as _tags
 
-        return _tags.parse_tagged_lines(raw, updated=updated)
-    return parse_lines(raw, updated=updated, validator=cfg.validator)
+        parsed = _tags.parse_tagged_lines(raw, updated=updated)
+    else:
+        parsed = parse_lines(raw, updated=updated, validator=cfg.validator)
+    if cfg.host_redirect:
+        from graphouse_spark.sources.graphite import redirect_host_metrics
+
+        parsed = redirect_host_metrics(parsed, dict(cfg.host_redirect))
+    return parsed
 
 
 def filter_banned(parsed: DataFrame, banned_prefixes: tuple[str, ...]) -> DataFrame:

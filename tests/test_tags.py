@@ -566,3 +566,62 @@ def test_tag_index_pushes_equality_into_scan(spark, tmp_path):
     assert got == sorted(
         f"disk.used;datacenter=dc1;rack=r{i}" for i in range(30)
         if i % 3 == 1 and i != 1)
+
+
+def test_render_seriesbytag_without_name_term_uses_index(spark, tmp_path):
+    """With a persisted index, a render-path seriesByTag with NO name=
+    term resolves (bounded per-series index scan, graphite's tag-DB
+    posture) instead of the 413 refusal; without one the refusal
+    stays."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.api.service import GraphouseService, QueryLimitExceeded
+    from graphouse_spark.retention import (
+        CombinedRetentionProvider, MetricRetention, MetricRetentionConfig)
+    from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
+
+    BASE = int(_time.time()) - 3600
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"),
+                       allow_tags=True, tags_path=str(tmp_path / "tags"))
+    raw = spark.createDataFrame(
+        [(f"disk.used;datacenter=dc1;rack=a1 1.0 {BASE}",),
+         (f"net.rx;datacenter=dc1 2.0 {BASE}",),
+         (f"net.rx;datacenter=dc2 3.0 {BASE}",)], "value string")
+    ingest_batch(T.parse_tagged_lines(raw, updated=F.lit(BASE)), cfg,
+                 known_names=None)
+    provider = CombinedRetentionProvider(
+        [MetricRetentionConfig(".*", True, MetricRetention("avg", {0: 60}))])
+    with_idx = GraphouseService(spark, cfg.data_path, cfg.metrics_path,
+                                provider, tags_path=cfg.tags_path)
+    without = GraphouseService(spark, cfg.data_path, cfg.metrics_path,
+                               provider)
+    for s in (with_idx, without):
+        s.load_tree()
+
+    target = "seriesByTag('datacenter=dc1')"
+    out = with_idx.render(target, BASE - 10, BASE + 70)
+    assert sorted(s["target"] for s in out) == [
+        "disk.used;datacenter=dc1;rack=a1", "net.rx;datacenter=dc1"]
+    with pytest.raises(QueryLimitExceeded):
+        without.render(target, BASE - 10, BASE + 70)
+
+
+def test_host_redirect_wired_through_stream_parse(spark):
+    """IngestConfig.host_redirect (graphouse.host-metric-redirect.*)
+    rewrites prefix.host<postfix>.rest at parse time, reference S4."""
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.streaming.ingest import IngestConfig, _parse_stream
+
+    cfg = IngestConfig("d", "m", "c",
+                       host_redirect=(("_example_net", "hosts"),))
+    raw = spark.createDataFrame(
+        [("one_min.web1_example_net.cpu 1.0 1000",),
+         ("one_min.plain.cpu 2.0 1000",)], "value string")
+    parsed = _parse_stream(raw, cfg, updated=F.lit(1))
+    names = sorted(r["name"] for r in parsed.collect())
+    assert names == ["one_min.hosts.web1_example_net.cpu",
+                     "one_min.plain.cpu"]
