@@ -1889,25 +1889,6 @@ def q_ts_changed(spark, sf_dir):
     return changed(_series(spark, sf_dir))
 
 
-def q_doc_repetition(spark, sf_dir):
-    """Repetition scoring: top-token share per document (the cheap
-    boilerplate detector — a high max-token frequency flags template
-    or spam docs). One explode + two-level agg; deterministic
-    tie-break (min token among the argmax set)."""
-    from graphouse_spark.functions.text import tokens_col
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
-    counts = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
-    counts = counts.withColumn("max_cnt", F.max("cnt").over(Window.partitionBy("doc_id")))
-    return counts.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_tokens"),
-        F.max("cnt").alias("top_cnt"),
-        F.min(F.when(F.col("cnt") == F.col("max_cnt"), F.col("token"))).alias("top_token"),
-        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_share"),
-    )
-
-
 def q_doc_source_rebalance(spark, sf_dir):
     """Domain-mix rebalancing: deterministically cap each source at 20
     docs (md5-ordered, so the kept set is stable across runs/engines

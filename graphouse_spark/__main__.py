@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
     mnt.add_argument("--tags-index", default=None,
                      help="tag index path to compact (distinct rows, "
                           "one sorted file per date)")
+    mnt.add_argument("--properties", default=None,
+                     help="graphouse .properties file: autohide policy "
+                          "(graphouse.autohide.*) and retention-config "
+                          "apply to the bundle")
 
     mig = sub.add_parser("migrate-whisper",
                          help="read a carbon .wsp tree into the lake "
@@ -129,6 +133,10 @@ def run_serve(args, spark=None, block: bool = True):
 
     host = pick(args.host, settings.graphite_host or "127.0.0.1"
                 if settings else None, "127.0.0.1")
+    # graphouse.http.bind-address is its OWN knob in the reference —
+    # the HTTP listener must not inherit the cacher bind-address
+    http_host = pick(args.host, settings.http_host or "127.0.0.1"
+                     if settings else None, "127.0.0.1")
     http_port = pick(args.http_port,
                      settings.http_port if settings else None, 2005)
     graphite_port = pick(args.graphite_port,
@@ -151,6 +159,16 @@ def run_serve(args, spark=None, block: bool = True):
     tagged = getattr(args, "tagged_ingest", False)
     tags_index = getattr(args, "tags_index", None) or (
         args.data.rstrip("/") + "_tags" if tagged else None)
+    if (tags_index and not os.path.exists(tags_index)
+            and os.path.exists(args.data)):
+        # serving switches to the index the moment the dir exists, so
+        # series ingested BEFORE the index must be backfilled first or
+        # they vanish from /tags and seriesByTag
+        from graphouse_spark.tags import backfill_tag_index
+
+        n = backfill_tag_index(spark, args.data, tags_index)
+        print(f"backfilled tag index: {n} rows -> {tags_index}",
+              file=sys.stderr)
     svc = GraphouseService(
         spark, args.data, args.metrics, _provider(args),
         index_path=args.index, lazy_tree=args.lazy_tree,
@@ -164,11 +182,16 @@ def run_serve(args, spark=None, block: bool = True):
                              if settings else -1),
         max_metrics_per_query=(settings.max_metrics_per_query
                                if settings else -1),
+        batcher_opts=(dict(
+            max_parallel=settings.batcher_max_parallel,
+            max_batch_size=settings.batcher_max_batch_size,
+            batch_aggregation_ms=settings.batcher_aggregation_ms,
+        ) if settings else None),
     )
     svc.render_cache_ttl = getattr(args, "render_cache_ttl", 0)
     if not args.lazy_tree:
         svc.load_tree()
-    http = start_http_server(svc, host=host, port=http_port)
+    http = start_http_server(svc, host=http_host, port=http_port)
     query = pickle_query = None
     validator = settings.validator() if settings else None
     redirect = ()
@@ -197,9 +220,23 @@ def run_serve(args, spark=None, block: bool = True):
           + (f", pickle on :{args.pickle_port}" if pickle_query else ""),
           file=sys.stderr)
     if block:
+        # graphouse.search.refresh-seconds (MetricSearch.java refresh
+        # loop): re-resolve the tree on the configured cadence so
+        # status changes written by OTHER processes (maintain's
+        # autohide, a second daemon) become visible; without a
+        # properties file the daemon keeps the prior behavior (its own
+        # ingest loop already folds in new names)
+        refresh = (settings.search_refresh_seconds
+                   if settings and not args.lazy_tree else None)
         try:
             while True:
-                time.sleep(3600)
+                time.sleep(refresh or 3600)
+                if refresh:
+                    try:
+                        svc.load_tree()
+                    except Exception as exc:  # noqa: BLE001
+                        print(f"tree refresh failed: {exc}",
+                              file=sys.stderr)
         except KeyboardInterrupt:
             pass
         finally:
@@ -283,9 +320,26 @@ def run_maintain(args, spark=None) -> dict:
     from graphouse_spark.session import get_spark
 
     spark = spark or get_spark("graphouse-maintain")
+    import os
+
+    # serve auto-creates the index at <data>_tags under --tagged-ingest;
+    # a default maintain run must compact the same default path or the
+    # index fragments forever (one file per micro-batch per date)
+    tags_path = getattr(args, "tags_index", None)
+    if tags_path is None and os.path.exists(args.data.rstrip("/") + "_tags"):
+        tags_path = args.data.rstrip("/") + "_tags"
+    ah = {}
+    if getattr(args, "properties", None):
+        from graphouse_spark.config import load_settings
+
+        settings = load_settings(args.properties)
+        if settings.retention_config and not args.rollup_xml:
+            args.rollup_xml = settings.retention_config
+        ah = dict(autohide_enabled=settings.autohide_enabled,
+                  autohide_max_values_count=settings.autohide_max_values_count,
+                  autohide_missing_days=settings.autohide_missing_days)
     report = run_all(spark, args.data, args.metrics, _provider(args),
-                     index_path=args.index,
-                     tags_path=getattr(args, "tags_index", None))
+                     index_path=args.index, tags_path=tags_path, **ah)
     print(report, file=sys.stderr)
     return report
 

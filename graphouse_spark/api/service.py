@@ -599,36 +599,55 @@ def _extract_with_totals(query: str):
         # A group key may be a SELECT alias (`SELECT upper(metric) AS m
         # ... GROUP BY m` — legal in CH and in Spark via groupByAliases),
         # but aliases do NOT resolve in the WHERE scope where the
-        # semi-filter lands. Substitute the defining expression for any
-        # bare-identifier group key that names a select alias.
+        # semi-filter lands. Spark resolves GROUP BY identifiers to a
+        # BASE COLUMN first and falls back to the alias only when no
+        # column matches, so the rewrite must match: the PRIMARY
+        # variant keeps the raw keys (correct whenever they resolve in
+        # WHERE scope, including when an alias shadows a real column);
+        # when a key names a select alias, an ALT variant substitutes
+        # the defining expression, and sql() retries with it if the
+        # primary fails analysis (the alias-only case).
         alias_map = _select_alias_map(sel_part)
         resolved = [
             f"({alias_map[c.strip().strip('`').lower()]})"
             if c.strip().strip("`").lower() in alias_map else c
             for c in col_exprs
         ]
-        res_cols = ", ".join(resolved)
-        aliased = ", ".join(
-            f"{c} AS __gh_g{i}" for i, c in enumerate(resolved))
-        g_names = ", ".join(f"__gh_g{i}" for i in range(len(col_exprs)))
-        # inner query = the ORIGINAL query shape (so HAVING resolves
-        # select aliases exactly as it would have), plus the aliased
-        # group keys; outer projects just the keys
-        inner = (f"SELECT {g_names} FROM ({sel_part.rstrip()}, {aliased} "
-                 f"{from_part} GROUP BY {cols} HAVING {pred}) __gh_hv")
-        semi = f"({res_cols}) IN ({inner})"
-        fp_text, fp_search = _code_view(from_part)
-        fp_depths = _depth_at(fp_search)
-        wm = None
-        for w in re.finditer(r"\bWHERE\b", fp_search, re.IGNORECASE):
-            if fp_depths[w.start()] == 0:
-                wm = w
-                break
-        if wm is not None:
-            from_part = (fp_text[:wm.end()]
-                         + f" (({fp_text[wm.end():].strip()})) AND ({semi}) ")
-        else:
-            from_part = fp_text + f" WHERE ({semi}) "
+
+        def build_from_part(key_exprs: list) -> str:
+            aliased = ", ".join(
+                f"{c} AS __gh_g{i}" for i, c in enumerate(key_exprs))
+            g_names = ", ".join(f"__gh_g{i}" for i in range(len(key_exprs)))
+            # inner query = the ORIGINAL query shape (so HAVING resolves
+            # select aliases exactly as it would have), plus the aliased
+            # group keys; outer projects just the keys
+            inner = (f"SELECT {g_names} FROM ({sel_part.rstrip()}, {aliased} "
+                     f"{from_part} GROUP BY {cols} HAVING {pred}) __gh_hv")
+            semi = f"({', '.join(key_exprs)}) IN ({inner})"
+            fp_text, fp_search = _code_view(from_part)
+            fp_depths = _depth_at(fp_search)
+            wm = None
+            for w in re.finditer(r"\bWHERE\b", fp_search, re.IGNORECASE):
+                if fp_depths[w.start()] == 0:
+                    wm = w
+                    break
+            if wm is not None:
+                return (fp_text[:wm.end()]
+                        + f" (({fp_text[wm.end():].strip()})) AND ({semi}) ")
+            return fp_text + f" WHERE ({semi}) "
+
+        from_variants = [build_from_part(col_exprs)]
+        if resolved != col_exprs:
+            from_variants.append(build_from_part(resolved))
+        from_part = from_variants[0]
+        if len(from_variants) > 1:
+            spec["alt_query"] = (
+                sel_part
+                + f", grouping_id() AS {_TOTALS_COL} "
+                + from_variants[1]
+                + f"GROUP BY GROUPING SETS (({cols}), ())"
+                + tail
+            )
     rewritten = (
         sel_part
         + f", grouping_id() AS {_TOTALS_COL} "
@@ -655,7 +674,8 @@ class GraphouseService:
                  index_path: str | None = None,
                  lazy_tree: bool = False,
                  events_path: str | None = None,
-                 tags_path: str | None = None) -> None:
+                 tags_path: str | None = None,
+                 batcher_opts: dict | None = None) -> None:
         self.spark = spark
         self.data_path = data_path
         self.metrics_path = metrics_path
@@ -663,6 +683,10 @@ class GraphouseService:
         #: tagged ingest is on): /tags browsing + seriesByTag name
         #: resolution scan it instead of the points table
         self.tags_path = tags_path
+        #: X6 dir-content batcher shape
+        #: (graphouse.tree.dir-content.batcher.* via config.py):
+        #: {max_parallel, max_batch_size, batch_aggregation_ms}
+        self.batcher_opts = dict(batcher_opts or {})
         #: optional graphite events store (ENGINE EXTENSION,
         #: events.py): POST /events + /events/get_data + the
         #: events(*tags) render function
@@ -693,7 +717,8 @@ class GraphouseService:
             from graphouse_spark.tree_index import LazyMetricTree
 
             batcher = DirContentBatcher(
-                lambda dirs: load_dirs_content(spark, metrics_path, dirs)
+                lambda dirs: load_dirs_content(spark, metrics_path, dirs),
+                **self.batcher_opts,
             )
             self.tree = LazyMetricTree(
                 batcher.load, max_subdirs_per_dir, max_metrics_per_dir
@@ -746,7 +771,8 @@ class GraphouseService:
 
             batcher = DirContentBatcher(
                 lambda dirs: load_dirs_content(
-                    self.spark, self.metrics_path, dirs)
+                    self.spark, self.metrics_path, dirs),
+                **self.batcher_opts,
             )
             self.tree = LazyMetricTree(
                 batcher.load, self.tree.max_subdirs, self.tree.max_metrics
@@ -1460,16 +1486,30 @@ class GraphouseService:
                     code = _re.sub(rf"\b{ch}\s*\(", sp + "(", code)
                 return code
 
+            _allowed = frozenset({"data", "metrics", "query_log",
+                                  "data_final", "metrics_final"})
             try:
                 rewritten = sqlguard.rewrite_code(query, _rw)
-                sqlguard.assert_readonly(
-                    self.spark, rewritten,
-                    frozenset({"data", "metrics", "query_log",
-                               "data_final", "metrics_final"}),
-                )
+                sqlguard.assert_readonly(self.spark, rewritten, _allowed)
             except sqlguard.GuardError as exc:
                 raise ValueError(str(exc))
-            df = self.spark.sql(rewritten).limit(max_rows)
+            try:
+                df = self.spark.sql(rewritten).limit(max_rows)
+            except Exception:
+                # TOTALS+HAVING with a group key that is a SELECT alias
+                # and NOT a base column: the primary rewrite's raw key
+                # cannot resolve in WHERE scope — retry the variant with
+                # the alias's defining expression substituted (matches
+                # Spark's own base-column-first GROUP BY resolution).
+                if not (totals_spec and totals_spec.get("alt_query")):
+                    raise
+                try:
+                    rewritten = sqlguard.rewrite_code(
+                        totals_spec["alt_query"], _rw)
+                    sqlguard.assert_readonly(self.spark, rewritten, _allowed)
+                except sqlguard.GuardError as exc:
+                    raise ValueError(str(exc))
+                df = self.spark.sql(rewritten).limit(max_rows)
             rows = df.collect()
             out_fields = df.schema.fields
             totals_row = None

@@ -77,14 +77,22 @@ def run_tags_compaction(spark: SparkSession, tags_path: str) -> int:
     import shutil
     import tempfile
 
-    from graphouse_spark.sources.tables import read_tags, write_tags
+    from graphouse_spark.schemas import TAGS_SCHEMA
+    from graphouse_spark.sources.tables import read_tags
 
     if not os.path.exists(tags_path):
         return 0
     distinct = read_tags(spark, tags_path).distinct().localCheckpoint()
     n = distinct.count()
     tmp = tempfile.mkdtemp(prefix="tags_compact_")
-    write_tags(distinct, tmp, mode="overwrite")
+    # NOT write_tags: its repartition(1) is sized for tiny per-batch
+    # appends — the full-index rewrite must parallelize (hash by date:
+    # each date lands in one task -> one sorted file per partition)
+    cols = [f.name for f in TAGS_SCHEMA.fields]
+    (distinct.select(*cols)
+     .repartition("date")
+     .sortWithinPartitions("tag", "value", "metric")
+     .write.mode("overwrite").partitionBy("date").parquet(tmp))
     shutil.rmtree(tags_path)
     shutil.move(tmp, tags_path)
     return n
@@ -135,12 +143,21 @@ def run_all(spark: SparkSession, data_path: str, metrics_path: str,
             provider: CombinedRetentionProvider | None = None,
             now_seconds: int | None = None,
             index_path: str | None = None,
-            tags_path: str | None = None) -> dict:
+            tags_path: str | None = None,
+            autohide_enabled: bool = True,
+            autohide_max_values_count: int = 200,
+            autohide_missing_days: int = 7) -> dict:
     """The nightly bundle. Order matters: autohide reads pre-rollup
     counts (rollup shrinks them), so it runs first — same relative
     ordering as the reference's daily autohide vs continuous merges.
-    The zonemap refresh runs LAST so it indexes the post-rollup files."""
-    hidden = run_autohide(spark, data_path, metrics_path, now_seconds=now_seconds)
+    The zonemap refresh runs LAST so it indexes the post-rollup files.
+    The autohide knobs mirror graphouse.autohide.* (config.py)."""
+    hidden = 0
+    if autohide_enabled:
+        hidden = run_autohide(spark, data_path, metrics_path,
+                              max_values_count=autohide_max_values_count,
+                              retention_days=autohide_missing_days,
+                              now_seconds=now_seconds)
     rolled = run_rollup(spark, data_path, provider, now_seconds=now_seconds)
     compacted = run_metrics_compaction(spark, metrics_path)
     report = {"autohidden": hidden, "rolled_partitions": rolled, "metrics_rows": compacted}

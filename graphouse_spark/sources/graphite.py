@@ -66,7 +66,9 @@ def redirect_host_metrics(parsed: DataFrame, host_postfixes: dict[str, str]) -> 
     name = F.col("name")
     for postfix, dir_name in host_postfixes.items():
         second = F.split(name, r"\.").getItem(1)
-        needs = second.endswith(postfix)
+        # tagged names are exempt: ';k=v' suffixes would spoof the
+        # postfix match via the tag VALUE and corrupt the series name
+        needs = second.endswith(postfix) & ~name.contains(";")
         rewritten = F.concat(
             F.split(name, r"\.").getItem(0),
             F.lit("." + dir_name + "."),

@@ -69,7 +69,8 @@ def _parse_stream(raw: DataFrame, cfg: "IngestConfig",
     if cfg.allow_tags:
         from graphouse_spark import tags as _tags
 
-        parsed = _tags.parse_tagged_lines(raw, updated=updated)
+        parsed = _tags.parse_tagged_lines(raw, updated=updated,
+                                          base_validator=cfg.validator)
     else:
         parsed = parse_lines(raw, updated=updated, validator=cfg.validator)
     if cfg.host_redirect:

@@ -170,9 +170,12 @@ class SpoolServer:
                       else self._reader_line)
             with self._conns_lock:
                 self._conns.add(conn)
-            t = threading.Thread(target=self._run_reader,
-                                 args=(reader, conn), daemon=True)
-            self._readers.append(t)
+                # bounded bookkeeping: drop finished reader threads so
+                # a reconnect-per-send producer can't grow the list
+                self._readers = [t for t in self._readers if t.is_alive()]
+                t = threading.Thread(target=self._run_reader,
+                                     args=(reader, conn), daemon=True)
+                self._readers.append(t)
             t.start()
 
     def _run_reader(self, reader, conn: socket.socket) -> None:
@@ -224,11 +227,12 @@ class SpoolServer:
             pass
         with self._conns_lock:
             conns = list(self._conns)
+            readers = list(self._readers)
         for conn in conns:
             try:
                 conn.shutdown(socket.SHUT_RD)
             except OSError:
                 pass
-        for t in self._readers:
+        for t in readers:
             t.join(timeout=10)
         self.spool.stop()

@@ -195,7 +195,8 @@ def tagged_validator():
     return MetricValidator(metric_regexp=TAGGED_METRIC_REGEXP, min_dots=0)
 
 
-def parse_tagged_lines(lines, updated=None, line_col: str = "value"):
+def parse_tagged_lines(lines, updated=None, line_col: str = "value",
+                       base_validator=None):
     """Graphite plaintext parse admitting tagged names, with canonical
     tag ordering applied on ingest (graphite normalizes tag order so
     equal tag sets are string-equal — making read-time LWW dedup and
@@ -214,7 +215,10 @@ def parse_tagged_lines(lines, updated=None, line_col: str = "value"):
     parsed = parse_lines(lines, updated=updated,
                          validator=tagged_validator(), line_col=line_col)
     name = F.col("name")
-    default_ok = MetricValidator().valid_condition(name)
+    # untagged lines answer to the deployment's configured validator
+    # (graphouse.metric-validation.* via base_validator), reference
+    # defaults otherwise
+    default_ok = (base_validator or MetricValidator()).valid_condition(name)
     parsed = parsed.filter(
         F.when(name.contains(";"), valid_tag_structure(name))
         .otherwise(default_ok))
@@ -240,6 +244,32 @@ def tag_index_rows(names, updated_col: str = "updated",
             F.to_date(F.from_unixtime(F.col(updated_col))).alias("date"),
         )
     )
+
+
+def backfill_tag_index(spark, data_path: str, tags_path: str) -> int:
+    """One-off index build from an EXISTING data table: distinct
+    tagged names with their last-seen date. Run before first serving
+    from the index so series ingested before the index existed don't
+    vanish from /tags and seriesByTag (the incremental ingest appends
+    only cover post-index batches). Parallel write, one sorted file
+    per date partition. Returns the row count."""
+    from graphouse_spark.sources.tables import read_data
+
+    names = (read_data(spark, data_path)
+             .filter(F.col("metric").contains(";"))
+             .groupBy("metric")
+             .agg(F.max("date").alias("date")))
+    rows = names.select(
+        "metric",
+        F.explode(tags_map_col(F.col("metric"))).alias("tag", "value"),
+        "date",
+    ).localCheckpoint()
+    n = rows.count()
+    (rows.select("metric", "tag", "value", "date")
+     .repartition("date")
+     .sortWithinPartitions("tag", "value", "metric")
+     .write.mode("overwrite").partitionBy("date").parquet(tags_path))
+    return n
 
 
 def alias_by_tags(series, tag_names: list[str],

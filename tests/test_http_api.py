@@ -1306,6 +1306,29 @@ def test_query_totals_having_group_by_select_alias(spark, tmp_path):
     assert out.splitlines() == ["ONE_MIN.GA.A\t2", "", "\\N\t2"]
 
 
+def test_query_totals_having_alias_shadowing_base_column(spark, tmp_path):
+    """When a SELECT alias SHADOWS a base column, Spark resolves GROUP
+    BY to the base column (alias only when no column matches) — the
+    semi-filter must group the same way, not substitute the alias
+    expression (round-9 review finding)."""
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    rows = ["one_min.sh.a 1.0 1000", "one_min.sh.a 2.0 1060",
+            "one_min.SH.a 3.0 1120"]
+    raw = spark.createDataFrame([(l,) for l in rows], "value string")
+    ingest_batch(parse_lines(raw, updated=F.lit(100)), cfg, known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path)
+
+    # GROUP BY metric = the BASE column: group one_min.sh.a (n=2)
+    # passes, one_min.SH.a (n=1) fails — the totals row must aggregate
+    # 2 rows, not 3 (alias-substituted grouping would admit all three)
+    out = svc.sql("SELECT upper(metric) AS metric, count(*) AS n "
+                  "FROM graphite.data "
+                  "GROUP BY metric WITH TOTALS HAVING n >= 2 "
+                  "ORDER BY metric")
+    assert out.splitlines() == ["ONE_MIN.SH.A\t2", "", "\\N\t2"]
+
+
 def test_query_array_join_as_scan_stops_at_clause(spark, tmp_path):
     """ARRAY JOIN with no AS before the next clause keyword must raise
     the rewriter's own message, not swallow a later clause's AS into

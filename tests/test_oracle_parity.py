@@ -78,8 +78,9 @@ def test_no_duplicate_dict_keys_in_entry_module():
     import ast
 
     src = open(entry_mod.__file__).read()
+    tree = ast.parse(src)
     dupes = []
-    for node in ast.walk(ast.parse(src)):
+    for node in ast.walk(tree):
         if isinstance(node, ast.Dict):
             seen = set()
             for k in node.keys:
@@ -88,3 +89,14 @@ def test_no_duplicate_dict_keys_in_entry_module():
                         dupes.append((k.value, k.lineno))
                     seen.add(k.value)
     assert not dupes, f"duplicate dict keys shadow earlier entries: {dupes}"
+    # same shadowing class for top-level defs: a duplicate function
+    # name silently replaces the earlier body
+    seen_defs: dict = {}
+    dup_defs = []
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            if node.name in seen_defs:
+                dup_defs.append((node.name, seen_defs[node.name],
+                                 node.lineno))
+            seen_defs[node.name] = node.lineno
+    assert not dup_defs, f"duplicate top-level defs: {dup_defs}"

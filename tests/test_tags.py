@@ -625,3 +625,82 @@ def test_host_redirect_wired_through_stream_parse(spark):
     names = sorted(r["name"] for r in parsed.collect())
     assert names == ["one_min.hosts.web1_example_net.cpu",
                      "one_min.plain.cpu"]
+
+
+def test_redirect_exempts_tagged_names(spark):
+    """The S4 host redirect must never fire off a TAG VALUE: a tagged
+    name whose first tag value ends with the postfix is left alone
+    (round-9 review finding), while the untagged form still rewrites."""
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.streaming.ingest import IngestConfig, _parse_stream
+
+    cfg = IngestConfig("d", "m", "c", allow_tags=True,
+                       host_redirect=(("_example_net", "hosts"),))
+    raw = spark.createDataFrame(
+        [("cpu.load;host=web1_example_net 1.0 1000",),
+         ("one_min.web1_example_net.cpu 2.0 1000",)], "value string")
+    names = sorted(r["name"] for r in
+                   _parse_stream(raw, cfg, updated=F.lit(1)).collect())
+    assert names == ["cpu.load;host=web1_example_net",
+                     "one_min.hosts.web1_example_net.cpu"]
+
+
+def test_tagged_parse_honors_configured_validator(spark):
+    """graphouse.metric-validation.* applies to the UNTAGGED namespace
+    under --tagged-ingest too (round-9 review finding)."""
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.config import settings_from_properties
+    from graphouse_spark.streaming.ingest import IngestConfig, _parse_stream
+
+    s = settings_from_properties(
+        {"graphouse.metric-validation.min-levels": "4"})
+    cfg = IngestConfig("d", "m", "c", allow_tags=True,
+                       validator=s.validator())
+    raw = spark.createDataFrame(
+        [("one_min.a.b 1.0 1000",),        # 3 levels: rejected at 4+
+         ("one_min.a.b.c 2.0 1000",),      # 4 levels: kept
+         ("cpu;dc=1 3.0 1000",)],          # tagged namespace: kept
+        "value string")
+    names = sorted(r["name"] for r in
+                   _parse_stream(raw, cfg, updated=F.lit(1)).collect())
+    assert names == ["cpu;dc=1", "one_min.a.b.c"]
+
+
+def test_serve_backfills_tag_index_from_existing_lake(spark, tmp_path):
+    """A lake with tagged series ingested BEFORE the index existed must
+    not lose them when serving switches to the index: serve backfills
+    the index from the data table on boot (round-9 review finding)."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.__main__ import build_parser, run_serve
+    from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
+
+    BASE = int(_time.time()) - 3600
+    # pre-index ingest: NO tags_path configured
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"), allow_tags=True)
+    raw = spark.createDataFrame(
+        [(f"disk.used;datacenter=dc9;rack=old1 1.0 {BASE}",)],
+        "value string")
+    ingest_batch(T.parse_tagged_lines(raw, updated=F.lit(BASE)), cfg,
+                 known_names=None)
+
+    args = build_parser().parse_args([
+        "serve", "--data", cfg.data_path, "--metrics", cfg.metrics_path,
+        "--checkpoint", cfg.checkpoint_path,
+        "--http-port", "0", "--graphite-port", "0", "--tagged-ingest"])
+    svc, http, query = run_serve(args, spark=spark, block=False)
+    try:
+        import os
+        assert os.path.exists(cfg.data_path.rstrip("/") + "_tags")
+        # the pre-index series is visible through the index
+        assert _json.loads(svc.tag_find_series(["datacenter=dc9"])) == [
+            "disk.used;datacenter=dc9;rack=old1"]
+        assert _json.loads(svc.tag_autocomplete_values("rack")) == ["old1"]
+    finally:
+        http.shutdown()
