@@ -91,24 +91,36 @@ def build(spark, copies: int, out_dir: str) -> None:
      .write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet"))
 
 
-def run_one(spark, meter, fn, sf_dir: str) -> dict:
+def run_one(spark, meter, fn, sf_dir: str, repeats: int = 2) -> dict:
+    """Warm once, then min-of-N timed runs — the same noise-robust
+    estimator bench.py uses: executorRunTime is only plan-determined
+    when tasks aren't preempted, and single-run ratios between two
+    sizes compound the noise of BOTH samples (a round-9 gate flake:
+    an unluckily-fast small-size sample pushed a 1.2-1.6x growth past
+    its 1.6x budget)."""
     fn(spark, sf_dir).count()  # warm/compile
-    spark.catalog.clearCache()
-    snap = meter.max_stage_id()
-    t0 = time.perf_counter()
-    n = fn(spark, sf_dir).count()
-    wall = time.perf_counter() - t0
-    stats = meter.since(snap)
-    stages = meter.stages_since(snap)
-    # a 1-task stage over real data cannot use the cluster
-    narrow = [s for s in stages
-              if s["num_tasks"] == 1
-              and (s["input_mb"] + s["shuffle_read_mb"]) > 64]
-    return {"rows": n, "wall": round(wall, 2),
-            "task_sec": stats["task_sec"],
-            "shuffle_write_mb": stats["shuffle_write_mb"],
-            "spill_mb": stats["spill_mb"],
-            "one_task_stages": narrow}
+    best = None
+    for _ in range(repeats):
+        spark.catalog.clearCache()
+        snap = meter.max_stage_id()
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        wall = time.perf_counter() - t0
+        stats = meter.since(snap)
+        stages = meter.stages_since(snap)
+        # a 1-task stage over real data cannot use the cluster
+        narrow = [s for s in stages
+                  if s["num_tasks"] == 1
+                  and (s["input_mb"] + s["shuffle_read_mb"]) > 64]
+        cur = {"rows": n, "wall": round(wall, 2),
+               "task_sec": stats["task_sec"],
+               "cpu_sec": stats["cpu_sec"],
+               "shuffle_write_mb": stats["shuffle_write_mb"],
+               "spill_mb": stats["spill_mb"],
+               "one_task_stages": narrow}
+        if best is None or cur["task_sec"] < best["task_sec"]:
+            best = cur
+    return best
 
 
 def main() -> None:
