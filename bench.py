@@ -247,12 +247,21 @@ def main() -> None:
     quiet_threshold = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "4"))
     settle_deadline = time.time() + float(
         os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "120"))
-    while os.getloadavg()[0] > quiet_threshold and time.time() < settle_deadline:
-        print(f"# loadavg {os.getloadavg()[0]:.1f} > {quiet_threshold}; "
-              "waiting for the box to settle", file=sys.stderr)
+
+    def is_quiet() -> bool:
+        # the 1-min average alone dips below threshold in the gaps
+        # between bursts (observed: 1-min 3.8 with 5-min 9.9 right
+        # after a heavy run) — require the 5-min average to agree
+        l1, l5, _ = os.getloadavg()
+        return l1 <= quiet_threshold and l5 <= 2 * quiet_threshold
+
+    while not is_quiet() and time.time() < settle_deadline:
+        print(f"# loadavg {os.getloadavg()[:2]} above "
+              f"({quiet_threshold}, {2 * quiet_threshold}); waiting for "
+              "the box to settle", file=sys.stderr)
         time.sleep(10)
     load_before = os.getloadavg()
-    quiet = load_before[0] <= quiet_threshold
+    quiet = is_quiet()
     timings, task_stats = run_set(BENCH_QUERIES, repeats=2)
     extended, ext_task_stats = run_set(EXTENDED_QUERIES, repeats=2)
     load_after = os.getloadavg()
