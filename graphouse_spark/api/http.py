@@ -277,6 +277,14 @@ def make_handler(service: GraphouseService):
                                 params.get("tag", ""), exprs,
                                 params.get("valuePrefix", ""), limit),
                             "application/json")
+                    elif route == "/tags/delSeries":
+                        # graphite-web serves this over POST; path
+                        # repeats like expr does
+                        paths = parse_qs(parsed.query,
+                                         keep_blank_values=True
+                                         ).get("path", [])
+                        self._send(200, service.tag_del_series(paths),
+                                   "application/json")
                     else:
                         self._send(404, "not found")
                 elif route in MULTI_STATUS:
@@ -353,6 +361,22 @@ def make_handler(service: GraphouseService):
                     self._send(400, f"bad request: {e}")
                 except Exception as e:  # noqa: BLE001 — same 500
                     # posture as do_GET
+                    self._send(500, f"{type(e).__name__}: {e}")
+                return
+            if route == "/tags/delSeries":
+                # graphite-web's delSeries is a POST with repeated
+                # form-encoded path fields; query-string paths also ok
+                length = int(self.headers.get("Content-Length", "0"))
+                raw = self.rfile.read(length).decode("utf-8") if length else ""
+                body = parse_qs(raw, keep_blank_values=True)
+                paths = (parse_qs(parsed.query, keep_blank_values=True)
+                         .get("path", []) or body.get("path", []))
+                try:
+                    self._send(200, service.tag_del_series(paths),
+                               "application/json")
+                except (KeyError, ValueError, TypeError) as e:
+                    self._send(400, f"bad request: {e}")
+                except Exception as e:  # noqa: BLE001
                     self._send(500, f"{type(e).__name__}: {e}")
                 return
             form = self._form()

@@ -1015,6 +1015,43 @@ class GraphouseService:
         rows = vals.distinct().orderBy("value").limit(limit).collect()
         return json.dumps([r["value"] for r in rows])
 
+    def tag_del_series(self, paths: list[str]) -> str:
+        """``/tags/delSeries?path=...`` — remove series from the TAG
+        DATABASE (graphite-web semantics: the tag index forgets the
+        series; data points are untouched — graphite's own delSeries
+        only edits its tag DB). Names are canonicalized before the
+        match so any tag ordering deletes the stored spelling. JSON
+        true when every requested series existed in the index."""
+        import os
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from graphouse_spark import tags as tg_mod
+        from graphouse_spark.schemas import TAGS_SCHEMA
+        from graphouse_spark.sources.tables import read_tags
+
+        if not paths:
+            raise ValueError("delSeries needs at least one path")
+        if self.tags_path is None or not os.path.exists(self.tags_path):
+            return json.dumps(False)  # no tag DB to delete from
+        targets = [tg_mod.canonical(p) for p in paths]
+        idx = read_tags(self.spark, self.tags_path)
+        found = {r["metric"] for r in
+                 idx.filter(F.col("metric").isin(targets))
+                    .select("metric").distinct().collect()}
+        kept = idx.filter(~F.col("metric").isin(targets)).localCheckpoint()
+        cols = [f.name for f in TAGS_SCHEMA.fields]
+        tmp = tempfile.mkdtemp(prefix="tags_del_")
+        (kept.select(*cols)
+         .repartition("date")
+         .sortWithinPartitions("tag", "value", "metric")
+         .write.mode("overwrite").partitionBy("date").parquet(tmp))
+        shutil.rmtree(self.tags_path)
+        shutil.move(tmp, self.tags_path)
+        return json.dumps(all(t in found for t in targets))
+
     # -- /metricData --
     def metric_data(self, patterns: list[str], start: int, end: int,
                     now_seconds: int | None = None,
@@ -1330,6 +1367,57 @@ class GraphouseService:
             })
         return pickle.dumps(out, protocol=2)
 
+    #: served relation -> (column, type) pairs for DESCRIBE (types are
+    #: the engine's Spark types — the honest answer; CH names differ)
+    def _table_columns(self, name: str):
+        from graphouse_spark.schemas import DATA_SCHEMA, METRICS_SCHEMA
+
+        if name in ("data", "data_final"):
+            sch = DATA_SCHEMA
+        elif name in ("metrics", "metrics_final"):
+            sch = METRICS_SCHEMA
+        elif name == "query_log":
+            sch = self.query_log.frame(self.spark).schema
+        elif name == "parts":
+            return [("file", "string"), ("date", "date"),
+                    ("n_rows", "bigint"), ("bytes", "bigint"),
+                    ("min_metric", "string"), ("max_metric", "string"),
+                    ("min_ts", "bigint"), ("max_ts", "bigint")]
+        else:
+            return None
+        return [(f.name, f.dataType.simpleString()) for f in sch.fields]
+
+    _SERVED_TABLES = ("data", "data_final", "metrics", "metrics_final",
+                      "parts", "query_log")
+
+    def _rewrite_introspection(self, query: str) -> str:
+        """``SHOW TABLES`` / ``DESCRIBE [TABLE] t`` (CH spellings) ->
+        SELECT over VALUES; anything else passes through untouched.
+        A trailing ``FORMAT <name>`` is preserved for the normal
+        format extraction."""
+        import re as _re
+
+        q = query.strip().rstrip(";")
+        fm = _re.search(r"\s+FORMAT\s+(\w+)\s*$", q, _re.IGNORECASE)
+        stmt, tail = (q[:fm.start()], q[fm.start():]) if fm else (q, "")
+        if _re.fullmatch(r"SHOW\s+TABLES", stmt.strip(), _re.IGNORECASE):
+            vals = ", ".join(f"('{t}')" for t in self._SERVED_TABLES)
+            return (f"SELECT name FROM VALUES {vals} AS t(name) "
+                    f"ORDER BY name{tail}")
+        dm = _re.fullmatch(
+            r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?"
+            r"(?:graphite\.|system\.)?(\w+)", stmt.strip(), _re.IGNORECASE)
+        if dm is not None:
+            cols = self._table_columns(dm.group(1).lower())
+            if cols is None:
+                raise ValueError(
+                    f"unknown table {dm.group(1)!r} (served: "
+                    f"{', '.join(self._SERVED_TABLES)})")
+            vals = ", ".join(f"('{n}', '{t}')" for n, t in cols)
+            return (f"SELECT name, type FROM VALUES {vals} "
+                    f"AS t(name, type){tail}")
+        return query
+
     def sql(self, query: str, fmt: str = "TSV",
             max_rows: int = 10000) -> str:
         """ClickHouse HTTP-interface analog: ad-hoc SELECT over the
@@ -1355,6 +1443,10 @@ class GraphouseService:
         from graphouse_spark.api import sqlguard
         from graphouse_spark.chdialect import register_ch_dialect
 
+        # CH introspection statements (SHOW TABLES / DESCRIBE): rewrite
+        # to SELECT-over-VALUES so the normal guard + format machinery
+        # serves them — no new execution path, no relation access
+        query = self._rewrite_introspection(query)
         head = query.lstrip().split(None, 1)
         if not head or head[0].upper() not in ("SELECT", "WITH", "EXPLAIN"):
             raise ValueError("only SELECT/WITH/EXPLAIN queries are served "
@@ -1404,7 +1496,25 @@ class GraphouseService:
             # the same CH SQL they use in production
             self.query_log.frame(self.spark).createOrReplaceTempView(
                 "query_log")
+            # system.parts analog (tables.table_stats): registered only
+            # when the query names it — the stats pass walks the table
+            # directory driver-side at registration
             import re as _re
+
+            if _re.search(r"\bparts\b", query, _re.IGNORECASE):
+                import os as _os
+
+                from graphouse_spark.sources.tables import table_stats
+
+                if _os.path.exists(self.data_path):
+                    table_stats(self.spark, self.data_path) \
+                        .createOrReplaceTempView("parts")
+                else:
+                    self.spark.createDataFrame(
+                        [], "file string, date date, n_rows long, "
+                            "bytes long, min_metric string, "
+                            "max_metric string, min_ts long, max_ts long"
+                    ).createOrReplaceTempView("parts")
 
             def _rw(code: str) -> str:
                 # graphite.* qualifiers -> view names, plus the
@@ -1415,7 +1525,8 @@ class GraphouseService:
                 # 'graphite.data.x' pass through untouched.
                 code = (code.replace("graphite.data", "data")
                         .replace("graphite.metrics", "metrics")
-                        .replace("system.query_log", "query_log"))
+                        .replace("system.query_log", "query_log")
+                        .replace("system.parts", "parts"))
                 # CH FINAL modifier -> the LWW-deduped view (keeps an
                 # optional AS alias: ``data AS d FINAL`` and
                 # ``data FINAL d`` both resolve)
@@ -1487,7 +1598,7 @@ class GraphouseService:
                 return code
 
             _allowed = frozenset({"data", "metrics", "query_log",
-                                  "data_final", "metrics_final"})
+                                  "data_final", "metrics_final", "parts"})
             try:
                 rewritten = sqlguard.rewrite_code(query, _rw)
                 sqlguard.assert_readonly(self.spark, rewritten, _allowed)

@@ -1350,3 +1350,43 @@ def test_query_array_join_as_scan_stops_at_clause(spark, tmp_path):
     ]:
         with pytest.raises(ValueError, match="ARRAY JOIN needs"):
             svc.sql(bad)
+
+
+def test_query_show_tables_describe_and_system_parts(spark, tmp_path):
+    """CH admin introspection over /query: SHOW TABLES, DESCRIBE (the
+    engine's real column types), and system.parts (table_stats: one
+    row per live data file with partition/rows/bytes/minmax)."""
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    raw = spark.createDataFrame(
+        [("one_min.sp.cpu 1.0 1000",), ("one_min.sp.cpu 2.0 87000",)],
+        "value string")
+    ingest_batch(parse_lines(raw, updated=F.lit(100)), cfg, known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path)
+
+    out = svc.sql("SHOW TABLES")
+    assert out.splitlines() == ["data", "data_final", "metrics",
+                                "metrics_final", "parts", "query_log"]
+    out = svc.sql("DESCRIBE graphite.data")
+    assert out.splitlines() == ["metric\tstring", "value\tdouble",
+                                "timestamp\tbigint", "date\tdate",
+                                "updated\tbigint"]
+    # DESC shorthand + FORMAT tail + system. qualifier all compose
+    out = svc.sql("DESC TABLE system.parts FORMAT JSONEachRow")
+    names = [__import__("json").loads(l)["name"] for l in out.splitlines()]
+    assert names == ["file", "date", "n_rows", "bytes", "min_metric",
+                     "max_metric", "min_ts", "max_ts"]
+    with pytest.raises(ValueError, match="unknown table"):
+        svc.sql("DESCRIBE nope")
+
+    # system.parts is queryable SQL: two dates -> two files, row counts
+    out = svc.sql("SELECT count(*) AS n_files, sum(n_rows) AS rows_total "
+                  "FROM system.parts")
+    n_files, rows_total = out.strip().split("\t")
+    assert int(rows_total) == 2 and int(n_files) >= 2
+    out = svc.sql("SELECT min_metric FROM system.parts "
+                  "ORDER BY date LIMIT 1")
+    assert out.strip() == "one_min.sp.cpu"
+    # still readonly: parts can't be abused as a write channel
+    with pytest.raises(ValueError):
+        svc.sql("INSERT INTO parts SELECT * FROM parts")

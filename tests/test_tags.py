@@ -704,3 +704,52 @@ def test_serve_backfills_tag_index_from_existing_lake(spark, tmp_path):
         assert _json.loads(svc.tag_autocomplete_values("rack")) == ["old1"]
     finally:
         http.shutdown()
+
+
+def test_tags_del_series_edits_index_only(spark, tmp_path):
+    """graphite-web /tags/delSeries: the tag DB forgets the series
+    (any tag ordering in the request), data points stay; POST e2e."""
+    import json as _json
+    import time as _time
+    import urllib.parse
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.api.http import start_http_server
+    from graphouse_spark.api.service import GraphouseService
+    from graphouse_spark.sources.tables import read_data
+    from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
+
+    BASE = int(_time.time()) - 3600
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"),
+                       allow_tags=True, tags_path=str(tmp_path / "tags"))
+    raw = spark.createDataFrame(
+        [(f"disk.used;datacenter=dc1;rack=a1 1.0 {BASE}",),
+         (f"disk.used;datacenter=dc2;rack=b2 2.0 {BASE}",)], "value string")
+    ingest_batch(T.parse_tagged_lines(raw, updated=F.lit(BASE)), cfg,
+                 known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path,
+                           tags_path=cfg.tags_path)
+    svc.load_tree()
+    server = start_http_server(svc)
+    port = server.server_address[1]
+    try:
+        # POST with the tags UNSORTED: canonicalization must match
+        body = urllib.parse.urlencode(
+            [("path", "disk.used;rack=a1;datacenter=dc1")]).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tags/delSeries", data=body)
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert _json.loads(r.read().decode()) is True
+        assert _json.loads(svc.tag_find_series(["name=disk.used"])) == [
+            "disk.used;datacenter=dc2;rack=b2"]
+        # data points untouched (delSeries edits the tag DB only)
+        assert read_data(spark, cfg.data_path).count() == 2
+        # deleting something unknown reports false, index unchanged
+        assert _json.loads(svc.tag_del_series(["nope;x=1"])) is False
+        assert _json.loads(svc.tag_find_series(["name=disk.used"])) == [
+            "disk.used;datacenter=dc2;rack=b2"]
+    finally:
+        server.shutdown()
