@@ -139,15 +139,74 @@ _LIMIT_BY_RE = re.compile(
 #: trailing CH ``FORMAT <name>`` — admins append it to the query text;
 #: maps onto the fmt parameter like the CH HTTP interface does.
 _FORMAT_RE = re.compile(
-    r"\bFORMAT\s+(TSV|TabSeparated|JSON|JSONCompact|JSONEachRow"
-    r"|CSVWithNames|CSV)\s*;?\s*$",
+    r"\bFORMAT\s+(TSVWithNames|TabSeparatedWithNames|TSV|TabSeparated"
+    r"|JSON|JSONCompact|JSONEachRow"
+    r"|CSVWithNames|CSV|PrettyCompact|Pretty|Vertical)\s*;?\s*$",
     re.IGNORECASE,
 )
 
 _FORMAT_NAMES = {"tsv": "TSV", "tabseparated": "TSV",
+                 "tsvwithnames": "TSVWithNames",
+                 "tabseparatedwithnames": "TSVWithNames",
                  "json": "JSON", "jsoncompact": "JSON",
                  "jsoneachrow": "JSONEachRow",
-                 "csv": "CSV", "csvwithnames": "CSVWithNames"}
+                 "csv": "CSV", "csvwithnames": "CSVWithNames",
+                 "pretty": "PrettyCompact",
+                 "prettycompact": "PrettyCompact",
+                 "vertical": "Vertical"}
+
+
+def _render_pretty(fields, rows, totals_row=None) -> str:
+    """CH ``PrettyCompact``: one box with the column names embedded in
+    the top border, numeric columns right-aligned (CH's own rule), a
+    ``Totals:`` block when WITH TOTALS produced one."""
+    names = [f.name for f in fields]
+    numeric = [f.dataType.simpleString() in
+               ("tinyint", "smallint", "int", "bigint", "float", "double")
+               or f.dataType.simpleString().startswith("decimal")
+               for f in fields]
+
+    def cell(v):
+        return "\\N" if v is None else str(v)
+
+    def block(body_rows) -> str:
+        grid = [[cell(v) for v in r] for r in body_rows]
+        widths = [max([len(n)] + [len(g[i]) for g in grid])
+                  for i, n in enumerate(names)]
+        top = "┌─" + "─┬─".join(
+            n + "─" * (w - len(n)) for n, w in zip(names, widths)) + "─┐"
+        lines = [top]
+        for g in grid:
+            cells = [c.rjust(w) if num else c.ljust(w)
+                     for c, w, num in zip(g, widths, numeric)]
+            lines.append("│ " + " │ ".join(cells) + " │")
+        lines.append("└─" + "─┴─".join("─" * w for w in widths) + "─┘")
+        return "\n".join(lines) + "\n"
+
+    out = block(rows)
+    if totals_row is not None:
+        out += "\nTotals:\n" + block([totals_row])
+    return out
+
+
+def _render_vertical(fields, rows, totals_row=None) -> str:
+    """CH ``Vertical``: one ``name: value`` line per column per row —
+    the wide-row inspection format (``\\G`` in the CH client)."""
+    names = [f.name for f in fields]
+    width = max((len(n) for n in names), default=0)
+    chunks = []
+    for i, r in enumerate(rows, 1):
+        head = f"Row {i}:\n" + "─" * 6
+        body = "\n".join(
+            f"{n.rjust(width)}: {'ᴺᵁᴸᴸ' if v is None else v}"
+            for n, v in zip(names, r))
+        chunks.append(head + "\n" + body)
+    if totals_row is not None:
+        body = "\n".join(
+            f"{n.rjust(width)}: {'ᴺᵁᴸᴸ' if v is None else v}"
+            for n, v in zip(names, totals_row))
+        chunks.append("Totals:\n" + "─" * 7 + "\n" + body)
+    return "\n\n".join(chunks) + ("\n" if chunks else "")
 
 
 def _extract_format(query: str):
@@ -1683,6 +1742,21 @@ class GraphouseService:
                     w.writerow(["\\N" if v is None else v
                                 for v in totals_row])
                 return buf.getvalue()
+            if fmt_u == "PRETTYCOMPACT":
+                return _render_pretty(out_fields, rows, totals_row)
+            if fmt_u == "VERTICAL":
+                return _render_vertical(out_fields, rows, totals_row)
+            if fmt_u == "TSVWITHNAMES":
+                header = "\t".join(f.name for f in out_fields) + "\n"
+                body_rows = "\n".join(
+                    "\t".join("\\N" if v is None else str(v) for v in r)
+                    for r in rows
+                ) + ("\n" if rows else "")
+                if totals_row is not None:
+                    body_rows += "\n" + "\t".join(
+                        "\\N" if v is None else str(v)
+                        for v in totals_row) + "\n"
+                return header + body_rows
             if fmt.upper() == "JSON":
                 body = {
                     "meta": [{"name": f.name, "type": f.dataType.simpleString()}

@@ -1390,3 +1390,44 @@ def test_query_show_tables_describe_and_system_parts(spark, tmp_path):
     # still readonly: parts can't be abused as a write channel
     with pytest.raises(ValueError):
         svc.sql("INSERT INTO parts SELECT * FROM parts")
+
+
+def test_query_pretty_vertical_tsvwithnames_formats(spark, tmp_path):
+    """CH client formats: PrettyCompact (box table, numbers
+    right-aligned), Vertical (the \\G inspection shape), and
+    TSVWithNames — all composing with WITH TOTALS framing."""
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    raw = spark.createDataFrame(
+        [("one_min.pf.a 1.5 1000",), ("one_min.pf.b 20.0 1060",)],
+        "value string")
+    ingest_batch(parse_lines(raw, updated=F.lit(100)), cfg, known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path)
+
+    out = svc.sql("SELECT metric, value FROM graphite.data "
+                  "ORDER BY metric FORMAT PrettyCompact")
+    assert out.splitlines() == [
+        "┌─metric───────┬─value─┐",
+        "│ one_min.pf.a │   1.5 │",
+        "│ one_min.pf.b │  20.0 │",
+        "└──────────────┴───────┘",
+    ]
+    out = svc.sql("SELECT metric, value FROM graphite.data "
+                  "ORDER BY metric FORMAT Vertical")
+    assert out.splitlines() == [
+        "Row 1:", "──────",
+        "metric: one_min.pf.a", " value: 1.5",
+        "", "Row 2:", "──────",
+        "metric: one_min.pf.b", " value: 20.0",
+    ]
+    out = svc.sql("SELECT metric, value FROM graphite.data "
+                  "ORDER BY metric FORMAT TSVWithNames")
+    assert out.splitlines() == ["metric\tvalue",
+                                "one_min.pf.a\t1.5",
+                                "one_min.pf.b\t20.0"]
+    # Pretty aliases PrettyCompact; totals get their own block
+    out = svc.sql("SELECT metric, count(*) AS n FROM graphite.data "
+                  "GROUP BY metric WITH TOTALS ORDER BY metric "
+                  "FORMAT Pretty")
+    assert "Totals:" in out
+    assert out.splitlines()[0].startswith("┌─metric")
