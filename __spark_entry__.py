@@ -1889,6 +1889,25 @@ def q_ts_changed(spark, sf_dir):
     return changed(_series(spark, sf_dir))
 
 
+def q_doc_exact_substr_dedup(spark, sf_dir):
+    """ExactSubstr dedup END TO END (Lee et al. 2022, the removal
+    transform — functions/text.remove_duplicated_spans): duplicated
+    10-token windows excised everywhere except the smallest doc_id
+    (keep-one), text rebuilt from original-case surviving tokens. The
+    oracle replays windows -> keeper -> islands -> position anti-join
+    -> string_agg in SQL, so span arithmetic, the keep-first rule and
+    the rebuild must all agree token-for-token (md5 of rebuilt text)."""
+    from graphouse_spark.functions.text import remove_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_duplicated_spans(docs, n=10, min_docs=2, keep="first_doc")
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "n_removed_tokens",
+    )
+
+
 def q_doc_source_rebalance(spark, sf_dir):
     """Domain-mix rebalancing: deterministically cap each source at 20
     docs (md5-ordered, so the kept set is stable across runs/engines
@@ -3549,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_train_split": q_doc_train_split,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_duplicated_spans": q_doc_duplicated_spans,
+        "doc_exact_substr_dedup": q_doc_exact_substr_dedup,
         "doc_pii_stats": q_doc_pii_stats,
         "doc_resample_mix": q_doc_resample_mix,
         "doc_model_scores": q_doc_model_scores,
@@ -5337,6 +5357,67 @@ def oracle_sql() -> dict[str, str]:
                    max(pos) + 10 - 1 AS span_end,
                    count(*) AS n_windows
             FROM flagged GROUP BY doc_id, island
+        """,
+        "doc_exact_substr_dedup": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x != '') AS ts
+                FROM documents
+            ),
+            pg AS (
+                SELECT doc_id,
+                       unnest(range(greatest(len(ts) - 10 + 1, 0))) AS pos,
+                       ts
+                FROM toks
+            ),
+            grams AS (
+                SELECT doc_id, pos,
+                       substr(md5(array_to_string(
+                           list_transform(ts[(pos + 1):(pos + 10)],
+                                          x -> lower(x)),
+                           chr(31))), 1, 16) AS gram
+                FROM pg
+            ),
+            hot AS (
+                SELECT gram, min(doc_id) AS keeper FROM grams
+                GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+            ),
+            flagged AS (
+                SELECT g.doc_id, g.pos,
+                       g.pos - row_number() OVER (PARTITION BY g.doc_id
+                                                  ORDER BY g.pos) AS island
+                FROM grams g JOIN hot USING (gram)
+                WHERE g.doc_id != hot.keeper
+            ),
+            spans AS (
+                SELECT doc_id, min(pos) AS s, max(pos) + 10 - 1 AS e
+                FROM flagged GROUP BY doc_id, island
+            ),
+            covered AS (
+                SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS pos
+                FROM spans
+            ),
+            positions AS (
+                SELECT doc_id,
+                       unnest(range(len(ts))) AS pos,
+                       ts
+                FROM toks
+            ),
+            kept AS (
+                SELECT p.doc_id, p.pos, p.ts[p.pos + 1] AS token
+                FROM positions p
+                LEFT JOIN covered c
+                  ON p.doc_id = c.doc_id AND p.pos = c.pos
+                WHERE c.pos IS NULL
+            )
+            SELECT t.doc_id,
+                   md5(coalesce(string_agg(k.token, ' ' ORDER BY k.pos), ''))
+                       AS text_md5,
+                   CAST(len(t.ts) - count(k.pos) AS BIGINT)
+                       AS n_removed_tokens
+            FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+            GROUP BY t.doc_id, len(t.ts)
         """,
         "doc_chunk_dedup": r"""
             WITH toks AS (

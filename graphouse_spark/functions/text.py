@@ -771,6 +771,86 @@ def duplicated_spans(docs: DataFrame, n: int = 10, min_docs: int = 2,
     )
 
 
+def remove_duplicated_spans(docs: DataFrame, n: int = 10, min_docs: int = 2,
+                            keep: str = "first_doc",
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """ExactSubstr DEDUP — the removal half of "Deduplicating Training
+    Data Makes Language Models Better" (Lee et al. 2022): excise every
+    maximal span of length-``n`` token windows whose window text
+    appears in >= ``min_docs`` distinct documents.
+
+    ``keep="first_doc"`` (default) retains each duplicated window's
+    occurrences in the smallest ``doc_id`` that contains it — the
+    corpus keeps one copy of every duplicated region (the paper's
+    keep-one variant); ``keep="none"`` removes all occurrences
+    everywhere (the paper's strict variant).
+
+    Returns ``(doc_id, text, n_removed_tokens)`` with ``text``
+    rebuilt from the ORIGINAL-case surviving tokens
+    (whitespace-normalized to single spaces — the only honest
+    spelling after token surgery). Window matching is case-folded,
+    consistent with :func:`duplicated_spans`.
+
+    Scale shape: identical to :func:`duplicated_spans` (flat rows, no
+    suffix structures) plus one per-gram min(doc_id) carried through
+    the same aggregate, and a final tokens-minus-spans projection —
+    ``filter(tokens, (t, i) -> not exists(spans, ...))`` runs inside
+    codegen; spans per doc are few, so the O(tokens x spans) inner
+    exists stays cheap.
+    """
+    if keep not in ("first_doc", "none"):
+        raise ValueError(f"keep must be 'first_doc' or 'none' (got {keep!r})")
+    raw_toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                        lambda t: t != "")
+    base = docs.select(F.col(id_col), raw_toks.alias("_toks"))
+    low = lambda arr: F.transform(arr, F.lower)  # noqa: E731
+    grams = F.when(
+        F.size(F.col("_toks")) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("_toks")) - n),
+            lambda i: F.substring(
+                F.md5(F.concat_ws("\x1f",
+                                  low(F.slice(F.col("_toks"), i + 1, n)))),
+                1, 16),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    base = base.repartition(n_parts)
+    pos_grams = base.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+    hot = (
+        pos_grams.groupBy("gram")
+        .agg(F.count_distinct(id_col).alias("_df"),
+             F.min(id_col).alias("_keeper"))
+        .filter(F.col("_df") >= min_docs)
+        .select("gram", "_keeper")
+    )
+    flagged = pos_grams.join(hot, "gram")
+    if keep == "first_doc":
+        flagged = flagged.filter(F.col(id_col) != F.col("_keeper"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    island = (F.col("pos") - F.row_number().over(w)).alias("_island")
+    spans = (
+        flagged.select(F.col(id_col), F.col("pos"), island)
+        .groupBy(id_col, "_island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + n - 1).alias("e"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("_spans"))
+    )
+    out = base.join(spans, id_col, "left")
+    in_span = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"]))
+    kept = F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
+        F.filter(F.col("_toks"), lambda t, i: ~in_span(i)))
+    return out.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias(text_col),
+        (F.size(F.col("_toks")) - F.size(kept))
+        .cast("long").alias("n_removed_tokens"),
+    )
+
+
 def ngram_lm_scores(docs: DataFrame, alpha: float = 0.5,
                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Bigram language-model perplexity per document — the CCNet-style
