@@ -102,6 +102,8 @@ EXTENDED_QUERIES = [
     # round 7
     "emb_w2v_neighbors",       # in-sandbox Word2Vec train + serve + top-k
     "doc_quality_rulepacks",   # fused gopher+c4+dup-lines gate, one plan
+    # round 9
+    "doc_exact_substr_dedup",  # Lee et al. ExactSubstr removal transform
 ]
 
 
