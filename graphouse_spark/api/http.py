@@ -278,13 +278,9 @@ def make_handler(service: GraphouseService):
                                 params.get("valuePrefix", ""), limit),
                             "application/json")
                     elif route == "/tags/delSeries":
-                        # graphite-web serves this over POST; path
-                        # repeats like expr does
-                        paths = parse_qs(parsed.query,
-                                         keep_blank_values=True
-                                         ).get("path", [])
-                        self._send(200, service.tag_del_series(paths),
-                                   "application/json")
+                        # destructive: POST only, like graphite-web —
+                        # GET prefetchers/crawlers must not delete data
+                        self._send(405, "delSeries is POST-only")
                     else:
                         self._send(404, "not found")
                 elif route in MULTI_STATUS:

@@ -167,7 +167,7 @@ def _render_pretty(fields, rows, totals_row=None) -> str:
                for f in fields]
 
     def cell(v):
-        return "\\N" if v is None else str(v)
+        return "\u1d3a\u1d41\u1d38\u1d38" if v is None else str(v)
 
     def block(body_rows) -> str:
         grid = [[cell(v) for v in r] for r in body_rows]
@@ -1082,33 +1082,27 @@ class GraphouseService:
         match so any tag ordering deletes the stored spelling. JSON
         true when every requested series existed in the index."""
         import os
-        import shutil
-        import tempfile
 
         from pyspark.sql import functions as F
 
         from graphouse_spark import tags as tg_mod
-        from graphouse_spark.schemas import TAGS_SCHEMA
-        from graphouse_spark.sources.tables import read_tags
+        from graphouse_spark.sources.tables import (
+            read_tags, rewrite_tags_atomic)
 
         if not paths:
             raise ValueError("delSeries needs at least one path")
         if self.tags_path is None or not os.path.exists(self.tags_path):
             return json.dumps(False)  # no tag DB to delete from
         targets = [tg_mod.canonical(p) for p in paths]
-        idx = read_tags(self.spark, self.tags_path)
         found = {r["metric"] for r in
-                 idx.filter(F.col("metric").isin(targets))
-                    .select("metric").distinct().collect()}
-        kept = idx.filter(~F.col("metric").isin(targets)).localCheckpoint()
-        cols = [f.name for f in TAGS_SCHEMA.fields]
-        tmp = tempfile.mkdtemp(prefix="tags_del_")
-        (kept.select(*cols)
-         .repartition("date")
-         .sortWithinPartitions("tag", "value", "metric")
-         .write.mode("overwrite").partitionBy("date").parquet(tmp))
-        shutil.rmtree(self.tags_path)
-        shutil.move(tmp, self.tags_path)
+                 read_tags(self.spark, self.tags_path)
+                 .filter(F.col("metric").isin(targets))
+                 .select("metric").distinct().collect()}
+        # crash-safe, locked rewrite (stage -> swap, concurrent ingest
+        # appends carried over) — tables.rewrite_tags_atomic
+        rewrite_tags_atomic(
+            self.spark, self.tags_path,
+            lambda idx: idx.filter(~F.col("metric").isin(targets)))
         return json.dumps(all(t in found for t in targets))
 
     # -- /metricData --
@@ -1502,6 +1496,10 @@ class GraphouseService:
         from graphouse_spark.api import sqlguard
         from graphouse_spark.chdialect import register_ch_dialect
 
+        # normalize the caller's format name (the HTTP default_format
+        # param arrives raw — CH spellings like Pretty or
+        # TabSeparatedWithNames must not silently degrade to TSV)
+        fmt = _FORMAT_NAMES.get(fmt.lower(), fmt)
         # CH introspection statements (SHOW TABLES / DESCRIBE): rewrite
         # to SELECT-over-VALUES so the normal guard + format machinery
         # serves them — no new execution path, no relation access
@@ -1560,7 +1558,14 @@ class GraphouseService:
             # directory driver-side at registration
             import re as _re
 
-            if _re.search(r"\bparts\b", query, _re.IGNORECASE):
+            try:
+                # CODE segments only: string literals ('%parts%', the
+                # SHOW TABLES VALUES list) must not trigger the
+                # driver-side directory walk below
+                _, _code = _code_view(query)
+            except Exception:
+                _code = query  # tokenize errors surface in the guard
+            if _re.search(r"\bparts\b", _code, _re.IGNORECASE):
                 import os as _os
 
                 from graphouse_spark.sources.tables import table_stats

@@ -780,11 +780,16 @@ def remove_duplicated_spans(docs: DataFrame, n: int = 10, min_docs: int = 2,
     maximal span of length-``n`` token windows whose window text
     appears in >= ``min_docs`` distinct documents.
 
-    ``keep="first_doc"`` (default) retains each duplicated window's
-    occurrences in the smallest ``doc_id`` that contains it — the
-    corpus keeps one copy of every duplicated region (the paper's
-    keep-one variant); ``keep="none"`` removes all occurrences
-    everywhere (the paper's strict variant).
+    ``keep="first_doc"`` (default) is a per-WINDOW keep-one heuristic:
+    a window's occurrences in the smallest ``doc_id`` containing it
+    are never flagged by that window, so a region duplicated verbatim
+    across documents typically survives intact in its first document.
+    It is NOT a hard per-region guarantee: overlapping windows whose
+    keepers are different documents can each excise part of the
+    other's kept copy (spans merge maximal runs), so a region's last
+    intact copy can still lose tokens in pathological overlap
+    layouts. ``keep="none"`` removes all occurrences everywhere (the
+    paper's strict variant — no guarantee intended).
 
     Returns ``(doc_id, text, n_removed_tokens)`` with ``text``
     rebuilt from the ORIGINAL-case surviving tokens

@@ -74,28 +74,15 @@ def run_tags_compaction(spark: SparkSession, tags_path: str) -> int:
     metrics compaction; the index is per-series, so it stays orders of
     magnitude smaller than the data table at any scale."""
     import os
-    import shutil
-    import tempfile
 
-    from graphouse_spark.schemas import TAGS_SCHEMA
-    from graphouse_spark.sources.tables import read_tags
+    from graphouse_spark.sources.tables import rewrite_tags_atomic
 
     if not os.path.exists(tags_path):
         return 0
-    distinct = read_tags(spark, tags_path).distinct().localCheckpoint()
-    n = distinct.count()
-    tmp = tempfile.mkdtemp(prefix="tags_compact_")
-    # NOT write_tags: its repartition(1) is sized for tiny per-batch
-    # appends — the full-index rewrite must parallelize (hash by date:
-    # each date lands in one task -> one sorted file per partition)
-    cols = [f.name for f in TAGS_SCHEMA.fields]
-    (distinct.select(*cols)
-     .repartition("date")
-     .sortWithinPartitions("tag", "value", "metric")
-     .write.mode("overwrite").partitionBy("date").parquet(tmp))
-    shutil.rmtree(tags_path)
-    shutil.move(tmp, tags_path)
-    return n
+    # crash-safe, locked stage->swap rewrite; parallel write (hash by
+    # date -> one sorted file per partition) — tables.rewrite_tags_atomic
+    return rewrite_tags_atomic(spark, tags_path,
+                               lambda idx: idx.distinct())
 
 
 def run_index_update(spark: SparkSession, data_path: str, index_path: str,

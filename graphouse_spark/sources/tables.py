@@ -141,6 +141,87 @@ def read_tags(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(TAGS_SCHEMA).parquet(path)
 
 
+#: serializes full-index rewrites (delSeries, compaction) within one
+#: process — the daemon's HTTP server is threaded
+_TAGS_REWRITE_LOCK = __import__("threading").Lock()
+
+
+def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
+                        transform) -> int:
+    """Crash-safe full rewrite of the tag index:
+    ``transform(DataFrame) -> DataFrame`` maps the current rows to the
+    rows to keep. Protocol (all renames, same directory = same
+    filesystem — never a cross-device copy):
+
+      1. snapshot the live parquet file list, read THAT list
+         (basePath keeps the date partition column), transform, write
+         to a dot-hidden sibling stage dir;
+      2. under the process-wide lock: hard-link/copy any file that
+         appeared since the snapshot (a concurrent ingest append) into
+         the stage dir, so appends during the rewrite are never lost —
+         an append FOR a just-deleted series simply re-registers it,
+         the same outcome as re-ingesting after the delete;
+      3. rename live -> .bak, stage -> live, remove .bak. A crash at
+         any point leaves either the old or the new index fully
+         present (a leftover stage/bak dir is dot-hidden — invisible
+         to readers — and removed by the next rewrite).
+
+    Returns the kept row count."""
+    import os
+    import shutil
+    import uuid
+
+    from graphouse_spark.schemas import TAGS_SCHEMA
+
+    def live_files():
+        out = []
+        for root, _dirs, files in os.walk(tags_path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    out.append(os.path.join(root, fn))
+        return out
+
+    parent = os.path.dirname(os.path.abspath(tags_path)) or "."
+    base = os.path.basename(os.path.abspath(tags_path))
+    # clear leftovers from a previous crashed rewrite
+    for d in os.listdir(parent):
+        if d.startswith(f".stage-{base}-") or d.startswith(f".bak-{base}-"):
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    token = uuid.uuid4().hex[:8]
+    stage = os.path.join(parent, f".stage-{base}-{token}")
+    bak = os.path.join(parent, f".bak-{base}-{token}")
+
+    snapshot = live_files()
+    if snapshot:
+        current = (spark.read.schema(TAGS_SCHEMA)
+                   .option("basePath", tags_path).parquet(*snapshot))
+    else:
+        current = spark.createDataFrame([], TAGS_SCHEMA)
+    kept = transform(current).localCheckpoint()
+    n = kept.count()
+    cols = [f.name for f in TAGS_SCHEMA.fields]
+    try:
+        (kept.select(*cols)
+         .repartition("date")
+         .sortWithinPartitions("tag", "value", "metric")
+         .write.mode("overwrite").partitionBy("date").parquet(stage))
+        with _TAGS_REWRITE_LOCK:
+            snap_set = set(snapshot)
+            for f in live_files():
+                if f not in snap_set:  # appended during the rewrite
+                    rel = os.path.relpath(f, tags_path)
+                    dst = os.path.join(stage, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    shutil.copy2(f, dst)
+            os.rename(tags_path, bak)
+            os.rename(stage, tags_path)
+        shutil.rmtree(bak, ignore_errors=True)
+    except Exception:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    return n
+
+
 def write_data_bucketed(df: DataFrame, table_name: str, n_buckets: int = 64) -> None:
     """Bucketed variant of the data layout for co-located joins.
 

@@ -1431,3 +1431,23 @@ def test_query_pretty_vertical_tsvwithnames_formats(spark, tmp_path):
                   "FORMAT Pretty")
     assert "Totals:" in out
     assert out.splitlines()[0].startswith("┌─metric")
+
+
+def test_query_default_format_param_accepts_ch_spellings(spark, tmp_path):
+    """default_format=Pretty / TabSeparatedWithNames over HTTP must
+    select the named format, not silently degrade to TSV."""
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    raw = spark.createDataFrame([("one_min.df.a 1.0 1000",)], "value string")
+    ingest_batch(parse_lines(raw, updated=F.lit(100)), cfg, known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path)
+    out = svc.sql("SELECT metric FROM graphite.data", fmt="Pretty")
+    assert out.splitlines()[0].startswith("┌─metric")
+    out = svc.sql("SELECT metric FROM graphite.data",
+                  fmt="TabSeparatedWithNames")
+    assert out.splitlines() == ["metric", "one_min.df.a"]
+    # NULLs render the CH client spelling in both pretty shapes
+    out = svc.sql("SELECT NULL AS x FORMAT PrettyCompact")
+    assert "ᴺᵁᴸᴸ" in out
+    out = svc.sql("SELECT NULL AS x FORMAT Vertical")
+    assert "ᴺᵁᴸᴸ" in out

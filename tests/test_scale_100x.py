@@ -109,15 +109,27 @@ def test_core_plans_at_most_linear_to_100x(spark):
         # DENOMINATOR is a sub-second-to-few-seconds sample dominated
         # by JIT/code-cache state (observed collapsing 2-4x between
         # sessions, flaking lww/bucket/combinators on different runs
-        # with untouched plans) and asserts nothing about scalability.
-        # A small query turning quadratic blows past the absolute cap
-        # and then faces its ratio budget like everything else.
-        if hundred["task_sec"] > 30.0:
-            assert growth <= min(budget, 10.0), (
-                f"{name}: grew {g_run:.1f}x runTime / {g_cpu:.1f}x cpu for "
-                f"10x more data ({ten['task_sec']}s -> {hundred['task_sec']}s "
-                f"run, {ten['cpu_sec']}s -> {hundred['cpu_sec']}s cpu) — "
-                f"budget {budget}x, linear bound 10x")
+        # with untouched plans). Under the hatch the bound LOOSENS to
+        # 30x (covers every observed noise ratio with margin) rather
+        # than vanishing — a small query turning quadratic (~100x
+        # growth) still fails here, then blows the 30 s cap and faces
+        # its real budget.
+        effective = min(budget, 10.0) if hundred["task_sec"] > 30.0 else 30.0
+        assert growth <= effective, (
+            f"{name}: grew {g_run:.1f}x runTime / {g_cpu:.1f}x cpu for "
+            f"10x more data ({ten['task_sec']}s -> {hundred['task_sec']}s "
+            f"run, {ten['cpu_sec']}s -> {hundred['cpu_sec']}s cpu) — "
+            f"bound {effective}x (budget {budget}x, linear 10x)")
         assert not hundred["one_task_stages"], (
             f"{name}: 1-task stage over real data at 100x: "
             f"{hundred['one_task_stages']}")
+
+    # ev_tagged_series is exempt from the RATIO gate (see BUDGETS note)
+    # but its plan SHAPE is noise-free and stays gated: a 1-task scan
+    # over real data is exactly the regression this test exists to
+    # catch, whether or not the ratio is measurable
+    tagged = run_one(spark, meter, qs["ev_tagged_series"], dirs[100],
+                     repeats=1)
+    assert not tagged["one_task_stages"], (
+        f"ev_tagged_series: 1-task stage over real data at 100x: "
+        f"{tagged['one_task_stages']}")

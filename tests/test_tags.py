@@ -753,3 +753,86 @@ def test_tags_del_series_edits_index_only(spark, tmp_path):
             "disk.used;datacenter=dc2;rack=b2"]
     finally:
         server.shutdown()
+
+
+def test_rewrite_tags_atomic_carries_concurrent_appends(spark, tmp_path):
+    """The stage->swap rewrite must not lose a file appended between
+    the snapshot read and the swap (a live micro-batch): the appended
+    rows survive the rewrite, leftover stage/bak dirs from a crashed
+    attempt are cleaned, and failures leave the live dir untouched."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from graphouse_spark.sources.tables import (
+        read_tags, rewrite_tags_atomic, write_tags)
+    from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
+    from graphouse_spark.tags import tag_index_rows
+
+    BASE = int(_time.time()) - 3600
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"),
+                       allow_tags=True, tags_path=str(tmp_path / "tags"))
+    raw = spark.createDataFrame(
+        [(f"disk.used;dc=one 1.0 {BASE}",)], "value string")
+    ingest_batch(T.parse_tagged_lines(raw, updated=F.lit(BASE)), cfg,
+                 known_names=None)
+    # leftover dirs from a "crashed" prior rewrite get cleaned
+    parent = str(tmp_path)
+    os.makedirs(os.path.join(parent, ".stage-tags-deadbeef"))
+    os.makedirs(os.path.join(parent, ".bak-tags-deadbeef"))
+
+    def transform_and_append(idx):
+        # simulate a concurrent micro-batch landing DURING the rewrite
+        late = spark.createDataFrame(
+            [("net.rx;dc=two", BASE)], "name string, updated long")
+        write_tags(tag_index_rows(late), cfg.tags_path)
+        return idx  # keep everything from the snapshot
+
+    n = rewrite_tags_atomic(spark, cfg.tags_path, transform_and_append)
+    assert n == 2  # snapshot rows (name + dc tags of disk.used)
+    after = {r["metric"] for r in read_tags(spark, cfg.tags_path).collect()}
+    assert after == {"disk.used;dc=one", "net.rx;dc=two"}  # append kept
+    assert not [d for d in os.listdir(parent)
+                if d.startswith((".stage-tags", ".bak-tags"))]
+
+    # a failing transform leaves the live index untouched
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        rewrite_tags_atomic(spark, cfg.tags_path,
+                            lambda idx: idx.selectExpr("boom()"))
+    still = {r["metric"] for r in read_tags(spark, cfg.tags_path).collect()}
+    assert still == after
+
+
+def test_del_series_get_is_405(spark, tmp_path):
+    """Destructive delSeries must not be reachable over GET."""
+    import urllib.error
+    import urllib.request
+
+    from graphouse_spark.api.http import start_http_server
+    from graphouse_spark.api.service import GraphouseService
+    from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
+    from pyspark.sql import functions as F
+
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"))
+    raw = spark.createDataFrame([("one_min.g.x 1.0 1000",)], "value string")
+    from graphouse_spark.sources.graphite import parse_lines
+    ingest_batch(parse_lines(raw, updated=F.lit(1)), cfg, known_names=None)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path)
+    svc.load_tree()
+    server = start_http_server(svc)
+    port = server.server_address[1]
+    try:
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/tags/delSeries?path=x;a=1",
+                timeout=30)
+            code = 200
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 405
+    finally:
+        server.shutdown()
