@@ -94,6 +94,19 @@ def test_core_plans_at_most_linear_to_100x(spark):
         hundred = run_one(spark, meter, fn, dirs[100])
         g_run = hundred["task_sec"] / max(ten["task_sec"], 1e-9)
         g_cpu = hundred["cpu_sec"] / max(ten["cpu_sec"], 1e-9)
+        bound0 = (min(budget, 10.0)
+                  if hundred["task_sec"] > 30.0 else 30.0)
+        if min(g_run, g_cpu) > bound0:
+            # confirm-before-fail: a bound violation is re-measured
+            # once from scratch — the flake class here is a one-off
+            # small-side sample distorted by accumulated JVM state
+            # (in-suite runs after ~1000 tests measured 2-4x off the
+            # same plan's solo numbers); a REAL plan regression is
+            # reproducible and fails both attempts
+            ten = run_one(spark, meter, fn, dirs[10])
+            hundred = run_one(spark, meter, fn, dirs[100])
+            g_run = hundred["task_sec"] / max(ten["task_sec"], 1e-9)
+            g_cpu = hundred["cpu_sec"] / max(ten["cpu_sec"], 1e-9)
         # 10x the rows: linear = 10x more work. Two growth estimators:
         # executorRunTime (inflated by preemption/worker-wait — noisy
         # when the small size's absolute task time is a few seconds)
