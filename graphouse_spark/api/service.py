@@ -1666,6 +1666,17 @@ class GraphouseService:
             try:
                 rewritten = sqlguard.rewrite_code(query, _rw)
                 sqlguard.assert_readonly(self.spark, rewritten, _allowed)
+                # INTERPOLATE (col AS expr) expressions were stripped
+                # from the query before the guard above ran, and they
+                # are later evaluated verbatim via F.expr in the fill
+                # path — run each through the SAME guard (banned plan
+                # nodes, banned functions, relation allowlist) so the
+                # readonly contract covers them too.
+                if fill_spec is not None:
+                    for _iexpr in (fill_spec.get("interpolate_exprs")
+                                   or {}).values():
+                        sqlguard.assert_readonly(
+                            self.spark, f"SELECT {_iexpr}", _allowed)
             except sqlguard.GuardError as exc:
                 raise ValueError(str(exc))
             try:

@@ -29,7 +29,7 @@ graphouse.metric-data.max-metrics-per-query               GraphouseService(max_m
 graphouse.metric-data.max-points-per-metric               GraphouseService(max_points_per_metric=)
 graphouse.tree.max-subdirs-per-dir / max-metrics-per-dir  GraphouseService(max_subdirs_per_dir=, max_metrics_per_dir=)
 graphouse.metric-validation.min/max-length                MetricValidator(min_length=, max_length=)
-graphouse.metric-validation.min/max-levels                MetricValidator(min_dots=, max_dots=)  [levels = dots+1, MetricValidator.java:29-38]
+graphouse.metric-validation.min/max-levels                MetricValidator(min_dots=, max_dots=)  [value injected AS the dot count, MetricsConfig.java:69-73]
 graphouse.metric-validation.regexp                        MetricValidator(metric_regexp=)
 graphouse.tree.dir-content.batcher.max-parallel-requests  DirContentBatcher(max_parallel=)
 graphouse.tree.dir-content.batcher.max-batch-size         DirContentBatcher(max_batch_size=)
@@ -163,11 +163,14 @@ class GraphouseSettings:
     max_points_per_metric: int = -1  # graphouse.metric-data.max-points-per-metric
     max_subdirs_per_dir: int = -1    # graphouse.tree.max-subdirs-per-dir
     max_metrics_per_dir: int = -1    # graphouse.tree.max-metrics-per-dir
-    # validation (MetricValidator.java:29-62); levels = dots + 1
+    # validation (MetricValidator.java:17-25): the reference injects
+    # graphouse.metric-validation.min-levels/max-levels DIRECTLY as
+    # minDots/maxDots (MetricsConfig.java:69-73) — despite the
+    # property name, the value IS the dot count. No conversion.
     validation_min_length: int = 5
     validation_max_length: int = 500
-    validation_min_dots: int = 1     # min-levels=2
-    validation_max_dots: int = 19    # max-levels=20
+    validation_min_dots: int = 2     # min-levels default (graphouse-default.properties:126)
+    validation_max_dots: int = 20    # max-levels default (graphouse-default.properties:127)
     validation_regexp: str = r"[-_0-9a-zA-Z\.]*$"
     # X6 dir-content batcher
     batcher_max_parallel: int = 3
@@ -207,9 +210,12 @@ class GraphouseSettings:
 def settings_from_properties(props: dict[str, str]) -> GraphouseSettings:
     """Resolve a parsed properties map into :class:`GraphouseSettings`.
 
-    min/max-levels convert to the validator's dot counts the way the
-    reference's validator consumes them (levels = name parts, dots =
-    levels - 1; MetricValidator.java:29-38 compares splitter counts).
+    min/max-levels pass through UNCHANGED as the validator's dot
+    counts: the reference injects the property values directly as
+    minDots/maxDots (MetricsConfig.java:69-73 →
+    MetricValidator.java:21-25), so a drop-in properties file must
+    behave identically — the property is (mis)named "levels" but the
+    comparison at MetricValidator.java:58 is against the dot count.
     """
     g = GraphouseSettings(raw=dict(props))
     g.graphite_host = props.get("graphouse.cacher.bind-address", "") or ""
@@ -231,9 +237,9 @@ def settings_from_properties(props: dict[str, str]) -> GraphouseSettings:
     g.validation_max_length = _get_int(
         props, "graphouse.metric-validation.max-length", 500)
     g.validation_min_dots = _get_int(
-        props, "graphouse.metric-validation.min-levels", 2) - 1
+        props, "graphouse.metric-validation.min-levels", 2)
     g.validation_max_dots = _get_int(
-        props, "graphouse.metric-validation.max-levels", 20) - 1
+        props, "graphouse.metric-validation.max-levels", 20)
     g.validation_regexp = props.get(
         "graphouse.metric-validation.regexp", g.validation_regexp)
     g.batcher_max_parallel = _get_int(

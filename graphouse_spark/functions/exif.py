@@ -285,8 +285,22 @@ def png_metadata(payload: bytes) -> dict:
                 exif = parse_tiff(data)
             elif ctype == b"iCCP":
                 name, _, rest = data.partition(b"\x00")
-                icc = parse_icc(zlib.decompress(rest[1:]))
-                icc["profile_name"] = name.decode("latin-1", "replace")
+                # Bounded inflate: a small hostile chunk can expand to
+                # gigabytes (zip bomb) and OOM the executor, violating
+                # the total-on-hostile-bytes contract. parse_icc only
+                # reads the 128-byte header, the tag table, and the
+                # desc tag — 64 KiB is orders of magnitude more than
+                # that needs; overflow (unconsumed input left) or a
+                # corrupt stream skips the profile and the walk goes on.
+                try:
+                    _d = zlib.decompressobj()
+                    _out = _d.decompress(rest[1:], 65536)
+                    if not _d.unconsumed_tail:
+                        icc = parse_icc(_out)
+                        icc["profile_name"] = name.decode(
+                            "latin-1", "replace")
+                except Exception:
+                    pass
             elif ctype == b"tEXt":
                 k, _, v = data.partition(b"\x00")
                 text[k.decode("latin-1", "replace")] = v.decode(

@@ -300,6 +300,28 @@ def stepped_fill_rows_expr(spark, rows, schema, spec, partitions: int = 32):
     ci = _fill_validate(schema, spec)
     interp = spec.get("interpolate") or []
     exprs = spec.get("interpolate_exprs") or {}
+    # Defense-in-depth: interpolate expressions are evaluated via
+    # F.expr below, a path the HTTP guard's plan-tree walk never sees
+    # unless the caller re-guards them. Ban the JVM-reflection /
+    # file-introspection functions here too, so the library is safe
+    # even if a future caller forgets the service-side check. Callers
+    # cannot hide the identifier in a string literal — string-bearing
+    # INTERPOLATE clauses are never recognized by the clause parser —
+    # and concat(chr(...)) tricks still need the bare identifier to
+    # reach the function-call position this scan covers.
+    import re as _bre
+
+    from graphouse_spark.api.sqlguard import _BANNED_FUNCTIONS, tokenize as _btok
+
+    for _ex in exprs.values():
+        for _seg in _btok(_ex):
+            if _seg.kind != "code":
+                continue
+            for _m in _bre.finditer(r"\b([A-Za-z_]\w*)\s*\(", _seg.text):
+                if _m.group(1).lower() in _BANNED_FUNCTIONS:
+                    raise ValueError(
+                        f"function {_m.group(1)} is not served in "
+                        f"INTERPOLATE expressions")
     defaults = [_fill_default(f) for f in schema.fields]
     sgn = -1 if spec["desc"] else 1
     st = spec["step"] * sgn

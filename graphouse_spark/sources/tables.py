@@ -121,18 +121,29 @@ def write_tags(df: DataFrame, path: str, mode: str = "append") -> None:
     metric) within files so `tag = 'k'` / `(tag, value)` equality
     browses skip row groups on min/max stats. Tiny next to the data
     table (one row per series-tag, not per point) — one file per batch,
-    compacted by the same maintenance loop as the metrics table."""
+    compacted by the same maintenance loop as the metrics table.
+
+    Serialized against :func:`rewrite_tags_atomic` under the same
+    process-wide lock: a Spark append commits by renaming task files
+    out of ``<path>/_temporary`` — if the rewrite's directory swap ran
+    mid-commit, the batch would either fail or land in the ``.bak``
+    dir that is immediately removed (a silent, permanent loss for a
+    series that stops reporting). Holding the lock for the append job
+    means every append either completes before the swap (its files are
+    then hard-copied into the staged index under the SAME lock) or
+    starts after it (writing into the new live dir)."""
     from graphouse_spark.schemas import TAGS_SCHEMA
 
     cols = [f.name for f in TAGS_SCHEMA.fields]
-    (
+    out = (
         df.select(*cols)
         .repartition(1)
         .sortWithinPartitions("tag", "value", "metric")
         .write.mode(mode)
         .partitionBy("date")
-        .parquet(path)
     )
+    with _TAGS_REWRITE_LOCK:
+        out.parquet(path)
 
 
 def read_tags(spark: SparkSession, path: str) -> DataFrame:
@@ -141,8 +152,9 @@ def read_tags(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(TAGS_SCHEMA).parquet(path)
 
 
-#: serializes full-index rewrites (delSeries, compaction) within one
-#: process — the daemon's HTTP server is threaded
+#: serializes full-index rewrites (delSeries, compaction) AND ingest
+#: appends (:func:`write_tags`) within one process — the daemon's HTTP
+#: server is threaded and the streaming thread appends concurrently
 _TAGS_REWRITE_LOCK = __import__("threading").Lock()
 
 
@@ -156,11 +168,14 @@ def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
       1. snapshot the live parquet file list, read THAT list
          (basePath keeps the date partition column), transform, write
          to a dot-hidden sibling stage dir;
-      2. under the process-wide lock: hard-link/copy any file that
-         appeared since the snapshot (a concurrent ingest append) into
-         the stage dir, so appends during the rewrite are never lost —
-         an append FOR a just-deleted series simply re-registers it,
-         the same outcome as re-ingesting after the delete;
+      2. under the process-wide lock (which :func:`write_tags` also
+         holds for the duration of each append job, so no append can
+         be mid-commit during the swap): copy any file that appeared
+         since the snapshot (a concurrent ingest append that completed
+         during step 1) into the stage dir, so appends during the
+         rewrite are never lost — an append FOR a just-deleted series
+         simply re-registers it, the same outcome as re-ingesting
+         after the delete;
       3. rename live -> .bak, stage -> live, remove .bak. A crash at
          any point leaves either the old or the new index fully
          present (a leftover stage/bak dir is dot-hidden — invisible

@@ -64,8 +64,8 @@ def test_reference_default_file_parses():
     assert settings.max_subdirs_per_dir == -1
     assert settings.validation_min_length == 5
     assert settings.validation_max_length == 500
-    assert settings.validation_min_dots == 1   # min-levels=2
-    assert settings.validation_max_dots == 19  # max-levels=20
+    assert settings.validation_min_dots == 2   # min-levels=2, injected as-is
+    assert settings.validation_max_dots == 20  # max-levels=20, injected as-is
     assert settings.validation_regexp == r"[-_0-9a-zA-Z\.]*$"
     assert settings.batcher_max_parallel == 3
     assert settings.batcher_max_batch_size == 2000
@@ -81,7 +81,11 @@ def test_reference_default_file_parses():
     assert settings.raw["graphouse.clickhouse.data-write-table"] == "data"
 
 
-def test_settings_validator_maps_levels_to_dots():
+def test_settings_validator_passes_levels_through_as_dots():
+    # The reference injects min-levels/max-levels DIRECTLY as
+    # minDots/maxDots (MetricsConfig.java:69-73) — the property is
+    # (mis)named "levels" but the MetricValidator.java:58 comparison
+    # is against the dot count. A drop-in properties file must match.
     s = settings_from_properties({
         "graphouse.metric-validation.min-length": "3",
         "graphouse.metric-validation.max-length": "40",
@@ -89,12 +93,15 @@ def test_settings_validator_maps_levels_to_dots():
         "graphouse.metric-validation.max-levels": "4",
         "graphouse.metric-validation.regexp": r"[a-z\.]*$",
     })
+    assert s.validation_min_dots == 3
+    assert s.validation_max_dots == 4
     v = s.validator()
-    assert not v.validate("a.b")          # 2 levels < min 3
-    assert v.validate("aa.bb.cc")         # 3 levels
-    assert v.validate("a.b.c.d")          # 4 levels
-    assert not v.validate("a.b.c.d.e")    # 5 levels > max 4
-    assert not v.validate("A.B.C")        # regexp forbids uppercase
+    assert not v.validate("a.b")          # 1 dot < min 3
+    assert not v.validate("aa.bb.cc")     # 2 dots < min 3
+    assert v.validate("a.b.c.d")          # 3 dots
+    assert v.validate("a.b.c.d.e")        # 4 dots == max
+    assert not v.validate("a.b.c.d.e.f")  # 5 dots > max 4
+    assert not v.validate("A.B.C.D")      # regexp forbids uppercase
     assert not v.validate("a" * 41)       # over max-length
 
 
@@ -166,9 +173,9 @@ def test_ingest_config_honors_properties_validator(spark, tmp_path):
         "graphouse.metric-validation.max-levels": "20",
     })
     raw = spark.createDataFrame(
-        [("one_min.a.b 1.0 1000",),        # 3 levels: rejected at 4+
-         ("one_min.a.b.c 2.0 1000",)],     # 4 levels: accepted
+        [("one_min.a.b.c 1.0 1000",),      # 3 dots: rejected at minDots=4
+         ("one_min.a.b.c.d 2.0 1000",)],   # 4 dots: accepted
         "value string")
     parsed = parse_lines(raw, updated=F.lit(1), validator=s.validator())
     names = [r["name"] for r in parsed.select("name").collect()]
-    assert names == ["one_min.a.b.c"]
+    assert names == ["one_min.a.b.c.d"]

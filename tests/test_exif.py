@@ -89,6 +89,29 @@ def test_png_metadata_chunks():
     assert m["text"] == {"Author": "me"}
 
 
+def test_png_iccp_zip_bomb_is_bounded():
+    """Round-10 ADVICE (low): a few-KB iCCP chunk inflating to
+    gigabytes must not OOM the executor — the inflate is capped at
+    64 KiB; overflow skips the profile but the walk continues (tEXt
+    after the bomb still parses)."""
+    bomb = zlib.compress(b"\x00" * (256 * 1024 * 1024), 9)  # ~256 MB -> ~KBs
+    assert len(bomb) < 1024 * 1024
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 5, 8, 2, 0, 0, 0))
+    png = (b"\x89PNG\r\n\x1a\n" + ihdr
+           + _chunk(b"iCCP", b"nm\x00\x00" + bomb)
+           + _chunk(b"tEXt", b"Author\x00me")
+           + _chunk(b"IEND", b""))
+    import resource
+    before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    m = png_metadata(png)
+    after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert m["icc"] == {}                    # profile skipped, not faked
+    assert m["text"] == {"Author": "me"}     # walk continued past it
+    assert (m["width"], m["height"]) == (7, 5)
+    # peak RSS must not have grown by anywhere near the 256 MB payload
+    assert after - before < 64 * 1024  # KiB units on linux
+
+
 def test_unknown_format_is_typed_empty():
     m = image_metadata(b"not an image at all")
     assert m == {"format": None, "width": None, "height": None,

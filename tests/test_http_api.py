@@ -844,6 +844,38 @@ def test_query_final_and_with_fill(spark, tmp_path):
     with pytest.raises(ValueError):
         svc.sql("INSERT INTO data SELECT * FROM data "
                 "ORDER BY timestamp WITH FILL")
+    # INTERPOLATE expressions run through the SAME readonly guard as
+    # the query body: JVM-reflection functions are rejected even when
+    # spelled without string literals (concat(chr(...)) arguments),
+    # and subqueries cannot reach unserved relations. Round-10 ADVICE.
+    for bad in (
+        "reflect(concat(chr(106)), concat(chr(97)))",
+        "java_method(concat(chr(106)), concat(chr(97)))",
+        "v + (SELECT count(*) FROM not_served)",
+    ):
+        with pytest.raises(ValueError,
+                           match="not served|parse error"):
+            svc.sql(
+                "SELECT timestamp AS ts, max(value) AS v "
+                "FROM graphite.data FINAL GROUP BY ts "
+                "ORDER BY ts WITH FILL FROM 1000 TO 1240 STEP 60 "
+                f"INTERPOLATE (v AS {bad})")
+    # library-level defense-in-depth: gapfill itself bans the
+    # reflection functions even when called without the HTTP guard
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    from graphouse_spark.operators.gapfill import stepped_fill_rows_expr
+
+    _sch = StructType([StructField("ts", LongType()),
+                       StructField("v", DoubleType())])
+    with pytest.raises(ValueError, match="not served"):
+        stepped_fill_rows_expr(
+            spark, [(1000, 1.0), (1240, 2.0)], _sch,
+            {"col": "ts", "desc": False, "from": None, "to": None,
+             "step": 60, "interpolate": ["v"],
+             "interpolate_exprs": {"v": "reflect(chr(106), chr(97))"},
+             "limit": None})
 
 
 def test_query_limit_by(spark, tmp_path):

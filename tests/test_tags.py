@@ -659,13 +659,13 @@ def test_tagged_parse_honors_configured_validator(spark):
     cfg = IngestConfig("d", "m", "c", allow_tags=True,
                        validator=s.validator())
     raw = spark.createDataFrame(
-        [("one_min.a.b 1.0 1000",),        # 3 levels: rejected at 4+
-         ("one_min.a.b.c 2.0 1000",),      # 4 levels: kept
+        [("one_min.a.b.c 1.0 1000",),      # 3 dots: rejected at minDots=4
+         ("one_min.a.b.c.d 2.0 1000",),    # 4 dots: kept
          ("cpu;dc=1 3.0 1000",)],          # tagged namespace: kept
         "value string")
     names = sorted(r["name"] for r in
                    _parse_stream(raw, cfg, updated=F.lit(1)).collect())
-    assert names == ["cpu;dc=1", "one_min.a.b.c"]
+    assert names == ["cpu;dc=1", "one_min.a.b.c.d"]
 
 
 def test_serve_backfills_tag_index_from_existing_lake(spark, tmp_path):
@@ -804,6 +804,59 @@ def test_rewrite_tags_atomic_carries_concurrent_appends(spark, tmp_path):
                             lambda idx: idx.selectExpr("boom()"))
     still = {r["metric"] for r in read_tags(spark, cfg.tags_path).collect()}
     assert still == after
+
+
+def test_write_tags_appends_serialize_with_rewrite(spark, tmp_path):
+    """Round-10 ADVICE (medium): the streaming thread's write_tags
+    append races the delSeries/compaction thread's rewrite_tags_atomic
+    directory swap — an append whose Spark job is mid-commit (files
+    under _temporary) when the swap renames the live dir either fails
+    the batch or commits into the .bak dir that is rmtree'd (silent,
+    permanent loss). Both now serialize on _TAGS_REWRITE_LOCK; drive
+    them hard from two threads and assert zero errors and zero lost
+    batches across repeated rewrites."""
+    import threading
+
+    from graphouse_spark.sources.tables import (
+        read_tags, rewrite_tags_atomic, write_tags)
+    from graphouse_spark.tags import tag_index_rows
+
+    tags_path = str(tmp_path / "tags")
+    BASE = 1_700_000_000
+    seed = spark.createDataFrame([("seed.metric;dc=a", BASE)],
+                                 "name string, updated long")
+    write_tags(tag_index_rows(seed), tags_path)
+
+    N_APPENDS, N_REWRITES = 10, 5
+    errors: list = []
+
+    def appender():
+        try:
+            for i in range(N_APPENDS):
+                df = spark.createDataFrame(
+                    [(f"m{i}.x;dc=b", BASE)], "name string, updated long")
+                write_tags(tag_index_rows(df), tags_path)
+        except Exception as exc:  # noqa: BLE001 - collected for assert
+            errors.append(exc)
+
+    def rewriter():
+        try:
+            for _ in range(N_REWRITES):
+                rewrite_tags_atomic(spark, tags_path, lambda idx: idx)
+        except Exception as exc:  # noqa: BLE001 - collected for assert
+            errors.append(exc)
+
+    threads = [threading.Thread(target=appender),
+               threading.Thread(target=rewriter)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    metrics = {r["metric"] for r in read_tags(spark, tags_path).collect()}
+    expected = {"seed.metric;dc=a"} | {f"m{i}.x;dc=b"
+                                       for i in range(N_APPENDS)}
+    assert expected <= metrics
 
 
 def test_del_series_get_is_405(spark, tmp_path):
