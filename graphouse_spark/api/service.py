@@ -978,6 +978,28 @@ class GraphouseService:
                 # groups on min/max stats before any map is built
                 names = names.filter((F.col("tag") == k)
                                      & (F.col("value") == v))
+            else:
+                rx = self._first_tag_regex(exprs)
+                if rx is not None:
+                    k, anchored = rx
+                    # regex-only browse: resolve the pattern against
+                    # the distinct-values SUB-INDEX first (tiny for
+                    # low-cardinality tags), then rewrite the term
+                    # into a sargable value-IN-list on the main index
+                    # — the per-metric map compile runs only over the
+                    # survivors, never the whole namespace. Falls
+                    # back to an rlike over the tag's index slice
+                    # (still no map compile) when the sub-index is
+                    # absent or the match set is too large to inline.
+                    vals = self._regex_value_list(k, anchored)
+                    if vals is not None:
+                        names = names.filter(
+                            (F.col("tag") == k)
+                            & F.col("value").isin(vals))
+                    else:
+                        names = names.filter(
+                            (F.col("tag") == k)
+                            & F.col("value").rlike(anchored))
             names = names.select("metric").distinct()
         else:
             if not os.path.exists(self.data_path):
@@ -1006,6 +1028,62 @@ class GraphouseService:
             if m and m.group(1) != "name" and m.group(2):
                 return m.group(1), m.group(2)
         return None
+
+    @staticmethod
+    def _first_tag_regex(exprs: list[str] | None):
+        """The first positive ``key=~pattern`` term as
+        ``(key, anchored_pattern)`` — anchored exactly like
+        :func:`graphouse_spark.tags.compile_term` so the index-side
+        prune and the final map-compile verify agree term-for-term
+        (both run Java regex via rlike). The implicit ``name`` tag is
+        indexed too, so ``name=~`` prunes like any other key. Invalid
+        patterns return None: series_by_tag raises its own error."""
+        import re as _re
+
+        for t in exprs or ():
+            # the key charset excludes '!', so a negated '!=~' term can
+            # never match this pattern — only positive '=~' terms do
+            m = _re.match(r"^([^;!=~\s]+)\s*=~\s*(.*)$", t.strip())
+            if not m:
+                continue
+            key, value = m.group(1), m.group(2)
+            try:
+                _re.compile(value)
+            except _re.error:
+                return None
+            anchored = value if value.startswith("^") else "^(?:" + value + ")"
+            return key, anchored
+        return None
+
+    #: inline at most this many matched distinct values as an IN-list;
+    #: beyond it the rlike-on-slice fallback is cheaper than shipping
+    #: and hashing a giant literal list into the plan
+    _REGEX_VALUES_CAP: int = 1000
+
+    def _regex_value_list(self, key: str, anchored: str):
+        """Distinct values of ``key`` matching the anchored pattern,
+        from the sub-index, or None when the sub-index is absent or
+        more than :attr:`_REGEX_VALUES_CAP` values match (callers then
+        prune with the pattern itself)."""
+        from pyspark.sql import functions as F
+
+        from graphouse_spark.sources.tables import read_tag_values
+
+        vals = read_tag_values(self.spark, self.tags_path)
+        if vals is None:
+            return None
+        # same lookback as the main index: a pair last seen outside
+        # the window has no in-window main rows either
+        rows = (vals.filter(
+            (F.col("tag") == key)
+            & (F.col("date") >= F.date_sub(F.current_date(),
+                                           self.tag_lookback_days))
+            & F.col("value").rlike(anchored))
+            .select("value").distinct()
+            .limit(self._REGEX_VALUES_CAP + 1).collect())
+        if len(rows) > self._REGEX_VALUES_CAP:
+            return None
+        return [r["value"] for r in rows]
 
     def tag_find_series(self, exprs: list[str],
                         limit: int | None = None) -> str:

@@ -74,3 +74,23 @@ TAGS_SCHEMA = StructType(
         StructField("date", DateType(), False),  # last-seen day (partition)
     ]
 )
+
+
+#: distinct-values SUB-INDEX beside the tag index: one row per
+#: (tag, value) pair ever seen, with its last-seen day. Orders of
+#: magnitude smaller than TAGS (no metric column — ``host`` with 10M
+#: series still yields 10M rows here, but ``datacenter`` with 13
+#: values yields 13), so a regex-only ``=~`` term compiles against the
+#: distinct values first and rewrites itself into a sargable
+#: value-IN-list on the main index instead of a per-metric map
+#: compile over the whole namespace. Correctness contract: the
+#: sub-index must be a SUPERSET of the main index's (tag, value)
+#: pairs inside any lookback window (over-approximation only ever
+#: costs a wasted candidate, never a lost series).
+TAG_VALUES_SCHEMA = StructType(
+    [
+        StructField("tag", StringType(), False),
+        StructField("value", StringType(), False),
+        StructField("date", DateType(), False),  # last-seen day
+    ]
+)

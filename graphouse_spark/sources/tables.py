@@ -135,14 +135,27 @@ def write_tags(df: DataFrame, path: str, mode: str = "append") -> None:
     from graphouse_spark.schemas import TAGS_SCHEMA
 
     cols = [f.name for f in TAGS_SCHEMA.fields]
+    staged = df.select(*cols).localCheckpoint()
     out = (
-        df.select(*cols)
+        staged
         .repartition(1)
         .sortWithinPartitions("tag", "value", "metric")
         .write.mode(mode)
         .partitionBy("date")
     )
+    vals = (
+        staged.groupBy("tag", "value").agg(F.max("date").alias("date"))
+        .repartition(1)
+        .sortWithinPartitions("tag", "value")
+        .write.mode(mode)
+    )
     with _TAGS_REWRITE_LOCK:
+        # values FIRST: the sub-index must be a superset of the main
+        # index at every instant (a crash between the two writes then
+        # leaves an over-approximation, which only costs a wasted
+        # candidate — the reverse order could lose a (tag, value)
+        # pair and silently hide a series from regex-only browses)
+        vals.parquet(tag_values_path(path))
         out.parquet(path)
 
 
@@ -150,6 +163,25 @@ def read_tags(spark: SparkSession, path: str) -> DataFrame:
     from graphouse_spark.schemas import TAGS_SCHEMA
 
     return spark.read.schema(TAGS_SCHEMA).parquet(path)
+
+
+def tag_values_path(tags_path: str) -> str:
+    """The distinct-values sub-index directory beside the tag index."""
+    return tags_path.rstrip("/") + "_values"
+
+
+def read_tag_values(spark: SparkSession, tags_path: str):
+    """The (tag, value, last-seen date) sub-index, or None when absent
+    (pre-sub-index deployments: callers fall back to pruning on the
+    main index rows)."""
+    import os
+
+    from graphouse_spark.schemas import TAG_VALUES_SCHEMA
+
+    vp = tag_values_path(tags_path)
+    if not os.path.exists(vp):
+        return None
+    return spark.read.schema(TAG_VALUES_SCHEMA).parquet(vp)
 
 
 #: serializes full-index rewrites (delSeries, compaction) AND ingest
@@ -179,7 +211,15 @@ def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
       3. rename live -> .bak, stage -> live, remove .bak. A crash at
          any point leaves either the old or the new index fully
          present (a leftover stage/bak dir is dot-hidden — invisible
-         to readers — and removed by the next rewrite).
+         to readers — and removed by the next rewrite);
+      4. rebuild the distinct-values sub-index from the kept rows and
+         swap it the same way. A crash between 3 and 4 leaves the OLD
+         sub-index, which is a superset of the new main index's
+         (tag, value) pairs as long as ``transform`` only removes or
+         keeps rows (delSeries, compaction — every current caller);
+         supersets only cost wasted prune candidates, never a lost
+         series. A transform that INTRODUCES pairs must append them
+         via :func:`write_tags` instead.
 
     Returns the kept row count."""
     import os
@@ -233,6 +273,28 @@ def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
         shutil.rmtree(bak, ignore_errors=True)
     except Exception:
         shutil.rmtree(stage, ignore_errors=True)
+        raise
+    # step 4: compact the distinct-values sub-index to match (same
+    # stage->swap dance; crash-safe per the protocol note above)
+    vp = tag_values_path(tags_path)
+    vbase = os.path.basename(os.path.abspath(vp))
+    vstage = os.path.join(parent, f".stage-{vbase}-{token}")
+    vbak = os.path.join(parent, f".bak-{vbase}-{token}")
+    for d in os.listdir(parent):  # leftovers from a crashed step 4
+        if d.startswith(f".stage-{vbase}-") or d.startswith(f".bak-{vbase}-"):
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    try:
+        (kept.groupBy("tag", "value").agg(F.max("date").alias("date"))
+         .repartition(1)
+         .sortWithinPartitions("tag", "value")
+         .write.mode("overwrite").parquet(vstage))
+        with _TAGS_REWRITE_LOCK:
+            if os.path.exists(vp):
+                os.rename(vp, vbak)
+            os.rename(vstage, vp)
+        shutil.rmtree(vbak, ignore_errors=True)
+    except Exception:
+        shutil.rmtree(vstage, ignore_errors=True)
         raise
     return n
 

@@ -269,6 +269,12 @@ def backfill_tag_index(spark, data_path: str, tags_path: str) -> int:
      .repartition("date")
      .sortWithinPartitions("tag", "value", "metric")
      .write.mode("overwrite").partitionBy("date").parquet(tags_path))
+    from graphouse_spark.sources.tables import tag_values_path
+
+    (rows.groupBy("tag", "value").agg(F.max("date").alias("date"))
+     .repartition(1)
+     .sortWithinPartitions("tag", "value")
+     .write.mode("overwrite").parquet(tag_values_path(tags_path)))
     return n
 
 

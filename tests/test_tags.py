@@ -520,6 +520,14 @@ def test_tags_api_serves_from_index_same_answers(spark, tmp_path):
         lambda s: s.tag_autocomplete_values("rack", value_prefix="b"),
         lambda s: s.tag_autocomplete_values("rack",
                                             exprs=["datacenter=dc2"]),
+        # regex-only term sets: the index side takes the sub-index
+        # prune path, the no-index side the full map compile
+        lambda s: s.tag_find_series(["datacenter=~dc.*"]),
+        lambda s: s.tag_find_series(["rack=~[ab].*", "datacenter!=dc3"]),
+        lambda s: s.tag_find_series(["rack!=~a.*", "datacenter=~dc.*"]),
+        lambda s: s.tag_autocomplete_values("rack",
+                                            exprs=["datacenter=~dc1"]),
+        lambda s: s.tag_autocomplete_tags(exprs=["name=~disk\\..*"]),
     ]:
         assert _json.loads(call(with_idx)) == _json.loads(call(without))
 
@@ -889,3 +897,165 @@ def test_del_series_get_is_405(spark, tmp_path):
         assert code == 405
     finally:
         server.shutdown()
+
+
+# ------------------------------------------- distinct-values sub-index
+
+
+def _ingest_tagged(spark, tmp_path, lines, base):
+    from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
+
+    cfg = IngestConfig(str(tmp_path / "data"), str(tmp_path / "metrics"),
+                       str(tmp_path / "ckpt"),
+                       allow_tags=True, tags_path=str(tmp_path / "tags"))
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    ingest_batch(T.parse_tagged_lines(raw, updated=F.lit(base)), cfg,
+                 known_names=None)
+    return cfg
+
+
+def test_tag_values_subindex_maintained_by_ingest(spark, tmp_path):
+    """Each write_tags append also appends the batch's distinct
+    (tag, value) pairs to the sub-index — which therefore stays a
+    SUPERSET of the main index's pairs (the regex-prune correctness
+    contract)."""
+    import time as _time
+
+    from graphouse_spark.sources.tables import (
+        read_tag_values, read_tags)
+
+    BASE = int(_time.time()) - 3600
+    cfg = _ingest_tagged(spark, tmp_path, [
+        f"disk.used;datacenter=dc1;rack=a1 1.0 {BASE}",
+        f"disk.used;datacenter=dc2;rack=b2 2.0 {BASE}",
+    ], BASE)
+    vals = read_tag_values(spark, cfg.tags_path)
+    assert vals is not None
+    got = {(r["tag"], r["value"]) for r in vals.collect()}
+    main = {(r["tag"], r["value"])
+            for r in read_tags(spark, cfg.tags_path).collect()}
+    assert main <= got
+    assert ("datacenter", "dc1") in got and ("rack", "b2") in got
+    # replay keeps it a (possibly duplicated) superset
+    raw = spark.createDataFrame(
+        [(f"disk.used;datacenter=dc1;rack=a1 1.0 {BASE}",)], "value string")
+    from graphouse_spark.streaming.ingest import ingest_batch
+    ingest_batch(T.parse_tagged_lines(raw, updated=F.lit(BASE)), cfg,
+                 known_names=None)
+    got2 = {(r["tag"], r["value"])
+            for r in read_tag_values(spark, cfg.tags_path).collect()}
+    assert got <= got2
+
+
+def test_rewrite_tags_atomic_compacts_subindex(spark, tmp_path):
+    """delSeries (a keep-only transform) shrinks the sub-index to the
+    surviving pairs; the main/sub superset contract holds after."""
+    import time as _time
+
+    from pyspark.sql import functions as SF
+
+    from graphouse_spark.sources.tables import (
+        read_tag_values, read_tags, rewrite_tags_atomic)
+
+    BASE = int(_time.time()) - 3600
+    cfg = _ingest_tagged(spark, tmp_path, [
+        f"disk.used;datacenter=dc1 1.0 {BASE}",
+        f"net.rx;datacenter=dc2 2.0 {BASE}",
+    ], BASE)
+    rewrite_tags_atomic(
+        spark, cfg.tags_path,
+        lambda idx: idx.filter(SF.col("metric") != "net.rx;datacenter=dc2"))
+    main = {(r["tag"], r["value"])
+            for r in read_tags(spark, cfg.tags_path).collect()}
+    sub = {(r["tag"], r["value"])
+           for r in read_tag_values(spark, cfg.tags_path).collect()}
+    assert main <= sub
+    assert ("datacenter", "dc2") not in sub  # compacted away
+    assert ("name", "net.rx") not in sub
+
+
+def test_regex_only_browse_prunes_on_subindex(spark, tmp_path):
+    """A regex-only term set resolves against the distinct-values
+    sub-index and rewrites into a value-IN-list on the main index —
+    the plan never touches the points table and never compiles the
+    whole namespace; answers equal the map-compile fallback's."""
+    import time as _time
+
+    from graphouse_spark.api.service import GraphouseService
+
+    BASE = int(_time.time()) - 3600
+    cfg = _ingest_tagged(spark, tmp_path, [
+        f"disk.used;datacenter=dc{i % 3};rack=r{i} 1.0 {BASE}"
+        for i in range(30)
+    ], BASE)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path,
+                           tags_path=cfg.tags_path)
+    df = svc._tagged_names(["datacenter=~dc[01]"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "/data" not in plan
+    # the prune rewrote the regex into value equalities on the index
+    assert "dc0" in plan and "dc1" in plan
+    got = sorted(r["metric"] for r in df.collect())
+    assert got == sorted(
+        f"disk.used;datacenter=dc{i % 3};rack=r{i}"
+        for i in range(30) if i % 3 in (0, 1))
+
+    # cap exceeded -> rlike-on-slice fallback, same answers
+    svc._REGEX_VALUES_CAP = 1
+    df2 = svc._tagged_names(["datacenter=~dc[01]"])
+    assert sorted(r["metric"] for r in df2.collect()) == got
+
+    # sub-index absent (pre-sub-index deployment) -> same fallback
+    import shutil
+
+    from graphouse_spark.sources.tables import tag_values_path
+    svc2 = GraphouseService(spark, cfg.data_path, cfg.metrics_path,
+                            tags_path=cfg.tags_path)
+    shutil.rmtree(tag_values_path(cfg.tags_path))
+    df3 = svc2._tagged_names(["datacenter=~dc[01]"])
+    assert sorted(r["metric"] for r in df3.collect()) == got
+
+
+def test_regex_prune_skips_negated_and_invalid(spark, tmp_path):
+    """'!=~'-only term sets never engage the prune (a negated regex
+    admits missing tags — not expressible as an index row filter), and
+    an invalid pattern still surfaces as series_by_tag's ValueError."""
+    import time as _time
+
+    from graphouse_spark.api.service import GraphouseService
+
+    BASE = int(_time.time()) - 3600
+    cfg = _ingest_tagged(spark, tmp_path, [
+        f"disk.used;datacenter=dc1 1.0 {BASE}",
+        f"net.rx;rack=a1 2.0 {BASE}",
+    ], BASE)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path,
+                           tags_path=cfg.tags_path)
+    assert svc._first_tag_regex(["datacenter!=~dc.*"]) is None
+    assert svc._first_tag_regex(["rack=~[unclosed"]) is None
+    # negated-only set: missing-tag series match (net.rx has no
+    # datacenter tag -> matches the negation)
+    got = sorted(r["metric"]
+                 for r in svc._tagged_names(["datacenter!=~dc9.*"]).collect())
+    assert got == ["disk.used;datacenter=dc1", "net.rx;rack=a1"]
+    with pytest.raises(ValueError):
+        svc._tagged_names(["rack=~[unclosed"]).collect()
+
+
+def test_backfill_builds_values_subindex(spark, tmp_path):
+    """backfill_tag_index writes the sub-index too, so pre-index lakes
+    get the regex-prune path on their first index build."""
+    import time as _time
+
+    from graphouse_spark.sources.tables import read_tag_values
+
+    BASE = int(_time.time()) - 3600
+    cfg = _ingest_tagged(spark, tmp_path, [
+        f"disk.used;datacenter=dc1 1.0 {BASE}",
+    ], BASE)
+    tags2 = str(tmp_path / "tags2")
+    n = T.backfill_tag_index(spark, cfg.data_path, tags2)
+    assert n == 2  # name + datacenter rows
+    vals = read_tag_values(spark, tags2)
+    assert {(r["tag"], r["value"]) for r in vals.collect()} == {
+        ("name", "disk.used"), ("datacenter", "dc1")}
