@@ -1513,14 +1513,20 @@ def q_doc_corpus_pipeline(spark, sf_dir):
     # the survivor set feeds FOUR consumers (train x2, eval, sample);
     # materialize it once so the cluster/anti-join subtree isn't
     # recomputed per branch (localCheckpoint also truncates lineage,
-    # keeping the final plan independent of the components loop depth)
+    # keeping the final plan independent of the components loop depth).
+    # Fusion (round-9 verdict #5): tokens are materialized INTO the
+    # checkpoint — the contamination branches (train + eval gram
+    # builds) and the final summary all read the same token arrays
+    # instead of re-running split/lower/filter per branch.
     kept = cluster_representatives(
         docs, simhash_dedup_clusters(docs, max_hamming=2)
+    ).withColumn("_tokens", tokens_col(F.col("text"))
     ).localCheckpoint(eager=True)
     split = split_train_eval(kept, "doc_id", 0.05)
     train = split.filter(F.col("split") == "train").drop("split")
     ev = split.filter(F.col("split") == "eval").drop("split")
-    contam = ngram_contamination(train, ev, n=8, min_shared=3)
+    contam = ngram_contamination(train, ev, n=8, min_shared=3,
+                                 tokens_col="_tokens")
     clean = train.join(
         contam.select(F.col("train_id").alias("doc_id")), "doc_id", "left_anti"
     )
@@ -1530,7 +1536,7 @@ def q_doc_corpus_pipeline(spark, sf_dir):
     )
     return sampled.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(tokens_col(F.col("text")))).alias("sum_tokens"),
+        F.sum(F.size(F.col("_tokens"))).alias("sum_tokens"),
     )
 
 

@@ -39,6 +39,13 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text."""
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    return word_shingles_from_tokens(toks, n)
+
+
+def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """:func:`word_shingles` over an ALREADY-tokenized array column —
+    the fusion entry point for pipelines that materialize tokens once
+    and build several gram views from them."""
     k = F.size(toks) - (n - 1)
     grams = F.when(k <= 0, F.array(F.array_join(toks, " "))).otherwise(
         F.transform(
