@@ -954,13 +954,14 @@ class GraphouseService:
         optionally filtered by seriesByTag terms.
 
         With a persisted tag index this never touches the points
-        table: candidate names come from the index (a row per
-        series-tag, not per point), with any positive ``tag=value``
-        equality term pushed into the index scan as a sargable
-        (tag, value) filter before the per-name map compile. Without
-        an index it falls back to distinct names from the date-pruned
-        points scan (the pre-index path, kept for tables ingested
-        before the index existed)."""
+        table OR compiles a tag map: a positive equality (or a regex
+        rewritten via the distinct-values sub-index) prunes the scan
+        sargably, and every term is then verified as a conditional
+        aggregate over the surviving metrics' index rows
+        (tags.series_by_tag_on_index). Without an index it falls back
+        to distinct names from the date-pruned points scan with the
+        tag-map-compile filter (the pre-index path, kept for tables
+        ingested before the index existed)."""
         import os
 
         from pyspark.sql import functions as F
@@ -969,38 +970,15 @@ class GraphouseService:
 
         idx = self._tag_index()
         if idx is not None:
-            names = idx
-            pushed = self._first_tag_equality(exprs)
-            if pushed is not None:
-                k, v = pushed
-                # sargable prune: the index files are sorted by
-                # (tag, value, metric), so this equality skips row
-                # groups on min/max stats before any map is built
-                names = names.filter((F.col("tag") == k)
-                                     & (F.col("value") == v))
-            else:
-                rx = self._first_tag_regex(exprs)
-                if rx is not None:
-                    k, anchored = rx
-                    # regex-only browse: resolve the pattern against
-                    # the distinct-values SUB-INDEX first (tiny for
-                    # low-cardinality tags), then rewrite the term
-                    # into a sargable value-IN-list on the main index
-                    # — the per-metric map compile runs only over the
-                    # survivors, never the whole namespace. Falls
-                    # back to an rlike over the tag's index slice
-                    # (still no map compile) when the sub-index is
-                    # absent or the match set is too large to inline.
-                    vals = self._regex_value_list(k, anchored)
-                    if vals is not None:
-                        names = names.filter(
-                            (F.col("tag") == k)
-                            & F.col("value").isin(vals))
-                    else:
-                        names = names.filter(
-                            (F.col("tag") == k)
-                            & F.col("value").rlike(anchored))
-            names = names.select("metric").distinct()
+            if not exprs:
+                return idx.select("metric").distinct()
+            # slice-intersection evaluation over index rows (tags.py):
+            # each term reads only its own tag's sargable slice, with
+            # =~ terms rewritten into value-IN-lists via the
+            # distinct-values sub-index when it resolves few enough
+            # values
+            return tg_mod.series_by_tag_on_index(
+                idx, exprs, regex_values=self._regex_value_list)
         else:
             if not os.path.exists(self.data_path):
                 # pre-first-batch boot: serve the empty namespace, like
@@ -1027,32 +1005,6 @@ class GraphouseService:
             m = _re.match(r"^([^;!=~\s]+)\s*=\s*([^~].*)$", t.strip())
             if m and m.group(1) != "name" and m.group(2):
                 return m.group(1), m.group(2)
-        return None
-
-    @staticmethod
-    def _first_tag_regex(exprs: list[str] | None):
-        """The first positive ``key=~pattern`` term as
-        ``(key, anchored_pattern)`` — anchored exactly like
-        :func:`graphouse_spark.tags.compile_term` so the index-side
-        prune and the final map-compile verify agree term-for-term
-        (both run Java regex via rlike). The implicit ``name`` tag is
-        indexed too, so ``name=~`` prunes like any other key. Invalid
-        patterns return None: series_by_tag raises its own error."""
-        import re as _re
-
-        for t in exprs or ():
-            # the key charset excludes '!', so a negated '!=~' term can
-            # never match this pattern — only positive '=~' terms do
-            m = _re.match(r"^([^;!=~\s]+)\s*=~\s*(.*)$", t.strip())
-            if not m:
-                continue
-            key, value = m.group(1), m.group(2)
-            try:
-                _re.compile(value)
-            except _re.error:
-                return None
-            anchored = value if value.startswith("^") else "^(?:" + value + ")"
-            return key, anchored
         return None
 
     #: inline at most this many matched distinct values as an IN-list;
@@ -1114,6 +1066,12 @@ class GraphouseService:
             # pure index scan: distinct tag keys straight off the
             # (tag, value, metric) rows — no map construction at all
             keys = idx.select("tag").filter(F.col("tag") != "name")
+        elif idx is not None:
+            # expr-filtered: semi-join the index rows to the matching
+            # names — keys come off the index columns, still no map
+            keys = (idx.join(self._tagged_names(exprs),
+                             "metric", "left_semi")
+                    .select("tag").filter(F.col("tag") != "name"))
         else:
             keys = (self._tagged_names(exprs)
                     .select(F.explode(F.map_keys(
@@ -1141,6 +1099,13 @@ class GraphouseService:
             # sargable index scan: tag equality prunes on the sorted
             # (tag, value, metric) layout's min/max stats
             vals = idx.filter(F.col("tag") == tag).select("value")
+        elif idx is not None:
+            # expr-filtered: the wanted tag's slice (sargable) semi-
+            # joined to the matching names — values come off the
+            # index column, no per-name map compile
+            vals = (idx.filter(F.col("tag") == tag)
+                    .join(self._tagged_names(exprs), "metric", "left_semi")
+                    .select("value"))
         else:
             vals = (self._tagged_names(exprs)
                     .select(F.element_at(
@@ -1311,25 +1276,19 @@ class GraphouseService:
                     cap = (self.max_metrics_per_query
                            if self.max_metrics_per_query > 0 else None)
                     if has_index:
-                        # persisted tag index: resolve names from rows
-                        # per SERIES-TAG, not per point — a render no
-                        # longer recompiles tag maps over the windowed
-                        # points scan. No lookback here (graphite's tag
-                        # DB resolves regardless of the request window;
-                        # series without points in range simply fetch
-                        # nothing). A positive tag equality prunes the
-                        # sorted (tag, value, metric) layout first.
+                        # persisted tag index: resolve names by slice
+                        # intersection over rows per SERIES-TAG, not
+                        # per point — a render never compiles tag maps
+                        # (tags.series_by_tag_on_index). No lookback
+                        # here (graphite's tag DB resolves regardless
+                        # of the request window; series without points
+                        # in range simply fetch nothing).
                         from graphouse_spark.sources.tables import read_tags
 
                         idx = read_tags(self.spark, self.tags_path)
-                        pushed = self._first_tag_equality(exprs)
-                        if pushed is not None:
-                            idx = idx.filter(
-                                (F.col("tag") == pushed[0])
-                                & (F.col("value") == pushed[1]))
-                        sel = (tg_mod.series_by_tag(
-                                   idx.select("metric").distinct(), exprs)
-                               .select("metric").distinct())
+                        sel = tg_mod.series_by_tag_on_index(
+                            idx, exprs,
+                            regex_values=self._regex_value_list)
                     else:
                         # date is the PARTITION column: without this
                         # pair of bounds every render's name-resolve

@@ -138,7 +138,7 @@ def write_tags(df: DataFrame, path: str, mode: str = "append") -> None:
     staged = df.select(*cols).localCheckpoint()
     out = (
         staged
-        .repartition(1)
+        .repartition(1)  # micro-batch appends are small: one file each
         .sortWithinPartitions("tag", "value", "metric")
         .write.mode(mode)
         .partitionBy("date")
@@ -168,6 +168,31 @@ def read_tags(spark: SparkSession, path: str) -> DataFrame:
 def tag_values_path(tags_path: str) -> str:
     """The distinct-values sub-index directory beside the tag index."""
     return tags_path.rstrip("/") + "_values"
+
+
+#: file-spread of a compacted distinct-values sub-index — enough
+#: parallelism for a full-tag rlike scan of a high-cardinality tag's
+#: values, still few enough files that footer reads stay negligible
+TAG_VALUES_FILES = 8
+
+
+def tag_index_writer(rows: DataFrame):
+    """The bulk-write layout of the tag index (backfill/compaction —
+    NOT micro-batch appends, which stay one-file-per-batch): hash by
+    (date, tag, value) across the cluster's parallelism, sorted by
+    (tag, value, metric) within files.
+
+    Hashing on (tag, value) — not tag alone — is what keeps BOTH
+    browse shapes fast at the 10M-name envelope: a whole-tag slice
+    scan (``tag = 'host'``) fans out over all files in parallel
+    (tag-hashed layout put 10M rows in ONE file and capped the scan
+    at maxPartitionBytes splits), while a (tag, value) equality still
+    lands in a single file whose sorted row groups prune on min/max
+    stats."""
+    par = rows.sparkSession.sparkContext.defaultParallelism
+    return (rows.repartition(par, "date", "tag", "value")
+            .sortWithinPartitions("tag", "value", "metric")
+            .write)
 
 
 def read_tag_values(spark: SparkSession, tags_path: str):
@@ -256,10 +281,8 @@ def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
     n = kept.count()
     cols = [f.name for f in TAGS_SCHEMA.fields]
     try:
-        (kept.select(*cols)
-         .repartition("date")
-         .sortWithinPartitions("tag", "value", "metric")
-         .write.mode("overwrite").partitionBy("date").parquet(stage))
+        tag_index_writer(kept.select(*cols)
+                         ).mode("overwrite").partitionBy("date").parquet(stage)
         with _TAGS_REWRITE_LOCK:
             snap_set = set(snapshot)
             for f in live_files():
@@ -285,7 +308,7 @@ def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
             shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     try:
         (kept.groupBy("tag", "value").agg(F.max("date").alias("date"))
-         .repartition(1)
+         .repartition(TAG_VALUES_FILES, "tag", "value")
          .sortWithinPartitions("tag", "value")
          .write.mode("overwrite").parquet(vstage))
         with _TAGS_REWRITE_LOCK:

@@ -98,10 +98,13 @@ def test_tags_compaction_dedupes_and_bounds_files(spark, tmp_path):
     assert after.count() == 3
     assert {(r["tag"], r["value"]) for r in after.collect()} == {
         ("name", "disk.used"), ("rack", "r1"), ("datacenter", "dc1")}
-    # one file per date partition
+    # bounded files per date partition: the bulk layout hashes by
+    # (date, tag, value) so whole-tag slice scans parallelize at the
+    # 10M-name envelope — at most one non-empty file per distinct
+    # (tag, value) pair here (3), far below the 4-per-append sprawl
     [ddir] = [d for d in os.listdir(cfg.tags_path) if d.startswith("date=")]
     files = [f for f in os.listdir(os.path.join(cfg.tags_path, ddir))
              if f.endswith(".parquet")]
-    assert len(files) == 1
+    assert 1 <= len(files) <= 3
     # missing index path is a no-op, not an error
     assert run_tags_compaction(spark, str(tmp_path / "nope")) == 0

@@ -1031,15 +1031,16 @@ def test_regex_prune_skips_negated_and_invalid(spark, tmp_path):
     ], BASE)
     svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path,
                            tags_path=cfg.tags_path)
-    assert svc._first_tag_regex(["datacenter!=~dc.*"]) is None
-    assert svc._first_tag_regex(["rack=~[unclosed"]) is None
+    # a negated regex is a NEGATIVE exists-test (anti-join side)
+    _, positive = T.index_exists_pred("datacenter", "!=~", "dc.*")
+    assert positive is False
     # negated-only set: missing-tag series match (net.rx has no
     # datacenter tag -> matches the negation)
     got = sorted(r["metric"]
                  for r in svc._tagged_names(["datacenter!=~dc9.*"]).collect())
     assert got == ["disk.used;datacenter=dc1", "net.rx;rack=a1"]
     with pytest.raises(ValueError):
-        svc._tagged_names(["rack=~[unclosed"]).collect()
+        svc._tagged_names(["rack=~[unclosed"])
 
 
 def test_backfill_builds_values_subindex(spark, tmp_path):

@@ -49,12 +49,17 @@ def build_index(spark, n: int, path: str) -> None:
         ).alias("name"),
         F.lit(1_700_000_000).alias("updated"),
     )
+    from graphouse_spark.sources.tables import (
+        TAG_VALUES_FILES, tag_index_writer, tag_values_path)
+
     rows = tag_index_rows(names)
-    # same layout write_tags uses, but parallel (10M-name build is a
-    # one-off backfill, not a micro-batch append)
-    (rows.repartition(32, "tag")
-         .sortWithinPartitions("tag", "value", "metric")
-         .write.mode("overwrite").partitionBy("date").parquet(path))
+    # the bulk (backfill/compaction) layout: (date, tag, value)-hashed
+    # files so whole-tag scans parallelize and pair equalities prune
+    tag_index_writer(rows).mode("overwrite").partitionBy("date").parquet(path)
+    (rows.groupBy("tag", "value").agg(F.max("date").alias("date"))
+         .repartition(TAG_VALUES_FILES, "tag", "value")
+         .sortWithinPartitions("tag", "value")
+         .write.mode("overwrite").parquet(tag_values_path(path)))
 
 
 def timed(label: str, fn, repeats: int = 3):
@@ -99,6 +104,19 @@ def main() -> None:
               ["name=srv.metric1.used", "datacenter=dc1"]))
     timed("findSeries(datacenter=dc1, rack=~r1.*) [no name term]",
           lambda: svc.tag_find_series(["datacenter=dc1", "rack=~r1.*"]))
+    # regex-ONLY term sets — the round-9 worst case (8.7 s: nothing to
+    # push, per-name map compile over the whole namespace). Now served
+    # by the distinct-values sub-index (low-cardinality tag: value
+    # IN-list) or the rlike-on-slice fallback (high-cardinality tag:
+    # the sub-index matches >cap values, the slice is still sargable
+    # on the tag equality).
+    timed("findSeries(rack=~r1?[13].*) [regex-only, low-card]",
+          lambda: svc.tag_find_series(["rack=~r1?[13].*"]))
+    timed("findSeries(host=~h12345.*) [regex-only, high-card]",
+          lambda: svc.tag_find_series(["host=~h12345.*"]))
+    timed("autoComplete/values(datacenter, exprs=[rack=~r7.*])",
+          lambda: svc.tag_autocomplete_values(
+              "datacenter", exprs=["rack=~r7.*"]))
 
 
 if __name__ == "__main__":
