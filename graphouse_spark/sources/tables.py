@@ -209,10 +209,20 @@ def read_tag_values(spark: SparkSession, tags_path: str):
     return spark.read.schema(TAG_VALUES_SCHEMA).parquet(vp)
 
 
-#: serializes full-index rewrites (delSeries, compaction) AND ingest
+#: serializes the SWAP step of full-index rewrites against ingest
 #: appends (:func:`write_tags`) within one process — the daemon's HTTP
 #: server is threaded and the streaming thread appends concurrently
 _TAGS_REWRITE_LOCK = __import__("threading").Lock()
+
+#: serializes whole REWRITES against each other (nightly compaction vs
+#: an HTTP delSeries). Two interleaved rewrites are NOT safe with the
+#: swap lock alone: each would snapshot the same live files, and the
+#: second's append-carry-over step would then see the first's entire
+#: staged output as "files that appeared since the snapshot" and copy
+#: it into its own stage — resurrecting rows the second rewrite (or
+#: the first) meant to drop. Held for the full stage->swap->sub-index
+#: protocol; appends still only contend on the swap lock.
+_TAGS_REWRITE_SERIAL = __import__("threading").Lock()
 
 
 def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
@@ -253,73 +263,75 @@ def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
 
     from graphouse_spark.schemas import TAGS_SCHEMA
 
-    def live_files():
-        out = []
-        for root, _dirs, files in os.walk(tags_path):
-            for fn in files:
-                if fn.endswith(".parquet"):
-                    out.append(os.path.join(root, fn))
-        return out
+    # whole-rewrite mutex: see _TAGS_REWRITE_SERIAL
+    with _TAGS_REWRITE_SERIAL:
+        def live_files():
+            out = []
+            for root, _dirs, files in os.walk(tags_path):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        out.append(os.path.join(root, fn))
+            return out
 
-    parent = os.path.dirname(os.path.abspath(tags_path)) or "."
-    base = os.path.basename(os.path.abspath(tags_path))
-    # clear leftovers from a previous crashed rewrite
-    for d in os.listdir(parent):
-        if d.startswith(f".stage-{base}-") or d.startswith(f".bak-{base}-"):
-            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
-    token = uuid.uuid4().hex[:8]
-    stage = os.path.join(parent, f".stage-{base}-{token}")
-    bak = os.path.join(parent, f".bak-{base}-{token}")
+        parent = os.path.dirname(os.path.abspath(tags_path)) or "."
+        base = os.path.basename(os.path.abspath(tags_path))
+        # clear leftovers from a previous crashed rewrite
+        for d in os.listdir(parent):
+            if d.startswith(f".stage-{base}-") or d.startswith(f".bak-{base}-"):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+        token = uuid.uuid4().hex[:8]
+        stage = os.path.join(parent, f".stage-{base}-{token}")
+        bak = os.path.join(parent, f".bak-{base}-{token}")
 
-    snapshot = live_files()
-    if snapshot:
-        current = (spark.read.schema(TAGS_SCHEMA)
-                   .option("basePath", tags_path).parquet(*snapshot))
-    else:
-        current = spark.createDataFrame([], TAGS_SCHEMA)
-    kept = transform(current).localCheckpoint()
-    n = kept.count()
-    cols = [f.name for f in TAGS_SCHEMA.fields]
-    try:
-        tag_index_writer(kept.select(*cols)
-                         ).mode("overwrite").partitionBy("date").parquet(stage)
-        with _TAGS_REWRITE_LOCK:
-            snap_set = set(snapshot)
-            for f in live_files():
-                if f not in snap_set:  # appended during the rewrite
-                    rel = os.path.relpath(f, tags_path)
-                    dst = os.path.join(stage, rel)
-                    os.makedirs(os.path.dirname(dst), exist_ok=True)
-                    shutil.copy2(f, dst)
-            os.rename(tags_path, bak)
-            os.rename(stage, tags_path)
-        shutil.rmtree(bak, ignore_errors=True)
-    except Exception:
-        shutil.rmtree(stage, ignore_errors=True)
-        raise
-    # step 4: compact the distinct-values sub-index to match (same
-    # stage->swap dance; crash-safe per the protocol note above)
-    vp = tag_values_path(tags_path)
-    vbase = os.path.basename(os.path.abspath(vp))
-    vstage = os.path.join(parent, f".stage-{vbase}-{token}")
-    vbak = os.path.join(parent, f".bak-{vbase}-{token}")
-    for d in os.listdir(parent):  # leftovers from a crashed step 4
-        if d.startswith(f".stage-{vbase}-") or d.startswith(f".bak-{vbase}-"):
-            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
-    try:
-        (kept.groupBy("tag", "value").agg(F.max("date").alias("date"))
-         .repartition(TAG_VALUES_FILES, "tag", "value")
-         .sortWithinPartitions("tag", "value")
-         .write.mode("overwrite").parquet(vstage))
-        with _TAGS_REWRITE_LOCK:
-            if os.path.exists(vp):
-                os.rename(vp, vbak)
-            os.rename(vstage, vp)
-        shutil.rmtree(vbak, ignore_errors=True)
-    except Exception:
-        shutil.rmtree(vstage, ignore_errors=True)
-        raise
-    return n
+        snapshot = live_files()
+        if snapshot:
+            current = (spark.read.schema(TAGS_SCHEMA)
+                       .option("basePath", tags_path).parquet(*snapshot))
+        else:
+            current = spark.createDataFrame([], TAGS_SCHEMA)
+        kept = transform(current).localCheckpoint()
+        n = kept.count()
+        cols = [f.name for f in TAGS_SCHEMA.fields]
+        try:
+            tag_index_writer(kept.select(*cols)
+                             ).mode("overwrite").partitionBy("date").parquet(stage)
+            with _TAGS_REWRITE_LOCK:
+                snap_set = set(snapshot)
+                for f in live_files():
+                    if f not in snap_set:  # appended during the rewrite
+                        rel = os.path.relpath(f, tags_path)
+                        dst = os.path.join(stage, rel)
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        shutil.copy2(f, dst)
+                os.rename(tags_path, bak)
+                os.rename(stage, tags_path)
+            shutil.rmtree(bak, ignore_errors=True)
+        except Exception:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        # step 4: compact the distinct-values sub-index to match (same
+        # stage->swap dance; crash-safe per the protocol note above)
+        vp = tag_values_path(tags_path)
+        vbase = os.path.basename(os.path.abspath(vp))
+        vstage = os.path.join(parent, f".stage-{vbase}-{token}")
+        vbak = os.path.join(parent, f".bak-{vbase}-{token}")
+        for d in os.listdir(parent):  # leftovers from a crashed step 4
+            if d.startswith(f".stage-{vbase}-") or d.startswith(f".bak-{vbase}-"):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+        try:
+            (kept.groupBy("tag", "value").agg(F.max("date").alias("date"))
+             .repartition(TAG_VALUES_FILES, "tag", "value")
+             .sortWithinPartitions("tag", "value")
+             .write.mode("overwrite").parquet(vstage))
+            with _TAGS_REWRITE_LOCK:
+                if os.path.exists(vp):
+                    os.rename(vp, vbak)
+                os.rename(vstage, vp)
+            shutil.rmtree(vbak, ignore_errors=True)
+        except Exception:
+            shutil.rmtree(vstage, ignore_errors=True)
+            raise
+        return n
 
 
 def write_data_bucketed(df: DataFrame, table_name: str, n_buckets: int = 64) -> None:

@@ -400,3 +400,97 @@ def test_spooled_socket_ingest_e2e_with_cleanup(spark, tmp_path):
     finally:
         query.stop()
         server.stop()
+
+
+@pytest.mark.slow
+def test_four_spoolers_hot_key_skew(spark, tmp_path):
+    """doc/cluster.md:78-91 at the next fidelity step (round-9 verdict
+    #7): FOUR concurrent spoolers on one shared spool dir — lines
+    sharded by metric hash like the reference's sipHash64 routing —
+    with a HOT metric carrying ~60% of all points. Concurrent
+    delivery threads, interleaved flushes, one checkpointed reader.
+    Asserts zero loss, zero double-count after LWW, no file
+    collisions, and that the hot key does not collapse the data
+    append into a single task's file."""
+    import threading
+    from zlib import crc32
+
+    from graphouse_spark.operators.dedup import dedup_points
+    from graphouse_spark.sources.tables import read_data
+    from graphouse_spark.streaming.ingest import IngestConfig, start_file_ingest
+
+    spool_dir = tmp_path / "spool"
+    BASE = 1_542_199_500
+    # 60 hot points + 40 spread over 8 cold metrics, distinct
+    # timestamps so LWW collapses nothing
+    lines = [f"one_min.hot.requests {i}.5 {BASE + 60 * i}"
+             for i in range(60)]
+    lines += [f"one_min.cold.m{i % 8} {i}.25 {BASE + 60 * i}"
+              for i in range(40)]
+    shards: list[list[str]] = [[] for _ in range(4)]
+    for l in lines:  # metric-hash routing, like sipHash64(metric) % N
+        shards[crc32(l.split()[0].encode()) % 4].append(l)
+    assert max(len(s) for s in shards) >= 60  # the hot shard is hot
+
+    spools = [LineSpool(str(spool_dir), flush_seconds=999) for _ in range(4)]
+    servers = [SpoolServer(sp, host="127.0.0.1", port=0) for sp in spools]
+    try:
+        # two delivery waves; each wave sends to all four nodes
+        # CONCURRENTLY and flushes interleaved
+        for lo, hi in ((0, 1), (1, 2)):
+            ts = [threading.Thread(
+                      target=_send_lines,
+                      args=(srv.port,
+                            sh[lo * len(sh) // 2: hi * len(sh) // 2]))
+                  for srv, sh in zip(servers, shards) if sh]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            _wait(lambda: sum(len(sp._buffer) for sp in spools)
+                  == sum(hi * len(sh) // 2 - lo * len(sh) // 2
+                         for sh in shards),
+                  msg=f"wave {lo} buffered on all nodes")
+            for sp in spools:
+                sp.flush()
+        files = _spool_files(str(spool_dir))
+        n_nonempty_shards = sum(1 for sh in shards if sh)
+        assert len(files) == len(set(files)) >= n_nonempty_shards
+
+        cfg = IngestConfig(
+            data_path=str(tmp_path / "data"),
+            metrics_path=str(tmp_path / "metrics"),
+            checkpoint_path=str(tmp_path / "ckpt"),
+            trigger_seconds=1,
+        )
+        q = start_file_ingest(spark, cfg, str(spool_dir))
+
+        def _ingested() -> int:
+            if not os.path.exists(cfg.data_path):
+                return -1  # first micro-batch hasn't created the table
+            return dedup_points(read_data(spark, cfg.data_path)).count()
+
+        try:
+            _wait(lambda: _ingested() == 100,
+                  timeout=120, msg="all 100 points ingested")
+        finally:
+            q.stop()
+
+        deduped = dedup_points(read_data(spark, cfg.data_path))
+        got = {(r["metric"], r["ts"], r["value"]) for r in
+               deduped.select("metric", F.col("timestamp").alias("ts"),
+                              "value").collect()}
+        sent = {(l.split()[0], int(l.split()[2]), float(l.split()[1]))
+                for l in lines}
+        assert got == sent  # zero loss, zero double-count, hot key whole
+
+        # skew posture: the hot metric clusters into one partition by
+        # design (metric-hash repartition), but the append must not
+        # have collapsed EVERYTHING into a single task's file
+        data_files = set()
+        for root, _dirs, fs in os.walk(cfg.data_path):
+            data_files.update(f for f in fs if f.endswith(".parquet"))
+        assert len(data_files) >= 2
+    finally:
+        for srv in servers:
+            srv.stop()

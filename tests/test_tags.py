@@ -1060,3 +1060,139 @@ def test_backfill_builds_values_subindex(spark, tmp_path):
     vals = read_tag_values(spark, tags2)
     assert {(r["tag"], r["value"]) for r in vals.collect()} == {
         ("name", "disk.used"), ("datacenter", "dc1")}
+
+
+def test_concurrent_compaction_and_del_series_serialize(spark, tmp_path):
+    """Round-9 verdict #8: nightly compaction racing an HTTP delSeries.
+    Two interleaved rewrites are unsafe by construction (each would
+    carry the other's staged output into its own stage as 'appends',
+    resurrecting dropped rows); rewrite_tags_atomic therefore holds a
+    whole-rewrite mutex. This drives BOTH from threads with the
+    compaction transform parked mid-flight and proves (a) the second
+    rewrite never overlaps the first, (b) the final index is exactly
+    compacted-minus-deleted."""
+    import threading
+    import time as _time
+
+    from graphouse_spark.maintenance import run_tags_compaction
+    from graphouse_spark.sources.tables import (
+        read_tag_values, read_tags, rewrite_tags_atomic)
+
+    BASE = int(_time.time()) - 3600
+    cfg = _ingest_tagged(spark, tmp_path, [
+        f"disk.used;datacenter=dc1 1.0 {BASE}",
+        f"net.rx;datacenter=dc2 2.0 {BASE}",
+    ], BASE)
+    # duplicate the rows (an active series re-appends every batch)
+    raw = spark.createDataFrame(
+        [(f"disk.used;datacenter=dc1 3.0 {BASE}",),
+         (f"net.rx;datacenter=dc2 4.0 {BASE}",)], "value string")
+    from graphouse_spark.streaming.ingest import ingest_batch
+    ingest_batch(T.parse_tagged_lines(raw, updated=F.lit(BASE)), cfg,
+                 known_names=None)
+    assert read_tags(spark, cfg.tags_path).count() == 8  # 2x duplicated
+
+    spans: dict[str, tuple[float, float]] = {}
+    entered = threading.Event()
+    errors: list[BaseException] = []
+
+    def compaction():
+        def transform(idx):
+            t0 = _time.monotonic()
+            entered.set()
+            _time.sleep(2)  # park mid-rewrite while delSeries fires
+            out = idx.distinct()
+            spans["compact"] = (t0, _time.monotonic())
+            return out
+        try:
+            rewrite_tags_atomic(spark, cfg.tags_path, transform)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def deleter():
+        entered.wait(30)
+
+        def transform(idx):
+            t0 = _time.monotonic()
+            out = idx.filter(F.col("metric") != "net.rx;datacenter=dc2")
+            spans["delete"] = (t0, _time.monotonic())
+            return out
+        try:
+            rewrite_tags_atomic(spark, cfg.tags_path, transform)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    t1 = threading.Thread(target=compaction)
+    t2 = threading.Thread(target=deleter)
+    t1.start(); t2.start()
+    t1.join(120); t2.join(120)
+    assert not errors, errors
+
+    # (a) no overlap: the delete's transform started after the
+    # compaction's transform finished (the serial mutex covers the
+    # whole protocol, so transform spans cannot interleave)
+    assert spans["delete"][0] >= spans["compact"][1]
+
+    # (b) final state: deduped and the deleted series gone
+    rows = {(r["metric"], r["tag"], r["value"])
+            for r in read_tags(spark, cfg.tags_path).collect()}
+    assert rows == {("disk.used;datacenter=dc1", "name", "disk.used"),
+                    ("disk.used;datacenter=dc1", "datacenter", "dc1")}
+    assert read_tags(spark, cfg.tags_path).count() == 2
+    # sub-index compacted to match (superset contract holds)
+    sub = {(r["tag"], r["value"])
+           for r in read_tag_values(spark, cfg.tags_path).collect()}
+    assert sub == {("name", "disk.used"), ("datacenter", "dc1")}
+
+    # idempotence after the race: another compaction changes nothing
+    assert run_tags_compaction(spark, cfg.tags_path) == 2
+
+
+def test_rewrite_crash_at_swap_leaves_old_index(spark, tmp_path, monkeypatch):
+    """Injected crash at the live->bak rename: the rewrite fails, the
+    OLD index stays fully live (reads unchanged), the stage dir is
+    cleaned, and the next rewrite succeeds."""
+    import os as _os
+    import time as _time
+
+    from graphouse_spark.sources.tables import (
+        read_tags, rewrite_tags_atomic)
+
+    BASE = int(_time.time()) - 3600
+    cfg = _ingest_tagged(spark, tmp_path, [
+        f"disk.used;datacenter=dc1 1.0 {BASE}",
+        f"net.rx;datacenter=dc2 2.0 {BASE}",
+    ], BASE)
+    before = {(r["metric"], r["tag"], r["value"])
+              for r in read_tags(spark, cfg.tags_path).collect()}
+
+    real_rename = _os.rename
+    fired = {"n": 0}
+
+    def flaky(src, dst):
+        if src.rstrip("/") == cfg.tags_path.rstrip("/") and fired["n"] == 0:
+            fired["n"] += 1
+            raise OSError("injected crash at swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", flaky)
+    with pytest.raises(OSError, match="injected crash"):
+        rewrite_tags_atomic(
+            spark, cfg.tags_path,
+            lambda idx: idx.filter(F.col("metric") != "net.rx;datacenter=dc2"))
+    assert fired["n"] == 1
+    # old index fully intact
+    after = {(r["metric"], r["tag"], r["value"])
+             for r in read_tags(spark, cfg.tags_path).collect()}
+    assert after == before
+    # stage dir cleaned by the failed rewrite's error path
+    parent = _os.path.dirname(cfg.tags_path)
+    assert not [d for d in _os.listdir(parent) if d.startswith(".stage-")]
+
+    # retry (rename healthy now) succeeds and applies the delete
+    n = rewrite_tags_atomic(
+        spark, cfg.tags_path,
+        lambda idx: idx.filter(F.col("metric") != "net.rx;datacenter=dc2"))
+    assert n == 2
+    kept = {r["metric"] for r in read_tags(spark, cfg.tags_path).collect()}
+    assert kept == {"disk.used;datacenter=dc1"}
