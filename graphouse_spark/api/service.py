@@ -1012,11 +1012,18 @@ class GraphouseService:
     #: and hashing a giant literal list into the plan
     _REGEX_VALUES_CAP: int = 1000
 
-    def _regex_value_list(self, key: str, anchored: str):
+    def _regex_value_list(self, key: str, anchored: str,
+                          lookback: bool = True):
         """Distinct values of ``key`` matching the anchored pattern,
         from the sub-index, or None when the sub-index is absent or
         more than :attr:`_REGEX_VALUES_CAP` values match (callers then
-        prune with the pattern itself)."""
+        prune with the pattern itself).
+
+        ``lookback=True`` applies the browse window (a pair last seen
+        outside it has no in-window main rows either); the RENDER path
+        must pass False — it resolves against the FULL index, so a
+        value last seen before the window must still rewrite (else a
+        quiet series would silently drop out of seriesByTag renders)."""
         from pyspark.sql import functions as F
 
         from graphouse_spark.sources.tables import read_tag_values
@@ -1024,18 +1031,20 @@ class GraphouseService:
         vals = read_tag_values(self.spark, self.tags_path)
         if vals is None:
             return None
-        # same lookback as the main index: a pair last seen outside
-        # the window has no in-window main rows either
-        rows = (vals.filter(
-            (F.col("tag") == key)
-            & (F.col("date") >= F.date_sub(F.current_date(),
-                                           self.tag_lookback_days))
-            & F.col("value").rlike(anchored))
-            .select("value").distinct()
-            .limit(self._REGEX_VALUES_CAP + 1).collect())
+        cond = (F.col("tag") == key) & F.col("value").rlike(anchored)
+        if lookback:
+            cond = cond & (F.col("date") >= F.date_sub(
+                F.current_date(), self.tag_lookback_days))
+        rows = (vals.filter(cond)
+                .select("value").distinct()
+                .limit(self._REGEX_VALUES_CAP + 1).collect())
         if len(rows) > self._REGEX_VALUES_CAP:
             return None
         return [r["value"] for r in rows]
+
+    def _regex_value_list_full(self, key: str, anchored: str):
+        """No-lookback twin for full-index (render-path) resolution."""
+        return self._regex_value_list(key, anchored, lookback=False)
 
     def tag_find_series(self, exprs: list[str],
                         limit: int | None = None) -> str:
@@ -1286,9 +1295,11 @@ class GraphouseService:
                         from graphouse_spark.sources.tables import read_tags
 
                         idx = read_tags(self.spark, self.tags_path)
+                        # full-index resolution: the value-list rewrite
+                        # must NOT apply the browse lookback here
                         sel = tg_mod.series_by_tag_on_index(
                             idx, exprs,
-                            regex_values=self._regex_value_list)
+                            regex_values=self._regex_value_list_full)
                     else:
                         # date is the PARTITION column: without this
                         # pair of bounds every render's name-resolve

@@ -283,7 +283,24 @@ def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
         stage = os.path.join(parent, f".stage-{base}-{token}")
         bak = os.path.join(parent, f".bak-{base}-{token}")
 
+        vp = tag_values_path(tags_path)
+
+        def live_value_files():
+            out = []
+            if os.path.isdir(vp):
+                for root, _dirs, files in os.walk(vp):
+                    out.extend(os.path.join(root, fn) for fn in files
+                               if fn.endswith(".parquet"))
+            return out
+
         snapshot = live_files()
+        # sub-index snapshot taken at the SAME instant: any value file
+        # appended after this point (by a concurrent ingest batch) must
+        # be carried into the staged sub-index, or the swap would drop
+        # those (tag, value) pairs while their carried-over main rows
+        # survive — breaking the superset contract and hiding the
+        # series from regex-rewritten browses
+        vp_snapshot = set(live_value_files())
         if snapshot:
             current = (spark.read.schema(TAGS_SCHEMA)
                        .option("basePath", tags_path).parquet(*snapshot))
@@ -311,7 +328,6 @@ def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
             raise
         # step 4: compact the distinct-values sub-index to match (same
         # stage->swap dance; crash-safe per the protocol note above)
-        vp = tag_values_path(tags_path)
         vbase = os.path.basename(os.path.abspath(vp))
         vstage = os.path.join(parent, f".stage-{vbase}-{token}")
         vbak = os.path.join(parent, f".bak-{vbase}-{token}")
@@ -324,6 +340,11 @@ def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
              .sortWithinPartitions("tag", "value")
              .write.mode("overwrite").parquet(vstage))
             with _TAGS_REWRITE_LOCK:
+                for f in live_value_files():
+                    if f not in vp_snapshot:  # appended during rewrite
+                        dst = os.path.join(vstage, os.path.relpath(f, vp))
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        shutil.copy2(f, dst)
                 if os.path.exists(vp):
                     os.rename(vp, vbak)
                 os.rename(vstage, vp)

@@ -804,6 +804,14 @@ def test_rewrite_tags_atomic_carries_concurrent_appends(spark, tmp_path):
     assert after == {"disk.used;dc=one", "net.rx;dc=two"}  # append kept
     assert not [d for d in os.listdir(parent)
                 if d.startswith((".stage-tags", ".bak-tags"))]
+    # the SUB-INDEX carry-over too: the concurrent append's
+    # (tag, value) pairs must survive the values swap (superset
+    # contract — else the appended series hides from =~ browses)
+    from graphouse_spark.sources.tables import read_tag_values
+    sub = {(r["tag"], r["value"])
+           for r in read_tag_values(spark, cfg.tags_path).collect()}
+    assert {("name", "net.rx"), ("dc", "two"),
+            ("name", "disk.used"), ("dc", "one")} <= sub
 
     # a failing transform leaves the live index untouched
     import pytest as _pytest
@@ -1196,3 +1204,31 @@ def test_rewrite_crash_at_swap_leaves_old_index(spark, tmp_path, monkeypatch):
     assert n == 2
     kept = {r["metric"] for r in read_tags(spark, cfg.tags_path).collect()}
     assert kept == {"disk.used;datacenter=dc1"}
+
+
+def test_render_regex_resolution_ignores_browse_lookback(spark, tmp_path):
+    """A series last seen OUTSIDE the browse lookback must still
+    resolve on the RENDER path through a =~ term (render reads the
+    full index; the sub-index value-list rewrite must not apply the
+    browse window there) — while /tags browsing correctly ages it
+    out."""
+    from graphouse_spark.api.service import GraphouseService
+    from graphouse_spark.retention import (
+        CombinedRetentionProvider, MetricRetention, MetricRetentionConfig)
+
+    BASE = 1_542_199_500  # 2018 — far outside any lookback
+    cfg = _ingest_tagged(spark, tmp_path, [
+        f"disk.used;datacenter=dc1 1.0 {BASE}",
+    ], BASE)
+    provider = CombinedRetentionProvider(
+        [MetricRetentionConfig(".*", True, MetricRetention("avg", {0: 60}))])
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path,
+                           provider, tags_path=cfg.tags_path)
+    svc.load_tree()
+    # browse: aged out of the 7-day window
+    import json as _json
+    assert _json.loads(svc.tag_find_series(["datacenter=~dc.*"])) == []
+    # render: the =~ term resolves against the full index
+    out = svc.render("seriesByTag('datacenter=~dc.*')",
+                     BASE - 10, BASE + 70)
+    assert [s["target"] for s in out] == ["disk.used;datacenter=dc1"]
