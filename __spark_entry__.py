@@ -1475,7 +1475,8 @@ def q_doc_dedup_clusters(spark, sf_dir):
     no connectivity information) — same oracle, ~3x less work."""
     from graphouse_spark.functions.cluster import simhash_dedup_clusters
 
-    return simhash_dedup_clusters(_t(spark, sf_dir, "documents"), max_hamming=2)
+    return simhash_dedup_clusters(_t(spark, sf_dir, "documents"), max_hamming=2,
+                              strategy="arrow")
 
 
 def q_doc_contamination(spark, sf_dir):
@@ -1519,7 +1520,7 @@ def q_doc_corpus_pipeline(spark, sf_dir):
     # builds) and the final summary all read the same token arrays
     # instead of re-running split/lower/filter per branch.
     kept = cluster_representatives(
-        docs, simhash_dedup_clusters(docs, max_hamming=2)
+        docs, simhash_dedup_clusters(docs, max_hamming=2, strategy="arrow")
     ).withColumn("_tokens", tokens_col(F.col("text"))
     ).localCheckpoint(eager=True)
     split = split_train_eval(kept, "doc_id", 0.05)
@@ -1636,7 +1637,8 @@ def q_doc_simhash_pairs(spark, sf_dir):
     it PROVES the band recall guarantee on this corpus."""
     from graphouse_spark.functions.dedup import simhash_near_duplicates
 
-    return simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=3,
+                               strategy="arrow")
 
 
 def q_doc_minhash_np(spark, sf_dir):

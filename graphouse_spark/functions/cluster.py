@@ -180,7 +180,8 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
 
 def simhash_dedup_clusters(docs: DataFrame, max_hamming: int = 2,
                            text_col: str = "text", id_col: str = "doc_id",
-                           bits: int = 60, hash_fn: str = "md5") -> DataFrame:
+                           bits: int = 60, hash_fn: str = "md5",
+                           strategy: str = "engine") -> DataFrame:
     """``dedup_clusters(simhash_near_duplicates(docs))`` with identical
     results, but identical FINGERPRINTS collapse to one representative
     node (the group's min id) before the banded join and the
@@ -203,11 +204,20 @@ def simhash_dedup_clusters(docs: DataFrame, max_hamming: int = 2,
     banded edge. The driver oracle (recursive-CTE closure over the
     brute-force hamming graph) pins all of this.
     """
-    from graphouse_spark.functions.dedup import banded_hamming_pairs, simhash
+    from graphouse_spark.functions.dedup import (
+        banded_hamming_pairs, simhash, simhash_np)
 
     par = docs.sparkSession.sparkContext.defaultParallelism
-    sigs = simhash(docs.repartition(par), text_col, id_col, bits, hash_fn
-                   ).localCheckpoint(eager=True)
+    if strategy == "arrow":
+        if hash_fn != "md5":
+            raise ValueError("strategy='arrow' implements the md5 family")
+        sigs = simhash_np(docs.repartition(par), text_col, id_col, bits
+                          ).localCheckpoint(eager=True)
+    elif strategy == "engine":
+        sigs = simhash(docs.repartition(par), text_col, id_col, bits, hash_fn
+                       ).localCheckpoint(eager=True)
+    else:
+        raise ValueError(f"strategy must be engine|arrow, got {strategy!r}")
     groups = (
         sigs.groupBy("simhash")
         .agg(F.min(id_col).alias("rep"), F.count(F.lit(1)).alias("_n_fp"))

@@ -340,9 +340,57 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return docs.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_np(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               bits: int = 60) -> DataFrame:
+    """SimHash, Arrow/numpy strategy — bit-identical to
+    ``simhash(hash_fn='md5')``.
+
+    Per Arrow batch: distinct tokens, md5-prefix hash each once, then
+    ONE numpy broadcast ``(hs[:,None] >> shifts) & 1`` and a column
+    sum — the 60-wide per-token zip_with fold (interpreted: no codegen
+    inside higher-order lambdas) collapses to vectorized bit math.
+    Same fixed hash family, so every md5-simhash oracle verifies this
+    kernel too. bits <= 60 (the portable family's width — no sign-bit
+    handling needed)."""
+    assert bits <= 60, "portable md5 hash carries 60 bits"
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    ws = re.compile(r"\s+")
+    shifts = np.arange(bits, dtype=np.uint64)
+    masks = (np.uint64(1) << shifts).astype(np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, sims = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = {t for t in ws.split(str(text).lower()) if t}
+                if not toks:
+                    ids.append(doc_id)
+                    sims.append(0)
+                    continue
+                hs = np.fromiter(
+                    (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                     for t in toks),
+                    dtype=np.uint64, count=len(toks))
+                ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(
+                    axis=0, dtype=np.int64)
+                votes = 2 * ones - len(toks)
+                ids.append(doc_id)
+                sims.append(int(masks[votes > 0].sum()))
+            yield pd.DataFrame({id_col: ids, "simhash": sims})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} long, simhash long")
+
+
 def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
                             text_col: str = "text", id_col: str = "doc_id",
-                            bits: int = 60, hash_fn: str = "md5") -> DataFrame:
+                            bits: int = 60, hash_fn: str = "md5",
+                            strategy: str = "engine") -> DataFrame:
     """SimHash near-dup pairs via banded hamming LSH (pigeonhole).
 
     Split each ``bits``-wide fingerprint into ``max_hamming + 1``
@@ -361,7 +409,14 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
     """
     # fingerprinting is CPU-bound per row — spread single-file corpora
     par = docs.sparkSession.sparkContext.defaultParallelism
-    sigs = simhash(docs.repartition(par), text_col, id_col, bits, hash_fn)
+    if strategy == "arrow":
+        if hash_fn != "md5":
+            raise ValueError("strategy='arrow' implements the md5 family")
+        sigs = simhash_np(docs.repartition(par), text_col, id_col, bits)
+    elif strategy == "engine":
+        sigs = simhash(docs.repartition(par), text_col, id_col, bits, hash_fn)
+    else:
+        raise ValueError(f"strategy must be engine|arrow, got {strategy!r}")
     return banded_hamming_pairs(sigs, max_hamming, id_col, bits)
 
 

@@ -146,6 +146,29 @@ def test_minhash_np_matches_engine_md5(spark):
     assert eng == arw
 
 
+def test_simhash_np_matches_engine_md5(spark):
+    """The Arrow simhash kernel reproduces the md5-family fold
+    bit-for-bit — including the empty-token doc (fingerprint 0), tie
+    votes (strictly-positive wins a bit), and repeated tokens
+    (distinct-token semantics)."""
+    from graphouse_spark.functions.dedup import simhash, simhash_np
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different text with no overlap at all"),
+         (4, "short"), (5, "  "), (6, "a b a b a"),
+         (7, "ONE one OnE")],
+        ["doc_id", "text"],
+    )
+    eng = {r["doc_id"]: r["simhash"] for r in
+           simhash(docs, bits=60, hash_fn="md5").collect()}
+    arw = {r["doc_id"]: r["simhash"] for r in
+           simhash_np(docs, bits=60).collect()}
+    assert eng == arw
+    assert arw[5] == 0  # empty-token doc
+
+
 # ---------------------------------------------------------------- sampling
 
 def test_hash_sampling_deterministic_and_stratified(spark):
