@@ -69,8 +69,8 @@ def test_metrics_compaction_idempotent(spark, tmp_path):
 def test_tags_compaction_dedupes_and_bounds_files(spark, tmp_path):
     """Ingest re-appends an active series' tag rows every batch; the
     maintenance compaction restores one distinct row per
-    (metric, tag, value, date) and one file per date partition, and
-    the browse answers are unchanged."""
+    (metric, tag, value, date) with a bounded (tag, value)-hashed file
+    count per date partition, and the browse answers are unchanged."""
     import os
 
     from pyspark.sql import functions as F
