@@ -81,7 +81,11 @@ def main() -> None:
     ok = all(p["ok"] for run in runs for p in run)
     record = {
         "ok": ok,
-        "runs": [[{k: p[k] for k in ("phase", "wall_sec", "ok")}
+        # keep the bench phase's one-line JSON artifact (it is the
+        # round's perf record; ok-phase stdout is otherwise dropped)
+        "runs": [[dict({k: p[k] for k in ("phase", "wall_sec", "ok")},
+                       **({"tail": p["tail"]} if p["phase"] == "bench"
+                          else {}))
                   for p in run] for run in runs],
         "failures": [{"run": i, **{k: p[k] for k in ("phase", "tail")}}
                      for i, run in enumerate(runs)
