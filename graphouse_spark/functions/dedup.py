@@ -147,7 +147,11 @@ def minhash_signatures_np(docs: DataFrame, text_col: str = "text", id_col: str =
     A = np.array([a for a, _ in ab], dtype=np.uint64)[:, None]
     B = np.array([b for _, b in ab], dtype=np.uint64)[:, None]
     P = np.uint64((1 << 61) - 1)
-    ws = re.compile(r"\s+")
+    # ASCII \s: Java regex \s (the Catalyst twin) and RE2 (the DuckDB
+    # oracle) are ASCII-only; Python's default \s also eats Unicode
+    # whitespace (NBSP, U+2028, ...), which would silently fork the
+    # token stream on non-ASCII docs
+    ws = re.compile(r"\s+", re.ASCII)
 
     def kernel(batches):
         for pdf in batches:
@@ -359,7 +363,11 @@ def simhash_np(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     import numpy as np
     import pandas as pd
 
-    ws = re.compile(r"\s+")
+    # ASCII \s: Java regex \s (the Catalyst twin) and RE2 (the DuckDB
+    # oracle) are ASCII-only; Python's default \s also eats Unicode
+    # whitespace (NBSP, U+2028, ...), which would silently fork the
+    # token stream on non-ASCII docs
+    ws = re.compile(r"\s+", re.ASCII)
     shifts = np.arange(bits, dtype=np.uint64)
     masks = (np.uint64(1) << shifts).astype(np.int64)
 
