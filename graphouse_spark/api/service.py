@@ -994,19 +994,6 @@ class GraphouseService:
             names = tg_mod.series_by_tag(names, exprs)
         return names
 
-    @staticmethod
-    def _first_tag_equality(exprs: list[str] | None):
-        """The first positive ``key=value`` term (non-empty value,
-        key != name — name= is already a prefix-range in
-        series_by_tag), usable as an index-scan prune."""
-        import re as _re
-
-        for t in exprs or ():
-            m = _re.match(r"^([^;!=~\s]+)\s*=\s*([^~].*)$", t.strip())
-            if m and m.group(1) != "name" and m.group(2):
-                return m.group(1), m.group(2)
-        return None
-
     #: inline at most this many matched distinct values as an IN-list;
     #: beyond it the rlike-on-slice fallback is cheaper than shipping
     #: and hashing a giant literal list into the plan
