@@ -1232,3 +1232,54 @@ def test_render_regex_resolution_ignores_browse_lookback(spark, tmp_path):
     out = svc.render("seriesByTag('datacenter=~dc.*')",
                      BASE - 10, BASE + 70)
     assert [s["target"] for s in out] == ["disk.used;datacenter=dc1"]
+
+
+def test_index_evaluator_equals_map_compile_randomized(spark):
+    """Seeded randomized equivalence: series_by_tag_on_index (the
+    slice-intersection index path) returns EXACTLY the metrics the
+    map-compile evaluator (series_by_tag over names) returns, across
+    random term sets covering every operator (=, !=, =~, !=~; empty
+    values; name= terms; missing tags; multi-term mixes)."""
+    import random as _random
+
+    rng = _random.Random(0xC0FFEE)
+    paths = [f"disk.m{i}" for i in range(3)]
+    tagkeys = ["dc", "rack", "env"]
+    values = [f"v{i}" for i in range(4)]
+    names = []
+    for i in range(40):
+        path = rng.choice(paths)
+        tags = {k: rng.choice(values)
+                for k in tagkeys if rng.random() < 0.7}
+        name = ";".join([path] + [f"{k}={v}"
+                                  for k, v in sorted(tags.items())])
+        names.append(name)
+    names = sorted(set(names))
+    names_df = spark.createDataFrame([(n,) for n in names],
+                                     "metric string")
+    idx_rows = []
+    for n in names:
+        _, tags = T.parse_tagged(n)
+        idx_rows.extend((n, k, v) for k, v in tags.items())
+    idx = spark.createDataFrame(idx_rows, "metric string, tag string, value string")
+
+    def random_term():
+        key = rng.choice(tagkeys + ["name"])
+        op = rng.choice(["=", "!=", "=~", "!=~"])
+        if op in ("=", "!="):
+            val = rng.choice(
+                values + (paths if key == "name" else []) + [""] + ["nope"])
+        else:
+            val = rng.choice(["v[01].*", "v.*", "disk\\..*", "v2", "x.*"])
+        return f"{key}{op}{val}"
+
+    checked = 0
+    for _ in range(40):
+        terms = [random_term() for _ in range(rng.randint(1, 3))]
+        via_index = {r["metric"] for r in
+                     T.series_by_tag_on_index(idx, terms).collect()}
+        via_maps = {r["metric"] for r in
+                    T.series_by_tag(names_df, terms).collect()}
+        assert via_index == via_maps, (terms, via_index ^ via_maps)
+        checked += 1
+    assert checked == 40
