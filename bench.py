@@ -188,6 +188,76 @@ class _StageMeter:
         return out
 
 
+def _calibrate(spark, meter: _StageMeter) -> dict:
+    """Fixed-work host-speed probes (round-10 verdict #3): two rounds in
+    a row were adjudicated through a "the box got slower" caveat on
+    long-vector-loop kernels. These two loops are byte-identical every
+    round, so cross-round cpu_sec claims can be NORMALIZED against them
+    instead of argued:
+
+    - ``numpy``: a md5 + numpy-broadcast loop shaped exactly like the
+      Arrow minhash kernel (the workload class that drifted 35-45%
+      between rounds 9 and 10 on identical code);
+    - ``jvm``: one fixed Spark aggregation over ``range`` (pure
+      whole-stage-codegen arithmetic, no I/O, no Python).
+
+    Reported per probe: wall seconds and cpu seconds (process cpu for
+    numpy; executorCpuTime for jvm). Ratios vs a prior round's calib
+    estimate how much of a kernel's cpu delta is the HOST, not the plan.
+    """
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    A = rng.integers(1, 1 << 30, size=64, dtype=np.uint64)[:, None]
+    B = rng.integers(0, 1 << 60, size=64, dtype=np.uint64)[:, None]
+    P = np.uint64((1 << 61) - 1)
+    n_docs, n_shingles = 800, 600
+    acc = 0
+
+    def np_probe() -> tuple[float, float]:
+        nonlocal acc
+        t0w, t0c = time.perf_counter(), time.process_time()
+        for i in range(n_docs):
+            hs = np.fromiter(
+                (int(hashlib.md5(f"tok{i}-{j}".encode()).hexdigest()[:8], 16)
+                 for j in range(n_shingles)),
+                dtype=np.uint64, count=n_shingles)[None, :]
+            acc ^= int(((A * hs + B) % P).min(axis=1).sum())
+        return time.perf_counter() - t0w, time.process_time() - t0c
+
+    n_rows = 100_000_000
+
+    def jvm_probe(seed: int) -> tuple[float, float]:
+        # fresh plan per call: re-collecting the SAME DataFrame object
+        # reuses its map-side shuffle files (stage skipped) and measures
+        # nothing. modulo before summing: raw xxhash64 longs overflow
+        # the ANSI sum.
+        q = spark.range(n_rows, numPartitions=8).select(
+            F.sum(F.xxhash64((F.col("id") * 2654435761 + seed)
+                             .cast("string")) % 1000003))
+        snap = meter.max_stage_id()
+        t0w = time.perf_counter()
+        q.collect()
+        return time.perf_counter() - t0w, meter.since(snap)["cpu_sec"]
+
+    # one warm (codegen compile + JIT), then min-of-2 measured — the
+    # same steady-state protocol as the query baskets
+    jvm_probe(0)
+    np_probe()
+    np_wall, np_cpu = min(np_probe() for _ in range(2))
+    jvm_wall, jvm_cpu = min(jvm_probe(s) for s in (1, 2))
+    return {
+        "numpy_wall_sec": round(np_wall, 4),
+        "numpy_cpu_sec": round(np_cpu, 4),
+        "numpy_work": f"{n_docs}x{n_shingles} md5+broadcast (checksum {acc & 0xffff})",
+        "jvm_wall_sec": round(jvm_wall, 4),
+        "jvm_cpu_sec": round(jvm_cpu, 4),
+        "jvm_work": f"xxhash64-sum over range({n_rows})",
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -274,6 +344,9 @@ def main() -> None:
         time.sleep(10)
     load_before = os.getloadavg()
     quiet = is_quiet()
+    calib = _calibrate(spark, meter)
+    print(f"# calib: numpy {calib['numpy_cpu_sec']:.2f}s cpu / "
+          f"jvm {calib['jvm_cpu_sec']:.2f}s cpu", file=sys.stderr)
     timings, task_stats = run_set(BENCH_QUERIES, repeats=2)
     extended, ext_task_stats = run_set(EXTENDED_QUERIES, repeats=2)
     load_after = os.getloadavg()
@@ -289,6 +362,7 @@ def main() -> None:
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump({
+            "calib": calib,
             "task_metrics": task_stats,
             "extended": extended,
             "extended_task_metrics": ext_task_stats,
@@ -316,6 +390,9 @@ def main() -> None:
         "extended_cpu_time_total": round(
             sum(t["cpu_sec"] for t in ext_task_stats.values()), 4),
         "quiet": quiet,
+        # fixed-work host-speed probes: normalize cross-round cpu_sec
+        # deltas against these before attributing them to plan changes
+        "calib": calib,
         # ambient-load indicator: a 1-min loadavg far above the bench's
         # own footprint means the numbers carry noisy-neighbor drift
         # (the round-2 and round-4 phantom regressions) — read deltas

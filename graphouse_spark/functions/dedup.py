@@ -97,6 +97,11 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     ``hash_fn``: ``xxhash64`` (fast, engine-specific) or ``md5``
     (portable_hash32 — bit-identical in DuckDB, so the whole pipeline
     is oracle-checkable).
+
+    NULL text yields a NULL signature. Without the explicit guard the
+    fold would return the INIT vector (``least(acc, NULL)`` ignores
+    NULLs), making every null-text doc a perfect LSH duplicate of
+    every other — a silent corpus-poisoning footgun at scale.
     """
     ab = minhash_ab(num_hashes)
     ab_lit = F.expr(
@@ -118,6 +123,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
             acc, ab_lit, lambda a, p: F.least(a, (p["a"] * h + p["b"]) % prime)
         ),
     )
+    sig = F.when(F.col(text_col).isNull(),
+                 F.lit(None).cast("array<long>")).otherwise(sig)
     return docs.select(F.col(id_col), sig.alias("signature"))
 
 
@@ -136,6 +143,8 @@ def minhash_signatures_np(docs: DataFrame, text_col: str = "text", id_col: str =
 
     Same fixed-seed family and md5 shingle hash as the engine variant,
     so the DuckDB oracle for the md5 pipeline verifies this one too.
+    NULL text yields a NULL signature (the engine fold over a NULL
+    shingle array is NULL), and the id column keeps its input type.
     """
     import hashlib
     import re
@@ -143,6 +152,7 @@ def minhash_signatures_np(docs: DataFrame, text_col: str = "text", id_col: str =
     import numpy as np
     import pandas as pd
 
+    id_type = docs.schema[id_col].dataType.simpleString()
     ab = minhash_ab(num_hashes)
     A = np.array([a for a, _ in ab], dtype=np.uint64)[:, None]
     B = np.array([b for _, b in ab], dtype=np.uint64)[:, None]
@@ -157,6 +167,12 @@ def minhash_signatures_np(docs: DataFrame, text_col: str = "text", id_col: str =
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or (not isinstance(text, str) and pd.isna(text)):
+                    # engine twin: the fold over a NULL shingle array
+                    # is NULL, not a fingerprint of the string 'None'
+                    ids.append(doc_id)
+                    sigs.append(None)
+                    continue
                 toks = [t for t in ws.split(str(text).lower()) if t]
                 if len(toks) <= shingle_n - 1:
                     shingles = {" ".join(toks)}
@@ -175,7 +191,7 @@ def minhash_signatures_np(docs: DataFrame, text_col: str = "text", id_col: str =
             yield pd.DataFrame({id_col: ids, "signature": sigs})
 
     return docs.select(id_col, text_col).mapInPandas(
-        kernel, f"{id_col} long, signature array<long>"
+        kernel, f"{id_col} {id_type}, signature array<long>"
     )
 
 
@@ -222,7 +238,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 def minhash_near_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                             threshold: float = 0.7, num_hashes: int = 64,
                             bands: int | None = None, shingle_n: int = 3,
-                            hash_fn: str = "xxhash64",
+                            hash_fn: str | None = None,
                             strategy: str = "engine") -> DataFrame:
     """End-to-end MinHash LSH: candidates verified by signature similarity.
 
@@ -236,9 +252,11 @@ def minhash_near_duplicates(docs: DataFrame, text_col: str = "text", id_col: str
     the classic 16x4).
 
     ``strategy='engine'`` computes signatures with the Catalyst fold
-    (pure JVM, hash_fn selectable); ``strategy='arrow'`` uses the
-    vectorized numpy kernel (md5 family, bit-identical to
-    ``hash_fn='md5'`` — faster when shingle counts per doc are large).
+    (pure JVM, hash_fn selectable, default ``xxhash64``);
+    ``strategy='arrow'`` uses the vectorized numpy kernel, which
+    implements exactly the md5 portable family — ``hash_fn=None``
+    resolves to it, and any other explicit ``hash_fn`` raises rather
+    than silently returning md5 results.
     """
     if bands is None:
         bands, _ = lsh_tune(num_hashes, threshold)
@@ -248,11 +266,14 @@ def minhash_near_duplicates(docs: DataFrame, text_col: str = "text", id_col: str
     # feeds three joins below
     par = docs.sparkSession.sparkContext.defaultParallelism
     if strategy == "arrow":
+        if hash_fn not in (None, "md5"):
+            raise ValueError(
+                f"strategy='arrow' implements the md5 family, got hash_fn={hash_fn!r}")
         sigs = minhash_signatures_np(docs.repartition(par), text_col, id_col,
                                      num_hashes, shingle_n).persist()
     elif strategy == "engine":
         sigs = minhash_signatures(docs.repartition(par), text_col, id_col, num_hashes,
-                                  shingle_n, hash_fn).persist()
+                                  shingle_n, hash_fn or "xxhash64").persist()
     else:
         raise ValueError(f"strategy must be engine|arrow, got {strategy!r}")
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
@@ -355,13 +376,17 @@ def simhash_np(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     inside higher-order lambdas) collapses to vectorized bit math.
     Same fixed hash family, so every md5-simhash oracle verifies this
     kernel too. bits <= 60 (the portable family's width — no sign-bit
-    handling needed)."""
+    handling needed). NULL text yields a NULL simhash (the engine
+    fold over a NULL token array is NULL), and the id column keeps
+    its input type."""
     assert bits <= 60, "portable md5 hash carries 60 bits"
     import hashlib
     import re
 
     import numpy as np
     import pandas as pd
+
+    id_type = docs.schema[id_col].dataType.simpleString()
 
     # ASCII \s: Java regex \s (the Catalyst twin) and RE2 (the DuckDB
     # oracle) are ASCII-only; Python's default \s also eats Unicode
@@ -375,6 +400,12 @@ def simhash_np(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         for pdf in batches:
             ids, sims = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or (not isinstance(text, str) and pd.isna(text)):
+                    # engine twin: NULL text -> NULL simhash, not a
+                    # fingerprint of the literal token 'none'
+                    ids.append(doc_id)
+                    sims.append(None)
+                    continue
                 toks = {t for t in ws.split(str(text).lower()) if t}
                 if not toks:
                     ids.append(doc_id)
@@ -389,10 +420,13 @@ def simhash_np(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 votes = 2 * ones - len(toks)
                 ids.append(doc_id)
                 sims.append(int(masks[votes > 0].sum()))
-            yield pd.DataFrame({id_col: ids, "simhash": sims})
+            # nullable Int64, never float64: simhash values reach 2^60,
+            # beyond float64's exact-integer range
+            yield pd.DataFrame(
+                {id_col: ids, "simhash": pd.array(sims, dtype="Int64")})
 
     return docs.select(id_col, text_col).mapInPandas(
-        kernel, f"{id_col} long, simhash long")
+        kernel, f"{id_col} {id_type}, simhash long")
 
 
 def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,

@@ -156,11 +156,13 @@ def anchored_pattern(value: str) -> str:
 
 
 def index_exists_pred(key: str, op: str, value: str,
-                      regex_values=None) -> tuple[Column, bool]:
+                      regex_values=None) -> tuple[Column, bool, bool]:
     """One seriesByTag term as an EXISTS test over index rows:
-    ``(row_pred, positive)`` — the term holds for a metric iff some
-    row of the metric satisfies ``row_pred`` (``positive=True``) or
-    no row does (``positive=False``):
+    ``(row_pred, positive, rewritten)`` — the term holds for a metric
+    iff some row of the metric satisfies ``row_pred``
+    (``positive=True``) or no row does (``positive=False``);
+    ``rewritten`` reports whether a regex term was rewritten into a
+    sargable value-IN-list (callers use it to rank selectivity):
 
     - ``k=v``    -> exists (k, v) row            (positive)
     - ``k=``     -> no k row at all              (negative)
@@ -178,19 +180,21 @@ def index_exists_pred(key: str, op: str, value: str,
     rewrite hook — when it returns a value list (from the
     distinct-values sub-index), the regex exists-test becomes a
     sargable ``value IN (...)`` on the sorted (tag, value) layout
-    instead of an rlike over the tag's slice."""
+    instead of an rlike over the tag's slice. The rewrite applies to
+    ``!=~`` terms too: it is safe on the anti-join side because the
+    sub-index value list is a superset of live values."""
     tag_hit = F.col("tag") == key
     if op in ("=", "!="):
         if value == "":
-            return tag_hit, op != "="
-        return tag_hit & (F.col("value") == value), op == "="
+            return tag_hit, op != "=", False
+        return tag_hit & (F.col("value") == value), op == "=", False
     anchored = anchored_pattern(value)
     vals = regex_values(key, anchored) if regex_values is not None else None
     if vals is not None:
         pred = tag_hit & F.col("value").isin(vals)
     else:
         pred = tag_hit & F.col("value").rlike(anchored)
-    return pred, op == "=~"
+    return pred, op == "=~", vals is not None
 
 
 def series_by_tag_on_index(idx: DataFrame, exprs: list[str],
@@ -225,9 +229,10 @@ def series_by_tag_on_index(idx: DataFrame, exprs: list[str],
     positives, negatives = [], []
     for t in exprs:
         key, op, value = parse_term(t)
-        pred, positive = index_exists_pred(key, op, value, regex_values)
-        # selectivity rank: equality < IN-list regex < bare regex/present
-        rank = 0 if (op == "=" and value) else 1
+        pred, positive, rewritten = index_exists_pred(key, op, value, regex_values)
+        # selectivity rank: equality < IN-list-rewritten regex < bare
+        # regex / tag-present
+        rank = 0 if (op == "=" and value) else (1 if rewritten else 2)
         (positives if positive else negatives).append((rank, pred))
     positives.sort(key=lambda rp: rp[0])
     if positives:

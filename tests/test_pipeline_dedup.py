@@ -169,6 +169,55 @@ def test_simhash_np_matches_engine_md5(spark):
     assert arw[5] == 0  # empty-token doc
 
 
+def test_np_kernels_null_text_and_id_types(spark):
+    """Round-10 ADVICE (medium): the Arrow kernels must match the engine
+    twins on NULL text (NULL fingerprint/signature, never a hash of the
+    literal 'None') and must preserve non-long id column types."""
+    from graphouse_spark.functions.dedup import (
+        minhash_signatures, minhash_signatures_np, simhash, simhash_np)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    eng = {r["doc_id"]: r["simhash"] for r in
+           simhash(docs, bits=60, hash_fn="md5").collect()}
+    arw = {r["doc_id"]: r["simhash"] for r in simhash_np(docs).collect()}
+    assert eng[2] is None and arw == eng
+    eng_m = {r["doc_id"]: r["signature"] for r in
+             minhash_signatures(docs, hash_fn="md5").collect()}
+    arw_m = {r["doc_id"]: r["signature"] for r in
+             minhash_signatures_np(docs).collect()}
+    assert eng_m[2] is None and arw_m == eng_m
+
+    # string ids flow through both kernels with their input type
+    sdocs = spark.createDataFrame(
+        [("a", "alpha beta gamma"), ("b", "delta epsilon zeta")],
+        "doc_id string, text string",
+    )
+    sim = simhash_np(sdocs)
+    assert dict(sim.dtypes)["doc_id"] == "string"
+    assert {r["doc_id"] for r in sim.collect()} == {"a", "b"}
+    sig = minhash_signatures_np(sdocs)
+    assert dict(sig.dtypes)["doc_id"] == "string"
+    assert {r["doc_id"] for r in sig.collect()} == {"a", "b"}
+
+
+def test_minhash_arrow_rejects_foreign_hash_fn(spark):
+    """strategy='arrow' implements exactly the md5 family: an explicit
+    different hash_fn raises instead of silently returning md5 results;
+    hash_fn=None resolves per strategy (engine->xxhash64, arrow->md5)."""
+    import pytest as _pytest
+
+    from graphouse_spark.functions.dedup import minhash_near_duplicates
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="md5 family"):
+        minhash_near_duplicates(docs, strategy="arrow", hash_fn="xxhash64")
+    # explicit md5 + arrow stays accepted
+    minhash_near_duplicates(docs, strategy="arrow", hash_fn="md5")
+
+
 # ---------------------------------------------------------------- sampling
 
 def test_hash_sampling_deterministic_and_stratified(spark):

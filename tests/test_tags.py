@@ -1025,9 +1025,12 @@ def test_regex_only_browse_prunes_on_subindex(spark, tmp_path):
 
 
 def test_regex_prune_skips_negated_and_invalid(spark, tmp_path):
-    """'!=~'-only term sets never engage the prune (a negated regex
-    admits missing tags — not expressible as an index row filter), and
-    an invalid pattern still surfaces as series_by_tag's ValueError."""
+    """'!=~' is evaluated as a NEGATIVE exists-test (anti-join side):
+    missing-tag series match the negation. The value-IN-list rewrite
+    DOES apply to negated regex terms — it is safe under the
+    sub-index's superset contract (the anti-join subtracts exactly the
+    metrics whose tag value matches). An invalid pattern still
+    surfaces as series_by_tag's ValueError."""
     import time as _time
 
     from graphouse_spark.api.service import GraphouseService
@@ -1040,8 +1043,13 @@ def test_regex_prune_skips_negated_and_invalid(spark, tmp_path):
     svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path,
                            tags_path=cfg.tags_path)
     # a negated regex is a NEGATIVE exists-test (anti-join side)
-    _, positive = T.index_exists_pred("datacenter", "!=~", "dc.*")
-    assert positive is False
+    _, positive, rewritten = T.index_exists_pred("datacenter", "!=~", "dc.*")
+    assert positive is False and rewritten is False
+    # the IN-list rewrite engages on negated terms too (superset
+    # contract makes it safe on the anti-join side)
+    _, positive, rewritten = T.index_exists_pred(
+        "datacenter", "!=~", "dc.*", regex_values=lambda k, p: ["dc1", "dc2"])
+    assert positive is False and rewritten is True
     # negated-only set: missing-tag series match (net.rx has no
     # datacenter tag -> matches the negation)
     got = sorted(r["metric"]

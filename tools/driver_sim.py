@@ -8,6 +8,12 @@ on DuckDB at the given sf dir, comparing row count, sorted column
 names, and sorted-row values.
 
 Usage: python tools/driver_sim.py [sf_dir] [query_name ...]
+       python tools/driver_sim.py [sf_dir] --sample N [--seed S]
+
+--sample runs a seeded random N-subset of the queries() names (the
+driver's own gate samples a fixed subset the same way — sweeping
+seeded samples locally surfaces flake classes that only appear in
+sampled bare-session runs before the driver sees them).
 """
 
 from __future__ import annotations
@@ -41,8 +47,18 @@ def normalize(df: pd.DataFrame):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    sample_n, seed = None, 0
+    if "--seed" in argv:
+        i = argv.index("--seed")
+        seed = int(argv[i + 1])
+        del argv[i:i + 2]
+    if "--sample" in argv:
+        i = argv.index("--sample")
+        sample_n = int(argv[i + 1])
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     # bare session — intentionally NO graphouse_spark.session confs
     spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
@@ -56,9 +72,16 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if sample_n is not None:
+        import random
+
+        names = sorted(queries)
+        chosen = random.Random(seed).sample(names, min(sample_n, len(names)))
+        only = set(chosen)
+        print(f"# sampled {len(only)}/{len(names)} queries (seed={seed})")
     results: dict[str, dict] = {}
     bad = 0
-    if not only:
+    if not only or sample_n is not None:
         # the driver also smoke-runs entry() on ITS bare session — mirror it
         try:
             n = entry_mod.entry(spark).count()

@@ -1,7 +1,7 @@
 """One-command full gate (round-9 verdict #4): pytest suite + the
 driver-sim oracle mirror + bench, with wall time recorded per phase.
 
-    python tools/gate.py [--skip-bench] [--runs N]
+    python tools/gate.py [--skip-bench] [--runs N] [--sample N --seed S]
 
 Phases (each a separate subprocess, so one phase's JVM/session state
 can't distort the next — the shared-JVM flake class commit b76e905
@@ -10,9 +10,11 @@ documents showed up exactly when ~1000 tests shared one JVM):
   1. pytest-fast   — tests/ minus the @slow e2e marks
   2. pytest-slow   — the @slow marks (spool crash e2e, plugin parity,
                      100x scale gate, ...)
-  3. oracle-mirror — tools/driver_sim.py at sf0.001 (every queries()
-                     entry vs its DuckDB oracle, bare session like the
-                     driver's)
+  3. oracle-mirror — tools/driver_sim.py at $SPARK_GRAFT_ORACLE_SF_DIR
+                     (default sf0.001; every queries() entry vs its
+                     DuckDB oracle, bare session like the driver's;
+                     --sample N runs a seeded random subset in the
+                     driver's own sampling mode, seed bumped per run)
   4. bench         — python bench.py at $SPARK_GRAFT_SF_DIR (default
                      the driver's sf0.1)
 
@@ -50,16 +52,24 @@ def run_phase(name: str, cmd: list[str], env=None) -> dict:
             "tail": tail}
 
 
-def one_run(skip_bench: bool) -> list[dict]:
+def one_run(skip_bench: bool, sample: int | None, seed: int) -> list[dict]:
     env = dict(os.environ, PYTHONPATH=REPO)
     py = sys.executable
+    oracle_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                               "/root/testdata/sf0.001")
+    if not os.path.isdir(oracle_sf):
+        return [{"phase": "oracle-mirror", "wall_sec": 0.0, "ok": False,
+                 "tail": f"oracle sf dir {oracle_sf!r} does not exist — "
+                         "set SPARK_GRAFT_ORACLE_SF_DIR"}]
+    mirror_cmd = [py, "tools/driver_sim.py", oracle_sf]
+    if sample is not None:
+        mirror_cmd += ["--sample", str(sample), "--seed", str(seed)]
     phases = [
         ("pytest-fast", [py, "-m", "pytest", "tests/", "-x", "-q",
                          "-m", "not slow", "-p", "no:cacheprovider"]),
         ("pytest-slow", [py, "-m", "pytest", "tests/", "-x", "-q",
                          "-m", "slow", "-p", "no:cacheprovider"]),
-        ("oracle-mirror", [py, "tools/driver_sim.py",
-                           "/root/testdata/sf0.001"]),
+        ("oracle-mirror", mirror_cmd),
     ]
     if not skip_bench:
         phases.append(("bench", [py, "bench.py"]))
@@ -71,12 +81,17 @@ def main() -> None:
     ap.add_argument("--skip-bench", action="store_true")
     ap.add_argument("--runs", type=int, default=1,
                     help="repeat the whole gate N times (flake check)")
+    ap.add_argument("--sample", type=int, default=None,
+                    help="oracle-mirror: run a seeded random N-subset of "
+                         "queries (the driver's sampling mode)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="seed for --sample; bumped per run when --runs>1")
     args = ap.parse_args()
 
     runs = []
     for i in range(args.runs):
         print(f"# gate run {i + 1}/{args.runs}", flush=True)
-        runs.append(one_run(args.skip_bench))
+        runs.append(one_run(args.skip_bench, args.sample, args.seed + i))
 
     ok = all(p["ok"] for run in runs for p in run)
     record = {
