@@ -155,6 +155,48 @@ def anchored_pattern(value: str) -> str:
     return value if value.startswith("^") else "^(?:" + value + ")"
 
 
+def regex_literal_prefix(pattern: str) -> str:
+    """The literal prefix every match of the (match-anchored) pattern
+    must start with — '' when none can be proven.
+
+    Used to bound rlike slice scans sargably: ``value`` is in sort-key
+    position inside tag-index files, so adding
+    ``value.startswith(prefix)`` to a regex predicate prunes row
+    groups on min/max stats instead of running the regex over the
+    whole slice (measured at the 10M envelope: a high-card
+    ``host=~h1.*`` slice scan drops ~2x). Conservative by
+    construction: any top-level alternation kills the prefix, a
+    quantifier makes its operand non-guaranteed (except ``+``), and
+    escape CLASSES (``\\d`` etc.) stop the scan."""
+    if pattern.startswith("^"):
+        pattern = pattern[1:]
+    if "|" in pattern:
+        # an alternation ANYWHERE may offer a branch that skips the
+        # scanned chars (parsing nesting to prove otherwise isn't
+        # worth it — graphite patterns with | rarely share a prefix)
+        return ""
+    metas = set(".^$*+?()[]{\\")
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            nxt = pattern[i + 1]
+            if nxt.isalnum():
+                break  # escape class (\d, \w, \S...): not a literal
+            lit, i = nxt, i + 2
+        elif c not in metas:
+            lit, i = c, i + 1
+        else:
+            break
+        if i < len(pattern) and pattern[i] in "*?{+":
+            if pattern[i] == "+":
+                out.append(lit)  # x+ guarantees at least one x
+            break
+        out.append(lit)
+    return "".join(out)
+
+
 def index_exists_pred(key: str, op: str, value: str,
                       regex_values=None) -> tuple[Column, bool, bool]:
     """One seriesByTag term as an EXISTS test over index rows:
@@ -194,6 +236,14 @@ def index_exists_pred(key: str, op: str, value: str,
         pred = tag_hit & F.col("value").isin(vals)
     else:
         pred = tag_hit & F.col("value").rlike(anchored)
+        # derive from the RAW value: the anchoring wrapper ^(?:...)
+        # starts with a metachar and would always yield ''
+        pfx = regex_literal_prefix(value)
+        if pfx:
+            # sargable bound: value is in sort-key position within
+            # index files, so startswith prunes row groups the rlike
+            # alone cannot
+            pred = pred & F.col("value").startswith(pfx)
     return pred, op == "=~", vals is not None
 
 
@@ -212,7 +262,8 @@ def series_by_tag_on_index(idx: DataFrame, exprs: list[str],
     sum of the (filtered, metric-only) slice sizes — never the whole
     index, and never a per-name tag-map compile. With no positive
     term the universe is the implicit ``name`` tag's slice (every
-    tagged series has one).
+    tagged series has one), evaluated as a single conditional
+    aggregation — one exchange — rather than distinct + anti-joins.
 
     This is the plan you want at 10M+ names: the round-9 design
     (map-compile filter over all candidates) cost minutes because
@@ -233,20 +284,41 @@ def series_by_tag_on_index(idx: DataFrame, exprs: list[str],
         # selectivity rank: equality < IN-list-rewritten regex < bare
         # regex / tag-present
         rank = 0 if (op == "=" and value) else (1 if rewritten else 2)
-        (positives if positive else negatives).append((rank, pred))
+        (positives if positive else negatives).append((rank, pred, key))
     positives.sort(key=lambda rp: rp[0])
     if positives:
         acc = idx.filter(positives[0][1]).select(metric_col).distinct()
-        for _, pred in positives[1:]:
+        for _, pred, _key in positives[1:]:
             acc = acc.join(idx.filter(pred).select(metric_col),
                            metric_col, "left_semi")
-    else:
-        acc = (idx.filter(F.col("tag") == "name")
-               .select(metric_col).distinct())
-    for _, pred in negatives:
-        acc = acc.join(idx.filter(pred).select(metric_col),
-                       metric_col, "left_anti")
-    return acc
+        for _, pred, _key in negatives:
+            acc = acc.join(idx.filter(pred).select(metric_col),
+                           metric_col, "left_anti")
+        return acc
+    # ALL-NEGATIVE shape (no positive term — hostile/buggy clients
+    # only; real graphite clients always send one): ONE pass instead
+    # of universe-distinct + per-term anti-joins. Scan the implicit
+    # ``name`` slice (every tagged series has a name row) plus each
+    # negative term's (filtered) slice, group by metric once, and
+    # keep metrics where no negative row fired. Collapses 1 + 2n
+    # shuffles of the 10M-name universe into one exchange — measured
+    # 4.2 s -> 2.4 s at the 10M envelope (tools/tag_stress.py).
+    neg_preds = [pred for _, pred, _key in negatives]
+    scan = F.col("tag") == "name"
+    for p in neg_preds:
+        scan = scan | p
+    # redundant coarse tag IN-list: an OR carrying an rlike branch is
+    # not pushable to parquet on its own; the tag membership is, and
+    # prunes every unrelated tag's row groups
+    keys = sorted({"name", *(key for _, _p, key in negatives)})
+    rows = idx.filter(F.col("tag").isin(keys)).filter(scan)
+    aggs = [F.max(F.when(p, 1).otherwise(0)).alias(f"_neg{i}")
+            for i, p in enumerate(neg_preds)]
+    acc = rows.groupBy(metric_col).agg(*aggs)
+    cond = F.lit(True)
+    for i in range(len(neg_preds)):
+        cond = cond & (F.col(f"_neg{i}") == 0)
+    return acc.filter(cond).select(metric_col)
 
 
 def compile_term(term: str, tags: Column) -> Column:
@@ -366,9 +438,25 @@ def backfill_tag_index(spark, data_path: str, tags_path: str) -> int:
     tagged names with their last-seen date. Run before first serving
     from the index so series ingested before the index existed don't
     vanish from /tags and seriesByTag (the incremental ingest appends
-    only cover post-index batches). Parallel write, one sorted file
-    per date partition. Returns the row count."""
-    from graphouse_spark.sources.tables import read_data
+    only cover post-index batches). Parallel write, sorted files per
+    date partition. Returns the row count.
+
+    ONE fused pipeline writes the main index; the count and the
+    distinct-values sub-index then derive from the WRITTEN parquet
+    (columnar re-read), not from a cached intermediate. An earlier
+    form localCheckpoint-ed the exploded rows to share them across
+    the three jobs — at the 10M-name envelope the serialized block
+    write/read made every downstream stage super-linear (10x names
+    cost 17-23x cpu; the sort+write stage alone grew ~99x under the
+    checkpoint's heap pressure). Fused: 10x names -> ~4x cpu,
+    zero spill, and the main-index wall dropped 124 s -> 21 s.
+    Crash between the two writes leaves the main index live with no
+    (or a stale) sub-index — read_tag_values callers then skip the
+    regex prune (correct, slower) until the next backfill/compaction.
+    """
+    from graphouse_spark.sources.tables import (
+        TAG_VALUES_FILES, read_data, read_tags, tag_index_writer,
+        tag_values_path)
 
     names = (read_data(spark, data_path)
              .filter(F.col("metric").contains(";"))
@@ -378,14 +466,11 @@ def backfill_tag_index(spark, data_path: str, tags_path: str) -> int:
         "metric",
         F.explode(tags_map_col(F.col("metric"))).alias("tag", "value"),
         "date",
-    ).localCheckpoint()
-    n = rows.count()
-    from graphouse_spark.sources.tables import (
-        TAG_VALUES_FILES, tag_index_writer, tag_values_path)
-
-    tag_index_writer(rows.select("metric", "tag", "value", "date")
-                     ).mode("overwrite").partitionBy("date").parquet(tags_path)
-    (rows.groupBy("tag", "value").agg(F.max("date").alias("date"))
+    )
+    tag_index_writer(rows).mode("overwrite").partitionBy("date").parquet(tags_path)
+    written = read_tags(spark, tags_path)
+    n = written.count()
+    (written.groupBy("tag", "value").agg(F.max("date").alias("date"))
      .repartition(TAG_VALUES_FILES, "tag", "value")
      .sortWithinPartitions("tag", "value")
      .write.mode("overwrite").parquet(tag_values_path(tags_path)))

@@ -1,0 +1,176 @@
+"""Growth-ratio scale gate for the round-10 tag-index plans
+(round-10 verdict #1): the slice-intersection seriesByTag evaluator,
+the distinct-values sub-index ``=~`` rewrite (IN-list path AND the
+over-cap rlike fallback), the all-negative conditional-aggregation
+shape, and the backfill index build were envelope-measured (warm 10M,
+tools/tag_stress.py) but never growth-gated. This test builds 1M- and
+10M-name fixtures (cached in /tmp across runs — the 10M index build
+costs ~3 min once) and asserts, per plan:
+
+- 10x more names cost at most BUDGETx more executor work, gated on
+  min(runTime growth, cpuTime growth) like tests/test_scale_100x.py
+  (noise inflates one metric, a real plan regression inflates both),
+  with the same <=30s-task escape hatch (a few-second small-side
+  sample is JIT-state noise);
+- no stage processing real data runs with a single task — the exact
+  trap that killed the round-9 tag design (a per-name map compile
+  pushed into a 1-2-split scan stage).
+
+Budgets = quiet-box observed ratio * ~1.5 headroom, capped at the
+10.0 linear bound (r11 calibration, min-of-2 per size):
+eq+regex 5.5, regex-IN-list 5.2, over-cap fallback 1.7 (sub-linear —
+the literal-prefix bound prunes more row groups at scale),
+all-negative eq 5.1, all-negative regex 8.2, backfill 5.6 (after the
+r11 fix: the localCheckpoint of exploded rows made every downstream
+stage super-linear — 10x names cost 17-23x cpu — and was replaced by
+deriving count + sub-index from the written parquet).
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+SIZES = {
+    1_000_000: "/tmp/spark_graft_tags1m",
+    10_000_000: "/tmp/spark_graft_tags10m",
+}
+LAKES = {
+    1_000_000: "/tmp/spark_graft_taglake1m",
+    10_000_000: "/tmp/spark_graft_taglake10m",
+}
+
+#: term-set shapes gated (exercised through the full service path,
+#: sub-index rewrite hook included)
+SHAPES = {
+    "eq_plus_regex": (["datacenter=dc1", "rack=~r1.*"], 8.5),
+    "regex_lowcard_inlist": (["rack=~r1?[13].*"], 8.0),
+    "regex_overcap_fallback": (["host=~h1.*"], 4.0),
+    "all_negative_eq": (["datacenter!=dc1"], 8.0),
+    "all_negative_regex": (["host!=~h1.*"], 10.0),
+}
+BACKFILL_BUDGET = 8.5
+
+
+def _ensure_index(spark, n: int, d: str) -> None:
+    if os.path.exists(f"{d}/tags/_SUCCESS"):
+        return
+    from tag_stress import build_index
+
+    build_index(spark, n, f"{d}/tags")
+
+
+def _ensure_lake(spark, n: int, d: str) -> None:
+    if os.path.exists(f"{d}/_SUCCESS"):
+        return
+    from pyspark.sql import functions as F
+
+    rows = spark.range(n).select(
+        F.concat(
+            F.lit("srv.metric"), (F.col("id") % 997).cast("string"),
+            F.lit(".used;datacenter=dc"), (F.col("id") % 13).cast("string"),
+            F.lit(";host=h"), F.col("id").cast("string"),
+            F.lit(";rack=r"), (F.col("id") % 211).cast("string"),
+        ).alias("metric"),
+        F.lit(1.0).alias("value"),
+        F.lit(1_700_000_000).cast("long").alias("timestamp"),
+        F.to_date(F.lit("2023-11-14")).alias("date"),
+        F.lit(1_700_000_000).cast("long").alias("updated"))
+    (rows.repartition(32).write.mode("overwrite")
+     .partitionBy("date").parquet(d))
+
+
+def _run_one(meter, thunk, repeats: int = 2) -> dict:
+    """Warm once, min-of-N — the scale_check.run_one protocol for a
+    thunk that drives a full service call instead of a DataFrame."""
+    thunk()
+    best = None
+    for _ in range(repeats):
+        snap = meter.max_stage_id()
+        thunk()
+        stats = meter.since(snap)
+        stages = meter.stages_since(snap)
+        narrow = [s for s in stages
+                  if s["num_tasks"] == 1
+                  and (s["input_mb"] + s["shuffle_read_mb"]) > 64]
+        cur = {"task_sec": stats["task_sec"], "cpu_sec": stats["cpu_sec"],
+               "spill_mb": stats["spill_mb"], "one_task_stages": narrow}
+        if best is None or cur["task_sec"] < best["task_sec"]:
+            best = cur
+    return best
+
+
+def _gate(name: str, small: dict, big: dict, budget: float) -> None:
+    g_run = big["task_sec"] / max(small["task_sec"], 1e-9)
+    g_cpu = big["cpu_sec"] / max(small["cpu_sec"], 1e-9)
+    growth = min(g_run, g_cpu)
+    # same escape hatch as test_scale_100x: a <=30s big side means the
+    # ratio's denominator is a few-second JIT-noise sample — loosen to
+    # 30x (a quadratic plan still trips it) instead of asserting noise
+    effective = min(budget, 10.0) if big["task_sec"] > 30.0 else 30.0
+    assert growth <= effective, (
+        f"{name}: grew {g_run:.1f}x runTime / {g_cpu:.1f}x cpu for 10x "
+        f"more names ({small['task_sec']}s -> {big['task_sec']}s run, "
+        f"{small['cpu_sec']}s -> {big['cpu_sec']}s cpu) — bound "
+        f"{effective}x (budget {budget}x, linear 10x)")
+    assert not big["one_task_stages"], (
+        f"{name}: 1-task stage over real data at 10M: "
+        f"{big['one_task_stages']}")
+
+
+@pytest.mark.slow
+def test_tag_index_plans_at_most_linear_10x(spark):
+    from bench import _StageMeter
+    from graphouse_spark.api.service import GraphouseService
+
+    meter = _StageMeter(spark)
+    svcs = {}
+    for n, d in SIZES.items():
+        _ensure_index(spark, n, d)
+        svc = GraphouseService(spark, f"{d}/data", f"{d}/metrics",
+                               tags_path=f"{d}/tags")
+        svc.tag_lookback_days = 36500  # fixture dates are synthetic
+        svcs[n] = svc
+
+    results = {}
+    for shape, (exprs, budget) in SHAPES.items():
+        per_size = {}
+        for n in SIZES:
+            svc = svcs[n]
+            per_size[n] = _run_one(
+                meter, lambda: svc._tagged_names(exprs).count())
+        small, big = per_size[1_000_000], per_size[10_000_000]
+        _gate(shape, small, big, budget)
+        results[shape] = {n: r["task_sec"] for n, r in per_size.items()}
+    print(json.dumps({"tag_plan_task_sec": results}))
+
+
+@pytest.mark.slow
+def test_tag_backfill_at_most_linear_10x(spark):
+    from bench import _StageMeter
+    from graphouse_spark.tags import backfill_tag_index
+
+    meter = _StageMeter(spark)
+    per_size = {}
+    for n, d in LAKES.items():
+        _ensure_lake(spark, n, d)
+        out = f"/tmp/tag_backfill_gate_{n}"
+
+        def thunk(d=d, out=out):
+            shutil.rmtree(out, ignore_errors=True)
+            shutil.rmtree(out + "_values", ignore_errors=True)
+            backfill_tag_index(spark, d, out)
+
+        per_size[n] = _run_one(meter, thunk)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(out + "_values", ignore_errors=True)
+    small, big = per_size[1_000_000], per_size[10_000_000]
+    _gate("backfill_tag_index", small, big, BACKFILL_BUDGET)
+    # the r11 finding was spill-shaped before it was ratio-shaped:
+    # keep the explicit no-spill claim at 40M index rows
+    assert big["spill_mb"] == 0.0, big

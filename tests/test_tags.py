@@ -1024,6 +1024,43 @@ def test_regex_only_browse_prunes_on_subindex(spark, tmp_path):
     assert sorted(r["metric"] for r in df3.collect()) == got
 
 
+def test_regex_literal_prefix():
+    """Literal-prefix derivation for sargable rlike bounds: the prefix
+    must be one every match provably starts with — alternations kill
+    it, quantifiers un-guarantee their operand (except +), escape
+    classes stop the scan, escaped metachars are literals."""
+    cases = {
+        "h1.*": "h1", "dc[01]": "dc", ".*x": "", "abc": "abc",
+        "h1|h2": "", "h1?": "h", "h1?x": "h", "h1+z": "h1",
+        "a\\.b.*": "a.b", "\\d+": "", "^srv.*": "srv", "a{2}": "",
+        "(?:x)y": "", "": "", "h\\|x": "", "ab$": "ab",
+    }
+    for pat, want in cases.items():
+        got = T.regex_literal_prefix(pat)
+        assert got == want, (pat, got, want)
+    # soundness sweep: every derived prefix is implied by the pattern
+    import random
+    import re as _re
+
+    rng = random.Random(7)
+    alphabet = "ab1.*?[]|\\+^$"
+    for _ in range(300):
+        pat = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+        try:
+            rx = _re.compile(T.anchored_pattern(pat))
+        except _re.error:
+            continue
+        pfx = T.regex_literal_prefix(pat)
+        if not pfx:
+            continue
+        # any value matching the anchored pattern must start with pfx:
+        # check on a brute-forced value corpus
+        for v in ["a", "b", "ab", "a1", "ba", "ab1", "a.b", "aab",
+                  "b1a", "abab", pfx, pfx + "x", "x" + pfx]:
+            if rx.match(v):
+                assert v.startswith(pfx), (pat, pfx, v)
+
+
 def test_regex_prune_skips_negated_and_invalid(spark, tmp_path):
     """'!=~' is evaluated as a NEGATIVE exists-test (anti-join side):
     missing-tag series match the negation. The value-IN-list rewrite
@@ -1281,7 +1318,7 @@ def test_index_evaluator_equals_map_compile_randomized(spark):
             val = rng.choice(["v[01].*", "v.*", "disk\\..*", "v2", "x.*"])
         return f"{key}{op}{val}"
 
-    checked = 0
+    checked = all_negative = 0
     for _ in range(40):
         terms = [random_term() for _ in range(rng.randint(1, 3))]
         via_index = {r["metric"] for r in
@@ -1290,4 +1327,10 @@ def test_index_evaluator_equals_map_compile_randomized(spark):
                     T.series_by_tag(names_df, terms).collect()}
         assert via_index == via_maps, (terms, via_index ^ via_maps)
         checked += 1
+        if all(not T.index_exists_pred(*T.parse_term(t))[1]
+               for t in terms):
+            all_negative += 1
     assert checked == 40
+    # the all-negative one-pass conditional-agg path must be exercised
+    # (no positive term -> no slice intersection; round-11 plan change)
+    assert all_negative >= 5, all_negative

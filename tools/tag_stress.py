@@ -85,10 +85,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     tags_path = f"{out_dir}/tags"
-    t0 = time.perf_counter()
-    build_index(spark, n, tags_path)
-    print(json.dumps({"measure": "build_index", "n_names": n,
-                      "sec": round(time.perf_counter() - t0, 1)}))
+    if os.path.exists(f"{tags_path}/_SUCCESS"):
+        # fixture reuse: the 10M build costs ~3 min — measure warm
+        # against an existing index instead of rebuilding per tweak
+        print(json.dumps({"measure": "build_index", "n_names": n,
+                          "sec": 0.0, "reused": out_dir}))
+    else:
+        t0 = time.perf_counter()
+        build_index(spark, n, tags_path)
+        print(json.dumps({"measure": "build_index", "n_names": n,
+                          "sec": round(time.perf_counter() - t0, 1)}))
 
     svc = GraphouseService(spark, f"{out_dir}/data", f"{out_dir}/metrics",
                            tags_path=tags_path)
@@ -114,9 +120,25 @@ def main() -> None:
           lambda: svc.tag_find_series(["rack=~r1?[13].*"]))
     timed("findSeries(host=~h12345.*) [regex-only, high-card]",
           lambda: svc.tag_find_series(["host=~h12345.*"]))
+    # regex matching >>_REGEX_VALUES_CAP distinct values (host=~h1.*
+    # matches ~1.1M of the 10M host values): the sub-index rewrite
+    # declines and the rlike-on-slice fallback serves it, bounded by
+    # the literal-prefix startswith (round-10 verdict #6: measure the
+    # fallback, don't assume it)
+    timed("findSeries(host=~h1.*) [regex-only, over-cap fallback]",
+          lambda: svc.tag_find_series(["host=~h1.*"]))
     timed("autoComplete/values(datacenter, exprs=[rack=~r7.*])",
           lambda: svc.tag_autocomplete_values(
               "datacenter", exprs=["rack=~r7.*"]))
+    # ALL-NEGATIVE shapes (no positive term — hostile/buggy clients;
+    # round-10's only >3s measurement). Served by the one-pass
+    # conditional aggregation over name + negative slices.
+    timed("findSeries(datacenter!=dc1) [all-negative equality]",
+          lambda: svc.tag_find_series(["datacenter!=dc1"]))
+    timed("findSeries(host!=~h1.*) [all-negative regex]",
+          lambda: svc.tag_find_series(["host!=~h1.*"]))
+    timed("findSeries(datacenter!=dc1, rack!=r7) [all-negative x2]",
+          lambda: svc.tag_find_series(["datacenter!=dc1", "rack!=r7"]))
 
 
 if __name__ == "__main__":
