@@ -110,7 +110,8 @@ def stub_embedding(texts: "pd.Series", dim: int = 16) -> "pd.DataFrame":
 
 def train_word2vec_embedder(docs: DataFrame, dim: int = 16, min_count: int = 1,
                             seed: int = 1, max_iter: int = 1,
-                            text_col: str = "text"):
+                            text_col: str = "text",
+                            num_partitions: int = 1):
     """A REAL learned encoder, trained in-sandbox: fit MLlib
     ``Word2Vec`` on the corpus (skip-gram co-occurrence — no external
     weights needed), then serve it through the exact
@@ -121,7 +122,23 @@ def train_word2vec_embedder(docs: DataFrame, dim: int = 16, min_count: int = 1,
     Documents embed as the L2-normalized mean of their word vectors
     (the classic bag-of-vectors doc encoder). Tokenization matches the
     training split (lower + whitespace) so train and serve agree.
-    ``numPartitions=1`` + fixed seed makes training deterministic.
+
+    ``num_partitions`` (round-10 verdict #5) selects the fit mode:
+
+    - ``1`` (default, the ORACLE TWIN): single training partition +
+      fixed seed -> bit-deterministic vectors run to run. The fit is a
+      deliberate 1-task stage — fine for oracle/goldens, a
+      driver-shaped bottleneck at training scale.
+    - ``>1`` (the SCALE PATH): MLlib trains partition-parallel and
+      merges word vectors across partitions per iteration. NOT
+      bit-reproducible — measured: two fits with identical seed,
+      input, and partition count yield different vectors (the
+      cross-partition merge order and in-flight vector reads are
+      scheduling-dependent in MLlib's implementation), which is the
+      standard trade for parallel SGD (Hogwild-family). Quality gates
+      (topic-separation / held-out AUC) must pin this mode, never
+      vector equality; anything needing bit-stable vectors (oracles,
+      goldens) uses the 1-partition twin.
 
     Returns ``(embedder, vocab_size)`` — pass the embedder to
     :func:`embed_texts` / :func:`pooled_doc_embeddings`. The md5 stub
@@ -136,7 +153,7 @@ def train_word2vec_embedder(docs: DataFrame, dim: int = 16, min_count: int = 1,
                  lambda t: t != "").alias("tokens"))
     model = Word2Vec(
         vectorSize=dim, minCount=min_count, seed=seed, maxIter=max_iter,
-        numPartitions=1, inputCol="tokens", outputCol="vec",
+        numPartitions=num_partitions, inputCol="tokens", outputCol="vec",
     ).fit(toks)
     vocab = {
         r["word"]: np.asarray(r["vector"].toArray(), dtype=np.float64)

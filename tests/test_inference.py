@@ -115,3 +115,25 @@ def test_word2vec_embedder_neighborhood_quality(spark):
     emb2 = {r["doc_id"]: r["embedding"]
             for r in embed_texts(df, dim=8, embedder=embedder2).collect()}
     assert emb2[0] == list(emb[0])
+
+    # distributed fit (num_partitions>1, round-10 verdict #5): not
+    # bit-identical to the 1-partition oracle twin (averaging order /
+    # per-partition sampling differ) — the gate is QUALITY, the same
+    # AUC bound the oracle mode carries
+    embedder4, vocab4 = train_word2vec_embedder(
+        df, dim=8, seed=1, num_partitions=4)
+    assert vocab4 == vocab
+    emb4 = {r["doc_id"]: np.array(r["embedding"])
+            for r in embed_texts(df, dim=8, embedder=embedder4).collect()}
+    wins4 = sum(cos(emb4[i], emb4[j]) > cos(emb4[a], emb4[b])
+                for i, j in itertools.combinations(range(40), 2)
+                if i % 2 == j % 2
+                for a, b in itertools.combinations(range(40), 2)
+                if a % 2 != b % 2)
+    n_intra = len(intra) * len(inter)
+    auc4 = wins4 / n_intra
+    assert auc4 >= 0.9, f"distributed fit lost learned quality: AUC={auc4:.3f}"
+    # NO bit-reproducibility assertion for the distributed mode: MLlib's
+    # parallel fit is Hogwild-style — two identical (seed, input,
+    # partitions) fits measurably differ. The docstring documents this;
+    # bit-stable consumers must use num_partitions=1.

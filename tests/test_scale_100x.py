@@ -146,3 +146,33 @@ def test_core_plans_at_most_linear_to_100x(spark):
     assert not tagged["one_task_stages"], (
         f"ev_tagged_series: 1-task stage over real data at 100x: "
         f"{tagged['one_task_stages']}")
+
+
+@pytest.mark.slow
+def test_w2v_distributed_fit_no_one_task_stage(spark):
+    """Round-10 verdict #5 (training row): the Word2Vec fit with
+    ``num_partitions>1`` must keep every data-bearing stage parallel —
+    the 1-partition oracle twin's deliberate 1-task fit stage is the
+    one remaining serialization in the training plan, and the
+    distributed mode exists to remove it. Trained on the 10x corpus
+    (50k suffixed documents, real token volume)."""
+    from bench import _StageMeter
+    from scale_check import build
+    from graphouse_spark.functions.inference import train_word2vec_embedder
+
+    meter = _StageMeter(spark)
+    d = "/tmp/spark_graft_scale10"
+    build(spark, 10, d)
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    snap = meter.max_stage_id()
+    embedder, vocab = train_word2vec_embedder(
+        docs, dim=8, min_count=5, num_partitions=par)
+    assert vocab > 0
+    stages = meter.stages_since(snap)
+    narrow = [s for s in stages
+              if s["num_tasks"] == 1
+              and (s["input_mb"] + s["shuffle_read_mb"]) > 64]
+    assert not narrow, f"1-task stage in distributed w2v fit: {narrow}"
+    # the fit's training stage must actually fan out
+    assert any(s["num_tasks"] >= par for s in stages), stages
