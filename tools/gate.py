@@ -52,7 +52,8 @@ def run_phase(name: str, cmd: list[str], env=None) -> dict:
             "tail": tail}
 
 
-def one_run(skip_bench: bool, sample: int | None, seed: int) -> list[dict]:
+def one_run(skip_bench: bool, sample: int | None, seed: int,
+            mirror_only: bool = False) -> list[dict]:
     env = dict(os.environ, PYTHONPATH=REPO)
     py = sys.executable
     oracle_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
@@ -64,15 +65,18 @@ def one_run(skip_bench: bool, sample: int | None, seed: int) -> list[dict]:
     mirror_cmd = [py, "tools/driver_sim.py", oracle_sf]
     if sample is not None:
         mirror_cmd += ["--sample", str(sample), "--seed", str(seed)]
-    phases = [
-        ("pytest-fast", [py, "-m", "pytest", "tests/", "-x", "-q",
-                         "-m", "not slow", "-p", "no:cacheprovider"]),
-        ("pytest-slow", [py, "-m", "pytest", "tests/", "-x", "-q",
-                         "-m", "slow", "-p", "no:cacheprovider"]),
-        ("oracle-mirror", mirror_cmd),
-    ]
-    if not skip_bench:
-        phases.append(("bench", [py, "bench.py"]))
+    if mirror_only:
+        phases = [("oracle-mirror", mirror_cmd)]
+    else:
+        phases = [
+            ("pytest-fast", [py, "-m", "pytest", "tests/", "-x", "-q",
+                             "-m", "not slow", "-p", "no:cacheprovider"]),
+            ("pytest-slow", [py, "-m", "pytest", "tests/", "-x", "-q",
+                             "-m", "slow", "-p", "no:cacheprovider"]),
+            ("oracle-mirror", mirror_cmd),
+        ]
+        if not skip_bench:
+            phases.append(("bench", [py, "bench.py"]))
     return [run_phase(name, cmd, env) for name, cmd in phases]
 
 
@@ -86,12 +90,18 @@ def main() -> None:
                          "queries (the driver's sampling mode)")
     ap.add_argument("--seed", type=int, default=0,
                     help="seed for --sample; bumped per run when --runs>1")
+    ap.add_argument("--mirror-only", action="store_true",
+                    help="run only the oracle-mirror phase (seeded "
+                         "sample sweeps without re-running pytest)")
+    ap.add_argument("--out", default="GATE.json",
+                    help="artifact filename (relative to repo root)")
     args = ap.parse_args()
 
     runs = []
     for i in range(args.runs):
         print(f"# gate run {i + 1}/{args.runs}", flush=True)
-        runs.append(one_run(args.skip_bench, args.sample, args.seed + i))
+        runs.append(one_run(args.skip_bench, args.sample, args.seed + i,
+                            args.mirror_only))
 
     ok = all(p["ok"] for run in runs for p in run)
     record = {
@@ -106,7 +116,10 @@ def main() -> None:
                      for i, run in enumerate(runs)
                      for p in run if not p["ok"]],
     }
-    with open(os.path.join(REPO, "GATE.json"), "w") as fh:
+    if args.sample is not None:
+        record["sample"] = {"n": args.sample, "seeds":
+                            list(range(args.seed, args.seed + args.runs))}
+    with open(os.path.join(REPO, args.out), "w") as fh:
         json.dump(record, fh, indent=1)
     print(json.dumps({"gate": "done", "ok": ok,
                       "total_wall_sec": round(sum(
