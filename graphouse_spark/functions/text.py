@@ -970,7 +970,14 @@ def ngram_language_id(docs: DataFrame, n: int = 3, profile_k: int = 50,
     grams = F.transform(
         F.sequence(F.lit(1), k_grams), lambda i: F.substr(F.col("_s"), i, F.lit(n))
     )
-    # language profiles: term frequency over ALL occurrences
+    # language profiles: term frequency over ALL occurrences.
+    # NOTE (r11): a shared-subtree formulation (explode once into
+    # per-doc gram counts, derive both the profile and the doc side
+    # from that aggregate, relying on ReuseExchange) was A/B-rejected
+    # same-session: AQE wraps the two consumers differently, the
+    # exchange is NOT reused (no ReusedExchange/ReusedQueryStage in
+    # the executed plan), and the extra aggregation only added work
+    # (task 20.2 -> 23.1 s, cpu 16.8 -> 19.3 s at sf0.1).
     prof_counts = (
         base.select(F.col(lang_col), F.explode(grams).alias("gram"))
         .groupBy(lang_col, "gram")
