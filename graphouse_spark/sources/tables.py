@@ -247,9 +247,11 @@ def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
          any point leaves either the old or the new index fully
          present (a leftover stage/bak dir is dot-hidden — invisible
          to readers — and removed by the next rewrite);
-      4. rebuild the distinct-values sub-index from the kept rows and
-         swap it the same way. A crash between 3 and 4 leaves the OLD
-         sub-index, which is a superset of the new main index's
+      4. swap in the distinct-values sub-index stage (pre-built from
+         the STAGED parquet before step 3 — the swap renames the stage
+         dir out from under any lazy reader). A crash between the two
+         swaps leaves the OLD sub-index, which is a superset of the
+         new main index's
          (tag, value) pairs as long as ``transform`` only removes or
          keeps rows (delSeries, compaction — every current caller);
          supersets only cost wasted prune candidates, never a lost
@@ -306,12 +308,35 @@ def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
                        .option("basePath", tags_path).parquet(*snapshot))
         else:
             current = spark.createDataFrame([], TAGS_SCHEMA)
-        kept = transform(current).localCheckpoint()
-        n = kept.count()
+        # NO localCheckpoint: the transform evaluates exactly once —
+        # inside the stage write — and the count + sub-index derive
+        # from the STAGED parquet (columnar re-read). Serialized
+        # checkpoint blocks made the whole rewrite super-linear at the
+        # 10M-name envelope (the same pathology measured and fixed in
+        # tags.backfill_tag_index: 10x rows cost 17-23x cpu). The
+        # snapshot file list keeps the read set pinned regardless of
+        # laziness, so concurrent appends still can't leak into the
+        # transform.
+        kept = transform(current)
         cols = [f.name for f in TAGS_SCHEMA.fields]
+        vbase = os.path.basename(os.path.abspath(vp))
+        vstage = os.path.join(parent, f".stage-{vbase}-{token}")
+        vbak = os.path.join(parent, f".bak-{vbase}-{token}")
+        for d in os.listdir(parent):  # leftovers from a crashed step 4
+            if d.startswith(f".stage-{vbase}-") or d.startswith(f".bak-{vbase}-"):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
         try:
             tag_index_writer(kept.select(*cols)
                              ).mode("overwrite").partitionBy("date").parquet(stage)
+            staged = (spark.read.schema(TAGS_SCHEMA)
+                      .option("basePath", stage).parquet(stage))
+            n = staged.count()
+            # the values stage must be written BEFORE the main swap
+            # renames the stage dir out from under `staged`'s file list
+            (staged.groupBy("tag", "value").agg(F.max("date").alias("date"))
+             .repartition(TAG_VALUES_FILES, "tag", "value")
+             .sortWithinPartitions("tag", "value")
+             .write.mode("overwrite").parquet(vstage))
             with _TAGS_REWRITE_LOCK:
                 snap_set = set(snapshot)
                 for f in live_files():
@@ -325,20 +350,11 @@ def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
             shutil.rmtree(bak, ignore_errors=True)
         except Exception:
             shutil.rmtree(stage, ignore_errors=True)
+            shutil.rmtree(vstage, ignore_errors=True)
             raise
-        # step 4: compact the distinct-values sub-index to match (same
-        # stage->swap dance; crash-safe per the protocol note above)
-        vbase = os.path.basename(os.path.abspath(vp))
-        vstage = os.path.join(parent, f".stage-{vbase}-{token}")
-        vbak = os.path.join(parent, f".bak-{vbase}-{token}")
-        for d in os.listdir(parent):  # leftovers from a crashed step 4
-            if d.startswith(f".stage-{vbase}-") or d.startswith(f".bak-{vbase}-"):
-                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+        # step 4: swap in the pre-built distinct-values sub-index stage
+        # (crash-safe per the protocol note above)
         try:
-            (kept.groupBy("tag", "value").agg(F.max("date").alias("date"))
-             .repartition(TAG_VALUES_FILES, "tag", "value")
-             .sortWithinPartitions("tag", "value")
-             .write.mode("overwrite").parquet(vstage))
             with _TAGS_REWRITE_LOCK:
                 for f in live_value_files():
                     if f not in vp_snapshot:  # appended during rewrite
