@@ -280,21 +280,36 @@ def run_migrate_whisper(args, spark=None) -> int:
     from graphouse_spark.sources.whisper import read_whisper
     from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
 
+    import shutil
+    import uuid
+
     spark = spark or get_spark("graphouse-migrate")
-    rows = read_whisper(spark, args.root, on_error="quarantine")
-    rows = rows.localCheckpoint(eager=True)  # one .wsp scan, two consumers
-    good = rows.where(F.col("error").isNull()).select(
-        "name", "timestamp", "value", "updated")
-    bad = rows.where(F.col("error").isNotNull()).select("path", "error")
-    cfg = IngestConfig(args.data, args.metrics, checkpoint_path="")
-    ingest_batch(good, cfg, known_names=None)
-    n = good.count()
-    n_bad = bad.count()
-    if n_bad:
-        qpath = args.data.rstrip("/") + "/_whisper_quarantine"
-        bad.write.mode("append").parquet(qpath)
-        print(f"quarantined {n_bad} corrupt .wsp file(s) -> {qpath}",
-              file=sys.stderr)
+    # ONE .wsp parse, materialized as a COLUMNAR staging table that
+    # both consumers (ingest + quarantine) and both counts read from.
+    # The previous form localCheckpoint-ed the parsed rows — serialized
+    # block materialization of the ENTIRE point set, the exact
+    # super-linear pathology measured on the tag-index rewrites
+    # (sources/tables.py, tags.backfill_tag_index); a parquet stage is
+    # the scalable spelling of the same share-one-scan idea.
+    stage = args.data.rstrip("/") + f"/_whisper_stage_{uuid.uuid4().hex[:8]}"
+    read_whisper(spark, args.root, on_error="quarantine") \
+        .write.mode("overwrite").parquet(stage)
+    try:
+        rows = spark.read.parquet(stage)
+        good = rows.where(F.col("error").isNull()).select(
+            "name", "timestamp", "value", "updated")
+        bad = rows.where(F.col("error").isNotNull()).select("path", "error")
+        cfg = IngestConfig(args.data, args.metrics, checkpoint_path="")
+        ingest_batch(good, cfg, known_names=None)
+        n = good.count()
+        n_bad = bad.count()
+        if n_bad:
+            qpath = args.data.rstrip("/") + "/_whisper_quarantine"
+            bad.write.mode("append").parquet(qpath)
+            print(f"quarantined {n_bad} corrupt .wsp file(s) -> {qpath}",
+                  file=sys.stderr)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     print(f"migrated {n} points from {args.root}", file=sys.stderr)
     return n
 
