@@ -22,6 +22,12 @@ from pyspark.sql import functions as F
 import __spark_entry__ as entry_mod
 from graphouse_spark.session import get_spark
 
+#: pinned reference host calib (the r11 builder-gate quiet-box run,
+#: GATE.json bench line): all *_norm numbers are rescaled to THIS
+#: host, so "cpu went up" across rounds means the plan, not the box.
+#: Re-pin only when the probes themselves change shape.
+REF_CALIB = {"numpy_cpu_sec": 0.6764, "jvm_cpu_sec": 7.7221}
+
 #: benchmark set: the flagship read path + the heaviest operators
 BENCH_QUERIES = [
     "gh_bucket_agg",
@@ -243,11 +249,19 @@ def _calibrate(spark, meter: _StageMeter) -> dict:
         return time.perf_counter() - t0w, meter.since(snap)["cpu_sec"]
 
     # one warm (codegen compile + JIT), then min-of-2 measured — the
-    # same steady-state protocol as the query baskets
+    # same steady-state protocol as the query baskets. Minima are
+    # PER-METRIC (round-11 ADVICE): min() over (wall, cpu) tuples is
+    # lexicographic and reports the cpu of the min-WALL run; under
+    # noise the jvm probe's listener-derived cpu can anticorrelate
+    # with wall, which weakens the very normalization this exists for.
     jvm_probe(0)
     np_probe()
-    np_wall, np_cpu = min(np_probe() for _ in range(2))
-    jvm_wall, jvm_cpu = min(jvm_probe(s) for s in (1, 2))
+    np_runs = [np_probe() for _ in range(2)]
+    jvm_runs = [jvm_probe(s) for s in (1, 2)]
+    np_wall = min(w for w, _ in np_runs)
+    np_cpu = min(c for _, c in np_runs)
+    jvm_wall = min(w for w, _ in jvm_runs)
+    jvm_cpu = min(c for _, c in jvm_runs)
     return {
         "numpy_wall_sec": round(np_wall, 4),
         "numpy_cpu_sec": round(np_cpu, 4),
@@ -344,6 +358,18 @@ def main() -> None:
         time.sleep(10)
     load_before = os.getloadavg()
     quiet = is_quiet()
+    # quiet_margin (round-11 verdict #6): the r11 driver run passed
+    # quiet=true at 5-min loadavg 7.96 — one hundredth under the
+    # 2*threshold bound — and produced a +15% wall artifact that
+    # needed the calib block to adjudicate. Grade the margin in the
+    # artifact itself so marginal runs are visible up front:
+    # margin = how far (fraction of bound) the binding loadavg sits
+    # BELOW its limit; <0.15 on either average => "marginal".
+    l1b, l5b, _ = load_before
+    quiet_margin = round(min(1 - l1b / quiet_threshold,
+                             1 - l5b / (2 * quiet_threshold)), 3)
+    quiet_grade = ("loaded" if not quiet
+                   else "marginal" if quiet_margin < 0.15 else "quiet")
     calib = _calibrate(spark, meter)
     print(f"# calib: numpy {calib['numpy_cpu_sec']:.2f}s cpu / "
           f"jvm {calib['jvm_cpu_sec']:.2f}s cpu", file=sys.stderr)
@@ -390,9 +416,26 @@ def main() -> None:
         "extended_cpu_time_total": round(
             sum(t["cpu_sec"] for t in ext_task_stats.values()), 4),
         "quiet": quiet,
+        "quiet_grade": quiet_grade,
+        "quiet_margin": quiet_margin,
         # fixed-work host-speed probes: normalize cross-round cpu_sec
         # deltas against these before attributing them to plan changes
         "calib": calib,
+        # calib-NORMALIZED totals (round-11 verdict #4): cpu totals
+        # rescaled to the pinned r11 quiet-box reference host, so
+        # cross-round cpu claims compare plans, not boxes. cpu_sec is
+        # JVM executorCpuTime => jvm ratio; python-kernel task_sec
+        # claims in PLANS.md use host_ratio_numpy the same way.
+        "host_ratio_jvm": round(REF_CALIB["jvm_cpu_sec"]
+                                / calib["jvm_cpu_sec"], 4),
+        "host_ratio_numpy": round(REF_CALIB["numpy_cpu_sec"]
+                                  / calib["numpy_cpu_sec"], 4),
+        "cpu_time_total_norm": round(
+            sum(t["cpu_sec"] for t in task_stats.values())
+            * REF_CALIB["jvm_cpu_sec"] / calib["jvm_cpu_sec"], 4),
+        "extended_cpu_time_total_norm": round(
+            sum(t["cpu_sec"] for t in ext_task_stats.values())
+            * REF_CALIB["jvm_cpu_sec"] / calib["jvm_cpu_sec"], 4),
         # ambient-load indicator: a 1-min loadavg far above the bench's
         # own footprint means the numbers carry noisy-neighbor drift
         # (the round-2 and round-4 phantom regressions) — read deltas

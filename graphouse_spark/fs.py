@@ -1,0 +1,227 @@
+"""Hadoop-FileSystem-backed commit primitives for the durable tables.
+
+Every stage/swap/cleanup step of the storage engine (rollup partition
+commit in ``operators/rollup.py``, tag-index rewrite in
+``sources/tables.py``, delete/update mutations in
+``operators/mutate.py``, zonemap/bloom + metrics maintenance in
+``maintenance.py``, whisper migration staging in ``__main__.py``)
+routes through the Hadoop FileSystem OF THE TABLE PATH, not through
+``os``/``shutil`` — so the same code drives:
+
+- local disk (``file://`` / scheme-less, the test default):
+  ``RawLocalFileSystem.rename`` is rename(2) — atomic;
+- HDFS: rename is a single NameNode metadata op — atomic;
+- rename-less object stores (S3A, GCS): REFUSED by default; see the
+  design note below.
+
+The reference delegates all of this to ClickHouse's part-commit
+machinery (MergeTree parts become visible via one in-memory + one
+filesystem rename); this module is the lake-native equivalent of that
+seam, kept deliberately tiny: qualified-path helpers plus the five
+verbs the protocols actually use (exists / rename / delete / mkdirs /
+list), and one generic three-state swap-recovery helper.
+
+DESIGN NOTE — rename-less stores (the 100 TB S3 story). S3 has no
+atomic directory rename: "rename" is a client-side copy+delete,
+O(data) and non-atomic, so a namespace-flip commit protocol cannot be
+made safe there no matter how it is staged. The protocols in this
+repo only ever need (a) hidden staging dirs that readers skip and
+(b) ONE visibility flip per commit — which means on an object store
+the flip must move from the NAMESPACE to a MANIFEST: write the new
+file list as ``_manifest.<token>.json`` (PUT of a single object is
+atomic on S3), then atomically overwrite a single ``_current``
+pointer object naming it; readers resolve ``_current`` and list
+through the manifest instead of the directory. That is precisely the
+commit design of Iceberg/Delta — so on such stores the tables should
+be DEPLOYED as Iceberg/Delta (``compact_data_table``'s docstring
+already maps the partition protocol onto ``replaceWhere``; the
+mutation API maps onto ``DELETE/UPDATE WHERE``; the tag rewrite onto
+``overwritePartitions``) rather than re-deriving a transaction log
+here. To make that boundary impossible to trip over silently,
+:meth:`Fs.rename` raises ``NotImplementedError`` on filesystems whose
+rename is not known-atomic unless ``GRAPHOUSE_ALLOW_NONATOMIC_RENAME``
+is set (for single-writer dev runs where a copy-rename is tolerable).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: schemes whose FileSystem.rename is atomic (namespace metadata op).
+#: Everything else (s3a, gs, wasb, oss, ...) emulates rename by
+#: copy+delete and MUST go through a manifest commit instead.
+RENAME_ATOMIC_SCHEMES = {"file", "hdfs", "viewfs", "webhdfs", "hftp", "ofs"}
+
+
+class Fs:
+    """Thin wrapper over one ``org.apache.hadoop.fs.FileSystem``.
+
+    String-path API in, string-path API out. Listings return paths in
+    the SAME style as the root the instance was built from: a
+    scheme-less local root yields plain ``/...`` paths (so existing
+    ``os.path``-style joins and relpaths keep working in tests), a
+    qualified root (``hdfs://...``, ``file:///...``) yields fully
+    qualified URIs.
+    """
+
+    def __init__(self, spark: SparkSession, sample_path: str):
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._hconf = spark._jsc.hadoopConfiguration()
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._strip_scheme = "://" not in sample_path
+        jp = self._jpath(sample_path)
+        self._fs = jp.getFileSystem(self._hconf)
+        self.scheme = self._fs.getUri().getScheme() or "file"
+
+    # -- path plumbing ---------------------------------------------------
+
+    def _jpath(self, p: str):
+        if "://" not in p and not os.path.isabs(p):
+            # pin scheme-less relative paths to the process cwd (what
+            # the os.* code they replace did), not Hadoop's notion of
+            # a working directory
+            p = os.path.abspath(p)
+        return self._Path(p)
+
+    def _out(self, jpath) -> str:
+        uri = jpath.toUri()
+        if self._strip_scheme and (uri.getScheme() or "file") == "file":
+            return uri.getPath()
+        return str(uri)
+
+    # -- the five verbs the commit protocols use --------------------------
+
+    def exists(self, p: str) -> bool:
+        return bool(self._fs.exists(self._jpath(p)))
+
+    def is_dir(self, p: str) -> bool:
+        jp = self._jpath(p)
+        return bool(self._fs.exists(jp)
+                    and self._fs.getFileStatus(jp).isDirectory())
+
+    def rename(self, src: str, dst: str) -> None:
+        """ATOMIC namespace move; raises (never returns false) so a
+        failed commit step surfaces instead of half-applying.
+
+        Hadoop ``rename(src, dst)`` moves src INTO dst when dst is an
+        existing directory (mv semantics, unlike ``os.rename``) — the
+        protocols here always rename onto a non-existent target, so
+        an existing destination is rejected up front."""
+        if self.scheme not in RENAME_ATOMIC_SCHEMES and not os.environ.get(
+                "GRAPHOUSE_ALLOW_NONATOMIC_RENAME"):
+            raise NotImplementedError(
+                f"FileSystem scheme '{self.scheme}' has no atomic rename; "
+                "deploy this table as Iceberg/Delta (see graphouse_spark/"
+                "fs.py design note) or set GRAPHOUSE_ALLOW_NONATOMIC_RENAME "
+                "for single-writer dev runs")
+        jsrc, jdst = self._jpath(src), self._jpath(dst)
+        if self._fs.exists(jdst):
+            raise FileExistsError(f"rename target exists: {dst}")
+        if not self._fs.rename(jsrc, jdst):
+            raise OSError(f"rename failed: {src} -> {dst} "
+                          f"(src exists={self._fs.exists(jsrc)})")
+
+    def delete(self, p: str, ignore_errors: bool = True) -> bool:
+        """Recursive delete; missing path is not an error."""
+        try:
+            jp = self._jpath(p)
+            if not self._fs.exists(jp):
+                return False
+            return bool(self._fs.delete(jp, True))
+        except Exception:
+            if ignore_errors:
+                return False
+            raise
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._jpath(p))
+
+    # -- listings ----------------------------------------------------------
+
+    def listdir(self, p: str) -> list[str]:
+        """Child NAMES of a directory (empty when absent)."""
+        jp = self._jpath(p)
+        if not self._fs.exists(jp):
+            return []
+        return [st.getPath().getName() for st in self._fs.listStatus(jp)]
+
+    def list_files(self, root: str, suffix: str = ".parquet",
+                   hidden: bool = False) -> list[tuple[str, int]]:
+        """Recursive (path, size) of regular files under ``root``
+        matching ``suffix``; skips dot/underscore-hidden names unless
+        ``hidden``. One RemoteIterator — a single round of RPCs even
+        on a million-file table, where a per-dir os.walk would issue
+        one listing per directory."""
+        jroot = self._jpath(root)
+        if not self._fs.exists(jroot):
+            return []
+        out = []
+        it = self._fs.listFiles(jroot, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if not name.endswith(suffix):
+                continue
+            if not hidden and name[0] in "._":
+                continue
+            out.append((self._out(st.getPath()), int(st.getLen())))
+        return sorted(out)
+
+    def copy_file(self, src: str, dst: str) -> None:
+        """Copy one file (used for carrying concurrent appends into a
+        staged rewrite); parent dirs are created."""
+        FileUtil = self._jvm.org.apache.hadoop.fs.FileUtil
+        jdst = self._jpath(dst)
+        self._fs.mkdirs(jdst.getParent())
+        if not FileUtil.copy(self._fs, self._jpath(src), self._fs, jdst,
+                             False, True, self._hconf):
+            raise OSError(f"copy failed: {src} -> {dst}")
+
+    def size(self, p: str) -> int:
+        return int(self._fs.getFileStatus(self._jpath(p)).getLen())
+
+
+def get_fs(path: str, spark: SparkSession | None = None) -> Fs:
+    """The :class:`Fs` for ``path``, resolved through the active
+    session's Hadoop configuration (so ``fs.defaultFS`` and per-bucket
+    credentials apply)."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession; commit-protocol "
+                           "filesystem ops need the session's Hadoop conf")
+    return Fs(spark, path)
+
+
+def recover_swap(fs: Fs, live: str, stage: str, bak: str) -> str | None:
+    """Roll a three-path staged swap (stage -> live with ``bak``
+    holding the previous live) forward or back after a crash; the same
+    state machine :func:`operators.rollup.recover_compaction` applies
+    per partition, reusable for whole-table swaps. Returns the action
+    taken (or None when the state was already clean):
+
+    - stage + live            -> drop the stale stage (swap never started)
+    - stage + bak, no live    -> finish: stage -> live, drop bak
+    - bak + live, no stage    -> drop bak (swap done, cleanup missed)
+    - bak only                -> restore: bak -> live
+    """
+    s, l, b = fs.exists(stage), fs.exists(live), fs.exists(bak)
+    if s:
+        if l:
+            fs.delete(stage)
+            return "dropped-stale-stage"
+        if b:
+            fs.rename(stage, live)
+            fs.delete(bak)
+            return "finished-swap"
+        fs.delete(stage)
+        return "dropped-orphan-stage"
+    if b:
+        if l:
+            fs.delete(bak)
+            return "dropped-backup"
+        fs.rename(bak, live)
+        return "restored-backup"
+    return None

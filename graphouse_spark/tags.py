@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: validator regexp admitting tagged names (opt-in on ingest; the

@@ -17,10 +17,13 @@ costs ~3 min once) and asserts, per plan:
   pushed into a 1-2-split scan stage).
 
 Budgets = quiet-box observed ratio * ~1.5 headroom, capped at the
-10.0 linear bound (r11 calibration, min-of-2 per size):
+10.0 linear bound. r11 calibration observed (min-of-2 per size):
 eq+regex 5.5, regex-IN-list 5.2, over-cap fallback 1.7 (sub-linear —
 the literal-prefix bound prunes more row groups at scale),
-all-negative eq 5.1, all-negative regex 8.2. Backfill sits AT the
+all-negative eq 5.1, all-negative regex 8.2 — which with headroom
+ships as the SHAPES budgets 8.5 / 8.0 / 4.0 (extra slack: the
+sub-linear ratio's denominator is a sub-second sample) / 8.0 / 10.0
+(capped). Backfill sits AT the
 linear cap: per-row cpu is flat (6.4 -> 6.9 us/row — the sort's log
 factor), so min(run, cpu) lands 9.5-10x and the observed*1.5 formula
 under-budgets whenever the small-side sample is lucky (a 30 vs 50 s

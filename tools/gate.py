@@ -93,9 +93,17 @@ def main() -> None:
     ap.add_argument("--mirror-only", action="store_true",
                     help="run only the oracle-mirror phase (seeded "
                          "sample sweeps without re-running pytest)")
-    ap.add_argument("--out", default="GATE.json",
-                    help="artifact filename (relative to repo root)")
+    ap.add_argument("--out", default=None,
+                    help="artifact filename (relative to repo root); "
+                         "defaults to GATE.json for full-gate runs and "
+                         "GATE_SAMPLED.json when --sample/--mirror-only "
+                         "is set, so a subset sweep never overwrites "
+                         "the round's full-gate evidence record")
     args = ap.parse_args()
+    if args.out is None:
+        args.out = ("GATE_SAMPLED.json"
+                    if args.sample is not None or args.mirror_only
+                    else "GATE.json")
 
     runs = []
     for i in range(args.runs):

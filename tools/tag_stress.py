@@ -85,14 +85,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     tags_path = f"{out_dir}/tags"
+    marker = f"{out_dir}/_N_NAMES"
     if os.path.exists(f"{tags_path}/_SUCCESS"):
         # fixture reuse: the 10M build costs ~3 min — measure warm
-        # against an existing index instead of rebuilding per tweak
+        # against an existing index instead of rebuilding per tweak.
+        # Reuse is keyed on the n the fixture was BUILT with (round-11
+        # ADVICE): a rerun with a different n against the same out_dir
+        # would silently measure the old index while labeling every
+        # JSON line with the new n.
+        built_n = int(open(marker).read()) if os.path.exists(marker) else None
+        if built_n != n:
+            raise SystemExit(
+                f"fixture at {out_dir} was built with n_names={built_n}, "
+                f"requested {n}: pass a fresh out_dir or delete the fixture")
         print(json.dumps({"measure": "build_index", "n_names": n,
                           "sec": 0.0, "reused": out_dir}))
     else:
         t0 = time.perf_counter()
         build_index(spark, n, tags_path)
+        with open(marker, "w") as fh:
+            fh.write(str(n))
         print(json.dumps({"measure": "build_index", "n_names": n,
                           "sec": round(time.perf_counter() - t0, 1)}))
 
