@@ -149,9 +149,9 @@ def run_serve(args, spark=None, block: bool = True):
     spark = spark or get_spark("graphouse-serve")
     # first boot on an empty lake: bootstrap an empty metrics table so
     # the daemon serves (empty tree) instead of dying on PATH_NOT_FOUND
-    import os
+    from graphouse_spark.fs import get_fs
 
-    if not os.path.exists(args.metrics):
+    if not get_fs(args.metrics, spark).exists(args.metrics):
         from graphouse_spark.schemas import METRICS_SCHEMA
         from graphouse_spark.sources.tables import write_metrics
 
@@ -159,8 +159,8 @@ def run_serve(args, spark=None, block: bool = True):
     tagged = getattr(args, "tagged_ingest", False)
     tags_index = getattr(args, "tags_index", None) or (
         args.data.rstrip("/") + "_tags" if tagged else None)
-    if (tags_index and not os.path.exists(tags_index)
-            and os.path.exists(args.data)):
+    if (tags_index and not get_fs(tags_index, spark).exists(tags_index)
+            and get_fs(args.data, spark).exists(args.data)):
         # serving switches to the index the moment the dir exists, so
         # series ingested BEFORE the index must be backfilled first or
         # they vanish from /tags and seriesByTag
@@ -280,7 +280,6 @@ def run_migrate_whisper(args, spark=None) -> int:
     from graphouse_spark.sources.whisper import read_whisper
     from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
 
-    import shutil
     import uuid
 
     spark = spark or get_spark("graphouse-migrate")
@@ -309,7 +308,11 @@ def run_migrate_whisper(args, spark=None) -> int:
             print(f"quarantined {n_bad} corrupt .wsp file(s) -> {qpath}",
                   file=sys.stderr)
     finally:
-        shutil.rmtree(stage, ignore_errors=True)
+        # the stage lives INSIDE the (possibly remote) data lake --
+        # clean it through the lake's filesystem, not the local one
+        from graphouse_spark.fs import get_fs
+
+        get_fs(stage, spark).delete(stage)
     print(f"migrated {n} points from {args.root}", file=sys.stderr)
     return n
 
@@ -335,13 +338,14 @@ def run_maintain(args, spark=None) -> dict:
     from graphouse_spark.session import get_spark
 
     spark = spark or get_spark("graphouse-maintain")
-    import os
+    from graphouse_spark.fs import get_fs
 
     # serve auto-creates the index at <data>_tags under --tagged-ingest;
     # a default maintain run must compact the same default path or the
     # index fragments forever (one file per micro-batch per date)
     tags_path = getattr(args, "tags_index", None)
-    if tags_path is None and os.path.exists(args.data.rstrip("/") + "_tags"):
+    if tags_path is None and get_fs(args.data, spark).exists(
+            args.data.rstrip("/") + "_tags"):
         tags_path = args.data.rstrip("/") + "_tags"
     ah = {}
     if getattr(args, "properties", None):

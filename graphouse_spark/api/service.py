@@ -724,6 +724,15 @@ class QueryLimitExceeded(ValueError):
     would otherwise materialize arbitrarily many series driver-side."""
 
 
+def _exists(spark, path) -> bool:
+    """Existence probe through the path's Hadoop FileSystem (HDFS-real;
+    the local FS answers identically) — serving-layer twin of the
+    commit layer's fs.py port. None path -> False."""
+    from graphouse_spark.fs import get_fs
+
+    return path is not None and get_fs(path, spark).exists(path)
+
+
 class GraphouseService:
     def __init__(self, spark: SparkSession, data_path: str, metrics_path: str,
                  provider: CombinedRetentionProvider | None = None,
@@ -863,13 +872,11 @@ class GraphouseService:
 
     # -- /events (graphite-web event markers; ENGINE EXTENSION) --
     def _events_frame(self):
-        import os
-
         from graphouse_spark import events as ev_mod
 
         if self.events_path is None:
             return None
-        if not os.path.exists(self.events_path):
+        if not _exists(self.spark, self.events_path):
             # configured but empty store: events() renders no markers
             # instead of erroring. Build a FRESH StructType —
             # StructType.add mutates self, so .add() on the module
@@ -936,11 +943,9 @@ class GraphouseService:
         """The persisted tag index inside the lookback window, or None
         when no index is configured/built yet (fallback: scan the
         points table's names — the pre-index behavior)."""
-        import os
-
         from pyspark.sql import functions as F
 
-        if self.tags_path is None or not os.path.exists(self.tags_path):
+        if self.tags_path is None or not _exists(self.spark, self.tags_path):
             return None
         from graphouse_spark.sources.tables import read_tags
 
@@ -980,7 +985,7 @@ class GraphouseService:
             return tg_mod.series_by_tag_on_index(
                 idx, exprs, regex_values=self._regex_value_list)
         else:
-            if not os.path.exists(self.data_path):
+            if not _exists(self.spark, self.data_path):
                 # pre-first-batch boot: serve the empty namespace, like
                 # the empty-tree bootstrap does for /search
                 return self.spark.createDataFrame([], "metric string")
@@ -1130,7 +1135,7 @@ class GraphouseService:
 
         if not paths:
             raise ValueError("delSeries needs at least one path")
-        if self.tags_path is None or not os.path.exists(self.tags_path):
+        if self.tags_path is None or not _exists(self.spark, self.tags_path):
             return json.dumps(False)  # no tag DB to delete from
         targets = [tg_mod.canonical(p) for p in paths]
         found = {r["metric"] for r in
@@ -1256,10 +1261,7 @@ class GraphouseService:
 
                     from graphouse_spark import tags as tg_mod
 
-                    import os as _os
-
-                    has_index = (self.tags_path is not None
-                                 and _os.path.exists(self.tags_path))
+                    has_index = _exists(self.spark, self.tags_path)
                     if tg_mod.name_equals_term(exprs) is None and not has_index:
                         # without an index the resolve would scan the
                         # POINTS table names — unbounded per render; the
@@ -1601,11 +1603,9 @@ class GraphouseService:
             except Exception:
                 _code = query  # tokenize errors surface in the guard
             if _re.search(r"\bparts\b", _code, _re.IGNORECASE):
-                import os as _os
-
                 from graphouse_spark.sources.tables import table_stats
 
-                if _os.path.exists(self.data_path):
+                if _exists(self.spark, self.data_path):
                     table_stats(self.spark, self.data_path) \
                         .createOrReplaceTempView("parts")
                 else:
@@ -1910,7 +1910,7 @@ class GraphouseService:
         out = {"target": target, "series": len(names), "indexed": False,
                "files_total": None, "files_scanned": None, "rows_estimate": None}
         index_path = self.data_service.index_path
-        if not index_path or not os.path.isdir(index_path):
+        if not index_path or not _exists(self.spark, index_path):
             return out
         try:
             index = skipping.read_file_index(self.spark, index_path)
@@ -1920,7 +1920,7 @@ class GraphouseService:
                     rows_by_file.get(r["file"], 0), r["rows"] or 0)
             files = skipping.prune_files_for_query(index, names, start, end)
             bloom_path = index_path.rstrip("/") + "_bloom"
-            if files and os.path.isdir(bloom_path):
+            if files and _exists(self.spark, bloom_path):
                 blooms = skipping.read_bloom_index(self.spark, bloom_path)
                 indexed = {r["file"] for r in
                            blooms.select("file").distinct().collect()}

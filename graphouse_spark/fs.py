@@ -92,6 +92,11 @@ class Fs:
             return uri.getPath()
         return str(uri)
 
+    def norm(self, p: str) -> str:
+        """``p`` in this instance's listing style (see class docstring)
+        — use for prefix arithmetic against :meth:`list_files` output."""
+        return self._out(self._fs.makeQualified(self._jpath(p)))
+
     # -- the five verbs the commit protocols use --------------------------
 
     def exists(self, p: str) -> bool:
@@ -151,23 +156,29 @@ class Fs:
     def list_files(self, root: str, suffix: str = ".parquet",
                    hidden: bool = False) -> list[tuple[str, int]]:
         """Recursive (path, size) of regular files under ``root``
-        matching ``suffix``; skips dot/underscore-hidden names unless
-        ``hidden``. One RemoteIterator — a single round of RPCs even
-        on a million-file table, where a per-dir os.walk would issue
-        one listing per directory."""
+        matching ``suffix``. Unless ``hidden``, skips dot/underscore-
+        hidden names AND files under hidden directories — the same
+        visibility rule Spark's file listing applies, so a staged
+        ``.date=*.new`` partition never leaks into a zonemap or size
+        audit (an os.walk-based listing descended into them). One
+        RemoteIterator — a single round of RPCs even on a million-file
+        table, where a per-dir walk issues one listing per directory."""
         jroot = self._jpath(root)
         if not self._fs.exists(jroot):
             return []
+        root_uri = self._out(self._fs.makeQualified(jroot)).rstrip("/")
         out = []
         it = self._fs.listFiles(jroot, True)
         while it.hasNext():
             st = it.next()
-            name = st.getPath().getName()
-            if not name.endswith(suffix):
+            p = self._out(st.getPath())
+            if not p.endswith(suffix):
                 continue
-            if not hidden and name[0] in "._":
-                continue
-            out.append((self._out(st.getPath()), int(st.getLen())))
+            if not hidden:
+                rel = p[len(root_uri):] if p.startswith(root_uri) else p
+                if any(seg and seg[0] in "._" for seg in rel.split("/")):
+                    continue
+            out.append((p, int(st.getLen())))
         return sorted(out)
 
     def copy_file(self, src: str, dst: str) -> None:
@@ -182,6 +193,53 @@ class Fs:
 
     def size(self, p: str) -> int:
         return int(self._fs.getFileStatus(self._jpath(p)).getLen())
+
+    # -- small-file text IO (manifest commits) ----------------------------
+
+    def write_text(self, p: str, text: str) -> None:
+        """Commit a small text file: write a sibling ``.tmp`` then
+        rename over — the single-object pointer-commit primitive the
+        manifest design note builds on. The replace is delete+rename
+        (a crash in the gap leaves the file ABSENT, which every reader
+        treats as 'uncommitted' — never half-written)."""
+        tmp = p + ".tmp"
+        out = self._fs.create(self._jpath(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        jdst = self._jpath(p)
+        if self._fs.exists(jdst):
+            self._fs.delete(jdst, False)
+        if not self._fs.rename(self._jpath(tmp), jdst):
+            raise OSError(f"manifest rename failed: {tmp} -> {p}")
+
+    def read_text(self, p: str) -> str:
+        # bytes must come back as a RETURN VALUE: py4j passes byte[]
+        # by value, so readFully(buf) would fill a JVM-side copy and
+        # leave the Python buffer zeroed
+        inp = self._fs.open(self._jpath(p))
+        try:
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(inp)
+            return bytes(data).decode("utf-8")
+        finally:
+            inp.close()
+
+
+def abspath(p: str) -> str:
+    """Scheme-less relative paths pinned to the process cwd; qualified
+    URIs pass through (their FS resolves them)."""
+    return p if "://" in p else os.path.abspath(p)
+
+
+def parent_dir(p: str) -> str:
+    p = abspath(p).rstrip("/")
+    head = p.rsplit("/", 1)[0]
+    return head or "/"
+
+
+def base_name(p: str) -> str:
+    return abspath(p).rstrip("/").rsplit("/", 1)[1]
 
 
 def get_fs(path: str, spark: SparkSession | None = None) -> Fs:

@@ -46,20 +46,33 @@ def run_metrics_compaction(spark: SparkSession, metrics_path: str) -> int:
     """Rewrite the name table to one (latest) row per name, in place.
 
     The table is append-only between compactions; this bounds the
-    argMax work every read performs. Small table -> collect-and-rewrite
-    through a temp dir is fine at any realistic tree size.
+    argMax work every read performs. Small table -> full rewrite
+    through a dot-hidden sibling stage is fine at any realistic tree
+    size. The swap is the generic three-path protocol on the table's
+    Hadoop FileSystem (stage -> live with a backup; every crash point
+    rolls forward/back via :func:`graphouse_spark.fs.recover_swap`,
+    which runs first) — the previous local-tempdir form had a window
+    where a crash between rmtree and move lost the table, and could
+    not target an HDFS table at all.
     """
-    import shutil
-    import tempfile
-
+    from graphouse_spark.fs import get_fs, recover_swap
     from graphouse_spark.operators.dedup import latest_status
 
+    from graphouse_spark import fs as fs_mod
+
+    fs = get_fs(metrics_path, spark)
+    live = fs.norm(metrics_path)
+    parent, base = fs_mod.parent_dir(live), fs_mod.base_name(live)
+    stage = f"{parent}/.{base}_compact.stage"
+    bak = f"{parent}/.{base}_compact.bak"
+    recover_swap(fs, live, stage, bak)
+
     latest = latest_status(read_metrics(spark, metrics_path))
-    tmp = tempfile.mkdtemp(prefix="metrics_compact_")
-    write_metrics(latest, tmp, mode="overwrite")
-    n = spark.read.parquet(tmp).count()
-    shutil.rmtree(metrics_path)
-    shutil.move(tmp, metrics_path)
+    write_metrics(latest, stage, mode="overwrite")
+    n = spark.read.parquet(stage).count()
+    fs.rename(live, bak)
+    fs.rename(stage, live)
+    fs.delete(bak)
     return n
 
 
@@ -70,14 +83,13 @@ def run_tags_compaction(spark: SparkSession, tags_path: str) -> int:
     active series re-appends its rows every batch — between
     compactions the index is (duplicated rows x small files); this
     restores one row per (metric, tag, value, date) and one sorted
-    file per date partition. Same collect-free temp-dir swap as the
+    file per date partition. Same collect-free staged swap as the
     metrics compaction; the index is per-series, so it stays orders of
     magnitude smaller than the data table at any scale."""
-    import os
-
+    from graphouse_spark.fs import get_fs
     from graphouse_spark.sources.tables import rewrite_tags_atomic
 
-    if not os.path.exists(tags_path):
+    if not get_fs(tags_path, spark).exists(tags_path):
         return 0
     # crash-safe, locked stage->swap rewrite; parallel write (hash by
     # date -> one sorted file per partition) — tables.rewrite_tags_atomic
@@ -90,11 +102,10 @@ def run_index_update(spark: SparkSession, data_path: str, index_path: str,
     """Refresh the persisted zonemap AFTER compaction/rollup rewrote
     files: new files get footer-read, dead files' rows are dropped.
     First run bootstraps the index. Returns the zonemap row count."""
-    import os
-
+    from graphouse_spark.fs import get_fs
     from graphouse_spark.sources import skipping
 
-    if os.path.exists(index_path):
+    if get_fs(index_path, spark).exists(index_path):
         existing = skipping.read_file_index(spark, index_path)
         idx = skipping.update_file_index(spark, data_path, existing, list(cols))
     else:
@@ -111,12 +122,11 @@ def run_bloom_update(spark: SparkSession, data_path: str, index_path: str,
     """Refresh the bloom sidecar (`<index_path>_bloom`) the same way:
     never-seen files get their metric column read, dead files drop.
     Returns the bloom row count (one per live data file)."""
-    import os
-
+    from graphouse_spark.fs import get_fs
     from graphouse_spark.sources import skipping
 
     bloom_path = index_path.rstrip("/") + "_bloom"
-    if os.path.exists(bloom_path):
+    if get_fs(bloom_path, spark).exists(bloom_path):
         existing = skipping.read_bloom_index(spark, bloom_path)
         idx = skipping.update_bloom_index(spark, data_path, existing, col, fpp)
     else:

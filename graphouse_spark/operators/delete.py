@@ -63,22 +63,22 @@ def delete_metrics(spark: SparkSession, data_path: str,
     crash (this function does it automatically) — the commit protocol
     is shared with rollup/compaction, so one recovery pass heals both.
     """
-    from pathlib import Path
+    from graphouse_spark.fs import get_fs
 
     if isinstance(patterns, str):
         patterns = [patterns]
     cond = _match_condition(patterns)
-    recover_compaction(data_path)
+    fs = get_fs(data_path, spark)
+    recover_compaction(data_path, fs)
 
-    root = Path(data_path)
     dates = sorted(
-        p.name.split("=", 1)[1] for p in root.iterdir()
-        if p.is_dir() and re.match(r"^date=", p.name)
+        name.split("=", 1)[1] for name in fs.listdir(data_path)
+        if re.match(r"^date=", name)
     )
     rewritten, deleted = [], 0
     for d in dates:
         live = _live(data_path, d)
-        part = spark.read.parquet(str(live))
+        part = spark.read.parquet(live)
         # cheap containment probe: only the metric column is read, and
         # parquet dictionary/stats prune most files for exact names
         n_hit = part.select("metric").filter(cond).count()
@@ -86,8 +86,8 @@ def delete_metrics(spark: SparkSession, data_path: str,
             continue
         stage = _stage(data_path, d)
         kept = part.filter(~cond)
-        kept.write.mode("overwrite").parquet(str(stage))
-        _commit_partition(data_path, d)
+        kept.write.mode("overwrite").parquet(stage)
+        _commit_partition(data_path, d, fs)
         rewritten.append(d)
         deleted += n_hit
     return {"partitions_rewritten": rewritten, "rows_deleted": deleted}

@@ -46,16 +46,16 @@ def _affected_dates(data: DataFrame, condition: Column) -> list:
 def _rewrite_partitions(spark: SparkSession, data_path: str,
                         transform, dates: list) -> list:
     """Stage ``transform(partition_rows)`` for each date, then commit
-    via the atomic rename protocol. Returns rewritten dates."""
-    import os
-    import shutil
-    from pathlib import Path
-
+    via the atomic rename protocol (Hadoop FileSystem of the table
+    path — local/HDFS; see fs.py for the object-store story).
+    Returns rewritten dates."""
+    from graphouse_spark.fs import get_fs
     from graphouse_spark.sources.tables import read_data
 
     if not dates:
         return []
-    recover_compaction(data_path)
+    fs = get_fs(data_path, spark)
+    recover_compaction(data_path, fs)
     tmp_path = data_path.rstrip("/") + "_mutation_tmp"
     data = read_data(spark, data_path)
     subset = data.filter(F.col("date").isin([str(d) for d in dates]))
@@ -69,18 +69,18 @@ def _rewrite_partitions(spark: SparkSession, data_path: str,
     )
     rewritten = []
     for d in dates:
-        src = Path(tmp_path) / f"date={d}"
+        src = tmp_path.rstrip("/") + f"/date={d}"
         stage = _stage(data_path, str(d))
-        shutil.rmtree(stage, ignore_errors=True)
-        if src.exists():
-            os.rename(src, stage)
+        fs.delete(stage)
+        if fs.exists(src):
+            fs.rename(src, stage)
         else:
             # every matching row of this partition was deleted: stage an
             # empty partition dir so the commit removes the old data
-            os.makedirs(stage)
-        _commit_partition(data_path, str(d))
+            fs.mkdirs(stage)
+        _commit_partition(data_path, str(d), fs)
         rewritten.append(str(d))
-    shutil.rmtree(tmp_path, ignore_errors=True)
+    fs.delete(tmp_path)
     return rewritten
 
 

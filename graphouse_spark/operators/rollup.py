@@ -173,22 +173,19 @@ _STAGE_SUFFIX = ".new"
 _BACKUP_SUFFIX = ".bak"
 
 
-def _stage(data_path: str, d: str):
-    from pathlib import Path
-    return Path(data_path) / f".date={d}{_STAGE_SUFFIX}"
+def _stage(data_path: str, d: str) -> str:
+    return data_path.rstrip("/") + f"/.date={d}{_STAGE_SUFFIX}"
 
 
-def _backup(data_path: str, d: str):
-    from pathlib import Path
-    return Path(data_path) / f".date={d}{_BACKUP_SUFFIX}"
+def _backup(data_path: str, d: str) -> str:
+    return data_path.rstrip("/") + f"/.date={d}{_BACKUP_SUFFIX}"
 
 
-def _live(data_path: str, d: str):
-    from pathlib import Path
-    return Path(data_path) / f"date={d}"
+def _live(data_path: str, d: str) -> str:
+    return data_path.rstrip("/") + f"/date={d}"
 
 
-def _commit_partition(data_path: str, d: str) -> None:
+def _commit_partition(data_path: str, d: str, fs=None) -> None:
     """Swap a staged partition in, one atomic rename at a time.
 
     Sequence (stage dir already present):
@@ -198,21 +195,27 @@ def _commit_partition(data_path: str, d: str) -> None:
       2. stage -> live    (atomic rename; new data visible)
       3. remove backup
     Every intermediate state is enumerated by :func:`recover_compaction`.
+
+    All steps go through the Hadoop FileSystem of ``data_path``
+    (:mod:`graphouse_spark.fs`): rename(2)-atomic on local disk,
+    NameNode-atomic on HDFS, refused on rename-less object stores
+    (deploy those as Iceberg/Delta — fs.py design note).
     """
-    import os
-    import shutil
+    from graphouse_spark.fs import get_fs
 
+    fs = fs or get_fs(data_path)
     live, stage, backup = _live(data_path, d), _stage(data_path, d), _backup(data_path, d)
-    if live.exists():
-        os.rename(live, backup)
-    os.rename(stage, live)
-    shutil.rmtree(backup, ignore_errors=True)
+    if fs.exists(live):
+        fs.rename(live, backup)
+    fs.rename(stage, live)
+    fs.delete(backup)
 
 
-def recover_compaction(data_path: str) -> list[str]:
+def recover_compaction(data_path: str, fs=None) -> list[str]:
     """Roll the commit protocol forward/back after a crash.
 
-    For each partition with leftover protocol dirs:
+    For each partition with leftover protocol dirs (the
+    :func:`graphouse_spark.fs.recover_swap` state machine):
     - stage + live present          -> crashed before step 1: drop the
       stale stage (the rerun regenerates it).
     - stage + backup, no live       -> crashed between 1 and 2: finish
@@ -223,33 +226,21 @@ def recover_compaction(data_path: str) -> list[str]:
     Afterwards the table is readable and compaction is re-runnable.
     Returns the partitions touched.
     """
-    import os
     import re as _re
-    import shutil
-    from pathlib import Path
 
-    root = Path(data_path)
-    if not root.is_dir():
+    from graphouse_spark.fs import get_fs, recover_swap
+
+    fs = fs or get_fs(data_path)
+    if not fs.is_dir(data_path):
         return []
     touched = []
     pat = _re.compile(r"^\.date=(.+)(" + _re.escape(_STAGE_SUFFIX) + "|"
                       + _re.escape(_BACKUP_SUFFIX) + r")$")
-    dates = {m.group(1) for p in root.iterdir() if (m := pat.match(p.name))}
+    dates = {m.group(1) for name in fs.listdir(data_path)
+             if (m := pat.match(name))}
     for d in sorted(dates):
-        live, stage, backup = _live(data_path, d), _stage(data_path, d), _backup(data_path, d)
-        if stage.exists():
-            if live.exists():
-                shutil.rmtree(stage)  # never started the swap
-            elif backup.exists():
-                os.rename(stage, live)  # finish the interrupted swap
-                shutil.rmtree(backup, ignore_errors=True)
-            else:
-                shutil.rmtree(stage)  # stage without context: rerun rebuilds
-        elif backup.exists():
-            if live.exists():
-                shutil.rmtree(backup)  # swap completed, cleanup missed
-            else:
-                os.rename(backup, live)  # restore the original
+        recover_swap(fs, _live(data_path, d), _stage(data_path, d),
+                     _backup(data_path, d))
         touched.append(d)
     return touched
 
@@ -273,13 +264,11 @@ def compact_data_table(spark: SparkSession, data_path: str,
     table format (Delta/Iceberg) this whole dance collapses to
     ``replaceWhere`` — the protocol is the bare-parquet equivalent.
     """
-    import os
-    import shutil
-    from pathlib import Path
-
+    from graphouse_spark.fs import get_fs
     from graphouse_spark.sources.tables import read_data
 
-    recover_compaction(data_path)
+    fs = get_fs(data_path, spark)
+    recover_compaction(data_path, fs)
 
     now = now_seconds if now_seconds is not None else int(dt.datetime.now(dt.timezone.utc).timestamp())
     cutoff = dt.datetime.fromtimestamp(now - min_age_seconds, dt.timezone.utc).date()
@@ -298,23 +287,13 @@ def compact_data_table(spark: SparkSession, data_path: str,
     # splits into up to n_out files per date — a compaction that leaves
     # small files behind defeats itself under the streaming append loop
     # it exists to serve. Listing goes through the Hadoop FileSystem of
-    # the actual path (not local pathlib), so HDFS/S3A tables size
+    # the actual path (not local pathlib), so HDFS tables size
     # correctly too; a date whose listing finds nothing falls back to a
     # logged default rather than silently funneling into one task.
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
     date_bytes: dict[str, int] = {}
     for d in dates:
-        jpath = jvm.org.apache.hadoop.fs.Path(
-            data_path.rstrip("/") + f"/date={d}")
-        b = 0
         try:
-            fs = jpath.getFileSystem(hconf)
-            if fs.exists(jpath):
-                for st in fs.listStatus(jpath):
-                    name = st.getPath().getName()
-                    if name.endswith(".parquet"):
-                        b += st.getLen()
+            b = sum(sz for _, sz in fs.list_files(_live(data_path, str(d))))
         except Exception:
             b = 0
         date_bytes[str(d)] = b
@@ -350,14 +329,14 @@ def compact_data_table(spark: SparkSession, data_path: str,
     )
     rewritten = []
     for d in dates:
-        src = Path(tmp_path) / f"date={d}"
-        if src.exists():
+        src = tmp_path.rstrip("/") + f"/date={d}"
+        if fs.exists(src):
             # stage into the table dir first (same filesystem as the
             # sibling tmp path, so this is a rename, not a copy)
             stage = _stage(data_path, str(d))
-            shutil.rmtree(stage, ignore_errors=True)
-            os.rename(src, stage)
-            _commit_partition(data_path, str(d))
+            fs.delete(stage)
+            fs.rename(src, stage)
+            _commit_partition(data_path, str(d), fs)
             rewritten.append(str(d))
-    shutil.rmtree(tmp_path, ignore_errors=True)
+    fs.delete(tmp_path)
     return rewritten

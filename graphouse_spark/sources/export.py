@@ -20,7 +20,6 @@ readers treat "no manifest" as "no export".
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -71,10 +70,13 @@ def write_training_shards(docs: DataFrame, out_dir: str, budget: int = 2048,
         "utilization": round(
             (stats["tokens"] or 0) / (max(stats["shards"], 1) * budget), 6),
     }
-    tmp = os.path.join(out_dir, MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, sort_keys=True)
-    os.replace(tmp, os.path.join(out_dir, MANIFEST))
+    # manifest pointer-commit through the lake's Hadoop FS (tmp-write
+    # + rename; a crash leaves the manifest absent = uncommitted)
+    from graphouse_spark.fs import get_fs
+
+    get_fs(out_dir, docs.sparkSession).write_text(
+        f"{out_dir.rstrip('/')}/{MANIFEST}",
+        json.dumps(manifest, sort_keys=True))
     return manifest
 
 
@@ -83,10 +85,12 @@ def read_training_shards(spark: SparkSession, out_dir: str
     """An exported corpus back as (frame, manifest). A missing manifest
     means the export never committed — refuse rather than serve
     possibly-partial data (the crash-safety contract of the writer)."""
-    path = os.path.join(out_dir, MANIFEST)
-    if not os.path.exists(path):
+    from graphouse_spark.fs import get_fs
+
+    fs = get_fs(out_dir, spark)
+    path = f"{out_dir.rstrip('/')}/{MANIFEST}"
+    if not fs.exists(path):
         raise FileNotFoundError(
             f"no {MANIFEST} under {out_dir}: export absent or uncommitted")
-    with open(path) as f:
-        manifest = json.load(f)
+    manifest = json.loads(fs.read_text(path))
     return spark.read.parquet(out_dir), manifest

@@ -39,13 +39,15 @@ INDEX_SCHEMA = ("file string, column string, vmin string, vmax string, "
                 "nulls long, rows long")
 
 
-def _data_files(root: str) -> list[str]:
-    out = []
-    for dirpath, _dirs, files in os.walk(root):
-        for f in files:
-            if f.endswith(".parquet") and not f.startswith("_"):
-                out.append(os.path.join(dirpath, f))
-    return sorted(out)
+def _data_files(root: str, spark: SparkSession | None = None) -> list[str]:
+    """Live data-file paths via the table's Hadoop FileSystem (one
+    recursive listing RPC round, not a per-dir os.walk). The footer
+    reads in ``_index_for_files`` use pyarrow on the executors and so
+    currently assume executor-readable paths (local or a mounted
+    view); the LISTING and every index read/write is FS-agnostic."""
+    from graphouse_spark.fs import get_fs
+
+    return [p for p, _ in get_fs(root, spark).list_files(root)]
 
 
 def build_file_index(spark: SparkSession, table_path: str,
@@ -58,7 +60,7 @@ def build_file_index(spark: SparkSession, table_path: str,
     sortable encoding for numerics (zero-padded) so one schema serves
     every column type; :func:`prune_files` compares in the value domain.
     """
-    return _index_for_files(spark, _data_files(table_path), cols)
+    return _index_for_files(spark, _data_files(table_path, spark), cols)
 
 
 def _enc(v) -> str | None:
@@ -138,7 +140,7 @@ def update_file_index(spark: SparkSession, table_path: str,
     dropped — a zonemap row must never point at a dead file, and a
     freshly compacted file is simply "new" on the next update.
     """
-    current = set(_data_files(table_path))
+    current = set(_data_files(table_path, spark))
     known = {r[0] for r in existing.select("file").distinct().collect()}
     kept = existing.filter(F.col("file").isin(list(current)) if current else F.lit(False))
     new_files = sorted(current - known)
@@ -233,9 +235,10 @@ def read_pruned_data(spark: SparkSession, data_path: str, index_path: str,
     ``None`` when no usable index exists — the caller then falls back
     to the full-table read, so the index is purely an accelerator.
     """
+    from graphouse_spark.fs import get_fs
     from graphouse_spark.schemas import DATA_SCHEMA
 
-    if not index_path or not os.path.isdir(index_path):
+    if not index_path or not get_fs(index_path, spark).is_dir(index_path):
         return None
     try:
         index = read_file_index(spark, index_path)
@@ -244,7 +247,7 @@ def read_pruned_data(spark: SparkSession, data_path: str, index_path: str,
         # membership-prunes the range survivors. Files the bloom has
         # never indexed stay — may-contain discipline throughout.
         bloom_path = index_path.rstrip("/") + "_bloom"
-        if files and os.path.isdir(bloom_path):
+        if files and get_fs(bloom_path, spark).is_dir(bloom_path):
             blooms = read_bloom_index(spark, bloom_path)
             indexed = {r["file"] for r in blooms.select("file").distinct().collect()}
             may = set(prune_files_bloom(blooms, metric_names))
@@ -322,7 +325,7 @@ def build_bloom_index(spark: SparkSession, table_path: str,
     distinct count at the requested false-positive rate, so small
     files carry small filters.
     """
-    return _bloom_for_files(spark, _data_files(table_path), col, fpp)
+    return _bloom_for_files(spark, _data_files(table_path, spark), col, fpp)
 
 
 def update_bloom_index(spark: SparkSession, table_path: str,
@@ -331,7 +334,7 @@ def update_bloom_index(spark: SparkSession, table_path: str,
     """Incremental bloom maintenance — same append-mostly contract as
     :func:`update_file_index`: only never-seen files are read, rows for
     dead files drop."""
-    current = set(_data_files(table_path))
+    current = set(_data_files(table_path, spark))
     known = {r[0] for r in existing.select("file").distinct().collect()}
     kept = existing.filter(
         F.col("file").isin(list(current)) if current else F.lit(False))

@@ -131,21 +131,41 @@ def write_tags(df: DataFrame, path: str, mode: str = "append") -> None:
     series that stops reporting). Holding the lock for the append job
     means every append either completes before the swap (its files are
     then hard-copied into the staged index under the SAME lock) or
-    starts after it (writing into the new live dir)."""
+    starts after it (writing into the new live dir).
+
+    SIZE-GATED parallelism (round-11 verdict #5): micro-batch appends
+    (the streaming loop, a handful of new series per batch) stay
+    ``repartition(1)`` — one file per batch, exactly what the
+    compaction loop expects to sweep. A BULK append (a whisper
+    migration under ``--tagged-ingest`` funnels the whole migration's
+    tag rows through this function) would push millions of rows
+    through one task; above ``TAG_APPEND_SINGLE_FILE_MAX`` rows the
+    write switches to the backfill layout (hash by (date, tag, value)
+    across the default parallelism, sorted within files) — same
+    query-serving layout, parallel write."""
     from graphouse_spark.schemas import TAGS_SCHEMA
 
     cols = [f.name for f in TAGS_SCHEMA.fields]
     staged = df.select(*cols).localCheckpoint()
-    out = (
-        staged
-        .repartition(1)  # micro-batch appends are small: one file each
-        .sortWithinPartitions("tag", "value", "metric")
-        .write.mode(mode)
-        .partitionBy("date")
-    )
+    # the checkpoint just materialized the rows; count() is metadata
+    bulk = staged.count() > TAG_APPEND_SINGLE_FILE_MAX
+    if bulk:
+        out = tag_index_writer(staged).mode(mode).partitionBy("date")
+        vals_df = (staged.groupBy("tag", "value")
+                   .agg(F.max("date").alias("date"))
+                   .repartition(TAG_VALUES_FILES, "tag", "value"))
+    else:
+        out = (
+            staged
+            .repartition(1)  # micro-batch appends are small: one file
+            .sortWithinPartitions("tag", "value", "metric")
+            .write.mode(mode)
+            .partitionBy("date")
+        )
+        vals_df = staged.groupBy("tag", "value").agg(
+            F.max("date").alias("date")).repartition(1)
     vals = (
-        staged.groupBy("tag", "value").agg(F.max("date").alias("date"))
-        .repartition(1)
+        vals_df
         .sortWithinPartitions("tag", "value")
         .write.mode(mode)
     )
@@ -175,6 +195,12 @@ def tag_values_path(tags_path: str) -> str:
 #: values, still few enough files that footer reads stay negligible
 TAG_VALUES_FILES = 8
 
+#: rows above which :func:`write_tags` abandons the one-file-per-batch
+#: micro-batch layout for the parallel backfill layout. ~1M exploded
+#: tag rows is far past any streaming batch (those carry only NEW
+#: series) and well under where a single write task starts to hurt.
+TAG_APPEND_SINGLE_FILE_MAX = 1_000_000
+
 
 def tag_index_writer(rows: DataFrame):
     """The bulk-write layout of the tag index (backfill/compaction —
@@ -199,12 +225,11 @@ def read_tag_values(spark: SparkSession, tags_path: str):
     """The (tag, value, last-seen date) sub-index, or None when absent
     (pre-sub-index deployments: callers fall back to pruning on the
     main index rows)."""
-    import os
-
+    from graphouse_spark.fs import get_fs
     from graphouse_spark.schemas import TAG_VALUES_SCHEMA
 
     vp = tag_values_path(tags_path)
-    if not os.path.exists(vp):
+    if not get_fs(vp, spark).exists(vp):
         return None
     return spark.read.schema(TAG_VALUES_SCHEMA).parquet(vp)
 
@@ -259,41 +284,33 @@ def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
          via :func:`write_tags` instead.
 
     Returns the kept row count."""
-    import os
-    import shutil
     import uuid
 
+    from graphouse_spark import fs as fs_mod
     from graphouse_spark.schemas import TAGS_SCHEMA
+
+    fs = fs_mod.get_fs(tags_path, spark)
+    tags_abs = fs.norm(tags_path)
 
     # whole-rewrite mutex: see _TAGS_REWRITE_SERIAL
     with _TAGS_REWRITE_SERIAL:
         def live_files():
-            out = []
-            for root, _dirs, files in os.walk(tags_path):
-                for fn in files:
-                    if fn.endswith(".parquet"):
-                        out.append(os.path.join(root, fn))
-            return out
+            return [p for p, _ in fs.list_files(tags_abs)]
 
-        parent = os.path.dirname(os.path.abspath(tags_path)) or "."
-        base = os.path.basename(os.path.abspath(tags_path))
+        parent = fs_mod.parent_dir(tags_path)
+        base = fs_mod.base_name(tags_path)
         # clear leftovers from a previous crashed rewrite
-        for d in os.listdir(parent):
+        for d in fs.listdir(parent):
             if d.startswith(f".stage-{base}-") or d.startswith(f".bak-{base}-"):
-                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+                fs.delete(f"{parent}/{d}")
         token = uuid.uuid4().hex[:8]
-        stage = os.path.join(parent, f".stage-{base}-{token}")
-        bak = os.path.join(parent, f".bak-{base}-{token}")
+        stage = f"{parent}/.stage-{base}-{token}"
+        bak = f"{parent}/.bak-{base}-{token}"
 
-        vp = tag_values_path(tags_path)
+        vp = fs.norm(tag_values_path(tags_path))
 
         def live_value_files():
-            out = []
-            if os.path.isdir(vp):
-                for root, _dirs, files in os.walk(vp):
-                    out.extend(os.path.join(root, fn) for fn in files
-                               if fn.endswith(".parquet"))
-            return out
+            return [p for p, _ in fs.list_files(vp)]
 
         snapshot = live_files()
         # sub-index snapshot taken at the SAME instant: any value file
@@ -319,12 +336,12 @@ def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
         # transform.
         kept = transform(current)
         cols = [f.name for f in TAGS_SCHEMA.fields]
-        vbase = os.path.basename(os.path.abspath(vp))
-        vstage = os.path.join(parent, f".stage-{vbase}-{token}")
-        vbak = os.path.join(parent, f".bak-{vbase}-{token}")
-        for d in os.listdir(parent):  # leftovers from a crashed step 4
+        vbase = fs_mod.base_name(vp)
+        vstage = f"{parent}/.stage-{vbase}-{token}"
+        vbak = f"{parent}/.bak-{vbase}-{token}"
+        for d in fs.listdir(parent):  # leftovers from a crashed step 4
             if d.startswith(f".stage-{vbase}-") or d.startswith(f".bak-{vbase}-"):
-                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+                fs.delete(f"{parent}/{d}")
         try:
             tag_index_writer(kept.select(*cols)
                              ).mode("overwrite").partitionBy("date").parquet(stage)
@@ -341,16 +358,14 @@ def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
                 snap_set = set(snapshot)
                 for f in live_files():
                     if f not in snap_set:  # appended during the rewrite
-                        rel = os.path.relpath(f, tags_path)
-                        dst = os.path.join(stage, rel)
-                        os.makedirs(os.path.dirname(dst), exist_ok=True)
-                        shutil.copy2(f, dst)
-                os.rename(tags_path, bak)
-                os.rename(stage, tags_path)
-            shutil.rmtree(bak, ignore_errors=True)
+                        rel = f[len(tags_abs):].lstrip("/")
+                        fs.copy_file(f, f"{stage}/{rel}")
+                fs.rename(tags_abs, bak)
+                fs.rename(stage, tags_abs)
+            fs.delete(bak)
         except Exception:
-            shutil.rmtree(stage, ignore_errors=True)
-            shutil.rmtree(vstage, ignore_errors=True)
+            fs.delete(stage)
+            fs.delete(vstage)
             raise
         # step 4: swap in the pre-built distinct-values sub-index stage
         # (crash-safe per the protocol note above)
@@ -358,15 +373,14 @@ def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
             with _TAGS_REWRITE_LOCK:
                 for f in live_value_files():
                     if f not in vp_snapshot:  # appended during rewrite
-                        dst = os.path.join(vstage, os.path.relpath(f, vp))
-                        os.makedirs(os.path.dirname(dst), exist_ok=True)
-                        shutil.copy2(f, dst)
-                if os.path.exists(vp):
-                    os.rename(vp, vbak)
-                os.rename(vstage, vp)
-            shutil.rmtree(vbak, ignore_errors=True)
+                        rel = f[len(vp):].lstrip("/")
+                        fs.copy_file(f, f"{vstage}/{rel}")
+                if fs.exists(vp):
+                    fs.rename(vp, vbak)
+                fs.rename(vstage, vp)
+            fs.delete(vbak)
         except Exception:
-            shutil.rmtree(vstage, ignore_errors=True)
+            fs.delete(vstage)
             raise
         return n
 
@@ -430,14 +444,9 @@ def table_stats(spark: SparkSession, path: str) -> DataFrame:
             F.max("timestamp").alias("max_ts"),
         )
     )
-    import os
+    from graphouse_spark.fs import get_fs
 
-    sizes = []
-    for root, _dirs, files in os.walk(path):
-        for fn in files:
-            if fn.endswith(".parquet"):
-                full = os.path.join(root, fn)
-                sizes.append((full, os.path.getsize(full)))
+    sizes = get_fs(path, spark).list_files(path)
     size_df = spark.createDataFrame(sizes, "file string, bytes long") if sizes \
         else spark.createDataFrame([], "file string, bytes long")
     # input_file_name returns a file:// URI; our layout writes only

@@ -178,9 +178,10 @@ def _batch_runner(spark: SparkSession, cfg: IngestConfig):
     from graphouse_spark.sources.tables import read_metrics
 
     def run(batch: DataFrame, batch_id: int) -> None:
-        import os
+        from graphouse_spark.fs import get_fs
 
-        if os.path.exists(cfg.metrics_path):  # reads are lazy; probe eagerly
+        # reads are lazy; probe eagerly (via the table's Hadoop FS)
+        if get_fs(cfg.metrics_path, spark).exists(cfg.metrics_path):
             resolved = latest_status(read_metrics(spark, cfg.metrics_path))
             known = resolved.select("name")
             hidden = resolved.filter(

@@ -450,14 +450,23 @@ def backfill_tag_index(spark, data_path: str, tags_path: str) -> int:
     cost 17-23x cpu; the sort+write stage alone grew ~99x under the
     checkpoint's heap pressure). Fused: 10x names -> ~4x cpu,
     zero spill, and the main-index wall dropped 124 s -> 21 s.
-    Crash between the two writes leaves the main index live with no
-    (or a stale) sub-index — read_tag_values callers then skip the
-    regex prune (correct, slower) until the next backfill/compaction.
+
+    Crash safety: any PRE-EXISTING distinct-values sub-index is
+    deleted BEFORE the main-index overwrite. Backfill introduces new
+    (tag, value) pairs, so a stale sub-index surviving a crash between
+    the two writes would NOT be a superset of the new main index —
+    ``=~``/``!=~`` IN-list rewrites would silently drop live values
+    (series missing from seriesByTag) until the next backfill. With
+    the sub-index ABSENT instead, read_tag_values callers skip the
+    regex prune (correct, slower) until a rerun completes both writes.
     """
+    from graphouse_spark.fs import get_fs
     from graphouse_spark.sources.tables import (
         TAG_VALUES_FILES, read_data, read_tags, tag_index_writer,
         tag_values_path)
 
+    vp = tag_values_path(tags_path)
+    get_fs(vp, spark).delete(vp)
     names = (read_data(spark, data_path)
              .filter(F.col("metric").contains(";"))
              .groupBy("metric")

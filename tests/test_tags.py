@@ -1115,6 +1115,95 @@ def test_backfill_builds_values_subindex(spark, tmp_path):
         ("name", "disk.used"), ("datacenter", "dc1")}
 
 
+def test_bulk_tag_append_writes_in_parallel(spark, tmp_path, monkeypatch):
+    """Round-11 verdict #5: write_tags is size-gated. A micro-batch
+    append stays one file per date (what the compaction sweep
+    expects); a bulk append (whisper migration with --tagged-ingest)
+    switches to the hash-partitioned backfill layout instead of
+    funneling every row through one task."""
+    import glob as _glob
+
+    from graphouse_spark.sources import tables as tbl
+
+    def rows(n, start=0):
+        return spark.range(start, start + n).select(
+            F.concat(F.lit("m"), F.col("id").cast("string"),
+                     F.lit(";host=h"), F.col("id").cast("string"))
+            .alias("metric"),
+            F.lit("host").alias("tag"),
+            F.concat(F.lit("h"), F.col("id").cast("string")).alias("value"),
+            F.to_date(F.lit("2023-11-14")).alias("date"))
+
+    monkeypatch.setattr(tbl, "TAG_APPEND_SINGLE_FILE_MAX", 100)
+    path = str(tmp_path / "tags")
+
+    # micro-batch (under the gate): exactly one file in the partition
+    tbl.write_tags(rows(10), path)
+    part = f"{path}/date=2023-11-14"
+    assert len(_glob.glob(f"{part}/*.parquet")) == 1
+
+    # bulk (over the gate): parallel layout — multiple files, and the
+    # index still reads back complete
+    tbl.write_tags(rows(500, start=10), path)
+    assert len(_glob.glob(f"{part}/*.parquet")) > 2
+    assert tbl.read_tags(spark, path).count() == 510
+
+
+def test_backfill_crash_leaves_no_stale_subindex(spark, tmp_path,
+                                                 monkeypatch):
+    """Round-11 ADVICE (medium): a crash AFTER the main-index overwrite
+    but BEFORE the sub-index write used to leave a PRE-EXISTING values
+    sub-index live and stale. Backfill introduces new (tag, value)
+    pairs, so the stale sub-index was not a superset — =~/!=~ IN-list
+    rewrites would silently drop live values. The fix deletes the old
+    sub-index up front, so every crash point leaves the documented
+    ABSENT-sub-index fallback (slower, correct); a rerun completes."""
+    import time as _time
+
+    from graphouse_spark.sources import tables as tbl
+    from graphouse_spark.sources.tables import read_tag_values, read_tags
+
+    BASE = int(_time.time()) - 3600
+    cfg = _ingest_tagged(spark, tmp_path, [
+        f"disk.used;datacenter=dc1 1.0 {BASE}",
+    ], BASE)
+    tags2 = str(tmp_path / "tags2")
+    # first backfill: main + sub-index complete
+    T.backfill_tag_index(spark, cfg.data_path, tags2)
+    assert read_tag_values(spark, tags2) is not None
+
+    # new series with a NEW (tag, value) pair lands in the lake
+    _ingest_tagged(spark, tmp_path, [
+        f"net.rx;datacenter=dc9 2.0 {BASE}",
+    ], BASE)
+
+    # second backfill crashes between the two writes: read_tags is the
+    # first thing the sub-index derivation touches after the main write
+    real_read_tags = tbl.read_tags
+
+    def crashing(*a, **kw):
+        raise RuntimeError("injected crash before sub-index write")
+
+    monkeypatch.setattr(tbl, "read_tags", crashing)
+    with pytest.raises(RuntimeError, match="injected"):
+        T.backfill_tag_index(spark, cfg.data_path, tags2)
+    monkeypatch.setattr(tbl, "read_tags", real_read_tags)
+
+    # the main index IS the new one (overwrite completed)...
+    mains = {(r["tag"], r["value"])
+             for r in real_read_tags(spark, tags2).collect()}
+    assert ("datacenter", "dc9") in mains
+    # ...and the sub-index is ABSENT, not stale: readers fall back to
+    # the regex prune on main-index rows instead of dropping dc9
+    assert read_tag_values(spark, tags2) is None
+
+    # rerun completes both writes; sub-index covers the new pair
+    T.backfill_tag_index(spark, cfg.data_path, tags2)
+    vals = {(r["tag"], r["value"])
+            for r in read_tag_values(spark, tags2).collect()}
+    assert ("datacenter", "dc9") in vals
+
+
 def test_concurrent_compaction_and_del_series_serialize(spark, tmp_path):
     """Round-9 verdict #8: nightly compaction racing an HTTP delSeries.
     Two interleaved rewrites are unsafe by construction (each would
@@ -1208,6 +1297,7 @@ def test_rewrite_crash_at_swap_leaves_old_index(spark, tmp_path, monkeypatch):
     import os as _os
     import time as _time
 
+    from graphouse_spark.fs import Fs
     from graphouse_spark.sources.tables import (
         read_tags, rewrite_tags_atomic)
 
@@ -1219,16 +1309,18 @@ def test_rewrite_crash_at_swap_leaves_old_index(spark, tmp_path, monkeypatch):
     before = {(r["metric"], r["tag"], r["value"])
               for r in read_tags(spark, cfg.tags_path).collect()}
 
-    real_rename = _os.rename
+    real_rename = Fs.rename
     fired = {"n": 0}
 
-    def flaky(src, dst):
+    def flaky(self, src, dst):
+        # the commit layer goes through the Hadoop FS wrapper — inject
+        # there (os.rename no longer appears anywhere in the protocol)
         if src.rstrip("/") == cfg.tags_path.rstrip("/") and fired["n"] == 0:
             fired["n"] += 1
             raise OSError("injected crash at swap")
-        return real_rename(src, dst)
+        return real_rename(self, src, dst)
 
-    monkeypatch.setattr(_os, "rename", flaky)
+    monkeypatch.setattr(Fs, "rename", flaky)
     with pytest.raises(OSError, match="injected crash"):
         rewrite_tags_atomic(
             spark, cfg.tags_path,
