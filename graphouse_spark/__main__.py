@@ -182,6 +182,8 @@ def run_serve(args, spark=None, block: bool = True):
                              if settings else -1),
         max_metrics_per_query=(settings.max_metrics_per_query
                                if settings else -1),
+        allow_all_negative_tag_queries=(settings.tags_allow_all_negative
+                                        if settings else False),
         batcher_opts=(dict(
             max_parallel=settings.batcher_max_parallel,
             max_batch_size=settings.batcher_max_batch_size,

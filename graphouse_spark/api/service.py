@@ -743,7 +743,8 @@ class GraphouseService:
                  lazy_tree: bool = False,
                  events_path: str | None = None,
                  tags_path: str | None = None,
-                 batcher_opts: dict | None = None) -> None:
+                 batcher_opts: dict | None = None,
+                 allow_all_negative_tag_queries: bool = False) -> None:
         self.spark = spark
         self.data_path = data_path
         self.metrics_path = metrics_path
@@ -755,6 +756,14 @@ class GraphouseService:
         #: (graphouse.tree.dir-content.batcher.* via config.py):
         #: {max_parallel, max_batch_size, batch_aggregation_ms}
         self.batcher_opts = dict(batcher_opts or {})
+        #: seriesByTag term sets with NO positive term (nothing
+        #: requires a non-empty tag match) are REFUSED by default —
+        #: graphite-web's own TagDB rejects them, so only hostile or
+        #: buggy clients send the shape, and evaluating one costs a
+        #: full-universe scan (the one measured tag plan above the 3 s
+        #: 10M target: all-dense `k=`-only, 3.4 s — PLANS.md). The
+        #: one-pass evaluator stays available behind this flag.
+        self.allow_all_negative_tag_queries = allow_all_negative_tag_queries
         #: optional graphite events store (ENGINE EXTENSION,
         #: events.py): POST /events + /events/get_data + the
         #: events(*tags) render function
@@ -967,12 +976,22 @@ class GraphouseService:
         to distinct names from the date-pruned points scan with the
         tag-map-compile filter (the pre-index path, kept for tables
         ingested before the index existed)."""
-        import os
-
         from pyspark.sql import functions as F
 
         from graphouse_spark import tags as tg_mod
 
+        if exprs and not self.allow_all_negative_tag_queries \
+                and not tg_mod.has_positive_term(exprs):
+            # graphite-web's TagDB refuses term sets with no non-empty
+            # match; the same refusal here keeps the one shape whose
+            # evaluation floor is a full-universe scan (all-dense
+            # `k=`-only) out of the serving path — the over-wide-glob
+            # 413 posture applied to tags
+            raise QueryLimitExceeded(
+                "seriesByTag requires at least one term with a "
+                "non-empty match (k=v, k!=, or k=~expr); all-negative "
+                "term sets are refused "
+                "(allow_all_negative_tag_queries enables them)")
         idx = self._tag_index()
         if idx is not None:
             if not exprs:
@@ -1262,6 +1281,15 @@ class GraphouseService:
                     from graphouse_spark import tags as tg_mod
 
                     has_index = _exists(self.spark, self.tags_path)
+                    if not self.allow_all_negative_tag_queries \
+                            and not tg_mod.has_positive_term(exprs):
+                        # same posture as _tagged_names: graphite-web
+                        # refuses all-negative term sets; the shape's
+                        # evaluation floor is a full-universe scan
+                        raise QueryLimitExceeded(
+                            "seriesByTag requires at least one term "
+                            "with a non-empty match (k=v, k!=, or "
+                            "k=~expr)")
                     if tg_mod.name_equals_term(exprs) is None and not has_index:
                         # without an index the resolve would scan the
                         # POINTS table names — unbounded per render; the

@@ -160,6 +160,10 @@ class GraphouseSettings:
     trigger_seconds: int = 5         # graphouse.cacher.max-batch-time-seconds
     # serving limits (MetricDataServiceServlet 413 / dir limits)
     max_metrics_per_query: int = -1  # graphouse.metric-data.max-metrics-per-query
+    # ENGINE EXTENSION: seriesByTag term sets with no non-empty match
+    # are refused (graphite-web's TagDB posture); this re-enables the
+    # one-pass all-negative evaluator for trusted deployments
+    tags_allow_all_negative: bool = False  # graphouse.tags.allow-all-negative
     max_points_per_metric: int = -1  # graphouse.metric-data.max-points-per-metric
     max_subdirs_per_dir: int = -1    # graphouse.tree.max-subdirs-per-dir
     max_metrics_per_dir: int = -1    # graphouse.tree.max-metrics-per-dir
@@ -226,6 +230,8 @@ def settings_from_properties(props: dict[str, str]) -> GraphouseSettings:
         props, "graphouse.cacher.max-batch-time-seconds", 5)
     g.max_metrics_per_query = _get_int(
         props, "graphouse.metric-data.max-metrics-per-query", -1)
+    g.tags_allow_all_negative = _get_bool(
+        props, "graphouse.tags.allow-all-negative", False)
     g.max_points_per_metric = _get_int(
         props, "graphouse.metric-data.max-points-per-metric", -1)
     g.max_subdirs_per_dir = _get_int(

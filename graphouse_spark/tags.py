@@ -357,6 +357,23 @@ def compile_term(term: str, tags: Column) -> Column:
     return got.isNull() | ~got.rlike(anchored)
 
 
+def has_positive_term(exprs: list[str]) -> bool:
+    """Whether any term requires a NON-EMPTY tag match — the
+    precondition graphite-web's TagDB puts on ``find_series`` (an
+    all-negative term set is rejected there, so no real graphite
+    client can send one). Mirrors :func:`index_exists_pred`'s
+    positive/negative split without building Columns: positive =
+    ``k=v`` (non-empty v), ``k!=`` (tag present), ``k=~p``."""
+    for t in exprs:
+        m = _TERM_RE.match(t.strip())
+        if m is None:
+            continue
+        key, op, value = m.group(1), m.group(2), m.group(3)
+        if (op == "=" and value) or (op == "!=" and not value) or op == "=~":
+            return True
+    return False
+
+
 def name_equals_term(exprs: list[str]) -> str | None:
     """The ``name=<literal>`` equality among the terms, if any — the
     handle that turns a tag query into a metric PREFIX RANGE the

@@ -62,16 +62,34 @@ SHAPES = {
     "regex_overcap_fallback": (["host=~h1.*"], 4.0),
     "all_negative_eq": (["datacenter!=dc1"], 8.0),
     "all_negative_regex": (["host!=~h1.*"], 10.0),
+    # round-11 verdict #2: the two remaining term shapes. Tag-present
+    # (`k!=`) is a positive single-slice distinct; tag-absent (`k=`)
+    # is the all-negative universe-minus-slice shape — REFUSED by the
+    # service by default (graphite-web's own posture), gated here
+    # under the opt-in because the evaluator still ships.
+    # r12 calibration (task_sec, warm, quiet box): tag_present
+    # 3.9 -> 20.3 s (5.2x), tag_absent 5.2 -> 34.7 s (6.7x); budgets
+    # observed*1.5 capped at the linear bound.
+    "tag_present": (["rack!="], 8.0),
+    "tag_absent": (["datacenter="], 10.0),
 }
 BACKFILL_BUDGET = 10.0
 
 
 def _ensure_index(spark, n: int, d: str) -> None:
+    marker = f"{d}/_N_NAMES"
     if os.path.exists(f"{d}/tags/_SUCCESS"):
+        if not os.path.exists(marker):  # stamp pre-marker fixtures
+            with open(marker, "w") as fh:
+                fh.write(str(n))
         return
     from tag_stress import build_index
 
     build_index(spark, n, f"{d}/tags")
+    # the same reuse marker tools/tag_stress.py checks, so its warm
+    # measurements can run against this suite's fixtures
+    with open(marker, "w") as fh:
+        fh.write(str(n))
 
 
 def _ensure_lake(spark, n: int, d: str) -> None:
@@ -153,7 +171,8 @@ def test_tag_index_plans_at_most_linear_10x(spark):
     for n, d in SIZES.items():
         _ensure_index(spark, n, d)
         svc = GraphouseService(spark, f"{d}/data", f"{d}/metrics",
-                               tags_path=f"{d}/tags")
+                               tags_path=f"{d}/tags",
+                               allow_all_negative_tag_queries=True)
         svc.tag_lookback_days = 36500  # fixture dates are synthetic
         svcs[n] = svc
 

@@ -1078,7 +1078,10 @@ def test_regex_prune_skips_negated_and_invalid(spark, tmp_path):
         f"net.rx;rack=a1 2.0 {BASE}",
     ], BASE)
     svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path,
-                           tags_path=cfg.tags_path)
+                           tags_path=cfg.tags_path,
+                           # the negated-only set below is all-negative
+                           # (refused by default since round 12)
+                           allow_all_negative_tag_queries=True)
     # a negated regex is a NEGATIVE exists-test (anti-join side)
     _, positive, rewritten = T.index_exists_pred("datacenter", "!=~", "dc.*")
     assert positive is False and rewritten is False
@@ -1113,6 +1116,61 @@ def test_backfill_builds_values_subindex(spark, tmp_path):
     vals = read_tag_values(spark, tags2)
     assert {(r["tag"], r["value"]) for r in vals.collect()} == {
         ("name", "disk.used"), ("datacenter", "dc1")}
+
+
+def test_all_negative_term_sets_refused_by_default(spark, tmp_path):
+    """Round-11 verdict #2: seriesByTag term sets with NO positive term
+    (nothing requires a non-empty tag match) are refused with the
+    over-wide-glob 413 posture — graphite-web's own TagDB rejects the
+    shape, and its evaluation floor is a full-universe scan (the one
+    measured tag plan above the 3 s / 10M target). The one-pass
+    evaluator stays available behind allow_all_negative_tag_queries."""
+    import json as _json
+    import time as _time
+
+    from graphouse_spark.api.service import (
+        GraphouseService, QueryLimitExceeded)
+
+    BASE = int(_time.time()) - 3600
+    cfg = _ingest_tagged(spark, tmp_path, [
+        f"disk.used;datacenter=dc1 1.0 {BASE}",
+        f"net.rx;rack=r1 2.0 {BASE}",
+    ], BASE)
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path,
+                           tags_path=cfg.tags_path)
+    svc.tag_lookback_days = 36500
+    svc.load_tree()
+
+    # every all-negative shape refuses: k=, k!=v, k!=~p, and combos
+    for exprs in (["datacenter="], ["datacenter!=dc1"],
+                  ["rack!=~r.*"], ["datacenter!=dc1", "rack!=r7"]):
+        with pytest.raises(QueryLimitExceeded, match="non-empty match"):
+            svc.tag_find_series(exprs)
+    # ...including on the render path
+    with pytest.raises(QueryLimitExceeded, match="non-empty match"):
+        svc.render("seriesByTag('datacenter!=dc9')", BASE - 10, BASE + 70)
+
+    # positive shapes still serve: k=v, k!= (tag present), k=~p
+    assert _json.loads(svc.tag_find_series(["datacenter=dc1"])) == [
+        f"disk.used;datacenter=dc1"]
+    assert _json.loads(svc.tag_find_series(["rack!="])) == [
+        "net.rx;rack=r1"]
+    assert _json.loads(svc.tag_find_series(["datacenter=~dc.*"])) == [
+        "disk.used;datacenter=dc1"]
+    # a negative term combined with a positive one is fine
+    assert _json.loads(svc.tag_find_series(
+        ["rack!=", "datacenter!=dc9"])) == ["net.rx;rack=r1"]
+
+    # the opt-in restores the one-pass evaluator, same answers as the
+    # tag-map compile
+    permissive = GraphouseService(spark, cfg.data_path, cfg.metrics_path,
+                                  tags_path=cfg.tags_path,
+                                  allow_all_negative_tag_queries=True)
+    permissive.tag_lookback_days = 36500
+    assert _json.loads(permissive.tag_find_series(["datacenter="])) == [
+        "net.rx;rack=r1"]
+    assert _json.loads(permissive.tag_find_series(["datacenter!=dc1"])) == [
+        "net.rx;rack=r1"]
 
 
 def test_bulk_tag_append_writes_in_parallel(spark, tmp_path, monkeypatch):
