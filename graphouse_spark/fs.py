@@ -197,15 +197,27 @@ class Fs:
     # -- small-file text IO (manifest commits) ----------------------------
 
     def write_text(self, p: str, text: str) -> None:
-        """Commit a small text file: write a sibling ``.tmp`` then
-        rename over — the single-object pointer-commit primitive the
-        manifest design note builds on. The replace is delete+rename
-        (a crash in the gap leaves the file ABSENT, which every reader
-        treats as 'uncommitted' — never half-written)."""
+        """Commit a small text file — THE single-object pointer-commit
+        primitive of the manifest design note. On rename-capable
+        filesystems: write a sibling ``.tmp`` then rename over
+        (delete+rename; a crash in the gap leaves the file ABSENT,
+        which every reader treats as 'uncommitted' — never
+        half-written). On object stores: one direct ``create`` — the
+        upload materializes atomically on close (an S3 PUT), which is
+        exactly why manifest commits work where directory renames
+        don't."""
+        data = bytearray(text.encode("utf-8"))
+        if self.scheme not in RENAME_ATOMIC_SCHEMES:
+            out = self._fs.create(self._jpath(p), True)
+            try:
+                out.write(data)
+            finally:
+                out.close()
+            return
         tmp = p + ".tmp"
         out = self._fs.create(self._jpath(tmp), True)
         try:
-            out.write(bytearray(text.encode("utf-8")))
+            out.write(data)
         finally:
             out.close()
         jdst = self._jpath(p)

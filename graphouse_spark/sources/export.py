@@ -12,9 +12,16 @@ Scale posture: the shard assignment comes from
 portable-hash groups — deterministic on any cluster layout); the join
 back to the text is one broadcast-or-shuffle join on doc id; files are
 written partitioned by pack group so a trainer maps groups to readers
-1:1. The manifest is written AFTER the data with a tmp+rename swap, so
-a crashed export never leaves a manifest pointing at partial data —
-readers treat "no manifest" as "no export".
+1:1. Each export lands in a fresh ``gen-<ts>-<token>`` directory and
+becomes visible through ONE atomic manifest write (the pointer-commit
+protocol of the fs.py design note — tmp+rename locally/HDFS, a direct
+PUT on object stores), so a crashed export never leaves a manifest
+pointing at partial data, a re-export never breaks a concurrent
+reader, and the sink works unchanged on rename-less stores (S3) where
+an in-place directory overwrite cannot be made safe. Readers treat
+"no manifest" as "no export"; superseded generations are
+garbage-collected after the flip (keep_generations protects in-flight
+readers of the previous one).
 """
 
 from __future__ import annotations
@@ -34,12 +41,41 @@ def write_training_shards(docs: DataFrame, out_dir: str, budget: int = 2048,
                           text_col: str = "text") -> dict:
     """Pack ``docs`` into token-budget shards and write them.
 
-    Layout: ``out_dir/group=<g>/*.parquet`` with rows
+    Layout: ``out_dir/gen-<token>/group=<g>/*.parquet`` with rows
     (shard_id, offset, doc_id, n_tokens, text), sorted by
     (shard_id, offset) within files so a reader streams each shard's
     docs in pack order. Returns (and persists) the manifest:
-    doc/token/shard counts, budget, and packing utilization.
+    doc/token/shard counts, budget, packing utilization, and the
+    generation the data lives in.
+
+    GENERATION + POINTER COMMIT (the rename-less-store protocol from
+    the fs.py design note, made concrete): each export writes into a
+    fresh ``gen-<token>`` directory — never touching the live one —
+    and becomes visible through ONE atomic manifest write (tmp+rename
+    locally/HDFS; a direct PUT on object stores). So:
+
+    - a crash mid-export leaves the pointer on the previous
+      generation: readers never see partial data, and a ``mode
+      ("overwrite")`` into the live directory (the previous layout)
+      can no longer break a concurrent reader mid-swap;
+    - re-running after a crash simply writes a new generation;
+    - garbage collection runs AFTER the pointer flip and keeps exactly
+      {the new generation, the generation the pointer pointed at
+      BEFORE the flip}: an in-flight trainer holding the previous
+      manifest still finds its files, while crashed-orphan generations
+      (written but never committed) are cleaned on the next export
+      rather than accumulating.
     """
+    import time
+    import uuid
+
+    from graphouse_spark.fs import get_fs
+
+    # timestamp prefix makes generation names sort in creation order
+    # (the GC keep-newest policy below relies on it); the uuid suffix
+    # disambiguates same-second writers
+    gen = f"gen-{int(time.time()):012d}-{uuid.uuid4().hex[:8]}"
+    gen_dir = f"{out_dir.rstrip('/')}/{gen}"
     packed = pack_sequences(docs, budget=budget, n_groups=n_groups,
                             id_col=id_col, text_col=text_col)
     joined = packed.join(docs.select(id_col, text_col), id_col)
@@ -51,12 +87,12 @@ def write_training_shards(docs: DataFrame, out_dir: str, budget: int = 2048,
     (
         out.repartition("group")
         .sortWithinPartitions("shard_id", "offset")
-        .write.mode("overwrite").partitionBy("group").parquet(out_dir)
+        .write.mode("overwrite").partitionBy("group").parquet(gen_dir)
     )
     # stats from the WRITTEN files, not the logical plan: re-running
     # the pack+join lineage would execute the whole pipeline twice,
     # and the manifest should describe what is actually on disk
-    stats = docs.sparkSession.read.parquet(out_dir).agg(
+    stats = docs.sparkSession.read.parquet(gen_dir).agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_tokens").alias("tokens"),
         F.countDistinct("shard_id").alias("shards"),
@@ -69,14 +105,24 @@ def write_training_shards(docs: DataFrame, out_dir: str, budget: int = 2048,
         "n_groups": n_groups,
         "utilization": round(
             (stats["tokens"] or 0) / (max(stats["shards"], 1) * budget), 6),
+        "generation": gen,
     }
-    # manifest pointer-commit through the lake's Hadoop FS (tmp-write
-    # + rename; a crash leaves the manifest absent = uncommitted)
-    from graphouse_spark.fs import get_fs
-
-    get_fs(out_dir, docs.sparkSession).write_text(
-        f"{out_dir.rstrip('/')}/{MANIFEST}",
-        json.dumps(manifest, sort_keys=True))
+    fs = get_fs(out_dir, docs.sparkSession)
+    pointer = f"{out_dir.rstrip('/')}/{MANIFEST}"
+    # the generation the pointer targets BEFORE the flip is the one
+    # in-flight readers may hold — the only other one GC must keep
+    prev_gen = None
+    if fs.exists(pointer):
+        try:
+            prev_gen = json.loads(fs.read_text(pointer)).get("generation")
+        except Exception:
+            prev_gen = None
+    fs.write_text(pointer, json.dumps(manifest, sort_keys=True))
+    # GC after the flip: everything except {new, previously committed}
+    # goes — including orphan generations a crashed export left behind
+    for d in fs.listdir(out_dir.rstrip("/")):
+        if d.startswith("gen-") and d not in (gen, prev_gen):
+            fs.delete(f"{out_dir.rstrip('/')}/{d}")
     return manifest
 
 
@@ -93,4 +139,9 @@ def read_training_shards(spark: SparkSession, out_dir: str
         raise FileNotFoundError(
             f"no {MANIFEST} under {out_dir}: export absent or uncommitted")
     manifest = json.loads(fs.read_text(path))
-    return spark.read.parquet(out_dir), manifest
+    # resolve the committed generation (pre-generation manifests read
+    # the root itself — the legacy flat layout)
+    data_dir = out_dir
+    if manifest.get("generation"):
+        data_dir = f"{out_dir.rstrip('/')}/{manifest['generation']}"
+    return spark.read.parquet(data_dir), manifest

@@ -44,8 +44,9 @@ def test_export_roundtrip_and_invariants(spark, corpus, tmp_path):
         .count()
     )
     assert bad == 0
-    # group partition dirs exist
-    assert any(d.startswith("group=") for d in os.listdir(out))
+    # group partition dirs exist inside the committed generation
+    gen = manifest["generation"]
+    assert any(d.startswith("group=") for d in os.listdir(f"{out}/{gen}"))
 
 
 def test_export_is_deterministic(spark, corpus, tmp_path):
@@ -66,3 +67,50 @@ def test_missing_manifest_refuses(spark, corpus, tmp_path):
     os.remove(os.path.join(out, MANIFEST))
     with pytest.raises(FileNotFoundError):
         read_training_shards(spark, out)
+
+
+def test_reexport_is_generation_committed(spark, corpus, tmp_path,
+                                          monkeypatch):
+    """A re-export never disturbs the live generation: a crash BEFORE
+    the pointer flip leaves readers on the old data; a completed
+    re-export flips atomically and garbage-collects superseded
+    generations beyond keep_generations."""
+    from graphouse_spark.fs import Fs
+    from graphouse_spark.sources import export as ex
+
+    out = str(tmp_path / "shards")
+    m1 = write_training_shards(corpus, out, budget=256, n_groups=4)
+
+    # crash the second export right at the pointer write
+    real_write_text = Fs.write_text
+
+    def crashing(self, p, text):
+        if p.endswith(MANIFEST):
+            raise OSError("injected crash before pointer flip")
+        return real_write_text(self, p, text)
+
+    monkeypatch.setattr(Fs, "write_text", crashing)
+    with pytest.raises(OSError, match="injected"):
+        write_training_shards(corpus.limit(10), out, budget=256, n_groups=4)
+    monkeypatch.setattr(Fs, "write_text", real_write_text)
+
+    # readers still see the FIRST export, untouched
+    frame, m = read_training_shards(spark, out)
+    assert m == m1 and frame.count() == 120
+
+    # a completed re-export flips the pointer and keeps the previous
+    # generation for in-flight readers (keep_generations=2 default)
+    m2 = write_training_shards(corpus.limit(10), out, budget=256,
+                               n_groups=4)
+    frame2, m2r = read_training_shards(spark, out)
+    assert m2r == m2 and frame2.count() == 10
+    gens = sorted(d for d in os.listdir(out) if d.startswith("gen-"))
+    assert m2["generation"] in gens and len(gens) == 2
+    # old generation's files still present for a reader holding m1
+    assert spark.read.parquet(f"{out}/{m1['generation']}").count() == 120
+
+    # one more export GCs the oldest
+    m3 = write_training_shards(corpus.limit(5), out, budget=256, n_groups=4)
+    gens = sorted(d for d in os.listdir(out) if d.startswith("gen-"))
+    assert len(gens) == 2 and m1["generation"] not in gens
+    assert m3["generation"] in gens
