@@ -281,6 +281,8 @@ def recover_swap(fs: Fs, live: str, stage: str, bak: str) -> str | None:
     if s:
         if l:
             fs.delete(stage)
+            if b:  # stale backup of an older commit: live wins
+                fs.delete(bak)
             return "dropped-stale-stage"
         if b:
             fs.rename(stage, live)
