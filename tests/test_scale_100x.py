@@ -176,3 +176,64 @@ def test_w2v_distributed_fit_no_one_task_stage(spark):
     assert not narrow, f"1-task stage in distributed w2v fit: {narrow}"
     # the fit's training stage must actually fan out
     assert any(s["num_tasks"] >= par for s in stages), stages
+
+
+@pytest.mark.slow
+def test_export_sink_at_most_linear_10x(spark, tmp_path):
+    """Round-12 coverage gap: the training-shard export (pack ->
+    doc-id join -> group-partitioned sorted write -> written-file
+    stats -> generation manifest commit) was oracled but never
+    growth-audited. Gate the WHOLE sink 10x->100x documents on
+    min(runTime, cpuTime) growth <= linear with the usual <=30 s
+    escape hatch, and assert no data-bearing 1-task stage — the write
+    is the pipeline's last mile, and a serialization here bottlenecks
+    every upstream win.
+
+    r12 calibration (quiet box, min-of-2): task 10.5 -> 23.1 s for
+    10x docs — 2.2x runTime / 3.3x cpu, well sub-linear (fixed
+    per-group write overhead amortizes), packing utilization IMPROVES
+    with scale (0.989 -> 0.999; FFD fills shards better with more
+    docs per group). The gate keeps the linear bound — plenty of
+    noise headroom above the observed 3.3x."""
+    from bench import _StageMeter
+    from scale_check import build
+    from graphouse_spark.sources.export import (
+        read_training_shards, write_training_shards)
+    from tests.test_scale_tags import _run_one
+
+    meter = _StageMeter(spark)
+    per_size = {}
+    utilization = {}
+    for copies in (10, 100):
+        d = f"/tmp/spark_graft_scale{copies}"
+        build(spark, copies, d)
+        docs = spark.read.parquet(f"{d}/documents.parquet").select(
+            "doc_id", "text")
+        out = str(tmp_path / f"shards{copies}")
+
+        def thunk(docs=docs, out=out):
+            write_training_shards(docs, out, budget=2048, n_groups=32)
+
+        per_size[copies] = _run_one(meter, thunk)
+        _, manifest = read_training_shards(spark, out)
+        utilization[copies] = manifest["utilization"]
+    ten, hundred = per_size[10], per_size[100]
+    g_run = hundred["task_sec"] / max(ten["task_sec"], 1e-9)
+    g_cpu = hundred["cpu_sec"] / max(ten["cpu_sec"], 1e-9)
+    growth = min(g_run, g_cpu)
+    import json as _json
+    print(_json.dumps({"export_sink_task_sec":
+                       {c: r["task_sec"] for c, r in per_size.items()},
+                       "g_run": round(g_run, 2), "g_cpu": round(g_cpu, 2),
+                       "utilization": utilization}))
+    effective = 10.0 if hundred["task_sec"] > 30.0 else 30.0
+    assert growth <= effective, (
+        f"export sink grew {g_run:.1f}x runTime / {g_cpu:.1f}x cpu for "
+        f"10x more documents ({ten['task_sec']}s -> "
+        f"{hundred['task_sec']}s run) — bound {effective}x")
+    assert not hundred["one_task_stages"], (
+        f"1-task stage in the export sink at 100x: "
+        f"{hundred['one_task_stages']}")
+    # packing quality must not degrade with scale (FFD is per-group;
+    # more docs per group only helps fill shards)
+    assert utilization[100] >= utilization[10] - 0.05, utilization

@@ -67,6 +67,16 @@ def multiply(df, copies: int, keys: dict[str, int]):
 
 
 def build(spark, copies: int, out_dir: str) -> None:
+    import os
+
+    # fixture reuse, keyed on the copy count the blow-up was built
+    # with (the tag_stress _N_NAMES discipline): the 100x build costs
+    # minutes and several tests in one slow run call build() for the
+    # same sizes. The marker is written LAST, so a partial build
+    # (crash mid-write) rebuilds rather than serving half the tables.
+    marker = f"{out_dir}/_COPIES"
+    if os.path.exists(marker) and open(marker).read() == str(copies):
+        return
     ev = spark.read.parquet(f"{BASE}/events.parquet")
     (multiply(ev, copies, {"event_id": copies, "user_id": copies})
      .drop("_c").repartition(32)
@@ -89,6 +99,8 @@ def build(spark, copies: int, out_dir: str) -> None:
     (multiply(emb, copies, {"vec_id": copies})
      .drop("_c").repartition(32)
      .write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet"))
+    with open(marker, "w") as fh:
+        fh.write(str(copies))
 
 
 def run_one(spark, meter, fn, sf_dir: str, repeats: int = 2) -> dict:
