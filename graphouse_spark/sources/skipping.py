@@ -28,8 +28,6 @@ contract as CH skipping indexes (``may_be_true``, not ``is_true``).
 
 from __future__ import annotations
 
-import os
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
