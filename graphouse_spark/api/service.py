@@ -980,8 +980,8 @@ class GraphouseService:
 
         from graphouse_spark import tags as tg_mod
 
-        if exprs and not self.allow_all_negative_tag_queries \
-                and not tg_mod.has_positive_term(exprs):
+        if not self.allow_all_negative_tag_queries \
+                and tg_mod.is_all_negative(exprs):
             # graphite-web's TagDB refuses term sets with no non-empty
             # match; the same refusal here keeps the one shape whose
             # evaluation floor is a full-universe scan (all-dense
@@ -1282,7 +1282,7 @@ class GraphouseService:
 
                     has_index = _exists(self.spark, self.tags_path)
                     if not self.allow_all_negative_tag_queries \
-                            and not tg_mod.has_positive_term(exprs):
+                            and tg_mod.is_all_negative(exprs):
                         # same posture as _tagged_names: graphite-web
                         # refuses all-negative term sets; the shape's
                         # evaluation floor is a full-universe scan

@@ -69,6 +69,7 @@ class Fs:
     def __init__(self, spark: SparkSession, sample_path: str):
         jvm = spark._jvm
         self._jvm = jvm
+        self._gw = spark.sparkContext._gateway
         self._hconf = spark._jsc.hadoopConfiguration()
         self._Path = jvm.org.apache.hadoop.fs.Path
         self._strip_scheme = "://" not in sample_path
@@ -221,10 +222,28 @@ class Fs:
         finally:
             out.close()
         jdst = self._jpath(p)
-        if self._fs.exists(jdst):
-            self._fs.delete(jdst, False)
-        if not self._fs.rename(self._jpath(tmp), jdst):
-            raise OSError(f"manifest rename failed: {tmp} -> {p}")
+        try:
+            # FileContext rename(OVERWRITE) is the os.replace twin:
+            # one atomic metadata op, the destination NEVER observably
+            # absent — a reader racing the flip sees old or new
+            # content, nothing else. The flags must be a REAL Java
+            # Rename[] (py4j converts a Python list to ArrayList,
+            # which silently misses the varargs overload).
+            Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
+            flags = self._gw.new_array(Rename, 1)
+            flags[0] = Rename.OVERWRITE
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._fs.getUri(), self._hconf)
+            fc.rename(self._fs.makeQualified(self._jpath(tmp)),
+                      self._fs.makeQualified(jdst), flags)
+        except Exception:
+            # FileContext has no impl for some FS flavors: fall back
+            # to delete+rename — the gap demotes the pointer to the
+            # readers-treat-as-uncommitted state, never half-written
+            if self._fs.exists(jdst):
+                self._fs.delete(jdst, False)
+            if not self._fs.rename(self._jpath(tmp), jdst):
+                raise OSError(f"manifest rename failed: {tmp} -> {p}")
 
     def read_text(self, p: str) -> str:
         # bytes must come back as a RETURN VALUE: py4j passes byte[]

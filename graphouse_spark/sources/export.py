@@ -12,16 +12,18 @@ Scale posture: the shard assignment comes from
 portable-hash groups — deterministic on any cluster layout); the join
 back to the text is one broadcast-or-shuffle join on doc id; files are
 written partitioned by pack group so a trainer maps groups to readers
-1:1. Each export lands in a fresh ``gen-<ts>-<token>`` directory and
-becomes visible through ONE atomic manifest write (the pointer-commit
-protocol of the fs.py design note — tmp+rename locally/HDFS, a direct
-PUT on object stores), so a crashed export never leaves a manifest
-pointing at partial data, a re-export never breaks a concurrent
-reader, and the sink works unchanged on rename-less stores (S3) where
-an in-place directory overwrite cannot be made safe. Readers treat
-"no manifest" as "no export"; superseded generations are
-garbage-collected after the flip (keep_generations protects in-flight
-readers of the previous one).
+1:1. Each export lands in a fresh dot-hidden ``.gen-<ts>-<token>``
+directory and becomes visible through ONE atomic manifest write (the
+pointer-commit protocol of the fs.py design note — FileContext
+OVERWRITE-rename locally/HDFS, a direct PUT on object stores), so a
+crashed export never leaves a manifest pointing at partial data, a
+re-export never breaks a concurrent reader (legacy flat readers
+included — hidden dirs are invisible to Spark's listing), and the
+sink works unchanged on rename-less stores (S3) where an in-place
+directory overwrite cannot be made safe. Readers treat "no manifest"
+as "no export"; superseded generations are garbage-collected after
+the flip ({previous pointer target, grace window} protect in-flight
+readers and racing writers).
 """
 
 from __future__ import annotations
@@ -38,10 +40,11 @@ MANIFEST = "_MANIFEST.json"
 
 def write_training_shards(docs: DataFrame, out_dir: str, budget: int = 2048,
                           n_groups: int = 32, id_col: str = "doc_id",
-                          text_col: str = "text") -> dict:
+                          text_col: str = "text",
+                          gc_grace_seconds: int = 3600) -> dict:
     """Pack ``docs`` into token-budget shards and write them.
 
-    Layout: ``out_dir/gen-<token>/group=<g>/*.parquet`` with rows
+    Layout: ``out_dir/.gen-<ts>-<token>/group=<g>/*.parquet`` with rows
     (shard_id, offset, doc_id, n_tokens, text), sorted by
     (shard_id, offset) within files so a reader streams each shard's
     docs in pack order. Returns (and persists) the manifest:
@@ -50,31 +53,41 @@ def write_training_shards(docs: DataFrame, out_dir: str, budget: int = 2048,
 
     GENERATION + POINTER COMMIT (the rename-less-store protocol from
     the fs.py design note, made concrete): each export writes into a
-    fresh ``gen-<token>`` directory — never touching the live one —
-    and becomes visible through ONE atomic manifest write (tmp+rename
-    locally/HDFS; a direct PUT on object stores). So:
+    fresh DOT-HIDDEN ``.gen-<ts>-<token>`` directory — never touching
+    the live one, and invisible to Spark's own listing so a reader of
+    a LEGACY flat export (pre-generation ``group=*`` dirs at the
+    root) is never confused by a sibling generation dir appearing
+    mid-scan. Visibility flips through ONE atomic manifest write
+    (FileContext OVERWRITE-rename locally/HDFS — the pointer is never
+    observably absent; a direct PUT on object stores). So:
 
     - a crash mid-export leaves the pointer on the previous
       generation: readers never see partial data, and a ``mode
       ("overwrite")`` into the live directory (the previous layout)
       can no longer break a concurrent reader mid-swap;
     - re-running after a crash simply writes a new generation;
-    - garbage collection runs AFTER the pointer flip and keeps exactly
-      {the new generation, the generation the pointer pointed at
-      BEFORE the flip}: an in-flight trainer holding the previous
-      manifest still finds its files, while crashed-orphan generations
-      (written but never committed) are cleaned on the next export
-      rather than accumulating.
+    - garbage collection runs AFTER the pointer flip and keeps {the
+      new generation, the generation the pointer pointed at BEFORE
+      the flip, anything younger than a 1 h grace window}: an
+      in-flight trainer holding the previous manifest still finds its
+      files, crashed-orphan generations are cleaned once they age
+      out, and a SLOWER CONCURRENT exporter's still-uncommitted
+      generation is not swept out from under it (exports to one
+      out_dir should still be serialized — the pointer is
+      last-writer-wins — but racing ones no longer corrupt each
+      other). Legacy flat data at the root is left for its own
+      readers and can be removed manually once none remain.
     """
     import time
     import uuid
 
     from graphouse_spark.fs import get_fs
 
-    # timestamp prefix makes generation names sort in creation order
-    # (the GC keep-newest policy below relies on it); the uuid suffix
-    # disambiguates same-second writers
-    gen = f"gen-{int(time.time()):012d}-{uuid.uuid4().hex[:8]}"
+    # timestamp in the name drives the GC grace window; the uuid
+    # suffix disambiguates same-second writers; the dot prefix hides
+    # the dir from Spark listings of the root (legacy-reader safety)
+    now = int(time.time())
+    gen = f".gen-{now:012d}-{uuid.uuid4().hex[:8]}"
     gen_dir = f"{out_dir.rstrip('/')}/{gen}"
     packed = pack_sequences(docs, budget=budget, n_groups=n_groups,
                             id_col=id_col, text_col=text_col)
@@ -118,10 +131,18 @@ def write_training_shards(docs: DataFrame, out_dir: str, budget: int = 2048,
         except Exception:
             prev_gen = None
     fs.write_text(pointer, json.dumps(manifest, sort_keys=True))
-    # GC after the flip: everything except {new, previously committed}
-    # goes — including orphan generations a crashed export left behind
+    # GC after the flip: generations other than {new, previously
+    # committed} go once OLDER than the grace window — old enough
+    # that they cannot be a concurrent exporter still mid-write,
+    # young orphans age out on a later export
     for d in fs.listdir(out_dir.rstrip("/")):
-        if d.startswith("gen-") and d not in (gen, prev_gen):
+        if not d.startswith(".gen-") or d in (gen, prev_gen):
+            continue
+        try:
+            ts = int(d.split("-")[1])
+        except (ValueError, IndexError):
+            ts = 0
+        if now - ts >= gc_grace_seconds:
             fs.delete(f"{out_dir.rstrip('/')}/{d}")
     return manifest
 

@@ -42,7 +42,14 @@ def _data_files(root: str, spark: SparkSession | None = None) -> list[str]:
     recursive listing RPC round, not a per-dir os.walk). The footer
     reads in ``_index_for_files`` use pyarrow on the executors and so
     currently assume executor-readable paths (local or a mounted
-    view); the LISTING and every index read/write is FS-agnostic."""
+    view); the LISTING and every index read/write is FS-agnostic.
+
+    Path style note (r12): listings return absolute/qualified paths
+    where the old os.walk echoed the caller's root verbatim — an
+    index built against a RELATIVE table path before r12 sees all its
+    rows dropped as "dead" on the first update and re-footer-reads
+    once (self-healing; prune correctness is never affected because
+    unknown files are always kept)."""
     from graphouse_spark.fs import get_fs
 
     return [p for p, _ in get_fs(root, spark).list_files(root)]

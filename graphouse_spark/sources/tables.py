@@ -142,41 +142,86 @@ def write_tags(df: DataFrame, path: str, mode: str = "append") -> None:
     through one task; above ``TAG_APPEND_SINGLE_FILE_MAX`` rows the
     write switches to the backfill layout (hash by (date, tag, value)
     across the default parallelism, sorted within files) — same
-    query-serving layout, parallel write."""
+    query-serving layout, parallel write. The rows are shared across
+    the two writes (and the size probe) through a dot-hidden PARQUET
+    stage, not a localCheckpoint: at migration scale the serialized
+    block materialization is the measured super-linear pathology
+    (17-23x cpu for 10x rows — tags.backfill_tag_index's r11 fix),
+    and a columnar stage is the scalable spelling of the same
+    share-one-scan idea.
+
+    Sub-index SUPERSET guard: when the MAIN index exists but the
+    values sub-index is ABSENT (the signature of a crashed/pending
+    backfill, or a pre-sub-index deployment), the values append is
+    SKIPPED — appending just this batch's pairs would CREATE a partial
+    sub-index that is not a superset of the main rows, and the
+    ``=~``/``!=~`` IN-list rewrite would silently drop live values.
+    Absent stays absent (readers use the documented slow-correct
+    fallback) until a backfill/compaction rebuilds it in full."""
+    import time as _time
+    import uuid
+
+    from graphouse_spark import fs as fs_mod
     from graphouse_spark.schemas import TAGS_SCHEMA
 
+    spark = df.sparkSession
+    fs = fs_mod.get_fs(path, spark)
     cols = [f.name for f in TAGS_SCHEMA.fields]
-    staged = df.select(*cols).localCheckpoint()
-    # the checkpoint just materialized the rows; count() is metadata
-    bulk = staged.count() > TAG_APPEND_SINGLE_FILE_MAX
-    if bulk:
-        out = tag_index_writer(staged).mode(mode).partitionBy("date")
-        vals_df = (staged.groupBy("tag", "value")
-                   .agg(F.max("date").alias("date"))
-                   .repartition(TAG_VALUES_FILES, "tag", "value"))
-    else:
-        out = (
-            staged
-            .repartition(1)  # micro-batch appends are small: one file
-            .sortWithinPartitions("tag", "value", "metric")
+    parent, base = fs_mod.parent_dir(path), fs_mod.base_name(path)
+    now = int(_time.time())
+    # sweep append stages a CRASHED batch left behind — age-gated on
+    # the timestamp in the name so a concurrent batch's live stage
+    # (seconds old) is never touched
+    for d in fs.listdir(parent):
+        if d.startswith(f".append-{base}-"):
+            try:
+                ts = int(d.split("-")[-2])
+            except (ValueError, IndexError):
+                continue
+            if now - ts > 3600:
+                fs.delete(f"{parent}/{d}")
+    stage_path = (f"{parent}/.append-{base}-{now}-{uuid.uuid4().hex[:8]}")
+    df.select(*cols).write.mode("overwrite").parquet(stage_path)
+    try:
+        staged = spark.read.schema(TAGS_SCHEMA).parquet(stage_path)
+        bulk = staged.count() > TAG_APPEND_SINGLE_FILE_MAX
+        if bulk:
+            out = tag_index_writer(staged).mode(mode).partitionBy("date")
+            vals_df = (staged.groupBy("tag", "value")
+                       .agg(F.max("date").alias("date"))
+                       .repartition(TAG_VALUES_FILES, "tag", "value"))
+        else:
+            out = (
+                staged
+                .repartition(1)  # micro-batch appends: one file each
+                .sortWithinPartitions("tag", "value", "metric")
+                .write.mode(mode)
+                .partitionBy("date")
+            )
+            vals_df = staged.groupBy("tag", "value").agg(
+                F.max("date").alias("date")).repartition(1)
+        vals = (
+            vals_df
+            .sortWithinPartitions("tag", "value")
             .write.mode(mode)
-            .partitionBy("date")
         )
-        vals_df = staged.groupBy("tag", "value").agg(
-            F.max("date").alias("date")).repartition(1)
-    vals = (
-        vals_df
-        .sortWithinPartitions("tag", "value")
-        .write.mode(mode)
-    )
-    with _TAGS_REWRITE_LOCK:
-        # values FIRST: the sub-index must be a superset of the main
-        # index at every instant (a crash between the two writes then
-        # leaves an over-approximation, which only costs a wasted
-        # candidate — the reverse order could lose a (tag, value)
-        # pair and silently hide a series from regex-only browses)
-        vals.parquet(tag_values_path(path))
-        out.parquet(path)
+        vp = tag_values_path(path)
+        # superset guard (see docstring): only append values when the
+        # sub-index exists, or nothing exists yet (first batch
+        # bootstraps both consistently)
+        write_values = fs.exists(vp) or not fs.exists(path)
+        with _TAGS_REWRITE_LOCK:
+            # values FIRST: the sub-index must be a superset of the
+            # main index at every instant (a crash between the two
+            # writes then leaves an over-approximation, which only
+            # costs a wasted candidate — the reverse order could lose
+            # a (tag, value) pair and silently hide a series from
+            # regex-only browses)
+            if write_values:
+                vals.parquet(vp)
+            out.parquet(path)
+    finally:
+        fs.delete(stage_path)
 
 
 def read_tags(spark: SparkSession, path: str) -> DataFrame:

@@ -374,6 +374,20 @@ def has_positive_term(exprs: list[str]) -> bool:
     return False
 
 
+def is_all_negative(exprs: list[str]) -> bool:
+    """True only when the set is NON-EMPTY, every term PARSES, and no
+    term requires a non-empty match — exactly the shape graphite-web's
+    TagDB refuses (the service answers 413). Empty sets are the
+    caller's business, and a malformed term returns False so the
+    evaluator's ValueError surfaces as a 400 instead of a misleading
+    'all-negative refused'."""
+    if not exprs:
+        return False
+    if not all(_TERM_RE.match(t.strip()) for t in exprs):
+        return False
+    return not has_positive_term(exprs)
+
+
 def name_equals_term(exprs: list[str]) -> str | None:
     """The ``name=<literal>`` equality among the terms, if any — the
     handle that turns a tag query into a metric PREFIX RANGE the

@@ -99,18 +99,55 @@ def test_reexport_is_generation_committed(spark, corpus, tmp_path,
     assert m == m1 and frame.count() == 120
 
     # a completed re-export flips the pointer and keeps the previous
-    # generation for in-flight readers (keep_generations=2 default)
+    # generation for in-flight readers (gc_grace_seconds=0 makes GC
+    # immediate so the policy is observable in-test; production keeps
+    # young generations for racing writers)
     m2 = write_training_shards(corpus.limit(10), out, budget=256,
-                               n_groups=4)
+                               n_groups=4, gc_grace_seconds=0)
     frame2, m2r = read_training_shards(spark, out)
     assert m2r == m2 and frame2.count() == 10
-    gens = sorted(d for d in os.listdir(out) if d.startswith("gen-"))
+    gens = sorted(d for d in os.listdir(out) if d.startswith(".gen-"))
     assert m2["generation"] in gens and len(gens) == 2
     # old generation's files still present for a reader holding m1
     assert spark.read.parquet(f"{out}/{m1['generation']}").count() == 120
 
     # one more export GCs the oldest
-    m3 = write_training_shards(corpus.limit(5), out, budget=256, n_groups=4)
-    gens = sorted(d for d in os.listdir(out) if d.startswith("gen-"))
+    m3 = write_training_shards(corpus.limit(5), out, budget=256,
+                               n_groups=4, gc_grace_seconds=0)
+    gens = sorted(d for d in os.listdir(out) if d.startswith(".gen-"))
     assert len(gens) == 2 and m1["generation"] not in gens
     assert m3["generation"] in gens
+
+
+def test_generational_export_over_legacy_flat_layout(spark, corpus,
+                                                     tmp_path):
+    """A legacy (pre-generation) export has group=* dirs at the ROOT
+    and a manifest without 'generation'. A new export on top must not
+    break a reader holding the legacy manifest: generations are
+    dot-hidden, so spark.read.parquet(root) — the legacy resolution —
+    still sees exactly the flat data, while the new manifest resolves
+    to the hidden generation."""
+    out = str(tmp_path / "shards")
+    # build a legacy layout by exporting, then flattening: move the
+    # generation's group dirs to the root and strip the manifest key
+    m = write_training_shards(corpus, out, budget=256, n_groups=4)
+    gen = m.pop("generation")
+    for d in os.listdir(f"{out}/{gen}"):
+        os.rename(f"{out}/{gen}/{d}", f"{out}/{d}")
+    os.rmdir(f"{out}/{gen}")
+    from graphouse_spark.fs import get_fs
+    # rewrite through the Hadoop FS (a raw open() would leave the
+    # LocalFileSystem's .crc sidecar stale and fail checksum on read)
+    get_fs(out, spark).write_text(f"{out}/{MANIFEST}", json.dumps(m))
+    legacy_frame, legacy_m = read_training_shards(spark, out)
+    assert "generation" not in legacy_m and legacy_frame.count() == 120
+
+    # new export over the legacy root
+    m2 = write_training_shards(corpus.limit(10), out, budget=256,
+                               n_groups=4, gc_grace_seconds=0)
+    # the legacy reader's resolution (root scan) is UNDISTURBED —
+    # the hidden generation dir is invisible to Spark's listing
+    assert spark.read.parquet(out).count() == 120
+    # the committed pointer serves the new generation
+    frame2, m2r = read_training_shards(spark, out)
+    assert m2r == m2 and frame2.count() == 10

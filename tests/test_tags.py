@@ -1118,6 +1118,27 @@ def test_backfill_builds_values_subindex(spark, tmp_path):
         ("name", "disk.used"), ("datacenter", "dc1")}
 
 
+def test_has_positive_term_matches_evaluator_classification(spark):
+    """The refusal guard and the evaluator must agree on what counts
+    as a positive term — a guard that diverges either refuses servable
+    queries or lets the full-universe shape through. Property: for any
+    term set, has_positive_term == any(index_exists_pred positive)."""
+    ops = ["=", "!=", "=~", "!=~"]
+    vals = {"=": ["", "v1"], "!=": ["", "v1"],
+            "=~": ["v.*"], "!=~": ["v.*"]}
+    singles = [f"k{o}{v}" for o in ops for v in vals[o]]
+    import itertools
+    for terms in itertools.chain(
+            ([s] for s in singles),
+            itertools.combinations(singles, 2),
+            itertools.combinations(singles, 3)):
+        terms = list(terms)
+        via_guard = T.has_positive_term(terms)
+        via_eval = any(T.index_exists_pred(*T.parse_term(t))[1]
+                       for t in terms)
+        assert via_guard == via_eval, terms
+
+
 def test_all_negative_term_sets_refused_by_default(spark, tmp_path):
     """Round-11 verdict #2: seriesByTag term sets with NO positive term
     (nothing requires a non-empty tag match) are refused with the
@@ -1149,6 +1170,13 @@ def test_all_negative_term_sets_refused_by_default(spark, tmp_path):
     # ...including on the render path
     with pytest.raises(QueryLimitExceeded, match="non-empty match"):
         svc.render("seriesByTag('datacenter!=dc9')", BASE - 10, BASE + 70)
+
+    # the guard never masks other error classes (r12 code-review
+    # find): a malformed term is the evaluator's ValueError (HTTP
+    # 400), not an all-negative refusal (413)
+    with pytest.raises(ValueError, match="malformed|bad regex"):
+        svc.tag_find_series(["garbage-no-operator"])
+    assert not T.is_all_negative([])  # empty set is the caller's 400
 
     # positive shapes still serve: k=v, k!= (tag present), k=~p
     assert _json.loads(svc.tag_find_series(["datacenter=dc1"])) == [
@@ -1254,6 +1282,23 @@ def test_backfill_crash_leaves_no_stale_subindex(spark, tmp_path,
     # ...and the sub-index is ABSENT, not stale: readers fall back to
     # the regex prune on main-index rows instead of dropping dc9
     assert read_tag_values(spark, tags2) is None
+
+    # a micro-batch append arriving BEFORE the backfill rerun must NOT
+    # re-create the sub-index from just its own pairs — that partial
+    # sub-index would not be a superset of the main rows and the
+    # IN-list rewrite would silently drop dc9 (r12 code-review find)
+    batch = spark.createDataFrame(
+        [("web.hits;datacenter=dc2", "name", "web.hits", "2023-11-14"),
+         ("web.hits;datacenter=dc2", "datacenter", "dc2", "2023-11-14")],
+        "metric string, tag string, value string, date string"
+    ).withColumn("date", F.to_date("date"))
+    from graphouse_spark.sources.tables import write_tags
+    write_tags(batch, tags2)
+    assert read_tag_values(spark, tags2) is None
+    # the main rows DID append (the series is not lost)
+    assert ("datacenter", "dc2") in {
+        (r["tag"], r["value"])
+        for r in real_read_tags(spark, tags2).collect()}
 
     # rerun completes both writes; sub-index covers the new pair
     T.backfill_tag_index(spark, cfg.data_path, tags2)

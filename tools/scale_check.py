@@ -75,8 +75,13 @@ def build(spark, copies: int, out_dir: str) -> None:
     # same sizes. The marker is written LAST, so a partial build
     # (crash mid-write) rebuilds rather than serving half the tables.
     marker = f"{out_dir}/_COPIES"
-    if os.path.exists(marker) and open(marker).read() == str(copies):
-        return
+    if os.path.exists(marker):
+        if open(marker).read() == str(copies):
+            return
+        # different size requested: invalidate BEFORE rewriting any
+        # table — a crash mid-rebuild must not leave the old marker
+        # validating a fixture whose tables mix two sizes
+        os.remove(marker)
     ev = spark.read.parquet(f"{BASE}/events.parquet")
     (multiply(ev, copies, {"event_id": copies, "user_id": copies})
      .drop("_c").repartition(32)

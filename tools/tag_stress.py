@@ -97,7 +97,9 @@ def main() -> None:
         if built_n != n:
             raise SystemExit(
                 f"fixture at {out_dir} was built with n_names={built_n}, "
-                f"requested {n}: pass a fresh out_dir or delete the fixture")
+                f"requested {n}: pass a fresh out_dir or delete the "
+                "fixture (a pre-marker fixture whose size you KNOW can "
+                f"be adopted with: echo {n} > {marker})")
         print(json.dumps({"measure": "build_index", "n_names": n,
                           "sec": 0.0, "reused": out_dir}))
     else:
