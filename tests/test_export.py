@@ -151,3 +151,25 @@ def test_generational_export_over_legacy_flat_layout(spark, corpus,
     # the committed pointer serves the new generation
     frame2, m2r = read_training_shards(spark, out)
     assert m2r == m2 and frame2.count() == 10
+
+
+def test_gc_grace_window_protects_racing_writer(spark, corpus, tmp_path):
+    """A slower concurrent exporter's still-uncommitted generation must
+    not be swept by a faster writer's post-flip GC: anything younger
+    than the grace window survives (r12 code-review find). Simulated
+    deterministically: a young foreign generation dir exists when the
+    export runs."""
+    import json as _json
+
+    out = str(tmp_path / "shards")
+    write_training_shards(corpus, out, budget=256, n_groups=4)
+    # writer B mid-flight: young (current-timestamp) gen dir, no flip
+    os.makedirs(f"{out}/.gen-999999999999-bbbbbbbb/group=0")
+    # writer A exports with the production grace window
+    write_training_shards(corpus.limit(10), out, budget=256, n_groups=4)
+    assert os.path.isdir(f"{out}/.gen-999999999999-bbbbbbbb")
+    # ...while an AGED orphan is collected by the same pass
+    os.makedirs(f"{out}/.gen-000000000001-cccccccc")
+    write_training_shards(corpus.limit(5), out, budget=256, n_groups=4)
+    assert not os.path.exists(f"{out}/.gen-000000000001-cccccccc")
+    assert os.path.isdir(f"{out}/.gen-999999999999-bbbbbbbb")
