@@ -232,3 +232,33 @@ def test_bloom_incremental_update_and_maintenance(spark, lake, tmp_path):
     assert len(fresh) == len(_data_files(root)) - len(known)
     n2 = run_bloom_update(spark, root, zp)
     assert n2 == len(_data_files(root))
+
+
+def test_relative_path_index_self_heals(spark, lake, monkeypatch,
+                                        tmp_path):
+    """r12 path-style change: listings return absolute paths where the
+    old os.walk echoed a relative root verbatim. An index built
+    against a RELATIVE table path (old rows store relative file
+    names) must self-heal on update — all rows drop as 'dead' and the
+    table re-footer-reads once — and never mis-prune in between
+    (unknown files are always kept)."""
+    import os
+
+    from graphouse_spark.sources.skipping import update_file_index
+
+    parent, base = os.path.split(lake.rstrip("/"))
+    monkeypatch.chdir(parent)
+    rel = base  # the same lake, addressed relatively
+    abs_idx = build_file_index(spark, lake, ["timestamp"])
+    # simulate a pre-r12 index: file names stored relative
+    legacy = abs_idx.withColumn(
+        "file", F.regexp_replace("file", f"^{parent}/", ""))
+    healed = update_file_index(spark, rel, legacy, ["timestamp"])
+    # same coverage as a fresh build: every live file indexed once
+    assert healed.select("file").distinct().count() == \
+        abs_idx.select("file").distinct().count()
+    # and pruning through the healed index loses no rows (the healed
+    # rows store absolute paths, so the base path is the absolute root)
+    got = skipping_read(spark, healed, "timestamp", 1704067200,
+                        1704067200 + 86400 * 60, base_path=lake)
+    assert got.count() == spark.read.parquet(lake).count()
