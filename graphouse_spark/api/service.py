@@ -724,13 +724,29 @@ class QueryLimitExceeded(ValueError):
     would otherwise materialize arbitrarily many series driver-side."""
 
 
-def _exists(spark, path) -> bool:
+def _exists(spark, path, _fs_cache: dict | None = None) -> bool:
     """Existence probe through the path's Hadoop FileSystem (HDFS-real;
     the local FS answers identically) — serving-layer twin of the
-    commit layer's fs.py port. None path -> False."""
+    commit layer's fs.py port. None path -> False.
+
+    ``_fs_cache`` (path -> Fs) amortizes the Fs construction — several
+    py4j round trips (Path, getFileSystem) — across requests: the
+    service probes the same four configured paths on every hot serving
+    request, and a fresh Fs per probe measurably taxes driver latency
+    where the pre-r12 ``os.path.exists`` was one syscall. The cached
+    Fs wraps the FileSystem OBJECT (itself cached JVM-side by scheme +
+    authority), not any directory state, so create/delete of the
+    probed path between requests answers correctly."""
     from graphouse_spark.fs import get_fs
 
-    return path is not None and get_fs(path, spark).exists(path)
+    if path is None:
+        return False
+    if _fs_cache is None:
+        return get_fs(path, spark).exists(path)
+    fs = _fs_cache.get(path)
+    if fs is None:
+        fs = _fs_cache[path] = get_fs(path, spark)
+    return fs.exists(path)
 
 
 class GraphouseService:
@@ -746,6 +762,8 @@ class GraphouseService:
                  batcher_opts: dict | None = None,
                  allow_all_negative_tag_queries: bool = False) -> None:
         self.spark = spark
+        #: path -> Fs for request-path existence probes (see _exists)
+        self._fs_cache: dict = {}
         self.data_path = data_path
         self.metrics_path = metrics_path
         #: persisted tag index (TAGS_SCHEMA, written by ingest when
@@ -885,7 +903,7 @@ class GraphouseService:
 
         if self.events_path is None:
             return None
-        if not _exists(self.spark, self.events_path):
+        if not _exists(self.spark, self.events_path, self._fs_cache):
             # configured but empty store: events() renders no markers
             # instead of erroring. Build a FRESH StructType —
             # StructType.add mutates self, so .add() on the module
@@ -954,7 +972,7 @@ class GraphouseService:
         points table's names — the pre-index behavior)."""
         from pyspark.sql import functions as F
 
-        if self.tags_path is None or not _exists(self.spark, self.tags_path):
+        if self.tags_path is None or not _exists(self.spark, self.tags_path, self._fs_cache):
             return None
         from graphouse_spark.sources.tables import read_tags
 
@@ -1004,7 +1022,7 @@ class GraphouseService:
             return tg_mod.series_by_tag_on_index(
                 idx, exprs, regex_values=self._regex_value_list)
         else:
-            if not _exists(self.spark, self.data_path):
+            if not _exists(self.spark, self.data_path, self._fs_cache):
                 # pre-first-batch boot: serve the empty namespace, like
                 # the empty-tree bootstrap does for /search
                 return self.spark.createDataFrame([], "metric string")
@@ -1154,7 +1172,7 @@ class GraphouseService:
 
         if not paths:
             raise ValueError("delSeries needs at least one path")
-        if self.tags_path is None or not _exists(self.spark, self.tags_path):
+        if self.tags_path is None or not _exists(self.spark, self.tags_path, self._fs_cache):
             return json.dumps(False)  # no tag DB to delete from
         targets = [tg_mod.canonical(p) for p in paths]
         found = {r["metric"] for r in
@@ -1280,7 +1298,7 @@ class GraphouseService:
 
                     from graphouse_spark import tags as tg_mod
 
-                    has_index = _exists(self.spark, self.tags_path)
+                    has_index = _exists(self.spark, self.tags_path, self._fs_cache)
                     if not self.allow_all_negative_tag_queries \
                             and tg_mod.is_all_negative(exprs):
                         # same posture as _tagged_names: graphite-web
@@ -1633,7 +1651,7 @@ class GraphouseService:
             if _re.search(r"\bparts\b", _code, _re.IGNORECASE):
                 from graphouse_spark.sources.tables import table_stats
 
-                if _exists(self.spark, self.data_path):
+                if _exists(self.spark, self.data_path, self._fs_cache):
                     table_stats(self.spark, self.data_path) \
                         .createOrReplaceTempView("parts")
                 else:
@@ -1938,7 +1956,7 @@ class GraphouseService:
         out = {"target": target, "series": len(names), "indexed": False,
                "files_total": None, "files_scanned": None, "rows_estimate": None}
         index_path = self.data_service.index_path
-        if not index_path or not _exists(self.spark, index_path):
+        if not index_path or not _exists(self.spark, index_path, self._fs_cache):
             return out
         try:
             index = skipping.read_file_index(self.spark, index_path)
@@ -1948,7 +1966,7 @@ class GraphouseService:
                     rows_by_file.get(r["file"], 0), r["rows"] or 0)
             files = skipping.prune_files_for_query(index, names, start, end)
             bloom_path = index_path.rstrip("/") + "_bloom"
-            if files and _exists(self.spark, bloom_path):
+            if files and _exists(self.spark, bloom_path, self._fs_cache):
                 blooms = skipping.read_bloom_index(self.spark, bloom_path)
                 indexed = {r["file"] for r in
                            blooms.select("file").distinct().collect()}

@@ -123,25 +123,36 @@ def write_training_shards(docs: DataFrame, out_dir: str, budget: int = 2048,
     fs = get_fs(out_dir, docs.sparkSession)
     pointer = f"{out_dir.rstrip('/')}/{MANIFEST}"
     # the generation the pointer targets BEFORE the flip is the one
-    # in-flight readers may hold — the only other one GC must keep
+    # in-flight readers may hold — the only other one GC must keep.
+    # A pointer that EXISTS but cannot be read/parsed (FS hiccup,
+    # torn legacy write) must NOT degrade to prev_gen=None: that
+    # would let the post-flip sweep delete the generation committed
+    # just before the flip and strand its in-flight readers — skip
+    # the GC sweep for this export instead (the next clean export
+    # sweeps with a trustworthy prev_gen).
     prev_gen = None
+    gc_safe = True
     if fs.exists(pointer):
         try:
             prev_gen = json.loads(fs.read_text(pointer)).get("generation")
         except Exception:
-            prev_gen = None
+            gc_safe = False
     fs.write_text(pointer, json.dumps(manifest, sort_keys=True))
     # GC after the flip: generations other than {new, previously
     # committed} go once OLDER than the grace window — old enough
     # that they cannot be a concurrent exporter still mid-write,
     # young orphans age out on a later export
-    for d in fs.listdir(out_dir.rstrip("/")):
+    for d in fs.listdir(out_dir.rstrip("/")) if gc_safe else []:
         if not d.startswith(".gen-") or d in (gen, prev_gen):
             continue
         try:
             ts = int(d.split("-")[1])
         except (ValueError, IndexError):
-            ts = 0
+            # a foreign/renamed generation dir whose timestamp does
+            # not parse gets LEFT ALONE (treating it as infinitely
+            # old would bypass the grace window protecting a
+            # concurrent writer) — same rule as write_tags' sweep
+            continue
         if now - ts >= gc_grace_seconds:
             fs.delete(f"{out_dir.rstrip('/')}/{d}")
     return manifest

@@ -61,7 +61,7 @@ def redirect_host_metrics(parsed: DataFrame, host_postfixes: dict[str, str]) -> 
     """S4: ``prefix.host<postfix>.rest`` -> ``prefix.<dir>.host<postfix>.rest``.
 
     ``host_postfixes`` maps postfix -> directory name, e.g.
-    ``{"_yandex_net": "hosts"}``.
+    ``{"_dc1_net": "hosts"}``.
     """
     name = F.col("name")
     for postfix, dir_name in host_postfixes.items():

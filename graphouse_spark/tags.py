@@ -363,14 +363,28 @@ def has_positive_term(exprs: list[str]) -> bool:
     all-negative term set is rejected there, so no real graphite
     client can send one). Mirrors :func:`index_exists_pred`'s
     positive/negative split without building Columns: positive =
-    ``k=v`` (non-empty v), ``k!=`` (tag present), ``k=~p``."""
+    ``k=v`` (non-empty v), ``k!=`` (tag present), ``k=~p`` — EXCEPT
+    an ``=~`` whose pattern matches the empty string (``k=~.*``,
+    ``k=~(a)?``): graphite-web's TagDB (``tags/base.py``,
+    ``matches_empty``) treats those as non-positive too, because they
+    constrain nothing — and counting them positive here would let a
+    match-everything regex bypass the all-negative 413 refusal while
+    still costing a near-universe index slice scan."""
     for t in exprs:
         m = _TERM_RE.match(t.strip())
         if m is None:
             continue
         key, op, value = m.group(1), m.group(2), m.group(3)
-        if (op == "=" and value) or (op == "!=" and not value) or op == "=~":
+        if (op == "=" and value) or (op == "!=" and not value):
             return True
+        if op == "=~":
+            try:
+                if not re.match(anchored_pattern(value), ""):
+                    return True
+            except re.error:
+                # unparseable regex: let the evaluator's ValueError
+                # surface as a 400, not an all-negative 413
+                return True
     return False
 
 

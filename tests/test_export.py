@@ -173,3 +173,46 @@ def test_gc_grace_window_protects_racing_writer(spark, corpus, tmp_path):
     write_training_shards(corpus.limit(5), out, budget=256, n_groups=4)
     assert not os.path.exists(f"{out}/.gen-000000000001-cccccccc")
     assert os.path.isdir(f"{out}/.gen-999999999999-bbbbbbbb")
+
+def test_gc_skipped_when_pointer_unreadable(spark, corpus, tmp_path):
+    """Round-12 ADVICE: a pointer that EXISTS but cannot be parsed must
+    not degrade to prev_gen=None — that would let the post-flip sweep
+    delete the generation committed just before the flip (only the
+    grace window would save it, and only while young). The export still
+    commits; the sweep is skipped for this run."""
+    out = str(tmp_path / "shards")
+    m1 = write_training_shards(corpus, out, budget=256, n_groups=4)
+    gen1 = m1["generation"]
+    # age gen1's name far past any grace window, repoint at it, then
+    # corrupt the pointer (torn write / FS hiccup stand-in)
+    old = ".gen-000000000002-aaaaaaaa"
+    os.rename(f"{out}/{gen1}", f"{out}/{old}")
+    from graphouse_spark.fs import get_fs
+    fs = get_fs(out, spark)
+    fs.write_text(f"{out}/{MANIFEST}", "{not json")
+    m2 = write_training_shards(corpus.limit(10), out, budget=256,
+                               n_groups=4, gc_grace_seconds=0)
+    # the aged previous generation SURVIVED (sweep skipped), and the
+    # new export is committed and readable
+    assert os.path.isdir(f"{out}/{old}")
+    frame, mr = read_training_shards(spark, out)
+    assert mr == m2 and frame.count() == 10
+    # next export with a CLEAN pointer sweeps the aged orphan
+    write_training_shards(corpus.limit(5), out, budget=256, n_groups=4,
+                          gc_grace_seconds=0)
+    assert not os.path.exists(f"{out}/{old}")
+
+
+def test_gc_leaves_unparseable_generation_names_alone(spark, corpus,
+                                                      tmp_path):
+    """Round-12 ADVICE: a .gen-* dir whose timestamp segment does not
+    parse is LEFT ALONE, not treated as infinitely old — deleting it
+    immediately would bypass the grace window protecting a concurrent
+    or foreign writer (write_tags' append sweep already continues on
+    parse failure; the export sweep must match)."""
+    out = str(tmp_path / "shards")
+    write_training_shards(corpus, out, budget=256, n_groups=4)
+    os.makedirs(f"{out}/.gen-notatimestamp-zzzzzzzz/group=0")
+    write_training_shards(corpus.limit(10), out, budget=256, n_groups=4,
+                          gc_grace_seconds=0)
+    assert os.path.isdir(f"{out}/.gen-notatimestamp-zzzzzzzz")

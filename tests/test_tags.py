@@ -1122,7 +1122,12 @@ def test_has_positive_term_matches_evaluator_classification(spark):
     """The refusal guard and the evaluator must agree on what counts
     as a positive term — a guard that diverges either refuses servable
     queries or lets the full-universe shape through. Property: for any
-    term set, has_positive_term == any(index_exists_pred positive)."""
+    term set whose regexes cannot match the empty string,
+    has_positive_term == any(index_exists_pred positive). (For
+    MATCHES-EMPTY regexes the guard is deliberately STRICTER than the
+    evaluator — see test_matches_empty_regex_is_not_positive — so the
+    guard may refuse where the evaluator would classify positive,
+    never the reverse.)"""
     ops = ["=", "!=", "=~", "!=~"]
     vals = {"=": ["", "v1"], "!=": ["", "v1"],
             "=~": ["v.*"], "!=~": ["v.*"]}
@@ -1137,6 +1142,25 @@ def test_has_positive_term_matches_evaluator_classification(spark):
         via_eval = any(T.index_exists_pred(*T.parse_term(t))[1]
                        for t in terms)
         assert via_guard == via_eval, terms
+
+
+def test_matches_empty_regex_is_not_positive():
+    """Round-12 ADVICE: a ``k=~p`` whose pattern matches the empty
+    string (k=~.*, k=~(v)?) constrains nothing — graphite-web's TagDB
+    (matches_empty) treats it as non-positive, and counting it
+    positive would let a match-everything regex bypass the
+    all-negative 413 guard while costing a near-universe slice scan."""
+    for t in (["k=~.*"], ["k=~(v1)?"], ["k=~"], ["k=~.*", "j!=v"]):
+        assert not T.has_positive_term(t), t
+        assert T.is_all_negative(t), t
+    # a regex that REQUIRES at least one char stays positive
+    for t in (["k=~v.*"], ["k=~.+"], ["k=~(a|b)"]):
+        assert T.has_positive_term(t), t
+        assert not T.is_all_negative(t), t
+    # guard is one-way stricter: guard-positive implies eval-positive
+    for term in ("k=~.*", "k=~.+", "k=v", "k!=", "k=", "k!=v", "k!=~p"):
+        if T.has_positive_term([term]):
+            assert T.index_exists_pred(*T.parse_term(term))[1], term
 
 
 def test_all_negative_term_sets_refused_by_default(spark, tmp_path):
