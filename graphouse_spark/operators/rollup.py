@@ -228,9 +228,21 @@ def recover_compaction(data_path: str, fs=None) -> list[str]:
     """
     import re as _re
 
+    from graphouse_spark import manifest as mf
     from graphouse_spark.fs import get_fs, recover_swap
 
     fs = fs or get_fs(data_path)
+    if mf.manifest_mode(fs):
+        # manifest tables have NO crash states to roll forward or
+        # back — the only reader-visible mutation is one atomic
+        # pointer write; recovery is just the idempotent GC sweep
+        # (aged unreferenced generations = crashed compactions, aged
+        # dead files = interrupted sweeps)
+        import time as _time
+        man = mf.read_table_manifest(fs, data_path)
+        if man is not None:
+            mf.gc_data_manifest(fs, data_path, man, int(_time.time()))
+        return []
     if not fs.is_dir(data_path):
         return []
     touched = []
@@ -264,6 +276,7 @@ def compact_data_table(spark: SparkSession, data_path: str,
     table format (Delta/Iceberg) this whole dance collapses to
     ``replaceWhere`` — the protocol is the bare-parquet equivalent.
     """
+    from graphouse_spark import manifest as mf
     from graphouse_spark.fs import get_fs
     from graphouse_spark.sources.tables import read_data
 
@@ -272,6 +285,9 @@ def compact_data_table(spark: SparkSession, data_path: str,
 
     now = now_seconds if now_seconds is not None else int(dt.datetime.now(dt.timezone.utc).timestamp())
     cutoff = dt.datetime.fromtimestamp(now - min_age_seconds, dt.timezone.utc).date()
+    if mf.manifest_mode(fs):
+        return _compact_manifest_mode(spark, data_path, provider, now,
+                                      cutoff, fs)
     data = read_data(spark, data_path)
     dates = sorted(r["date"] for r in data.select("date").distinct().collect() if r["date"] < cutoff)
     if not dates:
@@ -340,3 +356,108 @@ def compact_data_table(spark: SparkSession, data_path: str,
             rewritten.append(str(d))
     fs.delete(tmp_path)
     return rewritten
+
+
+def _compact_manifest_mode(spark: SparkSession, data_path: str,
+                           provider: CombinedRetentionProvider,
+                           now: int, cutoff, fs) -> list[str]:
+    """Rollup compaction on a rename-less store (round-12 verdict #1):
+    the generation + pointer-commit protocol instead of directory
+    renames.
+
+    1. resolve the table ONCE (manifest or legacy namespace) into
+       (basePath, files) scan groups — this snapshot is both the
+       rollup input and the commit's ``replaced`` list, so a file
+       appended mid-compaction is neither rolled nor marked dead: it
+       stays live and the next run absorbs it;
+    2. roll the aged dates and write them — sized like the rename
+       path, ~64 MB output files per date — STRAIGHT into a fresh
+       dot-hidden ``.gen-`` dir under the table root (no sibling tmp,
+       no renames; hidden dirs are invisible to legacy listings);
+    3. flip: ONE atomic manifest write points every rolled date at the
+       generation and records the absorbed root files; readers resolve
+       old-or-new, never a mix (the rename path, by contrast, needs a
+       per-date three-state swap);
+    4. GC aged dead files and unreferenced generations (grace window
+       protects in-flight readers and concurrent writers).
+
+    A crash before 3 leaves an unreferenced young generation (aged out
+    later); after 3, dead-but-listed files the manifest already
+    excludes. Query results are byte-identical at every step —
+    tests/test_manifest_commit.py injects each one."""
+    from graphouse_spark import manifest as mf
+    from graphouse_spark.schemas import DATA_SCHEMA
+
+    root = data_path.rstrip("/")
+    man = mf.read_table_manifest(fs, root)
+    groups = mf.resolve_data_sources(fs, root, man)
+    if not groups:
+        return []
+    frames = [
+        spark.read.schema(DATA_SCHEMA).option("basePath", base).parquet(*paths)
+        for base, paths in groups
+    ]
+    data = frames[0]
+    for f in frames[1:]:
+        data = data.unionByName(f)
+    dates = sorted(r["date"] for r in data.select("date").distinct().collect()
+                   if r["date"] < cutoff)
+    if not dates:
+        return []
+    date_strs = [str(d) for d in dates]
+
+    # the commit's replaced lists: root-resident live files per aged
+    # date, from the SAME snapshot the rollup reads (rel paths)
+    live_root = mf.live_root_files(fs, root, man)
+    replaced_by_date: dict[str, list[str]] = {d: [] for d in date_strs}
+    date_bytes: dict[str, int] = {d: 0 for d in date_strs}
+    root_sizes = dict(fs.list_files(root))
+    for p in live_root:
+        rel = mf.rel_path(fs, root, p)
+        for seg in rel.split("/"):
+            if seg.startswith("date="):
+                d = seg[len("date="):]
+                if d in replaced_by_date:
+                    replaced_by_date[d].append(rel)
+                    date_bytes[d] += root_sizes.get(p, 0)
+                break
+    # input bytes from committed generations too (they dominate after
+    # the first run) — sizing only, never part of replaced
+    for base, paths in groups:
+        if base == root:
+            continue
+        for p in paths:
+            d = p.rsplit("date=", 1)[-1]
+            if d in date_bytes:
+                date_bytes[d] += sum(sz for _, sz in fs.list_files(p))
+
+    aged = data.filter(F.col("date").isin(date_strs))
+    rolled = rollup_partition(spark, aged, provider, now)
+    n_per_date = {
+        d: max(1, min(256, -(-b // (64 << 20)))) if b else 4
+        for d, b in date_bytes.items()
+    }
+    n_out = int(sum(n_per_date.values()))
+    salt_expr = F.pmod(
+        F.xxhash64("metric"),
+        F.coalesce(*(
+            [F.when(F.col("date") == d, F.lit(n)) for d, n in n_per_date.items()]
+            + [F.lit(1)])))
+    gen = mf.new_gen_name(now)
+    (
+        rolled.withColumn("__salt", salt_expr)
+        .repartition(n_out, "date", "__salt")
+        .drop("__salt")
+        .sortWithinPartitions("date", "metric", "timestamp")
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(f"{root}/{gen}")
+    )
+    committed = [d for d in date_strs if fs.exists(f"{root}/{gen}/date={d}")]
+    if not committed:
+        fs.delete(f"{root}/{gen}")
+        return []
+    mf.commit_data_generation(
+        fs, root, gen, {d: replaced_by_date.get(d, []) for d in committed},
+        now)
+    return committed

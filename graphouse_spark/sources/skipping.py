@@ -49,10 +49,21 @@ def _data_files(root: str, spark: SparkSession | None = None) -> list[str]:
     index built against a RELATIVE table path before r12 sees all its
     rows dropped as "dead" on the first update and re-footer-reads
     once (self-healing; prune correctness is never affected because
-    unknown files are always kept)."""
+    unknown files are always kept).
+
+    Manifest-committed tables (rename-less stores, r13) resolve
+    through the table manifest: compacted partitions live in
+    dot-hidden generation dirs a namespace listing would miss, and
+    replaced-but-unswept root files would double-index."""
+    from graphouse_spark import manifest as mf
     from graphouse_spark.fs import get_fs
 
-    return [p for p, _ in get_fs(root, spark).list_files(root)]
+    fs = get_fs(root, spark)
+    if mf.manifest_mode(fs):
+        resolved = mf.data_files_with_manifest(fs, root)
+        if resolved is not None:
+            return resolved
+    return [p for p, _ in fs.list_files(root)]
 
 
 def build_file_index(spark: SparkSession, table_path: str,

@@ -97,6 +97,17 @@ def write_data(df: DataFrame, path: str, mode: str = "append", target_partitions
 
 
 def read_data(spark: SparkSession, path: str) -> DataFrame:
+    """The points table. On rename-less stores (manifest-committed
+    tables, round-12 verdict #1) compacted partitions resolve through
+    the table manifest; everywhere else — every local/HDFS deployment
+    — this stays the one-line namespace read with ZERO filesystem
+    round trips (the scheme check is string-only)."""
+    from graphouse_spark import manifest as mf
+
+    if mf.manifest_possible(path):
+        resolved = mf.read_with_manifest(spark, DATA_SCHEMA, path)
+        if resolved is not None:
+            return resolved
     return spark.read.schema(DATA_SCHEMA).parquet(path)
 
 
