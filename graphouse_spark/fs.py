@@ -11,8 +11,12 @@ routes through the Hadoop FileSystem OF THE TABLE PATH, not through
 - local disk (``file://`` / scheme-less, the test default):
   ``RawLocalFileSystem.rename`` is rename(2) — atomic;
 - HDFS: rename is a single NameNode metadata op — atomic;
-- rename-less object stores (S3A, GCS): REFUSED by default; see the
-  design note below.
+- rename-less object stores (S3A, GCS): the ROLLUP PARTITION COMMIT,
+  the TAG-INDEX REWRITE/BACKFILL, and the EXPORT SINK switch to the
+  generation + pointer-commit protocol (:mod:`graphouse_spark.
+  manifest` — the design note below, made executable in r13);
+  protocols not yet routed through it (delete/update mutations,
+  metrics-tree compaction) still refuse rename there.
 
 The reference delegates all of this to ClickHouse's part-commit
 machinery (MergeTree parts become visible via one in-memory + one
@@ -32,15 +36,16 @@ file list as ``_manifest.<token>.json`` (PUT of a single object is
 atomic on S3), then atomically overwrite a single ``_current``
 pointer object naming it; readers resolve ``_current`` and list
 through the manifest instead of the directory. That is precisely the
-commit design of Iceberg/Delta — so on such stores the tables should
-be DEPLOYED as Iceberg/Delta (``compact_data_table``'s docstring
-already maps the partition protocol onto ``replaceWhere``; the
-mutation API maps onto ``DELETE/UPDATE WHERE``; the tag rewrite onto
-``overwritePartitions``) rather than re-deriving a transaction log
-here. To make that boundary impossible to trip over silently,
-:meth:`Fs.rename` raises ``NotImplementedError`` on filesystems whose
-rename is not known-atomic unless ``GRAPHOUSE_ALLOW_NONATOMIC_RENAME``
-is set (for single-writer dev runs where a copy-rename is tolerable).
+commit design of Iceberg/Delta — and since r13 it is IMPLEMENTED for
+the three protocols that matter at 100 TB (:mod:`graphouse_spark.
+manifest`: rollup partition commit, tag-index rewrite/backfill,
+training-shard export). The remaining protocols (delete/update
+mutations in ``operators/mutate.py``, metrics-tree compaction) map
+cleanly onto Iceberg/Delta ``DELETE/UPDATE WHERE`` / table swaps and
+stay refused here: :meth:`Fs.rename` raises ``NotImplementedError``
+on filesystems whose rename is not known-atomic unless
+``GRAPHOUSE_ALLOW_NONATOMIC_RENAME`` is set (for single-writer dev
+runs where a copy-rename is tolerable).
 """
 
 from __future__ import annotations
@@ -120,9 +125,12 @@ class Fs:
                 "GRAPHOUSE_ALLOW_NONATOMIC_RENAME"):
             raise NotImplementedError(
                 f"FileSystem scheme '{self.scheme}' has no atomic rename; "
-                "deploy this table as Iceberg/Delta (see graphouse_spark/"
-                "fs.py design note) or set GRAPHOUSE_ALLOW_NONATOMIC_RENAME "
-                "for single-writer dev runs")
+                "this protocol is not routed through the manifest commit "
+                "(graphouse_spark/manifest.py serves rollup, tag-index "
+                "and export commits there) — deploy this table as "
+                "Iceberg/Delta (fs.py design note) or set "
+                "GRAPHOUSE_ALLOW_NONATOMIC_RENAME for single-writer "
+                "dev runs")
         jsrc, jdst = self._jpath(src), self._jpath(dst)
         if self._fs.exists(jdst):
             raise FileExistsError(f"rename target exists: {dst}")

@@ -162,6 +162,32 @@ def resolve_table_dir(fs: Fs, root: str) -> str:
     return f"{root.rstrip('/')}/{man['generation']}"
 
 
+def tombstone_table(fs: Fs, root: str, now: int) -> dict:
+    """Atomically mark a whole-table generation ABSENT — the
+    manifest-mode spelling of "delete the sub-index before rebuilding"
+    (backfill's crashed-window contract: readers must fall back to the
+    slow-correct path, never read a stale or partial sub-index).
+
+    Deleting the POINTER instead would be wrong twice over: the
+    pending_gc record would be lost, and dead-but-unswept legacy files
+    at the root would make the table look like a live legacy layout to
+    the absent-detection. The tombstone keeps ``previous`` pointing at
+    the superseded generation so in-flight readers' files survive the
+    grace window, and on a never-manifested table records the visible
+    legacy files as dead."""
+    root = root.rstrip("/")
+    prev = read_table_manifest(fs, root)
+    man: dict = {"generation": None,
+                 "previous": (prev or {}).get("generation"),
+                 "pending_gc": list((prev or {}).get("pending_gc", []))}
+    if prev is None:
+        legacy = [rel_path(fs, root, p) for p, _ in fs.list_files(root)]
+        if legacy:
+            man["pending_gc"].append({"ts": int(now), "paths": legacy})
+    write_table_manifest(fs, root, man)
+    return man
+
+
 def commit_table_generation(fs: Fs, root: str, gen: str, now: int,
                             grace: int = GC_GRACE_SECONDS) -> dict:
     """Flip the whole-table pointer to ``gen`` (one atomic write),

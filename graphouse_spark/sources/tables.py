@@ -219,9 +219,35 @@ def write_tags(df: DataFrame, path: str, mode: str = "append") -> None:
         vp = tag_values_path(path)
         # superset guard (see docstring): only append values when the
         # sub-index exists, or nothing exists yet (first batch
-        # bootstraps both consistently)
-        write_values = fs.exists(vp) or not fs.exists(path)
+        # bootstraps both consistently). On manifest tables "exists"
+        # means a committed pointer or visible legacy files — a dir
+        # holding only orphaned hidden generations counts as ABSENT
+        # (the crashed-backfill window where appends must not
+        # resurrect a partial sub-index).
+        from graphouse_spark import manifest as mf
+
+        if mf.manifest_mode(fs):
+            man_vp = mf.read_table_manifest(fs, vp)
+            # a TOMBSTONE manifest (generation null — a backfill's
+            # degraded window) counts as absent
+            vp_present = (bool(man_vp.get("generation"))
+                          if man_vp is not None
+                          else bool(fs.list_files(vp)))
+            main_present = (mf.read_table_manifest(fs, path) is not None
+                            or bool(fs.list_files(path)))
+            write_values = vp_present or not main_present
+        else:
+            write_values = fs.exists(vp) or not fs.exists(path)
         with _TAGS_REWRITE_LOCK:
+            # the append TARGETS resolve under the same lock the
+            # rewrite's pointer flip holds: a batch serialized before
+            # the flip lands in the old generation (the rewrite's
+            # carry-over copies it forward), one after the flip lands
+            # in the new one — never in a superseded dir unobserved
+            main_target, vals_target = path, vp
+            if mf.manifest_mode(fs):
+                main_target = mf.resolve_table_dir(fs, path)
+                vals_target = mf.resolve_table_dir(fs, vp)
             # values FIRST: the sub-index must be a superset of the
             # main index at every instant (a crash between the two
             # writes then leaves an over-approximation, which only
@@ -229,15 +255,21 @@ def write_tags(df: DataFrame, path: str, mode: str = "append") -> None:
             # a (tag, value) pair and silently hide a series from
             # regex-only browses)
             if write_values:
-                vals.parquet(vp)
-            out.parquet(path)
+                vals.parquet(vals_target)
+            out.parquet(main_target)
     finally:
         fs.delete(stage_path)
 
 
 def read_tags(spark: SparkSession, path: str) -> DataFrame:
+    from graphouse_spark import manifest as mf
+    from graphouse_spark.fs import get_fs
     from graphouse_spark.schemas import TAGS_SCHEMA
 
+    if mf.manifest_possible(path):
+        # rename-less stores: the index lives in the manifest-committed
+        # generation (rewrites flip a pointer instead of renaming dirs)
+        path = mf.resolve_table_dir(get_fs(path, spark), path)
     return spark.read.schema(TAGS_SCHEMA).parquet(path)
 
 
@@ -279,12 +311,31 @@ def tag_index_writer(rows: DataFrame):
 
 def read_tag_values(spark: SparkSession, tags_path: str):
     """The (tag, value, last-seen date) sub-index, or None when absent
-    (pre-sub-index deployments: callers fall back to pruning on the
-    main index rows)."""
+    (pre-sub-index deployments, and the crashed-backfill degraded
+    window: callers fall back to pruning on the main index rows).
+
+    On rename-less stores "absent" means NO MANIFEST POINTER and no
+    visible legacy files — the directory itself may exist holding only
+    orphaned hidden generations (a backfill drops the pointer before
+    rebuilding, exactly so readers fall back during the window), and
+    reading that as an empty frame would rewrite ``=~`` terms into an
+    empty IN-list that silently hides every live value."""
+    from graphouse_spark import manifest as mf
     from graphouse_spark.fs import get_fs
     from graphouse_spark.schemas import TAG_VALUES_SCHEMA
 
     vp = tag_values_path(tags_path)
+    if mf.manifest_possible(vp):
+        fs = get_fs(vp, spark)
+        man = mf.read_table_manifest(fs, vp)
+        if man is not None:
+            if man.get("generation"):
+                return spark.read.schema(TAG_VALUES_SCHEMA).parquet(
+                    f"{vp.rstrip('/')}/{man['generation']}")
+            return None  # tombstone: a backfill's degraded window
+        if not fs.exists(vp) or not fs.list_files(vp):
+            return None
+        return spark.read.schema(TAG_VALUES_SCHEMA).parquet(vp)
     if not get_fs(vp, spark).exists(vp):
         return None
     return spark.read.schema(TAG_VALUES_SCHEMA).parquet(vp)
@@ -346,6 +397,10 @@ def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
     from graphouse_spark.schemas import TAGS_SCHEMA
 
     fs = fs_mod.get_fs(tags_path, spark)
+    from graphouse_spark import manifest as mf
+
+    if mf.manifest_mode(fs):
+        return _rewrite_tags_manifest(spark, tags_path, transform, fs)
     tags_abs = fs.norm(tags_path)
 
     # whole-rewrite mutex: see _TAGS_REWRITE_SERIAL
@@ -435,6 +490,103 @@ def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
                     fs.rename(vp, vbak)
                 fs.rename(vstage, vp)
             fs.delete(vbak)
+        except Exception:
+            fs.delete(vstage)
+            raise
+        return n
+
+
+def _rewrite_tags_manifest(spark: SparkSession, tags_path: str,
+                           transform, fs) -> int:
+    """:func:`rewrite_tags_atomic` on a rename-less store (round-12
+    verdict #1): same guarantees, the visibility flips are pointer
+    writes (``manifest.commit_table_generation``) instead of directory
+    renames.
+
+      1. snapshot the live file list (the committed generation, or the
+         root for a never-manifested index), read THAT list, transform,
+         write into a fresh dot-hidden generation under the table root;
+      2. under the swap lock (appends hold it for each append job, and
+         resolve their target under it too): copy files that appeared
+         since the snapshot into the new generation, then flip the main
+         pointer — ONE atomic write; a crash before it leaves the old
+         index fully live and an unreferenced young generation that
+         ages out of the grace window;
+      3. same dance for the distinct-values sub-index (its stage was
+         built from the STAGED main parquet before the main flip). A
+         crash between the two flips leaves the OLD sub-index — a
+         superset of the new main index's pairs for every
+         remove-or-keep transform, same argument as the rename path;
+      4. commit-time GC sweeps superseded generations aged past the
+         grace window ({new, previous} always kept for in-flight
+         readers) and, on the FIRST manifest commit, records the
+         legacy root files for the aged sweep.
+
+    Returns the kept row count."""
+    import time as _time
+
+    from graphouse_spark import manifest as mf
+    from graphouse_spark.schemas import TAGS_SCHEMA
+
+    root = fs.norm(tags_path).rstrip("/")
+    vroot = fs.norm(tag_values_path(tags_path)).rstrip("/")
+
+    with _TAGS_REWRITE_SERIAL:
+        now = int(_time.time())
+        live_dir = mf.resolve_table_dir(fs, root)
+        vlive_dir = mf.resolve_table_dir(fs, vroot)
+
+        def live_files():
+            return [p for p, _ in fs.list_files(live_dir)]
+
+        def live_value_files():
+            return [p for p, _ in fs.list_files(vlive_dir)]
+
+        snapshot = live_files()
+        vp_snapshot = set(live_value_files())
+        if snapshot:
+            current = (spark.read.schema(TAGS_SCHEMA)
+                       .option("basePath", live_dir).parquet(*snapshot))
+        else:
+            current = spark.createDataFrame([], TAGS_SCHEMA)
+        kept = transform(current)
+        cols = [f.name for f in TAGS_SCHEMA.fields]
+        gen = mf.new_gen_name(now)
+        stage = f"{root}/{gen}"
+        vgen = mf.new_gen_name(now)
+        vstage = f"{vroot}/{vgen}"
+        try:
+            tag_index_writer(kept.select(*cols)
+                             ).mode("overwrite").partitionBy("date").parquet(stage)
+            staged = (spark.read.schema(TAGS_SCHEMA)
+                      .option("basePath", stage).parquet(stage))
+            n = staged.count()
+            # the values stage derives from the STAGED parquet and must
+            # be complete before the main flip makes the stage live
+            (staged.groupBy("tag", "value").agg(F.max("date").alias("date"))
+             .repartition(TAG_VALUES_FILES, "tag", "value")
+             .sortWithinPartitions("tag", "value")
+             .write.mode("overwrite").parquet(vstage))
+            with _TAGS_REWRITE_LOCK:
+                snap_set = set(snapshot)
+                for f in live_files():
+                    if f not in snap_set:  # appended during the rewrite
+                        rel = f[len(fs.norm(live_dir)):].lstrip("/")
+                        fs.copy_file(f, f"{stage}/{rel}")
+                mf.commit_table_generation(fs, root, gen, now)
+        except Exception:
+            fs.delete(stage)
+            fs.delete(vstage)
+            raise
+        # values flip (crash before it leaves the old superset
+        # sub-index; absent sub-index falls back slow-correct)
+        try:
+            with _TAGS_REWRITE_LOCK:
+                for f in live_value_files():
+                    if f not in vp_snapshot:  # appended during rewrite
+                        rel = f[len(fs.norm(vlive_dir)):].lstrip("/")
+                        fs.copy_file(f, f"{vstage}/{rel}")
+                mf.commit_table_generation(fs, vroot, vgen, now)
         except Exception:
             fs.delete(vstage)
             raise

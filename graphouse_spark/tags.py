@@ -505,13 +505,26 @@ def backfill_tag_index(spark, data_path: str, tags_path: str) -> int:
     the sub-index ABSENT instead, read_tag_values callers skip the
     regex prune (correct, slower) until a rerun completes both writes.
     """
+    import time as _time
+
+    from graphouse_spark import manifest as mf
     from graphouse_spark.fs import get_fs
+    from graphouse_spark.schemas import TAGS_SCHEMA
     from graphouse_spark.sources.tables import (
         TAG_VALUES_FILES, read_data, read_tags, tag_index_writer,
         tag_values_path)
 
+    fs = get_fs(tags_path, spark)
     vp = tag_values_path(tags_path)
-    get_fs(vp, spark).delete(vp)
+    manifest = mf.manifest_mode(fs)
+    if manifest:
+        # rename-less store: the TOMBSTONE manifest is the "sub-index
+        # absent" signal (readers fall back slow-correct until both
+        # flips land); the old generation's files stay for in-flight
+        # readers and age out of the grace window
+        mf.tombstone_table(fs, vp, int(_time.time()))
+    else:
+        fs.delete(vp)
     names = (read_data(spark, data_path)
              .filter(F.col("metric").contains(";"))
              .groupBy("metric")
@@ -521,6 +534,22 @@ def backfill_tag_index(spark, data_path: str, tags_path: str) -> int:
         F.explode(tags_map_col(F.col("metric"))).alias("tag", "value"),
         "date",
     )
+    if manifest:
+        now = int(_time.time())
+        gen = mf.new_gen_name(now)
+        stage = f"{tags_path.rstrip('/')}/{gen}"
+        tag_index_writer(rows).mode("overwrite").partitionBy("date").parquet(stage)
+        written = (spark.read.schema(TAGS_SCHEMA)
+                   .option("basePath", stage).parquet(stage))
+        n = written.count()
+        mf.commit_table_generation(fs, tags_path, gen, now)
+        vgen = mf.new_gen_name(now)
+        (written.groupBy("tag", "value").agg(F.max("date").alias("date"))
+         .repartition(TAG_VALUES_FILES, "tag", "value")
+         .sortWithinPartitions("tag", "value")
+         .write.mode("overwrite").parquet(f"{vp.rstrip('/')}/{vgen}"))
+        mf.commit_table_generation(fs, vp, vgen, now)
+        return n
     tag_index_writer(rows).mode("overwrite").partitionBy("date").parquet(tags_path)
     written = read_tags(spark, tags_path)
     n = written.count()

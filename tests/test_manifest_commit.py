@@ -233,3 +233,181 @@ def test_unreadable_manifest_refuses(spark, tmp_path, no_rename):
     fs.write_text(f"{path}/{mf.TABLE_MANIFEST}", "{torn")
     with pytest.raises(RuntimeError, match="unreadable table manifest"):
         read_data(spark, path).count()
+
+
+# ------------------------------------------------------- tag index
+
+def _tagged_cfg(spark, tmp_path, sub, lines, base):
+    from graphouse_spark import tags as T
+    from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
+
+    cfg = IngestConfig(str(tmp_path / sub / "data"),
+                       str(tmp_path / sub / "metrics"),
+                       str(tmp_path / sub / "ckpt"),
+                       allow_tags=True,
+                       tags_path=str(tmp_path / sub / "tags"))
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    ingest_batch(T.parse_tagged_lines(raw, updated=F.lit(base)), cfg,
+                 known_names=None)
+    return cfg
+
+
+TAG_BASE = 1_600_000_000
+TAG_LINES = [
+    f"disk.used;datacenter=dc1;rack=a2 1.0 {TAG_BASE}",
+    f"disk.used;datacenter=dc2;rack=a3 2.0 {TAG_BASE}",
+    f"net.rx;datacenter=dc1 3.0 {TAG_BASE}",
+]
+
+
+def _tag_rows(spark, tags_path):
+    from graphouse_spark.sources.tables import read_tags
+
+    return sorted(map(tuple, read_tags(spark, tags_path).collect()))
+
+
+def _value_rows(spark, tags_path):
+    from graphouse_spark.sources.tables import read_tag_values
+
+    vals = read_tag_values(spark, tags_path)
+    return None if vals is None else sorted(map(tuple, vals.collect()))
+
+
+def test_tags_manifest_rewrite_matches_rename(spark, tmp_path, no_rename,
+                                              monkeypatch):
+    """Full tag-index rewrite (delSeries-shaped transform) via the
+    manifest protocol vs the rename protocol: byte-identical index and
+    sub-index, and the manifest branch never renames."""
+    from graphouse_spark.sources.tables import (
+        rewrite_tags_atomic, write_tags)
+
+    cfg_m = _tagged_cfg(spark, tmp_path, "man", TAG_LINES, TAG_BASE)
+    with monkeypatch.context() as m:
+        m.setattr(fs_mod, "RENAME_ATOMIC_SCHEMES",
+                  frozenset({"file", "hdfs", "viewfs"}))
+        cfg_r = _tagged_cfg(spark, tmp_path, "ren", TAG_LINES, TAG_BASE)
+
+    def drop_dc2(idx):
+        return idx.filter(~F.col("metric").contains("datacenter=dc2"))
+
+    def boom(*a, **kw):
+        raise AssertionError("manifest tag rewrite must never rename")
+
+    with monkeypatch.context() as m:
+        m.setattr(fs_mod.Fs, "rename", boom)
+        n_m = rewrite_tags_atomic(spark, cfg_m.tags_path, drop_dc2)
+    with monkeypatch.context() as m:
+        m.setattr(fs_mod, "RENAME_ATOMIC_SCHEMES",
+                  frozenset({"file", "hdfs", "viewfs"}))
+        n_r = rewrite_tags_atomic(spark, cfg_r.tags_path, drop_dc2)
+    assert n_m == n_r
+    assert _tag_rows(spark, cfg_m.tags_path) == _tag_rows(spark, cfg_r.tags_path)
+    assert _value_rows(spark, cfg_m.tags_path) == _value_rows(spark, cfg_r.tags_path)
+    # manifest table state: pointer + hidden generation, legacy root
+    # files dead-but-listed until the aged sweep
+    man = json.loads(open(f"{cfg_m.tags_path}/{mf.TABLE_MANIFEST}").read())
+    assert man["generation"].startswith(".gen-")
+
+    # an APPEND after the flip resolves to the committed generation
+    import pandas as pd  # noqa: F401  (parity with ingest imports)
+    from graphouse_spark import tags as T
+    raw = spark.createDataFrame(
+        [(f"mem.free;datacenter=dc3 4.0 {TAG_BASE + 60}",)], "value string")
+    parsed = T.parse_tagged_lines(raw, updated=F.lit(TAG_BASE + 60))
+    rows = T.tag_index_rows(parsed.select("name", "updated"))
+    write_tags(rows, cfg_m.tags_path)
+    assert any("dc3" in t[0] for t in _tag_rows(spark, cfg_m.tags_path))
+    gen_dir = f"{cfg_m.tags_path}/{man['generation']}"
+    assert any("dc3" in str(tuple(r))
+               for r in spark.read.parquet(gen_dir).collect())
+
+
+def test_tags_manifest_rewrite_crash_points(spark, tmp_path, no_rename,
+                                            monkeypatch):
+    """Crash at the main flip -> old index fully live; crash between
+    the flips -> old (superset) sub-index; rerun converges."""
+    from graphouse_spark.sources.tables import rewrite_tags_atomic
+
+    cfg = _tagged_cfg(spark, tmp_path, "t", TAG_LINES, TAG_BASE)
+    before = _tag_rows(spark, cfg.tags_path)
+    before_vals = _value_rows(spark, cfg.tags_path)
+
+    def drop_dc2(idx):
+        return idx.filter(~F.col("metric").contains("datacenter=dc2"))
+
+    # crash AT the main pointer flip
+    real = mf.commit_table_generation
+
+    def crash_first(fs, root, gen, now, **kw):
+        raise OSError("injected crash at main flip")
+
+    with monkeypatch.context() as m:
+        m.setattr(mf, "commit_table_generation", crash_first)
+        with pytest.raises(OSError, match="injected crash"):
+            rewrite_tags_atomic(spark, cfg.tags_path, drop_dc2)
+    assert _tag_rows(spark, cfg.tags_path) == before
+    assert _value_rows(spark, cfg.tags_path) == before_vals
+
+    # crash BETWEEN the two flips (values flip raises)
+    calls = {"n": 0}
+
+    def crash_second(fs, root, gen, now, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("injected crash at values flip")
+        return real(fs, root, gen, now, **kw)
+
+    with monkeypatch.context() as m:
+        m.setattr(mf, "commit_table_generation", crash_second)
+        with pytest.raises(OSError, match="values flip"):
+            rewrite_tags_atomic(spark, cfg.tags_path, drop_dc2)
+    after_main = _tag_rows(spark, cfg.tags_path)
+    assert not any("dc2" in r[0] for r in after_main)  # main flipped
+    # sub-index is the OLD one: a SUPERSET of the new pairs
+    vals = _value_rows(spark, cfg.tags_path)
+    assert vals == before_vals
+    new_pairs = {(r[1], r[2]) for r in after_main}
+    assert new_pairs <= {(v[0], v[1]) for v in vals}
+
+    # rerun converges both
+    rewrite_tags_atomic(spark, cfg.tags_path, lambda idx: idx)
+    assert _tag_rows(spark, cfg.tags_path) == after_main
+    vals2 = _value_rows(spark, cfg.tags_path)
+    assert {(v[0], v[1]) for v in vals2} == new_pairs
+
+
+def test_backfill_manifest_mode(spark, tmp_path, no_rename, monkeypatch):
+    """Backfill on a rename-less store: pointer dance (values pointer
+    dropped -> readers fall back; both flips land -> served again);
+    a crash between the flips leaves the sub-index ABSENT, never
+    partial."""
+    from graphouse_spark import tags as T
+    from graphouse_spark.sources.tables import read_tag_values
+
+    cfg = _tagged_cfg(spark, tmp_path, "b", TAG_LINES, TAG_BASE)
+    n = T.backfill_tag_index(spark, cfg.data_path, cfg.tags_path)
+    assert n == len(_tag_rows(spark, cfg.tags_path))
+    assert _value_rows(spark, cfg.tags_path) is not None
+
+    # crash between the two flips: values pointer stays ABSENT
+    real = mf.commit_table_generation
+    calls = {"n": 0}
+
+    def crash_second(fs, root, gen, now, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("injected crash before values flip")
+        return real(fs, root, gen, now, **kw)
+
+    with monkeypatch.context() as m:
+        m.setattr(mf, "commit_table_generation", crash_second)
+        with pytest.raises(OSError, match="values flip"):
+            T.backfill_tag_index(spark, cfg.data_path, cfg.tags_path)
+    assert read_tag_values(spark, cfg.tags_path) is None  # degraded, absent
+    assert _tag_rows(spark, cfg.tags_path)  # main index fully live
+
+    # rerun completes both; sub-index is a superset of the main pairs
+    T.backfill_tag_index(spark, cfg.data_path, cfg.tags_path)
+    vals = _value_rows(spark, cfg.tags_path)
+    main_pairs = {(r[1], r[2]) for r in _tag_rows(spark, cfg.tags_path)}
+    assert vals is not None and main_pairs <= {(v[0], v[1]) for v in vals}
