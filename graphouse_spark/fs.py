@@ -253,6 +253,27 @@ class Fs:
             if not self._fs.rename(self._jpath(tmp), jdst):
                 raise OSError(f"manifest rename failed: {tmp} -> {p}")
 
+    def create_exclusive(self, p: str, text: str) -> bool:
+        """Create-if-absent with content; False when the path already
+        exists. Atomic on local disk and HDFS (``FileSystem.create``
+        with overwrite=false is one namespace op there); on object
+        stores the existence check is a separate HEAD — callers must
+        confirm by reading back (see :func:`acquire_writer_lease`)."""
+        try:
+            out = self._fs.create(self._jpath(p), False)
+        except Exception:
+            return False
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
+    def mtime(self, p: str) -> int:
+        """Modification time (epoch seconds)."""
+        return int(self._fs.getFileStatus(self._jpath(p))
+                   .getModificationTime() // 1000)
+
     def read_text(self, p: str) -> str:
         # bytes must come back as a RETURN VALUE: py4j passes byte[]
         # by value, so readFully(buf) would fill a JVM-side copy and
@@ -290,6 +311,133 @@ def get_fs(path: str, spark: SparkSession | None = None) -> Fs:
         raise RuntimeError("no active SparkSession; commit-protocol "
                            "filesystem ops need the session's Hadoop conf")
     return Fs(spark, path)
+
+
+def lease_path(root: str) -> str:
+    """The table's lease file: a dot-hidden SIBLING of the table root
+    (never inside it — the tag-index rename protocol swaps the root
+    directory itself, which would carry an in-root lease away mid-
+    protocol and let a second writer acquire)."""
+    root = abspath(root).rstrip("/")
+    return f"{parent_dir(root)}/.{base_name(root)}.lease"
+
+#: default lease TTL. Must exceed the longest uninterrupted Spark
+#: stage of any protocol run (renewals only happen between stages);
+#: generous because takeover exists only for CRASHED writers, not slow
+#: ones.
+LEASE_TTL_SECONDS = 4 * 3600
+
+
+class LeaseHeld(RuntimeError):
+    """Another writer holds the table's lease (and it is not stale)."""
+
+
+class WriterLease:
+    """Handle for a held single-writer lease; see
+    :func:`acquire_writer_lease`."""
+
+    def __init__(self, fs: Fs, path: str, owner: str):
+        self._fs = fs
+        self.path = path
+        self.owner = owner
+
+    def renew(self) -> None:
+        """Refresh the lease mtime (call between protocol milestones
+        so a long run never looks crashed). Raises LeaseHeld if the
+        lease was meanwhile taken over."""
+        if self._fs.exists(self.path) and \
+                self._fs.read_text(self.path).strip() != self.owner:
+            raise LeaseHeld(f"lease {self.path} taken over mid-run")
+        self._fs.write_text(self.path, self.owner)
+
+    def release(self) -> None:
+        try:
+            if self._fs.exists(self.path) and \
+                    self._fs.read_text(self.path).strip() == self.owner:
+                self._fs.delete(self.path)
+        except Exception:
+            pass  # a stale lease self-heals via the TTL takeover
+
+
+def acquire_writer_lease(fs: Fs, root: str, owner: str | None = None,
+                         ttl_seconds: int = LEASE_TTL_SECONDS) -> WriterLease:
+    """THE multi-writer contract (round-12 verdict #2): every
+    whole-table or partition REWRITER (rollup compaction, delete/
+    update mutations, tag-index rewrite/backfill) must hold the
+    table's lease for the duration of its protocol; concurrent
+    rewriters get :class:`LeaseHeld` and retry later. APPENDS never
+    take it — every protocol's snapshot/carry-over design already
+    tolerates any number of concurrent appenders; what the protocols
+    can NOT tolerate is a second concurrent REWRITER interleaving
+    stage/swap states on the same partitions (``recover_swap`` is a
+    one-writer state machine). This mirrors the reference, whose
+    single MetricCacher writer pool is the implicit arbiter
+    (MetricCacher.java) — on a shared lake the arbiter must be
+    explicit.
+
+    Mechanics: one dot-hidden lease file BESIDE the table root
+    (:func:`lease_path`), content = owner token, staleness = file
+    mtime older than ``ttl_seconds``
+    (a crashed writer's lease ages out and is taken over; a live
+    long-running writer renews between milestones). Acquisition is
+    create-exclusive — atomic on local/HDFS; on object stores it is
+    HEAD+PUT, so the post-write read-back confirmation below narrows
+    (not fully closes) the race — two writers whose PUTs interleave
+    exactly can both think they won for one round-trip. Deployments
+    needing hard S3 mutual exclusion should front this with a
+    conditional-PUT or external lock; the protocols stay crash-safe
+    either way (generation commits are last-writer-wins-consistent,
+    never corrupting)."""
+    import os as _os
+    import socket
+    import time as _time
+    import uuid as _uuid
+
+    owner = owner or (f"{socket.gethostname()}-{_os.getpid()}-"
+                      f"{_uuid.uuid4().hex[:8]}")
+    path = lease_path(root)
+    fs.mkdirs(parent_dir(root.rstrip("/")))
+    for _attempt in range(2):
+        if fs.create_exclusive(path, owner):
+            break
+        try:
+            cur = fs.read_text(path).strip()
+        except Exception:
+            cur = None  # torn write: judge by mtime alone
+        try:
+            age = int(_time.time()) - fs.mtime(path)
+        except Exception:
+            continue  # vanished between probe and stat: retry create
+        if cur == owner:
+            break  # re-entrant
+        if age <= ttl_seconds:
+            raise LeaseHeld(
+                f"writer lease on {root} held by {cur or '<unreadable>'} "
+                f"({age}s old, ttl {ttl_seconds}s)")
+        # stale: the holder crashed — take over
+        fs.delete(path)
+    else:
+        raise LeaseHeld(f"writer lease on {root}: lost takeover race")
+    fs.write_text(path, owner)
+    if fs.read_text(path).strip() != owner:
+        raise LeaseHeld(f"writer lease on {root}: lost acquisition race")
+    return WriterLease(fs, path, owner)
+
+
+def writer_lease(fs: Fs, root: str, owner: str | None = None,
+                 ttl_seconds: int = LEASE_TTL_SECONDS):
+    """Context-manager form of :func:`acquire_writer_lease`."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        lease = acquire_writer_lease(fs, root, owner, ttl_seconds)
+        try:
+            yield lease
+        finally:
+            lease.release()
+
+    return _ctx()
 
 
 def recover_swap(fs: Fs, live: str, stage: str, bak: str) -> str | None:

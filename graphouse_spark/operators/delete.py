@@ -63,34 +63,37 @@ def delete_metrics(spark: SparkSession, data_path: str,
     crash (this function does it automatically) — the commit protocol
     is shared with rollup/compaction, so one recovery pass heals both.
     """
-    from graphouse_spark.fs import get_fs
+    from graphouse_spark.fs import get_fs, writer_lease
 
     if isinstance(patterns, str):
         patterns = [patterns]
     cond = _match_condition(patterns)
     fs = get_fs(data_path, spark)
-    recover_compaction(data_path, fs)
+    # single-writer contract vs compaction/mutations (r12 verdict #2)
+    with writer_lease(fs, data_path) as lease:
+        recover_compaction(data_path, fs)
 
-    dates = sorted(
-        name.split("=", 1)[1] for name in fs.listdir(data_path)
-        if re.match(r"^date=", name)
-    )
-    rewritten, deleted = [], 0
-    for d in dates:
-        live = _live(data_path, d)
-        part = spark.read.parquet(live)
-        # cheap containment probe: only the metric column is read, and
-        # parquet dictionary/stats prune most files for exact names
-        n_hit = part.select("metric").filter(cond).count()
-        if n_hit == 0:
-            continue
-        stage = _stage(data_path, d)
-        kept = part.filter(~cond)
-        kept.write.mode("overwrite").parquet(stage)
-        _commit_partition(data_path, d, fs)
-        rewritten.append(d)
-        deleted += n_hit
-    return {"partitions_rewritten": rewritten, "rows_deleted": deleted}
+        dates = sorted(
+            name.split("=", 1)[1] for name in fs.listdir(data_path)
+            if re.match(r"^date=", name)
+        )
+        rewritten, deleted = [], 0
+        for d in dates:
+            live = _live(data_path, d)
+            part = spark.read.parquet(live)
+            # cheap containment probe: only the metric column is read, and
+            # parquet dictionary/stats prune most files for exact names
+            n_hit = part.select("metric").filter(cond).count()
+            if n_hit == 0:
+                continue
+            stage = _stage(data_path, d)
+            kept = part.filter(~cond)
+            kept.write.mode("overwrite").parquet(stage)
+            _commit_partition(data_path, d, fs)
+            rewritten.append(d)
+            deleted += n_hit
+            lease.renew()
+        return {"partitions_rewritten": rewritten, "rows_deleted": deleted}
 
 
 def delete_from_metrics_table(spark: SparkSession, metrics_path: str,

@@ -52,36 +52,43 @@ def _rewrite_partitions(spark: SparkSession, data_path: str,
     from graphouse_spark.fs import get_fs
     from graphouse_spark.sources.tables import read_data
 
+    from graphouse_spark.fs import writer_lease
+
     if not dates:
         return []
     fs = get_fs(data_path, spark)
-    recover_compaction(data_path, fs)
-    tmp_path = data_path.rstrip("/") + "_mutation_tmp"
-    data = read_data(spark, data_path)
-    subset = data.filter(F.col("date").isin([str(d) for d in dates]))
-    (
-        transform(subset)
-        .repartition("metric")
-        .sortWithinPartitions("date", "metric", "timestamp")
-        .write.mode("overwrite")
-        .partitionBy("date")
-        .parquet(tmp_path)
-    )
-    rewritten = []
-    for d in dates:
-        src = tmp_path.rstrip("/") + f"/date={d}"
-        stage = _stage(data_path, str(d))
-        fs.delete(stage)
-        if fs.exists(src):
-            fs.rename(src, stage)
-        else:
-            # every matching row of this partition was deleted: stage an
-            # empty partition dir so the commit removes the old data
-            fs.mkdirs(stage)
-        _commit_partition(data_path, str(d), fs)
-        rewritten.append(str(d))
-    fs.delete(tmp_path)
-    return rewritten
+    # single-writer contract: a mutation must not interleave its
+    # stage/swap states with a concurrent compaction's on the same
+    # partitions (round-12 verdict #2)
+    with writer_lease(fs, data_path) as lease:
+        recover_compaction(data_path, fs)
+        tmp_path = data_path.rstrip("/") + "_mutation_tmp"
+        data = read_data(spark, data_path)
+        subset = data.filter(F.col("date").isin([str(d) for d in dates]))
+        (
+            transform(subset)
+            .repartition("metric")
+            .sortWithinPartitions("date", "metric", "timestamp")
+            .write.mode("overwrite")
+            .partitionBy("date")
+            .parquet(tmp_path)
+        )
+        lease.renew()  # the big write is the long pole; commits are quick
+        rewritten = []
+        for d in dates:
+            src = tmp_path.rstrip("/") + f"/date={d}"
+            stage = _stage(data_path, str(d))
+            fs.delete(stage)
+            if fs.exists(src):
+                fs.rename(src, stage)
+            else:
+                # every matching row of this partition was deleted: stage an
+                # empty partition dir so the commit removes the old data
+                fs.mkdirs(stage)
+            _commit_partition(data_path, str(d), fs)
+            rewritten.append(str(d))
+        fs.delete(tmp_path)
+        return rewritten
 
 
 def delete_where(spark: SparkSession, data_path: str,

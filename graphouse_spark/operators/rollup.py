@@ -280,14 +280,29 @@ def compact_data_table(spark: SparkSession, data_path: str,
     from graphouse_spark.fs import get_fs
     from graphouse_spark.sources.tables import read_data
 
-    fs = get_fs(data_path, spark)
-    recover_compaction(data_path, fs)
+    from graphouse_spark.fs import writer_lease
 
-    now = now_seconds if now_seconds is not None else int(dt.datetime.now(dt.timezone.utc).timestamp())
-    cutoff = dt.datetime.fromtimestamp(now - min_age_seconds, dt.timezone.utc).date()
-    if mf.manifest_mode(fs):
-        return _compact_manifest_mode(spark, data_path, provider, now,
-                                      cutoff, fs)
+    fs = get_fs(data_path, spark)
+    # single-writer contract (r12 verdict #2): compaction must not
+    # interleave stage/swap states with a concurrent delete/update
+    # mutation on the same partitions; appends never take the lease
+    with writer_lease(fs, data_path) as lease:
+        recover_compaction(data_path, fs)
+
+        now = now_seconds if now_seconds is not None else int(dt.datetime.now(dt.timezone.utc).timestamp())
+        cutoff = dt.datetime.fromtimestamp(now - min_age_seconds, dt.timezone.utc).date()
+        if mf.manifest_mode(fs):
+            return _compact_manifest_mode(spark, data_path, provider, now,
+                                          cutoff, fs)
+        return _compact_rename_mode(spark, data_path, provider, now,
+                                    cutoff, fs, lease)
+
+
+def _compact_rename_mode(spark: SparkSession, data_path: str,
+                         provider: CombinedRetentionProvider,
+                         now: int, cutoff, fs, lease) -> list[str]:
+    from graphouse_spark.sources.tables import read_data
+
     data = read_data(spark, data_path)
     dates = sorted(r["date"] for r in data.select("date").distinct().collect() if r["date"] < cutoff)
     if not dates:
@@ -343,6 +358,7 @@ def compact_data_table(spark: SparkSession, data_path: str,
         .partitionBy("date")
         .parquet(tmp_path)
     )
+    lease.renew()  # the rolled write is the long pole; commits are quick
     rewritten = []
     for d in dates:
         src = tmp_path.rstrip("/") + f"/date={d}"

@@ -403,8 +403,11 @@ def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
         return _rewrite_tags_manifest(spark, tags_path, transform, fs)
     tags_abs = fs.norm(tags_path)
 
-    # whole-rewrite mutex: see _TAGS_REWRITE_SERIAL
-    with _TAGS_REWRITE_SERIAL:
+    # whole-rewrite mutex: see _TAGS_REWRITE_SERIAL (in-process);
+    # writer lease (cross-process, r12 verdict #2) — a backfill or a
+    # second compaction daemon racing this rewrite must be refused,
+    # not interleaved
+    with _TAGS_REWRITE_SERIAL, fs_mod.writer_lease(fs, tags_path):
         def live_files():
             return [p for p, _ in fs.list_files(tags_abs)]
 
@@ -525,13 +528,17 @@ def _rewrite_tags_manifest(spark: SparkSession, tags_path: str,
     Returns the kept row count."""
     import time as _time
 
+    from graphouse_spark import fs as fs_mod
     from graphouse_spark import manifest as mf
     from graphouse_spark.schemas import TAGS_SCHEMA
 
     root = fs.norm(tags_path).rstrip("/")
     vroot = fs.norm(tag_values_path(tags_path)).rstrip("/")
 
-    with _TAGS_REWRITE_SERIAL:
+    # same two arbiters as the rename branch: in-process serial mutex
+    # + cross-process writer lease (one lease at the MAIN index root
+    # covers the sub-index too — they commit as a pair)
+    with _TAGS_REWRITE_SERIAL, fs_mod.writer_lease(fs, root):
         now = int(_time.time())
         live_dir = mf.resolve_table_dir(fs, root)
         vlive_dir = mf.resolve_table_dir(fs, vroot)

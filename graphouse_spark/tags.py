@@ -505,17 +505,28 @@ def backfill_tag_index(spark, data_path: str, tags_path: str) -> int:
     the sub-index ABSENT instead, read_tag_values callers skip the
     regex prune (correct, slower) until a rerun completes both writes.
     """
+    from graphouse_spark.fs import get_fs, writer_lease
+    from graphouse_spark.sources.tables import tag_values_path
+
+    fs = get_fs(tags_path, spark)
+    vp = tag_values_path(tags_path)
+    # cross-process writer lease (r12 verdict #2): a backfill racing a
+    # delSeries/compaction rewrite on the same index must be refused
+    with writer_lease(fs, tags_path):
+        return _backfill_tag_index_locked(spark, data_path, tags_path,
+                                          fs, vp)
+
+
+def _backfill_tag_index_locked(spark, data_path: str, tags_path: str,
+                               fs, vp: str) -> int:
     import time as _time
 
     from graphouse_spark import manifest as mf
-    from graphouse_spark.fs import get_fs
     from graphouse_spark.schemas import TAGS_SCHEMA
     from graphouse_spark.sources.tables import (
         TAG_VALUES_FILES, read_data, read_tags, tag_index_writer,
         tag_values_path)
 
-    fs = get_fs(tags_path, spark)
-    vp = tag_values_path(tags_path)
     manifest = mf.manifest_mode(fs)
     if manifest:
         # rename-less store: the TOMBSTONE manifest is the "sub-index
