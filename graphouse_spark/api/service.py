@@ -1013,14 +1013,23 @@ class GraphouseService:
         idx = self._tag_index()
         if idx is not None:
             if not exprs:
+                uni = self._universe_metrics()
+                if uni is not None:
+                    return uni.distinct()
                 return idx.select("metric").distinct()
             # slice-intersection evaluation over index rows (tags.py):
             # each term reads only its own tag's sargable slice, with
             # =~ terms rewritten into value-IN-lists via the
             # distinct-values sub-index when it resolves few enough
-            # values
+            # values. The all-negative shape (opt-in) serves its
+            # universe side from the compacted distinct-metric slice
+            # when present — resolved only for that shape, so positive
+            # queries never pay the probe.
+            uni = (self._universe_metrics()
+                   if tg_mod.is_all_negative(exprs) else None)
             return tg_mod.series_by_tag_on_index(
-                idx, exprs, regex_values=self._regex_value_list)
+                idx, exprs, regex_values=self._regex_value_list,
+                universe=uni)
         else:
             if not _exists(self.spark, self.data_path, self._fs_cache):
                 # pre-first-batch boot: serve the empty namespace, like
@@ -1035,6 +1044,23 @@ class GraphouseService:
         if exprs:
             names = tg_mod.series_by_tag(names, exprs)
         return names
+
+    def _universe_metrics(self, lookback: bool = True):
+        """The distinct-metric universe slice inside the browse window
+        (r12 verdict #3), or None when absent (pre-slice deployments
+        and every rewrite's invalidation window — callers fall back to
+        the main index's name slice, correct and slower)."""
+        from pyspark.sql import functions as F
+
+        from graphouse_spark.sources.tables import read_tag_metrics
+
+        uni = read_tag_metrics(self.spark, self.tags_path)
+        if uni is None:
+            return None
+        if lookback:
+            uni = uni.filter(F.col("date") >= F.date_sub(
+                F.current_date(), self.tag_lookback_days))
+        return uni.select("metric")
 
     #: inline at most this many matched distinct values as an IN-list;
     #: beyond it the rlike-on-slice fallback is cheaper than shipping
@@ -1330,11 +1356,15 @@ class GraphouseService:
                         from graphouse_spark.sources.tables import read_tags
 
                         idx = read_tags(self.spark, self.tags_path)
-                        # full-index resolution: the value-list rewrite
-                        # must NOT apply the browse lookback here
+                        # full-index resolution: neither the value-list
+                        # rewrite nor the universe slice applies the
+                        # browse lookback here
+                        uni = (self._universe_metrics(lookback=False)
+                               if tg_mod.is_all_negative(exprs) else None)
                         sel = tg_mod.series_by_tag_on_index(
                             idx, exprs,
-                            regex_values=self._regex_value_list_full)
+                            regex_values=self._regex_value_list_full,
+                            universe=uni)
                     else:
                         # date is the PARTITION column: without this
                         # pair of bounds every render's name-resolve

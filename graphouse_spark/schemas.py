@@ -94,3 +94,22 @@ TAG_VALUES_SCHEMA = StructType(
         StructField("date", DateType(), False),  # last-seen day
     ]
 )
+
+
+#: distinct-METRIC (universe) sub-index beside the tag index: one row
+#: per tagged metric per append batch (compacted to one per metric by
+#: rewrites), with its last-seen day. Serves the all-negative
+#: seriesByTag universe and the no-term browse WITHOUT scanning the
+#: main index's name slice (2 sorted columns vs 4 interleaved with
+#: every other tag's rows). Correctness contract is EXACTNESS, not
+#: superset: an extra (deleted) metric would RESURRECT in all-negative
+#: answers, a missing one would silently hide — so rewrites invalidate
+#: this slice BEFORE the main swap and rebuild it after; readers treat
+#: ABSENT as "fall back to the name-slice one-pass plan"
+#: (correct, slower).
+TAG_METRICS_SCHEMA = StructType(
+    [
+        StructField("metric", StringType(), False),
+        StructField("date", DateType(), False),  # last-seen day
+    ]
+)

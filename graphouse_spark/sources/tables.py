@@ -216,7 +216,12 @@ def write_tags(df: DataFrame, path: str, mode: str = "append") -> None:
             .sortWithinPartitions("tag", "value")
             .write.mode(mode)
         )
+        mets_df = _metrics_slice_rows(staged)
+        mets_df = (mets_df.repartition(TAG_VALUES_FILES, "metric")
+                   if bulk else mets_df.repartition(1))
+        mets = mets_df.sortWithinPartitions("metric").write.mode(mode)
         vp = tag_values_path(path)
+        mp = tag_metrics_path(path)
         # superset guard (see docstring): only append values when the
         # sub-index exists, or nothing exists yet (first batch
         # bootstraps both consistently). On manifest tables "exists"
@@ -227,33 +232,42 @@ def write_tags(df: DataFrame, path: str, mode: str = "append") -> None:
         from graphouse_spark import manifest as mf
 
         if mf.manifest_mode(fs):
-            man_vp = mf.read_table_manifest(fs, vp)
-            # a TOMBSTONE manifest (generation null — a backfill's
-            # degraded window) counts as absent
-            vp_present = (bool(man_vp.get("generation"))
-                          if man_vp is not None
-                          else bool(fs.list_files(vp)))
+            def _present(p):
+                man = mf.read_table_manifest(fs, p)
+                # a TOMBSTONE manifest (generation null — a backfill/
+                # rewrite's degraded window) counts as absent
+                return (bool(man.get("generation")) if man is not None
+                        else bool(fs.list_files(p)))
+
             main_present = (mf.read_table_manifest(fs, path) is not None
                             or bool(fs.list_files(path)))
-            write_values = vp_present or not main_present
+            write_values = _present(vp) or not main_present
+            write_metrics = _present(mp) or not main_present
         else:
             write_values = fs.exists(vp) or not fs.exists(path)
+            write_metrics = fs.exists(mp) or not fs.exists(path)
         with _TAGS_REWRITE_LOCK:
             # the append TARGETS resolve under the same lock the
             # rewrite's pointer flip holds: a batch serialized before
             # the flip lands in the old generation (the rewrite's
             # carry-over copies it forward), one after the flip lands
             # in the new one — never in a superseded dir unobserved
-            main_target, vals_target = path, vp
+            main_target, vals_target, mets_target = path, vp, mp
             if mf.manifest_mode(fs):
                 main_target = mf.resolve_table_dir(fs, path)
                 vals_target = mf.resolve_table_dir(fs, vp)
-            # values FIRST: the sub-index must be a superset of the
-            # main index at every instant (a crash between the two
-            # writes then leaves an over-approximation, which only
-            # costs a wasted candidate — the reverse order could lose
-            # a (tag, value) pair and silently hide a series from
-            # regex-only browses)
+                mets_target = mf.resolve_table_dir(fs, mp)
+            # sub-indexes FIRST: values must be a SUPERSET of the main
+            # index's pairs at every instant (an over-approximation
+            # only costs a wasted candidate — the reverse order could
+            # lose a (tag, value) pair and silently hide a series from
+            # regex-only browses); the metrics universe likewise
+            # prefers early visibility (its rows' data-table points
+            # were written before this call in ingest order) over a
+            # crash window that HIDES a live series from all-negative
+            # browses
+            if write_metrics:
+                mets.parquet(mets_target)
             if write_values:
                 vals.parquet(vals_target)
             out.parquet(main_target)
@@ -276,6 +290,12 @@ def read_tags(spark: SparkSession, path: str) -> DataFrame:
 def tag_values_path(tags_path: str) -> str:
     """The distinct-values sub-index directory beside the tag index."""
     return tags_path.rstrip("/") + "_values"
+
+
+def tag_metrics_path(tags_path: str) -> str:
+    """The distinct-metric (universe) sub-index directory beside the
+    tag index (TAG_METRICS_SCHEMA)."""
+    return tags_path.rstrip("/") + "_metrics"
 
 
 #: file-spread of a compacted distinct-values sub-index — enough
@@ -339,6 +359,38 @@ def read_tag_values(spark: SparkSession, tags_path: str):
     if not get_fs(vp, spark).exists(vp):
         return None
     return spark.read.schema(TAG_VALUES_SCHEMA).parquet(vp)
+
+
+def read_tag_metrics(spark: SparkSession, tags_path: str):
+    """The distinct-metric universe sub-index, or None when absent
+    (pre-slice deployments and every rewrite's invalidation window:
+    callers fall back to the main index's name slice). Same manifest /
+    tombstone resolution rules as :func:`read_tag_values`."""
+    from graphouse_spark import manifest as mf
+    from graphouse_spark.fs import get_fs
+    from graphouse_spark.schemas import TAG_METRICS_SCHEMA
+
+    mp = tag_metrics_path(tags_path)
+    if mf.manifest_possible(mp):
+        fs = get_fs(mp, spark)
+        man = mf.read_table_manifest(fs, mp)
+        if man is not None:
+            if man.get("generation"):
+                return spark.read.schema(TAG_METRICS_SCHEMA).parquet(
+                    f"{mp.rstrip('/')}/{man['generation']}")
+            return None  # tombstone: a rewrite's invalidation window
+        if not fs.exists(mp) or not fs.list_files(mp):
+            return None
+        return spark.read.schema(TAG_METRICS_SCHEMA).parquet(mp)
+    if not get_fs(mp, spark).exists(mp):
+        return None
+    return spark.read.schema(TAG_METRICS_SCHEMA).parquet(mp)
+
+
+def _metrics_slice_rows(staged: DataFrame) -> DataFrame:
+    """Universe rows from staged index rows: the ``name`` tag yields
+    exactly one row per metric, so a filter beats a groupBy."""
+    return staged.filter(F.col("tag") == "name").select("metric", "date")
 
 
 #: serializes the SWAP step of full-index rewrites against ingest
@@ -422,18 +474,23 @@ def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
         bak = f"{parent}/.bak-{base}-{token}"
 
         vp = fs.norm(tag_values_path(tags_path))
+        mp = fs.norm(tag_metrics_path(tags_path))
 
         def live_value_files():
             return [p for p, _ in fs.list_files(vp)]
 
+        def live_metric_files():
+            return [p for p, _ in fs.list_files(mp)]
+
         snapshot = live_files()
-        # sub-index snapshot taken at the SAME instant: any value file
-        # appended after this point (by a concurrent ingest batch) must
-        # be carried into the staged sub-index, or the swap would drop
-        # those (tag, value) pairs while their carried-over main rows
-        # survive — breaking the superset contract and hiding the
-        # series from regex-rewritten browses
+        # sub-index snapshots taken at the SAME instant: any value or
+        # metric file appended after this point (by a concurrent ingest
+        # batch) must be carried into its staged sub-index, or the swap
+        # would drop those rows while their carried-over main rows
+        # survive — breaking the superset contract (values) / the
+        # exactness contract (metrics) and hiding the series
         vp_snapshot = set(live_value_files())
+        mp_snapshot = set(live_metric_files())
         if snapshot:
             current = (spark.read.schema(TAGS_SCHEMA)
                        .option("basePath", tags_path).parquet(*snapshot))
@@ -453,8 +510,13 @@ def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
         vbase = fs_mod.base_name(vp)
         vstage = f"{parent}/.stage-{vbase}-{token}"
         vbak = f"{parent}/.bak-{vbase}-{token}"
+        mbase = fs_mod.base_name(mp)
+        mstage = f"{parent}/.stage-{mbase}-{token}"
+        mbak = f"{parent}/.bak-{mbase}-{token}"
         for d in fs.listdir(parent):  # leftovers from a crashed step 4
-            if d.startswith(f".stage-{vbase}-") or d.startswith(f".bak-{vbase}-"):
+            if d.startswith(f".stage-{vbase}-") or d.startswith(f".bak-{vbase}-") \
+                    or d.startswith(f".stage-{mbase}-") \
+                    or d.startswith(f".bak-{mbase}-"):
                 fs.delete(f"{parent}/{d}")
         try:
             tag_index_writer(kept.select(*cols)
@@ -462,24 +524,47 @@ def rewrite_tags_atomic(spark: SparkSession, tags_path: str,
             staged = (spark.read.schema(TAGS_SCHEMA)
                       .option("basePath", stage).parquet(stage))
             n = staged.count()
-            # the values stage must be written BEFORE the main swap
-            # renames the stage dir out from under `staged`'s file list
+            # both sub-index stages must be written BEFORE the main
+            # swap renames the stage dir out from under `staged`'s
+            # file list
             (staged.groupBy("tag", "value").agg(F.max("date").alias("date"))
              .repartition(TAG_VALUES_FILES, "tag", "value")
              .sortWithinPartitions("tag", "value")
              .write.mode("overwrite").parquet(vstage))
+            (_metrics_slice_rows(staged)
+             .repartition(TAG_VALUES_FILES, "metric")
+             .sortWithinPartitions("metric")
+             .write.mode("overwrite").parquet(mstage))
             with _TAGS_REWRITE_LOCK:
                 snap_set = set(snapshot)
                 for f in live_files():
                     if f not in snap_set:  # appended during the rewrite
                         rel = f[len(tags_abs):].lstrip("/")
                         fs.copy_file(f, f"{stage}/{rel}")
+                # the METRICS slice swaps inside the SAME lock section
+                # as the main index, metrics FIRST: its contract is
+                # exactness (a stale universe RESURRECTS deleted
+                # metrics in all-negative answers, a partial one hides
+                # live ones), so the inconsistency window is two
+                # metadata renames wide, and a crash inside it leaves
+                # the conservative side — the NEW slice with the OLD
+                # main index briefly hides series the transform was
+                # about to delete anyway, never resurrects
+                for f in live_metric_files():
+                    if f not in mp_snapshot:  # appended during rewrite
+                        rel = f[len(mp):].lstrip("/")
+                        fs.copy_file(f, f"{mstage}/{rel}")
+                if fs.exists(mp):
+                    fs.rename(mp, mbak)
+                fs.rename(mstage, mp)
                 fs.rename(tags_abs, bak)
                 fs.rename(stage, tags_abs)
             fs.delete(bak)
+            fs.delete(mbak)
         except Exception:
             fs.delete(stage)
             fs.delete(vstage)
+            fs.delete(mstage)
             raise
         # step 4: swap in the pre-built distinct-values sub-index stage
         # (crash-safe per the protocol note above)
@@ -534,14 +619,16 @@ def _rewrite_tags_manifest(spark: SparkSession, tags_path: str,
 
     root = fs.norm(tags_path).rstrip("/")
     vroot = fs.norm(tag_values_path(tags_path)).rstrip("/")
+    mroot = fs.norm(tag_metrics_path(tags_path)).rstrip("/")
 
     # same two arbiters as the rename branch: in-process serial mutex
     # + cross-process writer lease (one lease at the MAIN index root
-    # covers the sub-index too — they commit as a pair)
+    # covers the sub-indexes too — they commit as a group)
     with _TAGS_REWRITE_SERIAL, fs_mod.writer_lease(fs, root):
         now = int(_time.time())
         live_dir = mf.resolve_table_dir(fs, root)
         vlive_dir = mf.resolve_table_dir(fs, vroot)
+        mlive_dir = mf.resolve_table_dir(fs, mroot)
 
         def live_files():
             return [p for p, _ in fs.list_files(live_dir)]
@@ -549,8 +636,12 @@ def _rewrite_tags_manifest(spark: SparkSession, tags_path: str,
         def live_value_files():
             return [p for p, _ in fs.list_files(vlive_dir)]
 
+        def live_metric_files():
+            return [p for p, _ in fs.list_files(mlive_dir)]
+
         snapshot = live_files()
         vp_snapshot = set(live_value_files())
+        mp_snapshot = set(live_metric_files())
         if snapshot:
             current = (spark.read.schema(TAGS_SCHEMA)
                        .option("basePath", live_dir).parquet(*snapshot))
@@ -562,28 +653,53 @@ def _rewrite_tags_manifest(spark: SparkSession, tags_path: str,
         stage = f"{root}/{gen}"
         vgen = mf.new_gen_name(now)
         vstage = f"{vroot}/{vgen}"
+        mgen = mf.new_gen_name(now)
+        mstage = f"{mroot}/{mgen}"
+        committed_metrics = False
         try:
             tag_index_writer(kept.select(*cols)
                              ).mode("overwrite").partitionBy("date").parquet(stage)
             staged = (spark.read.schema(TAGS_SCHEMA)
                       .option("basePath", stage).parquet(stage))
             n = staged.count()
-            # the values stage derives from the STAGED parquet and must
-            # be complete before the main flip makes the stage live
+            # both sub-index stages derive from the STAGED parquet and
+            # must be complete before the main flip makes it live
             (staged.groupBy("tag", "value").agg(F.max("date").alias("date"))
              .repartition(TAG_VALUES_FILES, "tag", "value")
              .sortWithinPartitions("tag", "value")
              .write.mode("overwrite").parquet(vstage))
+            (_metrics_slice_rows(staged)
+             .repartition(TAG_VALUES_FILES, "metric")
+             .sortWithinPartitions("metric")
+             .write.mode("overwrite").parquet(mstage))
             with _TAGS_REWRITE_LOCK:
                 snap_set = set(snapshot)
                 for f in live_files():
                     if f not in snap_set:  # appended during the rewrite
                         rel = f[len(fs.norm(live_dir)):].lstrip("/")
                         fs.copy_file(f, f"{stage}/{rel}")
+                # metrics flip in the SAME lock section, FIRST — the
+                # exactness argument of the rename branch: a crash
+                # between the two pointer writes (milliseconds apart)
+                # leaves the conservative pairing (new slice briefly
+                # hides what the transform was deleting), never a
+                # stale universe that resurrects deleted metrics
+                for f in live_metric_files():
+                    if f not in mp_snapshot:  # appended during rewrite
+                        rel = f[len(fs.norm(mlive_dir)):].lstrip("/")
+                        fs.copy_file(f, f"{mstage}/{rel}")
+                mf.commit_table_generation(fs, mroot, mgen, now)
+                committed_metrics = True
                 mf.commit_table_generation(fs, root, gen, now)
         except Exception:
             fs.delete(stage)
             fs.delete(vstage)
+            if not committed_metrics:
+                # a COMMITTED metrics generation must survive the
+                # cleanup (deleting it would dangle the pointer); the
+                # conservative new-slice/old-main pairing stands until
+                # the rerun converges
+                fs.delete(mstage)
             raise
         # values flip (crash before it leaves the old superset
         # sub-index; absent sub-index falls back slow-correct)

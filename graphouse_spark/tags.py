@@ -249,7 +249,8 @@ def index_exists_pred(key: str, op: str, value: str,
 
 def series_by_tag_on_index(idx: DataFrame, exprs: list[str],
                            metric_col: str = "metric",
-                           regex_values=None) -> DataFrame:
+                           regex_values=None,
+                           universe: DataFrame | None = None) -> DataFrame:
     """seriesByTag over TAG-INDEX rows ``(metric, tag, value)`` ->
     distinct matching metric names, by SLICE INTERSECTION.
 
@@ -297,23 +298,52 @@ def series_by_tag_on_index(idx: DataFrame, exprs: list[str],
         return acc
     # ALL-NEGATIVE shape (no positive term — hostile/buggy clients
     # only; real graphite clients always send one): ONE pass instead
-    # of universe-distinct + per-term anti-joins. Scan the implicit
-    # ``name`` slice (every tagged series has a name row) plus each
-    # negative term's (filtered) slice, group by metric once, and
-    # keep metrics where no negative row fired. Collapses 1 + 2n
-    # shuffles of the 10M-name universe into one exchange — measured
-    # 4.2 s -> 2.4 s at the 10M envelope (tools/tag_stress.py).
+    # of universe-distinct + per-term anti-joins. The universe side
+    # (every live tagged metric) unions with each negative term's
+    # (filtered) slice, groups by metric once, and keeps metrics where
+    # no negative row fired. Collapses 1 + 2n shuffles of the 10M-name
+    # universe into one exchange — measured 4.2 s -> 2.4 s at the 10M
+    # envelope (tools/tag_stress.py). The universe itself comes from
+    # the compacted distinct-metric sub-index when the caller has one
+    # (``universe``; 2 sorted columns, r12 verdict #3 — duplicates
+    # from micro-batch appends are collapsed by the same groupBy) and
+    # falls back to the main index's implicit ``name`` slice (every
+    # tagged series has a name row).
     neg_preds = [pred for _, pred, _key in negatives]
+    neg_keys = sorted({key for _, _p, key in negatives})
+    if universe is not None:
+        # with a SEPARATE universe the per-term flags are unnecessary:
+        # a metric fails the set iff ANY negative predicate has a
+        # matching row, so the exclusion side is one OR-filtered scan
+        # of the negative tags' slices, and the answer is universe
+        # ANTI-JOIN exclusions, distinct LAST (append duplicates ride
+        # through the join and collapse once). The shuffle_hash hint
+        # pins a SHUFFLED join: both sides exchange on metric and the
+        # trailing distinct reuses that partitioning as a local agg —
+        # letting AQE broadcast a small exclusion slice instead makes
+        # the distinct re-exchange the near-universe result (measured
+        # at the 10M envelope: k= 1.6 s, k!=v 1.4 s hinted vs 3.2 s
+        # broadcast-then-distinct and 3.0 s for the r12 one-pass
+        # aggregation this plan replaces).
+        scan = neg_preds[0]
+        for p in neg_preds[1:]:
+            scan = scan | p
+        excluded = (idx.filter(F.col("tag").isin(neg_keys)).filter(scan)
+                    .select(metric_col))
+        return (universe.select(metric_col)
+                .join(excluded.hint("shuffle_hash"), metric_col,
+                      "left_anti")
+                .distinct())
+    aggs = [F.max(F.when(p, 1).otherwise(0)).alias(f"_neg{i}")
+            for i, p in enumerate(neg_preds)]
     scan = F.col("tag") == "name"
     for p in neg_preds:
         scan = scan | p
     # redundant coarse tag IN-list: an OR carrying an rlike branch is
     # not pushable to parquet on its own; the tag membership is, and
     # prunes every unrelated tag's row groups
-    keys = sorted({"name", *(key for _, _p, key in negatives)})
+    keys = sorted({"name", *neg_keys})
     rows = idx.filter(F.col("tag").isin(keys)).filter(scan)
-    aggs = [F.max(F.when(p, 1).otherwise(0)).alias(f"_neg{i}")
-            for i, p in enumerate(neg_preds)]
     acc = rows.groupBy(metric_col).agg(*aggs)
     cond = F.lit(True)
     for i in range(len(neg_preds)):
@@ -527,15 +557,20 @@ def _backfill_tag_index_locked(spark, data_path: str, tags_path: str,
         TAG_VALUES_FILES, read_data, read_tags, tag_index_writer,
         tag_values_path)
 
+    from graphouse_spark.sources.tables import tag_metrics_path
+
+    mp = tag_metrics_path(tags_path)
     manifest = mf.manifest_mode(fs)
     if manifest:
         # rename-less store: the TOMBSTONE manifest is the "sub-index
-        # absent" signal (readers fall back slow-correct until both
-        # flips land); the old generation's files stay for in-flight
+        # absent" signal (readers fall back slow-correct until all
+        # flips land); the old generations' files stay for in-flight
         # readers and age out of the grace window
         mf.tombstone_table(fs, vp, int(_time.time()))
+        mf.tombstone_table(fs, mp, int(_time.time()))
     else:
         fs.delete(vp)
+        fs.delete(mp)
     names = (read_data(spark, data_path)
              .filter(F.col("metric").contains(";"))
              .groupBy("metric")
@@ -545,6 +580,8 @@ def _backfill_tag_index_locked(spark, data_path: str, tags_path: str,
         F.explode(tags_map_col(F.col("metric"))).alias("tag", "value"),
         "date",
     )
+    from graphouse_spark.sources.tables import _metrics_slice_rows
+
     if manifest:
         now = int(_time.time())
         gen = mf.new_gen_name(now)
@@ -560,6 +597,12 @@ def _backfill_tag_index_locked(spark, data_path: str, tags_path: str,
          .sortWithinPartitions("tag", "value")
          .write.mode("overwrite").parquet(f"{vp.rstrip('/')}/{vgen}"))
         mf.commit_table_generation(fs, vp, vgen, now)
+        mgen = mf.new_gen_name(now)
+        (_metrics_slice_rows(written)
+         .repartition(TAG_VALUES_FILES, "metric")
+         .sortWithinPartitions("metric")
+         .write.mode("overwrite").parquet(f"{mp.rstrip('/')}/{mgen}"))
+        mf.commit_table_generation(fs, mp, mgen, now)
         return n
     tag_index_writer(rows).mode("overwrite").partitionBy("date").parquet(tags_path)
     written = read_tags(spark, tags_path)
@@ -568,6 +611,10 @@ def _backfill_tag_index_locked(spark, data_path: str, tags_path: str,
      .repartition(TAG_VALUES_FILES, "tag", "value")
      .sortWithinPartitions("tag", "value")
      .write.mode("overwrite").parquet(tag_values_path(tags_path)))
+    (_metrics_slice_rows(written)
+     .repartition(TAG_VALUES_FILES, "metric")
+     .sortWithinPartitions("metric")
+     .write.mode("overwrite").parquet(mp))
     return n
 
 

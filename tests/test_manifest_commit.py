@@ -273,6 +273,13 @@ def _value_rows(spark, tags_path):
     return None if vals is None else sorted(map(tuple, vals.collect()))
 
 
+def _metric_rows(spark, tags_path):
+    from graphouse_spark.sources.tables import read_tag_metrics
+
+    mets = read_tag_metrics(spark, tags_path)
+    return None if mets is None else {r["metric"] for r in mets.collect()}
+
+
 def test_tags_manifest_rewrite_matches_rename(spark, tmp_path, no_rename,
                                               monkeypatch):
     """Full tag-index rewrite (delSeries-shaped transform) via the
@@ -324,8 +331,12 @@ def test_tags_manifest_rewrite_matches_rename(spark, tmp_path, no_rename,
 
 def test_tags_manifest_rewrite_crash_points(spark, tmp_path, no_rename,
                                             monkeypatch):
-    """Crash at the main flip -> old index fully live; crash between
-    the flips -> old (superset) sub-index; rerun converges."""
+    """Crash at each of the three pointer flips (metrics -> main ->
+    values): before the metrics flip everything stays old; between
+    metrics and main the CONSERVATIVE pairing holds (new universe
+    slice, old main — briefly hides what the transform was deleting,
+    never resurrects); between main and values the old (superset)
+    values sub-index; rerun converges everything."""
     from graphouse_spark.sources.tables import rewrite_tags_atomic
 
     cfg = _tagged_cfg(spark, tmp_path, "t", TAG_LINES, TAG_BASE)
@@ -335,45 +346,63 @@ def test_tags_manifest_rewrite_crash_points(spark, tmp_path, no_rename,
     def drop_dc2(idx):
         return idx.filter(~F.col("metric").contains("datacenter=dc2"))
 
-    # crash AT the main pointer flip
     real = mf.commit_table_generation
 
-    def crash_first(fs, root, gen, now, **kw):
-        raise OSError("injected crash at main flip")
+    def crash_at(k, label):
+        calls = {"n": 0}
 
+        def crasher(fs, root, gen, now, **kw):
+            calls["n"] += 1
+            if calls["n"] == k:
+                raise OSError(f"injected crash at {label}")
+            return real(fs, root, gen, now, **kw)
+
+        return crasher
+
+    # crash AT the metrics flip (first commit): everything stays old
     with monkeypatch.context() as m:
-        m.setattr(mf, "commit_table_generation", crash_first)
-        with pytest.raises(OSError, match="injected crash"):
+        m.setattr(mf, "commit_table_generation",
+                  crash_at(1, "metrics flip"))
+        with pytest.raises(OSError, match="metrics flip"):
             rewrite_tags_atomic(spark, cfg.tags_path, drop_dc2)
     assert _tag_rows(spark, cfg.tags_path) == before
     assert _value_rows(spark, cfg.tags_path) == before_vals
+    assert _metric_rows(spark, cfg.tags_path) == {
+        r[0] for r in before}
 
-    # crash BETWEEN the two flips (values flip raises)
-    calls = {"n": 0}
-
-    def crash_second(fs, root, gen, now, **kw):
-        calls["n"] += 1
-        if calls["n"] == 2:
-            raise OSError("injected crash at values flip")
-        return real(fs, root, gen, now, **kw)
-
+    # crash AT the main flip (second commit): NEW metrics slice, OLD
+    # main — the conservative pairing
     with monkeypatch.context() as m:
-        m.setattr(mf, "commit_table_generation", crash_second)
+        m.setattr(mf, "commit_table_generation", crash_at(2, "main flip"))
+        with pytest.raises(OSError, match="main flip"):
+            rewrite_tags_atomic(spark, cfg.tags_path, drop_dc2)
+    assert _tag_rows(spark, cfg.tags_path) == before  # main intact
+    mets = _metric_rows(spark, cfg.tags_path)
+    assert not any("dc2" in m_ for m_ in mets)  # slice already new
+
+    # crash AT the values flip (third commit): new main + new metrics,
+    # OLD values — a SUPERSET of the new pairs
+    with monkeypatch.context() as m:
+        m.setattr(mf, "commit_table_generation",
+                  crash_at(3, "values flip"))
         with pytest.raises(OSError, match="values flip"):
             rewrite_tags_atomic(spark, cfg.tags_path, drop_dc2)
     after_main = _tag_rows(spark, cfg.tags_path)
     assert not any("dc2" in r[0] for r in after_main)  # main flipped
-    # sub-index is the OLD one: a SUPERSET of the new pairs
+    assert _metric_rows(spark, cfg.tags_path) == {
+        r[0] for r in after_main}  # exact
     vals = _value_rows(spark, cfg.tags_path)
     assert vals == before_vals
     new_pairs = {(r[1], r[2]) for r in after_main}
     assert new_pairs <= {(v[0], v[1]) for v in vals}
 
-    # rerun converges both
+    # rerun converges all three
     rewrite_tags_atomic(spark, cfg.tags_path, lambda idx: idx)
     assert _tag_rows(spark, cfg.tags_path) == after_main
     vals2 = _value_rows(spark, cfg.tags_path)
     assert {(v[0], v[1]) for v in vals2} == new_pairs
+    assert _metric_rows(spark, cfg.tags_path) == {
+        r[0] for r in after_main}
 
 
 def test_backfill_manifest_mode(spark, tmp_path, no_rename, monkeypatch):

@@ -67,13 +67,28 @@ SHAPES = {
     # is the all-negative universe-minus-slice shape — REFUSED by the
     # service by default (graphite-web's own posture), gated here
     # under the opt-in because the evaluator still ships.
-    # r12 calibration (task_sec, warm, quiet box): tag_present
-    # 3.9 -> 20.3 s (5.2x), tag_absent 5.2 -> 34.7 s (6.7x); budgets
-    # observed*1.5 capped at the linear bound.
+    # r13 calibration (task_sec, warm), on the anti-join-over-
+    # distinct-metric-slice plan (r12 verdict #3; warm 10M WALL for
+    # tag_absent dropped 3.0 -> 1.6 s): tag_present 4.5 -> 21.5 s
+    # (4.8x), tag_absent 3.2 -> 22.9 s (7.1x); budgets observed*1.5
+    # capped at the linear bound.
     "tag_present": (["rack!="], 8.0),
     "tag_absent": (["datacenter="], 10.0),
 }
 BACKFILL_BUDGET = 10.0
+
+#: round-12 verdict #4: the sub-index-ABSENT degraded window (after a
+#: crashed backfill the ``=~``/``!=~`` shapes run without the IN-list
+#: rewrite — "correct, slower" needs a number and a budget). Measured
+#: through the same service path with the distinct-values lookup
+#: returning None (exactly what read_tag_values answers while the
+#: sub-index is absent). r13 calibration (task_sec, warm): low-card
+#: regex 4.0 -> 16.9 s (4.2x), negated regex 5.6 -> 27.1 s (4.9x);
+#: budgets observed*1.5.
+DEGRADED_SHAPES = {
+    "regex_lowcard_subindex_absent": (["rack=~r1?[13].*"], 6.5),
+    "regex_negated_subindex_absent": (["host!=~h1.*"], 7.5),
+}
 
 
 def _ensure_index(spark, n: int, d: str) -> None:
@@ -82,6 +97,20 @@ def _ensure_index(spark, n: int, d: str) -> None:
         if not os.path.exists(marker):  # stamp pre-marker fixtures
             with open(marker, "w") as fh:
                 fh.write(str(n))
+        if not os.path.exists(f"{d}/tags_metrics/_SUCCESS"):
+            # pre-r13 fixture: derive the distinct-metric universe
+            # slice the all-negative plans now serve from (without it
+            # the gate would silently measure the fallback plan)
+            from pyspark.sql import functions as F
+
+            from graphouse_spark.schemas import TAGS_SCHEMA
+            from graphouse_spark.sources.tables import TAG_VALUES_FILES
+
+            rows = spark.read.schema(TAGS_SCHEMA).parquet(f"{d}/tags")
+            (rows.filter(F.col("tag") == "name").select("metric", "date")
+                 .repartition(TAG_VALUES_FILES, "metric")
+                 .sortWithinPartitions("metric")
+                 .write.mode("overwrite").parquet(f"{d}/tags_metrics"))
         return
     from tag_stress import build_index
 
@@ -190,6 +219,39 @@ def test_tag_index_plans_at_most_linear_10x(spark):
                 _run_one(meter,
                          lambda n=n: svcs[n]._tagged_names(exprs).count())
                 for n in (1_000_000, 10_000_000))
+
+        _gate(shape, small, big, budget, remeasure)
+        results[shape] = {n: r["task_sec"] for n, r in per_size.items()}
+
+    # degraded window (r12 verdict #4): the same gate with the
+    # distinct-values rewrite hook answering None — the exact
+    # service-path behavior while a crashed backfill has left the
+    # sub-index absent
+    for shape, (exprs, budget) in DEGRADED_SHAPES.items():
+        per_size = {}
+        for n in SIZES:
+            svc = svcs[n]
+            svc._regex_value_list = lambda key, anchored, lookback=True: None
+            try:
+                per_size[n] = _run_one(
+                    meter, lambda: svc._tagged_names(exprs).count())
+            finally:
+                del svc.__dict__["_regex_value_list"]
+        small, big = per_size[1_000_000], per_size[10_000_000]
+
+        def remeasure(exprs=exprs):
+            out = []
+            for n in (1_000_000, 10_000_000):
+                svc = svcs[n]
+                svc._regex_value_list = (
+                    lambda key, anchored, lookback=True: None)
+                try:
+                    out.append(_run_one(
+                        meter,
+                        lambda n=n: svcs[n]._tagged_names(exprs).count()))
+                finally:
+                    del svc.__dict__["_regex_value_list"]
+            return tuple(out)
 
         _gate(shape, small, big, budget, remeasure)
         results[shape] = {n: r["task_sec"] for n, r in per_size.items()}

@@ -1553,3 +1553,73 @@ def test_index_evaluator_equals_map_compile_randomized(spark):
     # the all-negative one-pass conditional-agg path must be exercised
     # (no positive term -> no slice intersection; round-11 plan change)
     assert all_negative >= 5, all_negative
+
+
+def test_universe_slice_serves_all_negative_identically(spark, tmp_path):
+    """Round-12 verdict #3: the all-negative (opt-in) shapes serve
+    their universe side from the compacted distinct-metric sub-index;
+    answers are identical with the slice present, absent (fallback to
+    the name-slice one-pass plan), and after a rewrite rebuilt it."""
+    import json as _json
+    import shutil
+    import time as _time
+
+    from graphouse_spark.api.service import GraphouseService
+    from graphouse_spark.sources.tables import (
+        read_tag_metrics, rewrite_tags_atomic, tag_metrics_path)
+
+    BASE = int(_time.time()) - 3600
+    cfg = _ingest_tagged(spark, tmp_path, [
+        f"disk.used;datacenter=dc1;rack=r1 1.0 {BASE}",
+        f"disk.used;datacenter=dc2 2.0 {BASE}",
+        f"net.rx;rack=r2 3.0 {BASE}",
+        f"cpu.idle 4.0 {BASE}",  # untagged: not in the tag universe
+    ], BASE)
+
+    def svc():
+        s = GraphouseService(spark, cfg.data_path, cfg.metrics_path,
+                             tags_path=cfg.tags_path,
+                             allow_all_negative_tag_queries=True)
+        s.tag_lookback_days = 36500
+        s.load_tree()
+        return s
+
+    shapes = (["datacenter="], ["datacenter!=dc1"], ["rack!=~r1.*"],
+              ["datacenter!=dc1", "rack!=r9"])
+    assert read_tag_metrics(spark, cfg.tags_path) is not None  # bootstrapped
+    with_slice = {tuple(e): _json.loads(svc().tag_find_series(e))
+                  for e in shapes}
+    # the universe plan actually engages: the main index's name slice
+    # is NOT scanned (no tag=name pushed filter anywhere in the plan)
+    plan = svc()._tagged_names(["datacenter="])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EqualTo(tag,name)" not in plan
+
+    shutil.rmtree(tag_metrics_path(cfg.tags_path))
+    assert read_tag_metrics(spark, cfg.tags_path) is None
+    without = {tuple(e): _json.loads(svc().tag_find_series(e))
+               for e in shapes}
+    assert with_slice == without
+    plan = svc()._tagged_names(["datacenter="])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EqualTo(tag,name)" in plan  # fallback scans the name slice
+
+    # a rewrite rebuilds the slice exactly (here: identity transform)
+    rewrite_tags_atomic(spark, cfg.tags_path, lambda idx: idx)
+    mets = {r["metric"]
+            for r in read_tag_metrics(spark, cfg.tags_path).collect()}
+    from graphouse_spark.sources.tables import read_tags
+    assert mets == {r["metric"]
+                    for r in read_tags(spark, cfg.tags_path).collect()}
+    rebuilt = {tuple(e): _json.loads(svc().tag_find_series(e))
+               for e in shapes}
+    assert rebuilt == with_slice
+
+    # deletion EXACTNESS: a delSeries-shaped rewrite must not leave the
+    # deleted metric resurrectable via the all-negative universe
+    rewrite_tags_atomic(
+        spark, cfg.tags_path,
+        lambda idx: idx.filter(~F.col("metric").contains("net.rx")))
+    after = _json.loads(svc().tag_find_series(["datacenter="]))
+    assert after == [m for m in with_slice[("datacenter=",)]
+                     if "net.rx" not in m]

@@ -50,7 +50,8 @@ def build_index(spark, n: int, path: str) -> None:
         F.lit(1_700_000_000).alias("updated"),
     )
     from graphouse_spark.sources.tables import (
-        TAG_VALUES_FILES, tag_index_writer, tag_values_path)
+        TAG_VALUES_FILES, tag_index_writer, tag_metrics_path,
+        tag_values_path)
 
     rows = tag_index_rows(names)
     # the bulk (backfill/compaction) layout: (date, tag, value)-hashed
@@ -60,6 +61,10 @@ def build_index(spark, n: int, path: str) -> None:
          .repartition(TAG_VALUES_FILES, "tag", "value")
          .sortWithinPartitions("tag", "value")
          .write.mode("overwrite").parquet(tag_values_path(path)))
+    (rows.filter(F.col("tag") == "name").select("metric", "date")
+         .repartition(TAG_VALUES_FILES, "metric")
+         .sortWithinPartitions("metric")
+         .write.mode("overwrite").parquet(tag_metrics_path(path)))
 
 
 def timed(label: str, fn, repeats: int = 3):
