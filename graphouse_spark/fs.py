@@ -255,10 +255,30 @@ class Fs:
 
     def create_exclusive(self, p: str, text: str) -> bool:
         """Create-if-absent with content; False when the path already
-        exists. Atomic on local disk and HDFS (``FileSystem.create``
-        with overwrite=false is one namespace op there); on object
-        stores the existence check is a separate HEAD — callers must
+        exists (or another creator won the race).
+
+        Atomicity is per-filesystem: LOCAL uses ``O_CREAT|O_EXCL``
+        directly — ``RawLocalFileSystem.create(overwrite=false)`` is
+        check-then-create, and two racers both "win" it, the second
+        TRUNCATING the first (measured: a 4-thread hammer ghosts the
+        lease file that way); HDFS ``create(overwrite=false)`` is one
+        atomic NameNode op; object stores are HEAD+PUT — callers must
         confirm by reading back (see :func:`acquire_writer_lease`)."""
+        if self.scheme == "file":
+            local = p[len("file://"):] if p.startswith("file://") else p
+            if "://" not in p and not os.path.isabs(local):
+                local = os.path.abspath(local)
+            try:
+                fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                             0o644)
+            except FileExistsError:
+                return False
+            try:
+                os.write(fd, text.encode("utf-8"))
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            return True
         try:
             out = self._fs.create(self._jpath(p), False)
         except Exception:
@@ -397,8 +417,16 @@ def acquire_writer_lease(fs: Fs, root: str, owner: str | None = None,
                       f"{_uuid.uuid4().hex[:8]}")
     path = lease_path(root)
     fs.mkdirs(parent_dir(root.rstrip("/")))
-    for _attempt in range(2):
+    # NOTE: acquisition never overwrite-writes the lease file — the
+    # content rides in create_exclusive itself. An unconditional
+    # post-acquire write_text raced a concurrent acquirer's (two
+    # overwrite-renames on one path can throw FileAlreadyExists out of
+    # ChecksumFs's delete+rename window), turning a clean LeaseHeld
+    # into an unhandled error.
+    acquired = created = False
+    for _attempt in range(3):
         if fs.create_exclusive(path, owner):
+            acquired = created = True
             break
         try:
             cur = fs.read_text(path).strip()
@@ -409,17 +437,26 @@ def acquire_writer_lease(fs: Fs, root: str, owner: str | None = None,
         except Exception:
             continue  # vanished between probe and stat: retry create
         if cur == owner:
-            break  # re-entrant
+            acquired = True  # re-entrant; content already ours
+            break
         if age <= ttl_seconds:
             raise LeaseHeld(
                 f"writer lease on {root} held by {cur or '<unreadable>'} "
                 f"({age}s old, ttl {ttl_seconds}s)")
         # stale: the holder crashed — take over
         fs.delete(path)
-    else:
+    if not acquired:
         raise LeaseHeld(f"writer lease on {root}: lost takeover race")
-    fs.write_text(path, owner)
-    if fs.read_text(path).strip() != owner:
+    try:
+        cur = fs.read_text(path).strip()
+    except Exception:
+        cur = None
+    if cur != owner:
+        if created and cur is None:
+            # we created the file but cannot read it back (transient):
+            # remove our own token rather than ghost the table until
+            # the TTL; a DIFFERENT token stays — its owner confirmed it
+            fs.delete(path)
         raise LeaseHeld(f"writer lease on {root}: lost acquisition race")
     return WriterLease(fs, path, owner)
 

@@ -44,24 +44,29 @@ def _affected_dates(data: DataFrame, condition: Column) -> list:
 
 
 def _rewrite_partitions(spark: SparkSession, data_path: str,
-                        transform, dates: list) -> list:
-    """Stage ``transform(partition_rows)`` for each date, then commit
-    via the atomic rename protocol (Hadoop FileSystem of the table
-    path — local/HDFS; see fs.py for the object-store story).
-    Returns rewritten dates."""
-    from graphouse_spark.fs import get_fs
+                        transform, condition: Column) -> list:
+    """Stage ``transform(partition_rows)`` for each date the condition
+    touches, then commit via the atomic rename protocol (Hadoop
+    FileSystem of the table path — local/HDFS; see fs.py for the
+    object-store story). Returns rewritten dates.
+
+    The affected-dates scan runs INSIDE the writer lease: planned
+    against a file listing, it would otherwise race a concurrent
+    compaction's swap (FILE_NOT_EXIST mid-scan) — under the lease no
+    rewriter can retire files between the scan and the rewrite, and
+    appends only ever ADD files."""
+    from graphouse_spark.fs import get_fs, writer_lease
     from graphouse_spark.sources.tables import read_data
 
-    from graphouse_spark.fs import writer_lease
-
-    if not dates:
-        return []
     fs = get_fs(data_path, spark)
     # single-writer contract: a mutation must not interleave its
     # stage/swap states with a concurrent compaction's on the same
     # partitions (round-12 verdict #2)
     with writer_lease(fs, data_path) as lease:
         recover_compaction(data_path, fs)
+        dates = _affected_dates(read_data(spark, data_path), condition)
+        if not dates:
+            return []
         tmp_path = data_path.rstrip("/") + "_mutation_tmp"
         data = read_data(spark, data_path)
         subset = data.filter(F.col("date").isin([str(d) for d in dates]))
@@ -96,11 +101,8 @@ def delete_where(spark: SparkSession, data_path: str,
     """CH ``ALTER TABLE data DELETE WHERE <condition>``: rewrite every
     affected date partition without the matching rows. Returns the
     rewritten partition dates (empty when nothing matched)."""
-    from graphouse_spark.sources.tables import read_data
-
-    dates = _affected_dates(read_data(spark, data_path), condition)
     return _rewrite_partitions(
-        spark, data_path, lambda df: df.filter(~condition), dates
+        spark, data_path, lambda df: df.filter(~condition), condition
     )
 
 
@@ -112,16 +114,13 @@ def update_where(spark: SparkSession, data_path: str, condition: Column,
     itself cannot be assigned (CH has the same restriction)."""
     if "date" in assignments:
         raise ValueError("cannot UPDATE the partitioning column 'date'")
-    from graphouse_spark.sources.tables import read_data
-
-    dates = _affected_dates(read_data(spark, data_path), condition)
 
     def apply(df: DataFrame) -> DataFrame:
         for col, expr in assignments.items():
             df = df.withColumn(col, F.when(condition, expr).otherwise(F.col(col)))
         return df
 
-    return _rewrite_partitions(spark, data_path, apply, dates)
+    return _rewrite_partitions(spark, data_path, apply, condition)
 
 
 def ttl_delete(spark: SparkSession, data_path: str, max_age_seconds: int,

@@ -35,9 +35,9 @@ def test_lease_refuses_second_writer_and_releases(spark, tmp_path):
         compact_data_table(spark, path, PROVIDER, now_seconds=NOW,
                            min_age_seconds=7 * 86400)
     with pytest.raises(LeaseHeld):
-        # (a non-matching condition returns before the lease — the
-        # protocol only arbitrates when it actually rewrites)
-        delete_where(spark, path, F.col("metric") == "one_min.srv.cpu")
+        # the affected-dates scan itself runs under the lease (it
+        # would otherwise race a concurrent swap mid-scan)
+        delete_where(spark, path, F.col("metric") == "nope")
     held.release()
     assert compact_data_table(spark, path, PROVIDER, now_seconds=NOW,
                               min_age_seconds=7 * 86400) == ["2018-11-14"]
@@ -133,3 +133,49 @@ def test_interleaved_compaction_and_mutation_lose_nothing(spark, tmp_path):
     metrics = {r[0] for r in table_rows(spark, racy)}
     assert "one_min.srv.req.count" not in metrics
     assert "one_min.srv.cpu" in metrics
+
+
+def test_lease_mutual_exclusion_under_contention(spark, tmp_path):
+    """Property hammer: N racing acquirers, never two concurrent
+    holders, no ghost lease left behind. This caught the real bug the
+    first interleaving test only sampled: RawLocalFileSystem
+    create(overwrite=false) is check-then-create, and two local racers
+    could both 'win' it — the second truncating the first, both
+    failing their confirm, and the orphaned file wedging the table
+    until the TTL. Local acquisition now uses O_CREAT|O_EXCL."""
+    fs = fs_mod.get_fs(str(tmp_path), spark)
+    root = str(tmp_path / "tbl")
+    holders, violations, deaths = [], [], []
+    lock = threading.Lock()
+
+    def worker(wid):
+        for _ in range(12):
+            lease, deadline = None, time.time() + 60
+            while lease is None and time.time() < deadline:
+                try:
+                    lease = acquire_writer_lease(fs, root)
+                except LeaseHeld:
+                    time.sleep(0.005)
+                except Exception as exc:  # noqa: BLE001
+                    deaths.append((wid, repr(exc)))
+                    return
+            if lease is None:
+                deaths.append((wid, "starved"))
+                return
+            with lock:
+                holders.append(wid)
+                if len(holders) > 1:
+                    violations.append(list(holders))
+            time.sleep(0.003)
+            with lock:
+                holders.remove(wid)
+            lease.release()
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not violations, violations[:3]
+    assert not deaths, deaths[:3]
+    assert not os.path.exists(lease_path(root))  # no ghost
