@@ -102,6 +102,15 @@ class LineSpool:
                 f.write("\n".join(lines) + "\n")
                 f.flush()
                 os.fsync(f.fileno())
+            # os.rename, DELIBERATELY not fs.Fs.rename: the spool is
+            # the node-local durable buffer in FRONT of the lake — it
+            # must be local disk (fsync semantics are the whole point;
+            # an object store has none) — so this is the one documented
+            # exception to the "commit paths are os.*-free" invariant.
+            # The lake side of the drain is FS-agnostic: the ingest
+            # paths may be qualified URIs while the spool stays local
+            # (tests/test_remote_fs.py::test_spool_drains_onto_
+            # qualified_uri_lake).
             os.rename(tmp, final)
         except Exception:
             # Put the batch back (ahead of anything appended meanwhile)

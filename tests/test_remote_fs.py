@@ -168,3 +168,64 @@ def test_metrics_compaction_crash_recovery_any_scheme(spark, tmp_path,
     latest = {(r["name"], r["status"])
               for r in read_metrics(spark, path).collect()}
     assert latest == {("a.b", "HIDDEN"), ("a.c", "SIMPLE")}
+
+
+def test_spool_drains_onto_qualified_uri_lake(spark, tmp_path):
+    """Round-12 verdict #8 (stretch): the one seam the remote-FS e2e
+    did not cross — a NODE-LOCAL spool (by design: fsync semantics need
+    local disk; the documented os.rename exception in spool.py) drained
+    by the checkpointed file source into a ``file://``-scheme lake.
+    The spool side stays local paths; every lake write (data, metrics,
+    tag index + sub-indexes) lands through the Hadoop FS of a
+    qualified URI."""
+    import os
+
+    from graphouse_spark.sources.tables import (
+        read_data, read_metrics, read_tag_metrics, read_tag_values,
+        read_tags)
+    from graphouse_spark.streaming.ingest import (
+        IngestConfig, start_file_ingest)
+
+    spool_dir = tmp_path / "spool"
+    os.makedirs(spool_dir)
+    now = int(time.time())
+    lines = [f"one_min.host{i}.cpu {i}.5 {now - 60 * i}" for i in range(5)]
+    lines.append(f"disk.used;rack=r1 9.0 {now - 30}")
+    root = f"file://{tmp_path}"
+    cfg = IngestConfig(
+        data_path=f"{root}/data",
+        metrics_path=f"{root}/metrics",
+        checkpoint_path=f"{root}/ckpt",
+        trigger_seconds=1,
+        allow_tags=True,
+        tags_path=f"{root}/tags",
+    )
+
+    from graphouse_spark.streaming.spool import LineSpool
+
+    spool = LineSpool(str(spool_dir), flush_seconds=999)
+    spool.append(lines)
+    assert spool.flush() is not None
+
+    q = start_file_ingest(spark, cfg, str(spool_dir))
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                # the tag index is the LAST write of the micro-batch —
+                # polling on it avoids stopping the stream mid-batch
+                if read_tags(spark, cfg.tags_path).count() > 0:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert read_data(spark, cfg.data_path).count() == 6
+    assert read_metrics(spark, cfg.metrics_path).count() > 0
+    assert read_tags(spark, cfg.tags_path).count() > 0
+    vals = read_tag_values(spark, cfg.tags_path)
+    assert vals is not None and vals.count() > 0
+    mets = read_tag_metrics(spark, cfg.tags_path)
+    assert mets is not None and {r["metric"] for r in mets.collect()} == {
+        "disk.used;rack=r1"}
