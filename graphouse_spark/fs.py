@@ -11,12 +11,13 @@ routes through the Hadoop FileSystem OF THE TABLE PATH, not through
 - local disk (``file://`` / scheme-less, the test default):
   ``RawLocalFileSystem.rename`` is rename(2) — atomic;
 - HDFS: rename is a single NameNode metadata op — atomic;
-- rename-less object stores (S3A, GCS): the ROLLUP PARTITION COMMIT,
-  the TAG-INDEX REWRITE/BACKFILL, and the EXPORT SINK switch to the
-  generation + pointer-commit protocol (:mod:`graphouse_spark.
-  manifest` — the design note below, made executable in r13);
-  protocols not yet routed through it (delete/update mutations,
-  metrics-tree compaction) still refuse rename there.
+- rename-less object stores (S3A, GCS): EVERY protocol switches to
+  the generation + pointer-commit protocol (:mod:`graphouse_spark.
+  manifest` — the design note below, made executable in r13): rollup
+  partition commit, delete/update mutations, tag-index rewrite/
+  backfill, metrics-tree compaction, export sink. :meth:`Fs.rename`
+  itself still refuses there — reaching it on such a store means a
+  protocol took the wrong branch.
 
 The reference delegates all of this to ClickHouse's part-commit
 machinery (MergeTree parts become visible via one in-memory + one
@@ -37,15 +38,17 @@ atomic on S3), then atomically overwrite a single ``_current``
 pointer object naming it; readers resolve ``_current`` and list
 through the manifest instead of the directory. That is precisely the
 commit design of Iceberg/Delta — and since r13 it is IMPLEMENTED for
-the three protocols that matter at 100 TB (:mod:`graphouse_spark.
-manifest`: rollup partition commit, tag-index rewrite/backfill,
-training-shard export). The remaining protocols (delete/update
-mutations in ``operators/mutate.py``, metrics-tree compaction) map
-cleanly onto Iceberg/Delta ``DELETE/UPDATE WHERE`` / table swaps and
-stay refused here: :meth:`Fs.rename` raises ``NotImplementedError``
-on filesystems whose rename is not known-atomic unless
-``GRAPHOUSE_ALLOW_NONATOMIC_RENAME`` is set (for single-writer dev
-runs where a copy-rename is tolerable).
+every storage protocol (:mod:`graphouse_spark.manifest`: rollup
+partition commit, delete/update mutations, tag-index rewrite/backfill
++ both sub-indexes, metrics-tree compaction, training-shard export).
+A deployment can still choose Iceberg/Delta instead (the partition
+protocol maps onto ``replaceWhere``, mutations onto ``DELETE/UPDATE
+WHERE``, the tag rewrite onto ``overwritePartitions``); the in-repo
+manifest layer removes the dependency. :meth:`Fs.rename` itself keeps
+raising ``NotImplementedError`` on filesystems whose rename is not
+known-atomic unless ``GRAPHOUSE_ALLOW_NONATOMIC_RENAME`` is set —
+reaching a namespace rename on such a store now means a protocol took
+the wrong branch, and failing loudly beats corrupting silently.
 """
 
 from __future__ import annotations
@@ -124,13 +127,13 @@ class Fs:
         if self.scheme not in RENAME_ATOMIC_SCHEMES and not os.environ.get(
                 "GRAPHOUSE_ALLOW_NONATOMIC_RENAME"):
             raise NotImplementedError(
-                f"FileSystem scheme '{self.scheme}' has no atomic rename; "
-                "this protocol is not routed through the manifest commit "
-                "(graphouse_spark/manifest.py serves rollup, tag-index "
-                "and export commits there) — deploy this table as "
-                "Iceberg/Delta (fs.py design note) or set "
-                "GRAPHOUSE_ALLOW_NONATOMIC_RENAME for single-writer "
-                "dev runs")
+                f"FileSystem scheme '{self.scheme}' has no atomic rename. "
+                "Every storage protocol serves such stores through the "
+                "manifest commit (graphouse_spark/manifest.py) — reaching "
+                "a namespace rename here means a caller took the "
+                "rename-protocol branch on a rename-less store. Set "
+                "GRAPHOUSE_ALLOW_NONATOMIC_RENAME only for single-writer "
+                "dev runs where a copy-rename is tolerable")
         jsrc, jdst = self._jpath(src), self._jpath(dst)
         if self._fs.exists(jdst):
             raise FileExistsError(f"rename target exists: {dst}")

@@ -53,27 +53,46 @@ def run_metrics_compaction(spark: SparkSession, metrics_path: str) -> int:
     rolls forward/back via :func:`graphouse_spark.fs.recover_swap`,
     which runs first) — the previous local-tempdir form had a window
     where a crash between rmtree and move lost the table, and could
-    not target an HDFS table at all.
+    not target an HDFS table at all. On rename-less stores the swap
+    is a whole-table generation + pointer flip (r13, same protocol as
+    the tag-index rewrite); an append racing the flip lands in the
+    superseded generation and is dropped with it — the SAME loss
+    class as the rename path (whose live->bak rename carries racing
+    appends into the deleted backup), and self-healing the same way:
+    a lost registration re-registers the next time the metric reports
+    (T6 reopen-on-data).
     """
-    from graphouse_spark.fs import get_fs, recover_swap
-    from graphouse_spark.operators.dedup import latest_status
+    import time as _time
 
     from graphouse_spark import fs as fs_mod
+    from graphouse_spark import manifest as mf
+    from graphouse_spark.fs import get_fs, recover_swap, writer_lease
+    from graphouse_spark.operators.dedup import latest_status
 
     fs = get_fs(metrics_path, spark)
-    live = fs.norm(metrics_path)
-    parent, base = fs_mod.parent_dir(live), fs_mod.base_name(live)
-    stage = f"{parent}/.{base}_compact.stage"
-    bak = f"{parent}/.{base}_compact.bak"
-    recover_swap(fs, live, stage, bak)
+    with writer_lease(fs, metrics_path):
+        if mf.manifest_mode(fs):
+            now = int(_time.time())
+            root = fs.norm(metrics_path).rstrip("/")
+            gen = mf.new_gen_name(now)
+            latest = latest_status(read_metrics(spark, metrics_path))
+            write_metrics(latest, f"{root}/{gen}", mode="overwrite")
+            n = spark.read.parquet(f"{root}/{gen}").count()
+            mf.commit_table_generation(fs, root, gen, now)
+            return n
+        live = fs.norm(metrics_path)
+        parent, base = fs_mod.parent_dir(live), fs_mod.base_name(live)
+        stage = f"{parent}/.{base}_compact.stage"
+        bak = f"{parent}/.{base}_compact.bak"
+        recover_swap(fs, live, stage, bak)
 
-    latest = latest_status(read_metrics(spark, metrics_path))
-    write_metrics(latest, stage, mode="overwrite")
-    n = spark.read.parquet(stage).count()
-    fs.rename(live, bak)
-    fs.rename(stage, live)
-    fs.delete(bak)
-    return n
+        latest = latest_status(read_metrics(spark, metrics_path))
+        write_metrics(latest, stage, mode="overwrite")
+        n = spark.read.parquet(stage).count()
+        fs.rename(live, bak)
+        fs.rename(stage, live)
+        fs.delete(bak)
+        return n
 
 
 def run_tags_compaction(spark: SparkSession, tags_path: str) -> int:

@@ -55,6 +55,7 @@ def _rewrite_partitions(spark: SparkSession, data_path: str,
     compaction's swap (FILE_NOT_EXIST mid-scan) — under the lease no
     rewriter can retire files between the scan and the rewrite, and
     appends only ever ADD files."""
+    from graphouse_spark import manifest as mf
     from graphouse_spark.fs import get_fs, writer_lease
     from graphouse_spark.sources.tables import read_data
 
@@ -64,6 +65,9 @@ def _rewrite_partitions(spark: SparkSession, data_path: str,
     # partitions (round-12 verdict #2)
     with writer_lease(fs, data_path) as lease:
         recover_compaction(data_path, fs)
+        if mf.manifest_mode(fs):
+            return _rewrite_partitions_manifest(spark, data_path,
+                                                transform, condition, fs)
         dates = _affected_dates(read_data(spark, data_path), condition)
         if not dates:
             return []
@@ -94,6 +98,65 @@ def _rewrite_partitions(spark: SparkSession, data_path: str,
             rewritten.append(str(d))
         fs.delete(tmp_path)
         return rewritten
+
+
+def _rewrite_partitions_manifest(spark: SparkSession, data_path: str,
+                                 transform, condition: Column,
+                                 fs) -> list:
+    """Mutations on a rename-less store (r13): the per-partition
+    generation + pointer-commit protocol rollup compaction uses —
+    resolve the table ONCE (the snapshot is both the rewrite input and
+    the commit's ``replaced`` lists), write the transformed aged
+    partitions straight into a fresh hidden generation, flip with one
+    atomic manifest write. A partition whose every row was deleted
+    commits with no generation subdirectory — the pointer replaces all
+    its files and readers resolve it empty (the rename path's
+    staged-empty-dir equivalent)."""
+    import time as _time
+
+    from graphouse_spark import manifest as mf
+    from graphouse_spark.schemas import DATA_SCHEMA
+
+    root = data_path.rstrip("/")
+    now = int(_time.time())
+    man = mf.read_table_manifest(fs, root)
+    if man is not None:
+        man = mf.gc_data_manifest(fs, root, man, now)
+    groups = mf.resolve_data_sources(fs, root, man)
+    if not groups:
+        return []
+    frames = [
+        spark.read.schema(DATA_SCHEMA).option("basePath", base).parquet(*paths)
+        for base, paths in groups
+    ]
+    data = frames[0]
+    for f in frames[1:]:
+        data = data.unionByName(f)
+    dates = _affected_dates(data, condition)
+    if not dates:
+        return []
+    date_strs = [str(d) for d in dates]
+    replaced_by_date: dict[str, list] = {d: [] for d in date_strs}
+    for p in mf.live_root_files(fs, root, man):
+        rel = mf.rel_path(fs, root, p)
+        for seg in rel.split("/"):
+            if seg.startswith("date="):
+                d = seg[len("date="):]
+                if d in replaced_by_date:
+                    replaced_by_date[d].append(rel)
+                break
+    gen = mf.new_gen_name(now)
+    subset = data.filter(F.col("date").isin(date_strs))
+    (
+        transform(subset)
+        .repartition("metric")
+        .sortWithinPartitions("date", "metric", "timestamp")
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(f"{root}/{gen}")
+    )
+    mf.commit_data_generation(fs, root, gen, replaced_by_date, now)
+    return date_strs
 
 
 def delete_where(spark: SparkSession, data_path: str,

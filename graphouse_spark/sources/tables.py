@@ -112,6 +112,14 @@ def read_data(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_metrics(df: DataFrame, path: str, mode: str = "append") -> None:
+    from graphouse_spark import manifest as mf
+
+    if mf.manifest_possible(path):
+        # rename-less stores: appends land in the committed generation
+        # (the compaction rewrite flips a pointer instead of renaming)
+        from graphouse_spark.fs import get_fs
+
+        path = mf.resolve_table_dir(get_fs(path, df.sparkSession), path)
     cols = [f.name for f in METRICS_SCHEMA.fields]
     (
         df.select(*cols)
@@ -123,6 +131,12 @@ def write_metrics(df: DataFrame, path: str, mode: str = "append") -> None:
 
 
 def read_metrics(spark: SparkSession, path: str) -> DataFrame:
+    from graphouse_spark import manifest as mf
+
+    if mf.manifest_possible(path):
+        from graphouse_spark.fs import get_fs
+
+        path = mf.resolve_table_dir(get_fs(path, spark), path)
     return spark.read.schema(METRICS_SCHEMA).parquet(path)
 
 

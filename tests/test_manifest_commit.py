@@ -440,3 +440,122 @@ def test_backfill_manifest_mode(spark, tmp_path, no_rename, monkeypatch):
     vals = _value_rows(spark, cfg.tags_path)
     main_pairs = {(r[1], r[2]) for r in _tag_rows(spark, cfg.tags_path)}
     assert vals is not None and main_pairs <= {(v[0], v[1]) for v in vals}
+
+
+# --------------------------------------------- mutations + metrics
+
+def test_mutations_manifest_mode_match_rename(spark, tmp_path, no_rename,
+                                              monkeypatch):
+    """delete_where / update_where / delete_metrics on a rename-less
+    store: generation + pointer commits, byte-identical to the
+    rename-protocol twin, never a directory rename."""
+    from graphouse_spark.operators.delete import delete_metrics
+    from graphouse_spark.operators.mutate import delete_where, update_where
+
+    man_path = str(tmp_path / "man")
+    twin_path = str(tmp_path / "twin")
+    pts = old_points(spark).unionByName(fresh_points(spark))
+    write_data(pts, man_path)
+    write_data(pts, twin_path)
+
+    def apply_all(path):
+        assert delete_where(
+            spark, path, F.col("metric") == "one_min.srv.req.count")
+        assert update_where(
+            spark, path, F.col("value") == 99.0, {"value": F.lit(77.0)})
+        out = delete_metrics(spark, path, ["one_min.srv.cpu"])
+        assert out["rows_deleted"] > 0 and out["partitions_rewritten"]
+
+    def boom(*a, **kw):
+        raise AssertionError("manifest mutation must never rename")
+
+    with monkeypatch.context() as m:
+        m.setattr(fs_mod.Fs, "rename", boom)
+        apply_all(man_path)
+    with monkeypatch.context() as m:
+        m.setattr(fs_mod, "RENAME_ATOMIC_SCHEMES",
+                  frozenset({"file", "hdfs", "viewfs"}))
+        apply_all(twin_path)
+    assert rows_of(spark, man_path) == rows_of(spark, twin_path)
+    # the 99.0 row is gone with its metric; the update hit nothing left
+    assert not any(r[1] == 99.0 for r in rows_of(spark, man_path))
+
+    # crash at the mutation's pointer write: reads unchanged, rerun ok
+    write_data(fresh_points(spark), man_path)
+    before = rows_of(spark, man_path)
+
+    def torn(fs, root, man):
+        raise OSError("injected crash at mutation pointer write")
+
+    with monkeypatch.context() as m:
+        m.setattr(mf, "write_table_manifest", torn)
+        with pytest.raises(OSError, match="injected crash"):
+            delete_where(spark, man_path, F.col("value") == 5.0)
+    assert rows_of(spark, man_path) == before
+    delete_where(spark, man_path, F.col("value") == 5.0)
+    assert not any(r[1] == 5.0 for r in rows_of(spark, man_path))
+
+
+def test_full_partition_delete_manifest_mode(spark, tmp_path, no_rename):
+    """A partition whose every row matches commits with no generation
+    subdirectory: the pointer replaces all its files and readers
+    resolve it empty (the rename path's staged-empty-dir twin)."""
+    from graphouse_spark.operators.mutate import delete_where
+
+    path = str(tmp_path / "data")
+    write_data(old_points(spark), path)
+    assert delete_where(spark, path, F.lit(True)) == ["2018-11-14"]
+    assert read_data(spark, path).count() == 0
+    # and the table keeps serving appends afterwards
+    write_data(fresh_points(spark), path)
+    assert read_data(spark, path).count() == 2
+
+
+def test_metrics_compaction_manifest_mode(spark, tmp_path, no_rename,
+                                          monkeypatch):
+    """The metrics-tree compaction on a rename-less store: whole-table
+    generation + pointer flip; appends resolve into the committed
+    generation afterwards; a crash at the flip leaves the old table."""
+    from graphouse_spark.maintenance import run_metrics_compaction
+    from graphouse_spark.sources.tables import read_metrics, write_metrics
+
+    mp = str(tmp_path / "metrics")
+    rows = spark.createDataFrame(
+        [("a.b", 2, "a", "SIMPLE", 1_700_000_000),
+         ("a.b", 2, "a", "HIDDEN", 1_700_000_100),
+         ("a.c", 2, "a", "SIMPLE", 1_700_000_000)],
+        "name string, level int, parent string, status string, updated long")
+    write_metrics(rows.withColumn(
+        "updated", F.col("updated").cast("timestamp")), mp)
+    assert read_metrics(spark, mp).count() == 3
+
+    def boom(*a, **kw):
+        raise AssertionError("manifest metrics compaction must never rename")
+
+    with monkeypatch.context() as m:
+        m.setattr(fs_mod.Fs, "rename", boom)
+        n = run_metrics_compaction(spark, mp)
+    assert n == 2  # one latest row per name
+    assert read_metrics(spark, mp).count() == 2
+    latest = {r["name"]: r["status"]
+              for r in read_metrics(spark, mp).collect()}
+    assert latest == {"a.b": "HIDDEN", "a.c": "SIMPLE"}
+
+    # append AFTER the flip resolves into the committed generation
+    write_metrics(rows.limit(1).withColumn(
+        "updated", F.col("updated").cast("timestamp")), mp)
+    assert read_metrics(spark, mp).count() == 3
+    man = mf.read_table_manifest(fs_mod.get_fs(mp, spark), mp)
+    gen_files = os.listdir(f"{mp}/{man['generation']}")
+    assert len([f for f in gen_files if f.endswith(".parquet")]) >= 2
+
+    # crash AT the flip: old table intact, rerun converges
+    def torn(fs, root, man_):
+        raise OSError("injected crash at metrics flip")
+
+    with monkeypatch.context() as m:
+        m.setattr(mf, "write_table_manifest", torn)
+        with pytest.raises(OSError, match="injected crash"):
+            run_metrics_compaction(spark, mp)
+    assert read_metrics(spark, mp).count() == 3
+    assert run_metrics_compaction(spark, mp) == 2
