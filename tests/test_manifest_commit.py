@@ -559,3 +559,79 @@ def test_metrics_compaction_manifest_mode(spark, tmp_path, no_rename,
             run_metrics_compaction(spark, mp)
     assert read_metrics(spark, mp).count() == 3
     assert run_metrics_compaction(spark, mp) == 2
+
+
+def test_engine_e2e_manifest_mode(spark, tmp_path, no_rename,
+                                  monkeypatch):
+    """The whole engine on a rename-less store: ingest -> nightly
+    maintenance bundle (autohide off, rollup, metrics + tags
+    compaction, zonemap + bloom) -> serve (tree, render, seriesByTag)
+    -> delete mutation — with Fs.rename booby-trapped so ANY namespace
+    rename anywhere fails the test. The s3a twin of
+    tests/test_remote_fs.py's qualified-URI e2e."""
+    import time as _time
+
+    from graphouse_spark import tags as T
+    from graphouse_spark.api.service import GraphouseService
+    from graphouse_spark.maintenance import run_all
+    from graphouse_spark.operators.delete import delete_metrics
+    from graphouse_spark.retention import (
+        CombinedRetentionProvider, MetricRetention, MetricRetentionConfig)
+    from graphouse_spark.sources.tables import read_tag_values
+    from graphouse_spark.streaming.ingest import IngestConfig, ingest_batch
+
+    provider = CombinedRetentionProvider([MetricRetentionConfig(
+        ".*", True, MetricRetention("avg", {0: 60, 86400: 300}))])
+    root = str(tmp_path)
+    cfg = IngestConfig(f"{root}/data", f"{root}/metrics", "",
+                       allow_tags=True, tags_path=f"{root}/tags")
+    now = int(_time.time())
+    lines = [
+        f"one_min.srv.cpu 1.0 {BASE}",
+        f"one_min.srv.cpu 2.0 {BASE + 30}",
+        f"one_min.srv.req 5.0 {BASE}",
+        f"disk.used;rack=r9;datacenter=dc1 10.0 {now - 120}",
+        f"disk.used;rack=r9;datacenter=dc1 11.0 {now - 60}",
+        f"one_min.fresh.cpu 3.0 {now - 60}",
+    ]
+    raw = spark.createDataFrame([(line,) for line in lines], "value string")
+
+    def boom(*a, **kw):
+        raise AssertionError("manifest-mode engine must never rename")
+
+    monkeypatch.setattr(fs_mod.Fs, "rename", boom)
+
+    ingest_batch(T.parse_tagged_lines(raw, updated=F.lit(now)), cfg,
+                 known_names=None)
+    assert read_data(spark, cfg.data_path).count() == 6
+
+    report = run_all(spark, cfg.data_path, cfg.metrics_path, provider,
+                     now_seconds=now, index_path=f"{root}/zonemap",
+                     tags_path=cfg.tags_path, autohide_enabled=False)
+    assert report["rolled_partitions"] == ["2018-11-14"]
+    aged = read_data(spark, cfg.data_path).filter(
+        F.col("date") == "2018-11-14")
+    assert aged.filter(F.col("metric") == "one_min.srv.cpu").count() == 1
+    assert report["zonemap_rows"] > 0 and report["bloom_rows"] > 0
+    assert read_tag_values(spark, cfg.tags_path) is not None
+
+    svc = GraphouseService(spark, cfg.data_path, cfg.metrics_path, provider,
+                           index_path=f"{root}/zonemap",
+                           tags_path=cfg.tags_path)
+    svc.load_tree()
+    assert "one_min." in svc.search("*")
+    out = svc.render("one_min.fresh.cpu", now - 300, now)
+    assert [s["target"] for s in out] == ["one_min.fresh.cpu"]
+    assert any(v is not None for v, _ in out[0]["datapoints"])
+    series = svc.render("seriesByTag('name=disk.used', 'datacenter=dc1')",
+                        now - 300, now)
+    assert [s["target"] for s in series] == [
+        "disk.used;datacenter=dc1;rack=r9"]
+
+    rep = delete_metrics(spark, cfg.data_path, "one_min.srv.req")
+    assert rep["rows_deleted"] == 1
+    remaining = {r["metric"] for r in
+                 read_data(spark, cfg.data_path).select("metric")
+                 .distinct().collect()}
+    assert "one_min.srv.req" not in remaining
+    assert "one_min.srv.cpu" in remaining
