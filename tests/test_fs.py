@@ -93,7 +93,7 @@ def test_nonatomic_rename_refused(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(fs, "scheme", "s3a")
     monkeypatch.delenv("GRAPHOUSE_ALLOW_NONATOMIC_RENAME", raising=False)
     fs.mkdirs(f"{d}/src")
-    with pytest.raises(NotImplementedError, match="Iceberg/Delta"):
+    with pytest.raises(NotImplementedError, match="manifest commit"):
         fs.rename(f"{d}/src", f"{d}/dst")
     monkeypatch.setenv("GRAPHOUSE_ALLOW_NONATOMIC_RENAME", "1")
     fs.rename(f"{d}/src", f"{d}/dst")
