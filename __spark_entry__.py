@@ -3477,8 +3477,42 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_gh_all_negative_universe(spark, sf_dir):
+    """r13: the all-negative seriesByTag plan served from a
+    distinct-metric UNIVERSE slice — universe ANTI-JOIN the
+    OR-filtered negative slices, shuffle_hash-hinted so the trailing
+    distinct reuses the join exchange (tags.series_by_tag_on_index
+    with ``universe=``; the production slice is the ``tags_metrics``
+    sub-index, here derived from events). Terms: ``type!=click`` (no
+    (type, click) index row) AND ``user!=~u1.*`` (no user row matching
+    the anchored regex)."""
+    from graphouse_spark import tags as tg
+
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.select(
+        "event_type", F.pmod(F.col("user_id"), F.lit(50)).alias("u")
+    ).distinct()
+    metric = F.concat(F.lit("ev;type="), F.col("event_type"),
+                      F.lit(";user=u"), F.col("u"))
+    idx = pairs.select(
+        metric.alias("metric"),
+        F.explode(F.array(
+            F.struct(F.lit("name").alias("tag"), F.lit("ev").alias("value")),
+            F.struct(F.lit("type").alias("tag"),
+                     F.col("event_type").alias("value")),
+            F.struct(F.lit("user").alias("tag"),
+                     F.concat(F.lit("u"), F.col("u")).alias("value")),
+        )).alias("tv"),
+    ).select("metric", F.col("tv.tag").alias("tag"),
+             F.col("tv.value").alias("value"))
+    universe = pairs.select(metric.alias("metric"))
+    return tg.series_by_tag_on_index(
+        idx, ["type!=click", "user!=~u1.*"], universe=universe)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "gh_all_negative_universe": q_gh_all_negative_universe,
         "gh_lww_dedup": q_gh_lww_dedup,
         "gh_dedup_rank": q_gh_dedup_rank,
         "gh_bucket_agg": q_gh_bucket_agg,
@@ -3859,6 +3893,19 @@ def oracle_sql() -> dict[str, str]:
                    arg_max(value, event_id) AS last_value,
                    max(event_id) AS updated
             FROM events GROUP BY user_id, event_type
+        """,
+        # graphite seriesByTag all-negative semantics replayed in SQL:
+        # a metric survives iff NO index row fires any negative term —
+        # here the tags are dense, so that reduces to per-pair column
+        # predicates over the distinct (type, user-bucket) universe
+        "gh_all_negative_universe": """
+            WITH pairs AS (
+                SELECT DISTINCT event_type, user_id % 50 AS u FROM events
+            )
+            SELECT 'ev;type=' || event_type || ';user=u' || u AS metric
+            FROM pairs
+            WHERE event_type <> 'click'
+              AND NOT regexp_matches('u' || u, '^(?:u1.*)')
         """,
         # the sketch queries assert their own approximation bounds and
         # emit booleans; the oracle carries the exact twins + TRUE
