@@ -164,6 +164,15 @@ def minhash_signatures_np(docs: DataFrame, text_col: str = "text", id_col: str =
     ws = re.compile(r"\s+", re.ASCII)
 
     def kernel(batches):
+        # per-TASK memo of the shingle hash (guide §4.5: heavyweight
+        # work once per task): near-dup corpora repeat shingles heavily
+        # across documents (sf0.1: 260k shingle occurrences, 27k
+        # distinct), so each distinct shingle is md5'd once per task
+        # instead of once per occurrence. int.from_bytes(digest[:4]) is
+        # the same value as int(hexdigest[:8], 16) without building and
+        # parsing the hex string — bit-identical family, same oracle.
+        hcache: dict = {}
+        _md5 = hashlib.md5
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
@@ -181,11 +190,14 @@ def minhash_signatures_np(docs: DataFrame, text_col: str = "text", id_col: str =
                         " ".join(toks[j:j + shingle_n])
                         for j in range(len(toks) - shingle_n + 1)
                     }
-                hs = np.fromiter(
-                    (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) for s in shingles),
-                    dtype=np.uint64, count=len(shingles),
-                )[None, :]
-                sig = ((A * hs + B) % P).min(axis=1)
+                hs = np.empty(len(shingles), dtype=np.uint64)
+                for i, s in enumerate(shingles):
+                    h = hcache.get(s)
+                    if h is None:
+                        h = hcache[s] = int.from_bytes(
+                            _md5(s.encode("utf-8")).digest()[:4], "big")
+                    hs[i] = h
+                sig = ((A * hs[None, :] + B) % P).min(axis=1)
                 ids.append(doc_id)
                 sigs.append(sig.astype(np.int64).tolist())
             yield pd.DataFrame({id_col: ids, "signature": sigs})
@@ -397,6 +409,15 @@ def simhash_np(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     masks = (np.uint64(1) << shifts).astype(np.int64)
 
     def kernel(batches):
+        # per-TASK memo of each distinct token's bit row (guide §4.5):
+        # documents of one corpus share most of their vocabulary, so
+        # the md5 + bit-expansion runs once per distinct token per task
+        # instead of once per (doc, token). int.from_bytes(digest[:8])
+        # >> 4 is the same value as int(hexdigest[:15], 16) without
+        # building and parsing the hex string — bit-identical family.
+        rcache: dict = {}
+        _md5 = hashlib.md5
+        _one, _four = np.uint64(1), np.uint64(4)
         for pdf in batches:
             ids, sims = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
@@ -411,12 +432,15 @@ def simhash_np(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                     ids.append(doc_id)
                     sims.append(0)
                     continue
-                hs = np.fromiter(
-                    (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
-                     for t in toks),
-                    dtype=np.uint64, count=len(toks))
-                ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(
-                    axis=0, dtype=np.int64)
+                rows = []
+                for t in toks:
+                    r = rcache.get(t)
+                    if r is None:
+                        h = np.uint64(int.from_bytes(
+                            _md5(t.encode("utf-8")).digest()[:8], "big")) >> _four
+                        r = rcache[t] = ((h >> shifts) & _one).astype(np.int64)
+                    rows.append(r)
+                ones = np.sum(rows, axis=0, dtype=np.int64)
                 votes = 2 * ones - len(toks)
                 ids.append(doc_id)
                 sims.append(int(masks[votes > 0].sum()))

@@ -35,6 +35,15 @@ def _default_driver_mem() -> str:
     return f"{max(8, min(48, gb // 3))}g"
 
 
+def _worker_pythonpath() -> str:
+    """PYTHONPATH for Python workers/daemon: the directory containing
+    this package (so ``graphouse_spark`` imports regardless of the
+    driver's cwd) prepended to any inherited PYTHONPATH."""
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inherited = os.environ.get("PYTHONPATH", "")
+    return f"{pkg_root}:{inherited}" if inherited else pkg_root
+
+
 def get_spark(app_name: str = "graphouse-spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
@@ -54,6 +63,24 @@ def get_spark(app_name: str = "graphouse-spark", shuffle_partitions: int | None 
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Python workers import pyspark from pyspark.zip, and every task's
+        # bootstrap calls importlib.invalidate_caches() — on Python 3.11
+        # that re-reads the whole zip directory per task (~0.3-0.4 s of
+        # CPU each). The custom daemon backports the 3.12 mtime guard;
+        # see graphouse_spark/pydaemon.py for the measurements. The
+        # daemon process must be able to import this package, which the
+        # engine's kernels already require of workers — PYTHONPATH makes
+        # it independent of the driver's cwd.
+        .config("spark.python.daemon.module", "graphouse_spark.pydaemon")
+        .config("spark.executorEnv.PYTHONPATH", _worker_pythonpath())
+        # local/medium shuffles: the bypass-merge writer creates
+        # (reducers) files per MAP task + concatenates them; measured
+        # here a trivial 32x32-task exchange costs 3.1 s of executor
+        # task time in file creation/codec init vs 0.38 s through the
+        # sort writer (one file per map task). At cluster scale the
+        # bypass path never fires anyway (reducers >> 200), so forcing
+        # the sort writer changes nothing in production plans.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
         # driver test data carries TIMESTAMP(NANOS) which Spark has no type
         # for; read as long (nanos since epoch) and convert explicitly
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
