@@ -978,8 +978,17 @@ def ngram_language_id(docs: DataFrame, n: int = 3, profile_k: int = 50,
     # exchange is NOT reused (no ReusedExchange/ReusedQueryStage in
     # the executed plan), and the extra aggregation only added work
     # (task 20.2 -> 23.1 s, cpu 16.8 -> 19.3 s at sf0.1).
+    # Profile side generates grams by exploding POSITIONS and slicing
+    # with a top-level substring — whole-stage codegen — instead of the
+    # interpreted transform()-array + explode (HOF lambdas never
+    # codegen). Alternating same-session A/B at sf0.1: task 7.2 -> 5.5,
+    # cpu 5.9 -> 4.9 s, identical output. The doc side keeps the array
+    # form: it needs per-doc array_distinct before exploding (the
+    # distinct-agg alternative adds an Expand that costs more).
     prof_counts = (
-        base.select(F.col(lang_col), F.explode(grams).alias("gram"))
+        base.select(lang_col, "_s",
+                    F.explode(F.sequence(F.lit(1), k_grams)).alias("_i"))
+        .select(lang_col, F.col("_s").substr(F.col("_i"), F.lit(n)).alias("gram"))
         .groupBy(lang_col, "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -44,7 +44,42 @@ def _worker_pythonpath() -> str:
     return f"{pkg_root}:{inherited}" if inherited else pkg_root
 
 
+def _install_fast_function_lookup() -> None:
+    """Memoize the py4j handle of ``org.apache.spark.sql.functions.<name>``.
+
+    Stock pyspark re-resolves the JVM class and member on EVERY
+    ``F.<fn>`` call — ~13 gateway round trips per call, measured 2.3 ms
+    each on this box, which makes building expression-heavy query plans
+    (URL/JSON dialect families: hundreds of Column ops) cost 0.5-0.7 s
+    of pure driver latency before anything executes. The JavaMember
+    handle is stateless, so memoizing it per (SparkContext, name) is
+    safe; the cache lives on the context object and dies with it, so a
+    session restart re-resolves against the new JVM. One round trip per
+    call remains (the invocation itself).
+    """
+    try:
+        import pyspark.sql.functions.builtin as _builtin
+        orig = _builtin._get_jvm_function
+    except (ImportError, AttributeError):  # pragma: no cover - other pyspark layouts
+        return
+    if getattr(_builtin, "_gs_cached_lookup", False):
+        return
+
+    def cached(name, sc):
+        cache = sc.__dict__.get("_gs_jvm_fn_cache")
+        if cache is None:
+            cache = sc.__dict__["_gs_jvm_fn_cache"] = {}
+        fn = cache.get(name)
+        if fn is None:
+            fn = cache[name] = orig(name, sc)
+        return fn
+
+    _builtin._get_jvm_function = cached
+    _builtin._gs_cached_lookup = True
+
+
 def get_spark(app_name: str = "graphouse-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    _install_fast_function_lookup()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
@@ -84,6 +119,14 @@ def get_spark(app_name: str = "graphouse-spark", shuffle_partitions: int | None 
         # driver test data carries TIMESTAMP(NANOS) which Spark has no type
         # for; read as long (nanos since epoch) and convert explicitly
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4 wraps every Column/functions call with a call-site
+        # capture for richer error messages: per F.<fn> call that is a
+        # getActiveSession + a conf read + a PySparkCurrentOrigin
+        # set/clear (each a py4j round trip) + a Python stack walk —
+        # measured ~2.3 ms per expression call on this box, 0.5-0.8 s
+        # of driver latency to BUILD an expression-heavy plan. Purely
+        # an error-message nicety; results are unaffected.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     return builder.getOrCreate()
 
