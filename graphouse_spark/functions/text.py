@@ -729,26 +729,30 @@ def duplicated_spans(docs: DataFrame, n: int = 10, min_docs: int = 2,
     the safe direction for a dedup filter.
     """
     toks = tokens_col(F.col(text_col))
-    # guard docs shorter than one window: sequence(0, size-n) would run
-    # DESCENDING for negative bounds (Spark generates [0, -1], whose
-    # slice(start=0) then throws) — short docs must yield no windows
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.substring(
-                F.md5(F.concat_ws("\x1f", F.slice(toks, i + 1, n))), 1, 16
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     # the window-hash projection is CPU-heavy (len(doc) md5s per row);
     # a small corpus arriving as one parquet file would otherwise run
     # it single-task — spread docs across the cluster first (cheap:
-    # raw docs are tiny next to their exploded grams)
+    # raw docs are tiny next to their exploded grams).
+    # Window hashes are generated by exploding POSITIONS and hashing
+    # with top-level expressions (whole-stage codegen); the previous
+    # transform()-array + posexplode form ran the md5 inside an
+    # interpreted HOF lambda and materialized the gram array per doc —
+    # alternating same-session A/B at sf0.1: task 18.4 -> 3.4 s, cpu
+    # 11.8 -> 2.3 s, identical output. Docs shorter than one window
+    # are filtered up front (they yield no windows either way).
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     pos_grams = (
         docs.repartition(n_parts)
-        .select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+        .select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") >= n)
+        .select(id_col, "_t",
+                F.explode(F.sequence(F.lit(0), F.size("_t") - n)).alias("pos"))
+        .select(
+            F.col(id_col), F.col("pos"),
+            F.substring(
+                F.md5(F.concat_ws("\x1f", F.slice("_t", F.col("pos") + 1, F.lit(n)))),
+                1, 16).alias("gram"),
+        )
     )
     gram_df = (
         pos_grams.groupBy("gram")
@@ -810,20 +814,24 @@ def remove_duplicated_spans(docs: DataFrame, n: int = 10, min_docs: int = 2,
                         lambda t: t != "")
     base = docs.select(F.col(id_col), raw_toks.alias("_toks"))
     low = lambda arr: F.transform(arr, F.lower)  # noqa: E731
-    grams = F.when(
-        F.size(F.col("_toks")) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(F.col("_toks")) - n),
-            lambda i: F.substring(
-                F.md5(F.concat_ws("\x1f",
-                                  low(F.slice(F.col("_toks"), i + 1, n)))),
-                1, 16),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     base = base.repartition(n_parts)
-    pos_grams = base.select(
-        F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+    # positions exploded first, window hash as a top-level codegen
+    # expression — same rewrite (and same A/B evidence) as
+    # duplicated_spans above; the lowercase fold runs on the 10-token
+    # slice only, not the whole document
+    pos_grams = (
+        base.filter(F.size("_toks") >= n)
+        .select(id_col, "_toks",
+                F.explode(F.sequence(F.lit(0), F.size("_toks") - n)).alias("pos"))
+        .select(
+            F.col(id_col), F.col("pos"),
+            F.substring(
+                F.md5(F.concat_ws(
+                    "\x1f", low(F.slice(F.col("_toks"), F.col("pos") + 1, F.lit(n))))),
+                1, 16).alias("gram"),
+        )
+    )
     hot = (
         pos_grams.groupBy("gram")
         .agg(F.count_distinct(id_col).alias("_df"),
