@@ -27,25 +27,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphouse_spark.functions.dedup import portable_hash60, word_shingles
 
 
 def _hashed_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int,
-                   tokens_col: str | None = None) -> DataFrame:
+                   tokens_col: str | None = None,
+                   strategy: str = "arrow") -> DataFrame:
     """(id, gram-hash) rows, distinct per doc BY CONSTRUCTION:
-    word_shingles array_distincts the grams before hashing, so no
-    shuffle-backed distinct is needed afterwards — an explicit
-    ``.distinct()`` here would re-shuffle the pipeline's largest
-    intermediate (the exploded train-side grams) purely to remove
-    rows that only exist if two distinct shingles of one doc collide
-    in the 60-bit md5 prefix (~1e-12 per doc at realistic gram
-    counts; the DuckDB oracle hashes the same family, so even then
-    both engines see the same multiset).
+    the kernel set-dedups gram STRINGS before hashing (the engine twin
+    array_distincts them), so no shuffle-backed distinct is needed
+    afterwards — an explicit ``.distinct()`` here would re-shuffle the
+    pipeline's largest intermediate (the exploded train-side grams)
+    purely to remove rows that only exist if two distinct shingles of
+    one doc collide in the 60-bit md5 prefix (~1e-12 per doc at
+    realistic gram counts; the DuckDB oracle hashes the same family,
+    so even then both engines see the same multiset).
+
+    ``strategy='arrow'`` (default; same shape as
+    ``minhash_signatures_np``): tokenize + shingle in Python and md5
+    each **distinct** gram once per task (dict memo) — the engine form
+    ran array_join(slice(...)) and md5 per position inside interpreted
+    HOF lambdas, which never reach codegen.
+    ``int.from_bytes(digest[:8]) >> 4`` equals
+    ``conv(substring(md5(x),1,15),16,10)`` (first 15 hex chars), so
+    the hash family — and every oracle — is bit-identical.
+    ``strategy='engine'`` keeps the pure-Catalyst form (no Python
+    workers); the equality test pins the two to the same rows.
 
     ``tokens_col``: a pre-tokenized array column to build grams from
     (pipeline fusion — callers that already materialized tokens skip
     the per-branch re-tokenize)."""
-    from graphouse_spark.functions.dedup import word_shingles_from_tokens
+    import hashlib
+    import re
+
+    import pandas as pd
 
     # md5-per-gram is CPU-bound: spread single-file corpora across
     # cores — but ONLY when the input is actually narrow (a fresh
@@ -54,20 +68,83 @@ def _hashed_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int,
     # of the text+token columns for nothing.
     par = docs.sparkSession.sparkContext.defaultParallelism
     spread = docs if docs.rdd.getNumPartitions() >= par else docs.repartition(par)
-    if tokens_col is not None:
-        grams = word_shingles_from_tokens(F.col(tokens_col), n)
-    else:
-        grams = word_shingles(F.col(text_col), n)
-    return spread.select(
-        F.col(id_col),
-        F.explode(F.transform(grams, portable_hash60)).alias("gram"),
+    if strategy == "engine":
+        from graphouse_spark.functions.dedup import (
+            portable_hash60,
+            word_shingles,
+            word_shingles_from_tokens,
+        )
+
+        if tokens_col is not None:
+            grams = word_shingles_from_tokens(F.col(tokens_col), n)
+        else:
+            grams = word_shingles(F.col(text_col), n)
+        return spread.select(
+            F.col(id_col),
+            F.explode(F.transform(grams, portable_hash60)).alias("gram"),
+        )
+    if strategy != "arrow":
+        raise ValueError(f"strategy must be arrow|engine, got {strategy!r}")
+    id_type = docs.schema[id_col].dataType.simpleString()
+    src = tokens_col if tokens_col is not None else text_col
+    # ASCII \s: Java regex \s (the Catalyst twin) and RE2 (the DuckDB
+    # oracle) are ASCII-only; Python's default \s also eats Unicode
+    # whitespace, which would silently fork the token stream
+    ws = re.compile(r"\s+", re.ASCII)
+    pre_tokenized = tokens_col is not None
+
+    def kernel(batches):
+        hcache: dict = {}
+        _md5 = hashlib.md5
+        for pdf in batches:
+            out_ids: list = []
+            out_hashes: list = []
+            for doc_id, val in zip(pdf[id_col], pdf[src]):
+                if pre_tokenized:
+                    if val is None:
+                        # engine twin: NULL tokens -> greatest(NULL,1)
+                        # routes to ONE all-NULL gram, which explodes
+                        # to a single (id, NULL) row (inner equi-join
+                        # drops it later, but the operator-level rows
+                        # must match)
+                        out_ids.append(doc_id)
+                        out_hashes.append(None)
+                        continue
+                    toks = val
+                else:
+                    if val is None or (not isinstance(val, str) and pd.isna(val)):
+                        out_ids.append(doc_id)
+                        out_hashes.append(None)
+                        continue
+                    toks = [t for t in ws.split(str(val).lower()) if t]
+                if len(toks) <= n - 1:
+                    # engine twin: k <= 0 branch emits ONE gram — the
+                    # whole (possibly empty) token list joined
+                    grams = {" ".join(toks)}
+                else:
+                    grams = {
+                        " ".join(toks[j:j + n])
+                        for j in range(len(toks) - n + 1)
+                    }
+                for g in grams:
+                    h = hcache.get(g)
+                    if h is None:
+                        h = hcache[g] = int.from_bytes(
+                            _md5(g.encode("utf-8")).digest()[:8], "big") >> 4
+                    out_ids.append(doc_id)
+                    out_hashes.append(h)
+            yield pd.DataFrame({id_col: out_ids, "gram": out_hashes})
+
+    return spread.select(id_col, src).mapInPandas(
+        kernel, f"{id_col} {id_type}, gram long"
     )
 
 
 def ngram_contamination(train: DataFrame, eval_docs: DataFrame, n: int = 8,
                         min_shared: int = 2, id_col: str = "doc_id",
                         text_col: str = "text",
-                        tokens_col: str | None = None) -> DataFrame:
+                        tokens_col: str | None = None,
+                        strategy: str = "arrow") -> DataFrame:
     """Contaminated train docs: (train_id, n_eval_docs, max_shared).
 
     ``n_eval_docs`` counts eval documents sharing >= ``min_shared``
@@ -79,10 +156,10 @@ def ngram_contamination(train: DataFrame, eval_docs: DataFrame, n: int = 8,
     BOTH frames — skips the per-side re-tokenize when the caller
     already materialized tokens (corpus-pipeline fusion).
     """
-    tr = _hashed_ngrams(train, id_col, text_col, n,
-                        tokens_col).withColumnRenamed(id_col, "train_id")
-    ev = _hashed_ngrams(eval_docs, id_col, text_col, n,
-                        tokens_col).withColumnRenamed(id_col, "eval_id")
+    tr = _hashed_ngrams(train, id_col, text_col, n, tokens_col,
+                        strategy).withColumnRenamed(id_col, "train_id")
+    ev = _hashed_ngrams(eval_docs, id_col, text_col, n, tokens_col,
+                        strategy).withColumnRenamed(id_col, "eval_id")
     overlaps = (
         tr.join(F.broadcast(ev), "gram")
         .groupBy("train_id", "eval_id")

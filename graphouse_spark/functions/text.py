@@ -948,7 +948,8 @@ def ngram_lm_scores(docs: DataFrame, alpha: float = 0.5,
 
 def ngram_language_id(docs: DataFrame, n: int = 3, profile_k: int = 50,
                       text_col: str = "text", id_col: str = "doc_id",
-                      lang_col: str = "lang") -> DataFrame:
+                      lang_col: str = "lang",
+                      strategy: str = "arrow") -> DataFrame:
     """Character-n-gram profile language ID (Cavnar & Trenkle 1994,
     "N-Gram-Based Text Categorization"), trained on the corpus's own
     labels: per-language top-``profile_k`` character n-grams by
@@ -962,6 +963,17 @@ def ngram_language_id(docs: DataFrame, n: int = 3, profile_k: int = 50,
     window rank (vocabulary-sized); scoring = distinct-gram explode ⋈
     broadcast profile (languages x k rows) + one argmax aggregation —
     every stage map-side-combining, nothing pairwise.
+
+    ``strategy='arrow'`` (default) replaces both gram generators with
+    Arrow kernels over the SAME JVM-normalized ``_s`` column (so
+    lower/whitespace semantics cannot fork): the profile side
+    pre-aggregates (lang, gram) counts per task in a Python Counter —
+    a map-side combine that emits vocabulary-sized partials instead of
+    one row per gram occurrence — and the doc side emits per-doc
+    DISTINCT grams from a Python set instead of the interpreted
+    transform()+array_distinct HOF chain (HOF lambdas never reach
+    codegen). ``strategy='engine'`` keeps the pure-Catalyst form; the
+    equality test pins both to identical rows.
     """
     # the normalized string MUST be a projected column, not a
     # subexpression of the gram lambda: higher-order-function lambdas
@@ -986,20 +998,62 @@ def ngram_language_id(docs: DataFrame, n: int = 3, profile_k: int = 50,
     # exchange is NOT reused (no ReusedExchange/ReusedQueryStage in
     # the executed plan), and the extra aggregation only added work
     # (task 20.2 -> 23.1 s, cpu 16.8 -> 19.3 s at sf0.1).
-    # Profile side generates grams by exploding POSITIONS and slicing
+    # Profile side (engine): grams by exploding POSITIONS and slicing
     # with a top-level substring — whole-stage codegen — instead of the
     # interpreted transform()-array + explode (HOF lambdas never
     # codegen). Alternating same-session A/B at sf0.1: task 7.2 -> 5.5,
-    # cpu 5.9 -> 4.9 s, identical output. The doc side keeps the array
-    # form: it needs per-doc array_distinct before exploding (the
+    # cpu 5.9 -> 4.9 s, identical output. The engine doc side keeps the
+    # array form: it needs per-doc array_distinct before exploding (the
     # distinct-agg alternative adds an Expand that costs more).
-    prof_counts = (
-        base.select(lang_col, "_s",
-                    F.explode(F.sequence(F.lit(1), k_grams)).alias("_i"))
-        .select(lang_col, F.col("_s").substr(F.col("_i"), F.lit(n)).alias("gram"))
-        .groupBy(lang_col, "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    if strategy == "arrow":
+        import pandas as pd
+
+        id_type = docs.schema[id_col].dataType.simpleString()
+        lang_type = docs.schema[lang_col].dataType.simpleString()
+
+        def prof_kernel(batches):
+            from collections import Counter
+
+            counts: Counter = Counter()
+            for pdf in batches:
+                for lang, s in zip(pdf[lang_col], pdf["_s"]):
+                    if s is None:
+                        # engine twin: greatest(NULL-2, 1) = 1 (greatest
+                        # skips NULLs), so a NULL _s contributes ONE
+                        # NULL gram — and that (lang, NULL) count can
+                        # legitimately occupy a top-k profile slot
+                        # (NULLS FIRST in the rank tiebreak), so it
+                        # must be counted, not skipped
+                        counts[(lang, None)] += 1
+                        continue
+                    m = len(s)
+                    if m <= n - 1:
+                        # engine twin: sequence(1, greatest(..,1)) slices
+                        # ONE gram — the whole (possibly empty) string
+                        counts[(lang, s)] += 1
+                    else:
+                        for j in range(m - n + 1):
+                            counts[(lang, s[j:j + n])] += 1
+            if counts:
+                rows = [(lg, g, c) for (lg, g), c in counts.items()]
+                yield pd.DataFrame(rows, columns=[lang_col, "gram", "cnt"])
+
+        prof_counts = (
+            base.select(lang_col, "_s")
+            .mapInPandas(prof_kernel, f"{lang_col} {lang_type}, gram string, cnt long")
+            .groupBy(lang_col, "gram")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        if strategy != "engine":
+            raise ValueError(f"strategy must be arrow|engine, got {strategy!r}")
+        prof_counts = (
+            base.select(lang_col, "_s",
+                        F.explode(F.sequence(F.lit(1), k_grams)).alias("_i"))
+            .select(lang_col, F.col("_s").substr(F.col("_i"), F.lit(n)).alias("gram"))
+            .groupBy(lang_col, "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
     w = Window.partitionBy(lang_col).orderBy(F.desc("cnt"), F.asc("gram"))
     profile = (
         prof_counts.withColumn("_rk", F.row_number().over(w))
@@ -1007,10 +1061,38 @@ def ngram_language_id(docs: DataFrame, n: int = 3, profile_k: int = 50,
         .select(F.col(lang_col).alias("_plang"), "gram")
     )
     # document side: DISTINCT grams (set overlap, not weighted)
-    doc_grams = base.select(
-        F.col(id_col), F.col(lang_col),
-        F.explode(F.array_distinct(grams)).alias("gram"),
-    )
+    if strategy == "arrow":
+        def doc_kernel(batches):
+            for pdf in batches:
+                ids: list = []
+                langs: list = []
+                gs: list = []
+                for doc_id, lang, s in zip(pdf[id_col], pdf[lang_col], pdf["_s"]):
+                    if s is None:
+                        # engine twin: one (id, lang, NULL) gram row
+                        ids.append(doc_id)
+                        langs.append(lang)
+                        gs.append(None)
+                        continue
+                    m = len(s)
+                    if m <= n - 1:
+                        doc_set = {s}
+                    else:
+                        doc_set = {s[j:j + n] for j in range(m - n + 1)}
+                    for g in doc_set:
+                        ids.append(doc_id)
+                        langs.append(lang)
+                        gs.append(g)
+                yield pd.DataFrame({id_col: ids, lang_col: langs, "gram": gs})
+
+        doc_grams = base.mapInPandas(
+            doc_kernel, f"{id_col} {id_type}, {lang_col} {lang_type}, gram string"
+        )
+    else:
+        doc_grams = base.select(
+            F.col(id_col), F.col(lang_col),
+            F.explode(F.array_distinct(grams)).alias("gram"),
+        )
     overlaps = (
         doc_grams.join(F.broadcast(profile), "gram")
         .groupBy(id_col, lang_col, "_plang")

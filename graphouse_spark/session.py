@@ -159,6 +159,13 @@ def get_spark(app_name: str = "graphouse-spark", shuffle_partitions: int | None 
         # of driver latency to BUILD an expression-heavy plan. Purely
         # an error-message nicety; results are unaffected.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # Spark 4.1 can run the JVM<->Python-worker channel over Unix
+        # domain sockets instead of a fresh TCP loopback connection +
+        # auth handshake per task. Probe (trivial 32-task mapInPandas,
+        # 6 runs): task time 1.8-2.2 s -> 0.6-1.0 s per run; every
+        # Python-kernel stage pays this floor, on a real executor node
+        # exactly as in local mode. Results are transport-independent.
+        .config("spark.python.unix.domain.socket.enabled", "true")
     )
     local_dir = _default_local_dir()
     if local_dir:
