@@ -225,8 +225,8 @@ def winnow_overlap_pairs(docs: DataFrame, k: int = 8, window: int = 4,
 
     Pair generation is ONE aggregation, not a self-join: group by
     fingerprint, collect the (sorted) doc list per fingerprint, emit
-    in-list pair combinations with a nested ``transform``, then count
-    per pair. Two shuffles total (by fp, then by pair) versus the
+    in-list pair combinations by exploding positions against tail
+    slices (codegen expressions), then count per pair. Two shuffles total (by fp, then by pair) versus the
     self-join shape's four (df-count, semi-join probe, join, final agg)
     — and the df cap becomes a free ``size(ids) <= cap`` filter on the
     already-collected list. Pair volume still tracks true overlap
@@ -261,20 +261,26 @@ def winnow_overlap_pairs(docs: DataFrame, k: int = 8, window: int = 4,
             .filter(F.size("ids") <= F.greatest(F.lit(2), F.floor(F.col("_n") * max_df)))
             .drop("_n")
         )
-    # all pairs (ids[i], ids[j]) with i < j: for each element, pair it
-    # with every later element (slice is 1-based; i is 0-based)
-    pairs = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + F.lit(2), F.size("ids")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # all pairs (ids[i], ids[j]) with i < j — codegen form (r13 opt):
+    # explode the id_a POSITION, then explode the tail slice. Two
+    # Generate nodes over top-level expressions replace the nested
+    # interpreted transform() lambdas that built a struct array per
+    # group (HOF lambdas never reach codegen; the struct allocation was
+    # most of the pair-stage cost). A/B at sf0.1: bench args (k=16,
+    # window=8, min_shared=3) wall 0.90 -> 0.75 s, cpu 2.34 -> 1.93 s;
+    # default args (1.6M pairs) wall 3.84 -> 2.73 s. Rows identical in
+    # both. `lists` is already filtered to size >= 2, so the position
+    # sequence is always non-empty.
     return (
-        lists.select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        lists.select(
+            "ids",
+            F.expr("explode(sequence(1, size(ids) - 1))").alias("_i"),
+        )
+        .select(
+            F.element_at("ids", F.col("_i")).alias("id_a"),
+            F.explode(F.slice("ids", F.col("_i") + 1, F.size("ids"))).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
@@ -880,8 +886,9 @@ def ngram_lm_scores(docs: DataFrame, alpha: float = 0.5,
     Documents with < 2 tokens score null (no transitions).
 
     Plan shape (scales as three corpus passes, never pairwise):
-    1. one posexplode-free bigram extraction per doc — ``arrays_zip``
-       of the token array against its shift, a per-row projection;
+    1. one bigram extraction per doc — explode transition POSITIONS and
+       index the token array with ``element_at`` (top-level codegen
+       expressions, no interpreted lambda);
     2. corpus model = two aggregates over the exploded bigrams/tokens
        (map-side partial combine; the model tables are vocabulary- and
        vocabulary²-bounded, orders of magnitude under the corpus);
@@ -899,14 +906,23 @@ def ngram_lm_scores(docs: DataFrame, alpha: float = 0.5,
     """
     toks = tokens_col(F.col(text_col))
     base = docs.select(F.col(id_col), toks.alias("_toks"))
-    pairs = F.expr(
-        "CASE WHEN size(_toks) < 2 THEN array() "
-        "ELSE transform(sequence(1, size(_toks) - 1), "
-        "     i -> struct(_toks[i-1] AS w1, _toks[i] AS w2)) END"
-    )
+    # codegen form (r13 opt, same §4.1 rewrite as the langid/span
+    # generators): explode POSITIONS and index with element_at — all
+    # top-level expressions — instead of materializing a struct array
+    # inside an interpreted transform() lambda (HOF lambdas never reach
+    # codegen). A/B at sf0.1 (doc_ppl_buckets, min of 3): task/cpu
+    # 1.02/1.01 -> 0.67/0.67 s, rows identical. Spreading the narrow
+    # scan over cores was also tried and rejected: the repartition
+    # exchange cost more task time than the whole serial stage.
     bigrams = base.select(
-        F.col(id_col), F.explode(pairs).alias("_bg")
-    ).select(F.col(id_col), F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+        F.col(id_col), F.col("_toks"),
+        F.expr("explode(CASE WHEN size(_toks) < 2 THEN array() "
+               "ELSE sequence(1, size(_toks) - 1) END)").alias("_i"),
+    ).select(
+        F.col(id_col),
+        F.element_at("_toks", F.col("_i")).alias("w1"),
+        F.element_at("_toks", F.col("_i") + 1).alias("w2"),
+    )
     tokens = base.select(F.col(id_col), F.explode("_toks").alias("token"))
     uni = tokens.groupBy(F.col("token").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
     bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))

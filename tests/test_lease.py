@@ -108,7 +108,11 @@ def test_interleaved_compaction_and_mutation_lose_nothing(spark, tmp_path):
     errors = []
 
     def retrying(fn):
-        for _ in range(200):
+        # deadline-based, not count-based: under full-suite load the
+        # winner's compaction can hold the lease well past the 20 s a
+        # 200x0.1s loop allows (observed flake on a loaded local[32]box)
+        deadline = time.monotonic() + 180
+        while time.monotonic() < deadline:
             try:
                 return fn()
             except LeaseHeld:
