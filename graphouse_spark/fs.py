@@ -174,24 +174,55 @@ class Fs:
         ``.date=*.new`` partition never leaks into a zonemap or size
         audit (an os.walk-based listing descended into them). One
         RemoteIterator — a single round of RPCs even on a million-file
-        table, where a per-dir walk issues one listing per directory."""
+        table, where a per-dir walk issues one listing per directory.
+
+        Robust to paths VANISHING mid-walk: a concurrent Spark commit
+        creates and deletes ``_temporary`` scratch under the live dir
+        (``rewrite_tags_atomic``'s snapshot listing deliberately runs
+        outside the append lock), and the recursive RemoteIterator
+        descends into hidden dirs at the Java level — when an entry it
+        is about to stat disappears, ``hasNext`` throws (local FS: a
+        RuntimeException from the permission ``ls``; HDFS:
+        FileNotFoundException). Committed VISIBLE files are never
+        deleted concurrently (every swap/delete protocol holds the
+        rewrite serial mutex or the writer lease), so re-listing from
+        scratch converges; only transient hidden scratch can vanish.
+        Reproduced deterministically with a lister thread racing
+        ``write_tags`` appends (r13; previously a rare in-suite flake
+        in test_write_tags_appends_serialize_with_rewrite)."""
+        from py4j.protocol import Py4JJavaError
+
         jroot = self._jpath(root)
-        if not self._fs.exists(jroot):
-            return []
-        root_uri = self._out(self._fs.makeQualified(jroot)).rstrip("/")
-        out = []
-        it = self._fs.listFiles(jroot, True)
-        while it.hasNext():
-            st = it.next()
-            p = self._out(st.getPath())
-            if not p.endswith(suffix):
-                continue
-            if not hidden:
-                rel = p[len(root_uri):] if p.startswith(root_uri) else p
-                if any(seg and seg[0] in "._" for seg in rel.split("/")):
+        root_uri = None
+        last_err = None
+        for _attempt in range(5):
+            if not self._fs.exists(jroot):
+                return []
+            if root_uri is None:
+                root_uri = self._out(self._fs.makeQualified(jroot)).rstrip("/")
+            out = []
+            try:
+                it = self._fs.listFiles(jroot, True)
+                while it.hasNext():
+                    st = it.next()
+                    p = self._out(st.getPath())
+                    if not p.endswith(suffix):
+                        continue
+                    if not hidden:
+                        rel = p[len(root_uri):] if p.startswith(root_uri) else p
+                        if any(seg and seg[0] in "._" for seg in rel.split("/")):
+                            continue
+                    out.append((p, int(st.getLen())))
+                return sorted(out)
+            except Py4JJavaError as e:
+                msg = str(e)
+                if ("FileNotFoundException" in msg
+                        or "No such file or directory" in msg
+                        or "File does not exist" in msg):
+                    last_err = e
                     continue
-            out.append((p, int(st.getLen())))
-        return sorted(out)
+                raise
+        raise last_err
 
     def copy_file(self, src: str, dst: str) -> None:
         """Copy one file (used for carrying concurrent appends into a

@@ -72,6 +72,73 @@ def test_list_files_skips_hidden_dirs(spark, tmp_path):
     assert len(everything) == 4
 
 
+def test_list_files_retries_when_path_vanishes_mid_walk(spark, tmp_path):
+    """A concurrent Spark commit creates and deletes _temporary scratch
+    under a live dir while rewrite_tags_atomic's snapshot listing walks
+    it (the snapshot deliberately runs outside the append lock); the
+    recursive RemoteIterator then throws from hasNext when an entry it
+    is about to stat disappears. list_files must re-list and converge
+    instead of surfacing the transient error (reproduced as a rare
+    in-suite flake of test_write_tags_appends_serialize_with_rewrite)."""
+    from py4j.protocol import Py4JJavaError
+
+    d = str(tmp_path)
+    with open(f"{d}/a.parquet", "w") as fh:
+        fh.write("x")
+    fs = get_fs(d, spark)
+    real_jfs = fs._fs
+    calls = {"n": 0}
+
+    class _BoomIter:
+        def hasNext(self):
+            jexc = spark._jvm.java.io.FileNotFoundException(
+                "vanished mid-walk (simulated)")
+            raise Py4JJavaError("An error occurred while calling hasNext.\n",
+                                jexc)
+
+    class _FlakyJfs:
+        def __getattr__(self, name):
+            return getattr(real_jfs, name)
+
+        def listFiles(self, jroot, recursive):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                return _BoomIter()
+            return real_jfs.listFiles(jroot, recursive)
+
+    fs._fs = _FlakyJfs()
+    try:
+        out = [p for p, _ in fs.list_files(d)]
+    finally:
+        fs._fs = real_jfs
+    assert calls["n"] == 2
+    assert out == [f"{d}/a.parquet"]
+
+    # a non-vanished-path Java error must NOT be swallowed or retried
+    class _FatalIter:
+        def hasNext(self):
+            jexc = spark._jvm.java.lang.IllegalStateException("broken fs")
+            raise Py4JJavaError("An error occurred while calling hasNext.\n",
+                                jexc)
+
+    class _FatalJfs:
+        def __getattr__(self, name):
+            return getattr(real_jfs, name)
+
+        def listFiles(self, jroot, recursive):
+            calls["n"] += 1
+            return _FatalIter()
+
+    calls["n"] = 0
+    fs._fs = _FatalJfs()
+    try:
+        with pytest.raises(Py4JJavaError):
+            fs.list_files(d)
+    finally:
+        fs._fs = real_jfs
+    assert calls["n"] == 1
+
+
 def test_write_read_text_roundtrip(spark, tmp_path):
     d = str(tmp_path)
     fs = get_fs(d, spark)
