@@ -215,9 +215,19 @@ def test_tag_index_plans_at_most_linear_10x(spark):
         small, big = per_size[1_000_000], per_size[10_000_000]
 
         def remeasure(exprs=exprs):
+            # same confirm-before-fail hardening as the backfill gate:
+            # settle accumulated in-suite JVM state and take deeper
+            # min-of-3 samples — observed one in-suite trip of
+            # all_negative_eq at 12.5x/12.9x (task AND cpu inflated
+            # together after ~30 min of suite in the shared JVM) whose
+            # isolated rerun passed in 146 s well under budget
+            spark = svcs[1_000_000].spark
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(2)
             return tuple(
                 _run_one(meter,
-                         lambda n=n: svcs[n]._tagged_names(exprs).count())
+                         lambda n=n: svcs[n]._tagged_names(exprs).count(),
+                         repeats=3)
                 for n in (1_000_000, 10_000_000))
 
         _gate(shape, small, big, budget, remeasure)
@@ -240,6 +250,10 @@ def test_tag_index_plans_at_most_linear_10x(spark):
         small, big = per_size[1_000_000], per_size[10_000_000]
 
         def remeasure(exprs=exprs):
+            # same GC-settle + min-of-3 confirm-before-fail hardening
+            # as the gates above (in-suite JVM-state flake class)
+            svcs[1_000_000].spark.sparkContext._jvm.System.gc()
+            time.sleep(2)
             out = []
             for n in (1_000_000, 10_000_000):
                 svc = svcs[n]
@@ -248,7 +262,8 @@ def test_tag_index_plans_at_most_linear_10x(spark):
                 try:
                     out.append(_run_one(
                         meter,
-                        lambda n=n: svcs[n]._tagged_names(exprs).count()))
+                        lambda n=n: svcs[n]._tagged_names(exprs).count(),
+                        repeats=3))
                 finally:
                     del svc.__dict__["_regex_value_list"]
             return tuple(out)
