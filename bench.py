@@ -448,6 +448,13 @@ def main() -> None:
         # against this, not as plan changes
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
+        # self-evidencing CPU contract (round-13 verdict #2): the
+        # effective master / parallelism this run actually used, so a
+        # low-core driver run proves $SPARK_GRAFT_CPUS was honored
+        # from the artifact alone
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
         "detail": "BENCH_DETAIL.json",
         "sf": sf,
     }, separators=(",", ":")))

@@ -16,6 +16,8 @@ GraphiteMergeTree -> rollup job).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import SparkSession
 
 #: CH scalar function -> (SQL UDF signature, expression body).
@@ -250,10 +252,14 @@ ARRAY_EQUIVALENTS: dict[str, str] = {
 }
 
 
-#: sessions (by applicationId) whose catalog already carries the shims —
-#: registration is ~70 spark.sql() round trips (measured 0.7 s of driver
-#: latency), pure session-level catalog setup, so do it once per session
-_REGISTERED: set = set()
+#: sessions whose catalog already carries the shims — registration is
+#: ~70 spark.sql() round trips (measured 0.7 s of driver latency), pure
+#: session-level catalog setup, so do it once per session. Keyed on the
+#: SESSION OBJECT (WeakSet), not applicationId: temporary functions are
+#: per-SparkSession, and a cloned session (newSession(), thread-local
+#: sessions) shares the applicationId but NOT the temp-function
+#: registry — an id-keyed memo would silently skip registration there.
+_REGISTERED: weakref.WeakSet = weakref.WeakSet()
 
 
 def register_ch_dialect(spark: SparkSession, force: bool = False) -> int:
@@ -266,8 +272,7 @@ def register_ch_dialect(spark: SparkSession, force: bool = False) -> int:
     functions are live."""
     n_total = sum(len(f) for f in
                   (CH_SQL_FUNCTIONS, CH_URL_FUNCTIONS, CH_JSON_FUNCTIONS))
-    app_id = spark.sparkContext.applicationId
-    if not force and app_id in _REGISTERED:
+    if not force and spark in _REGISTERED:
         return n_total
     registered = 0
     for family in (CH_SQL_FUNCTIONS, CH_URL_FUNCTIONS, CH_JSON_FUNCTIONS):
@@ -276,5 +281,5 @@ def register_ch_dialect(spark: SparkSession, force: bool = False) -> int:
                 f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{signature} RETURN {body}"
             )
             registered += 1
-    _REGISTERED.add(app_id)
+    _REGISTERED.add(spark)
     return registered

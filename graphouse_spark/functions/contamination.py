@@ -27,6 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: entry cap for the per-task gram-hash memo (guide §5): bounds Python
+#: worker RSS on high-cardinality splits; captured at plan-build time
+#: so tests can shrink it.
+_MEMO_CAP = 1 << 20
+
 
 
 def _hashed_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int,
@@ -93,7 +98,15 @@ def _hashed_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int,
     ws = re.compile(r"\s+", re.ASCII)
     pre_tokenized = tokens_col is not None
 
+    # captured here (driver-side) so a monkeypatched _MEMO_CAP reaches
+    # the pickled kernel closure
+    _CAP = _MEMO_CAP
+
     def kernel(batches):
+        # Bounded per-task memo (guide §5): the within-batch/doc
+        # repetition carries the win; an unbounded dict over every
+        # distinct gram in a 128 MB split of documents can reach GBs
+        # of Python-worker RSS at corpus scale.
         hcache: dict = {}
         _md5 = hashlib.md5
         for pdf in batches:
@@ -129,11 +142,19 @@ def _hashed_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int,
                 for g in grams:
                     h = hcache.get(g)
                     if h is None:
+                        if len(hcache) >= _CAP:
+                            hcache.clear()
                         h = hcache[g] = int.from_bytes(
                             _md5(g.encode("utf-8")).digest()[:8], "big") >> 4
                     out_ids.append(doc_id)
                     out_hashes.append(h)
-            yield pd.DataFrame({id_col: out_ids, "gram": out_hashes})
+            # nullable Int64, never inferred float64: a NULL-doc row in
+            # the batch would otherwise make pandas infer float64 for
+            # the whole gram column, silently rounding 60-bit hashes
+            # past float64's 53-bit mantissa (same guard as simhash_np)
+            yield pd.DataFrame(
+                {id_col: out_ids,
+                 "gram": pd.array(out_hashes, dtype="Int64")})
 
     return spread.select(id_col, src).mapInPandas(
         kernel, f"{id_col} {id_type}, gram long"

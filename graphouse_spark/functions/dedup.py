@@ -23,6 +23,13 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: entry caps for the per-task hash memos (guide §5): bound Python
+#: worker RSS on high-cardinality splits; captured at plan-build time
+#: so tests can shrink them. The row-cache cap is lower — each simhash
+#: entry holds a 64-element int64 row (~0.5 KB).
+_MEMO_CAP = 1 << 20
+_ROWCACHE_CAP = 1 << 18
+
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: one row per distinct content hash.
@@ -163,6 +170,8 @@ def minhash_signatures_np(docs: DataFrame, text_col: str = "text", id_col: str =
     # token stream on non-ASCII docs
     ws = re.compile(r"\s+", re.ASCII)
 
+    _CAP = _MEMO_CAP  # captured driver-side so tests can shrink it
+
     def kernel(batches):
         # per-TASK memo of the shingle hash (guide §4.5: heavyweight
         # work once per task): near-dup corpora repeat shingles heavily
@@ -171,6 +180,9 @@ def minhash_signatures_np(docs: DataFrame, text_col: str = "text", id_col: str =
         # instead of once per occurrence. int.from_bytes(digest[:4]) is
         # the same value as int(hexdigest[:8], 16) without building and
         # parsing the hex string — bit-identical family, same oracle.
+        # Bounded (guide §5): unbounded growth over every distinct
+        # shingle in a large text partition would balloon worker RSS;
+        # the within-batch repetition carries most of the hit rate.
         hcache: dict = {}
         _md5 = hashlib.md5
         for pdf in batches:
@@ -194,6 +206,8 @@ def minhash_signatures_np(docs: DataFrame, text_col: str = "text", id_col: str =
                 for i, s in enumerate(shingles):
                     h = hcache.get(s)
                     if h is None:
+                        if len(hcache) >= _CAP:
+                            hcache.clear()
                         h = hcache[s] = int.from_bytes(
                             _md5(s.encode("utf-8")).digest()[:4], "big")
                     hs[i] = h
@@ -408,6 +422,8 @@ def simhash_np(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shifts = np.arange(bits, dtype=np.uint64)
     masks = (np.uint64(1) << shifts).astype(np.int64)
 
+    _CAP = _ROWCACHE_CAP  # captured driver-side so tests can shrink it
+
     def kernel(batches):
         # per-TASK memo of each distinct token's bit row (guide §4.5):
         # documents of one corpus share most of their vocabulary, so
@@ -415,6 +431,8 @@ def simhash_np(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         # instead of once per (doc, token). int.from_bytes(digest[:8])
         # >> 4 is the same value as int(hexdigest[:15], 16) without
         # building and parsing the hex string — bit-identical family.
+        # Bounded (guide §5): each entry holds a 64-element int64 row
+        # (~0.5 KB) — an unbounded vocabulary would OOM the worker.
         rcache: dict = {}
         _md5 = hashlib.md5
         _one, _four = np.uint64(1), np.uint64(4)
@@ -436,6 +454,8 @@ def simhash_np(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 for t in toks:
                     r = rcache.get(t)
                     if r is None:
+                        if len(rcache) >= _CAP:
+                            rcache.clear()
                         h = np.uint64(int.from_bytes(
                             _md5(t.encode("utf-8")).digest()[:8], "big")) >> _four
                         r = rcache[t] = ((h >> shifts) & _one).astype(np.int64)

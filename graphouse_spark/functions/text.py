@@ -26,6 +26,11 @@ STOPWORDS = {
 #: BPE-ish token boundary: words, numbers, or single punctuation/symbol
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+#: entry cap for per-task kernel state (guide §5): bounds Python worker
+#: RSS on high-cardinality splits; captured at plan-build time so tests
+#: can shrink it.
+_MEMO_CAP = 1 << 20
+
 
 def tokens_col(text: Column) -> Column:
     """Whitespace tokens (lowercased, empties dropped)."""
@@ -1027,11 +1032,23 @@ def ngram_language_id(docs: DataFrame, n: int = 3, profile_k: int = 50,
         id_type = docs.schema[id_col].dataType.simpleString()
         lang_type = docs.schema[lang_col].dataType.simpleString()
 
+        _CAP = _MEMO_CAP  # captured driver-side so tests can shrink it
+
         def prof_kernel(batches):
             from collections import Counter
 
+            # Bounded partial-aggregation state (guide §5): when the
+            # per-task vocabulary outgrows the cap, flush the partials
+            # as an output batch and start a fresh Counter — the
+            # downstream groupBy sums partials, so results are
+            # unchanged; only the combine ratio degrades.
             counts: Counter = Counter()
             for pdf in batches:
+                if len(counts) >= _CAP:
+                    yield pd.DataFrame(
+                        [(lg, g, c) for (lg, g), c in counts.items()],
+                        columns=[lang_col, "gram", "cnt"])
+                    counts = Counter()
                 for lang, s in zip(pdf[lang_col], pdf["_s"]):
                     if s is None:
                         # engine twin: greatest(NULL-2, 1) = 1 (greatest

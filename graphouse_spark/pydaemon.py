@@ -19,11 +19,14 @@ any fork, so every worker inherits it and even the first task per worker is
 fast.
 
 Activated by ``spark.python.daemon.module=graphouse_spark.pydaemon`` (a
-stock Spark conf, set in session.get_spark); requires this package to be
-importable by the worker Python, which the engine already requires for its
-kernels. Safe no-op if some worker Python lacks the package: Spark falls
-back to the default daemon only if this module fails to import, in which
-case behavior is stock-slow, never wrong.
+stock Spark conf, set in session.get_spark); REQUIRES this package to be
+importable by the worker Python. There is no automatic fallback: if the
+worker Python cannot import this module, PythonWorkerFactory fails the
+task outright rather than running the stock daemon. get_spark only sets
+the conf for its own ``local[...]`` master (where the PYTHONPATH it also
+sets makes the package importable by construction); cluster deploys must
+ship the package to executors before opting in — ``cluster_conf()``
+deliberately does not include it.
 """
 
 from __future__ import annotations

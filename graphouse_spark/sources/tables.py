@@ -317,6 +317,18 @@ def tag_metrics_path(tags_path: str) -> str:
 #: values, still few enough files that footer reads stay negligible
 TAG_VALUES_FILES = 8
 
+
+def tag_values_files(n_index_rows: int) -> int:
+    """Scale-adaptive sub-index file spread (guide §2: derive
+    partitioning from input size, not a constant): keep per-file
+    sorted runs at ~2.5M rows. A constant spread makes the
+    per-partition sort depth — and so the n·log(n) growth the scale
+    gates read — grow with the index; deriving from the row count the
+    backfill already has keeps sort depth roughly flat as the index
+    grows. Bounded [TAG_VALUES_FILES, 256]; small indexes are
+    unchanged."""
+    return max(TAG_VALUES_FILES, min(256, n_index_rows // 2_500_000))
+
 #: rows above which :func:`write_tags` abandons the one-file-per-batch
 #: micro-batch layout for the parallel backfill layout. ~1M exploded
 #: tag rows is far past any streaming batch (those carry only NEW

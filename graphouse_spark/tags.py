@@ -487,6 +487,58 @@ def parse_tagged_lines(lines, updated=None, line_col: str = "value",
     return parsed.withColumn("name", canonical_col(name))
 
 
+def exploded_tag_rows(df, name_col: str, passthrough: list[str]):
+    """``(metric, tag, value, *passthrough)`` rows of each (assumed
+    distinct) name — row-for-row identical to
+    ``explode(tags_map_col(name))`` but shaped for codegen (§4.1 of the
+    optimization guide): instead of building a ``map`` through five
+    interpreted higher-order-function passes plus ``map_from_entries``/
+    ``map_concat`` and exploding it, posexplode the raw ``k=v`` SEGMENT
+    strings and derive (tag, value) per exploded row with top-level
+    ``substring_index``/``substring`` expressions (whole-stage
+    codegen). Only two interpreted HOF passes remain per name (the
+    segment filter and the keys array the first-occurrence-wins dedup
+    needs). Measured on the 10M-name backfill: the explode stage's
+    task time dropped ~2x (see OPTIMIZATION_r14.md).
+
+    Semantics replicated exactly (pinned by
+    tests/test_tags.py::test_exploded_tag_rows_matches_map_explode):
+    implicit ``name`` row first, first-occurrence-wins duplicate-key
+    dedup, explicit ``name=`` pairs dropped, untagged names yield only
+    their ``name`` row, NULL name yields ('name', NULL)."""
+    metric = F.col(name_col)
+    path = F.substring_index(metric, ";", 1)
+    pairs = _tag_pairs(metric)
+    key = lambda s: F.substring_index(s, "=", 1)  # noqa: E731
+    keys = F.transform(pairs, key)
+    entries = F.when(metric.contains(";"),
+                     F.concat(F.array(path), pairs)).otherwise(F.array(path))
+    # position 0 is the implicit name entry; positions >= 1 are the k=v
+    # segments, kept when not an explicit name= pair and when this is
+    # the key's FIRST occurrence (array_position is 1-based over the
+    # pairs array, whose 1-based index equals _i here)
+    return (
+        df.select(metric, *[F.col(c) for c in passthrough],
+                  keys.alias("_keys"),
+                  F.posexplode(entries).alias("_i", "_seg"))
+        .filter((F.col("_i") == 0)
+                | ((F.substring_index(F.col("_seg"), "=", 1) != "name")
+                   & (F.array_position(F.col("_keys"),
+                                       F.substring_index(F.col("_seg"), "=", 1))
+                      == F.col("_i"))))
+        .select(
+            metric.alias("metric"),
+            F.when(F.col("_i") == 0, F.lit("name"))
+            .otherwise(F.substring_index(F.col("_seg"), "=", 1)).alias("tag"),
+            F.when(F.col("_i") == 0, F.col("_seg"))
+            .otherwise(F.substring(F.col("_seg"),
+                                   F.instr(F.col("_seg"), "=") + F.lit(1),
+                                   F.length(F.col("_seg")))).alias("value"),
+            *[F.col(c) for c in passthrough],
+        )
+    )
+
+
 def tag_index_rows(names, updated_col: str = "updated",
                    name_col: str = "name"):
     """Explode tagged names into persisted tag-index rows
@@ -498,14 +550,10 @@ def tag_index_rows(names, updated_col: str = "updated",
     Expects one row per distinct tagged name per batch (the caller
     groups by name with max(updated)); untagged names yield only
     their ``name`` row and are filtered by the caller."""
-    tmap = tags_map_col(F.col(name_col))
-    return (
-        names.select(
-            F.col(name_col).alias("metric"),
-            F.explode(tmap).alias("tag", "value"),
-            F.to_date(F.from_unixtime(F.col(updated_col))).alias("date"),
-        )
-    )
+    with_date = names.withColumn(
+        "_tag_date", F.to_date(F.from_unixtime(F.col(updated_col))))
+    out = exploded_tag_rows(with_date, name_col, ["_tag_date"])
+    return out.withColumnRenamed("_tag_date", "date")
 
 
 def backfill_tag_index(spark, data_path: str, tags_path: str) -> int:
@@ -554,7 +602,7 @@ def _backfill_tag_index_locked(spark, data_path: str, tags_path: str,
     from graphouse_spark import manifest as mf
     from graphouse_spark.schemas import TAGS_SCHEMA
     from graphouse_spark.sources.tables import (
-        TAG_VALUES_FILES, read_data, read_tags, tag_index_writer,
+        read_data, read_tags, tag_index_writer, tag_values_files,
         tag_values_path)
 
     from graphouse_spark.sources.tables import tag_metrics_path
@@ -575,11 +623,10 @@ def _backfill_tag_index_locked(spark, data_path: str, tags_path: str,
              .filter(F.col("metric").contains(";"))
              .groupBy("metric")
              .agg(F.max("date").alias("date")))
-    rows = names.select(
-        "metric",
-        F.explode(tags_map_col(F.col("metric"))).alias("tag", "value"),
-        "date",
-    )
+    # codegen explode form (§4.1): row-identical to
+    # explode(tags_map_col(metric)), ~2x less task time on the
+    # 10M-name envelope's dominant stage — see exploded_tag_rows
+    rows = exploded_tag_rows(names, "metric", ["date"])
     from graphouse_spark.sources.tables import _metrics_slice_rows
 
     if manifest:
@@ -590,16 +637,17 @@ def _backfill_tag_index_locked(spark, data_path: str, tags_path: str,
         written = (spark.read.schema(TAGS_SCHEMA)
                    .option("basePath", stage).parquet(stage))
         n = written.count()
+        nf = tag_values_files(n)  # scale-adaptive sort/file spread (§2)
         mf.commit_table_generation(fs, tags_path, gen, now)
         vgen = mf.new_gen_name(now)
         (written.groupBy("tag", "value").agg(F.max("date").alias("date"))
-         .repartition(TAG_VALUES_FILES, "tag", "value")
+         .repartition(nf, "tag", "value")
          .sortWithinPartitions("tag", "value")
          .write.mode("overwrite").parquet(f"{vp.rstrip('/')}/{vgen}"))
         mf.commit_table_generation(fs, vp, vgen, now)
         mgen = mf.new_gen_name(now)
         (_metrics_slice_rows(written)
-         .repartition(TAG_VALUES_FILES, "metric")
+         .repartition(nf, "metric")
          .sortWithinPartitions("metric")
          .write.mode("overwrite").parquet(f"{mp.rstrip('/')}/{mgen}"))
         mf.commit_table_generation(fs, mp, mgen, now)
@@ -607,12 +655,13 @@ def _backfill_tag_index_locked(spark, data_path: str, tags_path: str,
     tag_index_writer(rows).mode("overwrite").partitionBy("date").parquet(tags_path)
     written = read_tags(spark, tags_path)
     n = written.count()
+    nf = tag_values_files(n)  # scale-adaptive sort/file spread (§2)
     (written.groupBy("tag", "value").agg(F.max("date").alias("date"))
-     .repartition(TAG_VALUES_FILES, "tag", "value")
+     .repartition(nf, "tag", "value")
      .sortWithinPartitions("tag", "value")
      .write.mode("overwrite").parquet(tag_values_path(tags_path)))
     (_metrics_slice_rows(written)
-     .repartition(TAG_VALUES_FILES, "metric")
+     .repartition(nf, "metric")
      .sortWithinPartitions("metric")
      .write.mode("overwrite").parquet(mp))
     return n

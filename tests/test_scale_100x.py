@@ -110,9 +110,20 @@ def test_core_plans_at_most_linear_to_100x(spark):
             # small-side sample distorted by accumulated JVM state
             # (in-suite runs after ~1000 tests measured 2-4x off the
             # same plan's solo numbers); a REAL plan regression is
-            # reproducible and fails both attempts
+            # reproducible and fails both attempts. r14: GC-settle and
+            # bracket each side with the host-state probe (see
+            # scale_check.host_probe) so a uniformly-distorted box —
+            # task AND cpu inflated together — does not read as growth
+            from scale_check import host_probe, probe_scaled
+
+            spark.sparkContext._jvm.System.gc()
+            import time as _time
+            _time.sleep(2)
+            pr_s = host_probe(spark, meter)
             ten = run_one(spark, meter, fn, dirs[10])
-            hundred = run_one(spark, meter, fn, dirs[100])
+            pr_b = host_probe(spark, meter)
+            hundred = probe_scaled(
+                run_one(spark, meter, fn, dirs[100]), pr_s, pr_b)
             g_run = hundred["task_sec"] / max(ten["task_sec"], 1e-9)
             g_cpu = hundred["cpu_sec"] / max(ten["cpu_sec"], 1e-9)
         # 10x the rows: linear = 10x more work. Two growth estimators:

@@ -216,19 +216,26 @@ def test_tag_index_plans_at_most_linear_10x(spark):
 
         def remeasure(exprs=exprs):
             # same confirm-before-fail hardening as the backfill gate:
-            # settle accumulated in-suite JVM state and take deeper
-            # min-of-3 samples — observed one in-suite trip of
-            # all_negative_eq at 12.5x/12.9x (task AND cpu inflated
-            # together after ~30 min of suite in the shared JVM) whose
-            # isolated rerun passed in 146 s well under budget
+            # settle accumulated in-suite JVM state, take deeper
+            # min-of-3 samples, and normalize by the host-state probe
+            # (r13 verdict #1: the trips inflate task AND cpu together
+            # — a box-state signature, not plan growth; the probe
+            # measures and cancels exactly that, clamped so a real
+            # quadratic regression still fails)
+            from scale_check import host_probe, probe_scaled
+
             spark = svcs[1_000_000].spark
             spark.sparkContext._jvm.System.gc()
             time.sleep(2)
-            return tuple(
-                _run_one(meter,
-                         lambda n=n: svcs[n]._tagged_names(exprs).count(),
-                         repeats=3)
-                for n in (1_000_000, 10_000_000))
+            pr_s = host_probe(spark, meter)
+            small = _run_one(
+                meter, lambda: svcs[1_000_000]._tagged_names(exprs).count(),
+                repeats=3)
+            pr_b = host_probe(spark, meter)
+            big = _run_one(
+                meter, lambda: svcs[10_000_000]._tagged_names(exprs).count(),
+                repeats=3)
+            return small, probe_scaled(big, pr_s, pr_b)
 
         _gate(shape, small, big, budget, remeasure)
         results[shape] = {n: r["task_sec"] for n, r in per_size.items()}
@@ -250,13 +257,18 @@ def test_tag_index_plans_at_most_linear_10x(spark):
         small, big = per_size[1_000_000], per_size[10_000_000]
 
         def remeasure(exprs=exprs):
-            # same GC-settle + min-of-3 confirm-before-fail hardening
-            # as the gates above (in-suite JVM-state flake class)
-            svcs[1_000_000].spark.sparkContext._jvm.System.gc()
+            # same GC-settle + min-of-3 + probe-normalized
+            # confirm-before-fail hardening as the gates above
+            # (in-suite JVM-state flake class)
+            from scale_check import host_probe, probe_scaled
+
+            spark = svcs[1_000_000].spark
+            spark.sparkContext._jvm.System.gc()
             time.sleep(2)
-            out = []
+            out, probes = [], []
             for n in (1_000_000, 10_000_000):
                 svc = svcs[n]
+                probes.append(host_probe(spark, meter))
                 svc._regex_value_list = (
                     lambda key, anchored, lookback=True: None)
                 try:
@@ -266,7 +278,7 @@ def test_tag_index_plans_at_most_linear_10x(spark):
                         repeats=3))
                 finally:
                     del svc.__dict__["_regex_value_list"]
-            return tuple(out)
+            return out[0], probe_scaled(out[1], probes[0], probes[1])
 
         _gate(shape, small, big, budget, remeasure)
         results[shape] = {n: r["task_sec"] for n, r in per_size.items()}
@@ -298,14 +310,21 @@ def test_tag_backfill_at_most_linear_10x(spark):
 
     def remeasure():
         # settle accumulated in-suite JVM state (the flake class this
-        # hatch exists for) and take deeper min-of-3 samples: observed
-        # one in-suite trip at 11.0x/11.7x (~ the n log n sort factor
-        # read through a contention-distorted sample); isolated rerun
-        # passed well under budget
+        # hatch exists for), take deeper min-of-3 samples, and
+        # normalize by the host-state probe: observed in-suite trips
+        # at 11.0-12.9x with task AND cpu inflated TOGETHER (isolated
+        # reruns passed well under budget) — a box-state signature the
+        # probe measures and cancels; the clamp keeps a real
+        # superlinear plan failing (r13 verdict #1)
+        from scale_check import host_probe, probe_scaled
+
         spark.sparkContext._jvm.System.gc()
         time.sleep(2)
-        return tuple(_run_one(meter, thunk_for(n), repeats=3)
-                     for n in (1_000_000, 10_000_000))
+        pr_s = host_probe(spark, meter)
+        small = _run_one(meter, thunk_for(1_000_000), repeats=3)
+        pr_b = host_probe(spark, meter)
+        big = _run_one(meter, thunk_for(10_000_000), repeats=3)
+        return small, probe_scaled(big, pr_s, pr_b)
 
     _gate("backfill_tag_index", small, big, BACKFILL_BUDGET, remeasure)
     # the r11 finding was spill-shaped before it was ratio-shaped: keep

@@ -361,6 +361,35 @@ def test_tags_map_col_is_total_on_hostile_names(spark):
     assert got[2] == {"name": "ok.m", "k": "v"}
 
 
+def test_exploded_tag_rows_matches_map_explode(spark):
+    """r14 optimization: the codegen posexplode form must be
+    row-identical to explode(tags_map_col(...)) on every hostile shape
+    the map form handles — duplicate keys (first wins), explicit name=
+    (dropped), '=' inside values, empty keys/values, pairs without '=',
+    untagged names (only the name row) including ones containing '=',
+    and NULL names (('name', NULL))."""
+    names = [
+        "a.b;x=1;x=2",                 # dup key: first wins
+        "cpu.load;name=evil;dc=1",     # explicit name= dropped
+        "ok.m;k=v",
+        "m;k=a=b;j==x",                # '=' in value, empty key
+        "m2;k=;=v;noeq;k2=v2",         # empty value, empty key, no '='
+        "plain.name",                  # untagged
+        "odd=name.no.semicolon",       # untagged but contains '='
+        "u;host=h;rack=r;dc=d;host=h2",
+        None,                          # NULL name
+    ]
+    df = spark.createDataFrame([(n, 123) for n in names],
+                               "metric string, extra int")
+    old = df.select(
+        F.col("metric"),
+        F.explode(T.tags_map_col(F.col("metric"))).alias("tag", "value"),
+        "extra")
+    new = T.exploded_tag_rows(df, "metric", ["extra"])
+    assert sorted(map(tuple, new.collect()), key=repr) == \
+        sorted(map(tuple, old.collect()), key=repr)
+
+
 def test_canonical_col_sorts_by_key_not_pair_string(spark):
     # '-' < '=' so whole-string sort would put dc-x=1 before dc=2;
     # graphite sorts by KEY: dc < dc-x

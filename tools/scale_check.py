@@ -108,6 +108,44 @@ def build(spark, copies: int, out_dir: str) -> None:
         fh.write(str(copies))
 
 
+def host_probe(spark, meter, rows: int = 40_000_000) -> dict:
+    """Fixed-work host-state probe (the bench.py calib protocol,
+    r13 verdict #1 hardening): a parallel xxhash64 fold whose task/cpu
+    time measures the box's CURRENT parallel throughput. Gate
+    remeasures bracket each size's measurement with this probe and
+    normalize by its drift, so a uniformly-distorted box — the
+    observed in-suite flake class, where task AND cpu inflate together
+    after ~30 min of suite in one shared JVM (or this VM's CPU
+    allocation visibly drifts between minutes) — no longer reads as
+    plan growth. A REAL superlinear plan inflates the measured side
+    far beyond any probe drift, and the correction is clamped to
+    [1/3, 3] so the gate cannot be normalized past a quadratic
+    regression."""
+    from pyspark.sql import functions as F
+
+    par = spark.sparkContext.defaultParallelism
+    best = None
+    for _ in range(2):
+        snap = meter.max_stage_id()
+        spark.range(rows, numPartitions=par).select(
+            F.sum(F.xxhash64("id"))).collect()
+        s = meter.since(snap)
+        if best is None or s["cpu_sec"] < best["cpu_sec"]:
+            best = s
+    return best
+
+
+def probe_scaled(big: dict, probe_small: dict, probe_big: dict) -> dict:
+    """Scale the big side's task/cpu by the probe drift measured
+    around the two sides (see :func:`host_probe`)."""
+    out = dict(big)
+    for k in ("task_sec", "cpu_sec"):
+        f = probe_small[k] / max(probe_big[k], 1e-9)
+        f = min(3.0, max(1.0 / 3.0, f))
+        out[k] = round(big[k] * f, 3)
+    return out
+
+
 def run_one(spark, meter, fn, sf_dir: str, repeats: int = 2) -> dict:
     """Warm once, then min-of-N timed runs — the same noise-robust
     estimator bench.py uses: executorRunTime is only plan-determined
