@@ -3361,16 +3361,17 @@ def q_ts_series_lists(spark, sf_dir):
     Nth of list B by name rank, point-wise divide (plus the sum
     variant) — rank from a distinct-names window, one equi-join on
     (rank, ts)."""
-    from graphouse_spark.functions.timeseries import series_lists_op
+    from graphouse_spark.functions.timeseries import series_lists_multi_op
 
     s = _series(spark, sf_dir)
     a = s.filter(F.col("metric").rlike("^(click|error)$"))
     b = s.filter(F.col("metric").rlike("^(purchase|view)$"))
-    div = series_lists_op(a, b, "divide")
-    add = series_lists_op(a, b, "sum")
+    # fused (r14, guide §2.4): both ops from ONE rank-join pass — row-
+    # identical to union(divide, sum); the union form re-ran the whole
+    # scan→distinct→window→join pipeline per op (oracle unchanged)
     return (
-        div.select("metric", "ts", "value")
-        .unionByName(add.select("metric", "ts", "value"))
+        series_lists_multi_op(a, b, ["divide", "sum"])
+        .select("metric", "ts", "value")
         .orderBy("metric", "ts")
     )
 

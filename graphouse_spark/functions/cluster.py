@@ -31,7 +31,7 @@ min(reachable node) per node — exact same component ids (min node id).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
@@ -163,18 +163,18 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
     """Near-duplicate pairs -> (doc_id, cluster_id, n_members).
 
     cluster_id = min doc_id in the component; n_members counts the
-    component's documents (one extra partial/final agg + broadcastable
-    join back — components are tiny relative to the corpus).
+    component's documents via a count window over the labels (r14,
+    guide §2.4: the earlier aggregate+join-back duplicated the labels
+    subtree on both sides of a self-join — neither ReuseExchange nor
+    AQE's stage cache collapsed the copies; the window is one linear
+    pass with the same per-component colocation the join needed).
     """
     comp = connected_components(pairs, id_a, id_b)
-    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
-    return (
-        comp.join(sizes, "component")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("component").alias("cluster_id"),
-            "n_members",
-        )
+    wc = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.count(F.lit(1)).over(wc).alias("n_members"),
     )
 
 
@@ -237,10 +237,17 @@ def simhash_dedup_clusters(docs: DataFrame, max_hamming: int = 2,
         .filter(F.col("_in"))
     )
     members = sigs.join(labeled, "simhash").select(id_col, "cluster_id")
-    sizes = members.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
-    return members.join(sizes, "cluster_id").select(
-        F.col(id_col).alias("doc_id") if id_col != "doc_id" else id_col,
-        "cluster_id", "n_members")
+    # n_members via a count window, not an aggregate joined back: the
+    # join form put `members` on BOTH sides of a self-join and the
+    # whole sigs⋈labeled subtree was computed twice (verified in
+    # plans/r14/doc_dedup_clusters_before.txt — no exchange reuse);
+    # the window is one linear pass with the same per-cluster
+    # colocation the join needed (guide §2.4)
+    wc = Window.partitionBy("cluster_id")
+    return members.select(
+        F.col(id_col).alias("doc_id") if id_col != "doc_id" else F.col(id_col),
+        "cluster_id",
+        F.count(F.lit(1)).over(wc).alias("n_members"))
 
 
 def cluster_representatives(docs: DataFrame, clusters: DataFrame,

@@ -114,25 +114,30 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
     zero/df=N blowups). Returns (doc_id, token, tf, tfidf, rank) with a
     token-asc tiebreak so ranks are deterministic on every engine.
 
-    Plan shape: one explode -> (doc, token) count [shuffle on (doc,
-    token)] -> document frequency as a second partial/final agg on
-    token -> idf joined back (token df table is vocabulary-sized —
-    orders of magnitude under the corpus, broadcastable) -> per-doc
-    top-k window. N comes from a one-row aggregate cross-joined in
-    (broadcast), not a driver-side collect.
+    Plan shape (r14, guide §2.4): one explode -> (doc, token) count
+    [shuffle on (doc, token)] -> document frequency as a COUNT WINDOW
+    over tf partitioned by token [one shuffle of tf] -> per-doc top-k
+    window. The earlier join-back formulation (df as a separate
+    aggregate broadcast-joined onto tf) duplicated the whole
+    scan→explode→tf subtree in the physical plan — tf appears on both
+    sides of a self-join and neither Catalyst's ReuseExchange nor
+    AQE's stage cache collapsed the copies (verified in
+    plans/r14/doc_tfidf_topk_before.txt: two Scan→Generate→Exchange
+    chains) — so the corpus was exploded and shuffled twice. The
+    window form is a single linear pipeline: nothing to fail to reuse.
+    Same colocation requirement at scale as the join it replaces
+    (rows of one token meet in one partition either way once df
+    outgrows a broadcast); df itself is the same integer. N comes
+    from a one-row aggregate cross-joined in (broadcast), not a
+    driver-side collect.
     """
     toks = docs.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token"))
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    # document frequency from tf, not from a second scan of toks: tf is
-    # already one row per (doc, token), so df is a plain count — no
-    # count_distinct Expand, and Catalyst reuses tf's exchange instead
-    # of re-exploding the corpus
-    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
-    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    wdf = Window.partitionBy("token")
+    idf = F.log((F.col("n_docs") + 1) / (F.count(F.lit(1)).over(wdf) + 1)) + 1
     scored = (
-        tf.join(F.broadcast(df_), "token")
-        .crossJoin(F.broadcast(n_docs))
+        tf.crossJoin(F.broadcast(n_docs))
         .select(
             id_col, "token", "tf",
             F.round(F.col("tf") * idf, 6).alias("tfidf"),

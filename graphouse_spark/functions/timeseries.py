@@ -2089,10 +2089,38 @@ def series_lists_op(a: DataFrame, b: DataFrame, op: str,
     names = {"divide": "divideSeries", "sum": "sumSeries",
              "diff": "diffSeries", "multiply": "multiplySeries",
              "average": "averageSeries"}
-    try:
-        combine = ops[op]
-    except KeyError:
-        raise ValueError(f"unknown list op {op!r}; supported: {sorted(ops)}") from None
+    if op not in ops:
+        raise ValueError(f"unknown list op {op!r}; supported: {sorted(ops)}")
+    return series_lists_multi_op(a, b, [op], metric_col, ts_col, value_col)
+
+
+def series_lists_multi_op(a: DataFrame, b: DataFrame, op_list: list[str],
+                          metric_col: str = "metric", ts_col: str = "ts",
+                          value_col: str = "value") -> DataFrame:
+    """Several ``<op>SeriesLists`` results over the SAME pair of lists
+    in ONE pass — the shared-scan fusion of
+    ``series_lists_op(a,b,op1).union(series_lists_op(a,b,op2))``
+    (optimization guide §2.4): the rank windows, the broadcast rank
+    joins and the (rank, ts) equi-join run once, and each joined row
+    explodes into one output row per op. Row-identical to the union of
+    the single-op calls (same name spellings, same combine arithmetic);
+    at bench scale the fused form halves the query's exchange count
+    (the union's two branches re-ran the whole scan→distinct→window→
+    join pipeline per op)."""
+    ops = {
+        "divide": lambda x, y: F.when(y != 0, F.round(x / y, 6)),
+        "sum": lambda x, y: F.round(x + y, 6),
+        "diff": lambda x, y: F.round(x - y, 6),
+        "multiply": lambda x, y: F.round(x * y, 6),
+        "average": lambda x, y: F.round((x + y) / 2.0, 6),
+    }
+    names = {"divide": "divideSeries", "sum": "sumSeries",
+             "diff": "diffSeries", "multiply": "multiplySeries",
+             "average": "averageSeries"}
+    bad = [o for o in op_list if o not in ops]
+    if bad or not op_list:
+        raise ValueError(
+            f"unknown list ops {bad!r}; supported: {sorted(ops)}")
     rank_w = Window.orderBy(metric_col)
 
     def ranked(df, side):
@@ -2106,11 +2134,18 @@ def series_lists_op(a: DataFrame, b: DataFrame, op: str,
         )
 
     joined = ranked(a, "a").join(ranked(b, "b"), ["_rank", ts_col])
-    return joined.select(
-        F.concat(F.lit(names[op] + "("), "_a_name", F.lit(","),
-                 "_b_name", F.lit(")")).alias(metric_col),
+    entries = F.array(*[
+        F.struct(
+            F.concat(F.lit(names[op] + "("), "_a_name", F.lit(","),
+                     "_b_name", F.lit(")")).alias("_m"),
+            ops[op](F.col("_a_v"), F.col("_b_v")).alias("_v"),
+        )
+        for op in op_list
+    ])
+    return joined.select(F.col(ts_col), F.explode(entries).alias("_e")).select(
+        F.col("_e._m").alias(metric_col),
         F.col(ts_col),
-        combine(F.col("_a_v"), F.col("_b_v")).alias(value_col),
+        F.col("_e._v").alias(value_col),
     )
 
 

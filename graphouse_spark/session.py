@@ -50,15 +50,31 @@ def _default_local_dir() -> str | None:
     Spark's default. Shuffle dirs are per-application (blockmgr-UUID)
     and removed on session stop; periodic context GC (30 min default)
     bounds accumulation within long sessions.
+
+    Failure mode (documented per r13 ADVICE): tmpfs pages compete with
+    the page cache and executor heap for physical RAM, and a shuffle
+    larger than the remaining tmpfs space fails the task with ENOSPC —
+    Spark has no per-local-dir quota, so the guard is conservative
+    instead: tmpfs is used only when /dev/shm has >= 32 GiB free AND
+    that free space is at least half of physical RAM (i.e. the machine
+    is not already memory-pressured and tmpfs is sized like this
+    sandbox's, not a default 50%-of-small-RAM mount). The r14 A/B at
+    the 10M-name backfill envelope (tools/backfill_ab.py, round notes)
+    measured tmpfs faster at BOTH sizes and BETTER on cpu-growth than
+    /tmp, so the risk trade is paid for; set SPARK_GRAFT_LOCAL_DIR to
+    any path (e.g. /tmp) to force disk.
     """
     override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if override:
         return override or None
     try:
         st = os.statvfs("/dev/shm")
-        if st.f_bavail * st.f_frsize >= 16 * 1024 ** 3:
+        free = st.f_bavail * st.f_frsize
+        with open("/proc/meminfo") as fh:
+            total_ram = int(fh.readline().split()[1]) * 1024
+        if free >= 32 * 1024 ** 3 and free >= total_ram // 2:
             return "/dev/shm/graphouse-spark-local"
-    except OSError:
+    except (OSError, ValueError, IndexError):
         pass
     return None
 

@@ -122,11 +122,17 @@ def test_hash_sampling_filters_in_scan_stage(spark):
     assert ") Exchange" not in plan
 
 
-def test_tfidf_broadcasts_vocabulary_sides(spark):
-    # df table and corpus count join back as broadcasts; the only real
-    # shuffles are the (doc, token) aggregations + the top-k window
+def test_tfidf_explodes_corpus_exactly_once(spark):
+    # r14: df is a count WINDOW over tf, not an aggregate joined back —
+    # the join-back form put tf on both sides of a self-join and the
+    # whole scan→explode subtree was physically duplicated (no exchange
+    # reuse under AQE). The corpus must be exploded exactly once; the
+    # only join left is the broadcast n_docs cross join.
     plan = plan_of(em.q_doc_tfidf_topk(spark, SF))
-    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+    # each physical node appears twice in formatted output (tree line +
+    # "(n) Generate" detail header): one Generate node == 2 mentions
+    assert plan.count("Generate") == 2, plan
+    assert "BroadcastNestedLoopJoin" in plan
     assert "EvalPython" not in plan
 
 

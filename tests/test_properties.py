@@ -114,6 +114,7 @@ def test_target_parser_never_crashes_unexpectedly(target):
     ["SELECT", " ", "'", '"', "`", "--", "/*", "*/", "\\", "\n",
      "a", "1", ",", "(", ")", "x'y", "it''s"]), max_size=30))
 @example(parts=['"', "'", '"']).via("discovered failure")
+@example(parts=["\\", "'", "\\", "'", "'"]).via("discovered failure")
 def test_sqlguard_tokenize_roundtrips_or_rejects(parts):
     """For ANY byte soup: tokenize either rejects (GuardError) or
     returns segments that concatenate back to the input exactly —
@@ -142,9 +143,12 @@ def test_sqlguard_tokenize_roundtrips_or_rejects(parts):
             if content in ("X", "") or content in code_text:
                 continue
             # the 'X' placeholder's own delimiters are quote chars; a
-            # literal whose content is all quote characters (e.g. "'")
-            # would "leak" only via those delimiters — exempt it
-            if set(content) <= set("'\"`"):
+            # literal whose content is all quote/escape characters
+            # (e.g. "'", or "\\'" when a code segment happens to end
+            # in a backslash right before the placeholder's opening
+            # quote) can "leak" only via delimiters and code syntax,
+            # never via payload — exempt pure-syntax contents
+            if set(content) <= set("'\"`\\"):
                 continue
             assert content not in s
 

@@ -63,9 +63,22 @@ BUDGETS = {
     # kernel-heavy queries, so their growth ratios now read close to
     # the true data scaling instead of being flattered by overhead
     # (clusters measured 7.3x run / 9.6x cpu post-fix vs the 4.2-4.7
-    # r8/r9 band; absolute cost at BOTH sizes got faster). The budget
-    # becomes the linear cap itself — still the hard scalability claim.
-    "doc_dedup_clusters": 10.0,
+    # r8/r9 band; absolute cost at BOTH sizes got faster).
+    # r14 re-tightening (r13 verdict #6): the n_members join-back
+    # duplicated the whole members subtree in the physical plan; with
+    # it rewritten as a count window the measured growth fell back to
+    # 4.37x run / 4.09x cpu (quiet box, min-of-2 per size). Budget
+    # calibration must use the IN-SUITE ratio, not the quiet solo one:
+    # after ~600 tests the warm JIT/code-cache DEFLATES the small
+    # side's absolute cost (6.7 s vs 11.2 s solo) which INFLATES the
+    # measured growth — in-suite min-metric read 6.57x on the same
+    # plan. Budget = in-suite observed * ~1.3, BELOW linear, so a
+    # merely-worse-but-sublinear regression stays visible: the r13
+    # join-back state (7.3x quiet) reads ~11x under the same in-suite
+    # protocol and fails. corpus_pipeline measured 8.15x/7.58x quiet
+    # (its cost is the kernel + contamination chain, not the cluster
+    # join): observed*1.5 caps at the linear bound.
+    "doc_dedup_clusters": 8.5,
     "doc_corpus_pipeline": 10.0,
     "ev_ch_combinators": 4.0,
     "ev_array_join": 8.5,

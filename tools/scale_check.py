@@ -127,8 +127,11 @@ def host_probe(spark, meter, rows: int = 40_000_000) -> dict:
     best = None
     for _ in range(2):
         snap = meter.max_stage_id()
+        # mask to 28 bits before summing: 40M * 2^28 < 2^63, so the
+        # ANSI-mode sum cannot overflow (a raw xxhash64 sum throws
+        # ARITHMETIC_OVERFLOW under Spark 4's default ansi=true)
         spark.range(rows, numPartitions=par).select(
-            F.sum(F.xxhash64("id"))).collect()
+            F.sum(F.xxhash64("id").bitwiseAND(F.lit(0xFFFFFFF)))).collect()
         s = meter.since(snap)
         if best is None or s["cpu_sec"] < best["cpu_sec"]:
             best = s
