@@ -328,6 +328,33 @@ class Fs:
         return int(self._fs.getFileStatus(self._jpath(p))
                    .getModificationTime() // 1000)
 
+    def touch_existing(self, p: str) -> bool:
+        """Refresh an existing file's mtime IN PLACE — the file is
+        never observably absent (unlike a write_text replace, whose
+        delete+rename window readers can land in; ChecksumFs-backed
+        local renames have that window even through FileContext).
+        Lease RENEWAL depends on this property: absence means
+        "acquirable" to a contending create_exclusive. False when the
+        path is missing or the store cannot set times (callers decide
+        the fallback)."""
+        if self.scheme == "file":
+            local = p[len("file://"):] if p.startswith("file://") else p
+            if "://" not in p and not os.path.isabs(local):
+                local = os.path.abspath(local)
+            try:
+                os.utime(local, None)
+                return True
+            except OSError:
+                return False
+        try:
+            import time as _time
+
+            now_ms = int(_time.time() * 1000)
+            self._fs.setTimes(self._jpath(p), now_ms, now_ms)
+            return True
+        except Exception:
+            return False
+
     def read_text(self, p: str) -> str:
         # bytes must come back as a RETURN VALUE: py4j passes byte[]
         # by value, so readFully(buf) would fill a JVM-side copy and
@@ -398,11 +425,33 @@ class WriterLease:
     def renew(self) -> None:
         """Refresh the lease mtime (call between protocol milestones
         so a long run never looks crashed). Raises LeaseHeld if the
-        lease was meanwhile taken over."""
-        if self._fs.exists(self.path) and \
-                self._fs.read_text(self.path).strip() != self.owner:
+        lease was meanwhile taken over.
+
+        The refresh is an IN-PLACE mtime bump, never a file replace:
+        renewing via ``write_text`` (tmp + rename-over) made the lease
+        file observably ABSENT for a moment on ChecksumFs-backed local
+        filesystems (delete+rename inside the overwrite-rename), and a
+        contending ``create_exclusive`` landing in that window
+        acquired a second live lease — the rename then silently
+        clobbered the contender's token, so BOTH writers proceeded
+        (reproduced: a renew loop against two retrying acquirers
+        breaches on the first renewal; this was the root cause of the
+        interleaved-compaction/mutation test's "load flake")."""
+        if self._fs.exists(self.path):
+            if self._fs.read_text(self.path).strip() != self.owner:
+                raise LeaseHeld(f"lease {self.path} taken over mid-run")
+            if self._fs.touch_existing(self.path):
+                return
+            # store cannot set times (some object stores): fall back
+            # to the replace. On those stores acquisition is already
+            # HEAD+PUT (documented race) — this is no wider.
+            self._fs.write_text(self.path, self.owner)
+            return
+        # lease file vanished (external cleanup): re-create atomically
+        # rather than overwrite-write, so a concurrent acquirer either
+        # beats us (we raise) or loses cleanly (it keeps retrying)
+        if not self._fs.create_exclusive(self.path, self.owner):
             raise LeaseHeld(f"lease {self.path} taken over mid-run")
-        self._fs.write_text(self.path, self.owner)
 
     def release(self) -> None:
         try:

@@ -183,3 +183,45 @@ def test_lease_mutual_exclusion_under_contention(spark, tmp_path):
     assert not violations, violations[:3]
     assert not deaths, deaths[:3]
     assert not os.path.exists(lease_path(root))  # no ghost
+
+
+def test_renew_never_opens_acquire_window(spark, tmp_path):
+    """r14 root cause of the interleaved-compaction 'load flake': a
+    holder RENEWING its live lease must never let a retrying
+    contender in. The old renew replaced the file via write_text
+    (tmp + rename-over), and on ChecksumFs-backed local filesystems
+    the overwrite-rename is delete+rename inside — for a moment the
+    lease file is ABSENT, a contender's create_exclusive lands in the
+    window, and the rename then silently clobbers the contender's
+    token so BOTH rewriters proceed (observed as FILE_NOT_EXIST
+    mid-scan under the lease). Renewal is now an in-place mtime bump;
+    on the old code this test breaches on the FIRST renewal."""
+    fs = fs_mod.get_fs(str(tmp_path), spark)
+    root = str(tmp_path / "tbl")
+    holder = acquire_writer_lease(fs, root, owner="HOLDER")
+    breaches, stop = [], threading.Event()
+
+    def contend(tok):
+        while not stop.is_set():
+            try:
+                acquire_writer_lease(fs, root, owner=tok)
+                breaches.append(tok)
+                return
+            except LeaseHeld:
+                pass
+
+    threads = [threading.Thread(target=contend, args=(f"C{i}",))
+               for i in range(2)]
+    for t in threads:
+        t.start()
+    deadline = time.monotonic() + 6
+    renews = 0
+    while time.monotonic() < deadline and not breaches:
+        holder.renew()
+        renews += 1
+    stop.set()
+    for t in threads:
+        t.join()
+    assert not breaches, f"contender acquired during renew #{renews}"
+    assert fs.read_text(lease_path(root)).strip() == "HOLDER"
+    holder.release()
