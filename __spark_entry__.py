@@ -2353,10 +2353,14 @@ def q_ts_select_series(spark, sf_dir):
     -> filterSeries(average > 49) — the one-plan-shape selector/filter
     family behind highestAverage/lowestCurrent/averageAbove/... (agg,
     TakeOrderedAndProject top-N, broadcast semi-join back)."""
-    from graphouse_spark.functions.timeseries import filter_series, select_series_by
+    from graphouse_spark.functions.timeseries import select_then_filter_series
 
-    return filter_series(
-        select_series_by(_series(spark, sf_dir), "current", 3), "average", ">", 49.0
+    # fused (r14, guide §2.4): both per-series stats from ONE groupBy,
+    # one semi-join back — row-identical to
+    # filter_series(select_series_by(s, "current", 3), "average", ">", 49)
+    # because both operators only drop whole series (oracle unchanged)
+    return select_then_filter_series(
+        _series(spark, sf_dir), "current", 3, "average", ">", 49.0
     )
 
 

@@ -1653,14 +1653,9 @@ def select_series_by(series: DataFrame, function: str = "average", n: int = 5,
     ).select(metric_col, ts_col, value_col)
 
 
-def filter_series(series: DataFrame, function: str, operator: str, threshold: float,
-                  metric_col: str = "metric", ts_col: str = "ts",
-                  value_col: str = "value") -> DataFrame:
-    """graphite ``filterSeries(seriesList, func, operator, threshold)``:
-    the generic predicate behind averageAbove/maximumBelow/...: keep
-    series whose per-series statistic satisfies ``stat <op>
-    threshold``. Same agg + broadcast-semi-join shape as the selector.
-    """
+def _filter_pred(operator: str, threshold: float):
+    """The comparison column-builder shared by :func:`filter_series`
+    and :func:`select_then_filter_series`."""
     ops = {
         ">": lambda c: c > threshold,
         ">=": lambda c: c >= threshold,
@@ -1670,11 +1665,54 @@ def filter_series(series: DataFrame, function: str, operator: str, threshold: fl
         "!=": lambda c: c != threshold,
     }
     try:
-        pred = ops[operator]
+        return ops[operator]
     except KeyError:
         raise ValueError(f"unknown operator {operator!r}; supported: {sorted(ops)}") from None
+
+
+def filter_series(series: DataFrame, function: str, operator: str, threshold: float,
+                  metric_col: str = "metric", ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """graphite ``filterSeries(seriesList, func, operator, threshold)``:
+    the generic predicate behind averageAbove/maximumBelow/...: keep
+    series whose per-series statistic satisfies ``stat <op>
+    threshold``. Same agg + broadcast-semi-join shape as the selector.
+    """
+    pred = _filter_pred(operator, threshold)
     stat = _series_stat(function, value_col, ts_col)
     keep = series.groupBy(metric_col).agg(stat.alias("_s")).filter(pred(F.col("_s")))
+    return series.join(
+        F.broadcast(keep.select(metric_col)), metric_col, "left_semi"
+    ).select(metric_col, ts_col, value_col)
+
+
+def select_then_filter_series(series: DataFrame, select_function: str, n: int,
+                              filter_function: str, operator: str,
+                              threshold: float, lowest: bool = False,
+                              metric_col: str = "metric", ts_col: str = "ts",
+                              value_col: str = "value") -> DataFrame:
+    """``filterSeries(highest(series, n, f_sel), f_flt, op, t)`` in ONE
+    stats pass (r14, guide §2.4). Composing :func:`select_series_by`
+    and :func:`filter_series` runs a per-series aggregate and a
+    broadcast semi-join PER OPERATOR — the base pipeline is computed
+    once for each aggregate and once for each probe (4 passes, ~18
+    sequential AQE stages at bench scale, wall 3x task). Both
+    operators only ever drop WHOLE series, so the outer statistic over
+    the selected rows equals the same statistic over the full series:
+    compute BOTH stats in one groupBy, apply the top-n cut then the
+    threshold predicate to that stats table, and bring back the
+    winners with ONE semi-join. Row-identical to the composition by
+    construction (same stat expressions, same order/tiebreak, the
+    limit applied before the predicate)."""
+    pred = _filter_pred(operator, threshold)
+    sel = _series_stat(select_function, value_col, ts_col)
+    flt = _series_stat(filter_function, value_col, ts_col)
+    stats = series.groupBy(metric_col).agg(sel.alias("_s"), flt.alias("_f"))
+    order = F.asc("_s") if lowest else F.desc("_s")
+    keep = (
+        stats.orderBy(order, F.asc(metric_col)).limit(n)
+        .filter(pred(F.col("_f")))
+    )
     return series.join(
         F.broadcast(keep.select(metric_col)), metric_col, "left_semi"
     ).select(metric_col, ts_col, value_col)
@@ -2652,15 +2690,36 @@ def lttb_downsample(series: DataFrame, n_buckets: int,
         metric_col, ts_col, value_col, "_b",
         avg_t.alias("_bt"), avg_v.alias("_bv"),
     )
-    wo = Window.partitionBy(metric_col).orderBy("_b")
-    # one row per (metric, bucket): neighbor-bucket centroids
-    per_bucket = stats.select(metric_col, "_b", "_bt", "_bv").distinct()
-    neigh = per_bucket.select(
-        metric_col, "_b",
-        F.lag("_bt").over(wo).alias("_pt"), F.lag("_bv").over(wo).alias("_pv"),
-        F.lead("_bt").over(wo).alias("_nt"), F.lead("_bv").over(wo).alias("_nv"),
+    # neighbor-bucket centroids as RANGE-FRAME windows directly on the
+    # row frame (r14, guide §2.4): the previous formulation built a
+    # distinct per-bucket table, lag/lead'd it, and joined it back —
+    # the stats subtree (scan -> series agg -> bucket windows) sat on
+    # both sides of that join and was physically computed TWICE (no
+    # exchange reuse; at bench size Catalyst even broadcast the full
+    # point-row side). Every row already carries its OWN bucket's
+    # centroid (_bt/_bv are constant within a bucket), so the previous
+    # EXISTING bucket's centroid is last(_bt) over the range frame
+    # ending at _b - 1, and the next is first(_bt) over the frame
+    # starting at _b + 1 — identical to lag/lead over the distinct
+    # bucket table (empty frame -> NULL, same as lag's default), with
+    # one scan, zero joins and no full-table broadcast hazard.
+    # both frames are GROWING (unboundedPreceding -> moving end), which
+    # Spark evaluates incrementally in O(n); the natural spelling of
+    # "next" — first() over (1, unboundedFollowing) — is a shrinking
+    # frame that Spark re-evaluates from scratch per row (O(n^2),
+    # measured 9x task time on the sf0.1 bench), so "next" rides a
+    # growing frame over the DESCENDING bucket order instead.
+    prev_f = (Window.partitionBy(metric_col).orderBy("_b")
+              .rangeBetween(Window.unboundedPreceding, -1))
+    next_f = (Window.partitionBy(metric_col).orderBy(F.col("_b").desc())
+              .rangeBetween(Window.unboundedPreceding, -1))
+    joined = stats.select(
+        metric_col, ts_col, value_col, "_b",
+        F.last("_bt").over(prev_f).alias("_pt"),
+        F.last("_bv").over(prev_f).alias("_pv"),
+        F.last("_bt").over(next_f).alias("_nt"),
+        F.last("_bv").over(next_f).alias("_nv"),
     )
-    joined = stats.join(neigh, [metric_col, "_b"])
     t = F.col(ts_col).cast("double")
     v = F.col(value_col)
     area = F.abs(

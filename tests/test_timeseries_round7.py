@@ -194,3 +194,34 @@ def test_nn_derivative_counter_wrap(spark):
     over = {r["ts"]: r["rate"]
             for r in non_negative_derivative(s2, max_value=255.0).collect()}
     assert over[60] is None
+
+
+def test_select_then_filter_matches_composition(series):
+    """r14 fusion (guide §2.4): the one-pass
+    select_then_filter_series must be row-identical to
+    filter_series(select_series_by(...)) — both operators only drop
+    whole series, so the outer stat over the selected rows equals the
+    stat over the full series. Covers highest/lowest, every operator
+    spelling, n beyond the metric count, and an empty result."""
+    from graphouse_spark.functions.timeseries import select_then_filter_series
+
+    cases = [
+        ("current", 3, "average", ">", 49.0, False),   # the entry query
+        ("current", 1, "average", ">", 0.0, False),
+        ("average", 2, "current", "<=", 40.0, False),
+        ("max", 1, "min", "=", 1.0, True),             # lowest=True
+        ("sum", 99, "sum", "!=", 10.0, False),         # n > #metrics
+        ("average", 2, "average", "<", -1.0, False),   # empty result
+    ]
+    for sel_fn, n, flt_fn, op, thr, lowest in cases:
+        fused = select_then_filter_series(
+            series, sel_fn, n, flt_fn, op, thr, lowest=lowest)
+        composed = filter_series(
+            select_series_by(series, sel_fn, n, lowest=lowest),
+            flt_fn, op, thr)
+        assert sorted(map(tuple, fused.collect())) == \
+            sorted(map(tuple, composed.collect())), (sel_fn, n, flt_fn, op, thr, lowest)
+    with pytest.raises(ValueError, match="unknown operator"):
+        select_then_filter_series(series, "average", 1, "average", "~", 1.0).collect()
+    with pytest.raises(ValueError, match="unknown series statistic"):
+        select_then_filter_series(series, "nope", 1, "average", ">", 1.0).collect()
