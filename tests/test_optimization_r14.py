@@ -73,3 +73,50 @@ def test_daemon_conf_still_honored_by_pyspark():
         "PythonWorkerFactory disappeared from spark-core — re-verify "
         "spark.python.daemon.module is still honored before trusting "
         "the pydaemon optimization")
+
+
+def test_paired_remeasure_adjudicates_on_min_growth_pair(monkeypatch):
+    """r14 gate hardening #2 (scale_check.paired_remeasure): a
+    throttled window during ONE pair's big side must not read as plan
+    growth — the min-growth pair adjudicates — while uniform (real)
+    growth survives every pair and still fails. Probes are pinned so
+    only the pairing logic is under test; a Spark session is not
+    needed (the gc call is satisfied by a stub)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import scale_check
+
+    monkeypatch.setattr(scale_check, "host_probe",
+                        lambda spark, meter: {"task_sec": 1.0,
+                                              "cpu_sec": 1.0})
+    monkeypatch.setattr(scale_check.time, "sleep", lambda s: None)
+
+    class _Stub:
+        def __getattr__(self, name):
+            return _Stub()
+
+        def __call__(self, *a, **kw):
+            return None
+
+    spark = _Stub()
+
+    # box throttles during pairs 1 and 3; pair 2 lands steady
+    smalls = iter([{"task_sec": 1.0, "cpu_sec": 1.0}] * 3)
+    bigs = iter([{"task_sec": 30.0, "cpu_sec": 30.0},
+                 {"task_sec": 5.0, "cpu_sec": 5.0},
+                 {"task_sec": 28.0, "cpu_sec": 29.0}])
+    small, big = scale_check.paired_remeasure(
+        spark, None, lambda: next(smalls), lambda: next(bigs))
+    growth = min(big["task_sec"] / small["task_sec"],
+                 big["cpu_sec"] / small["cpu_sec"])
+    assert growth == 5.0, (small, big)
+
+    # a REAL superlinear plan inflates EVERY pair: min still fails
+    smalls = iter([{"task_sec": 1.0, "cpu_sec": 1.0}] * 3)
+    bigs = iter([{"task_sec": 30.0, "cpu_sec": 31.0}] * 3)
+    small, big = scale_check.paired_remeasure(
+        spark, None, lambda: next(smalls), lambda: next(bigs))
+    growth = min(big["task_sec"] / small["task_sec"],
+                 big["cpu_sec"] / small["cpu_sec"])
+    assert growth == 30.0, (small, big)

@@ -119,24 +119,25 @@ def test_core_plans_at_most_linear_to_100x(spark):
                   if hundred["task_sec"] > 30.0 else 30.0)
         if min(g_run, g_cpu) > bound0:
             # confirm-before-fail: a bound violation is re-measured
-            # once from scratch — the flake class here is a one-off
-            # small-side sample distorted by accumulated JVM state
-            # (in-suite runs after ~1000 tests measured 2-4x off the
-            # same plan's solo numbers); a REAL plan regression is
-            # reproducible and fails both attempts. r14: GC-settle and
-            # bracket each side with the host-state probe (see
-            # scale_check.host_probe) so a uniformly-distorted box —
-            # task AND cpu inflated together — does not read as growth
-            from scale_check import host_probe, probe_scaled
+            # with the alternating-pairs protocol (r14, second
+            # hardening iteration — scale_check.paired_remeasure).
+            # The flake class is box state, not plan growth: in-suite
+            # runs measured 2-30x off the same plan's solo numbers
+            # with task AND cpu inflated together (accumulated JVM
+            # state, and this VM throttling under sustained load —
+            # the latter can begin INSIDE a measured region, where
+            # bracketing probes alone cannot see it). Adjacent
+            # small/big pairs divide any box-wide multiplicative
+            # state out; a REAL plan regression inflates every pair
+            # and still fails.
+            from scale_check import paired_remeasure
 
-            spark.sparkContext._jvm.System.gc()
-            import time as _time
-            _time.sleep(2)
-            pr_s = host_probe(spark, meter)
-            ten = run_one(spark, meter, fn, dirs[10])
-            pr_b = host_probe(spark, meter)
-            hundred = probe_scaled(
-                run_one(spark, meter, fn, dirs[100]), pr_s, pr_b)
+            ten, hundred = paired_remeasure(
+                spark, meter,
+                lambda fn=fn: run_one(spark, meter, fn, dirs[10],
+                                      repeats=1),
+                lambda fn=fn: run_one(spark, meter, fn, dirs[100],
+                                      repeats=1))
             g_run = hundred["task_sec"] / max(ten["task_sec"], 1e-9)
             g_cpu = hundred["cpu_sec"] / max(ten["cpu_sec"], 1e-9)
         # 10x the rows: linear = 10x more work. Two growth estimators:

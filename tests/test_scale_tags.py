@@ -39,7 +39,6 @@ import json
 import os
 import shutil
 import sys
-import time
 
 import pytest
 
@@ -215,27 +214,24 @@ def test_tag_index_plans_at_most_linear_10x(spark):
         small, big = per_size[1_000_000], per_size[10_000_000]
 
         def remeasure(exprs=exprs):
-            # same confirm-before-fail hardening as the backfill gate:
-            # settle accumulated in-suite JVM state, take deeper
-            # min-of-3 samples, and normalize by the host-state probe
-            # (r13 verdict #1: the trips inflate task AND cpu together
-            # — a box-state signature, not plan growth; the probe
-            # measures and cancels exactly that, clamped so a real
-            # quadratic regression still fails)
-            from scale_check import host_probe, probe_scaled
+            # alternating-pairs confirm-before-fail (r14, second
+            # hardening iteration — see scale_check.paired_remeasure:
+            # bracketing probes miss drift that begins INSIDE the big
+            # side's measured region; adjacent pairs divide out any
+            # box-wide multiplicative state, min-growth pair
+            # adjudicates, a real superlinear plan fails every pair)
+            from scale_check import paired_remeasure
 
-            spark = svcs[1_000_000].spark
-            spark.sparkContext._jvm.System.gc()
-            time.sleep(2)
-            pr_s = host_probe(spark, meter)
-            small = _run_one(
-                meter, lambda: svcs[1_000_000]._tagged_names(exprs).count(),
-                repeats=3)
-            pr_b = host_probe(spark, meter)
-            big = _run_one(
-                meter, lambda: svcs[10_000_000]._tagged_names(exprs).count(),
-                repeats=3)
-            return small, probe_scaled(big, pr_s, pr_b)
+            return paired_remeasure(
+                svcs[1_000_000].spark, meter,
+                lambda: _run_one(
+                    meter,
+                    lambda: svcs[1_000_000]._tagged_names(exprs).count(),
+                    repeats=1),
+                lambda: _run_one(
+                    meter,
+                    lambda: svcs[10_000_000]._tagged_names(exprs).count(),
+                    repeats=1))
 
         _gate(shape, small, big, budget, remeasure)
         results[shape] = {n: r["task_sec"] for n, r in per_size.items()}
@@ -257,28 +253,28 @@ def test_tag_index_plans_at_most_linear_10x(spark):
         small, big = per_size[1_000_000], per_size[10_000_000]
 
         def remeasure(exprs=exprs):
-            # same GC-settle + min-of-3 + probe-normalized
-            # confirm-before-fail hardening as the gates above
-            # (in-suite JVM-state flake class)
-            from scale_check import host_probe, probe_scaled
+            # alternating-pairs confirm-before-fail (r14, second
+            # hardening iteration — see the gate above and
+            # scale_check.paired_remeasure), with the degraded-window
+            # hook installed around each measurement
+            from scale_check import paired_remeasure
 
-            spark = svcs[1_000_000].spark
-            spark.sparkContext._jvm.System.gc()
-            time.sleep(2)
-            out, probes = [], []
-            for n in (1_000_000, 10_000_000):
+            def measure(n):
                 svc = svcs[n]
-                probes.append(host_probe(spark, meter))
                 svc._regex_value_list = (
                     lambda key, anchored, lookback=True: None)
                 try:
-                    out.append(_run_one(
+                    return _run_one(
                         meter,
-                        lambda n=n: svcs[n]._tagged_names(exprs).count(),
-                        repeats=3))
+                        lambda: svcs[n]._tagged_names(exprs).count(),
+                        repeats=1)
                 finally:
                     del svc.__dict__["_regex_value_list"]
-            return out[0], probe_scaled(out[1], probes[0], probes[1])
+
+            return paired_remeasure(
+                svcs[1_000_000].spark, meter,
+                lambda: measure(1_000_000),
+                lambda: measure(10_000_000))
 
         _gate(shape, small, big, budget, remeasure)
         results[shape] = {n: r["task_sec"] for n, r in per_size.items()}
@@ -309,22 +305,20 @@ def test_tag_backfill_at_most_linear_10x(spark):
     small, big = per_size[1_000_000], per_size[10_000_000]
 
     def remeasure():
-        # settle accumulated in-suite JVM state (the flake class this
-        # hatch exists for), take deeper min-of-3 samples, and
-        # normalize by the host-state probe: observed in-suite trips
-        # at 11.0-12.9x with task AND cpu inflated TOGETHER (isolated
-        # reruns passed well under budget) — a box-state signature the
-        # probe measures and cancels; the clamp keeps a real
-        # superlinear plan failing (r13 verdict #1)
-        from scale_check import host_probe, probe_scaled
+        # alternating-pairs confirm-before-fail (r14, second hardening
+        # iteration): observed in-suite trips at 11.0-30.0x with task
+        # AND cpu inflated TOGETHER while isolated reruns passed well
+        # under budget — sustained-load box throttling, which
+        # bracketing probes miss when the shift begins inside the big
+        # side's measured region. Adjacent pairs divide the box state
+        # out; a real superlinear plan fails every pair
+        # (scale_check.paired_remeasure).
+        from scale_check import paired_remeasure
 
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(2)
-        pr_s = host_probe(spark, meter)
-        small = _run_one(meter, thunk_for(1_000_000), repeats=3)
-        pr_b = host_probe(spark, meter)
-        big = _run_one(meter, thunk_for(10_000_000), repeats=3)
-        return small, probe_scaled(big, pr_s, pr_b)
+        return paired_remeasure(
+            spark, meter,
+            lambda: _run_one(meter, thunk_for(1_000_000), repeats=1),
+            lambda: _run_one(meter, thunk_for(10_000_000), repeats=1))
 
     _gate("backfill_tag_index", small, big, BACKFILL_BUDGET, remeasure)
     # the r11 finding was spill-shaped before it was ratio-shaped: keep

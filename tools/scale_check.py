@@ -149,6 +149,49 @@ def probe_scaled(big: dict, probe_small: dict, probe_big: dict) -> dict:
     return out
 
 
+def paired_remeasure(spark, meter, measure_small, measure_big,
+                     pairs: int = 3):
+    """Alternating-pairs confirm-before-fail (r14 gate hardening,
+    second iteration).
+
+    The bracketing-probe protocol (:func:`host_probe` /
+    :func:`probe_scaled`) corrects throughput drift measured BEFORE
+    each side, but a shift that begins INSIDE the big side's measured
+    region escapes it: one in-suite trip on an otherwise-idle box read
+    26x run / 30x cpu on a plan that had passed the identical gate 40
+    minutes earlier in the previous full-suite run (this VM throttles
+    under sustained multi-core load — task and cpu inflate TOGETHER,
+    and the same run's calib probes had already drifted 1.4x).
+
+    Alternating small/big pairs make each growth ratio's numerator
+    and denominator temporally ADJACENT, so any box-wide
+    multiplicative state — throttled or not — divides out of every
+    pair that lands in a steady state; the gate adjudicates on the
+    min-growth pair. A REAL superlinear plan inflates the big side of
+    EVERY pair by the plan's growth factor, so the min still fails.
+    Probes still bracket each pair (clamped [1/3, 3]) for the
+    within-pair drift they can see.
+
+    ``measure_small`` / ``measure_big`` are zero-arg callables
+    returning a stats dict with at least ``task_sec`` and ``cpu_sec``
+    (e.g. a ``run_one`` / ``_run_one`` closure). Returns the
+    (small, probe-scaled big) of the min-growth pair, ready for the
+    caller's existing ratio recomputation."""
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
+    best = None
+    for _ in range(pairs):
+        pr_s = host_probe(spark, meter)
+        small = measure_small()
+        pr_b = host_probe(spark, meter)
+        big = probe_scaled(measure_big(), pr_s, pr_b)
+        g = min(big["task_sec"] / max(small["task_sec"], 1e-9),
+                big["cpu_sec"] / max(small["cpu_sec"], 1e-9))
+        if best is None or g < best[0]:
+            best = (g, small, big)
+    return best[1], best[2]
+
+
 def run_one(spark, meter, fn, sf_dir: str, repeats: int = 2) -> dict:
     """Warm once, then min-of-N timed runs — the same noise-robust
     estimator bench.py uses: executorRunTime is only plan-determined
